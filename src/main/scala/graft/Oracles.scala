@@ -1,0 +1,510 @@
+package graft
+
+import graft.functions.Hashing
+
+/** DuckDB oracle SQL for every SparkEntry query.
+  *
+  * Each statement mirrors the corresponding Spark plan's arithmetic
+  * exactly (decimal sums, IEEE double ratios of exact sums, identical
+  * fold orders and tie-breaks), so row/schema/hash comparison holds
+  * bit-for-bit. Shared model: the trade CTEs below re-derive the
+  * SURVEY §1 trade mapping over `events` in DuckDB.
+  *
+  * DuckDB-vs-Spark type notes baked in here:
+  *  - `events.ts` is TIMESTAMP_NS in DuckDB → cast to micros TIMESTAMP;
+  *  - SUM(BIGINT) is HUGEINT in DuckDB → cast to BIGINT;
+  *  - EXTRACT/len/row_number are BIGINT in DuckDB → cast to match
+  *    Spark's INT where Spark emits INT;
+  *  - double folds start from 0.0 on both sides (Spark `aggregate`
+  *    seeds 0D; here `list_reduce` over a 0.0-prepended list).
+  */
+object Oracles {
+
+  // ---------------------------------------------------------------- trades
+
+  private val bronzeCte =
+    """bronze AS (
+      |  SELECT
+      |    event_id AS trade_id,
+      |    event_type AS product_id,
+      |    value AS price,
+      |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS size,
+      |    CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
+      |    CAST(ts AS TIMESTAMP) AS trade_time,
+      |    CAST(ts AS TIMESTAMP) + (event_id % 600) * INTERVAL '1 second' AS ingested_at,
+      |    props AS _raw_payload,
+      |    CAST(CAST(ts AS TIMESTAMP) + (event_id % 600) * INTERVAL '1 second' AS DATE) AS _ingestion_date
+      |  FROM events
+      |  WHERE event_id IS NOT NULL
+      |)""".stripMargin
+
+  private val bronzeDupCte =
+    """bronze_dup AS (
+      |  SELECT trade_id, product_id, price, size, side, trade_time, ingested_at, _raw_payload, _ingestion_date
+      |  FROM bronze
+      |  UNION ALL
+      |  SELECT trade_id, product_id, price, size, side, trade_time,
+      |         ingested_at + INTERVAL '900 seconds',
+      |         _raw_payload,
+      |         CAST(ingested_at + INTERVAL '900 seconds' AS DATE)
+      |  FROM bronze WHERE trade_id % 10 = 0
+      |)""".stripMargin
+
+  private val dedupedCte =
+    """deduped AS (
+      |  SELECT * FROM bronze_dup
+      |  QUALIFY row_number() OVER (PARTITION BY trade_id ORDER BY ingested_at) = 1
+      |)""".stripMargin
+
+  private val silverCte =
+    """silver AS (
+      |  SELECT trade_id, product_id,
+      |    CAST(price AS DECIMAL(18,8)) AS price,
+      |    CAST(size AS DECIMAL(18,8)) AS size,
+      |    side, trade_time, ingested_at,
+      |    date_diff('second', trade_time, ingested_at) * 1000 > 300000 AS _is_late_arrival,
+      |    date_diff('second', trade_time, ingested_at) * 1000 AS _source_latency_ms,
+      |    CAST(trade_time AS DATE) AS _trade_date
+      |  FROM deduped
+      |  WHERE trade_id IS NOT NULL AND price IS NOT NULL AND price > 0 AND trade_time IS NOT NULL
+      |)""".stripMargin
+
+  private val stgCte =
+    """stg AS (
+      |  SELECT *,
+      |    CAST(CAST(price AS DOUBLE) * CAST(size AS DOUBLE) AS DECIMAL(18,8)) AS trade_value,
+      |    CAST(EXTRACT(HOUR FROM trade_time) AS INT) AS trade_hour,
+      |    CAST(EXTRACT(MINUTE FROM trade_time) AS INT) AS trade_minute,
+      |    date_trunc('minute', trade_time) AS minute_bucket,
+      |    date_trunc('hour', trade_time) AS hour_bucket
+      |  FROM silver
+      |  WHERE trade_time IS NOT NULL AND price > 0 AND size > 0
+      |)""".stripMargin
+
+  private val m1Cte =
+    """m1_open AS (
+      |  SELECT product_id, minute_bucket, price AS open FROM stg
+      |  QUALIFY row_number() OVER (PARTITION BY product_id, minute_bucket ORDER BY trade_time, trade_id) = 1
+      |), m1_close AS (
+      |  SELECT product_id, minute_bucket, price AS close FROM stg
+      |  QUALIFY row_number() OVER (PARTITION BY product_id, minute_bucket ORDER BY trade_time DESC, trade_id DESC) = 1
+      |), m1_agg AS (
+      |  SELECT product_id, minute_bucket AS window_start,
+      |    MAX(price) AS high, MIN(price) AS low,
+      |    CAST(SUM(size) AS DECIMAL(18,8)) AS volume,
+      |    COUNT(*) AS trade_count,
+      |    CAST(round(CAST(SUM(trade_value) AS DOUBLE) / NULLIF(CAST(SUM(size) AS DOUBLE), 0.0), 8) AS DECIMAL(18,8)) AS vwap
+      |  FROM stg GROUP BY 1, 2
+      |), m1 AS (
+      |  SELECT a.product_id, a.window_start, o.open, a.high, a.low, c.close,
+      |    a.volume, a.trade_count, a.vwap,
+      |    a.window_start + INTERVAL '1 minute' AS window_end,
+      |    CAST(a.window_start AS DATE) AS _partition_date
+      |  FROM m1_agg a
+      |  JOIN m1_open o ON a.product_id = o.product_id AND a.window_start = o.minute_bucket
+      |  JOIN m1_close c ON a.product_id = c.product_id AND a.window_start = c.minute_bucket
+      |)""".stripMargin
+
+  private val h1Cte =
+    """h1_open AS (
+      |  SELECT product_id, date_trunc('hour', window_start) AS hs, open FROM m1
+      |  QUALIFY row_number() OVER (PARTITION BY product_id, date_trunc('hour', window_start) ORDER BY window_start) = 1
+      |), h1_close AS (
+      |  SELECT product_id, date_trunc('hour', window_start) AS hs, close FROM m1
+      |  QUALIFY row_number() OVER (PARTITION BY product_id, date_trunc('hour', window_start) ORDER BY window_start DESC) = 1
+      |), h1_agg AS (
+      |  SELECT product_id, date_trunc('hour', window_start) AS hs,
+      |    MAX(high) AS high, MIN(low) AS low,
+      |    CAST(SUM(volume) AS DECIMAL(18,8)) AS volume,
+      |    CAST(SUM(trade_count) AS BIGINT) AS trade_count,
+      |    CAST(round(CAST(SUM(CAST(CAST(vwap AS DOUBLE) * CAST(volume AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)
+      |         / NULLIF(CAST(SUM(volume) AS DOUBLE), 0.0), 8) AS DECIMAL(18,8)) AS vwap
+      |  FROM m1 GROUP BY 1, 2
+      |), h1 AS (
+      |  SELECT a.product_id, a.hs AS window_start, o.open, a.high, a.low, c.close,
+      |    a.volume, a.trade_count, a.vwap,
+      |    a.hs + INTERVAL '1 hour' AS window_end,
+      |    CAST(a.hs AS DATE) AS _partition_date
+      |  FROM h1_agg a
+      |  JOIN h1_open o ON a.product_id = o.product_id AND a.hs = o.hs
+      |  JOIN h1_close c ON a.product_id = c.product_id AND a.hs = c.hs
+      |)""".stripMargin
+
+  private val dmCte =
+    """dm_open AS (
+      |  SELECT product_id, CAST(window_start AS DATE) AS date, open FROM h1
+      |  QUALIFY row_number() OVER (PARTITION BY product_id, CAST(window_start AS DATE) ORDER BY window_start) = 1
+      |), dm_close AS (
+      |  SELECT product_id, CAST(window_start AS DATE) AS date, close FROM h1
+      |  QUALIFY row_number() OVER (PARTITION BY product_id, CAST(window_start AS DATE) ORDER BY window_start DESC) = 1
+      |), dm_agg AS (
+      |  SELECT product_id, CAST(window_start AS DATE) AS date,
+      |    MAX(high) AS high, MIN(low) AS low,
+      |    CAST(SUM(volume) AS DECIMAL(18,8)) AS total_volume,
+      |    CAST(SUM(trade_count) AS BIGINT) AS total_trades
+      |  FROM h1 GROUP BY 1, 2
+      |), dm AS (
+      |  SELECT a.product_id, a.date, o.open, a.high, a.low, c.close,
+      |    a.total_volume, a.total_trades,
+      |    CAST(round((CAST(c.close AS DOUBLE) - CAST(o.open AS DOUBLE)) / NULLIF(CAST(o.open AS DOUBLE), 0.0), 8) AS DECIMAL(18,8)) AS daily_return,
+      |    CAST(round((CAST(a.high AS DOUBLE) - CAST(a.low AS DOUBLE)) / NULLIF(CAST(o.open AS DOUBLE), 0.0), 8) AS DECIMAL(18,8)) AS volatility,
+      |    CAST(round((CAST(a.high AS DOUBLE) - CAST(a.low AS DOUBLE)) / NULLIF(CAST(a.high AS DOUBLE), 0.0), 8) AS DECIMAL(18,8)) AS max_drawdown,
+      |    date_trunc('month', a.date) AS _partition_month
+      |  FROM dm_agg a
+      |  JOIN dm_open o ON a.product_id = o.product_id AND a.date = o.date
+      |  JOIN dm_close c ON a.product_id = c.product_id AND a.date = c.date
+      |)""".stripMargin
+
+  private def withTrades(upTo: String, body: String): String = {
+    val all = Seq(
+      "bronze" -> bronzeCte, "bronze_dup" -> bronzeDupCte,
+      "deduped" -> dedupedCte, "silver" -> silverCte, "stg" -> stgCte,
+      "m1" -> m1Cte, "h1" -> h1Cte, "dm" -> dmCte)
+    val idx = all.indexWhere(_._1 == upTo)
+    val ctes = all.take(idx + 1).map(_._2).mkString(",\n")
+    s"WITH $ctes\n$body"
+  }
+
+  // ------------------------------------------------------------- documents
+
+  private val shinglesCte =
+    """dt AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+      |), shl AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingles
+      |  FROM dt
+      |)""".stripMargin
+
+  private val jaccardVerify =
+    """SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) AS jaccard
+      |  FROM cand JOIN shl sa ON cand.doc_a = sa.doc_id JOIN shl sb ON cand.doc_b = sb.doc_id
+      |) WHERE jaccard >= 0.8""".stripMargin
+
+  // ------------------------------------------------------------ embeddings
+
+  private val nrmCte =
+    """nrm AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |      [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, ${Hashing.EmbDim + 1})]), (x, y) -> x + y)""".stripMargin
+
+  // ---------------------------------------------------------------- quality
+
+  /** (table, check_name, duckdb violation expr) rows mirroring
+    * DataQuality's check lists — used to generate the UNION ALL report. */
+  private val productsIn = "('click', 'error', 'purchase', 'signup', 'view')"
+  private def nn(c: String) = s"not_null_$c" ->
+    s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"
+  private def inSet(c: String, set: String) = s"in_set_$c" ->
+    s"SUM(CASE WHEN $c IS NULL OR $c NOT IN $set THEN 1 ELSE 0 END)"
+  private def pos(c: String) = s"positive_$c" ->
+    s"SUM(CASE WHEN $c IS NULL OR $c <= 0 THEN 1 ELSE 0 END)"
+  private def nneg(c: String) = s"non_negative_$c" ->
+    s"SUM(CASE WHEN $c < 0 THEN 1 ELSE 0 END)"
+
+  private val bronzeChecks = Seq(
+    nn("trade_id"), nn("ingested_at"), nn("product_id"),
+    inSet("product_id", productsIn), nn("price"), nn("size"),
+    inSet("side", "('buy', 'sell')"), nn("_raw_payload"))
+
+  private val silverChecks = Seq(
+    nn("trade_id"),
+    "unique_trade_id" -> "COUNT(*) - COUNT(DISTINCT trade_id)",
+    nn("product_id"), inSet("product_id", productsIn),
+    nn("price"), pos("price"), nn("size"), pos("size"),
+    inSet("side", "('buy', 'sell')"), nn("trade_time"),
+    nneg("_source_latency_ms"))
+
+  private def qualityReport: String = {
+    def cte(tbl: String, src: String, checks: Seq[(String, String)]): String = {
+      val aggCols = checks.zipWithIndex
+        .map { case ((_, e), i) => s"$e AS v$i" }.mkString(", ")
+      s"${tbl}_agg AS (SELECT COUNT(*) AS rc, $aggCols FROM $src)"
+    }
+    def branches(tbl: String, checks: Seq[(String, String)]): String =
+      checks.zipWithIndex.map { case ((name, _), i) =>
+        s"SELECT '$tbl' AS table_name, '$name' AS check_name, rc AS row_count, " +
+          s"CAST(v$i AS BIGINT) AS violations, CAST(v$i AS BIGINT) = 0 AS passed FROM ${tbl}_agg"
+      }.mkString("\nUNION ALL\n")
+    withTrades("silver",
+      s""", ${cte("bronze_trades", "bronze_dup", bronzeChecks)},
+         |${cte("silver_trades", "silver", silverChecks)}
+         |${branches("bronze_trades", bronzeChecks)}
+         |UNION ALL
+         |${branches("silver_trades", silverChecks)}""".stripMargin)
+  }
+
+  // ------------------------------------------------------------------- all
+
+  def all: Map[String, String] = Map(
+
+    "bronze_ingest" -> withTrades("bronze", "SELECT * FROM bronze"),
+
+    "silver_dedup" -> withTrades("deduped", "SELECT * FROM deduped"),
+
+    "silver_transform" -> withTrades("silver", "SELECT * FROM silver"),
+
+    "incremental_read" -> withTrades("bronze_dup",
+      """SELECT b.* FROM bronze_dup b, (SELECT MAX(ingested_at) - INTERVAL '2 hours' AS cutoff FROM bronze_dup)
+        |WHERE b.ingested_at >= cutoff""".stripMargin),
+
+    "merge_upsert" -> withTrades("silver",
+      """, tgt AS (SELECT * FROM silver WHERE trade_id % 3 <> 0),
+        |src AS (
+        |  SELECT trade_id, product_id,
+        |    CAST(CAST(price AS DOUBLE) * 1.005 AS DECIMAL(18,8)) AS price,
+        |    size, side, trade_time, ingested_at, _is_late_arrival, _source_latency_ms, _trade_date
+        |  FROM silver WHERE trade_id % 2 = 0)
+        |SELECT trade_id, product_id, price, size, side, trade_time, ingested_at, _is_late_arrival, _source_latency_ms, _trade_date FROM tgt
+        |WHERE trade_id NOT IN (SELECT trade_id FROM src)
+        |UNION ALL
+        |SELECT trade_id, product_id, price, size, side, trade_time, ingested_at, _is_late_arrival, _source_latency_ms, _trade_date FROM src""".stripMargin),
+
+    "silver_stats" -> withTrades("silver",
+      """SELECT product_id, COUNT(*) AS trade_count,
+        |  MIN(trade_time) AS earliest_trade, MAX(trade_time) AS latest_trade,
+        |  CAST(SUM(_source_latency_ms) AS DOUBLE) / COUNT(*) AS avg_latency_ms,
+        |  CAST(SUM(CASE WHEN _is_late_arrival THEN 1 ELSE 0 END) AS BIGINT) AS late_arrivals
+        |FROM silver GROUP BY product_id""".stripMargin),
+
+    "stg_trades" -> withTrades("stg", "SELECT * FROM stg"),
+
+    "ohlcv_1m" -> withTrades("m1", "SELECT * FROM m1"),
+
+    "ohlcv_1h" -> withTrades("h1", "SELECT * FROM h1"),
+
+    "daily_metrics" -> withTrades("dm", "SELECT * FROM dm"),
+
+    "price_latest" -> withTrades("dm",
+      """, anchor AS (SELECT MAX(trade_time) AS as_of FROM stg),
+        |lt AS (
+        |  SELECT product_id, price, trade_time AS updated_at FROM stg
+        |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY trade_time DESC, trade_id DESC) = 1),
+        |p1m AS (
+        |  SELECT product_id, close AS price_1m_ago FROM m1, anchor
+        |  WHERE window_start >= as_of - INTERVAL '2 minutes'
+        |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY window_start DESC) = 2),
+        |p1h AS (
+        |  SELECT product_id, close AS price_1h_ago FROM h1, anchor
+        |  WHERE window_start >= as_of - INTERVAL '2 hours'
+        |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY window_start DESC) = 2),
+        |p24 AS (
+        |  SELECT product_id, open AS price_24h_ago, high AS high_24h, low AS low_24h, total_volume AS volume_24h
+        |  FROM dm, anchor WHERE date = CAST(as_of AS DATE) - 1)
+        |SELECT lt.product_id, lt.price, lt.updated_at,
+        |  CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p1m.price_1m_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p1m.price_1m_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_1m_pct,
+        |  CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p1h.price_1h_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p1h.price_1h_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_1h_pct,
+        |  CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p24.price_24h_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p24.price_24h_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_24h_pct,
+        |  p24.high_24h, p24.low_24h, p24.volume_24h, anchor.as_of
+        |FROM lt
+        |LEFT JOIN p1m ON lt.product_id = p1m.product_id
+        |LEFT JOIN p1h ON lt.product_id = p1h.product_id
+        |LEFT JOIN p24 ON lt.product_id = p24.product_id
+        |CROSS JOIN anchor""".stripMargin),
+
+    "data_quality" -> qualityReport,
+
+    "streaming_bronze" ->
+      """SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT) * 300 * 1000000) AS window_start,
+        |  make_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT) * 300 + 300) * 1000000) AS window_end,
+        |  event_type AS product_id, COUNT(*) AS n_trades,
+        |  CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS volume
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+        |  CAST(SUM(CAST((l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)) * (CAST(1.0 AS DOUBLE) + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        |  CAST(round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_qty,
+        |  CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_price,
+        |  CAST(round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-08-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "top_orders_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |inv AS (SELECT doc_id, UNNEST(shingles) AS sh FROM shl),
+         |szs AS (SELECT doc_id, len(shingles) AS n_sh FROM shl),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+         |  FROM inter JOIN szs na ON inter.doc_a = na.doc_id JOIN szs nb ON inter.doc_b = nb.doc_id
+         |) WHERE jaccard >= 0.8""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $shinglesCte,
+         |sids AS (
+         |  SELECT doc_id, [CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % ${Hashing.P} FOR s IN shingles] AS sids
+         |  FROM shl WHERE len(shingles) > 0),
+         |mh AS (
+         |  SELECT doc_id,
+         |    [list_min([(${Hashing.permsADuck}[k+1] * x + ${Hashing.permsBDuck}[k+1]) % ${Hashing.P} FOR x IN sids]) FOR k IN range(0, ${Hashing.NumPerms})] AS mh
+         |  FROM sids),
+         |bands AS (
+         |  SELECT doc_id, b AS band, array_to_string(mh[b*4+1 : b*4+4], ',') AS sig
+         |  FROM mh, UNNEST(range(0, ${Hashing.BandsMinhash})) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |$jaccardVerify""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH wt AS (
+         |  SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS words FROM documents
+         |), hsx AS (
+         |  SELECT doc_id, [CAST(concat('0x', substr(md5(wd), 1, 15)) AS BIGINT) FOR wd IN words] AS hs
+         |  FROM wt WHERE len(words) > 0
+         |), fps AS (
+         |  SELECT doc_id, CAST(list_sum(
+         |    [CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+         |          THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END FOR b IN range(0, ${Hashing.SimhashBits})]) AS BIGINT) AS fp
+         |  FROM hsx
+         |), bandsx AS (
+         |  SELECT doc_id, fp, k AS band, (fp >> (k * ${Hashing.SimhashBandBits})) & ${(1L << Hashing.SimhashBandBits) - 1} AS bval
+         |  FROM fps, UNNEST(range(0, ${Hashing.SimhashBands})) AS t(k)
+         |), candx AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fp_a, b.fp AS fp_b
+         |  FROM bandsx a JOIN bandsx b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming FROM candx
+         |) WHERE hamming <= ${Hashing.SimhashMaxHamming}""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH $nrmCte,
+         |sig AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    [CASE WHEN list_reduce(list_concat([CAST(0 AS DOUBLE)],
+         |       [(${Hashing.planeSignDuck("i", "j")}) * CAST(embedding[j + 1] AS DOUBLE) FOR j IN range(0, ${Hashing.EmbDim})]),
+         |       (a, b) -> a + b) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END FOR i IN range(0, ${Hashing.NumPlanes})] AS sig
+         |  FROM nrm),
+         |bnd AS (
+         |  SELECT vec_id, band, sig[band*4+1] + sig[band*4+2] * 2 + sig[band*4+3] * 4 + sig[band*4+4] * 8 AS bval
+         |  FROM (SELECT vec_id, sig, k AS band FROM sig, UNNEST(range(0, ${Hashing.PlaneBands})) AS t(k))),
+         |cnd AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT vec_a, vec_b,
+         |    ${duckDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
+         |  FROM cnd JOIN nrm na ON cnd.vec_a = na.vec_id JOIN nrm nb ON cnd.vec_b = nb.vec_id
+         |) WHERE cosine >= CAST(0.4 AS DOUBLE)""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH $nrmCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM nrm WHERE vec_id < 10)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${duckDot("q.qe", "c.embedding")} / (q.qn * c.nrm) AS cosine,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      ${duckDot("q.qe", "c.embedding")} / (q.qn * c.nrm) DESC, c.vec_id) AS rank
+         |  FROM q, nrm c WHERE c.vec_id <> q.query_id)
+         |WHERE rank <= 10""".stripMargin,
+
+    "lang_id" -> {
+      val vals = graft.operators.TextAnalysis.Stopwords
+        .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents
+         |), swx AS (SELECT * FROM (VALUES $vals) sw(sw_lang, sw_word)),
+         |sc AS (
+         |  SELECT doc_id, sw_lang, COUNT(*) AS score
+         |  FROM tk JOIN swx ON tok = sw_word GROUP BY 1, 2
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, sw_lang) = 1)
+         |SELECT d.doc_id, COALESCE(sc.sw_lang, 'und') AS pred_lang,
+         |  CAST(COALESCE(sc.score, 0) AS BIGINT) AS score
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+    },
+
+    "text_quality" ->
+      """SELECT doc_id, n_words, n_distinct_words, avg_word_len, distinct_ratio, punct_count,
+        |  (n_words >= 5 AND n_words <= 100000 AND distinct_ratio >= 0.1
+        |   AND avg_word_len >= 2.0 AND avg_word_len <= 20.0) AS quality_pass
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+        |    CAST(CAST(list_sum(list_concat([0], [length(x) FOR x IN w])) AS BIGINT) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_word_len,
+        |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS punct_count
+        |  FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents))""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS regex_tokens,
+        |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS md5_hash, n_chars,
+         |  CAST(list_sum(list_concat([CAST(0 AS BIGINT)],
+         |    [CAST(ascii(text[i]) AS BIGINT) * ${Hashing.pow31Duck}[i] FOR i IN range(1, least(64, length(text)) + 1)])) % ${Hashing.FpP} AS BIGINT) AS prefix_hash
+         |FROM documents""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |  CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 16) * 16 END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 8) * 32 END AS height,
+        |  CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 120) + 1 END AS duration_s,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS payload_md5
+        |FROM documents""".stripMargin
+  )
+}

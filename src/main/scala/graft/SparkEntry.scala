@@ -1,13 +1,95 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+import graft.streaming.BronzeStream
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
+  // ---- shared trade-model builders (SURVEY §1) --------------------------
+
+  private def bronze(s: SparkSession, dir: String): DataFrame =
+    Bronze.ingest(Tables.events(s, dir))
+
+  private def bronzeDup(s: SparkSession, dir: String): DataFrame =
+    Bronze.withRedeliveries(bronze(s, dir))
+
+  private def silver(s: SparkSession, dir: String): DataFrame =
+    BronzeToSilver.transform(bronzeDup(s, dir))
+
+  private def stg(s: SparkSession, dir: String): DataFrame =
+    Staging.stgTrades(silver(s, dir))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Ohlcv.ohlcv1m(stg(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- lakehouse pipeline (SURVEY §2 rows 1-13) --
+    "bronze_ingest" -> ((s, dir) => bronze(s, dir)),
+    "streaming_bronze" -> ((s, dir) => BronzeStream.windowedVolume(s, dir)),
+    "silver_dedup" -> ((s, dir) => BronzeToSilver.dedup(bronzeDup(s, dir))),
+    "silver_transform" -> ((s, dir) => silver(s, dir)),
+    "incremental_read" -> ((s, dir) =>
+      BronzeToSilver.incrementalRead(bronzeDup(s, dir))),
+    "merge_upsert" -> { (s, dir) =>
+      val sv = silver(s, dir)
+      val target = sv.filter(col("trade_id") % 3 =!= 0)
+      val source = sv.filter(col("trade_id") % 2 === 0)
+        .withColumn("price",
+          (col("price").cast("double") * lit(1.005d)).cast("decimal(18,8)"))
+      MergeUpsert.merge(target, source, "trade_id")
+    },
+    "silver_stats" -> ((s, dir) => BronzeToSilver.stats(silver(s, dir))),
+    "stg_trades" -> ((s, dir) => stg(s, dir)),
+    "ohlcv_1m" -> ((s, dir) => Ohlcv.ohlcv1m(stg(s, dir))),
+    "ohlcv_1h" -> ((s, dir) => Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg(s, dir)))),
+    "daily_metrics" -> ((s, dir) =>
+      DailyMetrics.daily(Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg(s, dir))))),
+    "price_latest" -> { (s, dir) =>
+      val st = stg(s, dir)
+      val m1 = Ohlcv.ohlcv1m(st)
+      val h1 = Ohlcv.ohlcv1h(m1)
+      PriceLatest.latest(st, m1, h1, DailyMetrics.daily(h1))
+    },
+    "data_quality" -> ((s, dir) =>
+      DataQuality.fullReport(bronzeDup(s, dir), silver(s, dir))),
+    // -- core analytics (rows 15-18) --
+    "q1_pricing_summary" -> ((s, dir) =>
+      Analytics.q1PricingSummary(Tables.lineitem(s, dir))),
+    "q3_shipping_priority" -> ((s, dir) =>
+      Analytics.q3ShippingPriority(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q5_region_revenue" -> ((s, dir) =>
+      Analytics.q5RegionRevenue(Tables.region(s, dir), Tables.nation(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "top_orders_window" -> ((s, dir) =>
+      Analytics.topOrdersPerCustomer(Tables.orders(s, dir))),
+    // -- LLM training-data pipeline (rows 19-29) --
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir))),
+    "ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(s, Tables.documents(s, dir))),
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+    "token_count" -> ((s, dir) => TextAnalysis.tokenCount(Tables.documents(s, dir))),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.metadata(Tables.documents(s, dir)))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. */
+  def oracleSql: Map[String, String] = Oracles.all
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core OLAP surface — bench headliners on the TPC-H-ish star schema.
+  *
+  * These are the general analytical shapes any lakehouse serves (the
+  * reference serves them through Trino/dbt over the same layout).
+  * Scale design:
+  *  - money sums are per-row double products cast to DECIMAL (exact,
+  *    order-independent partial aggregation on the map side);
+  *  - averages are exact-sum / count at the end — never a double SUM
+  *    whose value depends on partitioning;
+  *  - every dimension join is broadcast; the only shuffles are the
+  *    final group-bys on the (small) grouping keys;
+  *  - top-k uses rank-within-partition or a bounded sort, never a
+  *    global materialized sort of the fact table.
+  */
+object Analytics {
+
+  private def decSum(c: Column, as: String) =
+    sum(c).cast("decimal(18,4)").as(as)
+
+  /** TPC-H Q1 shape: wide single-pass aggregation with map-side
+    * partials over lineitem. */
+  def q1PricingSummary(lineitem: DataFrame): DataFrame = {
+    val discPrice =
+      (col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+        .cast("decimal(18,6)")
+    val charge =
+      ((col("l_extendedprice") * (lit(1.0d) - col("l_discount"))) *
+        (lit(1.0d) + col("l_tax"))).cast("decimal(18,6)")
+    lineitem
+      .filter(col("l_shipdate") <= lit("2001-08-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity").cast("decimal(18,4)"), "sum_qty"),
+        decSum(col("l_extendedprice").cast("decimal(18,4)"), "sum_base_price"),
+        sum(discPrice).cast("decimal(18,6)").as("sum_disc_price"),
+        sum(charge).cast("decimal(18,6)").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).cast("decimal(18,6)").as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).cast("decimal(18,6)").as("avg_price"),
+        (sum(col("l_discount").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).cast("decimal(18,6)").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3 shape: broadcast dim filter + fact-fact join + group +
+    * deterministic top-k. */
+  def q3ShippingPriority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame): DataFrame = {
+    val cutoff = lit("1996-06-30").cast("timestamp_ntz")
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = orders.filter(col("o_orderdate") < cutoff)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = lineitem.filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("decimal(18,6)").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 5-way star join, all dimensions broadcast, single
+    * shuffle on the final n_name group. */
+  def q5RegionRevenue(region: DataFrame, nation: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val nations = nation
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = customer.join(broadcast(nations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = supplier.select("s_suppkey", "s_nationkey")
+    val ord = orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey", "n_name")
+    lineitem
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+                 col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("decimal(18,6)").as("revenue"))
+  }
+
+  /** Per-customer top-3 orders by value: dense window top-k (rank state
+    * only, no global sort). */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame =
+    orders
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= k)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Document deduplication for LLM training-data pipelines.
+  *
+  * Four dedup families over the `documents` table, all designed as
+  * bucket/inverted-index joins — candidate generation is
+  * O(Σ bucket²), never an all-pairs crossJoin, so each survives a
+  * 100 TB corpus given a sane shingle/band distribution:
+  *
+  *  - exact:   md5 content hash groupBy (one shuffle);
+  *  - n-gram:  word-3-gram inverted index self-join → exact Jaccard;
+  *  - MinHash: 128-perm signatures computed per-doc with higher-order
+  *             functions (NO shuffle for signature building), 32×4 LSH
+  *             banding, bucket join, exact-Jaccard verify;
+  *  - SimHash: 60-bit fingerprints, 4×15-bit bands, Hamming verify.
+  *
+  * All hashing bottoms out in md5/integer arithmetic mirrored exactly by
+  * the DuckDB oracle (see graft.functions.Hashing).
+  */
+object Dedup {
+
+  /** doc_id, w (tokens), shingles (distinct word-3-grams). */
+  def shingled(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("shingles",
+        when(size(col("w")) < 3, array().cast("array<string>"))
+          .otherwise(expr(
+            "array_distinct(transform(sequence(0, size(w) - 3), " +
+              "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))")))
+
+  /** Exact dedup: hash-groupBy on content md5, keep min doc_id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact word-3-gram Jaccard pairs ≥ `threshold`, via a shingle
+    * inverted-index join (a shingle shared by f docs contributes f²
+    * candidate work — at corpus scale, cap ultra-frequent shingles
+    * upstream or salt the join; semantics here stay exact). */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(docs)
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val inter = inv.as("a").join(inv.as("b"), "sh")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Per-doc 128-perm MinHash signature (array column) — computed with
+    * higher-order functions in the projection: zero shuffles. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sid = Hashing.sid60Spark("s")
+    shingled(docs)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sids",
+        expr(s"transform(shingles, s -> $sid % ${Hashing.P}L)"))
+      .withColumn("mh", expr(
+        s"transform(sequence(0, ${Hashing.NumPerms - 1}), k -> " +
+          s"array_min(transform(sids, x -> " +
+          s"(element_at(${Hashing.permsASql}, k + 1) * x + " +
+          s"element_at(${Hashing.permsBSql}, k + 1)) % ${Hashing.P}L)))"))
+  }
+
+  /** MinHash-LSH near-dup pairs: banding → bucket join → exact-Jaccard
+    * verify ≥ `threshold`. */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bands = sigs.select(col("doc_id"), col("shingles"),
+      expr(s"inline(transform(sequence(0, ${Hashing.BandsMinhash - 1}), b -> " +
+        "struct(b as band, concat_ws(',', transform(slice(mh, b * 4 + 1, 4), " +
+        "v -> cast(v as string))) as sig)))"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), Seq("band", "sig"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Per-doc 60-bit SimHash fingerprint over distinct-word hashes. */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val sid = Hashing.sid60Spark("s")
+    docs
+      .withColumn("words",
+        array_distinct(split(trim(lower(col("text"))), "\\s+")))
+      .filter(size(col("words")) > 0)
+      .withColumn("hs", expr(s"transform(words, s -> $sid)"))
+      .withColumn("fp", expr(
+        s"aggregate(sequence(0, ${Hashing.SimhashBits - 1}), 0L, (acc, b) -> " +
+          "acc + if(aggregate(hs, 0L, (a2, h) -> " +
+          "a2 + if((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, b), 0L))"))
+      .select("doc_id", "fp")
+  }
+
+  /** SimHash near-dup pairs: 4×15-bit band bucket join, Hamming ≤ 3. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val fps = simhashFingerprints(docs)
+    val bands = fps.select(col("doc_id"), col("fp"),
+      expr(s"explode(transform(sequence(0, ${Hashing.SimhashBands - 1}), " +
+        s"k -> struct(k as band, shiftright(fp, k * ${Hashing.SimhashBandBits}) & " +
+        s"${(1L << Hashing.SimhashBandBits) - 1}L as bval)))").as("e"))
+      .select(col("doc_id"), col("fp"), col("e.band"), col("e.bval"))
+    bands.as("a").join(bands.as("b"), Seq("band", "bval"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("cast(bit_count(fp_a ^ fp_b) as int)"))
+      .filter(col("hamming") <= Hashing.SimhashMaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: opaque binary payloads + typed metadata.
+  *
+  * Images / audio / video are carried as `binary` columns with a typed
+  * metadata struct alongside — the Spark-side plumbing (schema,
+  * batched partition-wise decode, deterministic feature shape) is real;
+  * the actual media decode is STUBBED (no codec libraries in this
+  * environment) with a deterministic byte-level feature extractor, so
+  * every downstream contract (schema, partitioning, batch shape) is
+  * testable.
+  *
+  * Scale: payloads never leave their partition — `mapPartitions`
+  * processes each batch locally (the Scala analog of `mapInPandas`
+  * batching), and the metadata projection is codegen'd, so a 100 TB
+  * media table streams through without a shuffle.
+  */
+object Multimodal {
+
+  /** Typed row for the decode path. */
+  case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
+
+  /** Deterministic fake features standing in for a real decoder. */
+  case class MediaFeatures(doc_id: Long, mime: String, byte_len: Long,
+                           checksum: Long, feature: Array[Double])
+
+  /** Build the multimodal table from documents: binary payload (utf-8
+    * bytes as the opaque blob) + typed metadata columns. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime"),
+      when(col("doc_id") % 3 === 0, lit(64) + (col("doc_id") % 16) * 16)
+        .otherwise(lit(null).cast("long")).as("width"),
+      when(col("doc_id") % 3 === 0, lit(64) + (col("doc_id") % 8) * 32)
+        .otherwise(lit(null).cast("long")).as("height"),
+      when(col("doc_id") % 3 =!= 0, (col("doc_id") % 120) + 1)
+        .otherwise(lit(null).cast("long")).as("duration_s"))
+
+  /** Declarative metadata extraction (the oracle-checked query):
+    * payload length, content digest, header byte, typed metadata. */
+  def metadata(docs: DataFrame): DataFrame =
+    mediaTable(docs)
+      .withColumn("byte_len", length(col("payload")).cast("bigint"))
+      .withColumn("payload_md5", md5(col("payload")))
+      .drop("payload")
+
+  /** STUB decoder: a real deployment would decode/resize/frame-sample
+    * here (libjpeg/ffmpeg et al. — not present in this container). The
+    * stub derives a deterministic 8-dim feature vector from the raw
+    * bytes so the batching/schema contract is fully exercised. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "mime", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.payload
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+          val feat = Array.tabulate(8) { k =>
+            var acc = 0L
+            var j = k
+            while (j < bytes.length) { acc += (bytes(j) & 0xff); j += 8 }
+            acc.toDouble / math.max(1, bytes.length / 8)
+          }
+          MediaFeatures(r.doc_id, r.mime, bytes.length.toLong, sum, feat)
+        }
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.Bronze
+import graft.sources.Tables
+
+/** Structured-streaming bronze ingest.
+  *
+  * Re-expresses the reference's Kafka → bronze streaming writer
+  * (`processing/spark_jobs/streaming_bronze_writer.py:120-180`) with a
+  * file-source stream over the events parquet: parse/extract → event-time
+  * watermark → windowed aggregation → sink. The memory sink in complete
+  * mode gives a batch-equivalent result (the driver correctness gate
+  * compares it to the same aggregation in SQL).
+  *
+  * Scale: the aggregation state is |products × open windows| with the
+  * watermark bounding open windows; on a cluster the sink would be a
+  * partitioned table append with checkpointing (same plan shape).
+  */
+object BronzeStream {
+
+  private val counter = new AtomicInteger(0)
+
+  /** Stream events → bronze → 5-minute windowed volume per product;
+    * runs to completion (availableNow) and returns the settled result. */
+  def windowedVolume(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRawSchema(spark, dir)
+    // File stream sources take a directory; select just the events file.
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    // Watermarks require TIMESTAMP (LTZ); session is UTC so wall-clock
+    // values match the NTZ batch model — cast back after windowing.
+    val tsCol =
+      if (schema("ts").dataType == LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts").cast("timestamp")
+    val bronze = Bronze.ingest(raw.withColumn("ts", tsCol))
+
+    val agg = bronze
+      .withWatermark("trade_time", "10 minutes")
+      .groupBy(window(col("trade_time"), "5 minutes"), col("product_id"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("size").cast("decimal(18,8)")).cast("decimal(18,8)")
+          .as("volume"))
+
+    val name = s"bronze_stream_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(name).select(
+      col("window.start").cast("timestamp_ntz").as("window_start"),
+      col("window.end").cast("timestamp_ntz").as("window_end"),
+      col("product_id"), col("n_trades"), col("volume"))
+  }
+}
