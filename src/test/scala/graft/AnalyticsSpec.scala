@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Maintenance}
+import graft.sources.Tables
+import graft.streaming.BronzeStream
+
+/** Analytics shapes, maintenance, and streaming/batch equivalence. */
+class AnalyticsSpec extends GraftSuite {
+
+  test("q1: six groups, exact decimal sums, count matches filter") {
+    val li = Tables.lineitem(spark, sf)
+    val q1 = Analytics.q1PricingSummary(li)
+    val rows = q1.collect()
+    assert(rows.length <= 6 && rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = li.filter(
+      col("l_shipdate") <= lit("2001-08-01").cast("timestamp_ntz")).count()
+    assert(total === expected)
+  }
+
+  test("top orders window keeps at most k per customer, ranked by price") {
+    val t = Analytics.topOrdersPerCustomer(Tables.orders(spark, sf), 3)
+    val perCust = t.groupBy("o_custkey").count()
+    assert(perCust.filter(col("count") > 3).count() === 0)
+    val badRank = t.filter(col("rn") > 3)
+    assert(badRank.count() === 0)
+  }
+
+  test("compaction preserves rows and hits the target file count") {
+    val out = Files.createTempDirectory("graft-compact").toString
+    val rows = Maintenance.compact(spark, s"$sf/lineitem.parquet", out, 2)
+    assert(rows === Tables.lineitem(spark, sf).count())
+    val files = spark.read.parquet(out).inputFiles
+    assert(files.length === 2)
+    assert(Maintenance.expiredSnapshots(Seq(3L, 1L, 2L, 5L, 4L), 2)
+      === Seq(1L, 2L, 3L))
+  }
+
+  test("streaming windowed volume equals the batch aggregation") {
+    val stream = BronzeStream.windowedVolume(spark, sf)
+    val batch = graft.operators.Bronze.ingest(Tables.events(spark, sf))
+      .groupBy(window(col("trade_time").cast("timestamp"), "5 minutes"),
+        col("product_id"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("size").cast("decimal(18,8)")).cast("decimal(18,8)").as("volume"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("product_id"), col("n_trades"), col("volume"))
+    val s = stream.select("window_start", "product_id", "n_trades", "volume")
+    assert(s.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(s).count() === 0)
+    assert(s.count() > 0)
+  }
+}

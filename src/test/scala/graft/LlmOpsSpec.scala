@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Dedup / similarity / text-analysis semantics. */
+class LlmOpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", 44L),
+    (1L, "the quick brown fox jumps over the lazy dog", 44L), // exact dup
+    (2L, "the quick brown fox jumps over the lazy cat", 44L), // near dup
+    (3L, "completely different words appear here now folks", 49L))
+    .toDF("doc_id", "text", "n_chars")
+
+  test("exact dedup groups identical content, keeps min doc_id") {
+    val d = Dedup.exact(docs)
+    assert(d.count() === 3)
+    val dup = d.filter(col("n_docs") === 2).head()
+    assert(dup.getAs[Long]("keep_doc_id") === 0L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and only it") {
+    val pairs = Dedup.ngramJaccard(docs, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical => jaccard 1
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates verify to the same pairs as exact jaccard >= 0.6") {
+    val mh = Dedup.minhashLsh(docs, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs always collide in every band
+    assert(mh.contains((0L, 1L)))
+    val j = Dedup.ngramJaccard(docs, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(j)) // LSH+verify never exceeds the exact pair set
+  }
+
+  test("simhash: identical docs at hamming 0") {
+    val pairs = Dedup.simhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("ann top-k ranks the exact nearest first; bucketed is a subset") {
+    val emb = Tables.embeddings(spark, sf)
+    val bf = Similarity.annTopK(emb, nQueries = 3, k = 5)
+    assert(bf.filter(col("rank") === 1).count() === 3)
+    // rank 1 matches an independent max-cosine computation for query 0
+    val n = Similarity.withNorms(emb)
+    val q0 = n.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+    val best = n.filter(col("vec_id") =!= 0).crossJoin(q0)
+      .withColumn("cos",
+        expr("aggregate(zip_with(q_embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)") /
+          (col("q_nrm") * col("nrm")))
+      .orderBy(col("cos").desc, col("vec_id")).select("vec_id").head().getLong(0)
+    val got = bf.filter(col("query_id") === 0 && col("rank") === 1)
+      .select("neighbor_id").head().getLong(0)
+    assert(got === best)
+    val bucketed = Similarity.annTopKBucketed(emb, nQueries = 3, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = n.select(lit(1)).count() // force plan; recall property below
+    assert(full > 0)
+    val bfPairsAll = Similarity.annTopK(emb, nQueries = 3, k = 500)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(bfPairsAll))
+  }
+
+  test("lang id, quality, tokens, fingerprint are deterministic and sane") {
+    val d = Seq((0L, "the cat is on the mat and the dog is in the house", 50L))
+      .toDF("doc_id", "text", "n_chars")
+    val lid = TextAnalysis.langId(spark, d).head()
+    assert(lid.getAs[String]("pred_lang") === "en")
+    val q = TextAnalysis.quality(d).head()
+    assert(q.getAs[Long]("n_words") === 13L)
+    assert(q.getAs[Boolean]("quality_pass"))
+    val t = TextAnalysis.tokenCount(d).head()
+    assert(t.getAs[Long]("ws_tokens") === 13L)
+    assert(t.getAs[Long]("est_bpe_tokens") === 13L) // ceil(50/4)
+    val f1 = TextAnalysis.fingerprint(d).head().getAs[Long]("prefix_hash")
+    val f2 = TextAnalysis.fingerprint(d).head().getAs[Long]("prefix_hash")
+    assert(f1 === f2 && f1 > 0)
+  }
+
+  test("multimodal: decode stub is deterministic with the right shape") {
+    val media = Multimodal.mediaTable(docs)
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+      .sortBy(_.doc_id)
+    assert(feats.length === 4)
+    assert(feats.forall(_.feature.length === 8))
+    // identical payloads (docs 0 and 1) decode identically
+    assert(feats(0).checksum === feats(1).checksum)
+    assert(feats(0).feature.toSeq === feats(1).feature.toSeq)
+    val meta = Multimodal.metadata(docs)
+    assert(meta.filter(col("doc_id") === 0).head().getAs[String]("mime")
+      === "image/png")
+  }
+}

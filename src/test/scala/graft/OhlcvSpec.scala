@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DailyMetrics, Ohlcv}
+
+/** OHLCV candle semantics on a hand-crafted tape. */
+class OhlcvSpec extends GraftSuite {
+  import spark.implicits._
+
+  // (trade_id, product, time, price, size): one product, two minutes.
+  private lazy val stg = Seq(
+    (1L, "X", "2024-01-01 10:00:05", "10.00000000", "2.00000000"),
+    (2L, "X", "2024-01-01 10:00:30", "12.00000000", "1.00000000"),
+    (3L, "X", "2024-01-01 10:00:59", "11.00000000", "1.00000000"),
+    (4L, "X", "2024-01-01 10:01:10", "11.50000000", "4.00000000"))
+    .toDF("trade_id", "product_id", "ts", "price", "size")
+    .select(col("trade_id"), col("product_id"),
+      col("ts").cast("timestamp_ntz").as("trade_time"),
+      col("price").cast("decimal(18,8)").as("price"),
+      col("size").cast("decimal(18,8)").as("size"))
+    .withColumn("trade_value",
+      (col("price").cast("double") * col("size").cast("double"))
+        .cast("decimal(18,8)"))
+    .withColumn("minute_bucket",
+      date_trunc("minute", col("trade_time")).cast("timestamp_ntz"))
+
+  test("1m candle: open=first, close=last, high/low/vwap exact") {
+    val m1 = Ohlcv.ohlcv1m(stg).filter(
+      col("window_start") === lit(Timestamp.valueOf("2024-01-01 10:00:00"))
+        .cast("timestamp_ntz"))
+    val r = m1.head()
+    assert(r.getAs[java.math.BigDecimal]("open").doubleValue() === 10.0)
+    assert(r.getAs[java.math.BigDecimal]("close").doubleValue() === 11.0)
+    assert(r.getAs[java.math.BigDecimal]("high").doubleValue() === 12.0)
+    assert(r.getAs[java.math.BigDecimal]("low").doubleValue() === 10.0)
+    assert(r.getAs[Long]("trade_count") === 3L)
+    // vwap = (20 + 12 + 11) / 4
+    assert(r.getAs[java.math.BigDecimal]("vwap").doubleValue() === 10.75)
+  }
+
+  test("1h rollup preserves totals and takes open/close from edge minutes") {
+    val h1 = Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg))
+    val r = h1.head()
+    assert(h1.count() === 1)
+    assert(r.getAs[java.math.BigDecimal]("open").doubleValue() === 10.0)
+    assert(r.getAs[java.math.BigDecimal]("close").doubleValue() === 11.5)
+    assert(r.getAs[Long]("trade_count") === 4L)
+    assert(r.getAs[java.math.BigDecimal]("volume").doubleValue() === 8.0)
+  }
+
+  test("daily metrics ratios from exact aggregates") {
+    val dm = DailyMetrics.daily(Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg)))
+    val r = dm.head()
+    // return = (11.5 - 10) / 10; volatility = (12 - 10) / 10; dd = 2 / 12
+    assert(r.getAs[java.math.BigDecimal]("daily_return").doubleValue() === 0.15)
+    assert(r.getAs[java.math.BigDecimal]("volatility").doubleValue() === 0.2)
+    assert(math.abs(r.getAs[java.math.BigDecimal]("max_drawdown").doubleValue()
+      - 2.0 / 12.0) < 1e-8)
+  }
+}
