@@ -24,15 +24,21 @@ import graft.functions.Hashing
   */
 object Dedup {
 
-  /** doc_id, w (tokens), shingles (distinct word-3-grams). */
+  /** doc_id, w (tokens), shingles (distinct word-3-grams).
+    *
+    * The shingle expression only touches `w` at the top level (slices +
+    * zip_with lambda ARGS, never a captured column inside a lambda
+    * body): Catalyst's projection collapse inlines captured columns
+    * into lambda bodies, which would re-run the regexp split once per
+    * shingle — O(len²) per doc, measured 10× on the profile. */
   def shingled(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(trim(lower(col("text"))), "\\s+"))
-      .withColumn("shingles",
-        when(size(col("w")) < 3, array().cast("array<string>"))
-          .otherwise(expr(
-            "array_distinct(transform(sequence(0, size(w) - 3), " +
-              "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))")))
+      .withColumn("shingles", expr(
+        "array_distinct(zip_with(" +
+          "zip_with(slice(w, 1, greatest(size(w) - 2, 0)), " +
+          "slice(w, 2, greatest(size(w) - 2, 0)), (a, b) -> concat(a, ' ', b)), " +
+          "slice(w, 3, greatest(size(w) - 2, 0)), (ab, c) -> concat(ab, ' ', c)))"))
 
   /** Exact dedup: hash-groupBy on content md5, keep min doc_id. */
   def exact(docs: DataFrame): DataFrame =
@@ -44,7 +50,8 @@ object Dedup {
     * candidate work — at corpus scale, cap ultra-frequent shingles
     * upstream or salt the join; semantics here stay exact). */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = shingled(docs)
+    // persist: the shingle projection feeds both join sides + the sizes
+    val sh = shingled(docs).select("doc_id", "shingles").persist()
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val inter = inv.as("a").join(inv.as("b"), "sh")
@@ -61,36 +68,48 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Per-doc 128-perm MinHash signature (array column) — computed with
-    * higher-order functions in the projection: zero shuffles. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  /** MinHash-LSH near-dup pairs: banding → bucket join → exact-Jaccard
+    * verify ≥ `threshold`.
+    *
+    * The signature projection is persisted before banding: without a
+    * materialization barrier, Catalyst's projection collapse inlines the
+    * (interpreted, 128·|shingles|-op) signature expression into the band
+    * generator's lambda — recomputing it once per band and again on each
+    * self-join side (a measured 30× blowup). At warehouse scale the
+    * equivalent is writing the signature table once and joining on it.
+    * Only (doc_id, band, sig) enters the bucket join; shingle arrays are
+    * re-attached to the (tiny) verified candidate set afterwards. */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val shl = shingled(docs).select("doc_id", "shingles")
+      .filter(size(col("shingles")) > 0).persist()
     val sid = Hashing.sid60Spark("s")
-    shingled(docs)
-      .filter(size(col("shingles")) > 0)
+    // Stage the md5 token-hashing separately from the 128-perm sweep:
+    // the sweep's lambda captures `sids`, and capturing a *derived*
+    // column would re-run the md5 hashing once per permutation. From a
+    // cached attribute the capture is a plain array lookup.
+    val sidsDf = shl
       .withColumn("sids",
         expr(s"transform(shingles, s -> $sid % ${Hashing.P}L)"))
+      .select("doc_id", "sids").persist()
+    val sigs = sidsDf
       .withColumn("mh", expr(
         s"transform(sequence(0, ${Hashing.NumPerms - 1}), k -> " +
           s"array_min(transform(sids, x -> " +
           s"(element_at(${Hashing.permsASql}, k + 1) * x + " +
           s"element_at(${Hashing.permsBSql}, k + 1)) % ${Hashing.P}L)))"))
-  }
-
-  /** MinHash-LSH near-dup pairs: banding → bucket join → exact-Jaccard
-    * verify ≥ `threshold`. */
-  def minhashLsh(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val bands = sigs.select(col("doc_id"), col("shingles"),
+      .select("doc_id", "mh").persist()
+    val bands = sigs.select(col("doc_id"),
       expr(s"inline(transform(sequence(0, ${Hashing.BandsMinhash - 1}), b -> " +
         "struct(b as band, concat_ws(',', transform(slice(mh, b * 4 + 1, 4), " +
         "v -> cast(v as string))) as sig)))"))
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band", "sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
+      .join(shl.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shl.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -98,14 +117,19 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Per-doc 60-bit SimHash fingerprint over distinct-word hashes. */
+  /** Per-doc 60-bit SimHash fingerprint over distinct-word hashes.
+    * The word-hash array is persisted before the 60-bit fold: the fold
+    * references `hs` once per bit, and without the barrier projection
+    * collapse would re-evaluate the md5 word hashing 60× per doc. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val sid = Hashing.sid60Spark("s")
-    docs
+    val hashed = docs
       .withColumn("words",
         array_distinct(split(trim(lower(col("text"))), "\\s+")))
       .filter(size(col("words")) > 0)
       .withColumn("hs", expr(s"transform(words, s -> $sid)"))
+      .select("doc_id", "hs").persist()
+    hashed
       .withColumn("fp", expr(
         s"aggregate(sequence(0, ${Hashing.SimhashBits - 1}), 0L, (acc, b) -> " +
           "acc + if(aggregate(hs, 0L, (a2, h) -> " +
@@ -113,9 +137,12 @@ object Dedup {
       .select("doc_id", "fp")
   }
 
-  /** SimHash near-dup pairs: 4×15-bit band bucket join, Hamming ≤ 3. */
+  /** SimHash near-dup pairs: 4×15-bit band bucket join, Hamming ≤ 3.
+    * Fingerprints are persisted before banding (same projection-collapse
+    * hazard as minhashLsh — the 60·|words|-op fingerprint expression
+    * would otherwise re-evaluate per band and per join side). */
   def simhash(docs: DataFrame): DataFrame = {
-    val fps = simhashFingerprints(docs)
+    val fps = simhashFingerprints(docs).persist()
     val bands = fps.select(col("doc_id"), col("fp"),
       expr(s"explode(transform(sequence(0, ${Hashing.SimhashBands - 1}), " +
         s"k -> struct(k as band, shiftright(fp, k * ${Hashing.SimhashBandBits}) & " +

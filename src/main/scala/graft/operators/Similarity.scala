@@ -41,7 +41,11 @@ object Similarity {
     expr(dotExpr(s"${prefixA}_embedding", s"${prefixB}_embedding")) /
       (col(s"${prefixA}_nrm") * col(s"${prefixB}_nrm"))
 
-  /** Random-hyperplane LSH signature bits + band values per vector. */
+  /** Random-hyperplane LSH signature bits + band values per vector.
+    * The signature stage is persisted before banding so the band
+    * generator captures a cached attribute, not the 16×64-op signature
+    * expression (projection collapse would re-run it per band and per
+    * self-join side). */
   def lshBands(emb: DataFrame): DataFrame = {
     val sign = Hashing.planeSignSpark("i", "j")
     val sig =
@@ -50,6 +54,7 @@ object Similarity {
         s"acc + $sign * cast(element_at(embedding, j + 1) as double)) > 0D, 1L, 0L))"
     emb
       .withColumn("sig", expr(sig))
+      .persist()
       .select(col("*"),
         expr(s"inline(transform(sequence(0, ${Hashing.PlaneBands - 1}), k -> " +
           "struct(k as band, aggregate(sequence(0, 3), 0L, (a, m) -> " +
