@@ -434,7 +434,8 @@ object Oracles {
          |       (a, b) -> a + b) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END FOR i IN range(0, ${Hashing.NumPlanes})] AS sig
          |  FROM nrm),
          |bnd AS (
-         |  SELECT vec_id, band, sig[band*4+1] + sig[band*4+2] * 2 + sig[band*4+3] * 4 + sig[band*4+4] * 8 AS bval
+         |  SELECT vec_id, band, ${(0 until Hashing.PlaneBandBits).map(m =>
+              s"sig[band*${Hashing.PlaneBandBits}+${m + 1}] * ${1L << m}").mkString(" + ")} AS bval
          |  FROM (SELECT vec_id, sig, k AS band FROM sig, UNNEST(range(0, ${Hashing.PlaneBands})) AS t(k))),
          |cnd AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

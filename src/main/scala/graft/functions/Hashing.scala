@@ -64,13 +64,16 @@ object Hashing {
   val SimhashBandBits = 15
   val SimhashMaxHamming = 3
 
-  /** Random-hyperplane LSH for embeddings: 16 planes of ±1 signs from an
+  /** Random-hyperplane LSH for embeddings: 32 planes of ±1 signs from an
     * LCG on the (plane, dim) index — pure integer arithmetic, identical
     * in both engines. sign(i,j) = +1 iff ((1103515245·(i·64+j) + 12345)
-    * div 65536) is even. */
-  val NumPlanes = 16
+    * div 65536) is even. Banded 4 × 8 bits: 8-bit buckets keep random
+    * non-neighbors to ~1/256 collision per band (4-bit bands measured a
+    * 25% all-pairs candidate rate on near-orthogonal data). */
+  val NumPlanes = 32
   val EmbDim = 64
-  val PlaneBands = 4 // 4 bands × 4 bits
+  val PlaneBands = 4 // 4 bands × 8 bits
+  val PlaneBandBits = 8
   def planeSignSpark(i: String, j: String): String =
     s"if((((1103515245L * ($i * 64 + $j) + 12345L) div 65536) % 2) = 0, 1.0D, -1.0D)"
   def planeSignDuck(i: String, j: String): String =

@@ -52,13 +52,14 @@ object Similarity {
       s"transform(sequence(0, ${Hashing.NumPlanes - 1}), i -> " +
         s"if(aggregate(sequence(0, ${Hashing.EmbDim - 1}), 0D, (acc, j) -> " +
         s"acc + $sign * cast(element_at(embedding, j + 1) as double)) > 0D, 1L, 0L))"
+    val bb = Hashing.PlaneBandBits
     emb
       .withColumn("sig", expr(sig))
       .persist()
       .select(col("*"),
         expr(s"inline(transform(sequence(0, ${Hashing.PlaneBands - 1}), k -> " +
-          "struct(k as band, aggregate(sequence(0, 3), 0L, (a, m) -> " +
-          "a + shiftleft(element_at(sig, k * 4 + m + 1), m)) as bval)))"))
+          s"struct(k as band, aggregate(sequence(0, ${bb - 1}), 0L, (a, m) -> " +
+          s"a + shiftleft(element_at(sig, k * $bb + m + 1), m)) as bval)))"))
   }
 
   /** Embedding near-dup pairs: LSH-band candidates, exact cosine ≥
@@ -83,7 +84,7 @@ object Similarity {
   /** Brute-force cosine top-k for a fixed query set (vec_id < nQueries),
     * queries broadcast — the exact-correctness path. */
   def annTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
-    val n = withNorms(emb)
+    val n = withNorms(emb).persist()
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
