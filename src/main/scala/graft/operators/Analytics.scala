@@ -40,12 +40,15 @@ object Analytics {
         decSum(col("l_extendedprice").cast("decimal(18,4)"), "sum_base_price"),
         sum(discPrice).cast("decimal(18,6)").as("sum_disc_price"),
         sum(charge).cast("decimal(18,6)").as("sum_charge"),
-        (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
-          count(lit(1))).cast("decimal(18,6)").as("avg_qty"),
-        (sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") /
-          count(lit(1))).cast("decimal(18,6)").as("avg_price"),
-        (sum(col("l_discount").cast("decimal(18,6)")).cast("double") /
-          count(lit(1))).cast("decimal(18,6)").as("avg_disc"),
+        graft.functions.Rounding.roundScaled(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 6).cast("decimal(18,6)").as("avg_qty"),
+        graft.functions.Rounding.roundScaled(
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 6).cast("decimal(18,6)").as("avg_price"),
+        graft.functions.Rounding.roundScaled(
+          sum(col("l_discount").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).cast("decimal(18,6)").as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 

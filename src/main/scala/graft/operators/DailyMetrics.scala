@@ -29,7 +29,8 @@ object DailyMetrics {
         sum("volume").cast("decimal(18,8)").as("total_volume"),
         sum("trade_count").as("total_trades"))
     def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-      (num / nullif(den, lit(0.0d))).cast("decimal(18,8)")
+      graft.functions.Rounding.roundScaled(num / nullif(den, lit(0.0d)), 8)
+        .cast("decimal(18,8)")
     d.withColumn("daily_return",
         ratio(col("close").cast("double") - col("open").cast("double"),
               col("open").cast("double")))

@@ -33,8 +33,9 @@ object Ohlcv {
         max_by(col("price"), struct(col("trade_time"), col("trade_id"))).as("close"),
         sum("size").cast("decimal(18,8)").as("volume"),
         count(lit(1)).as("trade_count"),
-        (sum("trade_value").cast("double") /
-          nullif(sum("size").cast("double"), lit(0.0d)))
+        graft.functions.Rounding.roundScaled(
+          sum("trade_value").cast("double") /
+            nullif(sum("size").cast("double"), lit(0.0d)), 8)
           .cast("decimal(18,8)").as("vwap"))
       .withColumn("window_end",
         expr("timestampadd(MINUTE, 1, window_start)"))
@@ -61,8 +62,9 @@ object Ohlcv {
         max_by(col("close"), col("minute_start")).as("close"),
         sum("volume").cast("decimal(18,8)").as("volume"),
         sum("trade_count").as("trade_count"),
-        (sum("vwap_vol").cast("double") /
-          nullif(sum("volume").cast("double"), lit(0.0d)))
+        graft.functions.Rounding.roundScaled(
+          sum("vwap_vol").cast("double") /
+            nullif(sum("volume").cast("double"), lit(0.0d)), 8)
           .cast("decimal(18,8)").as("vwap"))
       .withColumnRenamed("hour_start", "window_start")
       .withColumn("window_end", expr("timestampadd(HOUR, 1, window_start)"))

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
 object PriceLatest {
 
   private def pctChange(cur: Column, prev: Column): Column =
-    ((cur.cast("double") - coalesce(prev, cur).cast("double")) /
-      nullif(prev.cast("double"), lit(0.0d)) * 100.0d)
+    graft.functions.Rounding.roundScaled(
+      (cur.cast("double") - coalesce(prev, cur).cast("double")) /
+        nullif(prev.cast("double"), lit(0.0d)) * 100.0d, 4)
       .cast("decimal(10,4)")
 
   /** @param stg staging trades; @param m1 1-minute candles;
