@@ -33,6 +33,9 @@ object Tables {
 
   /** Raw event stream with `ts` normalized to TIMESTAMP_NTZ micros. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Defensive: a caller-provided session (e.g. the driver's smoke
+    // check) may lack the nanos config; it is runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
     val tsCol =
       if (raw.schema("ts").dataType == LongType)
@@ -44,6 +47,8 @@ object Tables {
   }
 
   /** Schema of the raw (unnormalized) events parquet, for streaming reads. */
-  def eventsRawSchema(spark: SparkSession, dir: String) =
+  def eventsRawSchema(spark: SparkSession, dir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet").schema
+  }
 }
