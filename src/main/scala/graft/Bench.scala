@@ -29,6 +29,8 @@ object Bench {
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
+      // drop per-query persisted stages so queries are isolated
+      spark.sharedState.cacheManager.clearCache()
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     def jq(s: String): String = "\"" + s.flatMap {
