@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.DotProduct
+
+/** Spark session extensions for the graft engine.
+  *
+  * Wire up with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get
+  * the engine's native expressions in SQL and the DataFrame API
+  * (`graft_dot(a, b)` — codegen'd float-array dot product).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier(DotProduct.name), DotProduct.info, DotProduct.builder))
+  }
+}

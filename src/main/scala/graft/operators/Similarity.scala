@@ -25,20 +25,26 @@ import graft.functions.Hashing
   */
 object Similarity {
 
-  /** Fold-based dot product of two float array columns, in double. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "0D, (acc, v) -> acc + v)"
+  import graft.functions.DotProduct
 
-  private def normCol(v: String): Column =
-    sqrt(expr(dotExpr(v, v)))
+  private def ensureRegistered(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(DotProduct.name)))
+      DotProduct.register(spark)
+  }
 
-  /** vec_id, embedding, nrm. */
-  def withNorms(emb: DataFrame): DataFrame =
-    emb.withColumn("nrm", normCol("embedding"))
+  /** vec_id, embedding, nrm — norm via the native codegen'd dot
+    * product (graft.functions.DotProduct), bit-identical to the
+    * declarative fold. */
+  def withNorms(emb: DataFrame): DataFrame = {
+    ensureRegistered(emb)
+    emb.withColumn("nrm",
+      sqrt(DotProduct.dot(col("embedding"), col("embedding"))))
+  }
 
   private def cosine(prefixA: String, prefixB: String): Column =
-    expr(dotExpr(s"${prefixA}_embedding", s"${prefixB}_embedding")) /
+    DotProduct.dot(col(s"${prefixA}_embedding"), col(s"${prefixB}_embedding")) /
       (col(s"${prefixA}_nrm") * col(s"${prefixB}_nrm"))
 
   /** Random-hyperplane LSH signature bits + band values per vector.
