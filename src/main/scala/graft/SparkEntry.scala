@@ -52,9 +52,11 @@ object SparkEntry {
     "daily_metrics" -> ((s, dir) =>
       DailyMetrics.daily(Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg(s, dir))))),
     "price_latest" -> { (s, dir) =>
-      val st = stg(s, dir)
-      val m1 = Ohlcv.ohlcv1m(st)
-      val h1 = Ohlcv.ohlcv1h(m1)
+      // stg/m1/h1 each feed two consumers (candle rollup + horizon
+      // lookup) — persist so the events->silver chain runs once
+      val st = stg(s, dir).persist()
+      val m1 = Ohlcv.ohlcv1m(st).persist()
+      val h1 = Ohlcv.ohlcv1h(m1).persist()
       PriceLatest.latest(st, m1, h1, DailyMetrics.daily(h1))
     },
     "data_quality" -> ((s, dir) =>
