@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout tools for shuffle avoidance at warehouse scale.
+  *
+  * Two techniques the 100 TB plan depends on:
+  *
+  *  - **Bucketing**: writing both sides of a recurring join bucketed
+  *    (and sorted) by the join key lets Spark plan a co-located
+  *    sort-merge join with NO exchange on either side — the shuffle is
+  *    paid once at write time, amortized over every subsequent join.
+  *
+  *  - **Salting**: a skewed key (one product with 10⁹ trades) turns one
+  *    reducer into the straggler. Salting spreads each hot key over
+  *    `saltFactor` sub-keys; the small side is exploded to match. AQE's
+  *    skew-join split handles moderate skew automatically — salting is
+  *    the explicit tool for the extreme tail.
+  */
+object Layout {
+
+  /** Write `df` bucketed+sorted by `key` into the session catalog as
+    * `table` (parquet). Reads of `table` then join on `key` without a
+    * shuffle against any table bucketed the same way. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+
+  /** Co-located equi-join of two same-bucketed catalog tables. */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+                   rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Salted inner equi-join: `big` is salted randomly-but-
+    * deterministically (hash of a row-unique column), `small` is
+    * exploded across all salt values. Semantics identical to
+    * `big.join(small, key)`; the shuffle key becomes (key, salt). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 uniqueCol: String, saltFactor: Int): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(hash(col(uniqueCol)), lit(saltFactor)))
+    val exploded = small.withColumn("_salt",
+      explode(expr(s"sequence(0, ${saltFactor - 1})")))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+}
