@@ -1,0 +1,91 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet table: snapshots, time travel, rollback, expiry.
+  *
+  * The reference gets these from Iceberg (`compaction.py:30-80` calls
+  * its snapshot procedures); no table-format jars ship here, so the
+  * same capability class is a directory-of-versions protocol:
+  * `<root>/v=N/` holds the full snapshot for version N and a
+  * `_latest` marker file names the current version. Writers publish a
+  * new version directory then atomically move the marker — readers of
+  * any existing version are never disturbed (copy-on-write semantics,
+  * the same isolation Iceberg's copy-on-write mode gives).
+  *
+  * Scale: a snapshot write is one distributed parquet job; commit is a
+  * single tiny marker rename. Time-travel reads are ordinary
+  * partition-pruned scans of one version directory.
+  */
+object SnapshotTable {
+
+  private def markerPath(root: String) = Paths.get(root, "_latest")
+
+  /** Latest committed version, or -1 if none. */
+  def latestVersion(root: String): Long = {
+    val m = markerPath(root)
+    if (Files.exists(m)) Files.readString(m).trim.toLong else -1L
+  }
+
+  /** All committed versions present on disk, ascending. */
+  def versions(root: String): Seq[Long] = {
+    val d = Paths.get(root)
+    if (!Files.exists(d)) return Seq.empty
+    Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .toSeq.sorted
+  }
+
+  /** Publish `df` as the next snapshot; returns the new version. */
+  def commit(df: DataFrame, root: String): Long = {
+    val next = latestVersion(root) + 1
+    df.write.mode("overwrite").parquet(s"$root/v=$next")
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s"_latest.tmp$next")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, markerPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Read the current snapshot (or a specific `version` — time travel). */
+  def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  /** MERGE-upsert `source` into the table on `key` and commit the
+    * result as a new snapshot (the reference's silver MERGE,
+    * `bronze_to_silver.py:156-188`, with explicit versioning). */
+  def mergeCommit(spark: SparkSession, root: String, source: DataFrame,
+                  key: String): Long =
+    commit(MergeUpsert.merge(read(spark, root), source, key), root)
+
+  /** Roll back: re-point the marker at an existing older version. */
+  def rollback(root: String, version: Long): Unit = {
+    require(versions(root).contains(version), s"unknown version $version")
+    Files.writeString(markerPath(root), version.toString)
+  }
+
+  /** Expire old snapshots, keeping `retainLast` plus the current one.
+    * Returns the versions removed (their directories are deleted). */
+  def expireSnapshots(root: String, retainLast: Int): Seq[Long] = {
+    val current = latestVersion(root)
+    val expire = versions(root).filterNot(_ == current)
+      .sorted.dropRight(math.max(retainLast, 0))
+    expire.foreach { v =>
+      val dir = Paths.get(root, s"v=$v")
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+    }
+    expire
+  }
+}

@@ -87,9 +87,11 @@ object TextAnalysis {
       col("doc_id"),
       md5(col("text").cast("binary")).as("md5_hash"),
       col("n_chars"),
+      // guard empty text: sequence(1, 0) DESCENDS in Spark -> index 0
       expr(
-        s"cast(aggregate(sequence(1, least(64, length(text))), 0L, " +
+        s"cast(if(length(text) < 1, 0L, aggregate(" +
+          s"sequence(1, least(64, length(text))), 0L, " +
           s"(acc, i) -> acc + ascii(substring(text, i, 1)) * " +
-          s"element_at(${Hashing.pow31Spark}, i)) % ${Hashing.FpP}L as bigint)")
+          s"element_at(${Hashing.pow31Spark}, i)) % ${Hashing.FpP}L) as bigint)")
         .as("prefix_hash"))
 }

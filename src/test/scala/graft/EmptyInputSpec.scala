@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+
+/** Degenerate inputs: every operator family must plan and run on empty
+  * (and near-empty) inputs without div-zero, OOB, or ANSI errors. */
+class EmptyInputSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("n_chars", LongType))))
+
+  test("dedup and text ops on zero documents") {
+    assert(Dedup.exact(emptyDocs).count() === 0)
+    assert(Dedup.ngramJaccard(emptyDocs).count() === 0)
+    assert(Dedup.minhashLsh(emptyDocs).count() === 0)
+    assert(Dedup.simhash(emptyDocs).count() === 0)
+    assert(TextAnalysis.quality(emptyDocs).count() === 0)
+    assert(TextAnalysis.tokenCount(emptyDocs).count() === 0)
+    assert(TextAnalysis.fingerprint(emptyDocs).count() === 0)
+    assert(TextAnalysis.langId(spark, emptyDocs).count() === 0)
+  }
+
+  test("short/empty texts: no shingles, no OOB, quality still scores") {
+    val d = Seq((0L, "", 0L), (1L, "one", 3L), (2L, "two words", 9L))
+      .toDF("doc_id", "text", "n_chars")
+    assert(Dedup.ngramJaccard(d).count() === 0) // nothing has 3 tokens
+    assert(Dedup.minhashLsh(d).count() === 0)
+    assert(TextAnalysis.quality(d).count() === 3)
+    assert(TextAnalysis.fingerprint(d).count() === 3)
+  }
+
+  test("ohlcv on zero trades and merge with empty source") {
+    val stg = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("trade_id", LongType), StructField("product_id", StringType),
+        StructField("trade_time", TimestampNTZType),
+        StructField("price", DecimalType(18, 8)),
+        StructField("size", DecimalType(18, 8)),
+        StructField("trade_value", DecimalType(18, 8)),
+        StructField("minute_bucket", TimestampNTZType))))
+    assert(Ohlcv.ohlcv1m(stg).count() === 0)
+    assert(Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg)).count() === 0)
+    val t = Seq((1L, "x")).toDF("id", "v")
+    val empty = t.limit(0)
+    assert(MergeUpsert.merge(t, empty, "id").count() === 1)
+    assert(MergeUpsert.merge(empty, t, "id").count() === 1)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SnapshotTable
+
+/** Versioned table: commit / time travel / merge / rollback / expiry. */
+class SnapshotTableSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("commit, time travel, merge, rollback, expire") {
+    val root = Files.createTempDirectory("graft-snap").toString
+    val v0data = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+
+    val v0 = SnapshotTable.commit(v0data, root)
+    assert(v0 === 0 && SnapshotTable.latestVersion(root) === 0)
+
+    // merge-commit: update id=2, insert id=3
+    val src = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    val v1 = SnapshotTable.mergeCommit(spark, root, src, "id")
+    assert(v1 === 1)
+    val now = SnapshotTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(now === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+
+    // time travel: v0 unchanged
+    val old = SnapshotTable.read(spark, root, 0).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(old === Seq((1L, "a"), (2L, "b")))
+
+    // two more commits then expire keeping 2 (plus current)
+    SnapshotTable.commit(v0data, root)
+    SnapshotTable.commit(src, root)
+    val removed = SnapshotTable.expireSnapshots(root, retainLast = 2)
+    assert(removed === Seq(0L))
+    assert(SnapshotTable.versions(root) === Seq(1L, 2L, 3L))
+
+    // rollback to v2 and read it as current
+    SnapshotTable.rollback(root, 2)
+    assert(SnapshotTable.read(spark, root).count() === 2)
+    assert(SnapshotTable.latestVersion(root) === 2)
+  }
+}
