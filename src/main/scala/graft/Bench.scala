@@ -22,6 +22,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // JVM/codegen warm-up so the first timed query doesn't absorb
+    // session initialization (broadcast machinery, parquet readers)
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    spark.sharedState.cacheManager.clearCache()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
