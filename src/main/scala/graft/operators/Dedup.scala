@@ -49,23 +49,56 @@ object Dedup {
     * inverted-index join (a shingle shared by f docs contributes f²
     * candidate work — at corpus scale, cap ultra-frequent shingles
     * upstream or salt the join; semantics here stay exact). */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  /** Optional scale valve for the inverted index: drop shingles whose
+    * document frequency exceeds `maxDocFreq` from CANDIDATE GENERATION
+    * (a shingle in f docs contributes f² join work; boilerplate shingles
+    * at corpus scale are stopwords, not near-dup evidence). Verification
+    * still uses full shingle sets, so reported Jaccard stays exact —
+    * only recall of pairs sharing ONLY ultra-common shingles is
+    * affected, and such pairs cannot reach a 0.8 threshold in practice. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
     // persist: the shingle projection feeds both join sides + the sizes
     val sh = shingled(docs).select("doc_id", "shingles").persist()
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val inter = inv.as("a").join(inv.as("b"), "sh")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    val invAll = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val inv = maxDocFreq match {
+      case Some(cap) =>
+        val rare = invAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("sh")
+        invAll.join(rare, "sh")
+      case None => invAll
+    }
+    maxDocFreq match {
+      case None =>
+        // exact path: pairwise intersection counts straight off the index
+        val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+        inv.as("a").join(inv.as("b"), "sh")
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+          .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
+          .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
+          .withColumn("jaccard",
+            col("n_inter").cast("double") /
+              (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+      case Some(_) =>
+        // capped path: index only generates candidates; jaccard is
+        // recomputed exactly from the FULL shingle sets
+        val cand = inv.as("a").join(inv.as("b"), "sh")
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+    }
   }
 
   /** MinHash-LSH near-dup pairs: banding → bucket join → exact-Jaccard
@@ -81,8 +114,8 @@ object Dedup {
     * re-attached to the (tiny) verified candidate set afterwards. */
   /** 60-bit md5-prefix hash of a UTF-8 string — bit-identical to the
     * SQL `conv(substr(md5(s), 1, 15), 16, 10)` used by the oracle. */
-  private[operators] def md5Prefix60(md: java.security.MessageDigest,
-                                     s: String): Long = {
+  private[graft] def md5Prefix60(md: java.security.MessageDigest,
+                                 s: String): Long = {
     md.reset()
     val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L

@@ -1,0 +1,59 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.{Dedup, MergeUpsert}
+
+/** Randomized (fixed-seed) invariants for the hashing/merge contracts. */
+class PropertySpec extends GraftSuite {
+
+  test("md5Prefix60 kernel equals the SQL conv(substr(md5)) path for random strings") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    val strs = (Seq("a", "hello", "the quick brown fox", "0", " ") ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString) ++
+      (1 to 50).map(_ => (1 to rnd.nextInt(20) + 1)
+        .map(_ => (rnd.nextInt(94) + 33).toChar).mkString)).distinct
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sqlSide = strs.toDF("s").selectExpr(
+      "s", "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) as h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s =>
+      assert(Dedup.md5Prefix60(md, s) === sqlSide(s),
+        s"kernel/SQL hash mismatch for '$s'")
+    }
+  }
+
+  test("merge is idempotent and respects key partition (randomized)") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    (1 to 5).foreach { _ =>
+      val target = (1 to 30).map(_ => (rnd.nextInt(16).toLong, rnd.nextInt(1000)))
+        .distinctBy(_._1).toDF("id", "v")
+      val source = (1 to 10).map(_ => (rnd.nextInt(16).toLong, rnd.nextInt(1000)))
+        .distinctBy(_._1).toDF("id", "v")
+      val once = MergeUpsert.merge(target, source, "id")
+      val twice = MergeUpsert.merge(once, source, "id")
+      assert(once.exceptAll(twice).count() === 0)
+      assert(twice.exceptAll(once).count() === 0)
+      val srcMap = source.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val tgtMap = target.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val out = once.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(out.keySet === srcMap.keySet ++ tgtMap.keySet)
+      srcMap.foreach { case (k, v) => assert(out(k) === v) }
+      tgtMap.foreach { case (k, v) =>
+        if (!srcMap.contains(k)) assert(out(k) === v)
+      }
+    }
+  }
+
+  test("ngram jaccard with a doc-frequency cap yields a subset with identical scores") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(200)
+    val full = Dedup.ngramJaccard(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.ngramJaccard(docs, 0.5, maxDocFreq = Some(20))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.keySet.subsetOf(full.keySet))
+    capped.foreach { case (k, j) => assert(full(k) === j) } // scores exact
+  }
+}
