@@ -63,4 +63,36 @@ object BronzeStream {
       col("window.end").cast("timestamp_ntz").as("window_end"),
       col("product_id"), col("n_trades"), col("volume"))
   }
+
+  /** Streaming at-least-once dedup: the redelivered bronze stream
+    * deduplicated by trade_id with `dropDuplicatesWithinWatermark` —
+    * the streaming twin of the batch silver dedup
+    * (`bronze_to_silver.py:96-105`), with state bounded by the
+    * watermark instead of an unbounded seen-keys set. */
+  def dedupedTrades(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRawSchema(spark, dir)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val tsCol =
+      if (schema("ts").dataType == LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts").cast("timestamp")
+    val bronze = Bronze.ingest(raw.withColumn("ts", tsCol))
+    // deterministic at-least-once redelivery, streaming flavor
+    val dup = bronze.filter(col("trade_id") % 10 === 0)
+      .withColumn("ingested_at", expr("timestampadd(SECOND, 900, ingested_at)"))
+      .withColumn("_ingestion_date", to_date(col("ingested_at")))
+    val deduped = bronze.unionByName(dup)
+      .withWatermark("ingested_at", "1 hour")
+      .dropDuplicatesWithinWatermark("trade_id")
+
+    val name = s"bronze_dedup_${counter.incrementAndGet()}"
+    val q = deduped.writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }

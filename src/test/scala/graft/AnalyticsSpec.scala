@@ -40,6 +40,13 @@ class AnalyticsSpec extends GraftSuite {
       === Seq(1L, 2L, 3L))
   }
 
+  test("streaming dedup keeps exactly one row per trade_id") {
+    val d = BronzeStream.dedupedTrades(spark, sf)
+    val events = graft.sources.Tables.events(spark, sf)
+    assert(d.count() === events.count())
+    assert(d.groupBy("trade_id").count().filter(col("count") > 1).count() === 0)
+  }
+
   test("streaming windowed volume equals the batch aggregation") {
     val stream = BronzeStream.windowedVolume(spark, sf)
     val batch = graft.operators.Bronze.ingest(Tables.events(spark, sf))
