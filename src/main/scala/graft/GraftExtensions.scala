@@ -3,18 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SimhashFingerprint}
 
 /** Spark session extensions for the graft engine.
   *
   * Wire up with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get
-  * the engine's native expressions in SQL and the DataFrame API
-  * (`graft_dot(a, b)` — codegen'd float-array dot product).
+  * the engine's native expressions in SQL and the DataFrame API:
+  * `graft_dot(a, b)` (codegen'd float-array dot product) and
+  * `graft_simhash(hs)` (codegen'd 60-bit SimHash fingerprint).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier(DotProduct.name), DotProduct.info, DotProduct.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(SimhashFingerprint.name), SimhashFingerprint.info,
+        SimhashFingerprint.builder))
   }
 }

@@ -186,11 +186,14 @@ object Dedup {
       .filter(size(col("words")) > 0)
       .withColumn("hs", expr(s"transform(words, s -> $sid)"))
       .select("doc_id", "hs").persist()
+    val spark = hashed.sparkSession
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(
+          graft.functions.SimhashFingerprint.name)))
+      graft.functions.SimhashFingerprint.register(spark)
     hashed
-      .withColumn("fp", expr(
-        s"aggregate(sequence(0, ${Hashing.SimhashBits - 1}), 0L, (acc, b) -> " +
-          "acc + if(aggregate(hs, 0L, (a2, h) -> " +
-          "a2 + if((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, b), 0L))"))
+      .withColumn("fp",
+        graft.functions.SimhashFingerprint.fingerprint(col("hs")))
       .select("doc_id", "fp")
   }
 
