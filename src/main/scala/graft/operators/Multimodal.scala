@@ -51,6 +51,31 @@ object Multimodal {
       .withColumn("payload_md5", md5(col("payload")))
       .drop("payload")
 
+  /** Frame sampling: fan a video payload out into one row per sampled
+    * frame. The "frame" here is a deterministic fixed-stride byte slice
+    * (a real deployment swaps the slice for an ffmpeg keyframe decode —
+    * not present in this container); the Spark plumbing is the real
+    * thing: binary slicing + `posexplode` fan-out stay narrow, so a
+    * 100 TB video table samples without any shuffle.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64,
+                   maxFrames: Int = 8): DataFrame =
+    media
+      .filter(col("mime") === "video/mp4")
+      .withColumn("n_frames",
+        least(ceil(length(col("payload")).cast("double") / frameBytes)
+          .cast("int"), lit(maxFrames)))
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        posexplode(expr("sequence(0, n_frames - 1)"))
+          .as(Seq("frame_idx", "frame_off_mult")))
+      .withColumn("frame_offset", col("frame_idx") * frameBytes)
+      .withColumn("frame",
+        expr(s"substring(payload, frame_offset + 1, $frameBytes)"))
+      .select(
+        col("doc_id"), col("frame_idx"), col("frame_offset"),
+        length(col("frame")).cast("bigint").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+
   /** STUB decoder: a real deployment would decode/resize/frame-sample
     * here (libjpeg/ffmpeg et al. — not present in this container). The
     * stub derives a deterministic 8-dim feature vector from the raw

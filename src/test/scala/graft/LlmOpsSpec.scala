@@ -103,4 +103,20 @@ class LlmOpsSpec extends GraftSuite {
     assert(meta.filter(col("doc_id") === 0).head().getAs[String]("mime")
       === "image/png")
   }
+
+  test("frame sampling fans videos out into deterministic byte-slice frames") {
+    val media = Multimodal.mediaTable(
+      Tables.documents(spark, sf).limit(100))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, maxFrames = 8)
+    val videos = media.filter(col("mime") === "video/mp4")
+    assert(frames.count() > videos.count()) // fan-out happened
+    assert(frames.groupBy("doc_id").count()
+      .filter(col("count") > 8).count() === 0) // capped
+    // frame indices are dense from 0 and offsets follow the stride
+    assert(frames.filter(col("frame_offset") =!= col("frame_idx") * 64)
+      .count() === 0)
+    // deterministic: same call twice, identical rows
+    val again = Multimodal.sampleFrames(media, frameBytes = 64, maxFrames = 8)
+    assert(frames.exceptAll(again).count() === 0)
+  }
 }
