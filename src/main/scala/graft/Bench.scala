@@ -35,9 +35,11 @@ object Bench {
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // drop per-query persisted stages so queries are isolated
+      // (teardown is deliberately NOT charged to the query's time)
       spark.sharedState.cacheManager.clearCache()
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, elapsed, err)
     }
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""

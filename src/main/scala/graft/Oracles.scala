@@ -200,48 +200,30 @@ object Oracles {
 
   // ---------------------------------------------------------------- quality
 
-  /** (table, check_name, duckdb violation expr) rows mirroring
-    * DataQuality's check lists — used to generate the UNION ALL report. */
-  private val productsIn = "('click', 'error', 'purchase', 'signup', 'view')"
-  private def nn(c: String) = s"not_null_$c" ->
-    s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"
-  private def inSet(c: String, set: String) = s"in_set_$c" ->
-    s"SUM(CASE WHEN $c IS NULL OR $c NOT IN $set THEN 1 ELSE 0 END)"
-  private def pos(c: String) = s"positive_$c" ->
-    s"SUM(CASE WHEN $c IS NULL OR $c <= 0 THEN 1 ELSE 0 END)"
-  private def nneg(c: String) = s"non_negative_$c" ->
-    s"SUM(CASE WHEN $c < 0 THEN 1 ELSE 0 END)"
-
-  private val bronzeChecks = Seq(
-    nn("trade_id"), nn("ingested_at"), nn("product_id"),
-    inSet("product_id", productsIn), nn("price"), nn("size"),
-    inSet("side", "('buy', 'sell')"), nn("_raw_payload"))
-
-  private val silverChecks = Seq(
-    nn("trade_id"),
-    "unique_trade_id" -> "COUNT(*) - COUNT(DISTINCT trade_id)",
-    nn("product_id"), inSet("product_id", productsIn),
-    nn("price"), pos("price"), nn("size"), pos("size"),
-    inSet("side", "('buy', 'sell')"), nn("trade_time"),
-    nneg("_source_latency_ms"))
-
+  /** Rendered from the SAME check definitions the Spark operator uses
+    * (graft.operators.DataQuality.bronzeChecks/silverChecks — each
+    * CheckDef carries its DuckDB mirror), so the two sides cannot
+    * drift. */
   private def qualityReport: String = {
-    def cte(tbl: String, src: String, checks: Seq[(String, String)]): String = {
+    import graft.operators.DataQuality.CheckDef
+    def cte(tbl: String, src: String, checks: Seq[CheckDef]): String = {
       val aggCols = checks.zipWithIndex
-        .map { case ((_, e), i) => s"$e AS v$i" }.mkString(", ")
+        .map { case (c, i) => s"${c.duck} AS v$i" }.mkString(", ")
       s"${tbl}_agg AS (SELECT COUNT(*) AS rc, $aggCols FROM $src)"
     }
-    def branches(tbl: String, checks: Seq[(String, String)]): String =
-      checks.zipWithIndex.map { case ((name, _), i) =>
-        s"SELECT '$tbl' AS table_name, '$name' AS check_name, rc AS row_count, " +
+    def branches(tbl: String, checks: Seq[CheckDef]): String =
+      checks.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$tbl' AS table_name, '${c.name}' AS check_name, rc AS row_count, " +
           s"CAST(v$i AS BIGINT) AS violations, CAST(v$i AS BIGINT) = 0 AS passed FROM ${tbl}_agg"
       }.mkString("\nUNION ALL\n")
+    val bc = graft.operators.DataQuality.bronzeChecks
+    val sc = graft.operators.DataQuality.silverChecks
     withTrades("silver",
-      s""", ${cte("bronze_trades", "bronze_dup", bronzeChecks)},
-         |${cte("silver_trades", "silver", silverChecks)}
-         |${branches("bronze_trades", bronzeChecks)}
+      s""", ${cte("bronze_trades", "bronze_dup", bc)},
+         |${cte("silver_trades", "silver", sc)}
+         |${branches("bronze_trades", bc)}
          |UNION ALL
-         |${branches("silver_trades", silverChecks)}""".stripMargin)
+         |${branches("silver_trades", sc)}""".stripMargin)
   }
 
   // ------------------------------------------------------------------- all
@@ -319,7 +301,7 @@ object Oracles {
         |  make_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT) * 300 + 300) * 1000000) AS window_end,
         |  event_type AS product_id, COUNT(*) AS n_trades,
         |  CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS volume
-        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+        |FROM events WHERE event_id IS NOT NULL GROUP BY 1, 2, 3""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -42,7 +42,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail loudly on ragged inputs — a silently truncated dot product
+    // would quietly shift cosine scores on corrupted embedding rows
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array lengths differ (${n} vs ${y.numElements()})")
     var acc = 0.0d
     var i = 0
     while (i < n) {
@@ -58,7 +63,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array lengths differ (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0d;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));

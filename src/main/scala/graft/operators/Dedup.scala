@@ -21,6 +21,13 @@ import graft.functions.Hashing
   *
   * All hashing bottoms out in md5/integer arithmetic mirrored exactly by
   * the DuckDB oracle (see graft.functions.Hashing).
+  *
+  * Caching contract: the LSH operators `persist()` their signature /
+  * shingle projections (they feed both sides of a self-join — see the
+  * projection-collapse note on minhashLsh). The cached stages live for
+  * the session; long-lived callers issuing many dedup jobs should
+  * `spark.sharedState.cacheManager.clearCache()` between them (as
+  * Bench/Verify do) or unpersist after consuming the result.
   */
 object Dedup {
 

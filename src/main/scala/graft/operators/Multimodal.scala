@@ -65,6 +65,9 @@ object Multimodal {
       .withColumn("n_frames",
         least(ceil(length(col("payload")).cast("double") / frameBytes)
           .cast("int"), lit(maxFrames)))
+      // empty payload -> n_frames = 0; sequence(0, -1) DESCENDS in
+      // Spark, so it must not reach the generator
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("payload"), col("n_frames"),
         posexplode(expr("sequence(0, n_frames - 1)"))
           .as(Seq("frame_idx", "frame_off_mult")))

@@ -35,23 +35,32 @@ object SnapshotTable {
   def versions(root: String): Seq[Long] = {
     val d = Paths.get(root)
     if (!Files.exists(d)) return Seq.empty
-    Files.list(d).iterator().asScala
+    val stream = Files.list(d)
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong)
       .toSeq.sorted
+    finally stream.close()
   }
 
-  /** Publish `df` as the next snapshot; returns the new version. */
-  def commit(df: DataFrame, root: String): Long = {
-    val next = latestVersion(root) + 1
-    df.write.mode("overwrite").parquet(s"$root/v=$next")
+  private def moveMarker(root: String, version: Long): Unit = {
     Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, s"_latest.tmp$next")
-    Files.writeString(tmp, next.toString)
+    val tmp = Paths.get(root, s"_latest.tmp$version")
+    Files.writeString(tmp, version.toString)
     Files.move(tmp, markerPath(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Publish `df` as the next snapshot; returns the new version.
+    * The next version is max(existing)+1, NOT marker+1 — after a
+    * rollback the still-on-disk newer versions must never be
+    * overwritten in place (copy-on-write isolation). */
+  def commit(df: DataFrame, root: String): Long = {
+    val next = versions(root).lastOption.getOrElse(-1L) + 1
+    df.write.mode("overwrite").parquet(s"$root/v=$next")
+    moveMarker(root, next)
     next
   }
 
@@ -69,10 +78,11 @@ object SnapshotTable {
                   key: String): Long =
     commit(MergeUpsert.merge(read(spark, root), source, key), root)
 
-  /** Roll back: re-point the marker at an existing older version. */
+  /** Roll back: re-point the marker at an existing older version
+    * (atomic, like commit). */
   def rollback(root: String, version: Long): Unit = {
     require(versions(root).contains(version), s"unknown version $version")
-    Files.writeString(markerPath(root), version.toString)
+    moveMarker(root, version)
   }
 
   /** Expire old snapshots, keeping `retainLast` plus the current one.

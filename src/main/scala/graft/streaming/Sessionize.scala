@@ -19,6 +19,16 @@ import graft.sources.Tables
   * trade bursts). Sessions close when two consecutive events for the
   * same user are more than `gapMinutes` apart.
   *
+  * SEMANTICS — finite replay (backfill): this runner processes a
+  * bounded source with `Trigger.AvailableNow` where the file source
+  * delivers all input in ONE micro-batch per user, so the group
+  * function flushes the trailing open session at end of input rather
+  * than holding it in state (a continuous deployment replaces the
+  * trailing flush with `GroupStateTimeout.EventTimeTimeout`: keep the
+  * open session via `state.update`, set the timeout to last+gap, and
+  * emit it from the timeout branch — same session algebra, deferred
+  * emission).
+  *
   * Scale: state is one open session per user key, hash-partitioned by
   * user — bounded by |active users|, not by throughput; the watermark
   * bounds how long a session can stay open.

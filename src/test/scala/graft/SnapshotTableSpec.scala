@@ -41,5 +41,12 @@ class SnapshotTableSpec extends GraftSuite {
     SnapshotTable.rollback(root, 2)
     assert(SnapshotTable.read(spark, root).count() === 2)
     assert(SnapshotTable.latestVersion(root) === 2)
+
+    // commit after rollback must NOT overwrite the still-on-disk v3:
+    // next version is max(existing)+1
+    val v4 = SnapshotTable.commit(v0data, root)
+    assert(v4 === 4)
+    assert(SnapshotTable.versions(root) === Seq(1L, 2L, 3L, 4L))
+    assert(SnapshotTable.read(spark, root, 3).count() === 2) // v3 intact
   }
 }
