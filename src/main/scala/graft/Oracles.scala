@@ -234,7 +234,14 @@ object Oracles {
 
     "silver_dedup" -> withTrades("deduped", "SELECT * FROM deduped"),
 
-    "silver_transform" -> withTrades("silver", "SELECT * FROM silver"),
+    // Final SELECTs cast DECIMAL columns to DOUBLE: the driver contract
+    // emits float64 (see Rounding.asDoubles) so the hash comparison is
+    // independent of how each side's reader materializes decimals.
+    "silver_transform" -> withTrades("silver",
+      """SELECT trade_id, product_id, CAST(price AS DOUBLE) AS price,
+        |  CAST(size AS DOUBLE) AS size, side, trade_time, ingested_at,
+        |  _is_late_arrival, _source_latency_ms, _trade_date
+        |FROM silver""".stripMargin),
 
     "incremental_read" -> withTrades("bronze_dup",
       """SELECT b.* FROM bronze_dup b, (SELECT MAX(ingested_at) - INTERVAL '2 hours' AS cutoff FROM bronze_dup)
@@ -246,11 +253,16 @@ object Oracles {
         |  SELECT trade_id, product_id,
         |    CAST(CAST(price AS DOUBLE) * 1.005 AS DECIMAL(18,8)) AS price,
         |    size, side, trade_time, ingested_at, _is_late_arrival, _source_latency_ms, _trade_date
-        |  FROM silver WHERE trade_id % 2 = 0)
-        |SELECT trade_id, product_id, price, size, side, trade_time, ingested_at, _is_late_arrival, _source_latency_ms, _trade_date FROM tgt
-        |WHERE trade_id NOT IN (SELECT trade_id FROM src)
-        |UNION ALL
-        |SELECT trade_id, product_id, price, size, side, trade_time, ingested_at, _is_late_arrival, _source_latency_ms, _trade_date FROM src""".stripMargin),
+        |  FROM silver WHERE trade_id % 2 = 0),
+        |merged AS (
+        |  SELECT trade_id, product_id, price, size, side, trade_time, ingested_at, _is_late_arrival, _source_latency_ms, _trade_date FROM tgt
+        |  WHERE trade_id NOT IN (SELECT trade_id FROM src)
+        |  UNION ALL
+        |  SELECT trade_id, product_id, price, size, side, trade_time, ingested_at, _is_late_arrival, _source_latency_ms, _trade_date FROM src)
+        |SELECT trade_id, product_id, CAST(price AS DOUBLE) AS price,
+        |  CAST(size AS DOUBLE) AS size, side, trade_time, ingested_at,
+        |  _is_late_arrival, _source_latency_ms, _trade_date
+        |FROM merged""".stripMargin),
 
     "silver_stats" -> withTrades("silver",
       """SELECT product_id, COUNT(*) AS trade_count,
@@ -259,13 +271,37 @@ object Oracles {
         |  CAST(SUM(CASE WHEN _is_late_arrival THEN 1 ELSE 0 END) AS BIGINT) AS late_arrivals
         |FROM silver GROUP BY product_id""".stripMargin),
 
-    "stg_trades" -> withTrades("stg", "SELECT * FROM stg"),
+    "stg_trades" -> withTrades("stg",
+      """SELECT trade_id, product_id, CAST(price AS DOUBLE) AS price,
+        |  CAST(size AS DOUBLE) AS size, side, trade_time, ingested_at,
+        |  _is_late_arrival, _source_latency_ms, _trade_date,
+        |  CAST(trade_value AS DOUBLE) AS trade_value,
+        |  trade_hour, trade_minute, minute_bucket, hour_bucket
+        |FROM stg""".stripMargin),
 
-    "ohlcv_1m" -> withTrades("m1", "SELECT * FROM m1"),
+    "ohlcv_1m" -> withTrades("m1",
+      """SELECT product_id, window_start, CAST(open AS DOUBLE) AS open,
+        |  CAST(high AS DOUBLE) AS high, CAST(low AS DOUBLE) AS low,
+        |  CAST(close AS DOUBLE) AS close, CAST(volume AS DOUBLE) AS volume,
+        |  trade_count, CAST(vwap AS DOUBLE) AS vwap, window_end, _partition_date
+        |FROM m1""".stripMargin),
 
-    "ohlcv_1h" -> withTrades("h1", "SELECT * FROM h1"),
+    "ohlcv_1h" -> withTrades("h1",
+      """SELECT product_id, window_start, CAST(open AS DOUBLE) AS open,
+        |  CAST(high AS DOUBLE) AS high, CAST(low AS DOUBLE) AS low,
+        |  CAST(close AS DOUBLE) AS close, CAST(volume AS DOUBLE) AS volume,
+        |  trade_count, CAST(vwap AS DOUBLE) AS vwap, window_end, _partition_date
+        |FROM h1""".stripMargin),
 
-    "daily_metrics" -> withTrades("dm", "SELECT * FROM dm"),
+    "daily_metrics" -> withTrades("dm",
+      """SELECT product_id, date, CAST(open AS DOUBLE) AS open,
+        |  CAST(high AS DOUBLE) AS high, CAST(low AS DOUBLE) AS low,
+        |  CAST(close AS DOUBLE) AS close,
+        |  CAST(total_volume AS DOUBLE) AS total_volume, total_trades,
+        |  CAST(daily_return AS DOUBLE) AS daily_return,
+        |  CAST(volatility AS DOUBLE) AS volatility,
+        |  CAST(max_drawdown AS DOUBLE) AS max_drawdown, _partition_month
+        |FROM dm""".stripMargin),
 
     "price_latest" -> withTrades("dm",
       """, anchor AS (SELECT MAX(trade_time) AS as_of FROM stg),
@@ -283,16 +319,25 @@ object Oracles {
         |p24 AS (
         |  SELECT product_id, open AS price_24h_ago, high AS high_24h, low AS low_24h, total_volume AS volume_24h
         |  FROM dm, anchor WHERE date = CAST(as_of AS DATE) - 1)
-        |SELECT lt.product_id, lt.price, lt.updated_at,
-        |  CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p1m.price_1m_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p1m.price_1m_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_1m_pct,
-        |  CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p1h.price_1h_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p1h.price_1h_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_1h_pct,
-        |  CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p24.price_24h_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p24.price_24h_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_24h_pct,
-        |  p24.high_24h, p24.low_24h, p24.volume_24h, anchor.as_of
-        |FROM lt
-        |LEFT JOIN p1m ON lt.product_id = p1m.product_id
-        |LEFT JOIN p1h ON lt.product_id = p1h.product_id
-        |LEFT JOIN p24 ON lt.product_id = p24.product_id
-        |CROSS JOIN anchor""".stripMargin),
+        |final AS (
+        |  SELECT lt.product_id, lt.price, lt.updated_at,
+        |    CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p1m.price_1m_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p1m.price_1m_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_1m_pct,
+        |    CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p1h.price_1h_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p1h.price_1h_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_1h_pct,
+        |    CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p24.price_24h_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p24.price_24h_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_24h_pct,
+        |    p24.high_24h, p24.low_24h, p24.volume_24h, anchor.as_of
+        |  FROM lt
+        |  LEFT JOIN p1m ON lt.product_id = p1m.product_id
+        |  LEFT JOIN p1h ON lt.product_id = p1h.product_id
+        |  LEFT JOIN p24 ON lt.product_id = p24.product_id
+        |  CROSS JOIN anchor)
+        |SELECT product_id, CAST(price AS DOUBLE) AS price, updated_at,
+        |  CAST(change_1m_pct AS DOUBLE) AS change_1m_pct,
+        |  CAST(change_1h_pct AS DOUBLE) AS change_1h_pct,
+        |  CAST(change_24h_pct AS DOUBLE) AS change_24h_pct,
+        |  CAST(high_24h AS DOUBLE) AS high_24h,
+        |  CAST(low_24h AS DOUBLE) AS low_24h,
+        |  CAST(volume_24h AS DOUBLE) AS volume_24h, as_of
+        |FROM final""".stripMargin),
 
     "data_quality" -> qualityReport,
 

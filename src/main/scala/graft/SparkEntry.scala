@@ -28,8 +28,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Ohlcv.ohlcv1m(stg(spark, "/root/testdata/sf0.001"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every query is passed through [[graft.functions.Rounding.asDoubles]]:
+    * operators return exact DECIMAL money columns, but the driver's hash
+    * canonicalizes decimals differently on the Spark-parquet side vs the
+    * DuckDB side, so the contract boundary emits float64 (the oracle SQL
+    * casts the same columns to DOUBLE).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) =>
+        graft.functions.Rounding.asDoubles(fn(s, dir)))
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- lakehouse pipeline (SURVEY §2 rows 1-13) --
     "bronze_ingest" -> ((s, dir) => bronze(s, dir)),
     "streaming_bronze" -> ((s, dir) => BronzeStream.windowedVolume(s, dir)),

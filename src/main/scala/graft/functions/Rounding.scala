@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{lit, round}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit, round}
+import org.apache.spark.sql.types.DecimalType
 
 /** Cross-engine deterministic rounding for double→DECIMAL ratio columns.
   *
@@ -24,5 +25,27 @@ object Rounding {
   def roundScaled(c: Column, scale: Int): Column = {
     val f = pow10(scale)
     round(c * lit(f)) / lit(f)
+  }
+
+  /** Cast every DECIMAL column to DOUBLE for the driver contract.
+    *
+    * Operators keep exact decimal arithmetic internally (order-independent
+    * money sums), but the verification boundary emits float64: readers on
+    * the two sides of the oracle compare materialize decimals differently
+    * (parquet decimal128 → `Decimal('2.50000000')` objects vs DuckDB
+    * result-set decimals → float64), so identical values canonicalize to
+    * different hashes. A final exact-decimal→double cast is deterministic
+    * and identical in both engines for our magnitudes (unscaled values
+    * ≪ 2^53), which makes the hash representation-independent. The
+    * matching oracle SQL applies `CAST(… AS DOUBLE)` to the same columns.
+    */
+  def asDoubles(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("double").as(f.name)
+        case _              => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
   }
 }
