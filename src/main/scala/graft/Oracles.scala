@@ -318,7 +318,7 @@ object Oracles {
         |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY window_start DESC) = 2),
         |p24 AS (
         |  SELECT product_id, open AS price_24h_ago, high AS high_24h, low AS low_24h, total_volume AS volume_24h
-        |  FROM dm, anchor WHERE date = CAST(as_of AS DATE) - 1)
+        |  FROM dm, anchor WHERE date = CAST(as_of AS DATE) - 1),
         |final AS (
         |  SELECT lt.product_id, lt.price, lt.updated_at,
         |    CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p1m.price_1m_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p1m.price_1m_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_1m_pct,

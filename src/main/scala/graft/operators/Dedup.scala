@@ -52,19 +52,22 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_docs"))
 
+  /** Default candidate-generation cap for [[ngramJaccard]]: shingles in
+    * more than this many documents are excluded from the inverted-index
+    * join (each contributes f² join rows — the textbook skewed-key
+    * blowup at corpus scale). Verification recomputes Jaccard from FULL
+    * shingle sets, so scores stay exact; only recall of pairs sharing
+    * NOTHING but ultra-common shingles is affected, and a ≥0.8-Jaccard
+    * pair of ≥3-token docs always shares a below-cap shingle in any
+    * corpus where boilerplate df ≫ near-dup cluster size. */
+  val DefaultMaxDocFreq = 100
+
   /** Exact word-3-gram Jaccard pairs ≥ `threshold`, via a shingle
-    * inverted-index join (a shingle shared by f docs contributes f²
-    * candidate work — at corpus scale, cap ultra-frequent shingles
-    * upstream or salt the join; semantics here stay exact). */
-  /** Optional scale valve for the inverted index: drop shingles whose
-    * document frequency exceeds `maxDocFreq` from CANDIDATE GENERATION
-    * (a shingle in f docs contributes f² join work; boilerplate shingles
-    * at corpus scale are stopwords, not near-dup evidence). Verification
-    * still uses full shingle sets, so reported Jaccard stays exact —
-    * only recall of pairs sharing ONLY ultra-common shingles is
-    * affected, and such pairs cannot reach a 0.8 threshold in practice. */
+    * inverted-index join. `maxDocFreq` (default [[DefaultMaxDocFreq]])
+    * is the 100 TB scale valve — see its doc; pass `None` to force the
+    * uncapped exact index (every pair guaranteed, O(Σ df²) join work). */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8,
-                   maxDocFreq: Option[Int] = None): DataFrame = {
+                   maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     // persist: the shingle projection feeds both join sides + the sizes
     val sh = shingled(docs).select("doc_id", "shingles").persist()
     val invAll = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
