@@ -341,22 +341,27 @@ object Oracles {
 
     "data_quality" -> qualityReport,
 
+    // Final DOUBLE casts on the DECIMAL aggregates below mirror the
+    // Spark side's Rounding.asDoubles boundary so both engines hand the
+    // comparator float64 (the driver's DuckDB reader happens to
+    // materialize result decimals as float64 anyway; the explicit cast
+    // makes the contract hold for any reader, incl. tools/selfcheck.py).
     "streaming_bronze" ->
       """SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT) * 300 * 1000000) AS window_start,
         |  make_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT) * 300 + 300) * 1000000) AS window_end,
         |  event_type AS product_id, COUNT(*) AS n_trades,
-        |  CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS volume
+        |  CAST(CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE) AS volume
         |FROM events WHERE event_id IS NOT NULL GROUP BY 1, 2, 3""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
-        |  CAST(SUM(CAST((l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)) * (CAST(1.0 AS DOUBLE) + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
-        |  CAST(round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_qty,
-        |  CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_price,
-        |  CAST(round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_disc,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST((l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)) * (CAST(1.0 AS DOUBLE) + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
+        |  CAST(CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS DOUBLE) AS avg_price,
+        |  CAST(CAST(round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS DOUBLE) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-08-01 00:00:00'
@@ -364,7 +369,7 @@ object Oracles {
 
     "q3_shipping_priority" ->
       """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-        |  CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        |  CAST(CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -377,7 +382,7 @@ object Oracles {
 
     "q5_region_revenue" ->
       """SELECT n.n_name,
-        |  CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        |  CAST(CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -400,19 +405,21 @@ object Oracles {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // Mirrors Dedup.ngramJaccard's DEFAULT capped path exactly: shingles
+    // with doc-frequency > DefaultMaxDocFreq are excluded from candidate
+    // generation, then Jaccard is recomputed from the FULL shingle sets —
+    // same recall bound on both sides (pairs sharing only above-cap
+    // shingles are found by neither).
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-         |inv AS (SELECT doc_id, UNNEST(shingles) AS sh FROM shl),
-         |szs AS (SELECT doc_id, len(shingles) AS n_sh FROM shl),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |    CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
-         |  FROM inter JOIN szs na ON inter.doc_a = na.doc_id JOIN szs nb ON inter.doc_b = nb.doc_id
-         |) WHERE jaccard >= 0.8""".stripMargin,
+         |inv_all AS (SELECT doc_id, UNNEST(shingles) AS sh FROM shl),
+         |rare AS (SELECT sh FROM inv_all GROUP BY sh
+         |         HAVING COUNT(*) <= ${graft.operators.Dedup.DefaultMaxDocFreq}),
+         |inv AS (SELECT ia.doc_id, ia.sh FROM inv_all ia JOIN rare USING (sh)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id)
+         |$jaccardVerify""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $shinglesCte,

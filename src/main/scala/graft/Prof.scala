@@ -23,7 +23,8 @@ object Prof {
     time("shingled")(operators.Dedup.shingled(docs))
     time("minhash_full")(operators.Dedup.minhashLsh(docs))
     time("simhash_full")(operators.Dedup.simhash(docs))
-    time("ngram_full")(operators.Dedup.ngramJaccard(docs))
+    time("ngram_capped")(operators.Dedup.ngramJaccard(docs))
+    time("ngram_uncapped")(operators.Dedup.ngramJaccard(docs, maxDocFreq = None))
     time("emb_neardup_full")(operators.Similarity.nearDupPairs(emb))
     time("ann_topk_full")(operators.Similarity.annTopK(emb))
     spark.stop()

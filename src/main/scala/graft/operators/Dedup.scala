@@ -56,10 +56,17 @@ object Dedup {
     * more than this many documents are excluded from the inverted-index
     * join (each contributes f² join rows — the textbook skewed-key
     * blowup at corpus scale). Verification recomputes Jaccard from FULL
-    * shingle sets, so scores stay exact; only recall of pairs sharing
-    * NOTHING but ultra-common shingles is affected, and a ≥0.8-Jaccard
-    * pair of ≥3-token docs always shares a below-cap shingle in any
-    * corpus where boilerplate df ≫ near-dup cluster size. */
+    * shingle sets, so every reported score is exact.
+    *
+    * Recall bound (stated honestly): a pair is found only if it shares
+    * at least one shingle with doc-frequency ≤ cap. Inside a near-dup
+    * cluster larger than the cap, the shared shingles themselves exceed
+    * the cap, so such intra-cluster pairs are NOT reported — the cap
+    * trades recall on ≥cap-sized duplicate clusters (which exact-dedup
+    * and MinHash-LSH still catch) for O(Σ df²) join-safety at corpus
+    * scale. The DuckDB oracle applies the identical cap, so both sides
+    * of the correctness contract compute the same capped semantics;
+    * pass `maxDocFreq = None` for the uncapped exact index. */
   val DefaultMaxDocFreq = 100
 
   /** Exact word-3-gram Jaccard pairs ≥ `threshold`, via a shingle

@@ -49,7 +49,9 @@ class PropertySpec extends GraftSuite {
 
   test("ngram jaccard with a doc-frequency cap yields a subset with identical scores") {
     val docs = graft.sources.Tables.documents(spark, sf).limit(200)
-    val full = Dedup.ngramJaccard(docs, 0.5)
+    // maxDocFreq = None: the uncapped EXACT index is the baseline (the
+    // default is the capped path, which would make this cap-vs-cap)
+    val full = Dedup.ngramJaccard(docs, 0.5, maxDocFreq = None)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val capped = Dedup.ngramJaccard(docs, 0.5, maxDocFreq = Some(20))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
