@@ -8,11 +8,21 @@ import org.apache.spark.sql.SparkSession
   * `count()` would let Spark prune projections and skip expression
   * work); failures are reported per-query in `errors` instead of
   * masquerading as fast runs.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and the
+  * reported `queries` value is the per-query MEDIAN; all raw samples
+  * are kept in `runs`. Single-sample local[32] timings swing 3-4× on
+  * unchanged code (GC/page-cache/JIT noise — observed r3→r4), so no
+  * tuning conclusion is valid off one sample. Reps are interleaved
+  * round-robin (full pass over all queries, repeated) rather than
+  * back-to-back, so a transient system stall degrades one pass of
+  * everything instead of all samples of one query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,18 +38,31 @@ object Bench {
     catch { case _: Throwable => () }
     spark.sharedState.cacheManager.clearCache()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // samples(name) = wall seconds per rep; one error capture per query
+    val samples = scala.collection.mutable.Map(
+      names.map(_ -> Vector.empty[Double]): _*)
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    (1 to reps).foreach { _ =>
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          errors.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // drop per-query persisted stages so queries are isolated
-      // (teardown is deliberately NOT charged to the query's time)
-      spark.sharedState.cacheManager.clearCache()
-      (name, elapsed, err)
+        samples(name) :+= (System.nanoTime() - t0) / 1e9
+        // drop per-query persisted stages so queries are isolated
+        // (teardown is deliberately NOT charged to the query's time)
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -47,12 +70,15 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
+    val qs = names.map(n => s"${jq(n)}:${median(samples(n))}")
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val runs = names.map(n => s"${jq(n)}:${samples(n).mkString("[", ",", "]")}")
+      .mkString("{", ",", "}")
+    val errs = names.collect { case n if errors.contains(n) =>
+      s"${jq(n)}:${jq(errors(n))}" }.mkString("{", ",", "}")
+    val total = names.map(n => median(samples(n))).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
