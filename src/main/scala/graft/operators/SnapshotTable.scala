@@ -53,12 +53,31 @@ object SnapshotTable {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Atomically claim a version directory. `Files.createDirectory` is
+    * atomic on POSIX: of two writers racing to the same version number,
+    * exactly one wins — the loser fails fast here instead of silently
+    * clobbering the winner's files with `mode("overwrite")`. */
+  private[graft] def claimVersion(root: String, version: Long): Unit = {
+    Files.createDirectories(Paths.get(root))
+    try Files.createDirectory(Paths.get(root, s"v=$version"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot version $version at $root already exists " +
+            "(concurrent committer or unexpired leftover); retry to " +
+            "target the next free version")
+    }
+  }
+
   /** Publish `df` as the next snapshot; returns the new version.
     * The next version is max(existing)+1, NOT marker+1 — after a
     * rollback the still-on-disk newer versions must never be
-    * overwritten in place (copy-on-write isolation). */
+    * overwritten in place (copy-on-write isolation). The version dir is
+    * claimed atomically first, so a concurrent committer racing to the
+    * same version number fails instead of silently overwriting. */
   def commit(df: DataFrame, root: String): Long = {
     val next = versions(root).lastOption.getOrElse(-1L) + 1
+    claimVersion(root, next)
     df.write.mode("overwrite").parquet(s"$root/v=$next")
     moveMarker(root, next)
     next
@@ -85,11 +104,13 @@ object SnapshotTable {
     moveMarker(root, version)
   }
 
-  /** Expire old snapshots, keeping `retainLast` plus the current one.
-    * Returns the versions removed (their directories are deleted). */
+  /** Expire old snapshots, keeping the current one, the newest
+    * `retainLast` versions older than it, and EVERY version newer than
+    * it: after a rollback, newer versions are roll-forward targets and
+    * must survive expiry. Returns the versions removed. */
   def expireSnapshots(root: String, retainLast: Int): Seq[Long] = {
     val current = latestVersion(root)
-    val expire = versions(root).filterNot(_ == current)
+    val expire = versions(root).filter(_ < current)
       .sorted.dropRight(math.max(retainLast, 0))
     expire.foreach { v =>
       val dir = Paths.get(root, s"v=$v")

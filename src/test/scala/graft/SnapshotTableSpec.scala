@@ -49,4 +49,41 @@ class SnapshotTableSpec extends GraftSuite {
     assert(SnapshotTable.versions(root) === Seq(1L, 2L, 3L, 4L))
     assert(SnapshotTable.read(spark, root, 3).count() === 2) // v3 intact
   }
+
+  test("expiry after rollback preserves roll-forward targets") {
+    val root = Files.createTempDirectory("graft-snap-rf").toString
+    (0 to 3).foreach { i =>
+      SnapshotTable.commit(Seq((i.toLong, s"v$i")).toDF("id", "v"), root)
+    }
+    SnapshotTable.rollback(root, 1)
+
+    // current=1; only versions < 1 are expiry candidates — v2/v3 are
+    // roll-forward targets and must survive even with retainLast=0
+    val removed = SnapshotTable.expireSnapshots(root, retainLast = 0)
+    assert(removed === Seq(0L))
+    assert(SnapshotTable.versions(root) === Seq(1L, 2L, 3L))
+
+    // roll FORWARD to v3 and read it — the data is intact
+    SnapshotTable.rollback(root, 3)
+    val rows = SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((3L, "v3")))
+  }
+
+  test("concurrent committers cannot claim the same version") {
+    val root = Files.createTempDirectory("graft-snap-race").toString
+    SnapshotTable.commit(Seq((1L, "a")).toDF("id", "v"), root)
+
+    // Simulate the two-writer race: both computed next=1; the first
+    // claim wins, the second must fail fast (not silently overwrite)
+    SnapshotTable.claimVersion(root, 1)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.claimVersion(root, 1)
+    }
+
+    // a fresh commit skips the claimed-but-unpublished dir: next=2
+    val v2 = SnapshotTable.commit(Seq((2L, "b")).toDF("id", "v"), root)
+    assert(v2 === 2)
+    assert(SnapshotTable.latestVersion(root) === 2)
+  }
 }
