@@ -43,6 +43,15 @@ object Bronze {
     ).withColumn("_ingestion_date", to_date(col("ingested_at")))
       .filter(col("trade_id").isNotNull)
 
+  /** Write bronze partitioned by `_ingestion_date` — the reference's
+    * bronze layout (`streaming_bronze_writer.py:149-166`). At 100 TB
+    * this layout is what makes incremental reads partition-prunable:
+    * see [[BronzeToSilver.incrementalReadPartitioned]] and the
+    * plan-asserted pruning test in PipelineSpec. */
+  def writePartitioned(bronze: DataFrame, path: String,
+                       mode: String = "overwrite"): Unit =
+    bronze.write.mode(mode).partitionBy("_ingestion_date").parquet(path)
+
   /** Bronze with deterministic at-least-once redeliveries: every 10th
     * trade is re-ingested 900 s later (same payload, later ingest time).
     * Models the duplicate delivery the reference's silver dedup exists

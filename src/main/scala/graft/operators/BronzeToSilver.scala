@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,15 +58,51 @@ object BronzeToSilver {
       .filter(col("price").isNotNull && col("price") > 0)
       .filter(col("trade_time").isNotNull)
 
+  /** Write silver partitioned by `_trade_date` — the reference's silver
+    * layout (`bronze_to_silver.py:108-151`), which makes MERGE targets
+    * and date-bounded marts partition-prunable at scale. */
+  def writePartitioned(silver: DataFrame, path: String,
+                       mode: String = "overwrite"): Unit =
+    silver.write.mode(mode).partitionBy("_trade_date").parquet(path)
+
   /** Incremental read: bronze rows ingested within `lookbackHours` of the
     * newest ingest timestamp. Deterministic analog of the reference's
-    * `utcnow() - lookback` cutoff. */
+    * `utcnow() - lookback` cutoff.
+    *
+    * The input is persisted so the (possibly expensive) bronze chain —
+    * JSON extraction included — materializes ONCE: the cutoff aggregate
+    * populates the cache, the filter pass reads it. The cached stage
+    * lives for the session (same contract as Dedup's signature caches);
+    * long-lived callers should clearCache/unpersist after consuming.
+    * Against a stored partitioned table use
+    * [[incrementalReadPartitioned]], which prunes instead of caching. */
   def incrementalRead(bronze: DataFrame, lookbackHours: Int = 2): DataFrame = {
-    val cutoff = bronze.agg(
+    val b = bronze.persist()
+    val cutoff = b.agg(
       expr(s"timestampadd(HOUR, ${-lookbackHours}, max(ingested_at))").as("_cutoff"))
-    bronze.crossJoin(broadcast(cutoff))
+    b.crossJoin(broadcast(cutoff))
       .filter(col("ingested_at") >= col("_cutoff"))
       .drop("_cutoff")
+  }
+
+  /** Incremental read against a bronze table written with
+    * [[Bronze.writePartitioned]]: the lookback cutoff is resolved to a
+    * LITERAL first, so the `_ingestion_date` predicate partition-prunes
+    * the scan (PartitionFilters in the plan — asserted by test).
+    *
+    * The single-row `head()` is the planning-time watermark resolution
+    * every real incremental pipeline performs (Iceberg/Delta read it
+    * from snapshot metadata; here it is a column-pruned max over
+    * parquet footer stats) — it is not a data collect, and it is the
+    * step a dynamic (join-based) cutoff cannot replace, because a
+    * runtime cutoff can never prune partitions at planning time. */
+  def incrementalReadPartitioned(spark: SparkSession, path: String,
+                                 lookbackHours: Int = 2): DataFrame = {
+    val t = spark.read.parquet(path)
+    val maxTs = t.agg(max("ingested_at")).head().getAs[java.time.LocalDateTime](0)
+    val cutoff = maxTs.minusHours(lookbackHours.toLong)
+    t.filter(col("_ingestion_date") >= lit(java.sql.Date.valueOf(cutoff.toLocalDate))
+      && col("ingested_at") >= lit(cutoff))
   }
 
   /** Per-product silver stats with conditional aggregation.

@@ -54,6 +54,45 @@ class PipelineSpec extends GraftSuite {
     assert(inc.count() === expected && inc.count() > 0)
   }
 
+  test("partitioned bronze write partition-prunes the incremental read (plan-asserted)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Bronze.writePartitioned(bronzeDup, tmp)
+
+    val inc = BronzeToSilver.incrementalReadPartitioned(spark, tmp, 2)
+    val scans = inc.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "scan must carry PartitionFilters on _ingestion_date")
+    // pruning is real: the scan selects strictly fewer date partitions
+    // than the table holds
+    val allDates = spark.read.parquet(tmp)
+      .select("_ingestion_date").distinct().count()
+    assert(scans.head.selectedPartitions.partitionCount < allDates)
+
+    // and the pruned read returns exactly the in-memory incremental rows
+    val ref = BronzeToSilver.incrementalRead(bronzeDup, 2)
+    val colsSorted = ref.columns.sorted.toSeq.map(col)
+    val got = inc.select(colsSorted: _*).orderBy("trade_id", "ingested_at")
+      .collect().map(_.toSeq).toSeq
+    val want = ref.select(colsSorted: _*).orderBy("trade_id", "ingested_at")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("partitioned silver write round-trips and lays out by _trade_date") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part-silver").toString
+    BronzeToSilver.writePartitioned(silver, tmp)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() === silver.count())
+    assert(back.columns.toSet === silver.columns.toSet)
+    // physical layout: one directory per trade date
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_trade_date="))
+    assert(dirs.length === silver.select("_trade_date").distinct().count())
+  }
+
   test("merge upsert: source wins on match, target survives otherwise") {
     import spark.implicits._
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
