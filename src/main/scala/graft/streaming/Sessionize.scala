@@ -1,17 +1,17 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicInteger
+import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType, StructType, TimestampType}
 
 import graft.sources.Tables
 
 /** Stateful stream processing: gap-based sessionization with
-  * `flatMapGroupsWithState` over the event stream.
+  * `flatMapGroupsWithState` + `EventTimeTimeout` over the event stream.
   *
   * Demonstrates the custom-state streaming surface (the reference's
   * stack has no analog — its state lives in Kafka offsets + MERGE; a
@@ -19,80 +19,140 @@ import graft.sources.Tables
   * trade bursts). Sessions close when two consecutive events for the
   * same user are more than `gapMinutes` apart.
   *
-  * SEMANTICS — finite replay (backfill): this runner processes a
-  * bounded source with `Trigger.AvailableNow` where the file source
-  * delivers all input in ONE micro-batch per user, so the group
-  * function flushes the trailing open session at end of input rather
-  * than holding it in state (a continuous deployment replaces the
-  * trailing flush with `GroupStateTimeout.EventTimeTimeout`: keep the
-  * open session via `state.update`, set the timeout to last+gap, and
-  * emit it from the timeout branch — same session algebra, deferred
-  * emission).
+  * SEMANTICS — continuous, multi-batch correct: the open session per
+  * user is CARRIED in state across micro-batches (`state.update`), and
+  * is emitted from the timeout branch once the event-time watermark
+  * passes `last_event + gap` — the standard Structured Streaming
+  * session recipe. Input may arrive over any number of micro-batches
+  * (e.g. `maxFilesPerTrigger=1`); the stream/batch equivalence test
+  * drives exactly that split. To DRAIN open sessions at the end of a
+  * finite replay, [[sessions]] appends a far-future sentinel event and
+  * restarts the checkpointed query: the sentinel advances the watermark
+  * past every open session's timeout, flushing them through the normal
+  * timeout path (watermark advancement is the only correct flush — a
+  * per-batch flush answers wrong the moment input spans two batches).
   *
   * Scale: state is one open session per user key, hash-partitioned by
   * user — bounded by |active users|, not by throughput; the watermark
-  * bounds how long a session can stay open.
+  * bounds how long a session can stay open, and timed-out state is
+  * removed, so state size is stable over an unbounded run.
   */
 object Sessionize {
 
-  case class Event(user_id: Long, ts_ms: Long, value: Double)
+  /** `ts` stays a Timestamp (not pre-converted millis): the column
+    * carries the watermark tag, which the event-time-timeout checker
+    * requires to be present in the stateful operator's input. */
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class OpenSession(start_ms: Long, last_ms: Long, n: Int, sum: Double)
   case class Session(user_id: Long, session_start_ms: Long,
                      session_end_ms: Long, n_events: Int, total_value: Double)
 
-  private val counter = new AtomicInteger(0)
+  /** Sentinel user for the end-of-replay watermark flush; filtered from
+    * results. */
+  val SentinelUser: Long = Long.MinValue
 
-  /** Split one user's (batch-of-)events into gap-delimited sessions.
-    * Emits every closed session; carries the open one in state (emitted
-    * too when the input is finite and the stream ends). */
+  /** Fold a batch of one user's events into the open session, emitting
+    * every session closed by a gap. Returns (closed sessions, open). */
+  private def foldEvents(gapMs: Long, init: Option[OpenSession],
+                         userId: Long, events: Seq[Event])
+      : (Seq[Session], Option[OpenSession]) = {
+    var open = init
+    val out = Seq.newBuilder[Session]
+    events.foreach { e =>
+      val tMs = e.ts.getTime
+      open match {
+        case Some(s) if tMs - s.last_ms <= gapMs =>
+          open = Some(OpenSession(s.start_ms, tMs, s.n + 1, s.sum + e.value))
+        case Some(s) =>
+          out += Session(userId, s.start_ms, s.last_ms, s.n, s.sum)
+          open = Some(OpenSession(tMs, tMs, 1, e.value))
+        case None =>
+          open = Some(OpenSession(tMs, tMs, 1, e.value))
+      }
+    }
+    (out.result(), open)
+  }
+
+  /** Per-key state transition: carry the open session across batches;
+    * emit it from the timeout branch when the watermark passes
+    * last_event + gap. */
   private def sessionizeGroup(gapMs: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[Session] = {
-    val sorted = events.toSeq.sortBy(e => (e.ts_ms, e.value))
-    var open = state.getOption
-    val out = Seq.newBuilder[Session]
-    sorted.foreach { e =>
-      open match {
-        case Some(s) if e.ts_ms - s.last_ms <= gapMs =>
-          open = Some(OpenSession(s.start_ms, e.ts_ms, s.n + 1, s.sum + e.value))
-        case Some(s) =>
-          out += Session(userId, s.start_ms, s.last_ms, s.n, s.sum)
-          open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, e.value))
-        case None =>
-          open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, e.value))
+    if (state.hasTimedOut) {
+      // watermark > last_ms + gap: the session can never grow — close it
+      val s = state.get
+      state.remove()
+      Iterator.single(Session(userId, s.start_ms, s.last_ms, s.n, s.sum))
+    } else {
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      val (closed, open) = foldEvents(gapMs, state.getOption, userId, sorted)
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last_ms + gapMs + 1)
       }
+      closed.iterator
     }
-    // Finite-input semantics (AvailableNow): flush the trailing session.
-    open.foreach { s =>
-      out += Session(userId, s.start_ms, s.last_ms, s.n, s.sum)
-    }
-    state.remove()
-    out.result().iterator
   }
 
-  /** Run the sessionizer over the events file as a stream; returns the
-    * settled session table. */
+  private val srcSchema = new StructType()
+    .add("user_id", LongType).add("ts", TimestampType).add("value", DoubleType)
+
+  /** Run one checkpointed pass of the sessionizer over whatever files
+    * are new in `srcDir`, appending closed sessions to the `outDir`
+    * parquet sink. Restartable: the checkpoint makes repeated calls
+    * process each input file exactly once (state carries over). Set
+    * `maxFilesPerTrigger` > 0 to force multi-batch processing. */
+  def sessionsStream(spark: SparkSession, srcDir: String, outDir: String,
+                     checkpointDir: String, gapMinutes: Int = 30,
+                     maxFilesPerTrigger: Int = 0): Unit = {
+    import spark.implicits._
+    val reader = spark.readStream.schema(srcSchema)
+    val withRate =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    val evs = withRate.parquet(srcDir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[Event]
+    val gapMs = gapMinutes * 60000L
+    val q = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(sessionizeGroup(gapMs))
+      .toDF().writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Finite-replay runner over the events table: streams all events
+    * (multi-batch safe), then drains still-open sessions by appending a
+    * far-future sentinel event and re-running the checkpointed query —
+    * the watermark jump fires every pending timeout. Returns the
+    * settled session table (sentinel excluded). */
   def sessions(spark: SparkSession, dir: String,
                gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    val schema = Tables.eventsRawSchema(spark, dir)
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val tsMs =
-      if (schema("ts").dataType == LongType) expr("ts div 1000000")
-      else unix_millis(col("ts").cast("timestamp"))
-    val evs = raw.select(col("user_id"), tsMs.as("ts_ms"), col("value")).as[Event]
+    val tmp = Files.createTempDirectory("graft-sessions")
+    val (src, out, cp) = (s"$tmp/src", s"$tmp/out", s"$tmp/cp")
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+    evs.write.mode("overwrite").parquet(src)
+    sessionsStream(spark, src, out, cp, gapMinutes)
 
+    // watermark-advancement drain of open sessions
     val gapMs = gapMinutes * 60000L
-    val sess = evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(sessionizeGroup(gapMs))
+    val maxTs = evs.agg(max("ts")).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + gapMs + 60000L)
+    Seq((SentinelUser, sentinelTs, 0.0)).toDF("user_id", "ts", "value")
+      .write.mode("append").parquet(src)
+    sessionsStream(spark, src, out, cp, gapMinutes)
 
-    val name = s"sessions_${counter.incrementAndGet()}"
-    val q = sess.toDF().writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(out).filter(col("user_id") =!= SentinelUser)
   }
 
   /** Batch-equivalent sessionization (lag + running session index) for
