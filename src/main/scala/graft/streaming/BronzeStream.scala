@@ -64,6 +64,33 @@ object BronzeStream {
       col("product_id"), col("n_trades"), col("volume"))
   }
 
+  /** Checkpointed bronze table append — the deployment-shaped sink the
+    * reference uses (`streaming_bronze_writer.py:170-180`: checkpointed
+    * append to the bronze table): raw event files stream in, the bronze
+    * transform applies, rows append to a parquet table with the file
+    * source's exactly-once tracking in `checkpointDir`. Restartable:
+    * re-invoking after new files land processes ONLY the new files
+    * (resume test asserts no duplicates and no loss across restarts).
+    * On a cluster the same plan writes `partitionBy(_ingestion_date)`
+    * into the warehouse — see [[graft.operators.Bronze.writePartitioned]]. */
+  def writeBronzeCheckpointed(spark: SparkSession, srcDir: String,
+                              outDir: String, checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    val tsCol =
+      if (schema("ts").dataType == LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts").cast("timestamp")
+    val q = Bronze.ingest(raw.withColumn("ts", tsCol))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming at-least-once dedup: the redelivered bronze stream
     * deduplicated by trade_id with `dropDuplicatesWithinWatermark` —
     * the streaming twin of the batch silver dedup
