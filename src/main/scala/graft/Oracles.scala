@@ -198,17 +198,52 @@ object Oracles {
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
        |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, ${Hashing.EmbDim + 1})]), (x, y) -> x + y)""".stripMargin
 
+  // ----------------------------------------------------- price_latest CTEs
+
+  /** The price_latest derivation (anchored horizons → final), shared by
+    * the price_latest query and the gold-layer quality checks. Appends
+    * to the `dm`-level trade CTE chain. */
+  private val priceLatestCtes =
+    """anchor AS (SELECT MAX(trade_time) AS as_of FROM stg),
+      |lt AS (
+      |  SELECT product_id, price, trade_time AS updated_at FROM stg
+      |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY trade_time DESC, trade_id DESC) = 1),
+      |p1m AS (
+      |  SELECT product_id, close AS price_1m_ago FROM m1, anchor
+      |  WHERE window_start >= as_of - INTERVAL '2 minutes'
+      |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY window_start DESC) = 2),
+      |p1h AS (
+      |  SELECT product_id, close AS price_1h_ago FROM h1, anchor
+      |  WHERE window_start >= as_of - INTERVAL '2 hours'
+      |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY window_start DESC) = 2),
+      |p24 AS (
+      |  SELECT product_id, open AS price_24h_ago, high AS high_24h, low AS low_24h, total_volume AS volume_24h
+      |  FROM dm, anchor WHERE date = CAST(as_of AS DATE) - 1),
+      |final AS (
+      |  SELECT lt.product_id, lt.price, lt.updated_at,
+      |    CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p1m.price_1m_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p1m.price_1m_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_1m_pct,
+      |    CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p1h.price_1h_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p1h.price_1h_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_1h_pct,
+      |    CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p24.price_24h_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p24.price_24h_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_24h_pct,
+      |    p24.high_24h, p24.low_24h, p24.volume_24h, anchor.as_of
+      |  FROM lt
+      |  LEFT JOIN p1m ON lt.product_id = p1m.product_id
+      |  LEFT JOIN p1h ON lt.product_id = p1h.product_id
+      |  LEFT JOIN p24 ON lt.product_id = p24.product_id
+      |  CROSS JOIN anchor)""".stripMargin
+
   // ---------------------------------------------------------------- quality
 
   /** Rendered from the SAME check definitions the Spark operator uses
-    * (graft.operators.DataQuality.bronzeChecks/silverChecks — each
-    * CheckDef carries its DuckDB mirror), so the two sides cannot
-    * drift. */
+    * (graft.operators.DataQuality — each CheckDef carries its DuckDB
+    * mirror), so the two sides cannot drift. Covers bronze + silver
+    * suites, the per-product freshness check, and the gold mart tests
+    * over m1/h1/dm/price_latest. */
   private def qualityReport: String = {
+    import graft.operators.DataQuality
     import graft.operators.DataQuality.CheckDef
     def cte(tbl: String, src: String, checks: Seq[CheckDef]): String = {
       val aggCols = checks.zipWithIndex
-        .map { case (c, i) => s"${c.duck} AS v$i" }.mkString(", ")
+        .map { case (c, i) => s"${c.duck(src)} AS v$i" }.mkString(", ")
       s"${tbl}_agg AS (SELECT COUNT(*) AS rc, $aggCols FROM $src)"
     }
     def branches(tbl: String, checks: Seq[CheckDef]): String =
@@ -216,14 +251,33 @@ object Oracles {
         s"SELECT '$tbl' AS table_name, '${c.name}' AS check_name, rc AS row_count, " +
           s"CAST(v$i AS BIGINT) AS violations, CAST(v$i AS BIGINT) = 0 AS passed FROM ${tbl}_agg"
       }.mkString("\nUNION ALL\n")
-    val bc = graft.operators.DataQuality.bronzeChecks
-    val sc = graft.operators.DataQuality.silverChecks
-    withTrades("silver",
-      s""", ${cte("bronze_trades", "bronze_dup", bc)},
-         |${cte("silver_trades", "silver", sc)}
-         |${branches("bronze_trades", bc)}
+    val suites = Seq(
+      ("bronze_trades", "bronze_dup", DataQuality.bronzeChecks),
+      ("silver_trades", "silver", DataQuality.silverChecks),
+      ("ohlcv_1m", "m1", DataQuality.ohlcvChecks),
+      ("ohlcv_1h", "h1", DataQuality.ohlcvChecks),
+      ("daily_metrics", "dm", DataQuality.dailyMetricsChecks),
+      ("price_latest", "final", DataQuality.priceLatestChecks))
+    val freshness =
+      """fr AS (SELECT product_id, MAX(trade_time) AS latest FROM silver GROUP BY 1),
+        |fr_agg AS (SELECT COUNT(*) AS rc,
+        |  SUM(CASE WHEN latest < (SELECT MAX(latest) FROM fr) - INTERVAL '24 hours' THEN 1 ELSE 0 END) AS v0
+        |  FROM fr)""".stripMargin
+    val freshnessBranch =
+      "SELECT 'silver_trades' AS table_name, 'freshness_products_24h' AS check_name, " +
+        "rc AS row_count, CAST(v0 AS BIGINT) AS violations, " +
+        "CAST(v0 AS BIGINT) = 0 AS passed FROM fr_agg"
+    withTrades("dm",
+      s""", $priceLatestCtes,
+         |$freshness,
+         |${suites.map { case (t, s, c) => cte(t, s, c) }.mkString(",\n")}
+         |${branches("bronze_trades", DataQuality.bronzeChecks)}
          |UNION ALL
-         |${branches("silver_trades", sc)}""".stripMargin)
+         |${branches("silver_trades", DataQuality.silverChecks)}
+         |UNION ALL
+         |$freshnessBranch
+         |UNION ALL
+         |${suites.drop(2).map { case (t, _, c) => branches(t, c) }.mkString("\nUNION ALL\n")}""".stripMargin)
   }
 
   // ------------------------------------------------------------------- all
@@ -304,32 +358,7 @@ object Oracles {
         |FROM dm""".stripMargin),
 
     "price_latest" -> withTrades("dm",
-      """, anchor AS (SELECT MAX(trade_time) AS as_of FROM stg),
-        |lt AS (
-        |  SELECT product_id, price, trade_time AS updated_at FROM stg
-        |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY trade_time DESC, trade_id DESC) = 1),
-        |p1m AS (
-        |  SELECT product_id, close AS price_1m_ago FROM m1, anchor
-        |  WHERE window_start >= as_of - INTERVAL '2 minutes'
-        |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY window_start DESC) = 2),
-        |p1h AS (
-        |  SELECT product_id, close AS price_1h_ago FROM h1, anchor
-        |  WHERE window_start >= as_of - INTERVAL '2 hours'
-        |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY window_start DESC) = 2),
-        |p24 AS (
-        |  SELECT product_id, open AS price_24h_ago, high AS high_24h, low AS low_24h, total_volume AS volume_24h
-        |  FROM dm, anchor WHERE date = CAST(as_of AS DATE) - 1),
-        |final AS (
-        |  SELECT lt.product_id, lt.price, lt.updated_at,
-        |    CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p1m.price_1m_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p1m.price_1m_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_1m_pct,
-        |    CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p1h.price_1h_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p1h.price_1h_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_1h_pct,
-        |    CAST(round((CAST(lt.price AS DOUBLE) - CAST(COALESCE(p24.price_24h_ago, lt.price) AS DOUBLE)) / NULLIF(CAST(p24.price_24h_ago AS DOUBLE), 0.0) * 100.0, 4) AS DECIMAL(10,4)) AS change_24h_pct,
-        |    p24.high_24h, p24.low_24h, p24.volume_24h, anchor.as_of
-        |  FROM lt
-        |  LEFT JOIN p1m ON lt.product_id = p1m.product_id
-        |  LEFT JOIN p1h ON lt.product_id = p1h.product_id
-        |  LEFT JOIN p24 ON lt.product_id = p24.product_id
-        |  CROSS JOIN anchor)
+      s""", $priceLatestCtes
         |SELECT product_id, CAST(price AS DOUBLE) AS price, updated_at,
         |  CAST(change_1m_pct AS DOUBLE) AS change_1m_pct,
         |  CAST(change_1h_pct AS DOUBLE) AS change_1h_pct,

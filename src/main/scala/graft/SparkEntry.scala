@@ -72,8 +72,18 @@ object SparkEntry {
       val h1 = Ohlcv.ohlcv1h(m1).persist()
       PriceLatest.latest(st, m1, h1, DailyMetrics.daily(h1))
     },
-    "data_quality" -> ((s, dir) =>
-      DataQuality.fullReport(bronzeDup(s, dir), silver(s, dir))),
+    "data_quality" -> { (s, dir) =>
+      // full-pipeline quality report: each stage feeds 2+ consumers
+      // (its own suite + the next stage), so persist the chain once
+      val bd = bronzeDup(s, dir).persist()
+      val sv = BronzeToSilver.transform(bd).persist()
+      val st = Staging.stgTrades(sv).persist()
+      val m1 = Ohlcv.ohlcv1m(st).persist()
+      val h1 = Ohlcv.ohlcv1h(m1).persist()
+      val dm = DailyMetrics.daily(h1).persist()
+      val pl = PriceLatest.latest(st, m1, h1, dm)
+      DataQuality.fullReport(bd, sv, m1, h1, dm, pl)
+    },
     // -- core analytics (rows 15-18) --
     "q1_pricing_summary" -> ((s, dir) =>
       Analytics.q1PricingSummary(Tables.lineitem(s, dir))),

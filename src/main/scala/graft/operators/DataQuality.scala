@@ -1,18 +1,28 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality expectations → violations report.
   *
-  * Re-expresses the Great Expectations suites the reference runs per
-  * layer (`quality/great_expectations/expectations/bronze_trades_suite
-  * .json`, `silver_trades_suite.json`, orchestrated by
-  * `orchestration/dags/data_quality.py:30-71`) as Spark-native
-  * aggregation checks: each expectation becomes one conditional
-  * aggregate, evaluated in a single pass per table (one scan computes
-  * every check via SUM(CASE WHEN violation)), and the report is the
-  * union of per-check rows.
+  * Re-expresses the reference's quality surface Spark-native:
+  *  - Great Expectations suites per layer
+  *    (`quality/great_expectations/expectations/bronze_trades_suite.json`,
+  *    `silver_trades_suite.json`, orchestrated by
+  *    `orchestration/dags/data_quality.py:30-71`), including the
+  *    ordered-schema expectation (`bronze_trades_suite.json:9`
+  *    `expect_table_columns_to_match_ordered_list`);
+  *  - dbt mart tests (`processing/dbt/models/marts/schema.yml`:
+  *    not_null/unique on ohlcv_1m, ohlcv_1h, daily_metrics,
+  *    price_latest) as gold-layer checks;
+  *  - a deterministic freshness check (per-product staleness against
+  *    the globally newest trade — the deterministic analog of the
+  *    reference DAG's hourly wall-clock gate).
+  *
+  * Each row expectation becomes one conditional aggregate, evaluated in
+  * a single pass per table (one scan computes every check via
+  * SUM(CASE WHEN violation)); the report is the union of per-check rows.
   *
   * Each check carries BOTH its Spark violation aggregate and the
   * equivalent DuckDB SQL, so the oracle (graft.Oracles) renders from
@@ -20,33 +30,70 @@ import org.apache.spark.sql.functions._
   *
   * Scale: N checks per table cost one scan + a width-N partial
   * aggregate, not N scans; uniqueness is a count-distinct on the key
-  * (exact, single shuffle).
+  * (exact, single shuffle); the freshness pre-aggregate reduces to
+  * |products| rows before its global comparison.
   */
 object DataQuality {
 
-  /** One expectation: name + Spark violation count + DuckDB mirror. */
-  case class CheckDef(name: String, violations: Column, duck: String)
+  /** One expectation: name + Spark violation aggregate (given the
+    * table's DataFrame) + DuckDB mirror (given the source relation
+    * name). */
+  case class CheckDef(name: String, violations: DataFrame => Column,
+                      duck: String => String)
 
   private def notNull(c: String) = CheckDef(s"not_null_$c",
-    sum(when(col(c).isNull, 1L).otherwise(0L)),
-    s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)")
+    _ => sum(when(col(c).isNull, 1L).otherwise(0L)),
+    _ => s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)")
 
   private def inSet(c: String, values: Seq[String]) = CheckDef(s"in_set_$c",
-    sum(when(!col(c).isin(values: _*) || col(c).isNull, 1L).otherwise(0L)),
-    s"SUM(CASE WHEN $c IS NULL OR $c NOT IN (${values.map(v => s"'$v'").mkString(", ")}) THEN 1 ELSE 0 END)")
+    _ => sum(when(!col(c).isin(values: _*) || col(c).isNull, 1L).otherwise(0L)),
+    _ => s"SUM(CASE WHEN $c IS NULL OR $c NOT IN (${values.map(v => s"'$v'").mkString(", ")}) THEN 1 ELSE 0 END)")
 
   private def positive(c: String) = CheckDef(s"positive_$c",
-    sum(when(col(c) <= 0 || col(c).isNull, 1L).otherwise(0L)),
-    s"SUM(CASE WHEN $c IS NULL OR $c <= 0 THEN 1 ELSE 0 END)")
+    _ => sum(when(col(c) <= 0 || col(c).isNull, 1L).otherwise(0L)),
+    _ => s"SUM(CASE WHEN $c IS NULL OR $c <= 0 THEN 1 ELSE 0 END)")
 
   private def nonNegative(c: String) = CheckDef(s"non_negative_$c",
-    sum(when(col(c) < 0, 1L).otherwise(0L)),
-    s"SUM(CASE WHEN $c < 0 THEN 1 ELSE 0 END)")
+    _ => sum(when(col(c) < 0, 1L).otherwise(0L)),
+    _ => s"SUM(CASE WHEN $c < 0 THEN 1 ELSE 0 END)")
+
+  private def unique(c: String) = CheckDef(s"unique_$c",
+    _ => count(lit(1)) - countDistinct(col(c)),
+    _ => s"COUNT(*) - COUNT(DISTINCT $c)")
+
+  /** Composite-key uniqueness (the dbt mart-grain test). Keys are
+    * non-null by construction here, so Spark's multi-column
+    * countDistinct and DuckDB's COUNT(DISTINCT (row)) agree. */
+  private def uniqueGrain(c1: String, c2: String) = CheckDef(s"unique_${c1}_$c2",
+    _ => count(lit(1)) - countDistinct(col(c1), col(c2)),
+    _ => s"COUNT(*) - COUNT(DISTINCT ($c1, $c2))")
+
+  /** `expect_table_columns_to_match_ordered_list`
+    * (`bronze_trades_suite.json:9`): the table's ordered column list
+    * must equal `expected`. Schema is metadata, so the Spark side
+    * resolves at plan time from `df.columns`; the DuckDB side
+    * introspects the same relation with DESCRIBE in a scalar
+    * subquery. */
+  def schemaCheck(expected: Seq[String]) = CheckDef("schema_ordered_columns",
+    df => max(lit(if (df.columns.toSeq == expected) 0L else 1L)),
+    src => s"MAX(CASE WHEN (SELECT string_agg(column_name, ',') FROM " +
+      s"(DESCRIBE SELECT * FROM $src)) = '${expected.mkString(",")}' " +
+      "THEN 0 ELSE 1 END)")
 
   val Products = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Bronze schema contract — [[Bronze.ingest]]'s output order. */
+  val BronzeColumns = Seq("trade_id", "product_id", "price", "size", "side",
+    "trade_time", "ingested_at", "_raw_payload", "_ingestion_date")
+
+  /** Silver schema contract — [[BronzeToSilver.transform]]'s output order. */
+  val SilverColumns = Seq("trade_id", "product_id", "price", "size", "side",
+    "trade_time", "ingested_at", "_is_late_arrival", "_source_latency_ms",
+    "_trade_date")
+
   /** Bronze-layer suite (bronze_trades_suite.json). */
   val bronzeChecks: Seq[CheckDef] = Seq(
+    schemaCheck(BronzeColumns),
     notNull("trade_id"),
     notNull("ingested_at"),
     notNull("product_id"),
@@ -56,14 +103,13 @@ object DataQuality {
     inSet("side", Seq("buy", "sell")),
     notNull("_raw_payload"))
 
-  /** Silver-layer suite (silver_trades_suite.json); uniqueness of
-    * trade_id is (rows − distinct keys), folded into the same
-    * single-pass aggregate. */
+  /** Silver-layer suite (silver_trades_suite.json + staging/schema.yml
+    * source tests); uniqueness of trade_id is (rows − distinct keys),
+    * folded into the same single-pass aggregate. */
   val silverChecks: Seq[CheckDef] = Seq(
+    schemaCheck(SilverColumns),
     notNull("trade_id"),
-    CheckDef("unique_trade_id",
-      count(lit(1)) - countDistinct(col("trade_id")),
-      "COUNT(*) - COUNT(DISTINCT trade_id)"),
+    unique("trade_id"),
     notNull("product_id"),
     inSet("product_id", Products),
     notNull("price"),
@@ -74,10 +120,22 @@ object DataQuality {
     notNull("trade_time"),
     nonNegative("_source_latency_ms"))
 
+  /** Gold-layer mart suites (`processing/dbt/models/marts/schema.yml`). */
+  val ohlcvChecks: Seq[CheckDef] = Seq(
+    notNull("product_id"), notNull("window_start"),
+    uniqueGrain("product_id", "window_start"))
+
+  val dailyMetricsChecks: Seq[CheckDef] = Seq(
+    notNull("product_id"), notNull("date"),
+    uniqueGrain("product_id", "date"))
+
+  val priceLatestChecks: Seq[CheckDef] = Seq(
+    notNull("product_id"), unique("product_id"), notNull("price"))
+
   private def report(table: String, df: DataFrame, checks: Seq[CheckDef]): DataFrame =
     df.agg(
         count(lit(1)).as("row_count"),
-        checks.map(c => c.violations.as(c.name)): _*)
+        checks.map(c => c.violations(df).as(c.name)): _*)
       // one scan → one agg row → explode into one row per check
       .select(col("row_count"), explode(array(checks.map(c =>
         struct(lit(c.name).as("check_name"),
@@ -95,6 +153,38 @@ object DataQuality {
   def silverReport(silver: DataFrame): DataFrame =
     report("silver_trades", silver, silverChecks)
 
-  def fullReport(bronze: DataFrame, silver: DataFrame): DataFrame =
-    bronzeReport(bronze).unionByName(silverReport(silver))
+  /** Freshness: products whose latest trade lags more than
+    * `maxLagHours` behind the globally newest trade. Deterministic
+    * (anchored to data, not wall clock); `row_count` is the number of
+    * products assessed. The per-product pre-aggregate is one shuffle
+    * reducing to |products| rows; the global max is a window over that
+    * tiny result. */
+  def freshnessReport(silver: DataFrame, maxLagHours: Int = 24): DataFrame = {
+    val per = silver.groupBy("product_id").agg(max("trade_time").as("latest"))
+    per
+      .withColumn("global_latest",
+        max("latest").over(Window.partitionBy()))
+      .agg(
+        count(lit(1)).as("row_count"),
+        sum(when(expr(s"latest < timestampadd(HOUR, -$maxLagHours, global_latest)"),
+          1L).otherwise(0L)).as("violations"))
+      .select(
+        lit("silver_trades").as("table_name"),
+        lit(s"freshness_products_${maxLagHours}h").as("check_name"),
+        col("row_count"),
+        col("violations"),
+        (col("violations") === 0).as("passed"))
+  }
+
+  /** The full lakehouse quality report: bronze + silver suites,
+    * freshness, and the gold mart tests. */
+  def fullReport(bronze: DataFrame, silver: DataFrame, m1: DataFrame,
+                 h1: DataFrame, dm: DataFrame, priceLatest: DataFrame): DataFrame =
+    bronzeReport(bronze)
+      .unionByName(silverReport(silver))
+      .unionByName(freshnessReport(silver))
+      .unionByName(report("ohlcv_1m", m1, ohlcvChecks))
+      .unionByName(report("ohlcv_1h", h1, ohlcvChecks))
+      .unionByName(report("daily_metrics", dm, dailyMetricsChecks))
+      .unionByName(report("price_latest", priceLatest, priceLatestChecks))
 }

@@ -112,11 +112,26 @@ class PipelineSpec extends GraftSuite {
     assert(bad.count() === 0)
   }
 
-  test("data quality: silver suite passes uniqueness, bronze reports all checks") {
-    val rep = DataQuality.fullReport(bronzeDup, silver)
+  test("data quality: full pipeline report covers bronze/silver/freshness/gold") {
+    val m1 = Ohlcv.ohlcv1m(stg)
+    val h1 = Ohlcv.ohlcv1h(m1)
+    val dm = DailyMetrics.daily(h1)
+    val pl = PriceLatest.latest(stg, m1, h1, dm)
+    val rep = DataQuality.fullReport(bronzeDup, silver, m1, h1, dm, pl)
     val uniq = rep.filter(col("check_name") === "unique_trade_id").head()
     assert(uniq.getAs[Long]("violations") === 0L)
-    assert(rep.count() === 19) // 8 bronze + 11 silver checks
+    // 9 bronze + 12 silver + 1 freshness + 3 m1 + 3 h1 + 3 dm + 3 pl
+    assert(rep.count() === 34)
+    // the ordered-schema expectation holds on both layers
+    val schemaRows = rep.filter(col("check_name") === "schema_ordered_columns")
+    assert(schemaRows.count() === 2 && schemaRows.filter(!col("passed")).count() === 0)
+    // gold grain uniqueness holds on every mart
+    val grain = rep.filter(col("check_name").startsWith("unique_") &&
+      col("table_name").isin("ohlcv_1m", "ohlcv_1h", "daily_metrics", "price_latest"))
+    assert(grain.count() === 4 && grain.filter(!col("passed")).count() === 0)
+    // freshness is anchored to data, so it always passes on a static set
+    val fresh = rep.filter(col("check_name") === "freshness_products_24h").head()
+    assert(fresh.getAs[Boolean]("passed"))
     // size=0 trades legitimately violate positive_size (silver filters
     // price only, as the reference does) — the report must surface that
     val failing = rep.filter(!col("passed"))
@@ -124,5 +139,14 @@ class PipelineSpec extends GraftSuite {
     assert(failing.subsetOf(Set("positive_size")))
     val zeroSizes = silver.filter(col("size") <= 0).count()
     assert((zeroSizes > 0) === failing.contains("positive_size"))
+  }
+
+  test("schema check fires when the column order drifts") {
+    val drifted = bronzeDup.select(
+      DataQuality.BronzeColumns.reverse.map(col): _*)
+    val rep = DataQuality.bronzeReport(drifted)
+    val schemaRow = rep.filter(col("check_name") === "schema_ordered_columns").head()
+    assert(schemaRow.getAs[Long]("violations") === 1L)
+    assert(!schemaRow.getAs[Boolean]("passed"))
   }
 }
