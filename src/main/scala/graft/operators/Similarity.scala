@@ -15,9 +15,9 @@ import graft.functions.Hashing
   * `list_reduce` fold (both folds start from 0.0).
   *
   * Scale paths:
-  *  - near-dup: 16-plane random-hyperplane LSH signatures (built in the
-  *    projection, no shuffle), 4×4-bit bands → bucket join → exact
-  *    cosine verify. Candidate work is O(Σ bucket²), never n².
+  *  - near-dup: 32-plane random-hyperplane LSH signatures (built in the
+  *    projection, no shuffle, persisted), 4×8-bit bands → bucket join →
+  *    exact cosine verify. Candidate work is O(Σ bucket²), never n².
   *  - top-k: the correctness baseline broadcasts the (small) query set
   *    against the full corpus — a single scan with a per-query bounded
   *    heap via window rank; the LSH-bucketed variant restricts each
