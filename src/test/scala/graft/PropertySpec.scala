@@ -47,6 +47,31 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("capped ngram restores exact scores via frequent-shingle overlap") {
+    import spark.implicits._
+    // every doc shares a boilerplate tail -> its shingles exceed cap=5
+    val boiler = "alpha beta gamma delta epsilon"
+    val docs = ((1 to 30).map(i =>
+        (i.toLong, s"unique$i words body$i item$i thing$i $boiler")) ++
+      Seq((101L, s"pair one same text here $boiler"),
+          (102L, s"pair one same text here $boiler"),
+          (201L, boiler), (202L, boiler))).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(docs, 0.5, maxDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.ngramJaccard(docs, 0.5, maxDocFreq = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs sharing BOTH rare and frequent shingles: the score
+    // must be exactly 1.0 — only the frequent-set overlap restores the
+    // boilerplate shingles the capped index dropped
+    assert(capped((101L, 102L)) === 1.0)
+    // capped results are a subset of uncapped with identical scores
+    capped.foreach { case (k, j) => assert(uncapped(k) === j) }
+    // the documented recall bound: a pair sharing ONLY above-cap
+    // shingles is found uncapped but not capped
+    assert(uncapped((201L, 202L)) === 1.0)
+    assert(!capped.contains((201L, 202L)))
+  }
+
   test("ngram jaccard with a doc-frequency cap yields a subset with identical scores") {
     val docs = graft.sources.Tables.documents(spark, sf).limit(200)
     // maxDocFreq = None: the uncapped EXACT index is the baseline (the
