@@ -198,6 +198,21 @@ object Oracles {
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
        |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, ${Hashing.EmbDim + 1})]), (x, y) -> x + y)""".stripMargin
 
+  /** Random-hyperplane LSH signature + band CTEs over `nrm` — shared by
+    * dedup_embedding and ann_topk_bucketed (identical bucketing on both
+    * sides of the contract). */
+  private def sigBndCtes: String =
+    s"""sig AS (
+       |  SELECT vec_id, embedding, nrm,
+       |    [CASE WHEN list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |       [(${Hashing.planeSignDuck("i", "j")}) * CAST(embedding[j + 1] AS DOUBLE) FOR j IN range(0, ${Hashing.EmbDim})]),
+       |       (a, b) -> a + b) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END FOR i IN range(0, ${Hashing.NumPlanes})] AS sig
+       |  FROM nrm),
+       |bnd AS (
+       |  SELECT vec_id, band, ${(0 until Hashing.PlaneBandBits).map(m =>
+            s"sig[band*${Hashing.PlaneBandBits}+${m + 1}] * ${1L << m}").mkString(" + ")} AS bval
+       |  FROM (SELECT vec_id, sig, k AS band FROM sig, UNNEST(range(0, ${Hashing.PlaneBands})) AS t(k)))""".stripMargin
+
   // ----------------------------------------------------- price_latest CTEs
 
   /** The price_latest derivation (anchored horizons → final), shared by
@@ -490,16 +505,7 @@ object Oracles {
 
     "dedup_embedding" ->
       s"""WITH $nrmCte,
-         |sig AS (
-         |  SELECT vec_id, embedding, nrm,
-         |    [CASE WHEN list_reduce(list_concat([CAST(0 AS DOUBLE)],
-         |       [(${Hashing.planeSignDuck("i", "j")}) * CAST(embedding[j + 1] AS DOUBLE) FOR j IN range(0, ${Hashing.EmbDim})]),
-         |       (a, b) -> a + b) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END FOR i IN range(0, ${Hashing.NumPlanes})] AS sig
-         |  FROM nrm),
-         |bnd AS (
-         |  SELECT vec_id, band, ${(0 until Hashing.PlaneBandBits).map(m =>
-              s"sig[band*${Hashing.PlaneBandBits}+${m + 1}] * ${1L << m}").mkString(" + ")} AS bval
-         |  FROM (SELECT vec_id, sig, k AS band FROM sig, UNNEST(range(0, ${Hashing.PlaneBands})) AS t(k))),
+         |$sigBndCtes,
          |cnd AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
@@ -518,6 +524,21 @@ object Oracles {
          |    row_number() OVER (PARTITION BY q.query_id ORDER BY
          |      ${duckDot("q.qe", "c.embedding")} / (q.qn * c.nrm) DESC, c.vec_id) AS rank
          |  FROM q, nrm c WHERE c.vec_id <> q.query_id)
+         |WHERE rank <= 10""".stripMargin,
+
+    "ann_topk_bucketed" ->
+      s"""WITH $nrmCte,
+         |$sigBndCtes,
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM bnd qb JOIN bnd cb ON qb.band = cb.band AND qb.bval = cb.bval
+         |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${duckDot("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) AS cosine,
+         |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+         |      ${duckDot("nq.embedding", "nc.embedding")} / (nq.nrm * nc.nrm) DESC, cand.neighbor_id) AS rank
+         |  FROM cand JOIN nrm nq ON cand.query_id = nq.vec_id JOIN nrm nc ON cand.neighbor_id = nc.vec_id)
          |WHERE rank <= 10""".stripMargin,
 
     "lang_id" -> {

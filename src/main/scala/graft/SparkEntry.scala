@@ -105,6 +105,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir))),
     "ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
+    "ann_topk_bucketed" -> ((s, dir) =>
+      Similarity.annTopKBucketed(Tables.embeddings(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "token_count" -> ((s, dir) => TextAnalysis.tokenCount(Tables.documents(s, dir))),

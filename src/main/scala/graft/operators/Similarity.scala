@@ -108,9 +108,9 @@ object Similarity {
 
   /** LSH-bucketed ANN (the 100 TB path): candidates limited to vectors
     * sharing ≥ 1 signature band with the query; same ranking semantics,
-    * recall < 1 by construction. Library + tests only (not
-    * SQL-expressible for the oracle in a way that adds signal beyond
-    * nearDupPairs). */
+    * recall < 1 by construction — but fully deterministic (fixed
+    * hyperplanes), so the DuckDB oracle mirrors the bucketing exactly
+    * and this path is oracle-checked like the brute-force one. */
   def annTopKBucketed(emb: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
     val banded = lshBands(withNorms(emb))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("band"), col("bval"))
