@@ -71,8 +71,9 @@ object BronzeStream {
     * source's exactly-once tracking in `checkpointDir`. Restartable:
     * re-invoking after new files land processes ONLY the new files
     * (resume test asserts no duplicates and no loss across restarts).
-    * On a cluster the same plan writes `partitionBy(_ingestion_date)`
-    * into the warehouse — see [[graft.operators.Bronze.writePartitioned]]. */
+    * The sink table is laid out `partitionBy(_ingestion_date)` like the
+    * reference's bronze, so incremental readers prune — see
+    * [[graft.operators.BronzeToSilver.incrementalReadPartitioned]]. */
   def writeBronzeCheckpointed(spark: SparkSession, srcDir: String,
                               outDir: String, checkpointDir: String): Unit = {
     val schema = spark.read.parquet(srcDir).schema
@@ -83,6 +84,7 @@ object BronzeStream {
       else col("ts").cast("timestamp")
     val q = Bronze.ingest(raw.withColumn("ts", tsCol))
       .writeStream.format("parquet")
+      .partitionBy("_ingestion_date")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

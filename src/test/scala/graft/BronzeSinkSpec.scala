@@ -32,5 +32,11 @@ class BronzeSinkSpec extends GraftSuite {
     // restart with nothing new: a no-op, no duplicates
     BronzeStream.writeBronzeCheckpointed(spark, src, out, cp)
     assert(spark.read.parquet(out).count() === raw.count())
+
+    // the sink table is physically partitioned by ingestion date
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_ingestion_date="))
+    assert(dirs.length ===
+      after.select("_ingestion_date").distinct().count())
   }
 }
