@@ -69,6 +69,20 @@ object Dedup {
     * pass `maxDocFreq = None` for the uncapped exact index. */
   val DefaultMaxDocFreq = 100
 
+  /** [[ngramJaccard]] with the cap tied to corpus size instead of an
+    * absolute count: cap = max(floor, fraction·|docs|). A fixed df cap
+    * tuned at one scale over-prunes a 1000× larger corpus (boilerplate
+    * df grows with the corpus while near-dup cluster sizes do not), so
+    * at warehouse scale the fraction is the right knob; the |docs|
+    * count is one column-pruned scan. */
+  def ngramJaccardScaled(docs: DataFrame, threshold: Double = 0.8,
+                         capFraction: Double = 0.02,
+                         capFloor: Int = DefaultMaxDocFreq): DataFrame = {
+    val cap = math.max(capFloor.toLong, (docs.count() * capFraction).toLong)
+    ngramJaccard(docs, threshold,
+      maxDocFreq = Some(math.min(cap, Int.MaxValue.toLong).toInt))
+  }
+
   /** Exact word-3-gram Jaccard pairs ≥ `threshold`, via a shingle
     * inverted-index join. `maxDocFreq` (default [[DefaultMaxDocFreq]])
     * is the 100 TB scale valve — see its doc; pass `None` to force the

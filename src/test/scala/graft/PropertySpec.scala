@@ -72,6 +72,16 @@ class PropertySpec extends GraftSuite {
     assert(!capped.contains((201L, 202L)))
   }
 
+  test("fraction-scaled cap resolves to max(floor, fraction*corpus) and matches the absolute cap") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(150)
+    // 150 docs * 0.02 = 3 < floor 100 -> floor wins: identical to cap=100
+    val scaled = Dedup.ngramJaccardScaled(docs, 0.5, capFraction = 0.02, capFloor = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val absolute = Dedup.ngramJaccard(docs, 0.5, maxDocFreq = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scaled === absolute)
+  }
+
   test("ngram jaccard with a doc-frequency cap yields a subset with identical scores") {
     val docs = graft.sources.Tables.documents(spark, sf).limit(200)
     // maxDocFreq = None: the uncapped EXACT index is the baseline (the
