@@ -105,10 +105,10 @@ object Dedup {
           .groupBy("doc_id").agg(collect_set(col("sh")).as("fr"))
         // Persist the capped index: it feeds BOTH self-join sides, and
         // without a materialization barrier each side re-runs the df
-        // aggregate AND the parquet-derived size estimate stays tiny,
-        // making Catalyst broadcast the whole multi-million-row index
-        // as the join build side. The cached size is real, so AQE picks
-        // a shuffled join. At warehouse scale this persist is the
+        // aggregate. The cached size is also REAL (the parquet-derived
+        // estimate is not), so the self-join strategy follows actual
+        // data size — broadcast while the index fits the threshold,
+        // sort-merge beyond it. At warehouse scale this persist is the
         // posting-list table write.
         (invAll.join(frequent, Seq("sh"), "left_anti").persist(), Some(fs))
       case None => (invAll, None)
