@@ -64,6 +64,60 @@ object BronzeStream {
       col("product_id"), col("n_trades"), col("volume"))
   }
 
+  /** Streaming 1-minute OHLCV candles — the real-time twin of
+    * [[graft.operators.Ohlcv.ohlcv1m]]: the SAME single-aggregation
+    * min_by/max_by candle plan, evaluated over event-time windows with
+    * watermark-bounded state (state = |products × open windows|).
+    * Money columns get the silver decimal casts in-stream so results
+    * are bit-identical to the batch candles (equivalence-tested).
+    * Complete-mode memory sink for the finite-replay check; a
+    * deployment appends closed windows (append mode + watermark) to
+    * the candle table. */
+  def streamingCandles(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRawSchema(spark, dir)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val tsCol =
+      if (schema("ts").dataType == LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts").cast("timestamp")
+    val trades = Bronze.ingest(raw.withColumn("ts", tsCol))
+      .withColumn("price", col("price").cast("decimal(18,8)"))
+      .withColumn("size", col("size").cast("decimal(18,8)"))
+      .withColumn("trade_value",
+        (col("price").cast("double") * col("size").cast("double"))
+          .cast("decimal(18,8)"))
+      .filter(col("price") > 0 && col("size") > 0)
+
+    val agg = trades
+      .withWatermark("trade_time", "10 minutes")
+      .groupBy(window(col("trade_time"), "1 minute"), col("product_id"))
+      .agg(
+        min_by(col("price"), struct(col("trade_time"), col("trade_id"))).as("open"),
+        max("price").as("high"),
+        min("price").as("low"),
+        max_by(col("price"), struct(col("trade_time"), col("trade_id"))).as("close"),
+        sum("size").cast("decimal(18,8)").as("volume"),
+        count(lit(1)).as("trade_count"),
+        graft.functions.Rounding.roundScaled(
+          sum("trade_value").cast("double") /
+            nullif(sum("size").cast("double"), lit(0.0d)), 8)
+          .cast("decimal(18,8)").as("vwap"))
+
+    val name = s"candles_stream_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(name).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(name).select(
+      col("window.start").cast("timestamp_ntz").as("window_start"),
+      col("product_id"), col("open"), col("high"), col("low"), col("close"),
+      col("volume"), col("trade_count"), col("vwap"))
+  }
+
   /** Checkpointed bronze table append — the deployment-shaped sink the
     * reference uses (`streaming_bronze_writer.py:170-180`: checkpointed
     * append to the bronze table): raw event files stream in, the bronze

@@ -39,4 +39,19 @@ class BronzeSinkSpec extends GraftSuite {
     assert(dirs.length ===
       after.select("_ingestion_date").distinct().count())
   }
+
+  test("streaming 1-minute candles equal the batch ohlcv_1m exactly") {
+    import graft.operators.{Bronze, BronzeToSilver, Ohlcv, Staging}
+    import graft.sources.Tables
+    val stream = BronzeStream.streamingCandles(spark, sf)
+    // batch twin on the SAME input (no redeliveries: unique trade ids
+    // make the silver dedup the identity here)
+    val batch = Ohlcv.ohlcv1m(Staging.stgTrades(
+        BronzeToSilver.transform(Bronze.ingest(Tables.events(spark, sf)))))
+      .select("window_start", "product_id", "open", "high", "low", "close",
+        "volume", "trade_count", "vwap")
+    assert(stream.count() > 0 && stream.count() === batch.count())
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
 }
