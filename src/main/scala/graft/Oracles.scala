@@ -184,6 +184,20 @@ object Oracles {
       |  FROM cand JOIN shl sa ON cand.doc_a = sa.doc_id JOIN shl sb ON cand.doc_b = sb.doc_id
       |) WHERE jaccard >= 0.8""".stripMargin
 
+  /** CTE chain ending in `pairs` = the capped ngram near-dup pairs;
+    * shared by dedup_ngram_jaccard and dedup_clusters. */
+  private def ngramPairsCtes: String =
+    s"""$shinglesCte,
+       |inv_all AS (SELECT doc_id, UNNEST(shingles) AS sh FROM shl),
+       |rare AS (SELECT sh FROM inv_all GROUP BY sh
+       |         HAVING COUNT(*) <= ${graft.operators.Dedup.DefaultMaxDocFreq}),
+       |inv AS (SELECT ia.doc_id, ia.sh FROM inv_all ia JOIN rare USING (sh)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |$jaccardVerify)""".stripMargin
+
   // ------------------------------------------------------------ embeddings
 
   private val nrmCte =
@@ -451,19 +465,30 @@ object Oracles {
 
     // Mirrors Dedup.ngramJaccard's DEFAULT capped path exactly: shingles
     // with doc-frequency > DefaultMaxDocFreq are excluded from candidate
-    // generation, then Jaccard is recomputed from the FULL shingle sets —
+    // generation, then Jaccard is recomputed over the FULL shingle sets —
     // same recall bound on both sides (pairs sharing only above-cap
     // shingles are found by neither).
     "dedup_ngram_jaccard" ->
-      s"""WITH $shinglesCte,
-         |inv_all AS (SELECT doc_id, UNNEST(shingles) AS sh FROM shl),
-         |rare AS (SELECT sh FROM inv_all GROUP BY sh
-         |         HAVING COUNT(*) <= ${graft.operators.Dedup.DefaultMaxDocFreq}),
-         |inv AS (SELECT ia.doc_id, ia.sh FROM inv_all ia JOIN rare USING (sh)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id)
-         |$jaccardVerify""".stripMargin,
+      s"""WITH $ngramPairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+
+    // Connected components over the near-dup pairs via transitive
+    // closure (cluster sizes are small, so the closure is tiny);
+    // mirrors Dedup.clusters' min-label fixpoint: every doc labeled
+    // with its component's minimum doc_id.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS v, doc_b AS u FROM pairs
+         |  UNION
+         |  SELECT doc_b AS v, doc_a AS u FROM pairs),
+         |verts AS (SELECT DISTINCT v FROM edges),
+         |reach(v, u) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v)
+         |SELECT v AS doc_id, MIN(u) AS cluster_id, v = MIN(u) AS is_canonical
+         |FROM reach GROUP BY v""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $shinglesCte,

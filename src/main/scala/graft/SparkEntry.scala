@@ -100,6 +100,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, dir)))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>

@@ -219,6 +219,53 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Duplicate-cluster resolution: connected components over near-dup
+    * pairs by min-label propagation, yielding one canonical doc per
+    * cluster (the keep-list step every dedup pipeline runs after pair
+    * detection). Deterministic: the unique fixpoint labels every doc
+    * with its component's minimum doc_id.
+    *
+    * Scale: each iteration is one join + one min-aggregate over the
+    * edge list, and iterations = graph diameter — near-dup clusters are
+    * shallow (pairwise-similar docs), so a handful of rounds converge;
+    * `maxIter` bounds adversarial chains (beyond it, use the
+    * alternating large-star/small-star CC algorithm — same per-round
+    * plan shape). The per-round `count()` is the convergence check of
+    * every iterative distributed CC (GraphX does the same), not a data
+    * collect. */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("v"), col("doc_b").as("u"))
+      .unionByName(pairs.select(col("doc_b").as("v"), col("doc_a").as("u")))
+      .persist()
+    // Each round references the previous labels TWICE, so the logical
+    // plan doubles per iteration without a lineage barrier (2^n plan
+    // nodes by round n — analyzer OOM). localCheckpoint materializes
+    // the round and truncates lineage; a cluster deployment uses a
+    // reliable checkpoint dir, same algorithm.
+    var labels = edges.select("v").distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnsRenamed(Map("v" -> "u", "label" -> "nl")), "u")
+        .groupBy("v").agg(min("nl").as("min_nl"))
+      val next = labels.join(viaNeighbors, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), "v")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"),
+      (col("v") === col("label")).as("is_canonical"))
+  }
+
   /** Per-doc 60-bit SimHash fingerprint over distinct-word hashes.
     * The word-hash array is persisted before the 60-bit fold: the fold
     * references `hs` once per bit, and without the barrier projection

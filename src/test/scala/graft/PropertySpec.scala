@@ -72,6 +72,21 @@ class PropertySpec extends GraftSuite {
     assert(!capped.contains((201L, 202L)))
   }
 
+  test("cluster resolution labels every doc with its component minimum") {
+    import spark.implicits._
+    // a path graph (needs multiple propagation rounds) + an isolated pair
+    val pairs = ((1 to 14).map(i => (i.toLong, i + 1L, 0.9)) ++
+      Seq((100L, 101L, 0.95))).toDF("doc_a", "doc_b", "jaccard")
+    val c = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    (1L to 15L).foreach { v =>
+      assert(c(v) === ((1L, v == 1L)), s"doc $v")
+    }
+    assert(c(100L) === ((100L, true)) && c(101L) === ((100L, false)))
+    // exactly one canonical doc per cluster
+    assert(c.values.count(_._2) === 2)
+  }
+
   test("fraction-scaled cap resolves to max(floor, fraction*corpus) and matches the absolute cap") {
     val docs = graft.sources.Tables.documents(spark, sf).limit(150)
     // 150 docs * 0.02 = 3 < floor 100 -> floor wins: identical to cap=100
