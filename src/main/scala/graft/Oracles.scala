@@ -184,6 +184,24 @@ object Oracles {
       |  FROM cand JOIN shl sa ON cand.doc_a = sa.doc_id JOIN shl sb ON cand.doc_b = sb.doc_id
       |) WHERE jaccard >= 0.8""".stripMargin
 
+  /** CTE chain ending in `lid` (doc_id, pred_lang, score); shared by
+    * lang_id and corpus_stats. */
+  private def langIdCtes: String = {
+    val vals = graft.operators.TextAnalysis.Stopwords
+      .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+    s"""tk AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents
+       |), swx AS (SELECT * FROM (VALUES $vals) sw(sw_lang, sw_word)),
+       |sc AS (
+       |  SELECT doc_id, sw_lang, COUNT(*) AS score
+       |  FROM tk JOIN swx ON tok = sw_word GROUP BY 1, 2
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, sw_lang) = 1),
+       |lid AS (
+       |  SELECT d.doc_id, COALESCE(sc.sw_lang, 'und') AS pred_lang,
+       |    CAST(COALESCE(sc.score, 0) AS BIGINT) AS score
+       |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)""".stripMargin
+  }
+
   /** CTE chain ending in `pairs` = the capped ngram near-dup pairs;
     * shared by dedup_ngram_jaccard and dedup_clusters. */
   private def ngramPairsCtes: String =
@@ -566,20 +584,31 @@ object Oracles {
          |  FROM cand JOIN nrm nq ON cand.query_id = nq.vec_id JOIN nrm nc ON cand.neighbor_id = nc.vec_id)
          |WHERE rank <= 10""".stripMargin,
 
-    "lang_id" -> {
-      val vals = graft.operators.TextAnalysis.Stopwords
-        .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
-      s"""WITH tk AS (
-         |  SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents
-         |), swx AS (SELECT * FROM (VALUES $vals) sw(sw_lang, sw_word)),
-         |sc AS (
-         |  SELECT doc_id, sw_lang, COUNT(*) AS score
-         |  FROM tk JOIN swx ON tok = sw_word GROUP BY 1, 2
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, sw_lang) = 1)
-         |SELECT d.doc_id, COALESCE(sc.sw_lang, 'und') AS pred_lang,
-         |  CAST(COALESCE(sc.score, 0) AS BIGINT) AS score
-         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
-    },
+    "lang_id" ->
+      s"""WITH $langIdCtes
+         |SELECT doc_id, pred_lang, score FROM lid""".stripMargin,
+
+    // Per-language corpus rollup: same token/quality expressions as
+    // token_count / text_quality, joined to the lang_id prediction and
+    // reduced per language. Exact long sums; rates as double/COUNT.
+    "corpus_stats" ->
+      s"""WITH $langIdCtes,
+         |per AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(w) AS BIGINT) AS ws_tokens,
+         |    CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
+         |    (len(w) >= 5 AND len(w) <= 100000
+         |     AND CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.1
+         |     AND CAST(CAST(list_sum(list_concat([0], [length(x) FOR x IN w])) AS BIGINT) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 2.0
+         |     AND CAST(CAST(list_sum(list_concat([0], [length(x) FOR x IN w])) AS BIGINT) AS DOUBLE) / CAST(len(w) AS DOUBLE) <= 20.0) AS quality_pass
+         |  FROM (SELECT doc_id, n_chars, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents))
+         |SELECT lid.pred_lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(per.ws_tokens) AS BIGINT) AS total_ws_tokens,
+         |  CAST(SUM(per.est_bpe_tokens) AS BIGINT) AS total_est_bpe_tokens,
+         |  CAST(SUM(CASE WHEN per.quality_pass THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS quality_pass_rate,
+         |  CAST(SUM(per.n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+         |FROM lid JOIN per ON lid.doc_id = per.doc_id
+         |GROUP BY 1""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, n_words, n_distinct_words, avg_word_len, distinct_ratio, punct_count,

@@ -110,6 +110,8 @@ object SparkEntry {
     "ann_topk_bucketed" -> ((s, dir) =>
       Similarity.annTopKBucketed(Tables.embeddings(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, Tables.documents(s, dir))),
+    "corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(s, Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "token_count" -> ((s, dir) => TextAnalysis.tokenCount(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) =>

@@ -80,6 +80,28 @@ object TextAnalysis {
       ceil(col("n_chars").cast("double") / 4.0d).cast("bigint")
         .as("est_bpe_tokens"))
 
+  /** Corpus rollup: per predicted language, doc/token totals and the
+    * quality pass rate — the summary table a training-data pipeline
+    * serves after its per-doc passes. Composes langId/tokenCount/
+    * quality (each a narrow pass over documents), joins on doc_id, and
+    * reduces with one shuffle on the language key; at scale the per-doc
+    * outputs are the materialized silver tables this reads. */
+  def corpusStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val lid = langId(spark, docs).select("doc_id", "pred_lang")
+    val tok = tokenCount(docs).select("doc_id", "ws_tokens", "est_bpe_tokens")
+    val q = quality(docs).select("doc_id", "quality_pass")
+    val chars = docs.select("doc_id", "n_chars")
+    lid.join(tok, "doc_id").join(q, "doc_id").join(chars, "doc_id")
+      .groupBy("pred_lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("total_ws_tokens"),
+        sum("est_bpe_tokens").as("total_est_bpe_tokens"),
+        (sum(when(col("quality_pass"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("quality_pass_rate"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+  }
+
   /** Document fingerprinting: content md5 + length + a 64-char-prefix
     * polynomial rolling hash (31^i mod 1e9+7). Pure projection. */
   def fingerprint(docs: DataFrame): DataFrame =
