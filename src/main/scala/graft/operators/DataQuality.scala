@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality expectations → violations report.
@@ -157,13 +156,13 @@ object DataQuality {
     * `maxLagHours` behind the globally newest trade. Deterministic
     * (anchored to data, not wall clock); `row_count` is the number of
     * products assessed. The per-product pre-aggregate is one shuffle
-    * reducing to |products| rows; the global max is a window over that
-    * tiny result. */
+    * reducing to |products| rows; the global max is a 1-row aggregate
+    * broadcast back onto that tiny result (no single-partition global
+    * window anywhere in the plan). */
   def freshnessReport(silver: DataFrame, maxLagHours: Int = 24): DataFrame = {
     val per = silver.groupBy("product_id").agg(max("trade_time").as("latest"))
     per
-      .withColumn("global_latest",
-        max("latest").over(Window.partitionBy()))
+      .crossJoin(broadcast(per.agg(max("latest").as("global_latest"))))
       .agg(
         count(lit(1)).as("row_count"),
         sum(when(expr(s"latest < timestampadd(HOUR, -$maxLagHours, global_latest)"),
