@@ -636,6 +636,31 @@ object Oracles {
          |    [CAST(ascii(text[i]) AS BIGINT) * ${Hashing.pow31Duck}[i] FOR i IN range(1, least(64, length(text)) + 1)])) % ${Hashing.FpP} AS BIGINT) AS prefix_hash
          |FROM documents""".stripMargin,
 
+    // Gap-based sessionization (30-min gap) as lag + running session
+    // index; session boundaries depend only on the sorted ts_ms sequence
+    // (tie order is irrelevant: equal timestamps always share a
+    // session), and total_value is an exact decimal sum, so the result
+    // is order-independent on both engines.
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value FROM events
+        |), m AS (
+        |  SELECT user_id, ts_ms, value,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |         OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, value)
+        |), g AS (
+        |  SELECT user_id, ts_ms, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, value
+        |      ROWS UNBOUNDED PRECEDING) AS sess_idx
+        |  FROM m)
+        |SELECT user_id,
+        |  MIN(ts_ms) AS session_start_ms,
+        |  MAX(ts_ms) AS session_end_ms,
+        |  CAST(COUNT(*) AS INT) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sess_idx""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,

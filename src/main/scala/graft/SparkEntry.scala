@@ -117,7 +117,9 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.metadata(Tables.documents(s, dir)))
+      Multimodal.metadata(Tables.documents(s, dir))),
+    "sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessionsExact(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

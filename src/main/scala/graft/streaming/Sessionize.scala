@@ -155,6 +155,37 @@ object Sessionize {
     spark.read.parquet(out).filter(col("user_id") =!= SentinelUser)
   }
 
+  /** Oracle-checked batch sessionization (the `sessionize` query key):
+    * identical session boundaries to [[sessionsBatch]], but
+    * `total_value` is an exact DECIMAL(18,8) sum — order-independent
+    * under any partitioning, so the result hash-matches the DuckDB
+    * oracle at any scale (a raw double sum's value depends on partial-
+    * aggregation order). One window shuffle on user_id + one group-by
+    * on (user_id, session) — the session index never leaves its
+    * user partition. */
+  def sessionsExact(spark: SparkSession, dir: String,
+                    gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_millis(cast(ts as timestamp))").as("ts_ms"),
+        col("value").cast("decimal(18,8)").as("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("value"))
+    evs
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          col("ts_ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_idx")
+      .agg(min("ts_ms").as("session_start_ms"),
+        max("ts_ms").as("session_end_ms"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum("value").cast("decimal(18,8)").as("total_value"))
+      .drop("sess_idx")
+  }
+
   /** Batch-equivalent sessionization (lag + running session index) for
     * the stream/batch equivalence check. */
   def sessionsBatch(spark: SparkSession, dir: String,

@@ -89,6 +89,22 @@ class SessionizeSpec extends GraftSuite {
     assert(maxDiff < 1e-6)
   }
 
+  test("sessionsExact (oracle contract) matches sessionsBatch boundaries with decimal sums") {
+    val exact = Sessionize.sessionsExact(spark, sf, gapMinutes = 30)
+    val batch = Sessionize.sessionsBatch(spark, sf, gapMinutes = 30)
+    assert(exact.count() === batch.count())
+    val eKeys = exact.select("user_id", "session_start_ms", "session_end_ms", "n_events")
+    val bKeys = batch.select("user_id", "session_start_ms", "session_end_ms", "n_events")
+    assert(eKeys.exceptAll(bKeys).count() === 0)
+    // decimal sum tracks the double sum to rounding tolerance
+    val joined = exact.as("e").join(batch.as("b"),
+      Seq("user_id", "session_start_ms", "session_end_ms"))
+    val maxDiff = joined
+      .select(max(abs(col("e.total_value").cast("double") - col("b.total_value"))))
+      .head().getDouble(0)
+    assert(maxDiff < 1e-6)
+  }
+
   test("sessions respect the gap: no intra-session gap exceeds it, all inter-session gaps do") {
     val s = Sessionize.sessions(spark, sf, gapMinutes = 30)
     // consecutive sessions of the same user must be > 30 min apart
