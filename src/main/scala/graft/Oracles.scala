@@ -636,6 +636,59 @@ object Oracles {
          |    [CAST(ascii(text[i]) AS BIGINT) * ${Hashing.pow31Duck}[i] FOR i IN range(1, least(64, length(text)) + 1)])) % ${Hashing.FpP} AS BIGINT) AS prefix_hash
          |FROM documents""".stripMargin,
 
+    // Top-k vocabulary by total occurrences; k includes full tie-break
+    // (count desc, token asc) so LIMIT is deterministic on both engines.
+    "vocab_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, COUNT(*) AS total_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+        |FROM tk GROUP BY token
+        |ORDER BY total_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    // Mirrors TextAnalysis.clean step for step: count URL/email matches
+    // on the raw text, redact URLs then emails, tokenize the redacted
+    // text, list-filter the stoplist (duplicates preserved). All
+    // patterns are RE2-safe; DuckDB regexp_replace needs the 'g' flag
+    // to match Spark's replace-all semantics.
+    "text_clean" -> {
+      val stopList = graft.operators.TextAnalysis.CleanStoplist
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH red AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         |    regexp_replace(regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS redacted
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, n_urls, n_emails,
+         |    string_split_regex(trim(lower(redacted)), '\\s+') AS w
+         |  FROM red
+         |), kept AS (
+         |  SELECT doc_id, n_urls, n_emails, w,
+         |    list_filter(w, t -> NOT list_contains($stopList, t)) AS kept
+         |  FROM tok)
+         |SELECT doc_id, array_to_string(kept, ' ') AS clean_text, n_urls, n_emails,
+         |  CAST(len(w) - len(kept) AS BIGINT) AS n_stopwords_removed,
+         |  CAST(len(kept) AS BIGINT) AS n_tokens_kept
+         |FROM kept""".stripMargin
+    },
+
+    // Deterministic hash-stratified sampling: identical 60-bit md5
+    // bucket on both engines, rates folded to a CASE expression.
+    "stratified_sample" -> {
+      val rateCase = graft.operators.TextAnalysis.SampleRates
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 0.0 END")
+      s"""SELECT doc_id, lang, source, bucket, sample_rate FROM (
+         |  SELECT doc_id, lang, source,
+         |    ${Hashing.sid60Duck("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+         |    CAST($rateCase AS DOUBLE) AS sample_rate
+         |  FROM documents)
+         |WHERE bucket < sample_rate * 1000""".stripMargin
+    },
+
     // Gap-based sessionization (30-min gap) as lag + running session
     // index; session boundaries depend only on the sorted ts_ms sequence
     // (tie order is irrelevant: equal timestamps always share a

@@ -119,7 +119,11 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.metadata(Tables.documents(s, dir))),
     "sessionize" -> ((s, dir) =>
-      graft.streaming.Sessionize.sessionsExact(s, dir))
+      graft.streaming.Sessionize.sessionsExact(s, dir)),
+    "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
+    "text_clean" -> ((s, dir) => TextAnalysis.clean(Tables.documents(s, dir))),
+    "stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -102,6 +102,88 @@ object TextAnalysis {
         (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
   }
 
+  /** Corpus vocabulary: top-k tokens by total occurrences (tie-broken
+    * lexicographically), with document frequency — the vocab/stopword
+    * discovery pass of a tokenizer-training pipeline.
+    *
+    * Scale: one shuffle on the token key with map-side partial
+    * aggregation (heavy hitters combine before the exchange); the
+    * global top-k is `TakeOrderedAndProject` — a per-partition bounded
+    * heap merged on the driver over k rows, never a global sort. */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("total_occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("total_occurrences").desc, col("token"))
+      .limit(k)
+
+  /** The redaction / stopword stoplist used by [[clean]]: every distinct
+    * marker word from the language tables. */
+  val CleanStoplist: Seq[String] = Stopwords.map(_._2).distinct.sorted
+
+  private val UrlRe = "https?://[^\\s]+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Text cleaning: URL/email redaction (PII scrubbing) + stopword
+    * removal — the normalization pass before dedup/tokenization in a
+    * training-data pipeline. Pure projection, no shuffle; all regexes
+    * are RE2-compatible (no backreferences) so the DuckDB oracle runs
+    * the identical patterns.
+    *
+    * Order matters and is mirrored exactly in the oracle: count URLs
+    * and emails on the RAW text, redact URLs then emails, then
+    * tokenize the redacted text and drop stoplist words (duplicate
+    * occurrences preserved — array filter, not set difference). */
+  def clean(docs: DataFrame): DataFrame = {
+    val stop = array(CleanStoplist.map(lit): _*)
+    docs
+      .withColumn("n_urls",
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("bigint"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("bigint"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"), UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>"))
+      .withColumn("w", split(trim(lower(col("redacted"))), "\\s+"))
+      .withColumn("kept", filter(col("w"), t => !array_contains(stop, t)))
+      .select(
+        col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        col("n_urls"), col("n_emails"),
+        (size(col("w")) - size(col("kept"))).cast("bigint")
+          .as("n_stopwords_removed"),
+        size(col("kept")).cast("bigint").as("n_tokens_kept"))
+  }
+
+  /** Per-stratum sampling rates for [[stratifiedSample]]: the dataset-
+    * mixing weights of a training-data pipeline (down-weight the
+    * dominant language, thin the noisy tail). */
+  val SampleRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 0.25)
+
+  /** Deterministic stratified sampling by the `lang` column: keep a doc
+    * iff its 60-bit md5 bucket (over the doc_id, mod 1000) falls below
+    * `rate(lang) * 1000`. Hash-based, so the sample is reproducible
+    * under any partitioning and any engine — no RNG, no global state;
+    * rescaling a rate only adds/removes rows monotonically.
+    *
+    * Scale: pure projection + filter (the rate table folds to a CASE
+    * expression), no shuffle; at 100 TB the filter pushes to the scan's
+    * row-group level after the hash projection. */
+  def stratifiedSample(docs: DataFrame,
+                       rates: Seq[(String, Double)] = SampleRates): DataFrame = {
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs
+      .withColumn("sample_rate", rateCol)
+      .withColumn("bucket",
+        expr(s"pmod(${Hashing.sid60Spark("cast(doc_id as string)")}, 1000)"))
+      .filter(col("bucket") < col("sample_rate") * 1000.0d)
+      .select("doc_id", "lang", "source", "bucket", "sample_rate")
+  }
+
   /** Document fingerprinting: content md5 + length + a 64-char-prefix
     * polynomial rolling hash (31^i mod 1e9+7). Pure projection. */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -90,6 +90,50 @@ class LlmOpsSpec extends GraftSuite {
     assert(f1 === f2 && f1 > 0)
   }
 
+  test("vocab topk counts occurrences and doc frequency with deterministic ties") {
+    val v = TextAnalysis.vocabTopK(docs, k = 3).collect()
+    // 'the' appears 2x in docs 0-2 => 6 occurrences over 3 docs
+    assert(v.head.getAs[String]("token") === "the")
+    assert(v.head.getAs[Long]("total_occurrences") === 6L)
+    assert(v.head.getAs[Long]("doc_freq") === 3L)
+    assert(v.length === 3)
+    // ties broken lexicographically: all remaining tokens count<=3
+    assert(v(1).getAs[Long]("total_occurrences") >= v(2).getAs[Long]("total_occurrences"))
+  }
+
+  test("text clean redacts URLs/emails and strips stopwords, preserving duplicates") {
+    val d = Seq(
+      (0L, "see https://x.io/a and mail bob@x.io the the cat", 48L),
+      (1L, "", 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val c = TextAnalysis.clean(d).collect().sortBy(_.getLong(0))
+    val r0 = c(0)
+    assert(r0.getAs[Long]("n_urls") === 1L)
+    assert(r0.getAs[Long]("n_emails") === 1L)
+    // 'the' (stoplist) removed twice — duplicates count individually;
+    // 'and' is also an en stopword
+    assert(r0.getAs[Long]("n_stopwords_removed") === 3L)
+    assert(r0.getAs[String]("clean_text") === "see <url> mail <email> cat")
+    assert(c(1).getAs[Long]("n_tokens_kept") === 1L) // [""] survives
+  }
+
+  test("stratified sample is deterministic, monotone in rate, and respects strata") {
+    val d = (0L until 400L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "en" else "zh", s"src${i % 4}", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s1 = TextAnalysis.stratifiedSample(d).collect()
+    val s2 = TextAnalysis.stratifiedSample(d).collect()
+    assert(s1.map(_.getLong(0)).sorted.sameElements(s2.map(_.getLong(0)).sorted))
+    val byLang = s1.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    // en at 0.5 over 200 docs, zh at 0.25 over 200 docs: binomial-ish
+    assert(byLang("en") > 60 && byLang("en") < 140)
+    assert(byLang("zh") > 20 && byLang("zh") < 90)
+    // raising a rate only ADDS rows (hash buckets are nested)
+    val wider = TextAnalysis.stratifiedSample(d,
+      Seq("en" -> 0.9, "zh" -> 0.25)).collect().map(_.getLong(0)).toSet
+    assert(s1.map(_.getLong(0)).toSet.subsetOf(wider))
+  }
+
   test("multimodal: decode stub is deterministic with the right shape") {
     val media = Multimodal.mediaTable(docs)
     val feats = Multimodal.decodeFeatures(spark, media).collect()
