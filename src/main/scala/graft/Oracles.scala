@@ -584,6 +584,36 @@ object Oracles {
          |  FROM cand JOIN nrm nq ON cand.query_id = nq.vec_id JOIN nrm nc ON cand.neighbor_id = nc.vec_id)
          |WHERE rank <= 10""".stripMargin,
 
+    // IVF ANN: deterministic coarse quantizer (nlist lowest-id vectors),
+    // nearest-centroid inverted lists, nprobe probed lists per query,
+    // exact rank within them. Operand orders in every dot/norm product
+    // mirror the Spark side exactly.
+    "ivf_topk" ->
+      s"""WITH $nrmCte,
+         |cent AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn FROM nrm WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT v.vec_id, c.centroid_id
+         |  FROM nrm v, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |    ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC, c.centroid_id) = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM nrm WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT q.query_id, c.centroid_id
+         |  FROM q, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |    ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC, c.centroid_id) <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg a ON p.centroid_id = a.centroid_id
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${duckDot("nv.embedding", "nq.embedding")} / (nv.nrm * nq.nrm) AS cosine,
+         |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+         |      ${duckDot("nv.embedding", "nq.embedding")} / (nv.nrm * nq.nrm) DESC, cand.neighbor_id) AS rank
+         |  FROM cand JOIN nrm nv ON cand.neighbor_id = nv.vec_id JOIN nrm nq ON cand.query_id = nq.vec_id)
+         |WHERE rank <= 10""".stripMargin,
+
     "lang_id" ->
       s"""WITH $langIdCtes
          |SELECT doc_id, pred_lang, score FROM lid""".stripMargin,

@@ -123,7 +123,8 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "text_clean" -> ((s, dir) => TextAnalysis.clean(Tables.documents(s, dir))),
     "stratified_sample" -> ((s, dir) =>
-      TextAnalysis.stratifiedSample(Tables.documents(s, dir)))
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
+    "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

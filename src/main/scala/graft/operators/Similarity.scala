@@ -106,6 +106,78 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN: the second classic corpus-scale index
+    * besides LSH. A coarse quantizer of `nlist` centroids partitions the
+    * corpus into inverted lists (each vector assigned to its nearest
+    * centroid); a query probes only its `nprobe` nearest lists and ranks
+    * exactly within them.
+    *
+    * Centroids are the `nlist` lowest-id vectors — a deterministic
+    * quantizer, so the DuckDB oracle mirrors the index bit-for-bit and
+    * the whole path is oracle-checked (recall < 1 by construction, like
+    * the LSH variant). A production deployment would k-means-train the
+    * centroids (iterative Spark jobs over a sample) and keep everything
+    * else here unchanged.
+    *
+    * Scale shape: the assignment window shuffles only narrow
+    * (vec_id, centroid_id, cos) triples — embeddings are joined back on
+    * the already-partitioned key, and the resulting list table is
+    * persisted: that is THE IVF index, and at warehouse scale it is
+    * written out partitioned/bucketed by `centroid_id`
+    * (Layout.writeBucketed), making the probe join co-located and the
+    * per-query scan |corpus| × nprobe/nlist. Probes are broadcast. */
+  def ivfTopK(emb: DataFrame, nlist: Int = 16, nprobe: Int = 4,
+              nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val n = withNorms(emb).persist()
+    val cent = n.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("ct_embedding"), col("nrm").as("ct_nrm"))
+    // inverted lists: nearest centroid per vector (narrow rows through
+    // the argmax window, embeddings re-joined on the partitioned key)
+    val asg = n
+      .select(col("vec_id"), col("embedding").as("v_embedding"),
+        col("nrm").as("v_nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        DotProduct.dot(col("v_embedding"), col("ct_embedding")) /
+          (col("v_nrm") * col("ct_nrm")))
+      .select(col("vec_id"), col("centroid_id"), col("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("crn") === 1)
+      .select("vec_id", "centroid_id")
+    val lists = asg.join(n, "vec_id")
+      .select(col("vec_id"), col("centroid_id"),
+        col("embedding").as("v_embedding"), col("nrm").as("v_nrm"))
+      .persist()
+    // query → nprobe nearest centroids
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("qcos",
+        DotProduct.dot(col("q_embedding"), col("ct_embedding")) /
+          (col("q_nrm") * col("ct_nrm")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("qcos").desc, col("centroid_id"))))
+      .filter(col("prn") <= nprobe)
+      .select("query_id", "centroid_id", "q_embedding", "q_nrm")
+    // exact rank within the probed lists only
+    lists.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        DotProduct.dot(col("v_embedding"), col("q_embedding")) /
+          (col("v_nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed ANN (the 100 TB path): candidates limited to vectors
     * sharing ≥ 1 signature band with the query; same ranking semantics,
     * recall < 1 by construction — but fully deterministic (fixed

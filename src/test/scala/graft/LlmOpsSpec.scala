@@ -90,6 +90,22 @@ class LlmOpsSpec extends GraftSuite {
     assert(f1 === f2 && f1 > 0)
   }
 
+  test("ivf topk: contiguous ranks, ordered cosines, no self-matches, deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val r1 = Similarity.ivfTopK(emb).collect()
+    assert(r1.nonEmpty)
+    val byQuery = r1.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to sorted.length))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(!rows.exists(r => r.getAs[Long]("neighbor_id") == q))
+    }
+    val r2 = Similarity.ivfTopK(emb).collect()
+    assert(r1.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
+  }
+
   test("vocab topk counts occurrences and doc frequency with deterministic ties") {
     val v = TextAnalysis.vocabTopK(docs, k = 3).collect()
     // 'the' appears 2x in docs 0-2 => 6 occurrences over 3 docs
