@@ -131,7 +131,7 @@ object DataQuality {
   val priceLatestChecks: Seq[CheckDef] = Seq(
     notNull("product_id"), unique("product_id"), notNull("price"))
 
-  private def report(table: String, df: DataFrame, checks: Seq[CheckDef]): DataFrame =
+  private[graft] def report(table: String, df: DataFrame, checks: Seq[CheckDef]): DataFrame =
     df.agg(
         count(lit(1)).as("row_count"),
         checks.map(c => c.violations(df).as(c.name)): _*)

@@ -24,6 +24,17 @@ class EmptyInputSpec extends GraftSuite {
     assert(TextAnalysis.tokenCount(emptyDocs).count() === 0)
     assert(TextAnalysis.fingerprint(emptyDocs).count() === 0)
     assert(TextAnalysis.langId(spark, emptyDocs).count() === 0)
+    assert(TextAnalysis.vocabTopK(emptyDocs).count() === 0)
+    val emptyDocsFull = emptyDocs
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("source", lit(null).cast("string"))
+    assert(TextAnalysis.clean(emptyDocs).count() === 0)
+    assert(TextAnalysis.stratifiedSample(emptyDocsFull).count() === 0)
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Similarity.ivfTopK(emptyEmb).count() === 0)
   }
 
   test("short/empty texts: no shingles, no OOB, quality still scores") {
