@@ -106,6 +106,56 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Lloyd k-means training for the IVF coarse quantizer (library path;
+    * the oracle-checked [[ivfTopK]] uses the deterministic lowest-id
+    * quantizer so DuckDB can mirror it). Deterministic: seeds are the
+    * `k` lowest-id vectors; each iteration assigns every vector to its
+    * nearest centroid (broadcast) and recomputes means with one
+    * groupBy(centroid) shuffle of narrow partial sums — the standard
+    * scalable k-means loop (k×dim doubles per partition combine). Empty
+    * clusters keep their previous centroid. */
+  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
+    val n = withNorms(emb).persist()
+    var cent = n.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("ct_embedding"), col("nrm").as("ct_nrm"))
+      .localCheckpoint() // lineage barrier: plan doubles per iteration
+    for (_ <- 1 to iters) {
+      val assigned = n
+        .select(col("vec_id"), col("embedding").as("v_embedding"),
+          col("nrm").as("v_nrm"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos",
+          DotProduct.dot(col("v_embedding"), col("ct_embedding")) /
+            (col("v_nrm") * col("ct_nrm")))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("ccos").desc, col("centroid_id"))))
+        .filter(col("crn") === 1)
+      // mean per cluster: aggregate(zip) of double arrays, then rescale
+      val dim = Hashing.EmbDim
+      val means = assigned
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("cn"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("v_embedding"), i + 1).cast("double"))): _*)
+            .as("sums"))
+        .select(col("centroid_id"),
+          expr("transform(sums, s -> cast(s / cn as float))").as("new_emb"))
+      val updated = cent
+        .select(col("centroid_id"), col("ct_embedding").as("old_emb"))
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_emb"), col("old_emb")).as("embedding"))
+      cent = withNorms(updated)
+        .select(col("centroid_id"), col("embedding").as("ct_embedding"),
+          col("nrm").as("ct_nrm"))
+        .localCheckpoint()
+    }
+    n.unpersist()
+    cent
+  }
+
   /** IVF (inverted-file) ANN: the second classic corpus-scale index
     * besides LSH. A coarse quantizer of `nlist` centroids partitions the
     * corpus into inverted lists (each vector assigned to its nearest
@@ -127,11 +177,13 @@ object Similarity {
     * (Layout.writeBucketed), making the probe join co-located and the
     * per-query scan |corpus| × nprobe/nlist. Probes are broadcast. */
   def ivfTopK(emb: DataFrame, nlist: Int = 16, nprobe: Int = 4,
-              nQueries: Int = 10, k: Int = 10): DataFrame = {
+              nQueries: Int = 10, k: Int = 10,
+              centroids: Option[DataFrame] = None): DataFrame = {
     val n = withNorms(emb).persist()
-    val cent = n.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("centroid_id"),
-        col("embedding").as("ct_embedding"), col("nrm").as("ct_nrm"))
+    val cent = centroids.getOrElse(
+      n.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("ct_embedding"), col("nrm").as("ct_nrm")))
     // inverted lists: nearest centroid per vector (narrow rows through
     // the argmax window, embeddings re-joined on the partitioned key)
     val asg = n

@@ -106,6 +106,19 @@ class LlmOpsSpec extends GraftSuite {
     assert(r1.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
   }
 
+  test("k-means centroids: deterministic, k rows, right dim, usable by ivf search") {
+    val emb = Tables.embeddings(spark, sf)
+    val c1 = Similarity.trainCentroids(emb, k = 8, iters = 3).collect()
+    assert(c1.length === 8)
+    assert(c1.forall(_.getAs[Seq[Float]]("ct_embedding").length === 64))
+    val c2 = Similarity.trainCentroids(emb, k = 8, iters = 3).collect()
+    assert(c1.map(_.toString).sorted.sameElements(c2.map(_.toString).sorted))
+    val trained = Similarity.trainCentroids(emb, k = 8, iters = 2)
+    val res = Similarity.ivfTopK(emb, nprobe = 3, centroids = Some(trained))
+    assert(res.count() > 0)
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) <= 10))
+  }
+
   test("vocab topk counts occurrences and doc frequency with deterministic ties") {
     val v = TextAnalysis.vocabTopK(docs, k = 3).collect()
     // 'the' appears 2x in docs 0-2 => 6 occurrences over 3 docs
