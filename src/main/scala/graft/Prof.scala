@@ -20,6 +20,12 @@ object Prof {
     }
     val docs = graft.sources.Tables.documents(spark, dir)
     val emb = graft.sources.Tables.embeddings(spark, dir)
+    if (args.contains("clusters")) {
+      (1 to 3).foreach { _ =>
+        time("clusters")(operators.Dedup.clusters(operators.Dedup.ngramJaccard(docs)))
+      }
+      spark.stop(); return
+    }
     time("shingled")(operators.Dedup.shingled(docs))
     time("minhash_full")(operators.Dedup.minhashLsh(docs))
     time("simhash_full")(operators.Dedup.simhash(docs))

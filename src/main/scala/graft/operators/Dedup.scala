@@ -251,14 +251,16 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnsRenamed(Map("v" -> "u", "label" -> "nl")), "u")
         .groupBy("v").agg(min("nl").as("min_nl"))
+      // change flag computed in the same pass and checkpointed with the
+      // labels: convergence detection is then a filter over the
+      // materialized round, not an extra join+shuffle job
       val next = labels.join(viaNeighbors, Seq("v"), "left")
         .select(col("v"),
-          least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"),
+          (coalesce(col("min_nl"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "old"), "v")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select("v", "label")
       i += 1
     }
     edges.unpersist()
