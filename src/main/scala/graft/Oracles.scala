@@ -719,6 +719,54 @@ object Oracles {
          |WHERE bucket < sample_rate * 1000""".stripMargin
     },
 
+    // Ordered funnel: cumulative per-user minima with the DEFAULT RANGE
+    // window frame (peers included) so same-timestamp tie order cannot
+    // change the result; strict < between steps on both engines.
+    "event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |), s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS cum_view
+        |  FROM e
+        |), s2 AS (
+        |  SELECT user_id, ts, event_type, cum_view,
+        |    MIN(CASE WHEN event_type = 'click' AND cum_view < ts THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS cum_click
+        |  FROM s1
+        |), u AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+        |    MIN(CASE WHEN event_type = 'click' AND cum_view < ts THEN ts END) AS t2,
+        |    MIN(CASE WHEN event_type = 'purchase' AND cum_click < ts THEN ts END) AS t3
+        |  FROM s2 GROUP BY user_id
+        |), a AS (
+        |  SELECT CAST(COUNT(t1) AS BIGINT) AS nv, CAST(COUNT(t2) AS BIGINT) AS nc,
+        |         CAST(COUNT(t3) AS BIGINT) AS np FROM u)
+        |SELECT '1_view' AS step, nv AS n_users, CAST(1.0 AS DOUBLE) AS conv_from_prev,
+        |       CAST(1.0 AS DOUBLE) AS conv_from_first FROM a
+        |UNION ALL
+        |SELECT '2_click_after_view', nc,
+        |       CAST(nc AS DOUBLE) / NULLIF(CAST(nv AS DOUBLE), 0.0),
+        |       CAST(nc AS DOUBLE) / NULLIF(CAST(nv AS DOUBLE), 0.0) FROM a
+        |UNION ALL
+        |SELECT '3_purchase_after_click', np,
+        |       CAST(np AS DOUBLE) / NULLIF(CAST(nc AS DOUBLE), 0.0),
+        |       CAST(np AS DOUBLE) / NULLIF(CAST(nv AS DOUBLE), 0.0) FROM a""".stripMargin,
+
+    // Retention cohorts: first-seen date per user via a window over the
+    // same user shuffle, distinct actives per (cohort, day offset).
+    "retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+        |), c AS (
+        |  SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_date
+        |  FROM e)
+        |SELECT cohort_date, CAST(date_diff('day', cohort_date, d) AS INT) AS day_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
     // Gap-based sessionization (30-min gap) as lag + running session
     // index; session boundaries depend only on the sorted ts_ms sequence
     // (tie order is irrelevant: equal timestamps always share a

@@ -128,7 +128,10 @@ object SparkEntry {
     "text_clean" -> ((s, dir) => TextAnalysis.clean(Tables.documents(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
-    "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir)))
+    "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    "event_funnel" -> ((s, dir) => EventAnalytics.funnel(Tables.events(s, dir))),
+    "retention_cohorts" -> ((s, dir) =>
+      EventAnalytics.retentionCohorts(Tables.events(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
