@@ -640,6 +640,25 @@ object Oracles {
          |FROM lid JOIN per ON lid.doc_id = per.doc_id
          |GROUP BY 1""".stripMargin,
 
+    // Discrete per-language token-count quantiles: rank index in pure
+    // integer arithmetic (ceil(p*n) = (p_num*n + p_den-1) // p_den), no
+    // FP interpolation — values are exact BIGINTs on both engines.
+    "token_percentiles" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, ws_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY ws_tokens, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM t)
+        |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  MIN(CASE WHEN rn = (1 * n + 1) // 2 THEN ws_tokens END) AS p50_tokens,
+        |  MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN ws_tokens END) AS p90_tokens,
+        |  MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN ws_tokens END) AS p99_tokens
+        |FROM r GROUP BY lang""".stripMargin,
+
     "text_quality" ->
       """SELECT doc_id, n_words, n_distinct_words, avg_word_len, distinct_ratio, punct_count,
         |  (n_words >= 5 AND n_words <= 100000 AND distinct_ratio >= 0.1

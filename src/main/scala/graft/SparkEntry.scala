@@ -131,7 +131,9 @@ object SparkEntry {
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "event_funnel" -> ((s, dir) => EventAnalytics.funnel(Tables.events(s, dir))),
     "retention_cohorts" -> ((s, dir) =>
-      EventAnalytics.retentionCohorts(Tables.events(s, dir)))
+      EventAnalytics.retentionCohorts(Tables.events(s, dir))),
+    "token_percentiles" -> ((s, dir) =>
+      TextAnalysis.tokenPercentiles(Tables.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -184,6 +184,37 @@ object TextAnalysis {
       .select("doc_id", "lang", "source", "bucket", "sample_rate")
   }
 
+  /** Token-count distribution profile per language: exact discrete
+    * p50/p90/p99 of whitespace tokens per document — the length
+    * histogram a curation pipeline reads before choosing packing and
+    * truncation limits.
+    *
+    * Quantiles are DISCRETE (the value at rank ceil(p·n), total-order
+    * tie-break by doc_id) and the rank index is computed in integer
+    * arithmetic (`(p_num·n + p_den − 1) div p_den`), so there is no
+    * floating-point interpolation to drift between engines.
+    *
+    * Scale: one window shuffle on the language key (the per-language
+    * sort is the cost — at extreme skew, profile on a stratified
+    * sample instead); the rollup reduces to |languages| rows. */
+  def tokenPercentiles(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("lang"), col("doc_id"),
+      size(tokens).cast("bigint").as("ws_tokens"))
+    val ranked = t
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("ws_tokens"), col("doc_id")))
+        .cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    def at(num: Int, den: Int) =
+      min(when(col("rn") === expr(s"($num * n + ${den - 1}) div $den"),
+        col("ws_tokens")))
+    ranked.groupBy("lang").agg(
+      max(col("n")).as("n_docs"),
+      at(1, 2).as("p50_tokens"),
+      at(9, 10).as("p90_tokens"),
+      at(99, 100).as("p99_tokens"))
+  }
+
   /** Document fingerprinting: content md5 + length + a 64-char-prefix
     * polynomial rolling hash (31^i mod 1e9+7). Pure projection. */
   def fingerprint(docs: DataFrame): DataFrame =

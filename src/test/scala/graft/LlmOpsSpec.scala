@@ -163,6 +163,19 @@ class LlmOpsSpec extends GraftSuite {
     assert(s1.map(_.getLong(0)).toSet.subsetOf(wider))
   }
 
+  test("token percentiles are exact discrete ranks with integer indexing") {
+    // 10 docs with 1..10 tokens: p50 = rank ceil(5.0)=5 -> 5 tokens,
+    // p90 = rank 9 -> 9, p99 = rank ceil(9.9)=10 -> 10
+    val d = (1 to 10).map(i =>
+      (i.toLong, (1 to i).map(j => s"w$j").mkString(" "), "en", i.toLong))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val p = TextAnalysis.tokenPercentiles(d).head()
+    assert(p.getAs[Long]("n_docs") === 10L)
+    assert(p.getAs[Long]("p50_tokens") === 5L)
+    assert(p.getAs[Long]("p90_tokens") === 9L)
+    assert(p.getAs[Long]("p99_tokens") === 10L)
+  }
+
   test("multimodal: decode stub is deterministic with the right shape") {
     val media = Multimodal.mediaTable(docs)
     val feats = Multimodal.decodeFeatures(spark, media).collect()
