@@ -640,6 +640,38 @@ object Oracles {
          |FROM lid JOIN per ON lid.doc_id = per.doc_id
          |GROUP BY 1""".stripMargin,
 
+    // Decontamination: corpus docs sharing any word-3-gram with the
+    // eval shard; per-doc shingle sets are distinct, so the inner join
+    // row count IS the distinct shared-shingle count.
+    "decontaminate" ->
+      s"""WITH $shinglesCte,
+         |inv AS (
+         |  SELECT s.doc_id, d.source, UNNEST(s.shingles) AS sh
+         |  FROM shl s JOIN documents d ON s.doc_id = d.doc_id),
+         |ev AS (SELECT DISTINCT sh FROM inv WHERE source = 'src0')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+         |FROM inv JOIN ev USING (sh)
+         |WHERE source <> 'src0' GROUP BY doc_id""".stripMargin,
+
+    // Sequential packing into 512-token contexts per source shard:
+    // pack = floor(preceding-token cumsum / context); doc_id is unique
+    // inside a shard so the ROWS cumsum is a total order on both
+    // engines.
+    "sequence_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, ws_tokens,
+        |    SUM(ws_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - ws_tokens) // 512 AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ws_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
     // Discrete per-language token-count quantiles: rank index in pure
     // integer arithmetic (ceil(p*n) = (p_num*n + p_den-1) // p_den), no
     // FP interpolation — values are exact BIGINTs on both engines.

@@ -133,7 +133,11 @@ object SparkEntry {
     "retention_cohorts" -> ((s, dir) =>
       EventAnalytics.retentionCohorts(Tables.events(s, dir))),
     "token_percentiles" -> ((s, dir) =>
-      TextAnalysis.tokenPercentiles(Tables.documents(s, dir)))
+      TextAnalysis.tokenPercentiles(Tables.documents(s, dir))),
+    "decontaminate" -> ((s, dir) =>
+      TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    "sequence_packing" -> ((s, dir) =>
+      TextAnalysis.sequencePacking(Tables.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -215,6 +215,56 @@ object TextAnalysis {
       at(99, 100).as("p99_tokens"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word-3-gram shingle with the held-out evaluation set (here: the
+    * `evalSource` shard) — the standard pre-training decontamination
+    * pass. Emits one row per contaminated doc with its distinct shared
+    * shingle count.
+    *
+    * Scale: the eval shingle vocabulary is tiny next to the corpus
+    * (benchmark suites, not training shards) — it reduces to a distinct
+    * set and the probe is a broadcast-able semi-join-style inner join on
+    * the shingle key; the rollup is one shuffle on doc_id. */
+  def decontaminate(docs: DataFrame, evalSource: String = "src0"): DataFrame = {
+    val inv = Dedup.shingled(docs)
+      .select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
+    val evalShingles = inv.filter(col("source") === evalSource)
+      .select("sh").distinct()
+    inv.filter(col("source") =!= evalSource)
+      .join(broadcast(evalShingles), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  /** Default context length for [[sequencePacking]]. */
+  val PackContextTokens = 512
+
+  /** Sequential sequence packing: docs are packed in doc_id order into
+    * fixed-token context windows, independently per source shard (the
+    * unit a packing job actually processes — and what keeps the running
+    * sum a per-partition window, never a global one). A doc goes to the
+    * pack that was open when it arrived: pack_id = floor(preceding-token
+    * cumsum / context). Emits per-pack occupancy for the utilization
+    * report that sizes a packing run.
+    *
+    * One window shuffle on the source key; the rollup reduces to
+    * ‖packs‖ rows. Total order inside a shard is (doc_id), unique, so
+    * the result is deterministic on both engines. */
+  def sequencePacking(docs: DataFrame,
+                      contextTokens: Int = PackContextTokens): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"),
+        size(tokens).cast("bigint").as("ws_tokens"))
+      .withColumn("cum", sum("ws_tokens").over(w))
+      .withColumn("pack_id",
+        expr(s"(cum - ws_tokens) div $contextTokens"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("pack_tokens"))
+  }
+
   /** Document fingerprinting: content md5 + length + a 64-char-prefix
     * polynomial rolling hash (31^i mod 1e9+7). Pure projection. */
   def fingerprint(docs: DataFrame): DataFrame =

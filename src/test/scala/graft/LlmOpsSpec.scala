@@ -176,6 +176,31 @@ class LlmOpsSpec extends GraftSuite {
     assert(p.getAs[Long]("p99_tokens") === 10L)
   }
 
+  test("decontaminate flags only non-eval docs sharing a shingle with the eval set") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta", "src0"),  // eval doc
+      (1L, "alpha beta gamma other words here", "src1"), // shares 'alpha beta gamma'
+      (2L, "totally unrelated content right here", "src1"),
+      (3L, "beta gamma delta tail", "src2"))   // shares 'beta gamma delta'
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.decontaminate(d, evalSource = "src0").collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("n_shared_shingles")).toMap
+    assert(r === Map(1L -> 1L, 3L -> 1L)) // eval doc 0 and clean doc 2 absent
+  }
+
+  test("sequence packing fills 512-token contexts in doc_id order per shard") {
+    // 5 docs of 300 tokens in one shard: preceding cumsums 0,300,600,
+    // 900,1200 -> packs 0,0,1,1,2 with ctx=512
+    val d = (0 to 4).map(i =>
+      (i.toLong, (1 to 300).map(j => "w").mkString(" "), "s0"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.sequencePacking(d).collect()
+      .sortBy(_.getAs[Long]("pack_id"))
+    assert(rows.map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("pack_tokens"))).toSeq ===
+      Seq((0L, 2L, 600L), (1L, 2L, 600L), (2L, 1L, 300L)))
+  }
+
   test("multimodal: decode stub is deterministic with the right shape") {
     val media = Multimodal.mediaTable(docs)
     val feats = Multimodal.decodeFeatures(spark, media).collect()
