@@ -394,6 +394,40 @@ object Oracles {
         |  trade_count, CAST(vwap AS DOUBLE) AS vwap, window_end, _partition_date
         |FROM h1""".stripMargin),
 
+    // DuckDB's native ASOF LEFT JOIN (inclusive l.ts >= r.ts) is the
+    // semantic spec the Spark union+window plan must reproduce.
+    "asof_join" -> withTrades("h1",
+      """SELECT s.trade_id, s.product_id, s.trade_time,
+        |  CAST(s.price AS DOUBLE) AS price,
+        |  CAST(c.vwap AS DOUBLE) AS h1_vwap,
+        |  CAST(c.close AS DOUBLE) AS h1_close,
+        |  CAST(s.price AS DOUBLE) / CAST(c.vwap AS DOUBLE) - 1.0 AS dev_vs_vwap
+        |FROM stg s ASOF LEFT JOIN h1 c
+        |  ON s.product_id = c.product_id AND s.trade_time >= c.window_end""".stripMargin),
+
+    // Trailing 15-minute RANGE frame on epoch seconds; the moving
+    // average divides an exact decimal frame-sum (associative, so the
+    // engines' different frame-summation orders cannot drift) by the
+    // frame count in double.
+    "rolling_metrics" -> withTrades("m1",
+      """SELECT product_id, window_start, CAST(close AS DOUBLE) AS close,
+        |  CAST(n_candles AS BIGINT) AS n_candles,
+        |  CAST(close_sum AS DOUBLE) / CAST(n_candles AS DOUBLE) AS ma_close,
+        |  CAST(roll_high AS DOUBLE) AS roll_high,
+        |  CAST(roll_low AS DOUBLE) AS roll_low,
+        |  CAST(roll_volume AS DOUBLE) AS roll_volume
+        |FROM (
+        |  SELECT product_id, window_start, close,
+        |    COUNT(*) OVER w AS n_candles,
+        |    SUM(close) OVER w AS close_sum,
+        |    MAX(high) OVER w AS roll_high,
+        |    MIN(low) OVER w AS roll_low,
+        |    SUM(volume) OVER w AS roll_volume
+        |  FROM m1
+        |  WINDOW w AS (PARTITION BY product_id
+        |    ORDER BY CAST(epoch(window_start) AS BIGINT)
+        |    RANGE BETWEEN 840 PRECEDING AND CURRENT ROW))""".stripMargin),
+
     "daily_metrics" -> withTrades("dm",
       """SELECT product_id, date, CAST(open AS DOUBLE) AS open,
         |  CAST(high AS DOUBLE) AS high, CAST(low AS DOUBLE) AS low,
@@ -703,6 +737,37 @@ object Oracles {
         |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS punct_count
         |  FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents))""".stripMargin,
+
+    // Repetition filters: exact integer counts on both engines (Spark:
+    // sorted-run fold + zip_with bigrams, shuffle-free; here: unnest +
+    // GROUP BY and a list comprehension), fractions are IEEE divisions
+    // of those integers.
+    "repetition_quality" ->
+      """WITH dt AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+        |    CAST(len(list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])) AS BIGINT) AS n_distinct_bigrams
+        |  FROM dt
+        |), cnt AS (
+        |  SELECT doc_id, t, COUNT(*) AS c
+        |  FROM (SELECT doc_id, UNNEST(w) AS t FROM dt) GROUP BY 1, 2
+        |), top AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_count FROM cnt GROUP BY 1
+        |), f AS (
+        |  SELECT m.doc_id, m.n_words, top.top_word_count,
+        |    CAST(top.top_word_count AS DOUBLE) / CAST(m.n_words AS DOUBLE) AS top_word_frac,
+        |    m.n_bigrams, m.n_distinct_bigrams,
+        |    CASE WHEN m.n_bigrams = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE CAST(m.n_bigrams - m.n_distinct_bigrams AS DOUBLE) / CAST(m.n_bigrams AS DOUBLE)
+        |    END AS dup_bigram_frac
+        |  FROM m JOIN top ON m.doc_id = top.doc_id)
+        |SELECT doc_id, n_words, top_word_count, top_word_frac,
+        |  n_bigrams, n_distinct_bigrams, dup_bigram_frac,
+        |  (top_word_frac <= 0.10 AND dup_bigram_frac <= 0.10) AS repetition_pass
+        |FROM f""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -64,6 +64,14 @@ object SparkEntry {
     "ohlcv_1h" -> ((s, dir) => Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg(s, dir)))),
     "daily_metrics" -> ((s, dir) =>
       DailyMetrics.daily(Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg(s, dir))))),
+    "asof_join" -> { (s, dir) =>
+      // stg feeds both the left (trades) side and the candle rollup —
+      // persist so the events->silver chain runs once
+      val st = stg(s, dir).persist()
+      AsofJoin.tradeVsPrevHour(st, Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(st)))
+    },
+    "rolling_metrics" -> ((s, dir) =>
+      Ohlcv.rolling(Ohlcv.ohlcv1m(stg(s, dir)))),
     "price_latest" -> { (s, dir) =>
       // stg/m1/h1 each feed two consumers (candle rollup + horizon
       // lookup) — persist so the events->silver chain runs once
@@ -134,6 +142,8 @@ object SparkEntry {
       EventAnalytics.retentionCohorts(Tables.events(s, dir))),
     "token_percentiles" -> ((s, dir) =>
       TextAnalysis.tokenPercentiles(Tables.documents(s, dir))),
+    "repetition_quality" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "sequence_packing" -> ((s, dir) =>

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join: attach to each left row the latest right row
+  * (per key) whose timestamp is at-or-before the left row's timestamp —
+  * the canonical time-series enrichment operator (quote-at-trade-time,
+  * mark-to-last-candle). The reference serves this shape through Trino
+  * window queries over the marts; here it is a first-class operator.
+  *
+  * Spark-first plan: Spark has no ASOF JOIN and a naive range join
+  * explodes (every left row matches ALL earlier right rows before the
+  * per-row argmax — O(|L|·|R|) within a key). Instead, union both
+  * sides tagged with a side flag and run ONE running-window
+  * `last(value, ignoreNulls)` ordered by (ts, side): right rows deposit
+  * their payload, left rows read the most recent deposit. One shuffle
+  * on the key, linear scan per partition, no join blow-up — this is the
+  * plan that survives a 100 TB fact table (the window is
+  * UNBOUNDED PRECEDING → Spark's incremental frame, O(n) total).
+  *
+  * Semantics (matches DuckDB `ASOF LEFT JOIN ... ON l.ts >= r.ts`):
+  * inclusive at-or-before — a right row at exactly the left timestamp
+  * wins (side flag orders right(0) before left(1) within a timestamp).
+  * Left rows with no prior right row keep NULL payloads.
+  *
+  * Requirement: right rows are unique per (keys, rightTs) — otherwise
+  * "the" latest right row is ill-defined. Candle tables satisfy this by
+  * construction.
+  */
+object AsofJoin {
+
+  /** Generic as-of join.
+    *
+    * @param pick right-side payload columns to carry onto left rows;
+    *             names must not collide with left columns.
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, pick: Seq[String]): DataFrame = {
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("_asof_ts") :+
+        lit(0).as("_asof_side")) ++ pick.map(c => col(c).as(s"_asof_$c")): _*)
+    val l = left
+      .withColumn("_asof_ts", col(leftTs))
+      .withColumn("_asof_side", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_asof_ts"), col("_asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all payload columns in ONE select => a single Window operator
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val joined = u.select(u.columns.map(col).toSeq ++ pick.map(c =>
+      last(col(s"_asof_$c"), ignoreNulls = true).over(w).as(c)): _*)
+    joined.filter(col("_asof_side") === 1)
+      .drop("_asof_ts" +: "_asof_side" +: pick.map(c => s"_asof_$c"): _*)
+  }
+
+  /** Query wrapper: each staging trade marked against the most recent
+    * COMPLETED hourly candle of its product (candle effective at its
+    * window_end), with the trade's deviation from that candle's vwap —
+    * the slippage-vs-recent-vwap enrichment a trading mart serves.
+    * Trades in the first hour of a product have no completed candle →
+    * NULL candle columns and deviation. */
+  def tradeVsPrevHour(stg: DataFrame, h1: DataFrame): DataFrame = {
+    val candles = h1.select(
+      col("product_id"), col("window_end"),
+      col("vwap").as("h1_vwap"), col("close").as("h1_close"))
+    asof(stg, candles, Seq("product_id"), "trade_time", "window_end",
+      Seq("h1_vwap", "h1_close"))
+      .select(
+        col("trade_id"), col("product_id"), col("trade_time"), col("price"),
+        col("h1_vwap"), col("h1_close"),
+        (col("price").cast("double") / col("h1_vwap").cast("double") - 1.0d)
+          .as("dev_vs_vwap"))
+  }
+}

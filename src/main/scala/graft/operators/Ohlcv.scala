@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** OHLCV candle aggregation.
@@ -69,4 +70,40 @@ object Ohlcv {
       .withColumnRenamed("hour_start", "window_start")
       .withColumn("window_end", expr("timestampadd(HOUR, 1, window_start)"))
       .withColumn("_partition_date", to_date(col("window_start")))
+
+  /** Trailing-window rolling metrics over 1-minute candles: moving
+    * average close, rolling high/low, and rolling volume over the last
+    * `minutes` of TIME (a RANGE frame on epoch seconds, not a row
+    * count — minutes with no trades produce no candle, so a ROWS frame
+    * would silently stretch across gaps).
+    *
+    * Determinism: the moving average is an exact decimal SUM over the
+    * frame divided by the frame count in double — engines disagree on
+    * frame summation order (Spark rebuilds sliding frames, DuckDB uses
+    * segment trees) but decimal addition is associative, so the sums
+    * are bit-identical; min/max/count are order-free.
+    *
+    * Scale: one shuffle on product_id; within a partition Spark
+    * maintains the sliding RANGE frame incrementally over the sorted
+    * run. Input is |products × minutes| candle rows (already reduced
+    * from trades), so the window never sees raw fact-table volume. */
+  def rolling(m1: DataFrame, minutes: Int = 15): DataFrame = {
+    // NTZ has no direct long cast; NTZ->LTZ is value-preserving in the
+    // UTC session, and LTZ->long is epoch seconds (= DuckDB epoch()).
+    val w = Window.partitionBy("product_id")
+      .orderBy(col("window_start").cast("timestamp").cast("long"))
+      .rangeBetween(-(minutes - 1) * 60L, 0L)
+    // all five frame aggregates in ONE select => one Window operator,
+    // one sort (chained withColumn would stack a Window+Sort per metric)
+    m1.select(col("product_id"), col("window_start"), col("close"),
+        count(lit(1)).over(w).as("n_candles"),
+        sum("close").over(w).as("close_sum"),
+        max("high").over(w).as("roll_high"),
+        min("low").over(w).as("roll_low"),
+        sum("volume").over(w).cast("decimal(18,8)").as("roll_volume"))
+      .withColumn("ma_close",
+        col("close_sum").cast("double") / col("n_candles").cast("double"))
+      .select("product_id", "window_start", "close", "n_candles", "ma_close",
+        "roll_high", "roll_low", "roll_volume")
+  }
 }

@@ -265,6 +265,51 @@ object TextAnalysis {
         sum("ws_tokens").as("pack_tokens"))
   }
 
+  /** Gopher-style repetition quality filters: most-frequent-word
+    * fraction and duplicate-bigram fraction, with a keep verdict —
+    * the repetition gate of a pre-training curation pipeline
+    * (boilerplate and keyword-stuffed pages score high on both).
+    *
+    * Shuffle-FREE: the max word frequency is a run-length fold over the
+    * doc's sorted token array (a sorted array's longest equal-run IS
+    * the top count) and bigrams are lambda-args-only `zip_with` over
+    * shifted slices — no explode, no groupBy, the whole operator is a
+    * projection that scales embarrassingly. The oracle computes the
+    * same integers via unnest+GROUP BY; counts are exact so the plans
+    * agree bit-for-bit, and the fractions are IEEE divisions of those
+    * integers. */
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", tokens)
+      .withColumn("n_words", size(col("w")).cast("bigint"))
+      .withColumn("top_word_count", expr(
+        """aggregate(
+          |  array_sort(w),
+          |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', if(acc.prev <=> x, acc.run + 1L, 1L),
+          |    'best', greatest(acc.best,
+          |      if(acc.prev <=> x, acc.run + 1L, 1L))),
+          |  acc -> acc.best)""".stripMargin))
+      .withColumn("bg", expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> concat(a, ' ', b))"))
+      .withColumn("n_bigrams", size(col("bg")).cast("bigint"))
+      .withColumn("n_distinct_bigrams",
+        size(array_distinct(col("bg"))).cast("bigint"))
+      .withColumn("top_word_frac",
+        col("top_word_count").cast("double") / col("n_words").cast("double"))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0d)).otherwise(
+          (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+            col("n_bigrams").cast("double")))
+      .withColumn("repetition_pass",
+        col("top_word_frac") <= 0.10d && col("dup_bigram_frac") <= 0.10d)
+      .select("doc_id", "n_words", "top_word_count", "top_word_frac",
+        "n_bigrams", "n_distinct_bigrams", "dup_bigram_frac",
+        "repetition_pass")
+
   /** Document fingerprinting: content md5 + length + a 64-char-prefix
     * polynomial rolling hash (31^i mod 1e9+7). Pure projection. */
   def fingerprint(docs: DataFrame): DataFrame =

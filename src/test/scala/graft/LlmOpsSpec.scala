@@ -230,4 +230,29 @@ class LlmOpsSpec extends GraftSuite {
     val again = Multimodal.sampleFrames(media, frameBytes = 64, maxFrames = 8)
     assert(frames.exceptAll(again).count() === 0)
   }
+
+  test("repetition: sorted-run fold finds the top word count, bigram dups exact") {
+    val rep = Seq(
+      (0L, "a a a b a a a a a a", 19L),             // 9×'a' of 10 words
+      (1L, "one two three four five six seven eight nine ten", 49L),
+      (2L, "solo", 4L))                             // single word, 0 bigrams
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.repetition(rep).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Long]("top_word_count") === 9L)
+    assert(got(0L).getAs[Double]("top_word_frac") === 0.9)
+    // bigrams: 9 total, distinct {a a, a b, b a} = 3 -> dup frac 6/9
+    assert(got(0L).getAs[Long]("n_bigrams") === 9L)
+    assert(got(0L).getAs[Long]("n_distinct_bigrams") === 3L)
+    assert(math.abs(got(0L).getAs[Double]("dup_bigram_frac") - 6.0 / 9.0) < 1e-12)
+    assert(!got(0L).getAs[Boolean]("repetition_pass"))
+    // all-distinct doc: top frac exactly at the 0.10 threshold -> pass
+    assert(got(1L).getAs[Long]("top_word_count") === 1L)
+    assert(got(1L).getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(got(1L).getAs[Boolean]("repetition_pass"))
+    // single-word doc: no bigrams, top frac 1.0 -> fail
+    assert(got(2L).getAs[Long]("n_bigrams") === 0L)
+    assert(got(2L).getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(!got(2L).getAs[Boolean]("repetition_pass"))
+  }
 }

@@ -60,4 +60,38 @@ class OhlcvSpec extends GraftSuite {
     assert(math.abs(r.getAs[java.math.BigDecimal]("max_drawdown").doubleValue()
       - 2.0 / 12.0) < 1e-8)
   }
+
+  test("rolling metrics: time-RANGE frame expires candles older than 15m") {
+    // candles at 10:00, 10:01, 10:20 — the 10:20 frame must contain
+    // ONLY itself (gap > 15m), not the two earlier candles.
+    val tape = Seq(
+      (1L, "X", "2024-01-01 10:00:05", "10.00000000", "1.00000000"),
+      (2L, "X", "2024-01-01 10:01:05", "20.00000000", "1.00000000"),
+      (3L, "X", "2024-01-01 10:20:05", "40.00000000", "1.00000000"))
+      .toDF("trade_id", "product_id", "ts", "price", "size")
+      .select(col("trade_id"), col("product_id"),
+        col("ts").cast("timestamp_ntz").as("trade_time"),
+        col("price").cast("decimal(18,8)").as("price"),
+        col("size").cast("decimal(18,8)").as("size"))
+      .withColumn("trade_value",
+        (col("price").cast("double") * col("size").cast("double"))
+          .cast("decimal(18,8)"))
+      .withColumn("minute_bucket",
+        date_trunc("minute", col("trade_time")).cast("timestamp_ntz"))
+    val roll = Ohlcv.rolling(Ohlcv.ohlcv1m(tape))
+    val byMin = roll.collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("window_start").toString -> r)
+      .toMap
+    val atStart = byMin("2024-01-01T10:00")
+    assert(atStart.getAs[Long]("n_candles") === 1L)
+    assert(atStart.getAs[Double]("ma_close") === 10.0)
+    val at1 = byMin("2024-01-01T10:01")
+    assert(at1.getAs[Long]("n_candles") === 2L)
+    assert(at1.getAs[Double]("ma_close") === 15.0)
+    assert(at1.getAs[java.math.BigDecimal]("roll_high").doubleValue() === 20.0)
+    val at20 = byMin("2024-01-01T10:20")
+    assert(at20.getAs[Long]("n_candles") === 1L)
+    assert(at20.getAs[Double]("ma_close") === 40.0)
+    assert(at20.getAs[java.math.BigDecimal]("roll_low").doubleValue() === 40.0)
+  }
 }
