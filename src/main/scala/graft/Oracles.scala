@@ -428,6 +428,58 @@ object Oracles {
         |    ORDER BY CAST(epoch(window_start) AS BIGINT)
         |    RANGE BETWEEN 840 PRECEDING AND CURRENT ROW))""".stripMargin),
 
+    // Spine via generate_series + forward fill with IGNORE NULLS —
+    // mirrors Ohlcv.gapFill's sequence/explode + last(ignoreNulls).
+    "ohlcv_gap_fill" -> withTrades("m1",
+      """, bounds AS (
+        |  SELECT product_id, MIN(window_start) AS mn, MAX(window_start) AS mx
+        |  FROM m1 GROUP BY 1
+        |), spine AS (
+        |  SELECT product_id,
+        |    UNNEST(generate_series(mn, mx, INTERVAL '1 minute')) AS window_start
+        |  FROM bounds
+        |), j AS (
+        |  SELECT s.product_id, s.window_start,
+        |    m.close, m.volume, m.trade_count,
+        |    m.close IS NULL AS is_gap
+        |  FROM spine s LEFT JOIN m1 m
+        |    ON s.product_id = m.product_id AND s.window_start = m.window_start)
+        |SELECT product_id, window_start, is_gap,
+        |  CAST(last_value(close IGNORE NULLS) OVER (PARTITION BY product_id
+        |    ORDER BY window_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS close_filled,
+        |  CAST(COALESCE(volume, 0) AS DOUBLE) AS volume,
+        |  CAST(COALESCE(trade_count, 0) AS BIGINT) AS trade_count
+        |FROM j""".stripMargin),
+
+    // Variance numerator n*Sum(x^2) - Sum(x)^2 in EXACT decimals
+    // (constant frames cancel to literal zero); only the final double
+    // conversion is inexact (relative 1 ulp), absorbed by round(sd, 8).
+    "anomaly_zscore" -> withTrades("m1",
+      """SELECT product_id, window_start, CAST(close AS DOUBLE) AS close,
+        |  CAST(n_candles AS BIGINT) AS n_candles, mean_close, sd_close, zscore,
+        |  COALESCE(abs(zscore) > 2.0, FALSE) AS is_anomaly
+        |FROM (
+        |  SELECT product_id, window_start, close, n_candles, mean_close,
+        |    round(sqrt(greatest(var_close, 0.0)), 8) AS sd_close,
+        |    (CAST(close AS DOUBLE) - mean_close) /
+        |      NULLIF(round(sqrt(greatest(var_close, 0.0)), 8), 0.0) AS zscore
+        |  FROM (
+        |    SELECT product_id, window_start, close, n_candles,
+        |      CAST(close_sum AS DOUBLE) / CAST(n_candles AS DOUBLE) AS mean_close,
+        |      CAST(CAST(n_candles AS DECIMAL(4,0)) * CAST(sq_sum AS DECIMAL(30,16))
+        |        - CAST(close_sum AS DECIMAL(19,8)) * CAST(close_sum AS DECIMAL(18,8)) AS DOUBLE)
+        |        / (CAST(n_candles AS DOUBLE) * CAST(n_candles AS DOUBLE)) AS var_close
+        |    FROM (
+        |      SELECT product_id, window_start, close,
+        |        COUNT(*) OVER w AS n_candles,
+        |        SUM(close) OVER w AS close_sum,
+        |        SUM(CAST(CAST(close AS DECIMAL(19,8)) * close AS DECIMAL(38,16))) OVER w AS sq_sum
+        |      FROM m1
+        |      WINDOW w AS (PARTITION BY product_id
+        |        ORDER BY CAST(epoch(window_start) AS BIGINT)
+        |        RANGE BETWEEN 840 PRECEDING AND CURRENT ROW))))""".stripMargin),
+
     "daily_metrics" -> withTrades("dm",
       """SELECT product_id, date, CAST(open AS DOUBLE) AS open,
         |  CAST(high AS DOUBLE) AS high, CAST(low AS DOUBLE) AS low,
@@ -510,6 +562,21 @@ object Oracles {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3""".stripMargin,
+
+    // Q18 shape: heavy-order filter from ONE lineitem aggregation;
+    // top-100 fully tie-broken (o_totalprice DESC, unique o_orderkey).
+    "q18_large_orders" ->
+      """WITH heavy AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN heavy ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE total_qty > 250
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs

@@ -72,6 +72,13 @@ object SparkEntry {
     },
     "rolling_metrics" -> ((s, dir) =>
       Ohlcv.rolling(Ohlcv.ohlcv1m(stg(s, dir)))),
+    "ohlcv_gap_fill" -> { (s, dir) =>
+      // m1 feeds the bounds aggregate AND the spine join — persist it
+      val m1 = Ohlcv.ohlcv1m(stg(s, dir)).persist()
+      Ohlcv.gapFill(m1)
+    },
+    "anomaly_zscore" -> ((s, dir) =>
+      Ohlcv.anomalyZscore(Ohlcv.ohlcv1m(stg(s, dir)))),
     "price_latest" -> { (s, dir) =>
       // stg/m1/h1 each feed two consumers (candle rollup + horizon
       // lookup) — persist so the events->silver chain runs once
@@ -108,6 +115,9 @@ object SparkEntry {
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "top_orders_window" -> ((s, dir) =>
       Analytics.topOrdersPerCustomer(Tables.orders(s, dir))),
+    "q18_large_orders" -> ((s, dir) =>
+      Analytics.q18LargeOrders(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // -- LLM training-data pipeline (rows 19-29) --
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>

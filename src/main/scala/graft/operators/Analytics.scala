@@ -99,6 +99,29 @@ object Analytics {
         .cast("decimal(18,6)")).cast("decimal(18,6)").as("revenue"))
   }
 
+  /** TPC-H Q18 shape (large-volume orders): aggregate the fact table
+    * ONCE — one l_orderkey shuffle with map-side partials — then filter
+    * the rare heavy orders and join the survivors to orders/customer.
+    * No semi-join re-scan of lineitem (the textbook Q18 plan reads the
+    * fact twice); the heavy set is proportional-but-rare, so the join
+    * to orders shuffles on the order key and AQE promotes it to
+    * broadcast when the filtered side is actually small. The top-100 is
+    * `TakeOrderedAndProject` (bounded heap), never a global sort. */
+  def q18LargeOrders(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, minQty: Double = 250.0d): DataFrame = {
+    val heavy = lineitem.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)"))
+        .cast("decimal(18,4)").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.join(heavy, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Per-customer top-3 orders by value: dense window top-k (rank state
     * only, no global sort). */
   def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame =

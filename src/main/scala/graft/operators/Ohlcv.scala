@@ -106,4 +106,86 @@ object Ohlcv {
       .select("product_id", "window_start", "close", "n_candles", "ma_close",
         "roll_high", "roll_low", "roll_volume")
   }
+
+  /** Candle gap filling: emit a complete per-product minute spine from
+    * the product's first to last candle, forward-filling the close over
+    * empty minutes (volume/trade_count zero) — the densification step
+    * charting and TA consumers need, since minutes with no trades
+    * produce no candle at all.
+    *
+    * Plan: per-product bounds reduce to ‖products‖ rows, the spine is
+    * a narrow `sequence`+`explode` fan-out of those rows (never a
+    * driver-side loop), one shuffle joins candles onto the spine, and
+    * one more orders each product run for the forward-fill window.
+    * Spine size is ‖products × minutes of trading span‖ — independent
+    * of trade volume, so the fan-out stays small at 100 TB of trades. */
+  def gapFill(m1: DataFrame): DataFrame = {
+    val spine = m1.groupBy("product_id")
+      .agg(min("window_start").as("mn"), max("window_start").as("mx"))
+      .select(col("product_id"),
+        explode(expr("sequence(mn, mx, interval 1 minute)")).as("window_start"))
+    val w = Window.partitionBy("product_id").orderBy("window_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(m1.select("product_id", "window_start", "close", "volume",
+        "trade_count"), Seq("product_id", "window_start"), "left")
+      .select(col("product_id"), col("window_start"),
+        col("close").isNull.as("is_gap"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_filled"),
+        coalesce(col("volume"), lit(0).cast("decimal(18,8)")).as("volume"),
+        coalesce(col("trade_count"), lit(0L)).as("trade_count"))
+  }
+
+  /** Rolling z-score anomaly detection over 1-minute candles: flag
+    * closes more than `zThresh` trailing-window standard deviations
+    * from the trailing mean — the price-spike monitor a trading mart
+    * serves.
+    *
+    * Determinism: the variance numerator `n·Σx² − (Σx)²` is computed
+    * ENTIRELY in exact decimal arithmetic (frame sums are associative,
+    * so engine frame-summation order is irrelevant, and the
+    * catastrophic cancellation of E[x²]−mean² happens exactly — a
+    * constant frame yields literal zero, not a ±1e-12 FP residue whose
+    * sign differs per engine). Only the final double conversion of
+    * that numerator is inexact, and since Σx² exceeds 2^53 unscaled it
+    * can differ by 1 ulp RELATIVE between engines — sd is rounded at 8
+    * decimals ([[graft.functions.Rounding.roundScaled]], the DuckDB
+    * round algorithm) to absorb it, making the z-score division
+    * bit-identical. Zero variance nulls the z-score via NULLIF.
+    *
+    * Scale: same single product_id shuffle + one Window operator as
+    * [[rolling]]; input is candle rows, not trades. */
+  def anomalyZscore(m1: DataFrame, minutes: Int = 15,
+                    zThresh: Double = 2.0d): DataFrame = {
+    val w = Window.partitionBy("product_id")
+      .orderBy(col("window_start").cast("timestamp").cast("long"))
+      .rangeBetween(-(minutes - 1) * 60L, 0L)
+    m1.select(col("product_id"), col("window_start"), col("close"),
+        (col("close") * col("close")).cast("decimal(38,16)").as("close_sq"))
+      .select(col("product_id"), col("window_start"), col("close"),
+        count(lit(1)).over(w).as("n_candles"),
+        sum("close").over(w).as("close_sum"),
+        sum("close_sq").over(w).as("sq_sum"))
+      .withColumn("mean_close",
+        col("close_sum").cast("double") / col("n_candles").cast("double"))
+      // exact decimal cancellation; casts sized for price<~3e6, n<1e4
+      .withColumn("var_num",
+        col("n_candles").cast("decimal(4,0)") *
+          col("sq_sum").cast("decimal(30,16)") -
+          col("close_sum").cast("decimal(18,8)") *
+          col("close_sum").cast("decimal(18,8)"))
+      .withColumn("var_close",
+        col("var_num").cast("double") /
+          (col("n_candles").cast("double") * col("n_candles").cast("double")))
+      .withColumn("sd_close",
+        graft.functions.Rounding.roundScaled(
+          sqrt(greatest(col("var_close"), lit(0.0d))), 8))
+      .withColumn("zscore",
+        (col("close").cast("double") - col("mean_close")) /
+          nullif(col("sd_close"), lit(0.0d)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("zscore")) > zThresh, lit(false)))
+      .select("product_id", "window_start", "close", "n_candles",
+        "mean_close", "sd_close", "zscore", "is_anomaly")
+  }
 }

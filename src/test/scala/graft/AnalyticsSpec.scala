@@ -61,4 +61,22 @@ class AnalyticsSpec extends GraftSuite {
     assert(batch.exceptAll(s).count() === 0)
     assert(s.count() > 0)
   }
+
+  test("q18: only orders above the quantity threshold, sorted by price desc") {
+    val rows = Analytics.q18LargeOrders(Tables.customer(spark, sf),
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(
+      _.getAs[java.math.BigDecimal]("total_qty").doubleValue() > 250.0))
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    // every reported qty equals an independent re-aggregation
+    val expect = Tables.lineitem(spark, sf).groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)"))
+        .cast("decimal(18,4)").as("q"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[java.math.BigDecimal]("q").doubleValue()).toMap
+    assert(rows.forall(r => expect(r.getAs[Long]("o_orderkey")) ===
+      r.getAs[java.math.BigDecimal]("total_qty").doubleValue()))
+  }
 }

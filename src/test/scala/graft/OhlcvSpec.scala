@@ -94,4 +94,53 @@ class OhlcvSpec extends GraftSuite {
     assert(at20.getAs[Double]("ma_close") === 40.0)
     assert(at20.getAs[java.math.BigDecimal]("roll_low").doubleValue() === 40.0)
   }
+
+  private def tape3(prices: Seq[(String, Double)]): org.apache.spark.sql.DataFrame =
+    prices.zipWithIndex.map { case ((t, p), i) => (i.toLong, "X", t, p, 1.0d) }
+      .toDF("trade_id", "product_id", "ts", "p", "s")
+      .select(col("trade_id"), col("product_id"),
+        col("ts").cast("timestamp_ntz").as("trade_time"),
+        col("p").cast("decimal(18,8)").as("price"),
+        col("s").cast("decimal(18,8)").as("size"))
+      .withColumn("trade_value",
+        (col("price").cast("double") * col("size").cast("double"))
+          .cast("decimal(18,8)"))
+      .withColumn("minute_bucket",
+        date_trunc("minute", col("trade_time")).cast("timestamp_ntz"))
+
+  test("gap fill: dense spine, forward-filled close, zeroed volume") {
+    val m1 = Ohlcv.ohlcv1m(tape3(Seq(
+      "2024-01-01 10:00:05" -> 10.0, "2024-01-01 10:03:05" -> 20.0)))
+    val filled = Ohlcv.gapFill(m1).collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("window_start").toString -> r)
+      .toMap
+    assert(filled.size === 4) // 10:00..10:03 inclusive
+    val gap = filled("2024-01-01T10:01")
+    assert(gap.getAs[Boolean]("is_gap"))
+    assert(gap.getAs[java.math.BigDecimal]("close_filled").doubleValue() === 10.0)
+    assert(gap.getAs[java.math.BigDecimal]("volume").doubleValue() === 0.0)
+    assert(gap.getAs[Long]("trade_count") === 0L)
+    val real = filled("2024-01-01T10:03")
+    assert(!real.getAs[Boolean]("is_gap"))
+    assert(real.getAs[java.math.BigDecimal]("close_filled").doubleValue() === 20.0)
+  }
+
+  test("zscore anomaly: spike flagged, constant frame yields null z") {
+    val m1 = Ohlcv.ohlcv1m(tape3(Seq(
+      "2024-01-01 10:00:05" -> 10.0, "2024-01-01 10:01:05" -> 10.0,
+      "2024-01-01 10:02:05" -> 10.0, "2024-01-01 10:03:05" -> 10.0,
+      "2024-01-01 10:04:05" -> 10.0, "2024-01-01 10:05:05" -> 60.0)))
+    val rows = Ohlcv.anomalyZscore(m1).collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("window_start").toString -> r)
+      .toMap
+    // constant 5-candle prefix: sd 0 -> z NULL -> not anomalous
+    val flat = rows("2024-01-01T10:04")
+    assert(flat.getAs[Double]("sd_close") === 0.0)
+    assert(flat.isNullAt(flat.fieldIndex("zscore")))
+    assert(!flat.getAs[Boolean]("is_anomaly"))
+    // spike: mean 110/6, var 4100/6 - mean^2, z ~ 2.236 > 2
+    val spike = rows("2024-01-01T10:05")
+    assert(spike.getAs[Double]("zscore") > 2.0)
+    assert(spike.getAs[Boolean]("is_anomaly"))
+  }
 }
