@@ -29,6 +29,7 @@ class EmptyInputSpec extends GraftSuite {
       .withColumn("lang", lit(null).cast("string"))
       .withColumn("source", lit(null).cast("string"))
     assert(TextAnalysis.clean(emptyDocs).count() === 0)
+    assert(TextAnalysis.repetition(emptyDocs).count() === 0)
     assert(TextAnalysis.stratifiedSample(emptyDocsFull).count() === 0)
     val emptyEmb = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -44,6 +45,8 @@ class EmptyInputSpec extends GraftSuite {
     assert(Dedup.minhashLsh(d).count() === 0)
     assert(TextAnalysis.quality(d).count() === 3)
     assert(TextAnalysis.fingerprint(d).count() === 3)
+    // repetition: "" tokenizes to [""] (1 word), never div-zero
+    assert(TextAnalysis.repetition(d).count() === 3)
   }
 
   test("ohlcv on zero trades and merge with empty source") {
@@ -58,6 +61,12 @@ class EmptyInputSpec extends GraftSuite {
         StructField("minute_bucket", TimestampNTZType))))
     assert(Ohlcv.ohlcv1m(stg).count() === 0)
     assert(Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg)).count() === 0)
+    val m1 = Ohlcv.ohlcv1m(stg)
+    assert(Ohlcv.rolling(m1).count() === 0)
+    assert(Ohlcv.gapFill(m1).count() === 0)
+    assert(Ohlcv.anomalyZscore(m1).count() === 0)
+    assert(AsofJoin.asof(stg, Ohlcv.ohlcv1h(m1), Seq("product_id"),
+      "trade_time", "window_end", Seq("vwap")).count() === 0)
     val t = Seq((1L, "x")).toDF("id", "v")
     val empty = t.limit(0)
     assert(MergeUpsert.merge(t, empty, "id").count() === 1)

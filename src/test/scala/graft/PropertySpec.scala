@@ -108,4 +108,26 @@ class PropertySpec extends GraftSuite {
     assert(capped.keySet.subsetOf(full.keySet))
     capped.foreach { case (k, j) => assert(full(k) === j) } // scores exact
   }
+
+  test("asof join equals the naive latest-at-or-before lookup (randomized)") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val keys = Seq("a", "b", "c")
+    val left = (1 to 80).map(i =>
+      (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(500).toLong))
+    // right rows must be unique per (key, ts)
+    val right = (1 to 60).map(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(500).toLong, i.toDouble))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val got = graft.operators.AsofJoin.asof(
+        left.toDF("id", "k", "ts"), right.toDF("k", "rts", "v"),
+        Seq("k"), "ts", "rts", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("v")))
+      .toMap
+    left.foreach { case (id, k, ts) =>
+      val expect = right.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) === expect, s"asof mismatch for left row $id")
+    }
+  }
 }
