@@ -480,6 +480,39 @@ object Oracles {
         |        ORDER BY CAST(epoch(window_start) AS BIGINT)
         |        RANGE BETWEEN 840 PRECEDING AND CURRENT ROW))))""".stripMargin),
 
+    // TWAP: hold durations are exact integer microseconds (epoch_us
+    // diffs), price*hold summed as exact decimals; ratio rounded at 8
+    // like vwap. lead() is totally ordered by (trade_time, trade_id).
+    "twap_1h" -> withTrades("stg",
+      """, t AS (
+        |  SELECT product_id, hour_bucket, trade_id, trade_time, price,
+        |    epoch_us(COALESCE(
+        |      lead(trade_time) OVER (PARTITION BY product_id, hour_bucket
+        |        ORDER BY trade_time, trade_id),
+        |      hour_bucket + INTERVAL '1 hour')) - epoch_us(trade_time) AS hold_us
+        |  FROM stg)
+        |SELECT product_id, hour_bucket AS window_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+        |  CAST(SUM(hold_us) AS BIGINT) AS total_hold_us,
+        |  CAST(CAST(round(
+        |    CAST(SUM(CAST(price * CAST(hold_us AS DECIMAL(20,0)) AS DECIMAL(38,8))) AS DOUBLE)
+        |      / NULLIF(CAST(SUM(hold_us) AS DOUBLE), 0.0), 8) AS DECIMAL(18,8)) AS DOUBLE) AS twap
+        |FROM t GROUP BY 1, 2""".stripMargin),
+
+    "flow_imbalance" -> withTrades("stg",
+      """SELECT product_id, minute_bucket AS window_start,
+        |  CAST(bv AS DOUBLE) AS buy_volume, CAST(sv AS DOUBLE) AS sell_volume,
+        |  n_buys, n_sells,
+        |  (CAST(bv AS DOUBLE) - CAST(sv AS DOUBLE)) /
+        |    (CAST(bv AS DOUBLE) + CAST(sv AS DOUBLE)) AS imbalance
+        |FROM (
+        |  SELECT product_id, minute_bucket,
+        |    CAST(SUM(CASE WHEN side = 'buy' THEN size ELSE 0 END) AS DECIMAL(18,8)) AS bv,
+        |    CAST(SUM(CASE WHEN side = 'sell' THEN size ELSE 0 END) AS DECIMAL(18,8)) AS sv,
+        |    CAST(SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END) AS BIGINT) AS n_buys,
+        |    CAST(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT) AS n_sells
+        |  FROM stg GROUP BY 1, 2)""".stripMargin),
+
     "daily_metrics" -> withTrades("dm",
       """SELECT product_id, date, CAST(open AS DOUBLE) AS open,
         |  CAST(high AS DOUBLE) AS high, CAST(low AS DOUBLE) AS low,

@@ -79,6 +79,9 @@ object SparkEntry {
     },
     "anomaly_zscore" -> ((s, dir) =>
       Ohlcv.anomalyZscore(Ohlcv.ohlcv1m(stg(s, dir)))),
+    "twap_1h" -> ((s, dir) => Microstructure.twap1h(stg(s, dir))),
+    "flow_imbalance" -> ((s, dir) =>
+      Microstructure.flowImbalance(stg(s, dir))),
     "price_latest" -> { (s, dir) =>
       // stg/m1/h1 each feed two consumers (candle rollup + horizon
       // lookup) — persist so the events->silver chain runs once

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-microstructure metrics over staged trades — the TWAP and
+  * order-flow rollups a trading mart serves next to the OHLCV candles
+  * (the reference's marts stop at VWAP; these are the adjacent
+  * time-weighted and side-split aggregations).
+  *
+  * Both are single-shuffle plans: TWAP adds one window pass (the lead
+  * lookup rides the same (product, hour) shuffle as its group-by);
+  * imbalance is a plain conditional aggregation with map-side partials.
+  */
+object Microstructure {
+
+  /** Hourly time-weighted average price: each trade's price holds from
+    * its own timestamp until the next trade in the hour (the last one
+    * holds to the hour end), so
+    * `twap = Σ price·hold_µs / Σ hold_µs`.
+    *
+    * Determinism: hold durations are exact integer MICROseconds
+    * (`unix_micros` diffs — no date_diff truncation ambiguity);
+    * price·hold is DECIMAL(18,8)×DECIMAL(20,0) → exact decimal, summed
+    * exactly (order-independent), divided as double at the end. Ties on
+    * trade_time are totally ordered by trade_id, so `lead` is
+    * deterministic (a zero-duration hold for the earlier trade, which
+    * is also the economically correct weight).
+    *
+    * Scale: ONE shuffle on (product_id, hour_bucket) serves both the
+    * lead window and the aggregation; the reduce side sees
+    * |products × hours| rows. */
+  def twap1h(stg: DataFrame): DataFrame = {
+    val w = Window.partitionBy("product_id", "hour_bucket")
+      .orderBy("trade_time", "trade_id")
+    stg
+      .select(col("product_id"), col("hour_bucket"), col("trade_id"),
+        col("trade_time"), col("price"))
+      .withColumn("hold_us",
+        unix_micros(coalesce(
+          lead(col("trade_time"), 1).over(w),
+          expr("timestampadd(HOUR, 1, hour_bucket)")).cast("timestamp")) -
+          unix_micros(col("trade_time").cast("timestamp")))
+      .withColumn("price_hold",
+        (col("price") * col("hold_us").cast("decimal(20,0)"))
+          .cast("decimal(38,8)"))
+      .groupBy(col("product_id"), col("hour_bucket").as("window_start"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum("hold_us").as("total_hold_us"),
+        graft.functions.Rounding.roundScaled(
+          sum("price_hold").cast("double") /
+            nullif(sum("hold_us").cast("double"), lit(0.0d)), 8)
+          .cast("decimal(18,8)").as("twap"))
+  }
+
+  /** Per-product-minute order-flow imbalance: buy vs sell volume split
+    * from the trade side, `imbalance = (buy − sell) / (buy + sell)` —
+    * the classic flow-pressure signal. Exact decimal side sums; the
+    * ratio is an IEEE double of exact sums (size > 0 is a staging
+    * invariant, so the denominator is never zero). One groupBy shuffle
+    * with map-side partials. */
+  def flowImbalance(stg: DataFrame): DataFrame =
+    stg
+      .groupBy(col("product_id"), col("minute_bucket").as("window_start"))
+      .agg(
+        sum(when(col("side") === "buy", col("size")).otherwise(lit(0)))
+          .cast("decimal(18,8)").as("buy_volume"),
+        sum(when(col("side") === "sell", col("size")).otherwise(lit(0)))
+          .cast("decimal(18,8)").as("sell_volume"),
+        sum(when(col("side") === "buy", 1L).otherwise(0L)).as("n_buys"),
+        sum(when(col("side") === "sell", 1L).otherwise(0L)).as("n_sells"))
+      .withColumn("imbalance",
+        (col("buy_volume").cast("double") - col("sell_volume").cast("double")) /
+          (col("buy_volume").cast("double") + col("sell_volume").cast("double")))
+}

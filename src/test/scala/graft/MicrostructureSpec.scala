@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Microstructure
+
+/** TWAP and order-flow imbalance semantics on crafted tapes. */
+class MicrostructureSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("twap weights each price by its hold time until the next trade") {
+    // holds: 30min @10, 15min @20, 15min @40 (to hour end) -> twap 20
+    val stg = Seq(
+      (1L, "X", "2024-01-01 10:00:00", "10.00000000"),
+      (2L, "X", "2024-01-01 10:30:00", "20.00000000"),
+      (3L, "X", "2024-01-01 10:45:00", "40.00000000"))
+      .toDF("trade_id", "product_id", "tt", "p")
+      .select(col("trade_id"), col("product_id"),
+        col("tt").cast("timestamp_ntz").as("trade_time"),
+        col("p").cast("decimal(18,8)").as("price"))
+      .withColumn("hour_bucket",
+        date_trunc("hour", col("trade_time")).cast("timestamp_ntz"))
+    val r = Microstructure.twap1h(stg).head()
+    assert(r.getAs[Long]("n_trades") === 3L)
+    assert(r.getAs[Long]("total_hold_us") === 3600L * 1000000L)
+    assert(r.getAs[java.math.BigDecimal]("twap").doubleValue() === 20.0)
+  }
+
+  test("twap tie on trade_time gives the earlier trade a zero hold") {
+    val stg = Seq(
+      (1L, "X", "2024-01-01 10:00:00", "10.00000000"),
+      (2L, "X", "2024-01-01 10:00:00", "30.00000000")) // same instant
+      .toDF("trade_id", "product_id", "tt", "p")
+      .select(col("trade_id"), col("product_id"),
+        col("tt").cast("timestamp_ntz").as("trade_time"),
+        col("p").cast("decimal(18,8)").as("price"))
+      .withColumn("hour_bucket",
+        date_trunc("hour", col("trade_time")).cast("timestamp_ntz"))
+    val r = Microstructure.twap1h(stg).head()
+    // trade 1 holds 0µs; trade 2 holds the whole hour -> twap = 30
+    assert(r.getAs[java.math.BigDecimal]("twap").doubleValue() === 30.0)
+  }
+
+  test("flow imbalance splits volume by side") {
+    val stg = Seq(
+      (1L, "X", "buy", "2.00000000"), (2L, "X", "buy", "2.00000000"),
+      (3L, "X", "buy", "2.00000000"), (4L, "X", "sell", "1.00000000"))
+      .toDF("trade_id", "product_id", "side", "sz")
+      .select(col("trade_id"), col("product_id"), col("side"),
+        col("sz").cast("decimal(18,8)").as("size"))
+      .withColumn("minute_bucket",
+        lit("2024-01-01 10:00:00").cast("timestamp_ntz"))
+    val r = Microstructure.flowImbalance(stg).head()
+    assert(r.getAs[java.math.BigDecimal]("buy_volume").doubleValue() === 6.0)
+    assert(r.getAs[java.math.BigDecimal]("sell_volume").doubleValue() === 1.0)
+    assert(r.getAs[Long]("n_buys") === 3L && r.getAs[Long]("n_sells") === 1L)
+    assert(r.getAs[Double]("imbalance") === 5.0 / 7.0)
+  }
+}
