@@ -499,6 +499,31 @@ object Oracles {
         |      / NULLIF(CAST(SUM(hold_us) AS DOUBLE), 0.0), 8) AS DECIMAL(18,8)) AS DOUBLE) AS twap
         |FROM t GROUP BY 1, 2""".stripMargin),
 
+    // Pearson r per product pair from exact decimal components (the
+    // anomaly-detector cancellation trick), rounded at 8 decimals.
+    "pair_correlation" -> withTrades("h1",
+      """, pc AS (
+        |  SELECT a.window_start, a.product_id AS product_a,
+        |    b.product_id AS product_b, a.close AS x, b.close AS y
+        |  FROM h1 a JOIN h1 b
+        |    ON a.window_start = b.window_start AND a.product_id < b.product_id
+        |), agg AS (
+        |  SELECT product_a, product_b, COUNT(*) AS n_hours,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(CAST(x AS DECIMAL(19,8)) * y AS DECIMAL(38,16))) AS sxy,
+        |    SUM(CAST(CAST(x AS DECIMAL(19,8)) * x AS DECIMAL(38,16))) AS sxx,
+        |    SUM(CAST(CAST(y AS DECIMAL(19,8)) * y AS DECIMAL(38,16))) AS syy
+        |  FROM pc GROUP BY 1, 2)
+        |SELECT product_a, product_b, CAST(n_hours AS BIGINT) AS n_hours,
+        |  round(CAST(CAST(n_hours AS DECIMAL(6,0)) * CAST(sxy AS DECIMAL(30,16))
+        |      - CAST(sx AS DECIMAL(19,8)) * CAST(sy AS DECIMAL(18,8)) AS DOUBLE)
+        |    / NULLIF(sqrt(
+        |        CAST(CAST(n_hours AS DECIMAL(6,0)) * CAST(sxx AS DECIMAL(30,16))
+        |          - CAST(sx AS DECIMAL(19,8)) * CAST(sx AS DECIMAL(18,8)) AS DOUBLE) *
+        |        CAST(CAST(n_hours AS DECIMAL(6,0)) * CAST(syy AS DECIMAL(30,16))
+        |          - CAST(sy AS DECIMAL(19,8)) * CAST(sy AS DECIMAL(18,8)) AS DOUBLE)), 0.0), 8) AS corr
+        |FROM agg""".stripMargin),
+
     "flow_imbalance" -> withTrades("stg",
       """SELECT product_id, minute_bucket AS window_start,
         |  CAST(bv AS DOUBLE) AS buy_volume, CAST(sv AS DOUBLE) AS sell_volume,

@@ -80,6 +80,9 @@ object SparkEntry {
     "anomaly_zscore" -> ((s, dir) =>
       Ohlcv.anomalyZscore(Ohlcv.ohlcv1m(stg(s, dir)))),
     "twap_1h" -> ((s, dir) => Microstructure.twap1h(stg(s, dir))),
+    "pair_correlation" -> ((s, dir) =>
+      Microstructure.pairCorrelation(
+        Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg(s, dir))))),
     "flow_imbalance" -> ((s, dir) =>
       Microstructure.flowImbalance(stg(s, dir))),
     "price_latest" -> { (s, dir) =>

@@ -55,6 +55,53 @@ object Microstructure {
           .cast("decimal(18,8)").as("twap"))
   }
 
+  /** Pairwise close-price correlation between products over hourly
+    * candles — the cross-pair correlation matrix a crypto analytics
+    * mart serves. For each unordered product pair (a < b), Pearson r
+    * over the hours BOTH traded.
+    *
+    * Determinism: the three Pearson components
+    * `n·Σxy − Σx·Σy`, `n·Σx² − (Σx)²`, `n·Σy² − (Σy)²` are computed in
+    * EXACT decimal arithmetic (the anomaly-detector cancellation trick:
+    * constant series cancel to literal zero), then one double division
+    * + sqrt, rounded at 8 decimals to absorb the decimal→double
+    * conversion ulp. Constant legs null the correlation via NULLIF.
+    *
+    * Scale: one shuffle co-partitions candles by hour for the
+    * self-join, one more reduces to ‖pairs‖ rows. The intermediate is
+    * ‖pairs × joint hours‖ — fine for a watchlist of products; for
+    * thousands, pass a restricted `pairs` list (the join pruning then
+    * happens on the broadcast side). */
+  def pairCorrelation(h1: DataFrame): DataFrame = {
+    val a = h1.select(col("window_start"),
+      col("product_id").as("product_a"), col("close").as("x"))
+    val b = h1.select(col("window_start"),
+      col("product_id").as("product_b"), col("close").as("y"))
+    a.join(b, "window_start").filter(col("product_a") < col("product_b"))
+      .withColumn("xy", (col("x") * col("y")).cast("decimal(38,16)"))
+      .withColumn("xx", (col("x") * col("x")).cast("decimal(38,16)"))
+      .withColumn("yy", (col("y") * col("y")).cast("decimal(38,16)"))
+      .groupBy("product_a", "product_b")
+      .agg(count(lit(1)).as("n_hours"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum("xy").as("sxy"), sum("xx").as("sxx"), sum("yy").as("syy"))
+      .withColumn("num",
+        col("n_hours").cast("decimal(6,0)") * col("sxy").cast("decimal(30,16)")
+          - col("sx").cast("decimal(18,8)") * col("sy").cast("decimal(18,8)"))
+      .withColumn("den_x",
+        col("n_hours").cast("decimal(6,0)") * col("sxx").cast("decimal(30,16)")
+          - col("sx").cast("decimal(18,8)") * col("sx").cast("decimal(18,8)"))
+      .withColumn("den_y",
+        col("n_hours").cast("decimal(6,0)") * col("syy").cast("decimal(30,16)")
+          - col("sy").cast("decimal(18,8)") * col("sy").cast("decimal(18,8)"))
+      .withColumn("corr",
+        graft.functions.Rounding.roundScaled(
+          col("num").cast("double") /
+            nullif(sqrt(col("den_x").cast("double") *
+              col("den_y").cast("double")), lit(0.0d)), 8))
+      .select("product_a", "product_b", "n_hours", "corr")
+  }
+
   /** Per-product-minute order-flow imbalance: buy vs sell volume split
     * from the trade side, `imbalance = (buy − sell) / (buy + sell)` —
     * the classic flow-pressure signal. Exact decimal side sums; the

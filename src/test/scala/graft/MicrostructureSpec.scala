@@ -41,6 +41,27 @@ class MicrostructureSpec extends GraftSuite {
     assert(r.getAs[java.math.BigDecimal]("twap").doubleValue() === 30.0)
   }
 
+  test("pair correlation: linear legs r=1, inverted r=-1, constant null") {
+    // product A: 10,20,30; B = 2*A -> r=1; C = 40-A -> r=-1; D constant
+    val rows = Seq("2024-01-01 10:00:00", "2024-01-01 11:00:00",
+      "2024-01-01 12:00:00").zip(Seq(10.0, 20.0, 30.0)).flatMap {
+      case (ts, v) => Seq(("A", ts, v), ("B", ts, 2 * v),
+        ("C", ts, 40 - v), ("D", ts, 7.0))
+    }
+    val h1 = rows.toDF("product_id", "ts", "c")
+      .select(col("product_id"),
+        col("ts").cast("timestamp_ntz").as("window_start"),
+        col("c").cast("decimal(18,8)").as("close"))
+    val got = Microstructure.pairCorrelation(h1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[Any]("corr")).map(_.asInstanceOf[Double])).toMap
+    assert(got.size === 6) // all unordered pairs of 4 products
+    assert(got(("A", "B")).contains(1.0))
+    assert(got(("A", "C")).contains(-1.0))
+    assert(got(("A", "D")).isEmpty) // constant leg -> null
+    assert(got(("B", "C")).contains(-1.0))
+  }
+
   test("flow imbalance splits volume by side") {
     val stg = Seq(
       (1L, "X", "buy", "2.00000000"), (2L, "X", "buy", "2.00000000"),
