@@ -118,6 +118,52 @@ object BronzeStream {
       col("volume"), col("trade_count"), col("vwap"))
   }
 
+  /** Real-time order-flow imbalance: the streaming twin of
+    * [[graft.operators.Microstructure.flowImbalance]] — same exact
+    * decimal side-split sums over event-time minute windows with
+    * watermark-bounded state, so the settled stream is bit-identical
+    * to the batch rollup (equivalence-tested). */
+  def streamingFlowImbalance(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRawSchema(spark, dir)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val tsCol =
+      if (schema("ts").dataType == LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts").cast("timestamp")
+    val trades = Bronze.ingest(raw.withColumn("ts", tsCol))
+      .withColumn("price", col("price").cast("decimal(18,8)"))
+      .withColumn("size", col("size").cast("decimal(18,8)"))
+      .filter(col("price") > 0 && col("size") > 0)
+
+    val agg = trades
+      .withWatermark("trade_time", "10 minutes")
+      .groupBy(window(col("trade_time"), "1 minute"), col("product_id"))
+      .agg(
+        sum(when(col("side") === "buy", col("size")).otherwise(lit(0)))
+          .cast("decimal(18,8)").as("buy_volume"),
+        sum(when(col("side") === "sell", col("size")).otherwise(lit(0)))
+          .cast("decimal(18,8)").as("sell_volume"),
+        sum(when(col("side") === "buy", 1L).otherwise(0L)).as("n_buys"),
+        sum(when(col("side") === "sell", 1L).otherwise(0L)).as("n_sells"))
+
+    val name = s"flow_stream_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(name).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(name).select(
+      col("window.start").cast("timestamp_ntz").as("window_start"),
+      col("product_id"), col("buy_volume"), col("sell_volume"),
+      col("n_buys"), col("n_sells"),
+      ((col("buy_volume").cast("double") - col("sell_volume").cast("double")) /
+        (col("buy_volume").cast("double") + col("sell_volume").cast("double")))
+        .as("imbalance"))
+  }
+
   /** Checkpointed bronze table append — the deployment-shaped sink the
     * reference uses (`streaming_bronze_writer.py:170-180`: checkpointed
     * append to the bronze table): raw event files stream in, the bronze

@@ -62,6 +62,30 @@ class MicrostructureSpec extends GraftSuite {
     assert(got(("B", "C")).contains(-1.0))
   }
 
+  test("streaming flow imbalance equals the batch aggregation") {
+    import graft.sources.Tables
+    val s = graft.streaming.BronzeStream.streamingFlowImbalance(spark, sf)
+    val batch = graft.operators.Bronze.ingest(Tables.events(spark, sf))
+      .withColumn("size", col("size").cast("decimal(18,8)"))
+      .filter(col("price") > 0 && col("size") > 0)
+      .groupBy(window(col("trade_time").cast("timestamp"), "1 minute"),
+        col("product_id"))
+      .agg(
+        sum(when(col("side") === "buy", col("size")).otherwise(lit(0)))
+          .cast("decimal(18,8)").as("buy_volume"),
+        sum(when(col("side") === "sell", col("size")).otherwise(lit(0)))
+          .cast("decimal(18,8)").as("sell_volume"),
+        sum(when(col("side") === "buy", 1L).otherwise(0L)).as("n_buys"),
+        sum(when(col("side") === "sell", 1L).otherwise(0L)).as("n_sells"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("product_id"), col("buy_volume"), col("sell_volume"),
+        col("n_buys"), col("n_sells"))
+    val sv = s.drop("imbalance")
+    assert(sv.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(sv).count() === 0)
+    assert(s.count() > 0)
+  }
+
   test("flow imbalance splits volume by side") {
     val stg = Seq(
       (1L, "X", "buy", "2.00000000"), (2L, "X", "buy", "2.00000000"),
