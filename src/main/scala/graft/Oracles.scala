@@ -667,6 +667,23 @@ object Oracles {
          |SELECT v AS doc_id, MIN(u) AS cluster_id, v = MIN(u) AS is_canonical
          |FROM reach GROUP BY v""".stripMargin,
 
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS v, doc_b AS u FROM pairs
+         |  UNION
+         |  SELECT doc_b AS v, doc_a AS u FROM pairs),
+         |verts AS (SELECT DISTINCT v FROM edges),
+         |reach(v, u) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v),
+         |comp AS (SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY v),
+         |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY 1""".stripMargin,
+
     "dedup_minhash" ->
       s"""WITH $shinglesCte,
          |sids AS (

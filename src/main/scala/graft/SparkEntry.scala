@@ -130,6 +130,9 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, dir)))),
+    "dedup_cluster_stats" -> ((s, dir) =>
+      Dedup.clusterStats(
+        Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, dir))))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>

@@ -268,6 +268,17 @@ object Dedup {
       (col("v") === col("label")).as("is_canonical"))
   }
 
+  /** Duplicate-cluster size distribution — the curation report on top
+    * of [[clusters]]: how many clusters of each size exist and how many
+    * documents they hold (docs − clusters = removable duplicates). Two
+    * tiny shuffles over the already-reduced label table; exact integer
+    * counts on both engines. */
+  def clusterStats(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** Per-doc 60-bit SimHash fingerprint over distinct-word hashes.
     * The word-hash array is persisted before the 60-bit fold: the fold
     * references `hs` once per bit, and without the barrier projection

@@ -231,6 +231,16 @@ class LlmOpsSpec extends GraftSuite {
     assert(frames.exceptAll(again).count() === 0)
   }
 
+  test("cluster stats roll the label table into a size histogram") {
+    val stats = Dedup.clusterStats(
+      Dedup.clusters(Dedup.ngramJaccard(docs, 0.6))).collect()
+    // docs 0,1,2 form one near-dup cluster; doc 3 has no edges
+    assert(stats.length === 1)
+    assert(stats.head.getAs[Long]("cluster_size") === 3L)
+    assert(stats.head.getAs[Long]("n_clusters") === 1L)
+    assert(stats.head.getAs[Long]("n_docs") === 3L)
+  }
+
   test("repetition: sorted-run fold finds the top word count, bigram dups exact") {
     val rep = Seq(
       (0L, "a a a b a a a a a a", 19L),             // 9×'a' of 10 words
