@@ -35,9 +35,15 @@ object AsofJoin {
     *
     * @param pick right-side payload columns to carry onto left rows;
     *             names must not collide with left columns.
+    * @param tolerance optional max staleness as a Spark interval string
+    *             (e.g. "2 hours"): a right row older than
+    *             `leftTs − tolerance` is treated as NO match (the
+    *             pandas `merge_asof(tolerance=...)` / kdb window-join
+    *             bound). Requires timestamp-typed ts columns.
     */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTs: String, rightTs: String, pick: Seq[String]): DataFrame = {
+           leftTs: String, rightTs: String, pick: Seq[String],
+           tolerance: Option[String] = None): DataFrame = {
     val r = right.select(
       (keys.map(col) :+ col(rightTs).as("_asof_ts") :+
         lit(0).as("_asof_side")) ++ pick.map(c => col(c).as(s"_asof_$c")): _*)
@@ -47,12 +53,23 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_ts"), col("_asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all payload columns in ONE select => a single Window operator
+    // all payload columns (and the matched right ts for the staleness
+    // bound) in ONE select => a single Window operator
     val u = l.unionByName(r, allowMissingColumns = true)
-    val joined = u.select(u.columns.map(col).toSeq ++ pick.map(c =>
-      last(col(s"_asof_$c"), ignoreNulls = true).over(w).as(c)): _*)
-    joined.filter(col("_asof_side") === 1)
-      .drop("_asof_ts" +: "_asof_side" +: pick.map(c => s"_asof_$c"): _*)
+    val matchedTs = last(when(col("_asof_side") === 0, col("_asof_ts")),
+      ignoreNulls = true).over(w)
+    val joined = u.select(u.columns.map(col).toSeq ++
+      pick.map(c => last(col(s"_asof_$c"), ignoreNulls = true).over(w).as(c)) :+
+      matchedTs.as("_asof_matched_ts"): _*)
+    val bounded = tolerance.fold(joined) { t =>
+      pick.foldLeft(joined) { (df, c) =>
+        df.withColumn(c, when(col("_asof_matched_ts") >=
+          col("_asof_ts") - expr(s"INTERVAL $t"), col(c)))
+      }
+    }
+    bounded.filter(col("_asof_side") === 1)
+      .drop("_asof_ts" +: "_asof_side" +: "_asof_matched_ts" +:
+        pick.map(c => s"_asof_$c"): _*)
   }
 
   /** Query wrapper: each staging trade marked against the most recent

@@ -37,6 +37,17 @@ class AsofJoinSpec extends GraftSuite {
       4L -> Some(200.0d), 5L -> Some(300.0d)))
   }
 
+  test("asof tolerance rejects matches older than the staleness bound") {
+    val got = AsofJoin.asof(left, right, Seq("k"), "lts", "rts", Seq("p"),
+      tolerance = Some("30 minutes")).select("id", "p").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // id 2 matches at 0 lag, id 4 at 1s lag; id 3 (59:59 stale) and
+    // id 5 (15m lag) sit on either side of the 30-minute bound
+    assert(got === Map(
+      1L -> None, 2L -> Some(100.0d), 3L -> None,
+      4L -> Some(200.0d), 5L -> Some(300.0d)))
+  }
+
   test("asof preserves every left row and all left columns") {
     val out = AsofJoin.asof(left, right, Seq("k"), "lts", "rts", Seq("p"))
     assert(out.count() === left.count())
