@@ -911,6 +911,25 @@ object Oracles {
         |  (top_word_frac <= 0.10 AND dup_bigram_frac <= 0.10) AS repetition_pass
         |FROM f""".stripMargin,
 
+    // Top-k bigram pairs with conditional probability; tie-break is
+    // (count DESC, token_a, token_b) so LIMIT is deterministic.
+    "bigram_lm" ->
+      """WITH dt AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |), bg AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count,
+        |    split_part(pair, ' ', 1) AS token_a,
+        |    split_part(pair, ' ', 2) AS token_b
+        |  FROM (SELECT UNNEST([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS pair FROM dt)
+        |  GROUP BY 1
+        |), uni AS (
+        |  SELECT t AS token_a, CAST(COUNT(*) AS BIGINT) AS unigram_count
+        |  FROM (SELECT UNNEST(w) AS t FROM dt) GROUP BY 1)
+        |SELECT bg.token_a, bg.token_b, bg.pair_count, uni.unigram_count,
+        |  CAST(bg.pair_count AS DOUBLE) / CAST(uni.unigram_count AS DOUBLE) AS cond_p
+        |FROM bg JOIN uni ON bg.token_a = uni.token_a
+        |ORDER BY bg.pair_count DESC, bg.token_a, bg.token_b LIMIT 100""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,

@@ -163,6 +163,8 @@ object SparkEntry {
       TextAnalysis.tokenPercentiles(Tables.documents(s, dir))),
     "repetition_quality" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir))),
+    "bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "sequence_packing" -> ((s, dir) =>

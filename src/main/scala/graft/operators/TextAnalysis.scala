@@ -310,6 +310,37 @@ object TextAnalysis {
         "n_bigrams", "n_distinct_bigrams", "dup_bigram_frac",
         "repetition_pass")
 
+  /** Bigram language-model statistics — the merge-pair counting step of
+    * BPE tokenizer training and the conditional-probability table of an
+    * n-gram LM: top-k adjacent token pairs by corpus count, each with
+    * P(b|a) = count(a b) / count(a).
+    *
+    * Scale: bigrams come from the same lambda-args-only `zip_with` as
+    * [[repetition]] (no cross-doc state), pair and unigram counts are
+    * one shuffle each with map-side partials (heavy-hitter pairs
+    * combine before the exchange), the conditional joins pair counts to
+    * unigram counts on the first-token key, and the global top-k is a
+    * bounded `TakeOrderedAndProject`, never a full sort. */
+  def bigramLm(docs: DataFrame, k: Int = 100): DataFrame = {
+    val bg = docs
+      .withColumn("w", tokens)
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("pair_count"))
+      .withColumn("token_a", element_at(split(col("pair"), " "), 1))
+      .withColumn("token_b", element_at(split(col("pair"), " "), 2))
+    val uni = docs
+      .select(explode(tokens).as("token_a"))
+      .groupBy("token_a").agg(count(lit(1)).as("unigram_count"))
+    bg.join(uni, "token_a")
+      .withColumn("cond_p",
+        col("pair_count").cast("double") / col("unigram_count").cast("double"))
+      .select("token_a", "token_b", "pair_count", "unigram_count", "cond_p")
+      .orderBy(col("pair_count").desc, col("token_a"), col("token_b"))
+      .limit(k)
+  }
+
   /** Document fingerprinting: content md5 + length + a 64-char-prefix
     * polynomial rolling hash (31^i mod 1e9+7). Pure projection. */
   def fingerprint(docs: DataFrame): DataFrame =

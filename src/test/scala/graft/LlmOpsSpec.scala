@@ -231,6 +231,22 @@ class LlmOpsSpec extends GraftSuite {
     assert(frames.exceptAll(again).count() === 0)
   }
 
+  test("bigram LM: pair counts and conditional probabilities are exact") {
+    val corpus = Seq(
+      (0L, "a b a b a c", 11L), (1L, "a b x", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.bigramLm(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("pair_count"), r.getAs[Long]("unigram_count"),
+          r.getAs[Double]("cond_p"))).toMap
+    // 'a' appears 4x; 'a b' 3x -> P(b|a)=0.75; 'a c' 1x -> 0.25
+    assert(got(("a", "b")) === ((3L, 4L, 0.75)))
+    assert(got(("a", "c")) === ((1L, 4L, 0.25)))
+    // 'b a' 2x of 3 b's; 'b x' 1x
+    assert(got(("b", "a")) === ((2L, 3L, 2.0 / 3.0)))
+    assert(got(("b", "x")) === ((1L, 3L, 1.0 / 3.0)))
+  }
+
   test("cluster stats roll the label table into a size histogram") {
     val stats = Dedup.clusterStats(
       Dedup.clusters(Dedup.ngramJaccard(docs, 0.6))).collect()
