@@ -516,12 +516,12 @@ object Oracles {
         |  FROM pc GROUP BY 1, 2)
         |SELECT product_a, product_b, CAST(n_hours AS BIGINT) AS n_hours,
         |  round(CAST(CAST(n_hours AS DECIMAL(6,0)) * CAST(sxy AS DECIMAL(30,16))
-        |      - CAST(sx AS DECIMAL(19,8)) * CAST(sy AS DECIMAL(18,8)) AS DOUBLE)
+        |      - CAST(sx AS DECIMAL(19,8)) * CAST(sy AS DECIMAL(19,8)) AS DOUBLE)
         |    / NULLIF(sqrt(
         |        CAST(CAST(n_hours AS DECIMAL(6,0)) * CAST(sxx AS DECIMAL(30,16))
-        |          - CAST(sx AS DECIMAL(19,8)) * CAST(sx AS DECIMAL(18,8)) AS DOUBLE) *
+        |          - CAST(sx AS DECIMAL(19,8)) * CAST(sx AS DECIMAL(19,8)) AS DOUBLE) *
         |        CAST(CAST(n_hours AS DECIMAL(6,0)) * CAST(syy AS DECIMAL(30,16))
-        |          - CAST(sy AS DECIMAL(19,8)) * CAST(sy AS DECIMAL(18,8)) AS DOUBLE)), 0.0), 8) AS corr
+        |          - CAST(sy AS DECIMAL(19,8)) * CAST(sy AS DECIMAL(19,8)) AS DOUBLE)), 0.0), 8) AS corr
         |FROM agg""".stripMargin),
 
     "flow_imbalance" -> withTrades("stg",

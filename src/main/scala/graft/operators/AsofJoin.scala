@@ -53,22 +53,24 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_ts"), col("_asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all payload columns (and the matched right ts for the staleness
-    // bound) in ONE select => a single Window operator
+    // Deposit the matched right row as ONE struct (ts + all payloads):
+    // per-column last(ignoreNulls) would skip a matched row's NULL
+    // payload and fall back to an OLDER row — wrong vs ASOF semantics,
+    // and different picks could then come from different right rows.
+    // A single struct deposit is also a single Window expression.
     val u = l.unionByName(r, allowMissingColumns = true)
-    val matchedTs = last(when(col("_asof_side") === 0, col("_asof_ts")),
-      ignoreNulls = true).over(w)
-    val joined = u.select(u.columns.map(col).toSeq ++
-      pick.map(c => last(col(s"_asof_$c"), ignoreNulls = true).over(w).as(c)) :+
-      matchedTs.as("_asof_matched_ts"): _*)
-    val bounded = tolerance.fold(joined) { t =>
-      pick.foldLeft(joined) { (df, c) =>
-        df.withColumn(c, when(col("_asof_matched_ts") >=
-          col("_asof_ts") - expr(s"INTERVAL $t"), col(c)))
-      }
+    val payload = struct(col("_asof_ts").as("_mts") +:
+      pick.map(c => col(s"_asof_$c").as(c)): _*)
+    val joined = u.withColumn("_asof_match",
+      last(when(col("_asof_side") === 0, payload), ignoreNulls = true).over(w))
+    val inTolerance = tolerance.fold(lit(true)) { t =>
+      col("_asof_match._mts") >= col("_asof_ts") - expr(s"INTERVAL $t")
     }
-    bounded.filter(col("_asof_side") === 1)
-      .drop("_asof_ts" +: "_asof_side" +: "_asof_matched_ts" +:
+    val withPicks = pick.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(inTolerance, col(s"_asof_match.$c")))
+    }
+    withPicks.filter(col("_asof_side") === 1)
+      .drop("_asof_ts" +: "_asof_side" +: "_asof_match" +:
         pick.map(c => s"_asof_$c"): _*)
   }
 

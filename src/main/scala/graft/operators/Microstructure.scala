@@ -42,8 +42,12 @@ object Microstructure {
           lead(col("trade_time"), 1).over(w),
           expr("timestampadd(HOUR, 1, hour_bucket)")).cast("timestamp")) -
           unix_micros(col("trade_time").cast("timestamp")))
+      // hold cast is (19,0), NOT (20,0): price(18,8) x (20,0) would hit
+      // Spark's precision-39 overflow rule and silently truncate the
+      // product scale to 7; 18+19+1 = 38 keeps the multiply exact at
+      // scale 8 (hold_us <= 3.6e9 fits 19 digits with room to spare)
       .withColumn("price_hold",
-        (col("price") * col("hold_us").cast("decimal(20,0)"))
+        (col("price") * col("hold_us").cast("decimal(19,0)"))
           .cast("decimal(38,8)"))
       .groupBy(col("product_id"), col("hour_bucket").as("window_start"))
       .agg(
@@ -85,15 +89,18 @@ object Microstructure {
       .agg(count(lit(1)).as("n_hours"),
         sum("x").as("sx"), sum("y").as("sy"),
         sum("xy").as("sxy"), sum("xx").as("sxx"), sum("yy").as("syy"))
+      // (19,8) sum casts: sized for Σ|close| per leg < ~3e10 (an (18,8)
+      // cast would silently overflow→NULL at 1e10, inside plausible
+      // envelopes); (19,8)x(19,8) stays exact decimal(38,16) in Spark
       .withColumn("num",
         col("n_hours").cast("decimal(6,0)") * col("sxy").cast("decimal(30,16)")
-          - col("sx").cast("decimal(18,8)") * col("sy").cast("decimal(18,8)"))
+          - col("sx").cast("decimal(19,8)") * col("sy").cast("decimal(19,8)"))
       .withColumn("den_x",
         col("n_hours").cast("decimal(6,0)") * col("sxx").cast("decimal(30,16)")
-          - col("sx").cast("decimal(18,8)") * col("sx").cast("decimal(18,8)"))
+          - col("sx").cast("decimal(19,8)") * col("sx").cast("decimal(19,8)"))
       .withColumn("den_y",
         col("n_hours").cast("decimal(6,0)") * col("syy").cast("decimal(30,16)")
-          - col("sy").cast("decimal(18,8)") * col("sy").cast("decimal(18,8)"))
+          - col("sy").cast("decimal(19,8)") * col("sy").cast("decimal(19,8)"))
       .withColumn("corr",
         graft.functions.Rounding.roundScaled(
           col("num").cast("double") /

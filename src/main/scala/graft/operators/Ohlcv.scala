@@ -87,12 +87,19 @@ object Ohlcv {
     * maintains the sliding RANGE frame incrementally over the sorted
     * run. Input is |products × minutes| candle rows (already reduced
     * from trades), so the window never sees raw fact-table volume. */
-  def rolling(m1: DataFrame, minutes: Int = 15): DataFrame = {
-    // NTZ has no direct long cast; NTZ->LTZ is value-preserving in the
-    // UTC session, and LTZ->long is epoch seconds (= DuckDB epoch()).
-    val w = Window.partitionBy("product_id")
+  /** Trailing time-RANGE frame over candles: partition by product,
+    * order by epoch seconds (NTZ has no direct long cast; NTZ→LTZ is
+    * value-preserving in the UTC session and LTZ→long is epoch seconds
+    * = DuckDB `epoch()`), last `minutes` minutes inclusive. Shared by
+    * [[rolling]] and [[anomalyZscore]] so their frames cannot drift
+    * from each other or the oracle's 840-PRECEDING constant. */
+  private def trailingWindow(minutes: Int) =
+    Window.partitionBy("product_id")
       .orderBy(col("window_start").cast("timestamp").cast("long"))
       .rangeBetween(-(minutes - 1) * 60L, 0L)
+
+  def rolling(m1: DataFrame, minutes: Int = 15): DataFrame = {
+    val w = trailingWindow(minutes)
     // all five frame aggregates in ONE select => one Window operator,
     // one sort (chained withColumn would stack a Window+Sort per metric)
     m1.select(col("product_id"), col("window_start"), col("close"),
@@ -157,9 +164,7 @@ object Ohlcv {
     * [[rolling]]; input is candle rows, not trades. */
   def anomalyZscore(m1: DataFrame, minutes: Int = 15,
                     zThresh: Double = 2.0d): DataFrame = {
-    val w = Window.partitionBy("product_id")
-      .orderBy(col("window_start").cast("timestamp").cast("long"))
-      .rangeBetween(-(minutes - 1) * 60L, 0L)
+    val w = trailingWindow(minutes)
     m1.select(col("product_id"), col("window_start"), col("close"),
         (col("close") * col("close")).cast("decimal(38,16)").as("close_sq"))
       .select(col("product_id"), col("window_start"), col("close"),

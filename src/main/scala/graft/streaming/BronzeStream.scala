@@ -28,21 +28,34 @@ object BronzeStream {
 
   /** Stream events → bronze → 5-minute windowed volume per product;
     * runs to completion (availableNow) and returns the settled result. */
-  def windowedVolume(spark: SparkSession, dir: String): DataFrame = {
+  /** Raw event file stream → bronze trade columns (nanos-ts
+    * normalized) — the shared preamble of every streaming twin.
+    * File stream sources take a directory, so the glob selects just
+    * the events file. Watermarks require TIMESTAMP (LTZ); the session
+    * is UTC so wall-clock values match the NTZ batch model (twins cast
+    * back after windowing). */
+  private def bronzeStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.eventsRawSchema(spark, dir)
-    // File stream sources take a directory; select just the events file.
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    // Watermarks require TIMESTAMP (LTZ); session is UTC so wall-clock
-    // values match the NTZ batch model — cast back after windowing.
     val tsCol =
       if (schema("ts").dataType == LongType)
         expr("timestamp_micros(ts div 1000)")
       else col("ts").cast("timestamp")
-    val bronze = Bronze.ingest(raw.withColumn("ts", tsCol))
+    Bronze.ingest(raw.withColumn("ts", tsCol))
+  }
 
-    val agg = bronze
+  /** [[bronzeStream]] plus the silver decimal casts and validity
+    * filter — the in-stream staging the candle/flow twins aggregate. */
+  private def stagedStream(spark: SparkSession, dir: String): DataFrame =
+    bronzeStream(spark, dir)
+      .withColumn("price", col("price").cast("decimal(18,8)"))
+      .withColumn("size", col("size").cast("decimal(18,8)"))
+      .filter(col("price") > 0 && col("size") > 0)
+
+  def windowedVolume(spark: SparkSession, dir: String): DataFrame = {
+    val agg = bronzeStream(spark, dir)
       .withWatermark("trade_time", "10 minutes")
       .groupBy(window(col("trade_time"), "5 minutes"), col("product_id"))
       .agg(count(lit(1)).as("n_trades"),
@@ -74,21 +87,10 @@ object BronzeStream {
     * deployment appends closed windows (append mode + watermark) to
     * the candle table. */
   def streamingCandles(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.eventsRawSchema(spark, dir)
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val tsCol =
-      if (schema("ts").dataType == LongType)
-        expr("timestamp_micros(ts div 1000)")
-      else col("ts").cast("timestamp")
-    val trades = Bronze.ingest(raw.withColumn("ts", tsCol))
-      .withColumn("price", col("price").cast("decimal(18,8)"))
-      .withColumn("size", col("size").cast("decimal(18,8)"))
+    val trades = stagedStream(spark, dir)
       .withColumn("trade_value",
         (col("price").cast("double") * col("size").cast("double"))
           .cast("decimal(18,8)"))
-      .filter(col("price") > 0 && col("size") > 0)
 
     val agg = trades
       .withWatermark("trade_time", "10 minutes")
@@ -124,20 +126,7 @@ object BronzeStream {
     * watermark-bounded state, so the settled stream is bit-identical
     * to the batch rollup (equivalence-tested). */
   def streamingFlowImbalance(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.eventsRawSchema(spark, dir)
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val tsCol =
-      if (schema("ts").dataType == LongType)
-        expr("timestamp_micros(ts div 1000)")
-      else col("ts").cast("timestamp")
-    val trades = Bronze.ingest(raw.withColumn("ts", tsCol))
-      .withColumn("price", col("price").cast("decimal(18,8)"))
-      .withColumn("size", col("size").cast("decimal(18,8)"))
-      .filter(col("price") > 0 && col("size") > 0)
-
-    val agg = trades
+    val agg = stagedStream(spark, dir)
       .withWatermark("trade_time", "10 minutes")
       .groupBy(window(col("trade_time"), "1 minute"), col("product_id"))
       .agg(
@@ -199,15 +188,7 @@ object BronzeStream {
     * (`bronze_to_silver.py:96-105`), with state bounded by the
     * watermark instead of an unbounded seen-keys set. */
   def dedupedTrades(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.eventsRawSchema(spark, dir)
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val tsCol =
-      if (schema("ts").dataType == LongType)
-        expr("timestamp_micros(ts div 1000)")
-      else col("ts").cast("timestamp")
-    val bronze = Bronze.ingest(raw.withColumn("ts", tsCol))
+    val bronze = bronzeStream(spark, dir)
     // deterministic at-least-once redelivery, streaming flavor
     val dup = bronze.filter(col("trade_id") % 10 === 0)
       .withColumn("ingested_at", expr("timestampadd(SECOND, 900, ingested_at)"))

@@ -48,6 +48,20 @@ class AsofJoinSpec extends GraftSuite {
       4L -> Some(200.0d), 5L -> Some(300.0d)))
   }
 
+  test("asof preserves a matched row's NULL payload (no older-row fallback)") {
+    val rightN = Seq(
+      ("a", "2024-01-01 10:00:00", Some(100.0d)),
+      ("a", "2024-01-01 11:00:00", None: Option[Double]))
+      .toDF("k", "rts", "p")
+      .select(col("k"), ts("rts").as("rts"), col("p"))
+    val lateLeft = Seq((9L, "a", "2024-01-01 11:30:00")).toDF("id", "k", "lts")
+      .select(col("id"), col("k"), ts("lts").as("lts"))
+    val got = AsofJoin.asof(lateLeft, rightN, Seq("k"), "lts", "rts", Seq("p"))
+      .head()
+    // the 11:00 row is the match; its NULL must NOT fall back to 100.0
+    assert(got.isNullAt(got.fieldIndex("p")))
+  }
+
   test("asof preserves every left row and all left columns") {
     val out = AsofJoin.asof(left, right, Seq("k"), "lts", "rts", Seq("p"))
     assert(out.count() === left.count())
