@@ -215,6 +215,46 @@ object TextAnalysis {
       at(99, 100).as("p99_tokens"))
   }
 
+  /** The 100 TB path of [[tokenPercentiles]]: mergeable
+    * Greenwald-Khanna sketches (`percentile_approx`) instead of exact
+    * discrete ranks — a single pass with map-side partial sketches and
+    * NO per-language sort, at bounded rank error 1/`accuracy`. Exact
+    * ranks need the window sort, which is the one per-language
+    * scale hazard in the exact operator; this variant trades ≤0.1%
+    * rank error (default) for sort-free linear scaling.
+    *
+    * Not oracle-checked (sketch internals are engine-specific — GK
+    * results are only rank-bounded, not bit-stable across engines);
+    * the ScalaTest bounds its deviation against the exact operator. */
+  def tokenPercentilesApprox(docs: DataFrame,
+                             accuracy: Int = 1000): DataFrame =
+    docs.select(col("lang"),
+        size(tokens).cast("bigint").as("ws_tokens"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile_approx(col("ws_tokens"), lit(0.5), lit(accuracy))
+          .as("p50_tokens"),
+        percentile_approx(col("ws_tokens"), lit(0.9), lit(accuracy))
+          .as("p90_tokens"),
+        percentile_approx(col("ws_tokens"), lit(0.99), lit(accuracy))
+          .as("p99_tokens"))
+
+  /** The 100 TB path of [[vocabTopK]]'s document frequency and
+    * [[corpusStats]]-style distinct counting: HyperLogLog++ sketches
+    * (`approx_count_distinct`) — constant memory per group and
+    * mergeable partials, vs the exact `countDistinct` whose expand +
+    * dedup cost grows with group cardinality. Relative error defaults
+    * to 2.3% (rsd 0.023); tested against exact counts. */
+  def vocabTopKApprox(docs: DataFrame, k: Int = 100,
+                      rsd: Double = 0.023): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("total_occurrences"),
+        approx_count_distinct(col("doc_id"), rsd).as("doc_freq"))
+      .orderBy(col("total_occurrences").desc, col("token"))
+      .limit(k)
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word-3-gram shingle with the held-out evaluation set (here: the
     * `evalSource` shard) — the standard pre-training decontamination

@@ -231,6 +231,31 @@ class LlmOpsSpec extends GraftSuite {
     assert(frames.exceptAll(again).count() === 0)
   }
 
+  test("approx percentiles and distinct counts stay within sketch bounds") {
+    val corpus = Tables.documents(spark, sf)
+    val exact = TextAnalysis.tokenPercentiles(corpus).collect()
+      .map(r => r.getString(0) -> r).toMap
+    TextAnalysis.tokenPercentilesApprox(corpus).collect().foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getAs[Long]("n_docs") === e.getAs[Long]("n_docs"))
+      // GK sketch at accuracy 1000 on small groups: rank-exact here,
+      // allow one discrete step of slack
+      Seq("p50_tokens", "p90_tokens", "p99_tokens").foreach { c =>
+        val diff = math.abs(r.getAs[Long](c) - e.getAs[Long](c)).toDouble
+        assert(diff <= math.max(2.0, 0.05 * e.getAs[Long](c)),
+          s"$c drifted: approx ${r.getAs[Long](c)} vs exact ${e.getAs[Long](c)}")
+      }
+    }
+    val exactVocab = TextAnalysis.vocabTopK(corpus).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("doc_freq")).toMap
+    TextAnalysis.vocabTopKApprox(corpus).collect().foreach { r =>
+      val e = exactVocab(r.getString(0))
+      // HLL++ at rsd 0.023: allow 3 sigma ~ 7%
+      assert(math.abs(r.getAs[Long]("doc_freq") - e) <= math.max(2.0, 0.07 * e),
+        s"doc_freq for '${r.getString(0)}': ${r.getAs[Long]("doc_freq")} vs $e")
+    }
+  }
+
   test("bigram LM: pair counts and conditional probabilities are exact") {
     val corpus = Seq(
       (0L, "a b a b a c", 11L), (1L, "a b x", 5L))
