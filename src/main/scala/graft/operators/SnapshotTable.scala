@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Versioned parquet table: snapshots, time travel, rollback, expiry.
   *
@@ -102,6 +103,45 @@ object SnapshotTable {
   def rollback(root: String, version: Long): Unit = {
     require(versions(root).contains(version), s"unknown version $version")
     moveMarker(root, version)
+  }
+
+  /** Change data feed between two committed versions — the Delta CDF /
+    * Iceberg changelog analog: row-level inserts, deletes, and updates
+    * keyed by `key`, derived by diffing the two snapshots (full outer
+    * join on the key; an update is a key present in both whose non-key
+    * columns differ). `_change_type` ∈ insert | delete |
+    * update_preimage | update_postimage, plus `_commit_version`.
+    *
+    * Scale: one shuffle joining the two snapshots on the key; at a
+    * deployment the snapshots are parquet tables so the join prunes to
+    * changed partitions when the key embeds the partition column. */
+  def changes(spark: SparkSession, root: String, key: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    val from = read(spark, root, fromVersion)
+    val to = read(spark, root, toVersion)
+    val dataCols = from.columns.filterNot(_ == key).toSeq
+    require(dataCols.toSet == to.columns.filterNot(_ == key).toSet,
+      "schema drift between versions is not diffable by changes()")
+    val f = from.select(col(key).as("_k"),
+      struct(dataCols.map(col): _*).as("_before"))
+    val t = to.select(col(key).as("_k"),
+      struct(dataCols.map(col): _*).as("_after"))
+    val j = f.join(t, Seq("_k"), "full_outer")
+    val ins = j.filter(col("_before").isNull)
+      .select(col("_k"), col("_after").as("_row"),
+        lit("insert").as("_change_type"))
+    val del = j.filter(col("_after").isNull)
+      .select(col("_k"), col("_before").as("_row"),
+        lit("delete").as("_change_type"))
+    val upd = j.filter(col("_before").isNotNull && col("_after").isNotNull &&
+      col("_before") =!= col("_after"))
+    val pre = upd.select(col("_k"), col("_before").as("_row"),
+      lit("update_preimage").as("_change_type"))
+    val post = upd.select(col("_k"), col("_after").as("_row"),
+      lit("update_postimage").as("_change_type"))
+    ins.unionByName(del).unionByName(pre).unionByName(post)
+      .select(col("_k").as(key) +: dataCols.map(c => col(s"_row.$c")) :+
+        col("_change_type") :+ lit(toVersion).as("_commit_version"): _*)
   }
 
   /** Expire old snapshots, keeping the current one, the newest

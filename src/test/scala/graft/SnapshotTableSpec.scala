@@ -86,4 +86,22 @@ class SnapshotTableSpec extends GraftSuite {
     assert(v2 === 2)
     assert(SnapshotTable.latestVersion(root) === 2)
   }
+
+  test("change feed classifies inserts, deletes, and update pre/post images") {
+    val root = Files.createTempDirectory("graft-snap-cdf").toString
+    SnapshotTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root)
+    SnapshotTable.commit(
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v"), root)
+    val ch = SnapshotTable.changes(spark, root, "id", 0L, 1L).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type")) ->
+        r.getAs[String]("v")).toMap
+    assert(ch.size === 4) // unchanged id=1 emits nothing
+    assert(ch((4L, "insert")) === "d")
+    assert(ch((3L, "delete")) === "c")
+    assert(ch((2L, "update_preimage")) === "b")
+    assert(ch((2L, "update_postimage")) === "B")
+    assert(SnapshotTable.changes(spark, root, "id", 0L, 1L)
+      .head().getAs[Long]("_commit_version") === 1L)
+  }
 }
