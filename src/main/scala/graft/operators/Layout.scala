@@ -36,6 +36,42 @@ object Layout {
                    rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Z-order (Morton-curve) layout write — the multi-dimensional
+    * data-skipping technique behind Delta's OPTIMIZE ZORDER: each of
+    * the two numeric columns is min/max-normalized to 16 bits, their
+    * bits interleaved into a curve value, and the data range-
+    * partitioned + sorted by that value before writing. Every output
+    * file then covers a small bounding box in BOTH dimensions, so
+    * parquet min/max statistics skip files for range predicates on
+    * EITHER column (a single-column sort only skips on that column).
+    *
+    * Scale: one range-partitioning shuffle (sampled bounds) at write
+    * time, amortized over every subsequent selective read; the curve
+    * expression is codegen'd bit arithmetic. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    path: String, numFiles: Int = 8): Unit = {
+    val s = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    def norm(c: String, lo: Double, hi: Double): Column =
+      least(lit(65535L), floor(
+        (col(c).cast("double") - lit(lo)) /
+          lit(math.max(hi - lo, java.lang.Double.MIN_NORMAL)) * 65536.0d)
+        .cast("long"))
+    val a = norm(colA, s.getDouble(0), s.getDouble(1))
+    val b = norm(colB, s.getDouble(2), s.getDouble(3))
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    df.withColumn("_zorder", z)
+      .repartitionByRange(numFiles, col("_zorder"))
+      .sortWithinPartitions("_zorder")
+      .drop("_zorder")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Salted inner equi-join: `big` is salted randomly-but-
     * deterministically (hash of a row-unique column), `small` is
     * exploded across all salt values. Semantics identical to
