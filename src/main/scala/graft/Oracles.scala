@@ -621,6 +621,20 @@ object Oracles {
         |  FROM orders)
         |WHERE rn <= 3""".stripMargin,
 
+    // Q17 shape: per-part average as a window over the filtered fact
+    // (single scan); exact decimal sums under both ratios.
+    "q17_small_orders" ->
+      """WITH f AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+        |w AS (
+        |  SELECT l.l_extendedprice, l.l_quantity,
+        |    CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l.l_partkey) AS DOUBLE)
+        |      / CAST(COUNT(*) OVER (PARTITION BY l.l_partkey) AS DOUBLE) AS avg_qty
+        |  FROM lineitem l JOIN f ON l.l_partkey = f.p_partkey)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_quantity < 0.2 * avg_qty) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  CAST(COUNT(*) FILTER (WHERE l_quantity < 0.2 * avg_qty) AS BIGINT) AS n_small_orders
+        |FROM w""".stripMargin,
+
     // Q18 shape: heavy-order filter from ONE lineitem aggregation;
     // top-100 fully tie-broken (o_totalprice DESC, unique o_orderkey).
     "q18_large_orders" ->

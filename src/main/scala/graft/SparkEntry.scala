@@ -124,6 +124,8 @@ object SparkEntry {
     "q18_large_orders" -> ((s, dir) =>
       Analytics.q18LargeOrders(Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q17_small_orders" -> ((s, dir) =>
+      Analytics.q17SmallOrders(Tables.part(s, dir), Tables.lineitem(s, dir))),
     // -- LLM training-data pipeline (rows 19-29) --
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>

@@ -122,6 +122,28 @@ object Analytics {
       .limit(100)
   }
 
+  /** TPC-H Q17 shape (small-quantity orders vs per-part average): the
+    * textbook plan decorrelates the scalar subquery into a lineitem
+    * self-join — TWO fact scans. Spark-first, the per-part average is
+    * a window over the SAME partitioning the filtered fact already
+    * has: one scan, one shuffle on l_partkey (after the broadcast part
+    * filter cuts the fact early), exact decimal sums under the ratio. */
+  def q17SmallOrders(part: DataFrame, lineitem: DataFrame,
+                     brand: String = "Brand#4"): DataFrame = {
+    val flt = part.filter(col("p_brand") === brand)
+      .select(col("p_partkey").as("l_partkey"))
+    val w = Window.partitionBy("l_partkey")
+    lineitem.join(broadcast(flt), "l_partkey")
+      .withColumn("avg_qty",
+        sum(col("l_quantity").cast("decimal(18,4)")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .filter(col("l_quantity") < lit(0.2d) * col("avg_qty"))
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") /
+          lit(7.0d)).as("avg_yearly"),
+        count(lit(1)).as("n_small_orders"))
+  }
+
   /** Per-customer top-3 orders by value: dense window top-k (rank state
     * only, no global sort). */
   def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame =

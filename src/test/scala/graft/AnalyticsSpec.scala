@@ -62,6 +62,22 @@ class AnalyticsSpec extends GraftSuite {
     assert(s.count() > 0)
   }
 
+  test("q17: window average equals the decorrelated self-join plan") {
+    val li = Tables.lineitem(spark, sf)
+    val r = Analytics.q17SmallOrders(Tables.part(spark, sf), li).head()
+    // independent reference: explicit per-part aggregate + re-join
+    val flt = Tables.part(spark, sf).filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey").as("l_partkey"))
+    val avgs = li.join(flt, "l_partkey").groupBy("l_partkey")
+      .agg((sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    val expect = li.join(flt, "l_partkey").join(avgs, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2d) * col("avg_qty"))
+      .agg(count(lit(1))).head().getLong(0)
+    assert(r.getAs[Long]("n_small_orders") === expect)
+    assert(expect > 0 && !r.isNullAt(r.fieldIndex("avg_yearly")))
+  }
+
   test("q18: only orders above the quantity threshold, sorted by price desc") {
     val rows = Analytics.q18LargeOrders(Tables.customer(spark, sf),
       Tables.orders(spark, sf), Tables.lineitem(spark, sf)).collect()
