@@ -635,6 +635,15 @@ object Oracles {
         |  CAST(COUNT(*) FILTER (WHERE l_quantity < 0.2 * avg_qty) AS BIGINT) AS n_small_orders
         |FROM w""".stripMargin,
 
+    // Q4 shape: EXISTS (returned line) decorrelated to a semi-join.
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
     // Q18 shape: heavy-order filter from ONE lineitem aggregation;
     // top-100 fully tie-broken (o_totalprice DESC, unique o_orderkey).
     "q18_large_orders" ->
@@ -861,6 +870,29 @@ object Oracles {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(ws_tokens) AS BIGINT) AS pack_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // Sliding-window chunking: 32-token windows every 24 tokens, last
+    // window clamped to the doc end; chunk count in integer arithmetic
+    // ((n-32+23) // 24 + 1) so no float ceil drifts between engines.
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+        |    CASE WHEN len(w) <= 32 THEN CAST(1 AS BIGINT)
+        |         ELSE (CAST(len(w) AS BIGINT) - 32 + 23) // 24 + 1 END AS nc
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, w, n,
+        |    UNNEST(generate_series(0, nc - 1)) AS i
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(w[CAST(i * 24 + 1 AS INT) : CAST(i * 24 + 32 AS INT)], ' ') AS chunk_text,
+        |  CAST(LEAST(32, n - i * 24) AS BIGINT) AS n_tokens
+        |FROM e""".stripMargin,
 
     // Discrete per-language token-count quantiles: rank index in pure
     // integer arithmetic (ceil(p*n) = (p_num*n + p_den-1) // p_den), no

@@ -126,6 +126,9 @@ object SparkEntry {
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q17_small_orders" -> ((s, dir) =>
       Analytics.q17SmallOrders(Tables.part(s, dir), Tables.lineitem(s, dir))),
+    "q4_order_priority" -> ((s, dir) =>
+      Analytics.q4OrderPriority(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     // -- LLM training-data pipeline (rows 19-29) --
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -170,7 +173,9 @@ object SparkEntry {
     "decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "sequence_packing" -> ((s, dir) =>
-      TextAnalysis.sequencePacking(Tables.documents(s, dir)))
+      TextAnalysis.sequencePacking(Tables.documents(s, dir))),
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalysis.docChunks(Tables.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -122,6 +122,21 @@ object Analytics {
       .limit(100)
   }
 
+  /** TPC-H Q4 shape (EXISTS decorrelated to a left-semi join): orders
+    * with at least one returned line, counted per priority class. The
+    * semi-join never duplicates an orders row (no post-join distinct
+    * needed), the filtered lineitem side projects to the single join
+    * key before the exchange, and AQE promotes it to broadcast when
+    * the returned-lines set is small. One fact scan per side. */
+  def q4OrderPriority(orders: DataFrame, lineitem: DataFrame,
+                      returnflag: String = "R"): DataFrame =
+    orders.join(
+        lineitem.filter(col("l_returnflag") === returnflag)
+          .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
   /** TPC-H Q17 shape (small-quantity orders vs per-part average): the
     * textbook plan decorrelates the scalar subquery into a lineitem
     * self-join — TWO fact scans. Spark-first, the per-part average is

@@ -381,6 +381,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Sliding-window document chunking — the unit-of-embedding split of
+    * a RAG / embedding-index pipeline: fixed `chunkSize`-token windows
+    * every `stride` tokens (overlap = chunkSize − stride), the last
+    * window clamped to the document end so every token is covered and
+    * no chunk starts past the end. Docs at or under `chunkSize` yield
+    * exactly one chunk.
+    *
+    * Shuffle-FREE: tokenize, compute the chunk count in integer
+    * arithmetic (`(n − size + stride − 1) div stride + 1` — no float
+    * ceil to drift between engines), explode a 0..n_chunks−1 sequence,
+    * and slice the token array per chunk. Output size is ~n/stride
+    * rows per doc, linear in corpus tokens, embarrassingly parallel. */
+  def docChunks(docs: DataFrame, chunkSize: Int = 32,
+                stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got $stride / $chunkSize")
+    docs
+      .select(col("doc_id"), tokens.as("w"))
+      .withColumn("n", size(col("w")).cast("bigint"))
+      .withColumn("n_chunks",
+        when(col("n") <= chunkSize, lit(1L)).otherwise(
+          expr(s"(n - $chunkSize + ${stride - 1}) div $stride + 1")))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        array_join(
+          slice(col("w"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(chunkSize)), " ").as("chunk_text"),
+        least(lit(chunkSize.toLong),
+          col("n") - col("chunk_idx") * stride).as("n_tokens"))
+  }
+
   /** Document fingerprinting: content md5 + length + a 64-char-prefix
     * polynomial rolling hash (31^i mod 1e9+7). Pure projection. */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -78,6 +78,22 @@ class AnalyticsSpec extends GraftSuite {
     assert(expect > 0 && !r.isNullAt(r.fieldIndex("avg_yearly")))
   }
 
+  test("q4: semi-join counts each qualifying order exactly once") {
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val got = Analytics.q4OrderPriority(orders, li).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference: distinct returned orderkeys joined back (dup-proof)
+    val expect = orders.join(
+        li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey")).distinct(),
+        "o_orderkey")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got.values.sum > 0)
+  }
+
   test("q18: only orders above the quantity threshold, sorted by price desc") {
     val rows = Analytics.q18LargeOrders(Tables.customer(spark, sf),
       Tables.orders(spark, sf), Tables.lineitem(spark, sf)).collect()

@@ -30,6 +30,7 @@ class EmptyInputSpec extends GraftSuite {
       .withColumn("source", lit(null).cast("string"))
     assert(TextAnalysis.clean(emptyDocs).count() === 0)
     assert(TextAnalysis.repetition(emptyDocs).count() === 0)
+    assert(TextAnalysis.docChunks(emptyDocs).count() === 0)
     assert(TextAnalysis.stratifiedSample(emptyDocsFull).count() === 0)
     val emptyEmb = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -47,6 +48,9 @@ class EmptyInputSpec extends GraftSuite {
     assert(TextAnalysis.fingerprint(d).count() === 3)
     // repetition: "" tokenizes to [""] (1 word), never div-zero
     assert(TextAnalysis.repetition(d).count() === 3)
+    // chunking: every short doc yields exactly one whole-text chunk
+    val ch = TextAnalysis.docChunks(d).collect()
+    assert(ch.length === 3 && ch.forall(_.getLong(1) === 0L))
   }
 
   test("ohlcv on zero trades and merge with empty source") {

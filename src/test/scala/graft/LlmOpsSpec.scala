@@ -201,6 +201,34 @@ class LlmOpsSpec extends GraftSuite {
       Seq((0L, 2L, 600L), (1L, 2L, 600L), (2L, 1L, 300L)))
   }
 
+  test("doc chunks: sliding windows cover every token, last clamped") {
+    val words = (1 to 51).map(i => s"w$i")
+    val d = Seq((0L, words.mkString(" "), 51L), (1L, "a b c", 3L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = TextAnalysis.docChunks(d, chunkSize = 8, stride = 6)
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+    val (c0, c1) = out.partition(_.getLong(0) == 0L)
+    // short doc: exactly one chunk = whole text
+    assert(c1.length === 1 && c1.head.getAs[String]("chunk_text") === "a b c"
+      && c1.head.getAs[Long]("n_tokens") === 3L)
+    // 51 tokens, size 8 stride 6 -> (51-8+5)/6+1 = 9 chunks
+    assert(c0.length === 9)
+    // chunk i starts at token i*6+1; text token count == n_tokens
+    c0.foreach { r =>
+      val i = r.getLong(1)
+      val toks = r.getAs[String]("chunk_text").split(" ").toSeq
+      assert(toks.size.toLong === r.getAs[Long]("n_tokens"))
+      assert(toks.head === s"w${i * 6 + 1}")
+    }
+    // last chunk clamped to the doc end: 51 - 8*6 = 3 tokens, ends at w51
+    assert(c0.last.getAs[Long]("n_tokens") === 3L
+      && c0.last.getAs[String]("chunk_text").endsWith("w51"))
+    // consecutive full chunks overlap by size-stride = 2 tokens
+    val t0 = c0(0).getAs[String]("chunk_text").split(" ").toSeq
+    val t1 = c0(1).getAs[String]("chunk_text").split(" ").toSeq
+    assert(t0.takeRight(2) === t1.take(2))
+  }
+
   test("multimodal: decode stub is deterministic with the right shape") {
     val media = Multimodal.mediaTable(docs)
     val feats = Multimodal.decodeFeatures(spark, media).collect()
