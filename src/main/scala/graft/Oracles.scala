@@ -644,6 +644,19 @@ object Oracles {
         |                AND l.l_returnflag = 'R')
         |GROUP BY 1""".stripMargin,
 
+    // Q19 shape: OR of brand/size/quantity conjunctions over the join.
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity >= 20 AND l.l_quantity <= 30)""".stripMargin,
+
     // Q18 shape: heavy-order filter from ONE lineitem aggregation;
     // top-100 fully tie-broken (o_totalprice DESC, unique o_orderkey).
     "q18_large_orders" ->

@@ -129,6 +129,9 @@ object SparkEntry {
     "q4_order_priority" -> ((s, dir) =>
       Analytics.q4OrderPriority(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    "q19_disjunctive_revenue" -> ((s, dir) =>
+      Analytics.q19DisjunctiveRevenue(Tables.part(s, dir),
+        Tables.lineitem(s, dir))),
     // -- LLM training-data pipeline (rows 19-29) --
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>

@@ -137,6 +137,33 @@ object Analytics {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
 
+  /** TPC-H Q19 shape (disjunctive predicate join): revenue over an OR
+    * of brand/size/quantity conjunctions. The part-side disjuncts
+    * filter the dimension BEFORE the broadcast (a row survives only if
+    * SOME disjunct's part-half holds), the quantity bound common to all
+    * disjuncts pushes to the fact scan, and the residual mixed-side
+    * condition rides the join. One fact scan, zero pre-aggregate
+    * shuffles, 1-row result. */
+  def q19DisjunctiveRevenue(part: DataFrame,
+                            lineitem: DataFrame): DataFrame = {
+    val p1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+    val p2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+    val p3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+    val q1 = col("l_quantity") >= 1.0d && col("l_quantity") <= 11.0d
+    val q2 = col("l_quantity") >= 10.0d && col("l_quantity") <= 20.0d
+    val q3 = col("l_quantity") >= 20.0d && col("l_quantity") <= 30.0d
+    val partFlt = part.filter(p1 || p2 || p3)
+      .select("p_partkey", "p_brand", "p_size")
+    lineitem
+      .filter(col("l_quantity") <= 30.0d) // common bound -> parquet scan
+      .join(broadcast(partFlt), col("l_partkey") === col("p_partkey"))
+      .filter((p1 && q1) || (p2 && q2) || (p3 && q3))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("decimal(18,6)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** TPC-H Q17 shape (small-quantity orders vs per-part average): the
     * textbook plan decorrelates the scalar subquery into a lineitem
     * self-join — TWO fact scans. Spark-first, the per-part average is

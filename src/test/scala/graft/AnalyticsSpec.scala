@@ -94,6 +94,24 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.values.sum > 0)
   }
 
+  test("q19: disjunctive join equals the per-disjunct union of counts") {
+    val part = Tables.part(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val r = Analytics.q19DisjunctiveRevenue(part, li).head()
+    // reference: evaluate each disjunct independently (they are
+    // disjoint on p_brand, so counts add)
+    def one(brand: String, szHi: Int, qLo: Double, qHi: Double): Long =
+      li.join(part.filter(col("p_brand") === brand &&
+          col("p_size").between(1, szHi)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("l_quantity") >= qLo && col("l_quantity") <= qHi)
+        .count()
+    val expect = one("Brand#12", 5, 1, 11) + one("Brand#23", 10, 10, 20) +
+      one("Brand#3", 15, 20, 30)
+    assert(r.getAs[Long]("n_lines") === expect)
+    assert(expect > 0 && !r.isNullAt(r.fieldIndex("revenue")))
+  }
+
   test("q18: only orders above the quantity threshold, sorted by price desc") {
     val rows = Analytics.q18LargeOrders(Tables.customer(spark, sf),
       Tables.orders(spark, sf), Tables.lineitem(spark, sf)).collect()
