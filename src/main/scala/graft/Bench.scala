@@ -39,7 +39,11 @@ object Bench {
     spark.sharedState.cacheManager.clearCache()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // samples(name) = wall seconds per rep; one error capture per query
+    // samples(name) = wall seconds per SUCCESSFUL rep — a failed rep
+    // fails fast, and charging its wall time would report a misleadingly
+    // low median for an intermittently erroring query; one error capture
+    // per query. Queries with zero successful reps surface in `errors`
+    // and are EXCLUDED from `queries`/`value` (not reported as 0s).
     val samples = scala.collection.mutable.Map(
       names.map(_ -> Vector.empty[Double]): _*)
     val errors = scala.collection.mutable.Map.empty[String, String]
@@ -47,16 +51,27 @@ object Bench {
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          samples(name) :+= (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           errors.getOrElseUpdate(name,
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-        samples(name) :+= (System.nanoTime() - t0) / 1e9
         // drop per-query persisted stages so queries are isolated
         // (teardown is deliberately NOT charged to the query's time)
         spark.sharedState.cacheManager.clearCache()
       }
+    }
+
+    // Per-query result row counts (one untimed extra run, after all
+    // timed reps): makes silent result-shape regressions visible
+    // round-over-round in BENCH_r{N}.json.
+    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
+    names.foreach { name =>
+      try rowCounts(name) = SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      spark.sharedState.cacheManager.clearCache()
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -70,15 +85,18 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     } + "\""
-    val qs = names.map(n => s"${jq(n)}:${median(samples(n))}")
+    val ok = names.filter(samples(_).nonEmpty)
+    val qs = ok.map(n => s"${jq(n)}:${median(samples(n))}")
       .mkString("{", ",", "}")
-    val runs = names.map(n => s"${jq(n)}:${samples(n).mkString("[", ",", "]")}")
+    val runs = ok.map(n => s"${jq(n)}:${samples(n).mkString("[", ",", "]")}")
       .mkString("{", ",", "}")
+    val rows = names.collect { case n if rowCounts.contains(n) =>
+      s"${jq(n)}:${rowCounts(n)}" }.mkString("{", ",", "}")
     val errs = names.collect { case n if errors.contains(n) =>
       s"${jq(n)}:${jq(errors(n))}" }.mkString("{", ",", "}")
-    val total = names.map(n => median(samples(n))).sum
+    val total = ok.map(n => median(samples(n))).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"runs":$runs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

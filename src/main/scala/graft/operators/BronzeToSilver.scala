@@ -100,6 +100,10 @@ object BronzeToSilver {
                                  lookbackHours: Int = 2): DataFrame = {
     val t = spark.read.parquet(path)
     val maxTs = t.agg(max("ingested_at")).head().getAs[java.time.LocalDateTime](0)
+    // empty table (or all-NULL ingested_at): max() is one NULL row —
+    // mirror incrementalRead's behavior and return the empty frame
+    // rather than NPE on minusHours
+    if (maxTs == null) return t.filter(lit(false))
     val cutoff = maxTs.minusHours(lookbackHours.toLong)
     t.filter(col("_ingestion_date") >= lit(java.sql.Date.valueOf(cutoff.toLocalDate))
       && col("ingested_at") >= lit(cutoff))

@@ -75,8 +75,13 @@ object DataQuality {
     * subquery. */
   def schemaCheck(expected: Seq[String]) = CheckDef("schema_ordered_columns",
     df => max(lit(if (df.columns.toSeq == expected) 0L else 1L)),
-    src => s"MAX(CASE WHEN (SELECT string_agg(column_name, ',') FROM " +
-      s"(DESCRIBE SELECT * FROM $src)) = '${expected.mkString(",")}' " +
+    // aggregate input order is unspecified SQL, so the column order is
+    // made explicit: stamp DESCRIBE's row order with row_number() and
+    // ORDER BY it inside string_agg (not reliant on DuckDB happening to
+    // preserve DESCRIBE order through an unordered aggregate)
+    src => s"MAX(CASE WHEN (SELECT string_agg(column_name, ',' ORDER BY ordinal) " +
+      s"FROM (SELECT column_name, row_number() OVER () AS ordinal " +
+      s"FROM (DESCRIBE SELECT * FROM $src))) = '${expected.mkString(",")}' " +
       "THEN 0 ELSE 1 END)")
 
   val Products = Seq("click", "error", "purchase", "signup", "view")

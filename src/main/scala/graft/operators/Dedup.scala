@@ -227,11 +227,16 @@ object Dedup {
     *
     * Scale: each iteration is one join + one min-aggregate over the
     * edge list, and iterations = graph diameter — near-dup clusters are
-    * shallow (pairwise-similar docs), so a handful of rounds converge;
-    * `maxIter` bounds adversarial chains (beyond it, use the
-    * alternating large-star/small-star CC algorithm — same per-round
-    * plan shape). The per-round `count()` is the convergence check of
-    * every iterative distributed CC (GraphX does the same), not a data
+    * shallow (pairwise-similar docs), so a handful of rounds converge.
+    * The loop ALWAYS runs to convergence (min-label propagation
+    * strictly decreases some label each non-final round, so it
+    * terminates in ≤ diameter rounds): returning partial labels on a
+    * long chain would silently split one component into several.
+    * `maxIter` is a soft advisory bound — past it a warning is logged
+    * per extra round (the signal to switch to the alternating
+    * large-star/small-star CC algorithm, same per-round plan shape).
+    * The per-round `count()` is the convergence check of every
+    * iterative distributed CC (GraphX does the same), not a data
     * collect. */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
@@ -247,7 +252,12 @@ object Dedup {
       .withColumn("label", col("v")).localCheckpoint()
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (changed > 0) {
+      if (i >= maxIter)
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"Dedup.clusters round ${i + 1} exceeds maxIter=$maxIter " +
+            "(component diameter larger than expected); continuing to " +
+            "convergence — consider large-star/small-star CC for this graph")
       val viaNeighbors = edges
         .join(labels.withColumnsRenamed(Map("v" -> "u", "label" -> "nl")), "u")
         .groupBy("v").agg(min("nl").as("min_nl"))

@@ -53,6 +53,13 @@ object Layout {
     val s = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    // empty input or all-NULL z-order columns: no min/max to normalize
+    // against — a degenerate table gains nothing from curve layout, so
+    // write it as-is instead of NPE-ing on the NULL aggregates
+    if (s.isNullAt(0) || s.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def norm(c: String, lo: Double, hi: Double): Column =
       least(lit(65535L), floor(
         (col(c).cast("double") - lit(lo)) /

@@ -74,14 +74,42 @@ object Microstructure {
     * Scale: one shuffle co-partitions candles by hour for the
     * self-join, one more reduces to ‖pairs‖ rows. The intermediate is
     * ‖pairs × joint hours‖ — fine for a watchlist of products; for
-    * thousands, pass a restricted `pairs` list (the join pruning then
-    * happens on the broadcast side). */
-  def pairCorrelation(h1: DataFrame): DataFrame = {
-    val a = h1.select(col("window_start"),
+    * thousands, pass a restricted `pairs` list: each leg is broadcast
+    * LeftSemi-pruned to only the products that appear in the list
+    * BEFORE the hour join, so the pair space collapses from
+    * O(products²) to O(‖pairs‖) and the hour-join intermediate to
+    * ‖restricted pairs × joint hours‖. */
+  def pairCorrelation(h1: DataFrame,
+                      pairs: Option[DataFrame] = None): DataFrame = {
+    // Prune each leg to the products named in the watchlist (semi-join
+    // against a broadcast of the tiny pair list), then keep only the
+    // listed combinations after the hour join. The unordered contract
+    // (a < b) is normalised here so callers may pass pairs either way.
+    val normPairs = pairs.map { p =>
+      p.select(
+        least(col("product_a"), col("product_b")).as("product_a"),
+        greatest(col("product_a"), col("product_b")).as("product_b"))
+        .distinct()
+    }
+    val keepProducts = normPairs.map(p => broadcast(
+      p.select(col("product_a").as("product_id"))
+        .union(p.select(col("product_b").as("product_id"))).distinct()))
+    val base = keepProducts match {
+      case Some(keep) => h1.join(keep, Seq("product_id"), "left_semi")
+      case None       => h1
+    }
+    val a = base.select(col("window_start"),
       col("product_id").as("product_a"), col("close").as("x"))
-    val b = h1.select(col("window_start"),
+    val b = base.select(col("window_start"),
       col("product_id").as("product_b"), col("close").as("y"))
-    a.join(b, "window_start").filter(col("product_a") < col("product_b"))
+    val joined0 = a.join(b, "window_start")
+      .filter(col("product_a") < col("product_b"))
+    val joined = normPairs match {
+      case Some(p) =>
+        joined0.join(broadcast(p), Seq("product_a", "product_b"), "left_semi")
+      case None => joined0
+    }
+    joined
       .withColumn("xy", (col("x") * col("y")).cast("decimal(38,16)"))
       .withColumn("xx", (col("x") * col("x")).cast("decimal(38,16)"))
       .withColumn("yy", (col("y") * col("y")).cast("decimal(38,16)"))

@@ -53,6 +53,42 @@ class EmptyInputSpec extends GraftSuite {
     assert(ch.length === 3 && ch.forall(_.getLong(1) === 0L))
   }
 
+  test("incremental read and z-order write on an empty table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    // a bronze with files but no usable watermark (all-NULL
+    // ingested_at — the shape a fully-empty table's max() also takes):
+    // max(ingested_at) is NULL — must yield an empty frame, not NPE on
+    // the cutoff arithmetic
+    Seq((1L, "2024-01-01")).toDF("trade_id", "d")
+      .select(col("trade_id"),
+        lit(null).cast("timestamp_ntz").as("ingested_at"),
+        col("d").cast("date").as("_ingestion_date"))
+      .write.partitionBy("_ingestion_date").parquet(s"$dir/bronze")
+    assert(BronzeToSilver.incrementalReadPartitioned(spark, s"$dir/bronze")
+      .count() === 0)
+    // empty z-order input: degenerate min/max — writes as-is, no NPE
+    val emptyNum = Seq((1.0d, 2.0d)).toDF("a", "b").limit(0)
+    Layout.writeZOrdered(emptyNum, "a", "b", s"$dir/z")
+    assert(spark.read.parquet(s"$dir/z").count() === 0)
+    // all-NULL z-order columns: same guard path, rows preserved
+    val nullNum = Seq((1L)).toDF("id")
+      .withColumn("a", lit(null).cast("double"))
+      .withColumn("b", lit(null).cast("double"))
+    Layout.writeZOrdered(nullNum, "a", "b", s"$dir/znull")
+    assert(spark.read.parquet(s"$dir/znull").count() === 1)
+  }
+
+  test("clusters converges past the soft maxIter bound on a long chain") {
+    // a single 12-doc chain (diameter 11): with the old hard bound
+    // maxIter=3 this returned partial labels (several components);
+    // now it must run to convergence and report ONE cluster
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clusters(chain, maxIter = 3)
+    assert(labels.select("cluster_id").distinct().count() === 1)
+    assert(labels.filter(col("is_canonical")).count() === 1)
+    assert(labels.count() === 12)
+  }
+
   test("ohlcv on zero trades and merge with empty source") {
     val stg = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

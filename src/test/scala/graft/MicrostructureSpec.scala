@@ -62,6 +62,33 @@ class MicrostructureSpec extends GraftSuite {
     assert(got(("B", "C")).contains(-1.0))
   }
 
+  test("pair correlation restricted to a pair list prunes before the hour join") {
+    val rows = Seq("2024-01-01 10:00:00", "2024-01-01 11:00:00",
+      "2024-01-01 12:00:00").zip(Seq(10.0, 20.0, 30.0)).flatMap {
+      case (ts, v) => Seq(("A", ts, v), ("B", ts, 2 * v),
+        ("C", ts, 40 - v), ("D", ts, 7.0))
+    }
+    val h1 = rows.toDF("product_id", "ts", "c")
+      .select(col("product_id"),
+        col("ts").cast("timestamp_ntz").as("window_start"),
+        col("c").cast("decimal(18,8)").as("close"))
+    // pair list passed in REVERSED order — normalisation must flip it
+    val pairs = Seq(("B", "A"), ("A", "C")).toDF("product_a", "product_b")
+    val restricted = Microstructure.pairCorrelation(h1, Some(pairs))
+    // only the listed pairs come back, values equal the unrestricted run
+    val full = Microstructure.pairCorrelation(h1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Any]("corr")).toMap
+    val got = restricted.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Any]("corr")).toMap
+    assert(got.keySet === Set(("A", "B"), ("A", "C")))
+    got.foreach { case (k, v) => assert(v === full(k)) }
+    // the pruning is a broadcast semi-join on BOTH legs, before the
+    // O(products^2) hour self-join ever forms
+    val plan = restricted.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("streaming flow imbalance equals the batch aggregation") {
     import graft.sources.Tables
     val s = graft.streaming.BronzeStream.streamingFlowImbalance(spark, sf)
