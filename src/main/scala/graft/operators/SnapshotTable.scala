@@ -77,9 +77,13 @@ object SnapshotTable {
     * claimed atomically first, so a concurrent committer racing to the
     * same version number fails instead of silently overwriting. */
   def commit(df: DataFrame, root: String): Long = {
+    val base = latestVersion(root)
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
     df.write.mode("overwrite").parquet(s"$root/v=$next")
+    // record ancestry (parent = the main head this commit advanced)
+    // so branch fast-forward checks can walk across plain commits too
+    Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
     moveMarker(root, next)
     next
   }
@@ -145,18 +149,220 @@ object SnapshotTable {
   }
 
   /** Expire old snapshots, keeping the current one, the newest
-    * `retainLast` versions older than it, and EVERY version newer than
-    * it: after a rollback, newer versions are roll-forward targets and
-    * must survive expiry. Returns the versions removed. */
+    * `retainLast` versions older than it, EVERY version newer than
+    * it (after a rollback, newer versions are roll-forward targets),
+    * and every version any branch or tag ref points at (a named ref is
+    * a liveness guarantee, exactly as in Nessie/Iceberg GC). Returns
+    * the versions removed. */
   def expireSnapshots(root: String, retainLast: Int): Seq[Long] = {
     val current = latestVersion(root)
+    val pinned = refs(root).values.toSet
     val expire = versions(root).filter(_ < current)
       .sorted.dropRight(math.max(retainLast, 0))
+      .filterNot(pinned)
     expire.foreach { v =>
       val dir = Paths.get(root, s"v=$v")
       Files.walk(dir).iterator().asScala.toSeq.reverse
         .foreach(Files.delete)
     }
     expire
+  }
+
+  // ───────────────────────── named refs (Nessie analog) ─────────────────────
+  //
+  // The reference's headline catalog feature is git-like branches/tags
+  // over table state (Nessie; `infrastructure/init/nessie_setup.py:1-75`).
+  // Same capability class here, over the directory-of-versions protocol:
+  //
+  //   <root>/_refs/branch.<name>   one line: the version the branch heads
+  //   <root>/_refs/tag.<name>      one line: the version the tag pins
+  //   <root>/v=N/_parent           one line: N's parent version (ancestry)
+  //
+  // `_latest` IS the main branch (back-compat: every pre-refs table
+  // already has it). Refs are re-pointed with the same tmp-file +
+  // ATOMIC_MOVE publish as `_latest`; branch commits additionally take
+  // a per-branch lock directory (atomic createDirectory) around the
+  // read-check-advance so a concurrent committer to the SAME branch
+  // fails fast instead of silently losing the other's commit. Version
+  // directories stay globally numbered and copy-on-write, so branches
+  // share storage history and never disturb each other's readers.
+
+  /** The branch name that aliases the `_latest` marker. */
+  val MainBranch = "main"
+
+  private def refsDir(root: String) = Paths.get(root, "_refs")
+
+  private def refPath(root: String, kind: String, name: String) = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid ref name '$name'")
+    Paths.get(root, "_refs", s"$kind.$name")
+  }
+
+  private def writeRef(root: String, kind: String, name: String,
+                       version: Long): Unit = {
+    Files.createDirectories(refsDir(root))
+    val tmp = Paths.get(root, "_refs", s".$kind.$name.tmp")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, refPath(root, kind, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All named refs as `"branch.x" / "tag.y" -> version` (main excluded). */
+  def refs(root: String): Map[String, Long] = {
+    val d = refsDir(root)
+    if (!Files.exists(d)) return Map.empty
+    val stream = Files.list(d)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("branch.") || n.startsWith("tag."))
+      .map(n => n -> Files.readString(d.resolve(n)).trim.toLong)
+      .toMap
+    finally stream.close()
+  }
+
+  /** Resolve a branch head (main = the `_latest` marker). */
+  def branchVersion(root: String, name: String): Long =
+    if (name == MainBranch) latestVersion(root)
+    else {
+      val p = refPath(root, "branch", name)
+      require(Files.exists(p), s"unknown branch '$name' at $root")
+      Files.readString(p).trim.toLong
+    }
+
+  /** Resolve a tag. */
+  def tagVersion(root: String, name: String): Long = {
+    val p = refPath(root, "tag", name)
+    require(Files.exists(p), s"unknown tag '$name' at $root")
+    Files.readString(p).trim.toLong
+  }
+
+  /** Create a branch at `fromVersion` (default: current main head).
+    * Fails if the branch already exists — create-only, like
+    * `nessie branch` / `git branch`. */
+  def createBranch(root: String, name: String, fromVersion: Long = -1L): Long = {
+    require(name != MainBranch, "main always exists; cannot be created")
+    val v = if (fromVersion >= 0) fromVersion else latestVersion(root)
+    require(versions(root).contains(v), s"unknown version $v")
+    require(!Files.exists(refPath(root, "branch", name)),
+      s"branch '$name' already exists")
+    writeRef(root, "branch", name, v)
+    v
+  }
+
+  /** Pin an immutable tag at `version` (default: current main head).
+    * Tags can never be re-pointed — delete-and-recreate is the only
+    * mutation, as in Nessie. */
+  def createTag(root: String, name: String, version: Long = -1L): Long = {
+    val v = if (version >= 0) version else latestVersion(root)
+    require(versions(root).contains(v), s"unknown version $v")
+    require(!Files.exists(refPath(root, "tag", name)),
+      s"tag '$name' already exists (tags are immutable)")
+    writeRef(root, "tag", name, v)
+    v
+  }
+
+  /** Read the snapshot a branch heads or a tag pins. */
+  def readBranch(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, branchVersion(root, name))
+
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, tagVersion(root, name))
+
+  /** Run `body` holding the per-branch commit lock (atomic
+    * createDirectory = test-and-set; the loser fails fast). */
+  private def withBranchLock[A](root: String, name: String)(body: => A): A = {
+    Files.createDirectories(refsDir(root))
+    val lock = Paths.get(root, "_refs", s".lock.$name")
+    try Files.createDirectory(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"branch '$name' at $root has a commit in flight (or a stale " +
+            s"lock at $lock after a crash — remove it to recover)")
+    }
+    try body finally Files.delete(lock)
+  }
+
+  /** Publish `df` as a new snapshot on `branch` and advance its head.
+    * The version directory is claimed atomically (global numbering —
+    * branches share the version space, like Nessie commit hashes), the
+    * parent version is recorded for ancestry, and the branch head moves
+    * under the branch lock: of two committers racing to the same
+    * branch, exactly one wins; the loser throws instead of silently
+    * overwriting the winner's head. Commits to a non-main branch never
+    * touch `_latest`, so main readers are fully isolated. */
+  def commitToBranch(df: DataFrame, root: String, branch: String): Long =
+    withBranchLock(root, branch) {
+      val base = branchVersion(root, branch)
+      val next = versions(root).lastOption.getOrElse(-1L) + 1
+      claimVersion(root, next)
+      df.write.mode("overwrite").parquet(s"$root/v=$next")
+      Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
+      if (branch == MainBranch) moveMarker(root, next)
+      else writeRef(root, "branch", branch, next)
+      next
+    }
+
+  /** `version`'s recorded parent, or -1 (root commit, or a version
+    * written by plain [[commit]] before ancestry tracking). */
+  def parentVersion(root: String, version: Long): Long = {
+    val p = Paths.get(root, s"v=$version", "_parent")
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  }
+
+  /** Is `anc` an ancestor of (or equal to) `desc` by the recorded
+    * parent chain? The walk stops at the first commit with no recorded
+    * parent, so pre-refs linear history is conservatively NOT assumed. */
+  def isAncestor(root: String, anc: Long, desc: Long): Boolean = {
+    var v = desc
+    while (v >= 0) {
+      if (v == anc) return true
+      v = parentVersion(root, v)
+    }
+    false
+  }
+
+  /** Fast-forward `toBranch` to `fromBranch`'s head. Allowed only when
+    * the target's head is an ancestor of the source's head (the git
+    * fast-forward rule) — a diverged target needs [[mergeBranch]]. The
+    * head moves under the target's branch lock, and the precondition is
+    * re-checked inside it (no TOCTOU against a concurrent commit). */
+  def fastForward(root: String, toBranch: String, fromBranch: String): Long =
+    withBranchLock(root, toBranch) {
+      val target = branchVersion(root, toBranch)
+      val source = branchVersion(root, fromBranch)
+      require(isAncestor(root, target, source),
+        s"'$toBranch' (v$target) is not an ancestor of '$fromBranch' " +
+          s"(v$source): not a fast-forward — merge instead")
+      if (source != target) {
+        if (toBranch == MainBranch) moveMarker(root, source)
+        else writeRef(root, "branch", toBranch, source)
+      }
+      source
+    }
+
+  /** Merge a diverged `fromBranch` into `toBranch` by key: MERGE-upsert
+    * the source head's rows into the target head (source wins per key —
+    * the same last-writer-wins row semantics as [[mergeCommit]]) and
+    * commit the result to the target branch. Use [[fastForward]] when
+    * the target hasn't diverged; this is the content-level merge for
+    * when it has. */
+  def mergeBranch(spark: SparkSession, root: String, toBranch: String,
+                  fromBranch: String, key: String): Long = {
+    val merged = MergeUpsert.merge(
+      readBranch(spark, root, toBranch),
+      readBranch(spark, root, fromBranch), key)
+    commitToBranch(merged, root, toBranch)
+  }
+
+  /** Drop a branch ref (the versions it pointed at remain until
+    * expiry). Main cannot be dropped. */
+  def dropBranch(root: String, name: String): Unit = {
+    require(name != MainBranch, "cannot drop main")
+    Files.deleteIfExists(refPath(root, "branch", name))
+  }
+
+  def dropTag(root: String, name: String): Unit = {
+    Files.deleteIfExists(refPath(root, "tag", name))
   }
 }

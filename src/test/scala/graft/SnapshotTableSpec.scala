@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.SnapshotTable
@@ -85,6 +87,107 @@ class SnapshotTableSpec extends GraftSuite {
     val v2 = SnapshotTable.commit(Seq((2L, "b")).toDF("id", "v"), root)
     assert(v2 === 2)
     assert(SnapshotTable.latestVersion(root) === 2)
+  }
+
+  test("branch commits are invisible to main until fast-forward") {
+    val root = Files.createTempDirectory("graft-snap-br").toString
+    SnapshotTable.commit(Seq((1L, "a")).toDF("id", "v"), root)    // v0
+    SnapshotTable.createBranch(root, "dev")                        // dev @ v0
+
+    // two commits on dev: main must not move
+    val d1 = SnapshotTable.commitToBranch(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "dev")      // v1
+    val d2 = SnapshotTable.commitToBranch(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root, "dev") // v2
+    assert((d1, d2) === (1L, 2L))
+    assert(SnapshotTable.latestVersion(root) === 0L)               // isolated
+    assert(SnapshotTable.read(spark, root).count() === 1)
+    assert(SnapshotTable.readBranch(spark, root, "dev").count() === 3)
+    assert(SnapshotTable.branchVersion(root, "dev") === 2L)
+
+    // main is an ancestor of dev -> fast-forward allowed; after it both
+    // heads agree and main readers see the branch's data
+    val ff = SnapshotTable.fastForward(root, SnapshotTable.MainBranch, "dev")
+    assert(ff === 2L && SnapshotTable.latestVersion(root) === 2L)
+    assert(SnapshotTable.read(spark, root).count() === 3)
+
+    // diverged: a commit on main then one on dev -> ff must refuse
+    SnapshotTable.commit(Seq((9L, "z")).toDF("id", "v"), root)     // v3 (main)
+    SnapshotTable.commitToBranch(
+      Seq((8L, "y")).toDF("id", "v"), root, "dev")                 // v4 (dev)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.fastForward(root, SnapshotTable.MainBranch, "dev")
+    }
+    // content-level merge resolves the divergence (source wins per key)
+    SnapshotTable.mergeBranch(spark, root, SnapshotTable.MainBranch, "dev", "id")
+    val merged = SnapshotTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(merged === Seq((8L, "y"), (9L, "z")))
+  }
+
+  test("tags pin a version immutably and survive expiry") {
+    val root = Files.createTempDirectory("graft-snap-tag").toString
+    (0 to 4).foreach { i =>
+      SnapshotTable.commit(Seq((i.toLong, s"v$i")).toDF("id", "v"), root)
+    }
+    SnapshotTable.createTag(root, "release-1", 1L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createTag(root, "release-1", 2L)               // immutable
+    }
+
+    // expiry with retainLast=0 would drop v0..v3, but the tag pins v1
+    val removed = SnapshotTable.expireSnapshots(root, retainLast = 0)
+    assert(removed === Seq(0L, 2L, 3L))
+    assert(SnapshotTable.versions(root) === Seq(1L, 4L))
+
+    // tag time travel still reads the pinned snapshot
+    val r = SnapshotTable.readTag(spark, root, "release-1").head()
+    assert((r.getLong(0), r.getString(1)) === (1L, "v1"))
+
+    // branch heads are pinned the same way
+    SnapshotTable.createBranch(root, "hold", 1L)
+    SnapshotTable.commit(Seq((9L, "v9")).toDF("id", "v"), root)
+    assert(!SnapshotTable.expireSnapshots(root, retainLast = 0).contains(1L))
+    assert(SnapshotTable.readBranch(spark, root, "hold").count() === 1)
+
+    // dropping the refs releases the pin on the next expiry
+    SnapshotTable.dropTag(root, "release-1")
+    SnapshotTable.dropBranch(root, "hold")
+    assert(SnapshotTable.expireSnapshots(root, retainLast = 0).contains(1L))
+  }
+
+  test("concurrent commits to the same branch: exactly one wins") {
+    val root = Files.createTempDirectory("graft-snap-brrace").toString
+    SnapshotTable.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    SnapshotTable.createBranch(root, "dev")
+
+    // two real committers racing on the branch lock: one succeeds, one
+    // throws ConcurrentModificationException; the branch head is the
+    // winner's version and nothing is lost
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        latch.await()
+        try results.add(Right(SnapshotTable.commitToBranch(
+          Seq((i.toLong, s"w$i")).toDF("id", "v"), root, "dev")))
+        catch { case e: java.util.ConcurrentModificationException =>
+          results.add(Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
+    val wins = results.asScala.collect { case Right(v) => v }.toSeq
+    if (wins.size == 2) {
+      // no overlap this run (scheduling) — both landed sequentially
+      assert(SnapshotTable.branchVersion(root, "dev") === wins.max)
+    } else {
+      assert(wins.size === 1)
+      assert(SnapshotTable.branchVersion(root, "dev") === wins.head)
+    }
+    // the lock is released either way: a follow-up commit succeeds
+    val after = SnapshotTable.commitToBranch(
+      Seq((7L, "after")).toDF("id", "v"), root, "dev")
+    assert(SnapshotTable.branchVersion(root, "dev") === after)
   }
 
   test("change feed classifies inserts, deletes, and update pre/post images") {
