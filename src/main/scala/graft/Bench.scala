@@ -64,6 +64,27 @@ object Bench {
       }
     }
 
+    // End-to-end pipeline run (orchestration analog): bronze→silver
+    // materialized once → mart fan-out → quality gate, all stages
+    // written to a scratch dir. Timed like a query (per-rep, median).
+    val pipeName = "pipeline_end_to_end"
+    samples(pipeName) = Vector.empty[Double]
+    (1 to reps).foreach { i =>
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft-bench-pipeline$i").toString
+      val t0 = System.nanoTime()
+      try {
+        operators.PipelineRun.run(spark, sfDir, out)
+          .write.format("noop").mode("overwrite").save()
+        samples(pipeName) :+= (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors.getOrElseUpdate(pipeName,
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+      spark.sharedState.cacheManager.clearCache()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+
     // Per-query result row counts (one untimed extra run, after all
     // timed reps): makes silent result-shape regressions visible
     // round-over-round in BENCH_r{N}.json.
@@ -85,14 +106,15 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     } + "\""
-    val ok = names.filter(samples(_).nonEmpty)
+    val allNames = names :+ pipeName
+    val ok = allNames.filter(samples(_).nonEmpty)
     val qs = ok.map(n => s"${jq(n)}:${median(samples(n))}")
       .mkString("{", ",", "}")
     val runs = ok.map(n => s"${jq(n)}:${samples(n).mkString("[", ",", "]")}")
       .mkString("{", ",", "}")
-    val rows = names.collect { case n if rowCounts.contains(n) =>
+    val rows = allNames.collect { case n if rowCounts.contains(n) =>
       s"${jq(n)}:${rowCounts(n)}" }.mkString("{", ",", "}")
-    val errs = names.collect { case n if errors.contains(n) =>
+    val errs = allNames.collect { case n if errors.contains(n) =>
       s"${jq(n)}:${jq(errors(n))}" }.mkString("{", ",", "}")
     val total = ok.map(n => median(samples(n))).sum
     println(

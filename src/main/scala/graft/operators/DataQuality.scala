@@ -36,9 +36,20 @@ object DataQuality {
 
   /** One expectation: name + Spark violation aggregate (given the
     * table's DataFrame) + DuckDB mirror (given the source relation
-    * name). */
+    * name). `warn` marks advisory severity (dbt `severity: warn`):
+    * the check still reports violations, but a pipeline gate
+    * ([[PipelineRun]]) only aborts on error-severity checks. */
   case class CheckDef(name: String, violations: DataFrame => Column,
-                      duck: String => String)
+                      duck: String => String, warn: Boolean = false)
+
+  /** (table_name, check_name) pairs carrying warn severity — derived
+    * from the suite definitions below, used by gates to decide what is
+    * fatal. The report SCHEMA is unchanged (oracle compatibility);
+    * severity is a property of the suite, not of a run. */
+  lazy val warnChecks: Set[(String, String)] =
+    (bronzeChecks.filter(_.warn).map(("bronze_trades", _)) ++
+      silverChecks.filter(_.warn).map(("silver_trades", _)))
+      .map { case (t, c) => (t, c.name) }.toSet
 
   private def notNull(c: String) = CheckDef(s"not_null_$c",
     _ => sum(when(col(c).isNull, 1L).otherwise(0L)),
@@ -117,9 +128,13 @@ object DataQuality {
     notNull("product_id"),
     inSet("product_id", Products),
     notNull("price"),
-    positive("price"),
+    // silver is pre-filter: staging (stg_trades) drops non-positive
+    // prices/sizes downstream, so at THIS layer positivity is a
+    // warn-severity source test (raw feeds do contain zero-size
+    // prints), not a pipeline-fatal error
+    positive("price").copy(warn = true),
     notNull("size"),
-    positive("size"),
+    positive("size").copy(warn = true),
     inSet("side", Seq("buy", "sell")),
     notNull("trade_time"),
     nonNegative("_source_latency_ms"))

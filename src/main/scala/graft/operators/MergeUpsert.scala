@@ -26,9 +26,24 @@ import org.apache.spark.sql.functions._
 object MergeUpsert {
 
   /** Upsert `source` into `target` on `key` (WHEN MATCHED UPDATE ALL /
-    * WHEN NOT MATCHED INSERT ALL). Column sets must match. */
+    * WHEN NOT MATCHED INSERT ALL), with Iceberg-style add-column schema
+    * evolution: source columns absent from the target WIDEN the result
+    * (pre-existing target rows carry NULL there — exactly what the
+    * reference gets free from Iceberg MERGE on a producer-side field
+    * addition, `bronze_to_silver.py:156-188`); a source MISSING target
+    * columns is rejected (dropping columns via merge is always a bug,
+    * never an evolution). */
   def merge(target: DataFrame, source: DataFrame, key: String): DataFrame = {
-    val untouched = target.join(source.select(key), Seq(key), "left_anti")
+    val tCols = target.columns.toSeq
+    val dropped = tCols.filterNot(source.columns.contains)
+    require(dropped.isEmpty,
+      s"MERGE source is missing target column(s) ${dropped.mkString(", ")}: " +
+        "column drops are rejected; add-only schema evolution is supported")
+    val added = source.columns.filterNot(tCols.contains).toSeq
+    val widened = added.foldLeft(target) { (t, c) =>
+      t.withColumn(c, lit(null).cast(source.schema(c).dataType))
+    }
+    val untouched = widened.join(source.select(key), Seq(key), "left_anti")
     untouched.unionByName(source.select(untouched.columns.map(col): _*))
   }
 }

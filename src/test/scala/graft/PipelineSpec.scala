@@ -105,6 +105,68 @@ class PipelineSpec extends GraftSuite {
     assert(rows.toSeq === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
   }
 
+  test("end-to-end pipeline run materializes every stage and gates green") {
+    val out = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val report = PipelineRun.run(spark, sf, out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.keySet === PipelineRun.Stages.toSet)
+    // marts materialized with rows, and each equals its direct
+    // recomputation from the materialized silver
+    assert(PipelineRun.Stages.forall(report(_) > 0))
+    val silverBack = spark.read.parquet(s"$out/silver")
+    assert(silverBack.count() === silver.count())
+    val m1Back = spark.read.parquet(s"$out/ohlcv_1m")
+    assert(m1Back.count() ===
+      Ohlcv.ohlcv1m(Staging.stgTrades(silverBack)).count())
+    // quality gate is green on clean testdata (failOnViolations did not
+    // throw above); any persisted violations are warn-severity only
+    // (silver positivity — staging filters those rows downstream)
+    val rep = spark.read.parquet(s"$out/quality_report")
+    val reds = rep.filter(col("violations") > 0)
+      .select("table_name", "check_name").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(reds.forall(DataQuality.warnChecks))
+    assert(rep.count() === 34)
+    // silver landed partitioned by trade date (the pruning axis)
+    assert(new java.io.File(s"$out/silver").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("_trade_date=")))
+    // fail-fast: poison the raw events (null event_type → null
+    // product_id) so an ERROR-severity check goes red — the RUNNER
+    // itself must throw, after persisting the red report for debugging
+    val poisoned = events.withColumn("event_type",
+      when(col("event_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("event_type")))
+    val out2 = java.nio.file.Files.createTempDirectory("graft-e2e-red").toString
+    val e = intercept[IllegalStateException] {
+      PipelineRun.run(spark, sf, out2, eventsOverride = Some(poisoned))
+    }
+    assert(e.getMessage.contains("quality gate failed"))
+    assert(e.getMessage.contains("not_null_product_id"))
+    assert(spark.read.parquet(s"$out2/quality_report")
+      .filter(col("violations") > 0).count() > 0)
+  }
+
+  test("merge upsert: added source columns widen the target, drops rejected") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("trade_id", "product_id")
+    // producer added a `venue` field: evolved source
+    val source = Seq((2L, "B", "cbx"), (3L, "c", "okd"))
+      .toDF("trade_id", "product_id", "venue")
+    val merged = MergeUpsert.merge(target, source, "trade_id")
+    assert(merged.columns.toSeq === Seq("trade_id", "product_id", "venue"))
+    val rows = merged.orderBy("trade_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    // pre-existing target-only row carries NULL in the new column
+    assert(rows.toSeq === Seq((1L, "a", None), (2L, "B", Some("cbx")),
+      (3L, "c", Some("okd"))))
+    // a source missing a target column is a drop -> rejected loudly
+    val narrow = Seq((5L)).toDF("trade_id")
+    val e = intercept[IllegalArgumentException] {
+      MergeUpsert.merge(target, narrow, "trade_id")
+    }
+    assert(e.getMessage.contains("product_id"))
+  }
+
   test("stg filters non-positive sizes and buckets minutes") {
     assert(stg.filter(col("size") <= 0).count() === 0)
     val bad = stg.filter(
