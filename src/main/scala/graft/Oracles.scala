@@ -826,6 +826,59 @@ object Oracles {
          |  FROM cand JOIN nrm nv ON cand.neighbor_id = nv.vec_id JOIN nrm nq ON cand.query_id = nq.vec_id)
          |WHERE rank <= 10""".stripMargin,
 
+    // IVF over a TRAINED quantizer: one deterministic Lloyd iteration
+    // from the lowest-id seeds. The per-cluster mean folds members in
+    // strict ascending vec_id order (list(... ORDER BY vec_id) +
+    // list_reduce here; sort_array(collect_list) + aggregate on the
+    // Spark side), so the IEEE double sums are bit-identical — a
+    // partial-sum mean would be partition-order-dependent and could
+    // hash-diverge on near-tie assignments. Means are narrowed to FLOAT
+    // on both engines (same round-to-nearest), norms recomputed from
+    // the narrowed arrays, then the probe path is ivf_topk verbatim.
+    "ivf_topk_trained" ->
+      s"""WITH $nrmCte,
+         |seed AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn FROM nrm WHERE vec_id < 16),
+         |tasg AS (
+         |  SELECT v.vec_id, v.embedding, c.centroid_id
+         |  FROM nrm v, seed c
+         |  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |    ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC, c.centroid_id) = 1),
+         |tsum AS (
+         |  SELECT centroid_id, COUNT(*) AS cnt,
+         |    list_reduce(
+         |      list_prepend([CAST(0 AS DOUBLE) FOR i IN range(1, ${Hashing.EmbDim + 1})],
+         |        list(embedding ORDER BY vec_id)),
+         |      (a, b) -> list_transform(range(1, ${Hashing.EmbDim + 1}),
+         |        i -> a[i] + CAST(b[i] AS DOUBLE))) AS sums
+         |  FROM tasg GROUP BY centroid_id),
+         |tmean AS (SELECT centroid_id, [CAST(x / cnt AS FLOAT) FOR x IN sums] AS ce FROM tsum),
+         |cent0 AS (
+         |  SELECT s.centroid_id, COALESCE(m.ce, s.ce) AS ce
+         |  FROM seed s LEFT JOIN tmean m USING (centroid_id)),
+         |cent AS (SELECT centroid_id, ce, sqrt(${duckDot("ce", "ce")}) AS cn FROM cent0),
+         |asg AS (
+         |  SELECT v.vec_id, c.centroid_id
+         |  FROM nrm v, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |    ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC, c.centroid_id) = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM nrm WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT q.query_id, c.centroid_id
+         |  FROM q, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |    ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC, c.centroid_id) <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg a ON p.centroid_id = a.centroid_id
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${duckDot("nv.embedding", "nq.embedding")} / (nv.nrm * nq.nrm) AS cosine,
+         |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+         |      ${duckDot("nv.embedding", "nq.embedding")} / (nv.nrm * nq.nrm) DESC, cand.neighbor_id) AS rank
+         |  FROM cand JOIN nrm nv ON cand.neighbor_id = nv.vec_id JOIN nrm nq ON cand.query_id = nq.vec_id)
+         |WHERE rank <= 10""".stripMargin,
+
     "lang_id" ->
       s"""WITH $langIdCtes
          |SELECT doc_id, pred_lang, score FROM lid""".stripMargin,

@@ -164,6 +164,14 @@ object SparkEntry {
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    "ivf_topk_trained" -> { (s, dir) =>
+      // one deterministic Lloyd iteration trains the coarse quantizer
+      // (ordered-fold means — bit-identical on the oracle side), then
+      // the same IVF probe path as ivf_topk runs over it
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb,
+        centroids = Some(Similarity.trainCentroidsOrdered(emb, 16, 1)))
+    },
     "event_funnel" -> ((s, dir) => EventAnalytics.funnel(Tables.events(s, dir))),
     "retention_cohorts" -> ((s, dir) =>
       EventAnalytics.retentionCohorts(Tables.events(s, dir))),

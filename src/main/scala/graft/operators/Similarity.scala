@@ -156,6 +156,63 @@ object Similarity {
     cent
   }
 
+  /** Lloyd k-means with bit-deterministic means — the oracle-checkable
+    * twin of [[trainCentroids]] (same seeding, same assignment rule):
+    * each cluster's per-dimension sum is folded over members in strict
+    * ascending vec_id order, so the IEEE double result is identical on
+    * any engine that folds in the same order (the DuckDB oracle does,
+    * via `list(... ORDER BY vec_id)` + `list_reduce`) — a
+    * groupBy-partial double sum would be partition-order-dependent and
+    * hash-diverge on near-ties. The cost is a per-cluster
+    * collect_list (members of ONE cluster on one reducer): fine for the
+    * oracle-checked config; at corpus scale use [[trainCentroids]]'
+    * partial-sums path (same quantizer contract, no ordered-fold
+    * guarantee). */
+  def trainCentroidsOrdered(emb: DataFrame, k: Int = 16,
+                            iters: Int = 1): DataFrame = {
+    val dim = Hashing.EmbDim
+    val n = withNorms(emb).persist()
+    var cent = n.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("ct_embedding"), col("nrm").as("ct_nrm"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = n
+        .select(col("vec_id"), col("embedding").as("v_embedding"),
+          col("nrm").as("v_nrm"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos",
+          DotProduct.dot(col("v_embedding"), col("ct_embedding")) /
+            (col("v_nrm") * col("ct_nrm")))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("ccos").desc, col("centroid_id"))))
+        .filter(col("crn") === 1)
+      val means = assigned
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("cn"),
+          sort_array(collect_list(struct(col("vec_id"), col("v_embedding"))))
+            .as("ms"))
+        .select(col("centroid_id"), expr(
+          s"""transform(
+             |  aggregate(ms, array_repeat(cast(0 as double), $dim),
+             |    (acc, m) -> zip_with(acc, m.v_embedding,
+             |      (x, y) -> x + cast(y as double))),
+             |  s -> cast(s / cn as float))""".stripMargin).as("new_emb"))
+      val updated = cent
+        .select(col("centroid_id"), col("ct_embedding").as("old_emb"))
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_emb"), col("old_emb")).as("embedding"))
+      cent = withNorms(updated)
+        .select(col("centroid_id"), col("embedding").as("ct_embedding"),
+          col("nrm").as("ct_nrm"))
+        .localCheckpoint()
+    }
+    n.unpersist()
+    cent
+  }
+
   /** IVF (inverted-file) ANN: the second classic corpus-scale index
     * besides LSH. A coarse quantizer of `nlist` centroids partitions the
     * corpus into inverted lists (each vector assigned to its nearest

@@ -261,17 +261,26 @@ object TextAnalysis {
     * pass. Emits one row per contaminated doc with its distinct shared
     * shingle count.
     *
-    * Scale: the eval shingle vocabulary is tiny next to the corpus
-    * (benchmark suites, not training shards) — it reduces to a distinct
-    * set and the probe is a broadcast-able semi-join-style inner join on
-    * the shingle key; the rollup is one shuffle on doc_id. */
-  def decontaminate(docs: DataFrame, evalSource: String = "src0"): DataFrame = {
+    * Scale: the eval shingle vocabulary is normally tiny next to the
+    * corpus (benchmark suites, not training shards) — it reduces to a
+    * distinct set and the probe is a broadcast inner join on the
+    * shingle key; the rollup is one shuffle on doc_id. The broadcast is
+    * HINTED only while the distinct set stays under
+    * `maxBroadcastShingles` (measured off the persisted set — the same
+    * planning-time stat every broadcast decision needs); above it the
+    * join is left un-hinted, so an oversized eval suite degrades to a
+    * shuffled join instead of OOM-ing the driver. */
+  def decontaminate(docs: DataFrame, evalSource: String = "src0",
+                    maxBroadcastShingles: Long = 5000000L): DataFrame = {
     val inv = Dedup.shingled(docs)
       .select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
     val evalShingles = inv.filter(col("source") === evalSource)
-      .select("sh").distinct()
+      .select("sh").distinct().persist()
+    val probe =
+      if (evalShingles.count() <= maxBroadcastShingles) broadcast(evalShingles)
+      else evalShingles
     inv.filter(col("source") =!= evalSource)
-      .join(broadcast(evalShingles), "sh")
+      .join(probe, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
   }

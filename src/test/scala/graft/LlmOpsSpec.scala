@@ -119,6 +119,54 @@ class LlmOpsSpec extends GraftSuite {
     assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) <= 10))
   }
 
+  test("ordered-fold k-means matches the scalable trainer's assignments") {
+    val emb = Tables.embeddings(spark, sf)
+    val o1 = Similarity.trainCentroidsOrdered(emb, k = 8, iters = 2).collect()
+    assert(o1.length === 8)
+    assert(o1.forall(
+      _.getAs[scala.collection.Seq[Float]]("ct_embedding").length === 64))
+    // bit-deterministic across runs (the property the oracle relies on)
+    val o2 = Similarity.trainCentroidsOrdered(emb, k = 8, iters = 2).collect()
+    assert(o1.map(_.toString).sorted.sameElements(o2.map(_.toString).sorted))
+    // same quantizer contract as the scalable twin: identical seeds and
+    // assignment rule, means differ only by summation order (float ulp)
+    val s1 = Similarity.trainCentroids(emb, k = 8, iters = 2).collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        r.getAs[scala.collection.Seq[Float]]("ct_embedding")).toMap
+    o1.foreach { r =>
+      val o = r.getAs[scala.collection.Seq[Float]]("ct_embedding")
+      val s = s1(r.getAs[Long]("centroid_id"))
+      o.zip(s).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4f) }
+    }
+    // drives the same IVF probe path
+    val res = Similarity.ivfTopK(emb,
+      centroids = Some(Similarity.trainCentroidsOrdered(emb, 16, 1)))
+    assert(res.count() > 0)
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) <= 10))
+  }
+
+  test("decontaminate: oversized eval set drops the broadcast hint, same result") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta", "src0"),
+      (1L, "alpha beta gamma other words here", "src1"),
+      (2L, "totally unrelated content right here", "src1"),
+      (3L, "beta gamma delta tail", "src2"))
+      .toDF("doc_id", "text", "source")
+    val base = TextAnalysis.decontaminate(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val unhinted = TextAnalysis.decontaminate(d, maxBroadcastShingles = 0L)
+    val got = unhinted.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.sameElements(base))
+    // above the threshold the shingle join carries no broadcast HINT
+    // (AQE stays free to choose; nothing forces the eval set onto the
+    // driver), below it the hint is present
+    val hinted = TextAnalysis.decontaminate(d)
+    assert(hinted.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("broadcast"))
+    assert(!unhinted.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("broadcast"))
+  }
+
   test("vocab topk counts occurrences and doc frequency with deterministic ties") {
     val v = TextAnalysis.vocabTopK(docs, k = 3).collect()
     // 'the' appears 2x in docs 0-2 => 6 occurrences over 3 docs
