@@ -1042,6 +1042,43 @@ object Oracles {
         |FROM bg JOIN uni ON bg.token_a = uni.token_a
         |ORDER BY bg.pair_count DESC, bg.token_a, bg.token_b LIMIT 100""".stripMargin,
 
+    // Per-doc LM quality score: add-one-smoothed transition
+    // probabilities from the src1-shard bigram LM, averaged per doc by
+    // an ORDERED fold (list(p ORDER BY pos) + list_reduce ==
+    // sort_array(collect_list) + aggregate on the Spark side) so the
+    // IEEE sum is bit-identical; all p values are exact integer ratios
+    // through one correctly-rounded division — no libm (ln/exp) terms.
+    "bigram_doc_score" ->
+      """WITH toksc AS (
+        |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |), docbg0 AS (
+        |  SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+        |    i -> {'pos': i, 'a': w[i], 'pair': w[i] || ' ' || w[i + 1]})) AS s
+        |  FROM toksc WHERE len(w) >= 2
+        |), docbg AS (
+        |  SELECT doc_id, s.pos AS pos, s.a AS a, s.pair AS pair FROM docbg0
+        |), lmbg AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+        |  FROM (SELECT UNNEST([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS pair
+        |        FROM toksc WHERE source = 'src1')
+        |  GROUP BY 1
+        |), lmuni AS (
+        |  SELECT t AS a, CAST(COUNT(*) AS BIGINT) AS uni_count
+        |  FROM (SELECT UNNEST(w) AS t FROM toksc WHERE source = 'src1') GROUP BY 1
+        |), vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lmuni),
+        |scored AS (
+        |  SELECT d.doc_id, d.pos,
+        |    CAST(COALESCE(b.pair_count, 0) + 1 AS DOUBLE) /
+        |      CAST(COALESCE(u.uni_count, 0) + vsz.v AS DOUBLE) AS p,
+        |    CASE WHEN b.pair_count IS NULL THEN 1 ELSE 0 END AS unseen
+        |  FROM docbg d LEFT JOIN lmbg b ON d.pair = b.pair
+        |  LEFT JOIN lmuni u ON d.a = u.a CROSS JOIN vsz)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+        |    (x, y) -> x + y) / CAST(COUNT(*) AS DOUBLE), 8) AS avg_p
+        |FROM scored GROUP BY doc_id""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,

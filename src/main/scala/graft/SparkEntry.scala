@@ -181,6 +181,8 @@ object SparkEntry {
       TextAnalysis.repetition(Tables.documents(s, dir))),
     "bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLm(Tables.documents(s, dir))),
+    "bigram_doc_score" -> ((s, dir) =>
+      TextAnalysis.bigramDocScore(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "sequence_packing" -> ((s, dir) =>

@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
+  SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-job execution metrics — the observability analog.
+  *
+  * The reference ships a Prometheus + Grafana stack scraping per-job
+  * row counts, durations, and lag (`monitoring/prometheus/
+  * prometheus.yml`, Grafana provisioning). A Spark-native engine gets
+  * the same signal from the scheduler bus: this collector subscribes a
+  * `SparkListener` for the duration of a labelled block and aggregates
+  * task metrics per job — records/bytes read and written, shuffle
+  * read/write bytes, spill, task count, wall duration. The result is a
+  * DataFrame, so the "metrics endpoint" is just another table: write
+  * it wherever the deployment scrapes (a parquet dir, a JDBC sink, a
+  * push gateway exporter reading the table).
+  *
+  * Scale: listener callbacks are driver-side constant work per
+  * stage/job (aggregated counters, never per-row), the same mechanism
+  * SparkUI itself uses — zero overhead on the executor hot path.
+  */
+object Metrics {
+
+  /** One finished job's aggregated metrics. */
+  case class JobMetrics(label: String, jobId: Int, durationMs: Long,
+                        numStages: Int, numTasks: Int,
+                        inputRecords: Long, inputBytes: Long,
+                        outputRecords: Long, outputBytes: Long,
+                        shuffleReadBytes: Long, shuffleWriteBytes: Long,
+                        spillBytes: Long)
+
+  private class Collector(label: String) extends SparkListener {
+    val jobs = new ConcurrentLinkedQueue[JobMetrics]()
+    private val starts =
+      new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    private val perJobStages =
+      new java.util.concurrent.ConcurrentHashMap[Int, Set[Int]]()
+    private val stageAgg =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long, Long, Long, Long, Long, Long)]()
+
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
+      starts.put(e.jobId, e.time)
+      perJobStages.put(e.jobId, e.stageIds.toSet)
+    }
+
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null)
+        stageAgg.put(e.stageInfo.stageId, (
+          e.stageInfo.numTasks,
+          m.inputMetrics.recordsRead, m.inputMetrics.bytesRead,
+          m.outputMetrics.recordsWritten, m.outputMetrics.bytesWritten,
+          m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.bytesWritten,
+          m.memoryBytesSpilled + m.diskBytesSpilled))
+    }
+
+    override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+      val stages = perJobStages.getOrDefault(e.jobId, Set.empty)
+      val agg = stages.toSeq.flatMap(s => Option(stageAgg.get(s)))
+      val t0 = starts.getOrDefault(e.jobId, e.time)
+      jobs.add(JobMetrics(label, e.jobId, e.time - t0, stages.size,
+        agg.map(_._1).sum,
+        agg.map(_._2).sum, agg.map(_._3).sum,
+        agg.map(_._4).sum, agg.map(_._5).sum,
+        agg.map(_._6).sum, agg.map(_._7).sum, agg.map(_._8).sum))
+    }
+  }
+
+  /** Run `body` with a metrics collector attached; returns (result,
+    * one-row-per-job metrics DataFrame). The listener is detached
+    * before returning — collection is scoped to the block. */
+  def collect[A](spark: SparkSession, label: String)(body: => A): (A, DataFrame) = {
+    val c = new Collector(label)
+    spark.sparkContext.addSparkListener(c)
+    val result =
+      try body
+      finally {
+        // the bus is async: drain queued events before detaching so
+        // short jobs are not lost. waitUntilEmpty is private[spark]
+        // (it is what Spark's own UI tests call) — reached via
+        // reflection, with a bounded sleep as the fallback.
+        try {
+          val sc = spark.sparkContext
+          val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        } catch { case _: ReflectiveOperationException => Thread.sleep(500L) }
+        spark.sparkContext.removeSparkListener(c)
+      }
+    import spark.implicits._
+    (result, c.jobs.asScala.toSeq.toDF())
+  }
+}

@@ -390,6 +390,69 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document LM quality scoring — the CCNet-style pass that ranks
+    * corpus docs by how well a reference-domain language model predicts
+    * them (a perplexity filter without the cross-engine libm hazard:
+    * `ln` is not correctly-rounded, so the score is the ARITHMETIC mean
+    * of add-one-smoothed transition probabilities, built entirely from
+    * exact integer ratios and one correctly-rounded IEEE division per
+    * bigram). The LM is the bigram/unigram count table of the
+    * `lmSource` shard; every doc (any shard) with ≥ 2 tokens is scored:
+    * `p(b|a) = (c(ab) + 1) / (c(a) + V)` with V = LM vocab size;
+    * `n_unseen` counts bigrams absent from the LM (the OOV signal).
+    *
+    * Determinism: the per-doc mean folds p values in strict position
+    * order (sort_array(collect_list) + aggregate on this side,
+    * `list(p ORDER BY pos)` + list_reduce in the oracle), so the IEEE
+    * sum is bit-identical — a plain SUM would be partition-order
+    * dependent. Rounded at 8 decimals like every double at the
+    * contract boundary.
+    *
+    * Scale: LM tables are corpus-level aggregates (two count shuffles
+    * with map-side partials); scoring joins each doc bigram to them on
+    * the pair / first-token keys (both sides already reduced — the LM
+    * is broadcast-able for bounded vocabularies and the join
+    * co-partitions otherwise), then one doc_id rollup. The per-doc
+    * collect_list is bounded by doc length — the same per-doc-array
+    * envelope every shingle/chunk op here already assumes. */
+  def bigramDocScore(docs: DataFrame, lmSource: String = "src1"): DataFrame = {
+    val lmDocs = docs.filter(col("source") === lmSource)
+    val lmBg = lmDocs
+      .withColumn("w", tokens)
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("pair_count"))
+    val lmUni = docs.filter(col("source") === lmSource)
+      .select(explode(tokens).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("uni_count"))
+    val vocab = broadcast(lmUni.agg(count(lit(1)).as("v")))
+    val docBg = docs
+      .withColumn("w", tokens)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as(Seq("pos", "pair")))
+      .withColumn("a", element_at(split(col("pair"), " "), 1))
+    docBg
+      .join(lmBg, Seq("pair"), "left")
+      .join(lmUni, Seq("a"), "left")
+      .crossJoin(vocab)
+      .withColumn("p",
+        (coalesce(col("pair_count"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("uni_count"), lit(0L)) + col("v")).cast("double"))
+      .withColumn("unseen",
+        when(col("pair_count").isNull, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("unseen").as("n_unseen"),
+        sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        graft.functions.Rounding.roundScaled(
+          expr("aggregate(ps, cast(0 as double), (acc, s) -> acc + s.p)") /
+            col("n_bigrams").cast("double"), 8).as("avg_p"))
+  }
+
   /** Sliding-window document chunking — the unit-of-embedding split of
     * a RAG / embedding-index pipeline: fixed `chunkSize`-token windows
     * every `stride` tokens (overlap = chunkSize − stride), the last

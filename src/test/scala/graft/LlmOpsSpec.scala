@@ -348,6 +348,29 @@ class LlmOpsSpec extends GraftSuite {
     assert(got(("b", "x")) === ((1L, 3L, 1.0 / 3.0)))
   }
 
+  test("bigram doc score: smoothed mean transition prob, OOV counted") {
+    val d = Seq(
+      (0L, "the cat sat on the mat", "src1"),   // LM shard
+      (1L, "the dog sat on the mat", "src1"),   // LM shard
+      (2L, "quantum flux capacitor overload", "src0"),
+      (3L, "the", "src0"))                       // 1 token -> excluded
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.bigramDocScore(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(0L, 1L, 2L))
+    // in-domain docs: every bigram seen, symmetric counts -> same score
+    assert(r(0L).getAs[Long]("n_unseen") === 0L)
+    assert(r(0L).getAs[Double]("avg_p") === r(1L).getAs[Double]("avg_p"))
+    // out-of-domain doc: all 3 bigrams unseen, every token OOV ->
+    // p = 1/V each with V = 6 distinct LM tokens {the,cat,sat,on,mat,
+    // dog} -> avg = 1/6 rounded at 8 decimals
+    assert(r(2L).getAs[Long]("n_bigrams") === 3L)
+    assert(r(2L).getAs[Long]("n_unseen") === 3L)
+    assert(r(2L).getAs[Double]("avg_p") === 0.16666667d)
+    // the quality ordering a perplexity filter wants: in-domain > OOV
+    assert(r(0L).getAs[Double]("avg_p") > r(2L).getAs[Double]("avg_p"))
+  }
+
   test("cluster stats roll the label table into a size histogram") {
     val stats = Dedup.clusterStats(
       Dedup.clusters(Dedup.ngramJaccard(docs, 0.6))).collect()
