@@ -59,8 +59,15 @@ object Bench {
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
         // drop per-query persisted stages so queries are isolated
-        // (teardown is deliberately NOT charged to the query's time)
+        // (teardown is deliberately NOT charged to the query's time).
+        // clearCache only drops Dataset persists — localCheckpoint
+        // blocks (dedup_clusters rounds, k-means iterations) live as
+        // raw persistent RDDs and would otherwise accumulate across
+        // reps, progressively squeezing execution memory (observed:
+        // anomaly_zscore 2.8s -> 6.9s across reps before this purge)
         spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
 
