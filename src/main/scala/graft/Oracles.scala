@@ -405,6 +405,18 @@ object Oracles {
         |FROM stg s ASOF LEFT JOIN h1 c
         |  ON s.product_id = c.product_id AND s.trade_time >= c.window_end""".stripMargin),
 
+    // Bucketed (hot-key-safe) asof path: same semantics as asof_join by
+    // construction, so the oracle is the same native ASOF LEFT JOIN —
+    // the key exists to keep the scale path hash-checked.
+    "asof_join_bucketed" -> withTrades("h1",
+      """SELECT s.trade_id, s.product_id, s.trade_time,
+        |  CAST(s.price AS DOUBLE) AS price,
+        |  CAST(c.vwap AS DOUBLE) AS h1_vwap,
+        |  CAST(c.close AS DOUBLE) AS h1_close,
+        |  CAST(s.price AS DOUBLE) / CAST(c.vwap AS DOUBLE) - 1.0 AS dev_vs_vwap
+        |FROM stg s ASOF LEFT JOIN h1 c
+        |  ON s.product_id = c.product_id AND s.trade_time >= c.window_end""".stripMargin),
+
     // Trailing 15-minute RANGE frame on epoch seconds; the moving
     // average divides an exact decimal frame-sum (associative, so the
     // engines' different frame-summation orders cannot drift) by the

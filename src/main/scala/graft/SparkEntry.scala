@@ -70,6 +70,10 @@ object SparkEntry {
       val st = stg(s, dir).persist()
       AsofJoin.tradeVsPrevHour(st, Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(st)))
     },
+    "asof_join_bucketed" -> { (s, dir) =>
+      val st = stg(s, dir).persist()
+      AsofJoin.tradeVsPrevHourBucketed(st, Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(st)))
+    },
     "rolling_metrics" -> ((s, dir) =>
       Ohlcv.rolling(Ohlcv.ohlcv1m(stg(s, dir)))),
     "ohlcv_gap_fill" -> { (s, dir) =>

@@ -68,6 +68,50 @@ class AsofJoinSpec extends GraftSuite {
     assert(out.columns.toSet === Set("id", "k", "lts", "p"))
   }
 
+  test("bucketed asof equals the single-window asof, incl. tolerance") {
+    // tiny buckets (60s) force carries across many buckets, covering
+    // left-only buckets, deposit-only buckets, and exact-boundary rows
+    val a = AsofJoin.asof(left, right, Seq("k"), "lts", "rts", Seq("p"))
+    val b = AsofJoin.asofBucketed(left, right, Seq("k"), "lts", "rts",
+      Seq("p"), bucketSeconds = 60L)
+    assert(b.columns.toSet === a.columns.toSet)
+    assert(a.exceptAll(b.select(a.columns.map(col): _*)).count() === 0)
+    assert(b.select(a.columns.map(col): _*).exceptAll(a).count() === 0)
+    val at = AsofJoin.asof(left, right, Seq("k"), "lts", "rts", Seq("p"),
+      tolerance = Some("30 minutes"))
+    val bt = AsofJoin.asofBucketed(left, right, Seq("k"), "lts", "rts",
+      Seq("p"), bucketSeconds = 60L, tolerance = Some("30 minutes"))
+    assert(at.exceptAll(bt.select(at.columns.map(col): _*)).count() === 0)
+    assert(bt.select(at.columns.map(col): _*).exceptAll(at).count() === 0)
+  }
+
+  test("bucketed asof splits a single hot key across bucket partitions") {
+    // ONE key, 20k left rows over ~5.5 hours: the plain asof window
+    // serializes this into one partition; the bucketed variant must
+    // partition pass 1 by (key, bucket) and agree row-for-row
+    val hotLeft = spark.range(20000)
+      .select(col("id"),
+        lit("hot").as("k"),
+        expr("timestampadd(SECOND, cast(id as int), " +
+          "timestamp_ntz'2024-01-01 00:00:00')").as("lts"))
+    val hotRight = spark.range(200)
+      .select(lit("hot").as("k"),
+        expr("timestampadd(MINUTE, cast(id as int), " +
+          "timestamp_ntz'2024-01-01 00:00:30')").as("rts"),
+        (col("id") * 10).cast("double").as("p"))
+    val plain = AsofJoin.asof(hotLeft, hotRight, Seq("k"), "lts", "rts", Seq("p"))
+    val bucketed = AsofJoin.asofBucketed(hotLeft, hotRight, Seq("k"),
+      "lts", "rts", Seq("p"), bucketSeconds = 600L)
+    assert(plain.exceptAll(bucketed.select(plain.columns.map(col): _*))
+      .count() === 0)
+    assert(bucketed.count() === 20000L)
+    // the pass-1 shuffle key includes the bucket: hot-key parallelism
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("_asof_bkt"))
+    assert(plan.split("hashpartitioning").exists(s =>
+      s.startsWith("(k") && s.contains("_asof_bkt")))
+  }
+
   test("tradeVsPrevHour: first-hour trades NULL, later trades see prior candle") {
     val stg = Seq(
       (1L, "X", "2024-01-01 10:00:10", "10.00000000", "1.00000000"),
