@@ -122,19 +122,28 @@ object AsofJoin {
     val local = u.withColumn("_local",
       last(when(col("_asof_side") === 0, payload), ignoreNulls = true).over(wLocal))
 
-    // pass 2: per-bucket final deposits -> carry-in from earlier buckets.
-    // The bucket domain covers left-only buckets too (they still need a
-    // carry), so it is built from ALL rows, then left-joined to finals.
-    val finals = u.filter(col("_asof_side") === 0)
-      .groupBy(bktKeys: _*)
-      .agg(max_by(payload, col("_asof_ts")).as("_bkt_last"))
-    val domain = u.select(bktKeys: _*).distinct()
+    // pass 2: ONE aggregate straight off the union folds the bucket
+    // domain AND the per-bucket final deposit together:
+    // max(struct(ts, payload)) over deposit rows only (max skips the
+    // NULLs the when() leaves on left rows; deposit ts is unique per
+    // (key, bucket), so the struct max is the latest deposit), NULL
+    // for deposit-free buckets — which still get a row, because every
+    // bucket needs a carry. Aggregating from `u` (not the window
+    // output) means HashAggregate computes PARTIALS map-side: the
+    // exchange for this branch ships only ‖keys × buckets × mappers‖
+    // partial rows — the fact table itself is shuffled exactly once in
+    // the whole operator (the pass-1 window branch). The carry window
+    // then runs on the reduced ‖keys × buckets‖ table, never the fact
+    // table.
     val wCarry = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = domain
-      .join(finals, keys :+ "_asof_bkt", "left")
-      .withColumn("_carry", last(col("_bkt_last"), ignoreNulls = true).over(wCarry))
+    val carry = u
+      .groupBy(bktKeys: _*)
+      .agg(max(when(col("_asof_side") === 0,
+        struct(col("_asof_ts"), payload.as("_p")))).as("_mx"))
+      .withColumn("_carry",
+        last(col("_mx._p"), ignoreNulls = true).over(wCarry))
       .select((keys.map(col) :+ col("_asof_bkt") :+ col("_carry")): _*)
 
     // pass 3: carry joined back on the SAME (key, bucket) partitioning
