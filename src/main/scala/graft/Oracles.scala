@@ -782,6 +782,33 @@ object Oracles {
          |  FROM cnd JOIN nrm na ON cnd.vec_a = na.vec_id JOIN nrm nb ON cnd.vec_b = nb.vec_id
          |) WHERE cosine >= CAST(0.4 AS DOUBLE)""".stripMargin,
 
+    // Connected components over the embedding near-dup graph — the
+    // same recursive-CTE transitive closure as dedup_clusters, edges
+    // from the LSH-banded cosine pairs.
+    "embedding_dup_clusters" ->
+      s"""WITH RECURSIVE $nrmCte,
+         |$sigBndCtes,
+         |cnd AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id),
+         |epairs AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT vec_a, vec_b,
+         |      ${duckDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
+         |    FROM cnd JOIN nrm na ON cnd.vec_a = na.vec_id JOIN nrm nb ON cnd.vec_b = nb.vec_id
+         |  ) WHERE cosine >= CAST(0.4 AS DOUBLE)),
+         |edges AS (
+         |  SELECT vec_a AS v, vec_b AS u FROM epairs
+         |  UNION
+         |  SELECT vec_b AS v, vec_a AS u FROM epairs),
+         |verts AS (SELECT DISTINCT v FROM edges),
+         |reach(v, u) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v)
+         |SELECT v AS vec_id, MIN(u) AS cluster_id, v = MIN(u) AS is_canonical
+         |FROM reach GROUP BY v""".stripMargin,
+
     "ann_topk" ->
       s"""WITH $nrmCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM nrm WHERE vec_id < 10)
@@ -929,6 +956,54 @@ object Oracles {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
          |FROM inv JOIN ev USING (sh)
          |WHERE source <> 'src0' GROUP BY doc_id""".stripMargin,
+
+    // End-of-pipeline curation verdict: every filter signal joined per
+    // doc, keep = quality AND repetition AND canonical AND clean. The
+    // component expressions are verbatim from text_quality /
+    // repetition_quality / dedup_exact / decontaminate (all
+    // independently hash-green), so the composite cannot drift.
+    "curation_report" ->
+      s"""WITH $shinglesCte,
+         |q AS (
+         |  SELECT doc_id,
+         |    (CAST(len(w) AS BIGINT) >= 5 AND CAST(len(w) AS BIGINT) <= 100000
+         |     AND CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.1
+         |     AND CAST(CAST(list_sum(list_concat([0], [length(x) FOR x IN w])) AS BIGINT) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 2.0
+         |     AND CAST(CAST(list_sum(list_concat([0], [length(x) FOR x IN w])) AS BIGINT) AS DOUBLE) / CAST(len(w) AS DOUBLE) <= 20.0) AS quality_pass
+         |  FROM dt),
+         |cnt AS (
+         |  SELECT doc_id, t, COUNT(*) AS c
+         |  FROM (SELECT doc_id, UNNEST(w) AS t FROM dt) GROUP BY 1, 2),
+         |rep AS (
+         |  SELECT m.doc_id,
+         |    (CAST(top.top_word_count AS DOUBLE) / CAST(m.n_words AS DOUBLE) <= 0.10
+         |     AND (CASE WHEN m.n_bigrams = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(m.n_bigrams - m.n_distinct_bigrams AS DOUBLE) / CAST(m.n_bigrams AS DOUBLE)
+         |       END) <= 0.10) AS repetition_pass
+         |  FROM (
+         |    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |      CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+         |      CAST(len(list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])) AS BIGINT) AS n_distinct_bigrams
+         |    FROM dt) m
+         |  JOIN (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_count FROM cnt GROUP BY 1) top
+         |    ON m.doc_id = top.doc_id),
+         |keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |inv AS (
+         |  SELECT s.doc_id, d.source, UNNEST(s.shingles) AS sh
+         |  FROM shl s JOIN documents d ON s.doc_id = d.doc_id),
+         |ev AS (SELECT DISTINCT sh FROM inv WHERE source = 'src0'),
+         |cont AS (
+         |  SELECT DISTINCT doc_id FROM inv JOIN ev USING (sh) WHERE source <> 'src0')
+         |SELECT d.doc_id, q.quality_pass, rep.repetition_pass,
+         |  (k.doc_id IS NOT NULL) AS is_canonical,
+         |  (c.doc_id IS NOT NULL) AS contaminated,
+         |  (q.quality_pass AND rep.repetition_pass AND k.doc_id IS NOT NULL
+         |   AND c.doc_id IS NULL) AS keep
+         |FROM documents d
+         |JOIN q ON d.doc_id = q.doc_id
+         |JOIN rep ON d.doc_id = rep.doc_id
+         |LEFT JOIN keepers k ON d.doc_id = k.doc_id
+         |LEFT JOIN cont c ON d.doc_id = c.doc_id""".stripMargin,
 
     // Sequential packing into 512-token contexts per source shard:
     // pack = floor(preceding-token cumsum / context); doc_id is unique

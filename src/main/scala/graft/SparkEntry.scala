@@ -149,6 +149,14 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir))),
+    "embedding_dup_clusters" -> ((s, dir) =>
+      // the same min-label-propagation CC as dedup_clusters, over the
+      // embedding near-dup graph instead of the shingle one
+      Dedup.clusters(
+        Similarity.nearDupPairs(Tables.embeddings(s, dir))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          col("is_canonical"))),
     "ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
     "ann_topk_bucketed" -> ((s, dir) =>
       Similarity.annTopKBucketed(Tables.embeddings(s, dir))),
@@ -192,7 +200,9 @@ object SparkEntry {
     "sequence_packing" -> ((s, dir) =>
       TextAnalysis.sequencePacking(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) =>
-      TextAnalysis.docChunks(Tables.documents(s, dir)))
+      TextAnalysis.docChunks(Tables.documents(s, dir))),
+    "curation_report" -> ((s, dir) =>
+      TextAnalysis.curationReport(Tables.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

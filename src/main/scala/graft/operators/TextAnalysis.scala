@@ -453,6 +453,38 @@ object TextAnalysis {
             col("n_bigrams").cast("double"), 8).as("avg_p"))
   }
 
+  /** The end-of-pipeline curation verdict — the single table a dataset
+    * release is cut from: every per-doc filter signal joined into one
+    * row with the final keep decision and its reasons as individual
+    * boolean columns (heuristic quality, Gopher repetition, exact-dup
+    * canonicality, benchmark contamination). `keep` is the conjunction
+    * a curation run applies before sampling/packing.
+    *
+    * Scale: quality/repetition are shuffle-free projections; the
+    * canonical list is the exact-dedup aggregate (one shuffle) and the
+    * contamination list one more — both reduce far below corpus size
+    * and left-join back on doc_id, where all four joins share one
+    * co-partitioning. */
+  def curationReport(docs: DataFrame, evalSource: String = "src0"): DataFrame = {
+    val q = quality(docs).select("doc_id", "quality_pass")
+    val rep = repetition(docs).select("doc_id", "repetition_pass")
+    val canon = Dedup.exact(docs)
+      .select(col("keep_doc_id").as("doc_id"), lit(true).as("_canon"))
+    val cont = decontaminate(docs, evalSource)
+      .select(col("doc_id"), lit(true).as("_cont"))
+    docs.select("doc_id")
+      .join(q, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(canon, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_pass"), col("repetition_pass"),
+        coalesce(col("_canon"), lit(false)).as("is_canonical"),
+        coalesce(col("_cont"), lit(false)).as("contaminated"))
+      .withColumn("keep",
+        col("quality_pass") && col("repetition_pass") &&
+          col("is_canonical") && !col("contaminated"))
+  }
+
   /** Sliding-window document chunking — the unit-of-embedding split of
     * a RAG / embedding-index pipeline: fixed `chunkSize`-token windows
     * every `stride` tokens (overlap = chunkSize − stride), the last

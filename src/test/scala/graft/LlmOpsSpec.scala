@@ -371,6 +371,34 @@ class LlmOpsSpec extends GraftSuite {
     assert(r(0L).getAs[Double]("avg_p") > r(2L).getAs[Double]("avg_p"))
   }
 
+  test("curation report: keep = quality AND repetition AND canonical AND clean") {
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")
+    val d = Seq(
+      (0L, "eval shard text here now", "src0"),            // eval doc
+      (1L, good, "src1"),                                   // keep
+      (2L, good, "src1"),                                   // exact dup of 1 -> drop
+      (3L, "x " * 200, "src1"),                             // repetitive -> drop
+      (4L, "tiny", "src1"),                                 // fails quality -> drop
+      (5L, s"$good eval shard text here now", "src2"))      // contaminated -> drop
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val r = TextAnalysis.curationReport(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.size === 6)
+    def flags(id: Long) = (r(id).getAs[Boolean]("quality_pass"),
+      r(id).getAs[Boolean]("repetition_pass"),
+      r(id).getAs[Boolean]("is_canonical"),
+      r(id).getAs[Boolean]("contaminated"),
+      r(id).getAs[Boolean]("keep"))
+    assert(flags(1L) === ((true, true, true, false, true)))
+    assert(flags(2L)._3 === false && flags(2L)._5 === false) // dup loses
+    assert(flags(3L)._2 === false && flags(3L)._5 === false) // repetitive
+    assert(flags(4L)._1 === false && flags(4L)._5 === false) // low quality
+    assert(flags(5L)._4 === true && flags(5L)._5 === false)  // contaminated
+    // exactly one keeper in this corpus
+    assert(r.values.count(_.getAs[Boolean]("keep")) === 1)
+  }
+
   test("cluster stats roll the label table into a size histogram") {
     val stats = Dedup.clusterStats(
       Dedup.clusters(Dedup.ngramJaccard(docs, 0.6))).collect()
