@@ -669,6 +669,47 @@ object Oracles {
         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
         |       AND l.l_quantity >= 20 AND l.l_quantity <= 30)""".stripMargin,
 
+    // Q6 shape: pure filter + 1-row aggregate (the pushdown benchmark).
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // Q10 shape: returned-item revenue per customer, top 20 tie-broken
+    // on the unique customer key.
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 4, 5
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+
+    // Q14 shape: promo revenue share in one conditional aggregate.
+    "q14_promo_revenue" ->
+      """SELECT
+        |  round(CAST(100.0 AS DOUBLE) *
+        |    CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        |      THEN CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue_pct,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+
     // Q18 shape: heavy-order filter from ONE lineitem aggregation;
     // top-100 fully tie-broken (o_totalprice DESC, unique o_orderkey).
     "q18_large_orders" ->

@@ -136,6 +136,15 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> ((s, dir) =>
       Analytics.q19DisjunctiveRevenue(Tables.part(s, dir),
         Tables.lineitem(s, dir))),
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Analytics.q6ForecastRevenue(Tables.lineitem(s, dir))),
+    "q10_returned_items" -> ((s, dir) =>
+      Analytics.q10ReturnedItems(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir))),
+    "q14_promo_revenue" -> ((s, dir) =>
+      Analytics.q14PromoRevenue(Tables.part(s, dir),
+        Tables.lineitem(s, dir))),
     // -- LLM training-data pipeline (rows 19-29) --
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>

@@ -186,6 +186,72 @@ object Analytics {
         count(lit(1)).as("n_small_orders"))
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): pure scan + filter +
+    * 1-row aggregate — the pushdown benchmark. Every predicate reaches
+    * the parquet scan (`PushedFilters`); no join, no shuffle beyond
+    * the final 1-row combine; exact decimal revenue sum. */
+  def q6ForecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.05d && col("l_discount") <= 0.07d &&
+        col("l_quantity") < 24.0d)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).cast("decimal(18,6)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q10 shape (returned-item revenue): quarter of orders joined
+    * to R-flagged lineitems, revenue per customer, customer + nation
+    * dims broadcast onto the already-reduced rollup, bounded top-20
+    * (`TakeOrderedAndProject`). The fact-fact join shuffles on
+    * l_orderkey once; customer attributes join AFTER the reduction to
+    * ‖customers‖ rows, never onto fact rows. */
+  def q10ReturnedItems(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, nation: DataFrame): DataFrame = {
+    val ord = orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val li = lineitem.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val perCust = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("decimal(18,6)").as("revenue"))
+    perCust
+      .join(broadcast(customer.select("c_custkey", "c_name", "c_acctbal",
+        "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape (promo revenue share): one month of lineitems,
+    * part dim broadcast, the promo/total ratio folded into ONE
+    * conditional aggregate over a single scan — exact decimal sums
+    * under the final double ratio. */
+  def q14PromoRevenue(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp_ntz"))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("rev",
+        (col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(18,6)"))
+      .agg(
+        graft.functions.Rounding.roundScaled(
+          lit(100.0d) *
+            sum(when(col("p_type") === "PROMO", col("rev"))
+              .otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
+            sum(col("rev")).cast("double"), 6).as("promo_revenue_pct"),
+        count(lit(1)).as("n_lines"))
+
   /** Per-customer top-3 orders by value: dense window top-k (rank state
     * only, no global sort). */
   def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame =
