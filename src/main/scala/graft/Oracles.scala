@@ -710,6 +710,21 @@ object Oracles {
         |WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
         |  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
 
+    // Q15 shape: per-supplier quarter revenue, argmax via scalar-max
+    // comparison (exact decimal equality; ties ordered by supplier key).
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
     // Q18 shape: heavy-order filter from ONE lineitem aggregation;
     // top-100 fully tie-broken (o_totalprice DESC, unique o_orderkey).
     "q18_large_orders" ->

@@ -145,6 +145,9 @@ object SparkEntry {
     "q14_promo_revenue" -> ((s, dir) =>
       Analytics.q14PromoRevenue(Tables.part(s, dir),
         Tables.lineitem(s, dir))),
+    "q15_top_supplier" -> ((s, dir) =>
+      Analytics.q15TopSupplier(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir))),
     // -- LLM training-data pipeline (rows 19-29) --
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>

@@ -252,6 +252,28 @@ object Analytics {
             sum(col("rev")).cast("double"), 6).as("promo_revenue_pct"),
         count(lit(1)).as("n_lines"))
 
+  /** TPC-H Q15 shape (top supplier): per-supplier quarter revenue,
+    * then the argmax WITHOUT a second fact scan — the 1-row global max
+    * is broadcast back onto the ‖suppliers‖-sized rollup (the textbook
+    * view-self-join re-aggregates the fact table). Decimal equality is
+    * exact, so ties surface deterministically as multiple rows ordered
+    * by the unique supplier key. */
+  def q15TopSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("decimal(18,6)").as("total_revenue"))
+    rev
+      .crossJoin(broadcast(rev.agg(max("total_revenue").as("_mx"))))
+      .filter(col("total_revenue") === col("_mx"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
   /** Per-customer top-3 orders by value: dense window top-k (rank state
     * only, no global sort). */
   def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame =

@@ -287,6 +287,23 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact one —
+    * the index-quality metric every ANN deployment tracks: per query,
+    * `|approx ∩ exact| / |exact|`, plus the hit count. Both inputs are
+    * (query_id, neighbor_id, ...) top-k tables ([[annTopK]] as ground
+    * truth vs [[ivfTopK]] / [[annTopKBucketed]]). One co-partitioned
+    * join + rollup over the tiny ‖queries × k‖ result tables. */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(true)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("hits"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("k").cast("double"))
+
   /** LSH-bucketed ANN (the 100 TB path): candidates limited to vectors
     * sharing ≥ 1 signature band with the query; same ranking semantics,
     * recall < 1 by construction — but fully deterministic (fixed

@@ -167,6 +167,20 @@ class LlmOpsSpec extends GraftSuite {
       .toLowerCase.contains("broadcast"))
   }
 
+  test("ann recall: exact vs itself is 1.0, approximate paths in (0, 1]") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.annTopK(emb).persist()
+    val self = Similarity.annRecall(exact, exact).collect()
+    assert(self.nonEmpty && self.forall(_.getAs[Double]("recall") === 1.0d))
+    val ivfR = Similarity.annRecall(exact, Similarity.ivfTopK(emb)).collect()
+    assert(ivfR.forall { r =>
+      val rec = r.getAs[Double]("recall"); rec >= 0.0d && rec <= 1.0d })
+    assert(ivfR.forall(_.getAs[Long]("k") === 10L))
+    // the probe paths find SOMETHING on this data (not a vacuous 0)
+    assert(ivfR.map(_.getAs[Long]("hits")).sum > 0)
+    exact.unpersist()
+  }
+
   test("vocab topk counts occurrences and doc frequency with deterministic ties") {
     val v = TextAnalysis.vocabTopK(docs, k = 3).collect()
     // 'the' appears 2x in docs 0-2 => 6 occurrences over 3 docs
