@@ -22,6 +22,49 @@ class AnalyticsSpec extends GraftSuite {
     assert(total === expected)
   }
 
+  test("q6: every predicate reaches the parquet scan (plan-asserted)") {
+    val df = Analytics.q6ForecastRevenue(Tables.lineitem(spark, sf))
+    // AQE wraps the scan, so assert on the formatted explain output
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = s.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach { p =>
+      assert(pushed.contains(p), s"predicate $p not pushed: $pushed")
+    }
+    // projection pruned to the four referenced columns
+    val read = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(read.contains))
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"))
+    // and the aggregate itself agrees with a direct recomputation
+    val r = df.head()
+    val ref = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05d, 0.07d) && col("l_quantity") < 24.0d)
+    assert(r.getAs[Long]("n_lines") === ref.count())
+  }
+
+  test("q15: returns exactly the max-revenue supplier(s)") {
+    val got = Analytics.q15TopSupplier(
+      Tables.supplier(spark, sf), Tables.lineitem(spark, sf)).collect()
+    assert(got.nonEmpty)
+    val revs = got.map(_.getAs[java.math.BigDecimal]("total_revenue"))
+    assert(revs.distinct.length === 1) // all rows tie at the max
+    // cross-check against a direct groupBy max
+    val all = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("decimal(18,6)").as("tr"))
+    val mx = all.agg(max("tr")).head().getDecimal(0)
+    assert(revs.head === mx)
+    assert(got.length === all.filter(col("tr") === mx).count())
+  }
+
   test("top orders window keeps at most k per customer, ranked by price") {
     val t = Analytics.topOrdersPerCustomer(Tables.orders(spark, sf), 3)
     val perCust = t.groupBy("o_custkey").count()

@@ -89,6 +89,26 @@ class EmptyInputSpec extends GraftSuite {
     assert(labels.count() === 12)
   }
 
+  test("round-6 operators on degenerate inputs") {
+    val emptyDocsFull = emptyDocs.withColumn("source", lit(null).cast("string"))
+    assert(TextAnalysis.bigramDocScore(emptyDocsFull).count() === 0)
+    assert(TextAnalysis.curationReport(emptyDocsFull).count() === 0)
+    // clusters on an empty pair set
+    val emptyPairs = Seq((1L, 2L)).toDF("doc_a", "doc_b").limit(0)
+    assert(Dedup.clusters(emptyPairs).count() === 0)
+    // bucketed asof with an empty right side: all left rows, NULL picks
+    val l = Seq((1L, "k", 100L)).toDF("id", "k", "ts")
+    val r = Seq(("k", 1L, 1.0d)).toDF("k", "rts", "v").limit(0)
+    val got = AsofJoin.asofBucketed(l, r, Seq("k"), "ts", "rts", Seq("v"))
+      .collect()
+    assert(got.length === 1 && got.head.isNullAt(got.head.fieldIndex("v")))
+    // recall of an empty approximate result: zero hits, recall 0
+    val ex = Seq((1L, 2L), (1L, 3L)).toDF("query_id", "neighbor_id")
+    val rec = Similarity.annRecall(ex, ex.limit(0)).head()
+    assert(rec.getAs[Long]("hits") === 0L &&
+      rec.getAs[Double]("recall") === 0.0d)
+  }
+
   test("ohlcv on zero trades and merge with empty source") {
     val stg = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -130,4 +130,55 @@ class PropertySpec extends GraftSuite {
       assert(got(id) === expect, s"asof mismatch for left row $id")
     }
   }
+
+  test("bucketed asof equals plain asof on random tapes at any bucket size") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    (1 to 3).foreach { round =>
+      val keys = Seq("a", "b", "c")
+      val left = (1 to 80).map(i =>
+        (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(500).toLong))
+        .toDF("id", "k", "ts")
+      val right = (1 to 60).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(500).toLong, i.toDouble))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .toDF("k", "rts", "v")
+      val plain = graft.operators.AsofJoin.asof(
+        left, right, Seq("k"), "ts", "rts", Seq("v"))
+      // bucket size must never change results — only parallelism
+      Seq(1L, 7L, 60L, 100000L).foreach { bs =>
+        val bucketed = graft.operators.AsofJoin.asofBucketed(
+          left, right, Seq("k"), "ts", "rts", Seq("v"), bucketSeconds = bs)
+        assert(plain.exceptAll(bucketed.select(plain.columns.map(
+          org.apache.spark.sql.functions.col): _*)).count() === 0,
+          s"round $round bucketSeconds=$bs diverged from plain asof")
+        assert(bucketed.count() === 80L)
+      }
+    }
+  }
+
+  test("curation report keep-count is monotone under adding a duplicate") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val base = (1 to 20).map { i =>
+      val words = (1 to 10 + rnd.nextInt(20)).map(j => s"w${rnd.nextInt(50)}j$j")
+      (i.toLong, words.mkString(" "), s"src${1 + rnd.nextInt(3)}")
+    }
+    val d = base.toDF("doc_id", "text", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("bigint"))
+    val keeps0 = graft.operators.TextAnalysis.curationReport(d)
+      .filter("keep").collect().map(_.getLong(0)).toSet
+    // duplicating an existing doc under a HIGHER doc_id never changes
+    // the keep set: the canonical (min doc_id) copy still wins
+    val dup = base.take(5).map { case (id, t, s) => (id + 1000L, t, s) }
+    val d2 = (base ++ dup).toDF("doc_id", "text", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("bigint"))
+    val keeps1 = graft.operators.TextAnalysis.curationReport(d2)
+      .filter("keep").collect().map(_.getLong(0)).toSet
+    assert(keeps1 === keeps0)
+  }
 }
