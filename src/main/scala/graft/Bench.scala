@@ -76,14 +76,16 @@ object Bench {
     // written to a scratch dir. Timed like a query (per-rep, median).
     val pipeName = "pipeline_end_to_end"
     samples(pipeName) = Vector.empty[Double]
+    val pipeRows = scala.collection.mutable.Map.empty[String, Long]
     (1 to reps).foreach { i =>
       val out = java.nio.file.Files
         .createTempDirectory(s"graft-bench-pipeline$i").toString
       val t0 = System.nanoTime()
       try {
-        operators.PipelineRun.run(spark, sfDir, out)
-          .write.format("noop").mode("overwrite").save()
+        val report = operators.PipelineRun.run(spark, sfDir, out)
+        val stages = report.collect() // tiny: one row per stage
         samples(pipeName) :+= (System.nanoTime() - t0) / 1e9
+        pipeRows(pipeName) = stages.length.toLong
       } catch { case e: Throwable =>
         errors.getOrElseUpdate(pipeName,
           Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -96,6 +98,7 @@ object Bench {
     // timed reps): makes silent result-shape regressions visible
     // round-over-round in BENCH_r{N}.json.
     val rowCounts = scala.collection.mutable.Map.empty[String, Long]
+    rowCounts ++= pipeRows
     names.foreach { name =>
       try rowCounts(name) = SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
