@@ -74,9 +74,11 @@ object Metrics {
   }
 
   /** Run `body` with a metrics collector attached; returns (result,
-    * one-row-per-job metrics DataFrame). The listener is detached
-    * before returning — collection is scoped to the block. */
-  def collect[A](spark: SparkSession, label: String)(body: => A): (A, DataFrame) = {
+    * the finished jobs' metrics as plain driver-side values). This is
+    * the zero-extra-scan way to learn how many records a write
+    * materialized: sum `outputRecords` over the block's jobs instead of
+    * re-reading the written table with `count()`. */
+  def collectJobs[A](spark: SparkSession, label: String)(body: => A): (A, Seq[JobMetrics]) = {
     val c = new Collector(label)
     spark.sparkContext.addSparkListener(c)
     val result =
@@ -93,7 +95,14 @@ object Metrics {
         } catch { case _: ReflectiveOperationException => Thread.sleep(500L) }
         spark.sparkContext.removeSparkListener(c)
       }
+    (result, c.jobs.asScala.toSeq)
+  }
+
+  /** [[collectJobs]] with the metrics as a one-row-per-job DataFrame —
+    * the "metrics endpoint as a table" form. */
+  def collect[A](spark: SparkSession, label: String)(body: => A): (A, DataFrame) = {
+    val (result, jobs) = collectJobs(spark, label)(body)
     import spark.implicits._
-    (result, c.jobs.asScala.toSeq.toDF())
+    (result, jobs.toDF())
   }
 }

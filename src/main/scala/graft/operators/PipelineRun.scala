@@ -37,22 +37,40 @@ object PipelineRun {
 
   /** Run the full chain from the raw events at `sfDir` into
     * `outRoot/<stage>/`, returning the run report: one row per stage
-    * with row count, output path, and wall seconds. Throws
+    * with row count, output path, wall seconds, and attempts. Throws
     * `IllegalStateException` naming the failing checks if the quality
     * gate is red and `failOnViolations` is set (the report is written
-    * either way). */
+    * either way).
+    *
+    * Each stage write carries the reference DAG's task resilience
+    * (`default_args` retries + exponential backoff,
+    * `orchestration/dags/bronze_to_silver.py:20-35`): a transient
+    * failure re-runs the idempotent overwrite up to `retries` more
+    * times; the quality GATE is deliberately outside the retry (a red
+    * check is deterministic data, not a transient fault). Stage row
+    * counts come from the scheduler-bus output metrics of the write
+    * job itself ([[Metrics.collectJobs]]) — never a second scan of
+    * what was just written, which at 100 TB would double the run's
+    * read cost for a report field. */
   def run(spark: SparkSession, sfDir: String, outRoot: String,
           failOnViolations: Boolean = true,
-          eventsOverride: Option[DataFrame] = None): DataFrame = {
-    val report = Seq.newBuilder[(String, Long, String, Double)]
+          eventsOverride: Option[DataFrame] = None,
+          retries: Int = 2, retryBackoffMs: Long = 1000L): DataFrame = {
+    val report = Seq.newBuilder[(String, Long, String, Double, Int)]
 
     def stage(name: String)(write: String => Unit): DataFrame = {
       val path = s"$outRoot/$name"
       val t0 = System.nanoTime()
-      write(path)
-      val back = spark.read.parquet(path)
-      report += ((name, back.count(), path, (System.nanoTime() - t0) / 1e9))
-      back
+      var attempts = 0
+      val rows = Retry.withRetries(retries, retryBackoffMs, s"stage $name") {
+        attempts += 1
+        // metrics scoped per attempt: a failed partial write's records
+        // never pollute the successful attempt's count
+        val (_, jobs) = Metrics.collectJobs(spark, name)(write(path))
+        jobs.map(_.outputRecords).sum
+      }
+      report += ((name, rows, path, (System.nanoTime() - t0) / 1e9, attempts))
+      spark.read.parquet(path)
     }
 
     // bronze: raw ingest with redelivered duplicates, partitioned by
@@ -102,6 +120,6 @@ object PipelineRun {
 
     import spark.implicits._
     report.result()
-      .toDF("stage", "rows", "path", "seconds")
+      .toDF("stage", "rows", "path", "seconds", "attempts")
   }
 }

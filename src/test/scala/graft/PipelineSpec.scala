@@ -107,12 +107,20 @@ class PipelineSpec extends GraftSuite {
 
   test("end-to-end pipeline run materializes every stage and gates green") {
     val out = java.nio.file.Files.createTempDirectory("graft-e2e").toString
-    val report = PipelineRun.run(spark, sf, out).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reportRows = PipelineRun.run(spark, sf, out).collect()
+    val report = reportRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(report.keySet === PipelineRun.Stages.toSet)
     // marts materialized with rows, and each equals its direct
     // recomputation from the materialized silver
     assert(PipelineRun.Stages.forall(report(_) > 0))
+    // row counts come from the write job's OWN output metrics, never a
+    // re-scan — they must still equal what actually landed on disk
+    PipelineRun.Stages.foreach { st =>
+      assert(report(st) === spark.read.parquet(s"$out/$st").count(),
+        s"metrics-reported rows for $st must match the written table")
+    }
+    // clean run: every stage succeeded first try
+    assert(reportRows.forall(_.getAs[Int]("attempts") === 1))
     val silverBack = spark.read.parquet(s"$out/silver")
     assert(silverBack.count() === silver.count())
     val m1Back = spark.read.parquet(s"$out/ohlcv_1m")
@@ -165,6 +173,33 @@ class PipelineSpec extends GraftSuite {
       MergeUpsert.merge(target, narrow, "trade_id")
     }
     assert(e.getMessage.contains("product_id"))
+  }
+
+  test("retry: transient failures re-run the body; exhaustion propagates") {
+    // fails twice, then succeeds — the Airflow default_args analog
+    var calls = 0
+    val got = Retry.withRetries(2, 0L, "flaky") {
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"transient $calls")
+      42
+    }
+    assert(got === 42 && calls === 3)
+    // exhausted retries: the LAST failure propagates, priors suppressed
+    var calls2 = 0
+    val e = intercept[RuntimeException] {
+      Retry.withRetries(1, 0L, "doomed") {
+        calls2 += 1
+        throw new RuntimeException(s"boom $calls2")
+      }
+    }
+    assert(calls2 === 2 && e.getMessage === "boom 2")
+    assert(e.getSuppressed.map(_.getMessage).toSeq === Seq("boom 1"))
+    // zero retries = single attempt
+    var calls3 = 0
+    intercept[RuntimeException] {
+      Retry.withRetries(0, 0L, "once") { calls3 += 1; throw new RuntimeException("x") }
+    }
+    assert(calls3 === 1)
   }
 
   test("stg filters non-positive sizes and buckets minutes") {
