@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MERGE upsert as a Spark-native join algorithm.
@@ -45,5 +46,29 @@ object MergeUpsert {
     }
     val untouched = widened.join(source.select(key), Seq(key), "left_anti")
     untouched.unionByName(source.select(untouched.columns.map(col): _*))
+  }
+
+  /** MERGE whose matched-row resolution is keep-FIRST by `orderCols`
+    * (`WHEN MATCHED AND source.ord < target.ord THEN UPDATE`): of all
+    * rows sharing a key across target and source, the one ordered first
+    * wins whole-row. This is the conflict rule an incremental dedup
+    * pipeline needs — re-merging an overlap window or a late
+    * redelivery of an already-landed row is a no-op, so the merge is
+    * idempotent and a sequence of incremental merges lands bit-identical
+    * to a global keep-earliest rebuild ([[PipelineRun.runIncremental]]).
+    *
+    * Scale: one hash-partitioned window over target ∪ source on the
+    * key — the same single-shuffle shape as [[BronzeToSilver.dedup]];
+    * with a date-partition-pruned target slice the window only ever
+    * sees the touched partitions. */
+  def mergeKeepFirst(target: DataFrame, source: DataFrame, key: String,
+                     orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(target.columns.toSet == source.columns.toSet,
+      "mergeKeepFirst requires identical target/source schemas")
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    target.unionByName(source.select(target.columns.map(col): _*))
+      .withColumn("_mrn", row_number().over(w))
+      .filter(col("_mrn") === 1)
+      .drop("_mrn")
   }
 }

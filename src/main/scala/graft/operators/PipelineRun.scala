@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.time.LocalDateTime
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,16 +20,38 @@ import graft.sources.Tables
   * `SparkEntry` entries deliberately recompute it per key for gate
   * isolation; a production run must not).
   *
-  * Ordering and failure semantics match the DAG: stages run in
-  * dependency order, the quality gate runs LAST over every
-  * materialized table, and `failOnViolations` makes a red check abort
-  * the run with the failing check names (the DAG's fail-fast task),
-  * AFTER the report itself is persisted for debugging.
+  * Two entry points mirror the reference's two operating modes:
   *
-  * Scale: each arrow is one distributed job whose shuffle keys are the
-  * mart's group-by keys; silver is written partitioned by trade date
-  * (`_trade_date`), so every downstream consumer prunes to the dates
-  * it touches and an incremental rerun overwrites only new partitions.
+  *  - [[run]] — full rebuild (backfill / first deployment);
+  *  - [[runIncremental]] — the 30-minute scheduled mode
+  *    (`orchestration/dags/bronze_to_silver.py:1-80` +
+  *    `bronze_to_silver.py:74-91`): append the new raw batch to
+  *    bronze, read only rows ingested since the last run's persisted
+  *    watermark (minus a late-arrival lookback), MERGE them into
+  *    silver, and rewrite ONLY the date partitions the batch touched,
+  *    in every mart. Nothing outside the touched partitions is read
+  *    or written (partition-pruned scans + dynamic partition
+  *    overwrite), which is what survives 100 TB operationally: run
+  *    cost scales with the batch, not the table.
+  *
+  * Ordering and failure semantics match the DAG: stages run in
+  * dependency order with per-stage retries, the quality gate runs LAST
+  * over the run's tables, and `failOnViolations` makes a red check
+  * abort the run with the failing check names (the DAG's fail-fast
+  * task), AFTER the report itself is persisted for debugging.
+  *
+  * Layout written/maintained under `outRoot`:
+  * {{{
+  *   bronze/          partitioned by _ingestion_date (incremental axis)
+  *   silver/          partitioned by _trade_date (mart pruning axis)
+  *   ohlcv_1m/        partitioned by _partition_date
+  *   ohlcv_1h/        partitioned by _partition_date
+  *   daily_metrics/   partitioned by _partition_month
+  *   price_latest/    tiny serving table (unpartitioned)
+  *   quality_report/  this run's checks (unpartitioned)
+  *   _state/latest_trade/   |products|-row merge state for price_latest
+  *   _watermark       max processed ingested_at (atomic marker file)
+  * }}}
   */
 object PipelineRun {
 
@@ -34,6 +59,88 @@ object PipelineRun {
   val Stages: Seq[String] =
     Seq("bronze", "silver", "ohlcv_1m", "ohlcv_1h", "daily_metrics",
       "price_latest", "quality_report")
+
+  // ── stage machinery (shared by full + incremental) ──────────────────
+
+  /** Per-run stage executor: retries + metrics-based row counts + the
+    * run report. See the retry/metrics rationale on [[run]]. */
+  private final class Runner(spark: SparkSession, outRoot: String,
+                             retries: Int, backoffMs: Long) {
+    private val report = Seq.newBuilder[(String, Long, String, Double, Int)]
+
+    def stage(name: String)(write: String => Unit): DataFrame = {
+      val path = s"$outRoot/$name"
+      val t0 = System.nanoTime()
+      var attempts = 0
+      val rows = Retry.withRetries(retries, backoffMs, s"stage $name") {
+        attempts += 1
+        // metrics scoped per attempt: a failed partial write's records
+        // never pollute the successful attempt's count
+        val (_, jobs) = Metrics.collectJobs(spark, name)(write(path))
+        jobs.map(_.outputRecords).sum
+      }
+      report += ((name, rows, path, (System.nanoTime() - t0) / 1e9, attempts))
+      spark.read.parquet(path)
+    }
+
+    def skipped(name: String): Unit =
+      report += ((name, 0L, s"$outRoot/$name", 0.0, 0))
+
+    def reportDF: DataFrame = {
+      import spark.implicits._
+      report.result().toDF("stage", "rows", "path", "seconds", "attempts")
+    }
+  }
+
+  /** Run `body` with dynamic partition overwrite on (only the written
+    * partitions are replaced), restoring the previous mode after. */
+  private def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Error-severity quality gate (shared by both modes): throws naming
+    * the red checks; warn-severity checks report but never abort. */
+  private def gate(quality: DataFrame, outRoot: String): Unit = {
+    val red = quality.filter(col("violations") > 0)
+      .select("table_name", "check_name").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filterNot(DataQuality.warnChecks)
+    if (red.nonEmpty)
+      throw new IllegalStateException(
+        s"quality gate failed: ${red.map(_._2).mkString(", ")} " +
+          s"(report persisted at $outRoot/quality_report)")
+  }
+
+  // ── watermark marker (the incremental scheduler's state) ────────────
+
+  private def watermarkPath(outRoot: String) = Paths.get(outRoot, "_watermark")
+
+  /** The persisted high-water mark: max `ingested_at` processed by the
+    * last run, or None before any full run. */
+  def readWatermark(outRoot: String): Option[LocalDateTime] = {
+    val p = watermarkPath(outRoot)
+    if (Files.exists(p)) Some(LocalDateTime.parse(Files.readString(p).trim))
+    else None
+  }
+
+  private def writeWatermark(outRoot: String, wm: LocalDateTime): Unit = {
+    Files.createDirectories(Paths.get(outRoot))
+    val tmp = Paths.get(outRoot, "_watermark.tmp")
+    Files.writeString(tmp, wm.toString)
+    Files.move(tmp, watermarkPath(outRoot),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private val LatestTradeState = "_state/latest_trade"
+
+  // ── full rebuild ────────────────────────────────────────────────────
 
   /** Run the full chain from the raw events at `sfDir` into
     * `outRoot/<stage>/`, returning the run report: one row per stage
@@ -56,26 +163,11 @@ object PipelineRun {
           failOnViolations: Boolean = true,
           eventsOverride: Option[DataFrame] = None,
           retries: Int = 2, retryBackoffMs: Long = 1000L): DataFrame = {
-    val report = Seq.newBuilder[(String, Long, String, Double, Int)]
-
-    def stage(name: String)(write: String => Unit): DataFrame = {
-      val path = s"$outRoot/$name"
-      val t0 = System.nanoTime()
-      var attempts = 0
-      val rows = Retry.withRetries(retries, retryBackoffMs, s"stage $name") {
-        attempts += 1
-        // metrics scoped per attempt: a failed partial write's records
-        // never pollute the successful attempt's count
-        val (_, jobs) = Metrics.collectJobs(spark, name)(write(path))
-        jobs.map(_.outputRecords).sum
-      }
-      report += ((name, rows, path, (System.nanoTime() - t0) / 1e9, attempts))
-      spark.read.parquet(path)
-    }
+    val r = new Runner(spark, outRoot, retries, retryBackoffMs)
 
     // bronze: raw ingest with redelivered duplicates, partitioned by
     // ingestion date (the incremental-read axis)
-    val bronze = stage("bronze") { p =>
+    val bronze = r.stage("bronze") { p =>
       val events = eventsOverride.getOrElse(Tables.events(spark, sfDir))
       Bronze.writePartitioned(
         Bronze.withRedeliveries(Bronze.ingest(events)), p)
@@ -83,43 +175,198 @@ object PipelineRun {
     // silver: dedup + typed transform, partitioned by trade date (the
     // mart consumers' pruning axis). Everything downstream reads THIS
     // materialization — the chain above never re-executes.
-    val silver = stage("silver") { p =>
+    val silver = r.stage("silver") { p =>
       BronzeToSilver.writePartitioned(BronzeToSilver.transform(bronze), p)
     }
     val stg = Staging.stgTrades(silver)
-    val m1 = stage("ohlcv_1m") { p =>
-      Ohlcv.ohlcv1m(stg).write.mode("overwrite").parquet(p)
+    val m1 = r.stage("ohlcv_1m") { p =>
+      Ohlcv.ohlcv1m(stg).write.mode("overwrite")
+        .partitionBy("_partition_date").parquet(p)
     }
-    val h1 = stage("ohlcv_1h") { p =>
-      Ohlcv.ohlcv1h(m1).write.mode("overwrite").parquet(p)
+    val h1 = r.stage("ohlcv_1h") { p =>
+      Ohlcv.ohlcv1h(m1).write.mode("overwrite")
+        .partitionBy("_partition_date").parquet(p)
     }
-    val dm = stage("daily_metrics") { p =>
-      DailyMetrics.daily(h1).write.mode("overwrite").parquet(p)
+    val dm = r.stage("daily_metrics") { p =>
+      DailyMetrics.daily(h1).write.mode("overwrite")
+        .partitionBy("_partition_month").parquet(p)
     }
-    val pl = stage("price_latest") { p =>
-      PriceLatest.latest(stg, m1, h1, dm).write.mode("overwrite").parquet(p)
+    // latest-trade merge state (|products| rows): the incremental
+    // runner's price_latest base — not a report stage, just state
+    PriceLatest.latestTradeOf(stg).write.mode("overwrite")
+      .parquet(s"$outRoot/$LatestTradeState")
+    val pl = r.stage("price_latest") { p =>
+      PriceLatest.serve(spark.read.parquet(s"$outRoot/$LatestTradeState"),
+        m1, h1, dm).write.mode("overwrite").parquet(p)
     }
-    val quality = stage("quality_report") { p =>
+    val quality = r.stage("quality_report") { p =>
       DataQuality.fullReport(bronze, silver, m1, h1, dm, pl)
         .write.mode("overwrite").parquet(p)
     }
 
-    if (failOnViolations) {
-      // error-severity only: warn-severity checks (dbt severity: warn —
-      // e.g. silver-layer positivity that staging filters downstream)
-      // report but never abort the run
-      val red = quality.filter(col("violations") > 0)
-        .select("table_name", "check_name").collect()
-        .map(r => (r.getString(0), r.getString(1)))
-        .filterNot(DataQuality.warnChecks)
-      if (red.nonEmpty)
-        throw new IllegalStateException(
-          s"quality gate failed: ${red.map(_._2).mkString(", ")} " +
-            s"(report persisted at $outRoot/quality_report)")
+    if (failOnViolations) gate(quality, outRoot)
+
+    // the incremental scheduler's starting point: everything ingested
+    // up to here is processed (footer-stats max over the bronze scan)
+    val wm = bronze.agg(max("ingested_at")).head().getAs[LocalDateTime](0)
+    if (wm != null) writeWatermark(outRoot, wm)
+
+    r.reportDF
+  }
+
+  // ── incremental run ─────────────────────────────────────────────────
+
+  /** Process ONLY the new raw events against an `outRoot` previously
+    * built by [[run]] — the reference's scheduled 30-minute mode
+    * (`bronze_to_silver.py:74-91` + the DAG). Semantics:
+    *
+    *  1. append `newEvents`' bronze rows to `bronze/` (new
+    *     `_ingestion_date` partitions or additions to existing ones);
+    *  2. re-read bronze rows with `ingested_at > watermark − lookback`
+    *     — a partition-pruned scan of the tail, never the table; the
+    *     lookback overlap re-admits late redeliveries and makes a
+    *     crashed-then-rerun window safe;
+    *  3. MERGE the transformed batch into `silver/` with keep-earliest
+    *     conflict resolution ([[MergeUpsert.mergeKeepFirst]]) — only
+    *     the `_trade_date` partitions the batch touches are read
+    *     (pruned slice) and rewritten (dynamic partition overwrite),
+    *     so a sequence of incremental runs lands bit-identical to one
+    *     full rebuild;
+    *  4. recompute candle marts for the touched dates only (hourly
+    *     and minute candles are date-local, daily metrics month-local
+    *     — each slice rewrite is exact) and the tiny serving /
+    *     quality tables from pruned inputs + merge state;
+    *  5. gate on quality over THIS run's slices, then advance the
+    *     watermark (atomic marker move — a failed run never advances
+    *     it, so the next run re-covers the window).
+    *
+    * The per-run `collect`s are planning-time metadata only (the
+    * touched-date list and the as-of timestamp — ≤ days × 1 rows), the
+    * same watermark-resolution step every incremental table format
+    * performs from snapshot metadata.
+    *
+    * Assumption (holds for the trade model, and for any fact table):
+    * a row's partition date is a function of its key — a key never
+    * moves between date partitions, so partition-scoped MERGE is
+    * exact. */
+  def runIncremental(spark: SparkSession, outRoot: String,
+                     newEvents: DataFrame, lookbackHours: Int = 2,
+                     failOnViolations: Boolean = true,
+                     retries: Int = 2, retryBackoffMs: Long = 1000L): DataFrame = {
+    val prevWm = readWatermark(outRoot).getOrElse(throw new IllegalStateException(
+      s"no _watermark at $outRoot — bootstrap with PipelineRun.run first"))
+    val r = new Runner(spark, outRoot, retries, retryBackoffMs)
+
+    val ingestNew = Bronze.withRedeliveries(Bronze.ingest(newEvents)).persist()
+    r.stage("bronze") { p => Bronze.writePartitioned(ingestNew, p, mode = "append") }
+
+    // the incremental window: watermark minus late-arrival lookback,
+    // resolved to literals so the bronze scan partition-prunes
+    val cutoff = prevWm.minusHours(lookbackHours.toLong)
+    val batchSilver = BronzeToSilver.transform(
+      spark.read.parquet(s"$outRoot/bronze")
+        .filter(col("_ingestion_date") >= lit(java.sql.Date.valueOf(cutoff.toLocalDate))
+          && col("ingested_at") > lit(cutoff))).persist()
+
+    // touched partitions — planning-time metadata (≤ touched days)
+    val affectedDates = batchSilver.select("_trade_date").distinct()
+      .collect().map(_.getDate(0)).sortBy(_.toString).toSeq
+
+    if (affectedDates.isEmpty) {
+      // empty window: nothing to merge; report the (empty) append only
+      Stages.drop(1).foreach(r.skipped)
+      ingestNew.unpersist(); batchSilver.unpersist()
+      return r.reportDF
+    }
+    val dateLits = affectedDates.map(lit(_))
+
+    // 3. silver: keep-earliest MERGE over the touched slice; dynamic
+    // overwrite rewrites only those partitions. localCheckpoint
+    // materializes the merged slice before the overwrite (plain
+    // parquet cannot read and overwrite the same path in one job —
+    // an ACID format's write-new-files-then-commit hides this).
+    r.stage("silver") { p =>
+      val targetSlice = spark.read.parquet(p)
+        .filter(col("_trade_date").isin(dateLits: _*))
+      val merged = MergeUpsert.mergeKeepFirst(targetSlice,
+        batchSilver.select(targetSlice.columns.map(col(_)).toSeq: _*),
+        "trade_id", Seq(col("ingested_at")))
+      withDynamicOverwrite(spark) {
+        merged.localCheckpoint().write.mode("overwrite")
+          .partitionBy("_trade_date").parquet(p)
+      }
+    }
+    val silverSlice = spark.read.parquet(s"$outRoot/silver")
+      .filter(col("_trade_date").isin(dateLits: _*))
+    val stgSlice = Staging.stgTrades(silverSlice)
+
+    // 4. marts: candles are date-local, so the touched-date slices are
+    // exactly the full-rebuild values for those dates
+    val m1Slice = r.stage("ohlcv_1m") { p =>
+      withDynamicOverwrite(spark) {
+        Ohlcv.ohlcv1m(stgSlice).write.mode("overwrite")
+          .partitionBy("_partition_date").parquet(p)
+      }
+    }.filter(col("_partition_date").isin(dateLits: _*))
+    val h1Slice = r.stage("ohlcv_1h") { p =>
+      withDynamicOverwrite(spark) {
+        Ohlcv.ohlcv1h(m1Slice).write.mode("overwrite")
+          .partitionBy("_partition_date").parquet(p)
+      }
+    }.filter(col("_partition_date").isin(dateLits: _*))
+    // daily metrics partition by MONTH: recompute every touched month
+    // in full from the materialized hourly candles (month-pruned scan)
+    val monthLits = affectedDates.map(_.toLocalDate.withDayOfMonth(1))
+      .distinct.map(d => lit(java.sql.Date.valueOf(d)))
+    val dmSlice = r.stage("daily_metrics") { p =>
+      val h1Months = spark.read.parquet(s"$outRoot/ohlcv_1h")
+        .filter(trunc(col("_partition_date"), "month").isin(monthLits: _*))
+      withDynamicOverwrite(spark) {
+        DailyMetrics.daily(h1Months).write.mode("overwrite")
+          .partitionBy("_partition_month").parquet(p)
+      }
+    }.filter(col("_partition_month").isin(monthLits: _*))
+
+    // price_latest: merge the |products|-row latest-trade state with
+    // the batch (keep-max by time,id), then serve from candle slices
+    // pruned to the horizon window (~25 h) before as-of — exact, and
+    // nothing here scans beyond the state + the recent partitions
+    val ltPath = s"$outRoot/$LatestTradeState"
+    val newState = MergeUpsert.mergeKeepFirst(
+      spark.read.parquet(ltPath),
+      PriceLatest.latestTradeOf(Staging.stgTrades(batchSilver)),
+      "product_id", Seq(col("updated_at").desc, col("trade_id").desc))
+      .localCheckpoint()
+    newState.write.mode("overwrite").parquet(ltPath)
+    val asOf = newState.agg(max("updated_at")).head().getAs[LocalDateTime](0)
+    val horizonLb = lit(java.sql.Date.valueOf(asOf.toLocalDate.minusDays(1)))
+    val pl = r.stage("price_latest") { p =>
+      PriceLatest.serve(
+        spark.read.parquet(ltPath),
+        spark.read.parquet(s"$outRoot/ohlcv_1m")
+          .filter(col("_partition_date") >= horizonLb),
+        spark.read.parquet(s"$outRoot/ohlcv_1h")
+          .filter(col("_partition_date") >= horizonLb),
+        spark.read.parquet(s"$outRoot/daily_metrics")
+          .filter(col("_partition_month") >= trunc(horizonLb, "month")))
+        .write.mode("overwrite").parquet(p)
     }
 
-    import spark.implicits._
-    report.result()
-      .toDF("stage", "rows", "path", "seconds", "attempts")
+    // 5. quality over THIS run's slices (the incremental DQ scope:
+    // check what the run touched, not the whole history every 30 min)
+    val batchBronze = spark.read.parquet(s"$outRoot/bronze")
+      .filter(col("_ingestion_date") >= lit(java.sql.Date.valueOf(cutoff.toLocalDate))
+        && col("ingested_at") > lit(cutoff))
+    val quality = r.stage("quality_report") { p =>
+      DataQuality.fullReport(batchBronze, silverSlice, m1Slice, h1Slice,
+        dmSlice, pl).write.mode("overwrite").parquet(p)
+    }
+    if (failOnViolations) gate(quality, outRoot)
+
+    val newWm = ingestNew.agg(max("ingested_at")).head().getAs[LocalDateTime](0)
+    ingestNew.unpersist(); batchSilver.unpersist()
+    if (newWm != null && newWm.isAfter(prevWm)) writeWatermark(outRoot, newWm)
+
+    r.reportDF
   }
 }

@@ -25,17 +25,35 @@ object PriceLatest {
         nullif(prev.cast("double"), lit(0.0d)) * 100.0d, 4)
       .cast("decimal(10,4)")
 
-  /** @param stg staging trades; @param m1 1-minute candles;
-    * @param h1 1-hour candles; @param dm daily metrics. */
-  def latest(stg: DataFrame, m1: DataFrame, h1: DataFrame, dm: DataFrame): DataFrame = {
-    val asOf = stg.agg(max("trade_time").as("as_of"))
-
-    val latestTrade = stg
+  /** Per-product latest trade (price + time + id). The trade_id rides
+    * along as the deterministic tie-break so the table can be MERGED
+    * incrementally: keep-max by (updated_at, trade_id) over old state ∪
+    * a new batch's latest reproduces this exactly
+    * ([[PipelineRun.runIncremental]] maintains it as a state table). */
+  def latestTradeOf(stg: DataFrame): DataFrame =
+    stg
       .withColumn("rn", row_number().over(
         Window.partitionBy("product_id")
           .orderBy(col("trade_time").desc, col("trade_id").desc)))
       .filter(col("rn") === 1)
-      .select(col("product_id"), col("price"), col("trade_time").as("updated_at"))
+      .select(col("product_id"), col("price"),
+        col("trade_time").as("updated_at"), col("trade_id"))
+
+  /** @param stg staging trades; @param m1 1-minute candles;
+    * @param h1 1-hour candles; @param dm daily metrics. */
+  def latest(stg: DataFrame, m1: DataFrame, h1: DataFrame, dm: DataFrame): DataFrame =
+    serve(latestTradeOf(stg), m1, h1, dm)
+
+  /** Build the serving table from a materialized latest-trade state
+    * table plus the candle marts. as-of = max(updated_at) over the
+    * state — identical to max trade_time over all of staging, but
+    * computable from |products| rows. The candle inputs only need the
+    * last ~25 h before as-of (the widest horizon), so an incremental
+    * caller passes partition-pruned slices and the result is still
+    * exact. */
+  def serve(latestTrade: DataFrame, m1: DataFrame, h1: DataFrame,
+            dm: DataFrame): DataFrame = {
+    val asOf = latestTrade.agg(max("updated_at").as("as_of"))
 
     // Previous candle per horizon: 2nd-latest window_start within the
     // anchored lookback (reference's QUALIFY rn = 2).
@@ -57,7 +75,7 @@ object PriceLatest {
         col("high").as("high_24h"), col("low").as("low_24h"),
         col("total_volume").as("volume_24h"))
 
-    latestTrade
+    latestTrade.drop("trade_id")
       .join(broadcast(prev1m), Seq("product_id"), "left")
       .join(broadcast(prev1h), Seq("product_id"), "left")
       .join(broadcast(prev24h), Seq("product_id"), "left")

@@ -175,6 +175,92 @@ class PipelineSpec extends GraftSuite {
     assert(e.getMessage.contains("product_id"))
   }
 
+  test("incremental run lands identical to a full rebuild, rewriting only touched partitions") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val outFull = Files.createTempDirectory("graft-incr-full").toString
+    val outInc = Files.createTempDirectory("graft-incr").toString
+
+    // arrival-ordered split: first ~70% by ingest time, rest arrives later
+    val ing = expr("timestampadd(SECOND, cast(event_id % 600 as int), ts)")
+    val n = events.count()
+    val cut = events.select(ing.as("_ing")).orderBy("_ing")
+      .limit((n * 7 / 10).toInt).agg(max("_ing")).head()
+      .getAs[java.time.LocalDateTime](0)
+    val e1 = events.filter(ing <= lit(cut))
+    val e2 = events.filter(ing > lit(cut))
+    assert(e1.count() > 0 && e2.count() > 0)
+
+    PipelineRun.run(spark, sf, outFull)
+    PipelineRun.run(spark, sf, outInc, eventsOverride = Some(e1))
+    val wm1 = PipelineRun.readWatermark(outInc).get
+
+    // expected touched dates: trade dates inside the incremental window
+    // (everything ingested after watermark − lookback, batch + overlap)
+    val expectedWm = Bronze.withRedeliveries(Bronze.ingest(e1))
+      .agg(max("ingested_at")).head().getAs[java.time.LocalDateTime](0)
+    assert(wm1 === expectedWm)
+    val affected = silver
+      .filter(col("ingested_at") > lit(wm1.minusHours(2)))
+      .select("_trade_date").distinct().collect().map(_.getDate(0).toString).toSet
+    val allDates = silver.select("_trade_date").distinct().count()
+    assert(affected.nonEmpty && affected.size < allDates,
+      "split must leave untouched date partitions for the pruning check")
+
+    def partFiles(root: String): Map[String, Long] = {
+      val base = Paths.get(root)
+      val s = Files.walk(base)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString ->
+          Files.getLastModifiedTime(p).toMillis)
+        .filter(_._1.startsWith("_trade_date=")).toMap
+      finally s.close()
+    }
+    val before = partFiles(s"$outInc/silver")
+
+    val rep = PipelineRun.runIncremental(spark, outInc, e2).collect()
+    assert(rep.map(_.getString(0)).toSet === PipelineRun.Stages.toSet)
+    assert(rep.forall(_.getAs[Int]("attempts") === 1))
+
+    // untouched silver partitions were not rewritten (same files, same
+    // mtimes); touched ones were
+    val after = partFiles(s"$outInc/silver")
+    val (beforeTouched, beforeUntouched) = before.partition {
+      case (f, _) => affected.exists(d => f.startsWith(s"_trade_date=$d/"))
+    }
+    assert(beforeUntouched.nonEmpty)
+    beforeUntouched.foreach { case (f, mtime) =>
+      assert(after.get(f).contains(mtime), s"untouched partition file $f rewritten")
+    }
+    assert(beforeTouched.keySet.forall(f =>
+      !after.contains(f) || after(f) != beforeTouched(f)),
+      "touched partitions must have been rewritten")
+
+    // every table identical to the full rebuild
+    def assertTablesEqual(): Unit =
+      for (t <- Seq("bronze", "silver", "ohlcv_1m", "ohlcv_1h",
+        "daily_metrics", "price_latest")) {
+        val a = spark.read.parquet(s"$outFull/$t")
+        val b = spark.read.parquet(s"$outInc/$t")
+        val cols = a.columns.sorted.toSeq
+        assert(b.columns.sorted.toSeq === cols, s"$t columns")
+        val av = a.select(cols.map(col): _*).orderBy(cols.map(col): _*)
+          .collect().map(_.toSeq).toSeq
+        val bv = b.select(cols.map(col): _*).orderBy(cols.map(col): _*)
+          .collect().map(_.toSeq).toSeq
+        assert(av === bv, s"$t contents must match the full rebuild")
+      }
+    assertTablesEqual()
+
+    // watermark advanced to the new global max ingest
+    assert(PipelineRun.readWatermark(outInc).get.isAfter(wm1))
+
+    // idempotency: re-running with an EMPTY batch re-merges only the
+    // lookback overlap and changes nothing
+    PipelineRun.runIncremental(spark, outInc, e2.limit(0))
+    assertTablesEqual()
+  }
+
   test("retry: transient failures re-run the body; exhaustion propagates") {
     // fails twice, then succeeds — the Airflow default_args analog
     var calls = 0
