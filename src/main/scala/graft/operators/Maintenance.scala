@@ -41,4 +41,48 @@ object Maintenance {
     * caller performs deletion. */
   def expiredSnapshots(versions: Seq[Long], retainLast: Int): Seq[Long] =
     versions.sorted.dropRight(retainLast)
+
+  /** Compact a [[SnapshotTable]]'s CURRENT snapshot into a NEW
+    * `targetFiles`-file version (a commit — readers of the old version
+    * are undisturbed and time travel keeps working), exactly Iceberg's
+    * `rewrite_data_files`. Returns the new version, or -1 when the
+    * current version already has fewer than `minInputFiles` files (the
+    * procedure's min-input-files gate — never churn a healthy table). */
+  def compactSnapshot(spark: SparkSession, root: String, targetFiles: Int,
+                      minInputFiles: Int): Long = {
+    val current = SnapshotTable.read(spark, root)
+    if (current.inputFiles.length < minInputFiles) -1L
+    else SnapshotTable.commit(current.repartition(targetFiles), root)
+  }
+
+  /** One finished table's maintenance outcome. */
+  case class TableMaintenance(table: String, compactedTo: Long,
+                              expired: Seq[Long], orphansRemoved: Seq[Long],
+                              staleLocksRemoved: Seq[String])
+
+  /** The reference's maintenance DAG (`iceberg_maintenance.py:1-117`)
+    * as one runner: per table, chain small-file compaction → snapshot
+    * expiry → crash-leftover GC (orphan version dirs + stale branch
+    * locks), in that order — compaction FIRST so the superseded
+    * small-file snapshot is immediately expirable, sweeps LAST so a
+    * compaction crash from this very run would be cleaned next run,
+    * never this one mid-flight. Returns one report row per table.
+    *
+    * Scale: the only distributed work is each table's compaction
+    * rewrite (one round-robin shuffle sized to the target file count);
+    * everything else is O(#versions) driver-side metadata. Tables are
+    * independent — a deployment fans the loop out per table. */
+  def runCatalog(spark: SparkSession, tables: Seq[(String, String)],
+                 targetFiles: Int = 8, minInputFiles: Int = 16,
+                 retainLast: Int = 2, graceMs: Long = 3600000L): DataFrame = {
+    val rows = tables.map { case (name, root) =>
+      val compacted = compactSnapshot(spark, root, targetFiles, minInputFiles)
+      val expired = SnapshotTable.expireSnapshots(root, retainLast)
+      TableMaintenance(name, compacted, expired,
+        SnapshotTable.sweepOrphans(root, graceMs),
+        SnapshotTable.sweepStaleLocks(root, graceMs))
+    }
+    import spark.implicits._
+    rows.toDF()
+  }
 }

@@ -84,9 +84,22 @@ object SnapshotTable {
     // record ancestry (parent = the main head this commit advanced)
     // so branch fast-forward checks can walk across plain commits too
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
+    stampCommitted(root, next)
     moveMarker(root, next)
     next
   }
+
+  /** Mark a version directory's data write as complete. Written AFTER
+    * the parquet job and BEFORE the ref advance: a directory claimed by
+    * a writer that crashed mid-write never carries it, which is what
+    * [[sweepOrphans]] keys on (Iceberg gets the same signal from "is
+    * this file reachable from any snapshot manifest"). */
+  private def stampCommitted(root: String, version: Long): Unit =
+    Files.writeString(Paths.get(root, s"v=$version", "_committed"), "")
+
+  /** Is `version`'s data write complete? */
+  def isCommitted(root: String, version: Long): Boolean =
+    Files.exists(Paths.get(root, s"v=$version", "_committed"))
 
   /** Read the current snapshot (or a specific `version` — time travel). */
   def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
@@ -153,11 +166,16 @@ object SnapshotTable {
     * it (after a rollback, newer versions are roll-forward targets),
     * and every version any branch or tag ref points at (a named ref is
     * a liveness guarantee, exactly as in Nessie/Iceberg GC). Returns
-    * the versions removed. */
+    * the versions removed.
+    *
+    * Only COMMITTED versions participate — a crashed claim without a
+    * `_committed` stamp must neither be "expired" here nor occupy a
+    * retainLast slot that should protect a real snapshot; it is
+    * [[sweepOrphans]]' to remove. */
   def expireSnapshots(root: String, retainLast: Int): Seq[Long] = {
     val current = latestVersion(root)
     val pinned = refs(root).values.toSet
-    val expire = versions(root).filter(_ < current)
+    val expire = versions(root).filter(v => v < current && isCommitted(root, v))
       .sorted.dropRight(math.max(retainLast, 0))
       .filterNot(pinned)
     expire.foreach { v =>
@@ -298,6 +316,7 @@ object SnapshotTable {
       claimVersion(root, next)
       df.write.mode("overwrite").parquet(s"$root/v=$next")
       Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
+      stampCommitted(root, next)
       if (branch == MainBranch) moveMarker(root, next)
       else writeRef(root, "branch", branch, next)
       next
@@ -364,5 +383,54 @@ object SnapshotTable {
 
   def dropTag(root: String, name: String): Unit = {
     Files.deleteIfExists(refPath(root, "tag", name))
+  }
+
+  // ───────────────── crash-leftover GC (orphan sweep) ─────────────────
+
+  /** Remove version directories left behind by writers that crashed
+    * between [[claimVersion]] and commit — the `remove_orphan_files`
+    * analog of the reference's maintenance DAG
+    * (`iceberg_maintenance.py:1-117`). A directory is an orphan iff it
+    * carries no `_committed` stamp (the data write never finished), no
+    * ref or marker points at it, and it is older than `graceMs`
+    * (protecting a commit legitimately in flight right now — the same
+    * `older_than` guard Iceberg's procedure takes). Returns the
+    * versions removed.
+    *
+    * Note: versions created before `_committed` stamping existed are
+    * indistinguishable from orphans; on such a table, stamp them first
+    * or keep them ref-pinned. */
+  def sweepOrphans(root: String, graceMs: Long = 3600000L): Seq[Long] = {
+    val now = System.currentTimeMillis()
+    val referenced = refs(root).values.toSet + latestVersion(root)
+    val orphans = versions(root).filter { v =>
+      val dir = Paths.get(root, s"v=$v")
+      !isCommitted(root, v) && !referenced(v) &&
+        now - Files.getLastModifiedTime(dir).toMillis > graceMs
+    }
+    orphans.foreach { v =>
+      val dir = Paths.get(root, s"v=$v")
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    orphans
+  }
+
+  /** Remove branch-commit lock directories older than `graceMs` — the
+    * crash recovery for [[withBranchLock]] (a holder that died leaves
+    * the lock forever; no real commit holds one anywhere near an
+    * hour). Returns the lock names removed. */
+  def sweepStaleLocks(root: String, graceMs: Long = 3600000L): Seq[String] = {
+    val d = refsDir(root)
+    if (!Files.exists(d)) return Seq.empty
+    val now = System.currentTimeMillis()
+    val stream = Files.list(d)
+    val stale =
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".lock.") &&
+          now - Files.getLastModifiedTime(p).toMillis > graceMs)
+        .toSeq
+      finally stream.close()
+    stale.foreach(Files.delete)
+    stale.map(_.getFileName.toString.stripPrefix(".lock."))
   }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Maintenance, SnapshotTable}
+
+/** Combined maintenance runner: compaction → expiry → orphan GC. */
+class MaintenanceSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def mkTable(nVersions: Int, filesPerVersion: Int): String = {
+    val root = Files.createTempDirectory("graft-maint").toString
+    (1 to nVersions).foreach { i =>
+      SnapshotTable.commit(
+        (1 to 100).map(j => (j.toLong, s"v$i-$j")).toDF("id", "payload")
+          .repartition(filesPerVersion), root)
+    }
+    root
+  }
+
+  test("orphan sweep removes crashed claims, never committed versions") {
+    val root = mkTable(2, 2)
+    // a writer claims v2 then dies before finishing its data write
+    SnapshotTable.claimVersion(root, 2L)
+    Files.writeString(Paths.get(root, "v=2", "part-crashed.parquet"), "junk")
+    // the claim occupies its number (versions() is the numbering
+    // source) but is not committed
+    assert(SnapshotTable.versions(root) === Seq(0L, 1L, 2L))
+    assert(!SnapshotTable.isCommitted(root, 2L))
+
+    // inside the grace window nothing moves
+    assert(SnapshotTable.sweepOrphans(root, graceMs = 3600000L) === Seq.empty)
+    // past it, exactly the crashed claim goes
+    assert(SnapshotTable.sweepOrphans(root, graceMs = 0L) === Seq(2L))
+    assert(!Files.exists(Paths.get(root, "v=2")))
+    assert(SnapshotTable.versions(root) === Seq(0L, 1L))
+    // committed versions are stamped and never swept
+    assert(SnapshotTable.isCommitted(root, 0L) && SnapshotTable.isCommitted(root, 1L))
+    assert(SnapshotTable.sweepOrphans(root, graceMs = 0L) === Seq.empty)
+    // the freed number is reusable — the next commit lands where the
+    // crash happened and reads fine
+    assert(SnapshotTable.commit(Seq((1L, "x")).toDF("id", "payload"), root) === 2L)
+    assert(SnapshotTable.read(spark, root).count() === 1)
+  }
+
+  test("stale branch locks are swept past the grace window") {
+    val root = mkTable(1, 1)
+    SnapshotTable.createBranch(root, "dev")
+    // simulate a committer that died holding the dev lock
+    Files.createDirectories(Paths.get(root, "_refs", ".lock.dev"))
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commitToBranch(Seq((9L, "y")).toDF("id", "payload"), root, "dev")
+    }
+    assert(SnapshotTable.sweepStaleLocks(root, graceMs = 3600000L) === Seq.empty)
+    assert(SnapshotTable.sweepStaleLocks(root, graceMs = 0L) === Seq("dev"))
+    // recovered: commits to the branch work again
+    SnapshotTable.commitToBranch(Seq((9L, "y")).toDF("id", "payload"), root, "dev")
+    assert(SnapshotTable.readBranch(spark, root, "dev").count() === 1)
+  }
+
+  test("compactSnapshot rewrites small files as a new version; gate skips healthy tables") {
+    val root = mkTable(1, 12)
+    assert(spark.read.parquet(s"$root/v=0").inputFiles.length === 12)
+    // under the min-input-files gate: no churn
+    assert(Maintenance.compactSnapshot(spark, root, targetFiles = 2,
+      minInputFiles = 16) === -1L)
+    assert(SnapshotTable.latestVersion(root) === 0L)
+    // over it: one new 2-file version, same rows, old version intact
+    val v = Maintenance.compactSnapshot(spark, root, targetFiles = 2,
+      minInputFiles = 8)
+    assert(v === 1L && SnapshotTable.latestVersion(root) === 1L)
+    val back = SnapshotTable.read(spark, root)
+    assert(back.inputFiles.length === 2 && back.count() === 100)
+    assert(SnapshotTable.read(spark, root, 0L).count() === 100)
+  }
+
+  test("runCatalog chains compaction, expiry, and GC across tables") {
+    val t1 = mkTable(4, 12) // small-file table with history
+    val t2 = mkTable(1, 2)  // healthy table
+    // t1 also carries a crashed claim and a stale lock
+    SnapshotTable.claimVersion(t1, 4L)
+    Files.createDirectories(Paths.get(t1, "_refs", ".lock.dev"))
+
+    val rep = Maintenance.runCatalog(spark,
+      Seq("trades" -> t1, "products" -> t2),
+      targetFiles = 2, minInputFiles = 8, retainLast = 1, graceMs = 0L)
+      .collect().map(r => r.getAs[String]("table") -> r).toMap
+
+    // trades: compacted to v5 (v4 was the orphan claim), old versions
+    // expired down to retainLast, orphan + lock swept
+    val tr = rep("trades")
+    assert(tr.getAs[Long]("compactedTo") === 5L)
+    assert(SnapshotTable.latestVersion(t1) === 5L)
+    assert(tr.getAs[Seq[Long]]("expired") === Seq(0L, 1L, 2L))
+    assert(SnapshotTable.versions(t1) === Seq(3L, 5L))
+    assert(tr.getAs[Seq[Long]]("orphansRemoved") === Seq(4L))
+    assert(tr.getAs[Seq[String]]("staleLocksRemoved") === Seq("dev"))
+    val back = SnapshotTable.read(spark, t1)
+    assert(back.count() === 100 && back.inputFiles.length === 2)
+    // products: healthy — nothing compacted, nothing expired
+    val pr = rep("products")
+    assert(pr.getAs[Long]("compactedTo") === -1L)
+    assert(pr.getAs[Seq[Long]]("expired") === Seq.empty)
+    assert(SnapshotTable.versions(t2) === Seq(0L))
+  }
+}
