@@ -1,0 +1,216 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table catalog with ATOMIC cross-table commits — the Nessie
+  * analog (`infrastructure/init/nessie_setup.py:1-75`).
+  *
+  * [[SnapshotTable]] gives each table its own versioned history, but
+  * its refs are per-table: bronze, silver, and the marts cannot move
+  * together, so a reader can observe silver ahead of the marts built
+  * from it. The reference avoids that by committing table state to a
+  * catalog whose commits span tables; this is the same protocol over
+  * directories:
+  *
+  * {{{
+  *   <root>/tables/<name>/      a SnapshotTable version store (no
+  *                              per-table refs — the catalog owns state)
+  *   <root>/_commits/c=N        manifest: "<table> <version>" lines
+  *   <root>/_latest             current catalog commit (atomic marker)
+  * }}}
+  *
+  * A transaction STAGES a new fully-written version in every updated
+  * table (data files on disk, nothing published), writes the next
+  * manifest mapping every table to its version, and publishes with ONE
+  * atomic marker move. Readers resolve every table through one
+  * manifest, so they always see a consistent cross-table state: either
+  * all of a transaction's tables or none. A crash mid-transaction
+  * leaves only unpublished staged versions and possibly an unreferenced
+  * manifest — invisible to readers, removed by [[expireCommits]].
+  *
+  * Concurrency is optimistic, like Nessie's CAS on a branch head: the
+  * manifest file for commit base+1 is created with an exclusive
+  * create, so of two committers starting from the same base exactly
+  * one publishes; the loser gets `ConcurrentModificationException` and
+  * retries on the new base.
+  *
+  * Scale: staging is the distributed work (one parquet job per updated
+  * table); the commit point is one tiny file create + one marker
+  * rename, no matter how many tables or how much data moved. Catalog
+  * metadata is O(tables × commits) driver-side text.
+  */
+object Catalog {
+
+  private def markerPath(root: String) = Paths.get(root, "_latest")
+  private def commitsDir(root: String) = Paths.get(root, "_commits")
+  private def manifestPath(root: String, commit: Long): Path =
+    commitsDir(root).resolve(s"c=$commit")
+
+  /** Filesystem root of `table`'s version store. */
+  def tableRoot(root: String, table: String): String = {
+    require(table.matches("[A-Za-z0-9._-]+"), s"invalid table name '$table'")
+    s"$root/tables/$table"
+  }
+
+  /** Latest published catalog commit, or -1 before any. */
+  def latestCommit(root: String): Long = {
+    val m = markerPath(root)
+    if (Files.exists(m)) Files.readString(m).trim.toLong else -1L
+  }
+
+  /** All manifest ids present on disk, ascending (including any
+    * unpublished crash leftovers newer than the marker). */
+  def commits(root: String): Seq[Long] = {
+    val d = commitsDir(root)
+    if (!Files.exists(d)) return Seq.empty
+    val stream = Files.list(d)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("c="))
+      .map(_.stripPrefix("c=").toLong)
+      .toSeq.sorted
+    finally stream.close()
+  }
+
+  /** The table → version mapping at `commit` (default: the latest
+    * published commit; empty before any commit). */
+  def tableVersions(root: String, commit: Long = -1L): Map[String, Long] = {
+    val c = if (commit >= 0) commit else latestCommit(root)
+    if (c < 0) return Map.empty
+    val p = manifestPath(root, c)
+    require(Files.exists(p), s"unknown catalog commit $c at $root")
+    Files.readString(p).linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(name, v) = line.split(' ')
+      name -> v.toLong
+    }.toMap
+  }
+
+  /** Tables known to the current catalog state. */
+  def tables(root: String): Seq[String] =
+    tableVersions(root).keys.toSeq.sorted
+
+  private def moveMarker(root: String, commit: Long): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s"_latest.tmp$commit")
+    Files.writeString(tmp, commit.toString)
+    Files.move(tmp, markerPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Atomically commit already-staged table versions on top of `base`:
+    * the new manifest carries base's mapping overlaid with `staged`.
+    * Exclusive-creates manifest base+1 (the CAS — a committer that
+    * lost the race fails fast here), then publishes with one marker
+    * move. */
+  private[graft] def commitStaged(root: String, staged: Map[String, Long],
+                                  base: Long): Long = {
+    val next = base + 1
+    val manifest = tableVersions(root, base) ++ staged
+    Files.createDirectories(commitsDir(root))
+    try Files.createFile(manifestPath(root, next))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"catalog commit $next at $root already exists (a concurrent " +
+            "committer won the race, or a crashed commit left it — see " +
+            "expireCommits); re-stage against the current base and retry")
+    }
+    val tmp = commitsDir(root).resolve(s".c=$next.tmp")
+    Files.writeString(tmp,
+      manifest.toSeq.sortBy(_._1).map { case (n, v) => s"$n $v" }.mkString("\n"))
+    Files.move(tmp, manifestPath(root, next),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    moveMarker(root, next)
+    next
+  }
+
+  /** Atomically publish new contents for several tables as ONE catalog
+    * commit: every DataFrame is staged (fully written, unpublished),
+    * then all of them publish together. Unmentioned tables carry over
+    * unchanged. Returns the new catalog commit id.
+    *
+    * If any stage write throws, nothing was published — readers still
+    * see the previous commit for every table, and the already-staged
+    * versions are unreferenced leftovers for [[expireCommits]]. */
+  def transact(root: String, updates: Seq[(String, DataFrame)]): Long = {
+    require(updates.map(_._1).distinct.size == updates.size,
+      "a transaction updates each table at most once")
+    val base = latestCommit(root)
+    val prev = tableVersions(root, base)
+    val staged = updates.map { case (name, df) =>
+      name -> SnapshotTable.stageVersion(df, tableRoot(root, name),
+        prev.getOrElse(name, -1L))
+    }.toMap
+    commitStaged(root, staged, base)
+  }
+
+  /** Read `table` at a catalog `commit` (default: latest) — every
+    * table read through the same commit id is mutually consistent. */
+  def read(spark: SparkSession, root: String, table: String,
+           commit: Long = -1L): DataFrame = {
+    val vs = tableVersions(root, commit)
+    require(vs.contains(table),
+      s"table '$table' not in catalog commit " +
+        s"${if (commit >= 0) commit else latestCommit(root)} at $root")
+    SnapshotTable.read(spark, tableRoot(root, table), vs(table))
+  }
+
+  /** Re-point the catalog at an older published commit (atomic) —
+    * rolls EVERY table back together, which is the point. */
+  def rollback(root: String, commit: Long): Unit = {
+    require(commits(root).contains(commit), s"unknown catalog commit $commit")
+    moveMarker(root, commit)
+  }
+
+  /** Catalog-level GC: drop old manifests beyond `retainLast` (the
+    * current commit, newer-than-current roll-forward targets, and the
+    * newest `retainLast` older manifests survive), plus unpublished
+    * crash-leftover manifests older than `graceMs`; then delete every
+    * table version no surviving manifest references. Returns
+    * (removed commits, removed versions per table). */
+  def expireCommits(root: String, retainLast: Int,
+                    graceMs: Long = 3600000L): (Seq[Long], Map[String, Seq[Long]]) = {
+    val current = latestCommit(root)
+    val now = System.currentTimeMillis()
+    val dropOld = commits(root).filter(_ < current)
+      .dropRight(math.max(retainLast, 0))
+    // unpublished leftovers: newer than current, unreachable by
+    // rollback (rollback only targets <= current), old enough that no
+    // in-flight committer still holds them
+    val dropCrashed = commits(root).filter(c => c > current &&
+      now - Files.getLastModifiedTime(manifestPath(root, c)).toMillis > graceMs)
+    val drop = dropOld ++ dropCrashed
+    drop.foreach(c => Files.delete(manifestPath(root, c)))
+
+    val live = commits(root)
+    val referenced: Map[String, Set[Long]] = live
+      .flatMap(c => tableVersions(root, c).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tablesDir = Paths.get(root, "tables")
+    val removedVersions =
+      if (!Files.exists(tablesDir)) Map.empty[String, Seq[Long]]
+      else {
+        val stream = Files.list(tablesDir)
+        val names = try stream.iterator().asScala
+          .map(_.getFileName.toString).toSeq.sorted finally stream.close()
+        names.map { name =>
+          val tr = tableRoot(root, name)
+          val keep = referenced.getOrElse(name, Set.empty)
+          val dead = SnapshotTable.versions(tr)
+            .filter(v => !keep(v) && SnapshotTable.isCommitted(tr, v))
+          dead.foreach { v =>
+            val dir = Paths.get(tr, s"v=$v")
+            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+          // crashed mid-stage claims (unstamped) go through the table
+          // sweep with the same grace discipline
+          name -> (dead ++ SnapshotTable.sweepOrphans(tr, graceMs)).sorted
+        }.filter(_._2.nonEmpty).toMap
+      }
+    (drop, removedVersions)
+  }
+}

@@ -78,14 +78,26 @@ object SnapshotTable {
     * same version number fails instead of silently overwriting. */
   def commit(df: DataFrame, root: String): Long = {
     val base = latestVersion(root)
+    val next = stageVersion(df, root, base)
+    moveMarker(root, next)
+    next
+  }
+
+  /** Write `df` as a fully-materialized version directory WITHOUT
+    * advancing any ref — the "write data files, publish later" half of
+    * every ACID commit protocol. [[commit]] is stage + marker move;
+    * [[Catalog.transact]] stages across MANY tables first and then
+    * publishes them all with one catalog-level marker move (the
+    * multi-table atomicity Nessie commits have and per-table markers
+    * cannot give). The `_parent` recorded is the version this staging
+    * logically succeeds (ancestry for fast-forward checks). */
+  private[graft] def stageVersion(df: DataFrame, root: String,
+                                  parent: Long = -1L): Long = {
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
     df.write.mode("overwrite").parquet(s"$root/v=$next")
-    // record ancestry (parent = the main head this commit advanced)
-    // so branch fast-forward checks can walk across plain commits too
-    Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
+    Files.writeString(Paths.get(root, s"v=$next", "_parent"), parent.toString)
     stampCommitted(root, next)
-    moveMarker(root, next)
     next
   }
 
