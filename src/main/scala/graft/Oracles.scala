@@ -250,6 +250,20 @@ object Oracles {
   /** The price_latest derivation (anchored horizons → final), shared by
     * the price_latest query and the gold-layer quality checks. Appends
     * to the `dm`-level trade CTE chain. */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE $ngramPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS v, doc_b AS u FROM pairs
+       |  UNION
+       |  SELECT doc_b AS v, doc_a AS u FROM pairs),
+       |verts AS (SELECT DISTINCT v FROM edges),
+       |reach(v, u) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v)
+       |SELECT v AS doc_id, MIN(u) AS cluster_id, v = MIN(u) AS is_canonical
+       |FROM reach GROUP BY v""".stripMargin
+
   private val priceLatestCtes =
     """anchor AS (SELECT MAX(trade_time) AS as_of FROM stg),
       |lt AS (
@@ -757,19 +771,10 @@ object Oracles {
     // closure (cluster sizes are small, so the closure is tiny);
     // mirrors Dedup.clusters' min-label fixpoint: every doc labeled
     // with its component's minimum doc_id.
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $ngramPairsCtes,
-         |edges AS (
-         |  SELECT doc_a AS v, doc_b AS u FROM pairs
-         |  UNION
-         |  SELECT doc_b AS v, doc_a AS u FROM pairs),
-         |verts AS (SELECT DISTINCT v FROM edges),
-         |reach(v, u) AS (
-         |  SELECT v, v FROM verts
-         |  UNION
-         |  SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v)
-         |SELECT v AS doc_id, MIN(u) AS cluster_id, v = MIN(u) AS is_canonical
-         |FROM reach GROUP BY v""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+    // the two-star algorithm computes the SAME labeling (component
+    // minimum), so its oracle is the same transitive closure
+    "dedup_clusters_twostar" -> dedupClustersSql,
 
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $ngramPairsCtes,
@@ -920,6 +925,50 @@ object Oracles {
          |      ${duckDot("nv.embedding", "nq.embedding")} / (nv.nrm * nq.nrm) DESC, cand.neighbor_id) AS rank
          |  FROM cand JOIN nrm nv ON cand.neighbor_id = nv.vec_id JOIN nrm nq ON cand.query_id = nq.vec_id)
          |WHERE rank <= 10""".stripMargin,
+
+    // Recall@k of the IVF probe path against the exact brute-force
+    // top-k — the index-quality metric as a first-class gate key.
+    // exact mirrors ann_topk, the probe chain mirrors ivf_topk
+    // verbatim; recall = hits/k is an exact integer-ratio double on
+    // both engines.
+    "ann_recall" ->
+      s"""WITH $nrmCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM nrm WHERE vec_id < 10),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        ${duckDot("q.qe", "c.embedding")} / (q.qn * c.nrm) DESC, c.vec_id) AS rank
+         |    FROM q, nrm c WHERE c.vec_id <> q.query_id)
+         |  WHERE rank <= 10),
+         |cent AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn FROM nrm WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT v.vec_id, c.centroid_id
+         |  FROM nrm v, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |    ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC, c.centroid_id) = 1),
+         |probes AS (
+         |  SELECT q.query_id, c.centroid_id
+         |  FROM q, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |    ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC, c.centroid_id) <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg a ON p.centroid_id = a.centroid_id
+         |  WHERE a.vec_id <> p.query_id),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT cand.query_id, cand.neighbor_id,
+         |      row_number() OVER (PARTITION BY cand.query_id ORDER BY
+         |        ${duckDot("nv.embedding", "nq.embedding")} / (nv.nrm * nq.nrm) DESC, cand.neighbor_id) AS rank
+         |    FROM cand JOIN nrm nv ON cand.neighbor_id = nv.vec_id JOIN nrm nq ON cand.query_id = nq.vec_id)
+         |  WHERE rank <= 10)
+         |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+         |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id""".stripMargin,
 
     // IVF over a TRAINED quantizer: one deterministic Lloyd iteration
     // from the lowest-id seeds. The per-cluster mean folds members in

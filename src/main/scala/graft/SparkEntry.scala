@@ -154,6 +154,8 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, dir)))),
+    "dedup_clusters_twostar" -> ((s, dir) =>
+      Dedup.clustersTwoStar(Dedup.ngramJaccard(Tables.documents(s, dir)))),
     "dedup_cluster_stats" -> ((s, dir) =>
       Dedup.clusterStats(
         Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, dir))))),
@@ -172,6 +174,12 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
     "ann_topk_bucketed" -> ((s, dir) =>
       Similarity.annTopKBucketed(Tables.embeddings(s, dir))),
+    "ann_recall" -> { (s, dir) =>
+      // index-quality gate: exact brute-force top-k vs the IVF probe
+      // path; emb feeds both sides, so materialize it once
+      val emb = Tables.embeddings(s, dir).persist()
+      Similarity.annRecall(Similarity.annTopK(emb), Similarity.ivfTopK(emb))
+    },
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, Tables.documents(s, dir))),
     "corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(s, Tables.documents(s, dir))),

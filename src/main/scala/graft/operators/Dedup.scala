@@ -278,6 +278,72 @@ object Dedup {
       (col("v") === col("label")).as("is_canonical"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the deep-graph alternative to [[clusters]]' min-label
+    * propagation. Label propagation needs O(diameter) rounds; the star
+    * operations contract whole subtrees onto component minima and
+    * converge in O(log²) rounds even on long-chain graphs, which is
+    * what you want when the dup graph is not shallow (e.g. chained
+    * near-dups across a crawl). Output is identical to [[clusters]]:
+    * every doc labeled with its component's minimum id.
+    *
+    * Per round: large-star = one groupBy on the symmetric adjacency +
+    * one key-co-partitioned join; small-star the same on the downward
+    * orientation — two shuffles per round, edge-count bounded by the
+    * input (stars only ever re-point edges, never multiply them).
+    * Rounds are lineage-truncated with localCheckpoint like
+    * [[clusters]]; the convergence probe is a set-equality check
+    * (anti-join count) over the materialized round. */
+  def clustersTwoStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val verts = pairs.select(col("doc_a").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("v")))
+      .distinct().localCheckpoint()
+    // canonical downward orientation (u > v), self-loops dropped
+    var edges = pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged) {
+      if (i >= maxIter)
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"Dedup.clustersTwoStar round ${i + 1} exceeds maxIter=" +
+            s"$maxIter; continuing to convergence")
+      // large-star: every neighbor v > u re-points to
+      // min(Γ(u) ∪ {u}); emitted edges stay downward (v > u ≥ m)
+      val adj = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = adj.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+      val ls = adj.filter(col("v") > col("u")).join(lsMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: on the downward orientation, every lesser
+      // neighbor (and u itself) re-points to min(Γ⁻(u) ∪ {u})
+      val ssMin = ls.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+      val joined = ls.join(ssMin, "u")
+      val next = joined.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.filter(col("u") =!= col("m"))
+          .select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      // fixed point: next ⊆ edges ∧ |next| = |edges| ⇒ equal sets
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      i += 1
+    }
+    // fixed point is a star forest: (child, component-min) edges
+    verts
+      .join(edges.select(col("u").as("v"), col("v").as("label")), Seq("v"), "left")
+      .select(col("v").as("doc_id"),
+        coalesce(col("label"), col("v")).as("cluster_id"),
+        (col("v") === coalesce(col("label"), col("v"))).as("is_canonical"))
+  }
+
   /** Duplicate-cluster size distribution — the curation report on top
     * of [[clusters]]: how many clusters of each size exist and how many
     * documents they hold (docs − clusters = removable duplicates). Two

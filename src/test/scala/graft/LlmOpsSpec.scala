@@ -423,6 +423,35 @@ class LlmOpsSpec extends GraftSuite {
     assert(stats.head.getAs[Long]("n_docs") === 3L)
   }
 
+  test("two-star CC matches min-label propagation and collapses deep chains fast") {
+    import spark.implicits._
+    // real dup graph: identical labeling to the propagation algorithm
+    val pairs = Dedup.ngramJaccard(docs, 0.6).persist()
+    val viaProp = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val viaStar = Dedup.clustersTwoStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(viaStar.toSeq === viaProp.toSeq)
+    pairs.unpersist()
+
+    // pathological diameter: a 200-link chain (propagation would need
+    // ~200 rounds; the star alternation contracts it within maxIter
+    // and labels every node with the component min, 0)
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clustersTwoStar(chain).collect()
+    assert(labels.length === 201)
+    assert(labels.forall(_.getLong(1) === 0L))
+    assert(labels.count(_.getBoolean(2)) === 1)
+
+    // two disjoint components + an isolated self-pair keep distinct labels
+    val two = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 30L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clustersTwoStar(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
   test("repetition: sorted-run fold finds the top word count, bigram dups exact") {
     val rep = Seq(
       (0L, "a a a b a a a a a a", 19L),             // 9×'a' of 10 words
