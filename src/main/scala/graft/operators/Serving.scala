@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Interactive SQL serving surface — the Trino analog
+  * (`infrastructure/trino/config.properties`: the reference fronts the
+  * lakehouse with a SQL engine over the catalog's tables).
+  *
+  * Spark IS a SQL engine, so "serving" is registering the tables:
+  * every view is a plain parquet scan of the governed layout, which
+  * means ad-hoc `spark.sql` queries get partition pruning, filter
+  * pushdown, and AQE exactly like the library operators do
+  * (plan-asserted in the spec). A deployment exposes the same session
+  * over the Spark Thrift/Connect server; nothing here is test-only
+  * plumbing.
+  *
+  * Two registration modes mirror the reference's two consistency
+  * models:
+  *  - [[registerPipeline]]: live views over a [[PipelineRun]] layout —
+  *    readers follow whatever the pipeline last wrote (Hive-style);
+  *  - [[registerCatalog]]: views pinned to ONE [[Catalog]] commit —
+  *    the whole SQL session sees a consistent cross-table snapshot, and
+  *    later catalog commits are invisible until re-registration
+  *    (Nessie/Trino-over-Iceberg semantics).
+  */
+object Serving {
+
+  /** Register temp views over every stage table of a [[PipelineRun]]
+    * layout at `outRoot` (bronze, silver, the marts, quality_report).
+    * Returns the view names, `prefix`-qualified. */
+  def registerPipeline(spark: SparkSession, outRoot: String,
+                       prefix: String = ""): Seq[String] =
+    PipelineRun.Stages.map { t =>
+      val view = prefix + t
+      spark.read.parquet(s"$outRoot/$t").createOrReplaceTempView(view)
+      view
+    }
+
+  /** Register temp views over every table of a [[Catalog]], pinned to
+    * `commit` (default: the latest published commit at call time).
+    * Every view resolves through the SAME manifest, so SQL readers get
+    * a consistent cross-table snapshot; a transaction published after
+    * registration is invisible until views are re-registered. Returns
+    * the served table → version mapping. */
+  def registerCatalog(spark: SparkSession, root: String,
+                      commit: Long = -1L, prefix: String = ""): Map[String, Long] = {
+    val c = if (commit >= 0) commit else Catalog.latestCommit(root)
+    require(c >= 0, s"no published catalog commit at $root")
+    val versions = Catalog.tableVersions(root, c)
+    versions.foreach { case (table, v) =>
+      SnapshotTable.read(spark, Catalog.tableRoot(root, table), v)
+        .createOrReplaceTempView(prefix + table)
+    }
+    versions
+  }
+
+  /** Drop previously registered views (cleanup for session reuse). */
+  def unregister(spark: SparkSession, views: Iterable[String]): Unit =
+    views.foreach(spark.catalog.dropTempView)
+}
