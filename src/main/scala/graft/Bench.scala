@@ -94,6 +94,46 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }
 
+    // Incremental pipeline run (the scheduled 30-minute mode):
+    // bootstrap the layout on the first ~90% of arrivals (untimed),
+    // then time ONLY the incremental processing of the last-10% batch.
+    // The point of the measurement: incremental cost must track the
+    // batch, not the table — compare against pipeline_end_to_end.
+    val incName = "pipeline_incremental"
+    samples(incName) = Vector.empty[Double]
+    locally {
+      import org.apache.spark.sql.functions._
+      val ev = sources.Tables.events(spark, sfDir)
+      val ing = expr("timestampadd(SECOND, cast(event_id % 600 as int), ts)")
+      val nEv = ev.count()
+      val cut = ev.select(ing.as("_ing")).orderBy("_ing")
+        .limit((nEv * 9 / 10).toInt).agg(max("_ing")).head()
+        .getAs[java.time.LocalDateTime](0)
+      val e1 = ev.filter(ing <= lit(cut))
+      val e2 = ev.filter(ing > lit(cut))
+      (1 to reps).foreach { i =>
+        val out = java.nio.file.Files
+          .createTempDirectory(s"graft-bench-incr$i").toString
+        try {
+          operators.PipelineRun.run(spark, sfDir, out,
+            eventsOverride = Some(e1))
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val report = operators.PipelineRun.runIncremental(spark, out, e2)
+          val stages = report.collect() // tiny: one row per stage
+          samples(incName) :+= (System.nanoTime() - t0) / 1e9
+          pipeRows(incName) = stages.length.toLong
+        } catch { case e: Throwable =>
+          errors.getOrElseUpdate(incName,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      }
+    }
+
     // Per-query result row counts (one untimed extra run, after all
     // timed reps): makes silent result-shape regressions visible
     // round-over-round in BENCH_r{N}.json.
@@ -116,7 +156,7 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     } + "\""
-    val allNames = names :+ pipeName
+    val allNames = names :+ pipeName :+ incName
     val ok = allNames.filter(samples(_).nonEmpty)
     val qs = ok.map(n => s"${jq(n)}:${median(samples(n))}")
       .mkString("{", ",", "}")

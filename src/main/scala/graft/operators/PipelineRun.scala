@@ -46,7 +46,7 @@ import graft.sources.Tables
   *   silver/          partitioned by _trade_date (mart pruning axis)
   *   ohlcv_1m/        partitioned by _partition_date
   *   ohlcv_1h/        partitioned by _partition_date
-  *   daily_metrics/   partitioned by _partition_month
+  *   daily_metrics/   partitioned by date (its grain)
   *   price_latest/    tiny serving table (unpartitioned)
   *   quality_report/  this run's checks (unpartitioned)
   *   _state/latest_trade/   |products|-row merge state for price_latest
@@ -179,17 +179,25 @@ object PipelineRun {
       BronzeToSilver.writePartitioned(BronzeToSilver.transform(bronze), p)
     }
     val stg = Staging.stgTrades(silver)
+    // marts are repartitioned ON the partition column before the write:
+    // without it every write task emits a file into every date dir
+    // (tasks × dates small files — the layout that kills object-store
+    // listings at scale); with it each date lands as one right-sized
+    // file, and the extra shuffle moves only already-reduced candles
     val m1 = r.stage("ohlcv_1m") { p =>
-      Ohlcv.ohlcv1m(stg).write.mode("overwrite")
-        .partitionBy("_partition_date").parquet(p)
+      Ohlcv.ohlcv1m(stg).repartition(col("_partition_date"))
+        .write.mode("overwrite").partitionBy("_partition_date").parquet(p)
     }
     val h1 = r.stage("ohlcv_1h") { p =>
-      Ohlcv.ohlcv1h(m1).write.mode("overwrite")
-        .partitionBy("_partition_date").parquet(p)
+      Ohlcv.ohlcv1h(m1).repartition(col("_partition_date"))
+        .write.mode("overwrite").partitionBy("_partition_date").parquet(p)
     }
+    // day-partitioned (its grain): incremental runs rewrite only the
+    // touched days, and the serving table's 24 h horizon lookup prunes
+    // to two date dirs instead of a whole month
     val dm = r.stage("daily_metrics") { p =>
-      DailyMetrics.daily(h1).write.mode("overwrite")
-        .partitionBy("_partition_month").parquet(p)
+      DailyMetrics.daily(h1).repartition(col("date"))
+        .write.mode("overwrite").partitionBy("date").parquet(p)
     }
     // latest-trade merge state (|products| rows): the incremental
     // runner's price_latest base — not a report stage, just state
@@ -304,28 +312,24 @@ object PipelineRun {
     // exactly the full-rebuild values for those dates
     val m1Slice = r.stage("ohlcv_1m") { p =>
       withDynamicOverwrite(spark) {
-        Ohlcv.ohlcv1m(stgSlice).write.mode("overwrite")
-          .partitionBy("_partition_date").parquet(p)
+        Ohlcv.ohlcv1m(stgSlice).repartition(col("_partition_date"))
+          .write.mode("overwrite").partitionBy("_partition_date").parquet(p)
       }
     }.filter(col("_partition_date").isin(dateLits: _*))
     val h1Slice = r.stage("ohlcv_1h") { p =>
       withDynamicOverwrite(spark) {
-        Ohlcv.ohlcv1h(m1Slice).write.mode("overwrite")
-          .partitionBy("_partition_date").parquet(p)
+        Ohlcv.ohlcv1h(m1Slice).repartition(col("_partition_date"))
+          .write.mode("overwrite").partitionBy("_partition_date").parquet(p)
       }
     }.filter(col("_partition_date").isin(dateLits: _*))
-    // daily metrics partition by MONTH: recompute every touched month
-    // in full from the materialized hourly candles (month-pruned scan)
-    val monthLits = affectedDates.map(_.toLocalDate.withDayOfMonth(1))
-      .distinct.map(d => lit(java.sql.Date.valueOf(d)))
+    // daily metrics are day-grain and day-partitioned: the touched
+    // days recompute from the already-rewritten hourly slice alone
     val dmSlice = r.stage("daily_metrics") { p =>
-      val h1Months = spark.read.parquet(s"$outRoot/ohlcv_1h")
-        .filter(trunc(col("_partition_date"), "month").isin(monthLits: _*))
       withDynamicOverwrite(spark) {
-        DailyMetrics.daily(h1Months).write.mode("overwrite")
-          .partitionBy("_partition_month").parquet(p)
+        DailyMetrics.daily(h1Slice).repartition(col("date"))
+          .write.mode("overwrite").partitionBy("date").parquet(p)
       }
-    }.filter(col("_partition_month").isin(monthLits: _*))
+    }.filter(col("date").isin(dateLits: _*))
 
     // price_latest: merge the |products|-row latest-trade state with
     // the batch (keep-max by time,id), then serve from candle slices
@@ -348,7 +352,7 @@ object PipelineRun {
         spark.read.parquet(s"$outRoot/ohlcv_1h")
           .filter(col("_partition_date") >= horizonLb),
         spark.read.parquet(s"$outRoot/daily_metrics")
-          .filter(col("_partition_month") >= trunc(horizonLb, "month")))
+          .filter(col("date") >= horizonLb))
         .write.mode("overwrite").parquet(p)
     }
 
