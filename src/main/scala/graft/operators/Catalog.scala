@@ -148,6 +148,30 @@ object Catalog {
     commitStaged(root, staged, base)
   }
 
+  /** [[transact]]'s incremental sibling — the 100 TB write path:
+    * every update is a PARTITION-DELTA stage
+    * ([[SnapshotTable.stageDelta]]): only the partitions present in
+    * the slice are written, everything else is inherited from the
+    * table's version at the current catalog commit by manifest
+    * reference. One atomic publish covers all tables, and the
+    * transaction's write cost is the batch — so an incremental
+    * pipeline can land silver + every mart as ONE isolated,
+    * rollback-able catalog commit without rewriting any table.
+    * `updates` entries are (table, complete-new-content-of-touched-
+    * partitions, partitionCol). */
+  def transactDelta(root: String,
+                    updates: Seq[(String, DataFrame, String)]): Long = {
+    require(updates.map(_._1).distinct.size == updates.size,
+      "a transaction updates each table at most once")
+    val base = latestCommit(root)
+    val prev = tableVersions(root, base)
+    val staged = updates.map { case (name, slice, partitionCol) =>
+      name -> SnapshotTable.stageDelta(slice, tableRoot(root, name),
+        partitionCol, prev.getOrElse(name, -1L))
+    }.toMap
+    commitStaged(root, staged, base)
+  }
+
   /** Read `table` at a catalog `commit` (default: latest) — every
     * table read through the same commit id is mutually consistent. */
   def read(spark: SparkSession, root: String, table: String,
@@ -199,7 +223,12 @@ object Catalog {
           .map(_.getFileName.toString).toSeq.sorted finally stream.close()
         names.map { name =>
           val tr = tableRoot(root, name)
-          val keep = referenced.getOrElse(name, Set.empty)
+          val direct = referenced.getOrElse(name, Set.empty)
+          // delta-manifested versions keep their storage roots alive:
+          // reachability extends through each live version's partition
+          // manifest (targets are storage versions — one hop suffices)
+          val keep = direct ++
+            direct.flatMap(v => SnapshotTable.manifest(tr, v).values)
           val dead = SnapshotTable.versions(tr)
             .filter(v => !keep(v) && SnapshotTable.isCommitted(tr, v))
           dead.foreach { v =>

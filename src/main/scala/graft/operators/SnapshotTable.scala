@@ -113,11 +113,23 @@ object SnapshotTable {
   def isCommitted(root: String, version: Long): Boolean =
     Files.exists(Paths.get(root, s"v=$version", "_committed"))
 
-  /** Read the current snapshot (or a specific `version` — time travel). */
+  /** Read the current snapshot (or a specific `version` — time
+    * travel). Manifest-aware: a delta-committed version
+    * ([[commitDelta]]) resolves through its partition manifest to ONE
+    * unified scan over every referenced `v=M/part=...` directory
+    * (basePath = table root, the storage-version layer inferred away),
+    * so partition pruning and pushdown behave exactly as on a plain
+    * partitioned table. Every read path (branches, [[Catalog]],
+    * Serving) goes through here, so delta tables compose everywhere. */
   def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion(root)
     require(v >= 0, s"no committed version at $root")
-    spark.read.parquet(s"$root/v=$v")
+    val m = manifest(root, v)
+    if (m.isEmpty) spark.read.parquet(s"$root/v=$v")
+    else {
+      val dirs = m.toSeq.sortBy(_._1).map { case (part, sv) => s"$root/v=$sv/$part" }
+      spark.read.option("basePath", root).parquet(dirs: _*).drop("v")
+    }
   }
 
   /** MERGE-upsert `source` into the table on `key` and commit the
@@ -183,19 +195,31 @@ object SnapshotTable {
     * Only COMMITTED versions participate — a crashed claim without a
     * `_committed` stamp must neither be "expired" here nor occupy a
     * retainLast slot that should protect a real snapshot; it is
-    * [[sweepOrphans]]' to remove. */
+    * [[sweepOrphans]]' to remove.
+    *
+    * Delta-aware: a retired version's directory survives while any
+    * LIVE manifest still references its partitions (structural sharing
+    * keeps storage roots alive — Iceberg's reachability rule at
+    * partition granularity); it is physically removed by a later call
+    * once nothing references it. Returns the versions actually
+    * removed. */
   def expireSnapshots(root: String, retainLast: Int): Seq[Long] = {
     val current = latestVersion(root)
     val pinned = refs(root).values.toSet
-    val expire = versions(root).filter(v => v < current && isCommitted(root, v))
+    val retire = versions(root).filter(v => v < current && isCommitted(root, v))
       .sorted.dropRight(math.max(retainLast, 0))
-      .filterNot(pinned)
-    expire.foreach { v =>
+      .filterNot(pinned).toSet
+    val reachable = versions(root).filterNot(retire).flatMap { v =>
+      val m = manifest(root, v)
+      if (m.nonEmpty) m.values.toSeq :+ v else Seq(v)
+    }.toSet
+    val removed = retire.filterNot(reachable).toSeq.sorted
+    removed.foreach { v =>
       val dir = Paths.get(root, s"v=$v")
       Files.walk(dir).iterator().asScala.toSeq.reverse
         .foreach(Files.delete)
     }
-    expire
+    removed
   }
 
   // ───────────────────────── named refs (Nessie analog) ─────────────────────
@@ -395,6 +419,109 @@ object SnapshotTable {
 
   def dropTag(root: String, name: String): Unit = {
     Files.deleteIfExists(refPath(root, "tag", name))
+  }
+
+  // ─────────── partition-manifest delta snapshots (shallow versions) ───────────
+  //
+  // A plain [[commit]] rewrites the WHOLE table per version — fine for
+  // small tables, fatal at 100 TB where an incremental run touches a
+  // handful of date partitions. Delta commits fix the cost model the
+  // way Iceberg/Delta do, one level coarser (partition-granular instead
+  // of file-granular): version N's directory holds ONLY the rewritten
+  // partitions plus a `_manifest` mapping EVERY live partition to the
+  // version directory that physically stores it. Untouched partitions
+  // are inherited by reference — structural sharing, zero copies — so a
+  // commit's write cost is the batch's partitions, while readers of any
+  // version still get one unified partition-pruned scan. Time travel,
+  // refs, `_committed` stamping, and the marker protocol are unchanged;
+  // only expiry must honor manifest REACHABILITY (a version directory
+  // stays on disk while any live manifest references its partitions —
+  // see [[expireDeltaSnapshots]]).
+  //
+  //   v=0/_manifest   p=2024-01-01 -> v=0, p=2024-01-02 -> v=0
+  //   v=1/_manifest   p=2024-01-01 -> v=0, p=2024-01-02 -> v=1   (delta)
+  //
+  // Reading v=1 scans v=0/p=2024-01-01 ∪ v=1/p=2024-01-02 as ONE
+  // parquet relation (basePath = table root; the `v` layer is inferred
+  // as a partition column and dropped), so predicate pushdown and
+  // partition pruning work exactly as on a plain partitioned table.
+
+  private def manifestPath(root: String, version: Long) =
+    Paths.get(root, s"v=$version", "_manifest")
+
+  /** The partition → storage-version mapping of a manifested version
+    * (empty for versions written by plain [[commit]]). Keys are the
+    * partition directory names (`col=value`). */
+  def manifest(root: String, version: Long): Map[String, Long] = {
+    val p = manifestPath(root, version)
+    if (!Files.exists(p)) return Map.empty
+    Files.readString(p).linesIterator.filter(_.nonEmpty).map { line =>
+      // split on the LAST space: escaped partition dir names could
+      // themselves carry spaces
+      val i = line.lastIndexOf(' ')
+      line.substring(0, i) -> line.substring(i + 1).toLong
+    }.toMap
+  }
+
+  private def writeManifest(root: String, version: Long,
+                            m: Map[String, Long]): Unit =
+    Files.writeString(manifestPath(root, version),
+      m.toSeq.sortBy(_._1).map { case (p, v) => s"$p $v" }.mkString("\n"))
+
+  /** Commit ONLY the partitions present in `slice`, inheriting every
+    * other live partition from the current version by reference. The
+    * slice must hold the COMPLETE new content of each partition it
+    * touches (exactly what an incremental merge produces). Write cost:
+    * the slice; untouched data: zero bytes moved. Works on top of a
+    * plain full commit (its partitions become the inherited base) or
+    * from empty. */
+  def commitDelta(slice: DataFrame, root: String, partitionCol: String): Long = {
+    val base = latestVersion(root)
+    val next = stageDelta(slice, root, partitionCol, base)
+    moveMarker(root, next)
+    next
+  }
+
+  /** The staging half of [[commitDelta]] (fully written + manifested,
+    * nothing published), against an EXPLICIT base version — which is
+    * what lets [[Catalog.transactDelta]] run delta commits whose base
+    * is the catalog manifest's version rather than a per-table
+    * marker. */
+  private[graft] def stageDelta(slice: DataFrame, root: String,
+                                partitionCol: String, base: Long): Long = {
+    val baseManifest =
+      if (base < 0) Map.empty[String, Long]
+      else {
+        val m = manifest(root, base)
+        if (m.nonEmpty) m
+        else {
+          // a plain partitioned commit works as the inherited base; an
+          // UNpartitioned one cannot (no partition dirs to reference —
+          // inheriting nothing would silently drop its rows)
+          val dirs = listPartitionDirs(root, base)
+          require(dirs.nonEmpty,
+            s"version $base at $root has no $partitionCol=... partition " +
+              "directories; commitDelta needs a partitioned (or empty) base")
+          dirs.map(_ -> base).toMap
+        }
+      }
+    val next = versions(root).lastOption.getOrElse(-1L) + 1
+    claimVersion(root, next)
+    slice.write.mode("append").partitionBy(partitionCol).parquet(s"$root/v=$next")
+    val touched = listPartitionDirs(root, next)
+    writeManifest(root, next, baseManifest ++ touched.map(_ -> next))
+    Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
+    stampCommitted(root, next)
+    next
+  }
+
+  private def listPartitionDirs(root: String, version: Long): Seq[String] = {
+    val d = Paths.get(root, s"v=$version")
+    val stream = Files.list(d)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .map(_.getFileName.toString).toSeq.sorted
+    finally stream.close()
   }
 
   // ───────────────── crash-leftover GC (orphan sweep) ─────────────────

@@ -74,6 +74,65 @@ class CatalogSpec extends GraftSuite {
     assert(Catalog.latestCommit(root) === 0L)
   }
 
+  test("delta transactions land batch-sized updates across tables atomically") {
+    val root = Files.createTempDirectory("graft-cat-delta").toString
+    def part(tag: String, dates: String*) =
+      dates.flatMap(d => (1 to 3).map(i =>
+        (s"$d#$i", tag, java.sql.Date.valueOf(d)))).toDF("key", "tag", "dt")
+
+    // bootstrap both tables over three date partitions
+    Catalog.transactDelta(root, Seq(
+      ("silver", part("s0", "2024-01-01", "2024-01-02", "2024-01-03"), "dt"),
+      ("mart", part("m0", "2024-01-01", "2024-01-02", "2024-01-03"), "dt")))
+    // the incremental run: ONLY 2024-01-02 changes, in both tables,
+    // as one atomic catalog commit
+    val c1 = Catalog.transactDelta(root, Seq(
+      ("silver", part("s1", "2024-01-02"), "dt"),
+      ("mart", part("m1", "2024-01-02"), "dt")))
+    assert(c1 === 1L)
+
+    // write cost was the batch: the new silver version dir holds ONE
+    // partition; the other two are inherited by manifest reference
+    val sRoot = Catalog.tableRoot(root, "silver")
+    assert(new java.io.File(s"$sRoot/v=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq === Seq("dt=2024-01-02"))
+    assert(SnapshotTable.manifest(sRoot, 1L) === Map(
+      "dt=2024-01-01" -> 0L, "dt=2024-01-02" -> 1L, "dt=2024-01-03" -> 0L))
+
+    // readers see the merged logical state, consistently across tables
+    def tagsOf(table: String, commit: Long = -1L) =
+      Catalog.read(spark, root, table, commit).select("dt", "tag").distinct()
+        .collect().map(r => r.getDate(0).toString -> r.getString(1)).toMap
+    assert(tagsOf("silver") === Map("2024-01-01" -> "s0",
+      "2024-01-02" -> "s1", "2024-01-03" -> "s0"))
+    assert(tagsOf("mart") === Map("2024-01-01" -> "m0",
+      "2024-01-02" -> "m1", "2024-01-03" -> "m0"))
+    // time travel: commit 0 serves the pre-batch pair
+    assert(tagsOf("silver", 0L).values.toSet === Set("s0"))
+
+    // whole-catalog rollback returns BOTH tables to the bootstrap
+    Catalog.rollback(root, 0L)
+    assert(tagsOf("silver").values.toSet === Set("s0")
+      && tagsOf("mart").values.toSet === Set("m0"))
+    Catalog.rollback(root, 1L)
+
+    // GC keeps storage roots alive: commit 0's versions still store
+    // two of the three live partitions, so nothing is deletable even
+    // at retainLast=0
+    val (droppedCommits, removed) = Catalog.expireCommits(root, 0, graceMs = 0L)
+    assert(droppedCommits === Seq(0L) && removed === Map.empty)
+    assert(tagsOf("silver") === Map("2024-01-01" -> "s0",
+      "2024-01-02" -> "s1", "2024-01-03" -> "s0"))
+
+    // a full rewrite of both tables releases the old storage
+    Catalog.transactDelta(root, Seq(
+      ("silver", part("s2", "2024-01-01", "2024-01-02", "2024-01-03"), "dt"),
+      ("mart", part("m2", "2024-01-01", "2024-01-02", "2024-01-03"), "dt")))
+    val (_, removed2) = Catalog.expireCommits(root, 0, graceMs = 0L)
+    assert(removed2 === Map("silver" -> Seq(0L, 1L), "mart" -> Seq(0L, 1L)))
+    assert(tagsOf("silver").values.toSet === Set("s2"))
+  }
+
   test("rollback re-points every table together; GC respects retained history") {
     val root = Files.createTempDirectory("graft-cat-roll").toString
     (0 to 3).foreach { i =>

@@ -190,6 +190,76 @@ class SnapshotTableSpec extends GraftSuite {
     assert(SnapshotTable.branchVersion(root, "dev") === after)
   }
 
+  test("delta commits share untouched partitions and read as one pruned scan") {
+    val root = Files.createTempDirectory("graft-delta").toString
+    def rows(tag: String, dates: Seq[String]) =
+      dates.flatMap(d => (1 to 4).map(i =>
+        (s"$d#$i", tag, java.sql.Date.valueOf(d))))
+        .toDF("key", "tag", "dt")
+
+    // v0: bootstrap full table over three date partitions
+    val v0 = SnapshotTable.commitDelta(
+      rows("t0", Seq("2024-01-01", "2024-01-02", "2024-01-03")), root, "dt")
+    assert(v0 === 0L)
+    // v1: rewrite ONLY the middle date
+    val v1 = SnapshotTable.commitDelta(rows("t1", Seq("2024-01-02")), root, "dt")
+    assert(v1 === 1L)
+
+    // storage sharing: v=1 holds just its touched partition; the
+    // manifest inherits the other two from v=0 by reference
+    val v1dirs = new java.io.File(s"$root/v=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(v1dirs === Seq("dt=2024-01-02"))
+    assert(SnapshotTable.manifest(root, 1L) === Map(
+      "dt=2024-01-01" -> 0L, "dt=2024-01-02" -> 1L, "dt=2024-01-03" -> 0L))
+
+    // logical content: latest = v0 partitions with the middle swapped
+    val latest = SnapshotTable.read(spark, root)
+    assert(latest.count() === 12)
+    val tags = latest.select("dt", "tag").distinct().collect()
+      .map(r => r.getDate(0).toString -> r.getString(1)).toMap
+    assert(tags === Map("2024-01-01" -> "t0", "2024-01-02" -> "t1",
+      "2024-01-03" -> "t0"))
+    // time travel to the bootstrap is untouched
+    assert(SnapshotTable.read(spark, root, 0L)
+      .filter(col("tag") === "t0").count() === 12)
+
+    // the cross-version read is ONE unified partition-pruned scan
+    val pruned = latest.filter(col("dt") === lit(java.sql.Date.valueOf("2024-01-02")))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size === 1 && scans.head.partitionFilters.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 1)
+    assert(pruned.select("tag").distinct().head().getString(0) === "t1")
+
+    // expiry honors manifest reachability: v0 is retired but still
+    // stores two live partitions -> its directory must survive
+    val v2 = SnapshotTable.commitDelta(rows("t2", Seq("2024-01-03")), root, "dt")
+    assert(v2 === 2L)
+    assert(SnapshotTable.expireSnapshots(root, retainLast = 0) === Seq.empty)
+    assert(SnapshotTable.versions(root) === Seq(0L, 1L, 2L))
+    assert(SnapshotTable.read(spark, root).count() === 12)
+
+    // a full rewrite drops every reference -> old directories now go
+    val v3 = SnapshotTable.commitDelta(
+      rows("t3", Seq("2024-01-01", "2024-01-02", "2024-01-03")), root, "dt")
+    assert(v3 === 3L)
+    assert(SnapshotTable.expireSnapshots(root, retainLast = 0) === Seq(0L, 1L, 2L))
+    assert(SnapshotTable.versions(root) === Seq(3L))
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("tag") === "t3").count() === 12)
+
+    // an unpartitioned base cannot be inherited from — loud failure,
+    // never silent row loss
+    val plainRoot = Files.createTempDirectory("graft-delta-plain").toString
+    SnapshotTable.commit(rows("p0", Seq("2024-01-01")), plainRoot)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitDelta(rows("p1", Seq("2024-01-01")), plainRoot, "dt")
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("change feed classifies inserts, deletes, and update pre/post images") {
     val root = Files.createTempDirectory("graft-snap-cdf").toString
     SnapshotTable.commit(
