@@ -134,6 +134,44 @@ object Bench {
       }
     }
 
+    // Governed incremental run (staged + gated + atomic catalog
+    // publish): same batch split as pipeline_incremental, so the
+    // delta vs that line IS the governance overhead (snapshot
+    // staging, manifest commit, catalog reads).
+    val govName = "pipeline_governed"
+    samples(govName) = Vector.empty[Double]
+    locally {
+      import org.apache.spark.sql.functions._
+      val ev = sources.Tables.events(spark, sfDir)
+      val ing = expr("timestampadd(SECOND, cast(event_id % 600 as int), ts)")
+      val nEv = ev.count()
+      val cut = ev.select(ing.as("_ing")).orderBy("_ing")
+        .limit((nEv * 9 / 10).toInt).agg(max("_ing")).head()
+        .getAs[java.time.LocalDateTime](0)
+      val e1 = ev.filter(ing <= lit(cut))
+      val e2 = ev.filter(ing > lit(cut))
+      (1 to reps).foreach { i =>
+        val cat = java.nio.file.Files
+          .createTempDirectory(s"graft-bench-gov$i").toString
+        try {
+          operators.GovernedPipeline.runFull(spark, sfDir, cat,
+            eventsOverride = Some(e1))
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val commit = operators.GovernedPipeline.runIncremental(spark, cat, e2)
+          samples(govName) :+= (System.nanoTime() - t0) / 1e9
+          pipeRows(govName) = commit
+        } catch { case e: Throwable =>
+          errors.getOrElseUpdate(govName,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      }
+    }
+
     // Per-query result row counts (one untimed extra run, after all
     // timed reps): makes silent result-shape regressions visible
     // round-over-round in BENCH_r{N}.json.
@@ -156,7 +194,7 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     } + "\""
-    val allNames = names :+ pipeName :+ incName
+    val allNames = names :+ pipeName :+ incName :+ govName
     val ok = allNames.filter(samples(_).nonEmpty)
     val qs = ok.map(n => s"${jq(n)}:${median(samples(n))}")
       .mkString("{", ",", "}")
