@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Parquet table maintenance.
   *
@@ -53,6 +54,34 @@ object Maintenance {
     val current = SnapshotTable.read(spark, root)
     if (current.inputFiles.length < minInputFiles) -1L
     else SnapshotTable.commit(current.repartition(targetFiles), root)
+  }
+
+  /** Fold a streaming-append table's fragmented partitions back to one
+    * directory each — the compaction half of the append protocol
+    * ([[SnapshotTable.commitAppend]] adds a manifest entry per
+    * micro-batch; this rewrites every partition that accumulated at
+    * least `minEntries` entries and delta-commits the result, so the
+    * new manifest carries ONE entry for each compacted partition and
+    * inherits the rest untouched). Returns the new version, or -1 when
+    * no partition is fragmented enough (never churn a healthy table).
+    *
+    * Scale: write cost = the fragmented partitions only — for a
+    * 30-minute ingest cadence that is one day-partition rewrite per
+    * maintenance run, not a table rewrite. */
+  def compactAppends(spark: SparkSession, root: String, partitionCol: String,
+                     minEntries: Int = 4): Long = {
+    val v = SnapshotTable.latestVersion(root)
+    if (v < 0) return -1L
+    val fragmented = SnapshotTable.manifestEntries(root, v)
+      .groupBy(_._1).filter(_._2.size >= minEntries).keys.toSeq.sorted
+    if (fragmented.isEmpty) return -1L
+    // partition dir names are `col=value`; date/number values
+    // round-trip through the string cast exactly
+    val values = fragmented.map(_.substring(partitionCol.length + 1))
+    val slice = SnapshotTable.read(spark, root, v)
+      .filter(col(partitionCol).cast("string").isin(values: _*))
+      .repartition(col(partitionCol))
+    SnapshotTable.commitDelta(slice, root, partitionCol)
   }
 
   /** One finished table's maintenance outcome. */

@@ -124,10 +124,10 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion(root)
     require(v >= 0, s"no committed version at $root")
-    val m = manifest(root, v)
+    val m = manifestEntries(root, v)
     if (m.isEmpty) spark.read.parquet(s"$root/v=$v")
     else {
-      val dirs = m.toSeq.sortBy(_._1).map { case (part, sv) => s"$root/v=$sv/$part" }
+      val dirs = m.sorted.map { case (part, sv) => s"$root/v=$sv/$part" }
       spark.read.option("basePath", root).parquet(dirs: _*).drop("v")
     }
   }
@@ -210,8 +210,8 @@ object SnapshotTable {
       .sorted.dropRight(math.max(retainLast, 0))
       .filterNot(pinned).toSet
     val reachable = versions(root).filterNot(retire).flatMap { v =>
-      val m = manifest(root, v)
-      if (m.nonEmpty) m.values.toSeq :+ v else Seq(v)
+      val m = manifestEntries(root, v)
+      if (m.nonEmpty) m.map(_._2) :+ v else Seq(v)
     }.toSet
     val removed = retire.filterNot(reachable).toSeq.sorted
     removed.foreach { v =>
@@ -449,24 +449,35 @@ object SnapshotTable {
   private def manifestPath(root: String, version: Long) =
     Paths.get(root, s"v=$version", "_manifest")
 
-  /** The partition → storage-version mapping of a manifested version
-    * (empty for versions written by plain [[commit]]). Keys are the
-    * partition directory names (`col=value`). */
-  def manifest(root: String, version: Long): Map[String, Long] = {
+  /** ALL (partition, storage-version) pairs of a manifested version
+    * (empty for versions written by plain [[commit]]). A partition may
+    * appear with SEVERAL storage versions — that is how
+    * [[commitAppend]] represents an append: the partition's content is
+    * the union of every listed directory. Keys are the partition
+    * directory names (`col=value`). */
+  def manifestEntries(root: String, version: Long): Seq[(String, Long)] = {
     val p = manifestPath(root, version)
-    if (!Files.exists(p)) return Map.empty
+    if (!Files.exists(p)) return Seq.empty
     Files.readString(p).linesIterator.filter(_.nonEmpty).map { line =>
       // split on the LAST space: escaped partition dir names could
       // themselves carry spaces
       val i = line.lastIndexOf(' ')
       line.substring(0, i) -> line.substring(i + 1).toLong
-    }.toMap
+    }.toSeq.distinct
   }
 
+  /** The NEWEST storage version per partition — the full mapping for
+    * delta-committed versions (one entry per partition); for
+    * append-committed versions prefer [[manifestEntries]], which keeps
+    * every contributing directory. */
+  def manifest(root: String, version: Long): Map[String, Long] =
+    manifestEntries(root, version).groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+
   private def writeManifest(root: String, version: Long,
-                            m: Map[String, Long]): Unit =
+                            m: Seq[(String, Long)]): Unit =
     Files.writeString(manifestPath(root, version),
-      m.toSeq.sortBy(_._1).map { case (p, v) => s"$p $v" }.mkString("\n"))
+      m.distinct.sorted.map { case (p, v) => s"$p $v" }.mkString("\n"))
 
   /** Commit ONLY the partitions present in `slice`, inheriting every
     * other live partition from the current version by reference. The
@@ -488,11 +499,39 @@ object SnapshotTable {
     * is the catalog manifest's version rather than a per-table
     * marker. */
   private[graft] def stageDelta(slice: DataFrame, root: String,
-                                partitionCol: String, base: Long): Long = {
-    val baseManifest =
-      if (base < 0) Map.empty[String, Long]
+                                partitionCol: String, base: Long): Long =
+    stageManifested(slice, root, partitionCol, base, append = false)
+
+  /** Append `slice` to the table, touching NO existing bytes: the new
+    * version's manifest keeps every base entry and ADDS the freshly
+    * written partition directories, so an appended partition's content
+    * is the union of its old and new files. This is the Iceberg
+    * fast-append at partition granularity — O(batch) at any table
+    * size, which is what a streaming micro-batch sink needs (the
+    * copy-on-write [[commitDelta]] would rewrite the whole current-day
+    * partition on every 30-minute batch). Readers resolve through
+    * [[manifestEntries]]; compaction ([[Maintenance]]) folds
+    * accumulated small appends back into one directory per partition
+    * via a delta commit. */
+  def commitAppend(slice: DataFrame, root: String, partitionCol: String): Long = {
+    val next = stageAppend(slice, root, partitionCol, latestVersion(root))
+    moveMarker(root, next)
+    next
+  }
+
+  /** The staging half of [[commitAppend]] (fully written + manifested,
+    * nothing published), against an explicit base version. */
+  private[graft] def stageAppend(slice: DataFrame, root: String,
+                                 partitionCol: String, base: Long): Long =
+    stageManifested(slice, root, partitionCol, base, append = true)
+
+  private def stageManifested(slice: DataFrame, root: String,
+                              partitionCol: String, base: Long,
+                              append: Boolean): Long = {
+    val baseEntries: Seq[(String, Long)] =
+      if (base < 0) Seq.empty
       else {
-        val m = manifest(root, base)
+        val m = manifestEntries(root, base)
         if (m.nonEmpty) m
         else {
           // a plain partitioned commit works as the inherited base; an
@@ -502,14 +541,17 @@ object SnapshotTable {
           require(dirs.nonEmpty,
             s"version $base at $root has no $partitionCol=... partition " +
               "directories; commitDelta needs a partitioned (or empty) base")
-          dirs.map(_ -> base).toMap
+          dirs.map(_ -> base)
         }
       }
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
     slice.write.mode("append").partitionBy(partitionCol).parquet(s"$root/v=$next")
     val touched = listPartitionDirs(root, next)
-    writeManifest(root, next, baseManifest ++ touched.map(_ -> next))
+    val kept =
+      if (append) baseEntries
+      else baseEntries.filterNot(e => touched.contains(e._1))
+    writeManifest(root, next, kept ++ touched.map(_ -> next))
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)
     next

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bronze, Catalog, Maintenance, SnapshotTable}
+import graft.streaming.GovernedStream
+
+/** Streaming micro-batches as atomic governed catalog commits:
+  * append snapshots, exactly-once replay dedup, append compaction. */
+class GovernedStreamSpec extends GraftSuite {
+
+  test("append snapshots accumulate manifest entries without touching existing files") {
+    val root = Files.createTempDirectory("graft-append").toString
+    val df = spark.range(6).select(
+      (col("id") % 2).cast("string").as("p"), col("id").as("x"))
+    val v0 = SnapshotTable.commitDelta(df.filter(col("x") < 4), root, "p")
+    val v0Files = SnapshotTable.read(spark, root, v0).inputFiles.sorted.toSeq
+
+    // append touches partition p=0 only; p=1 inherited, p=0 is old ∪ new
+    val v1 = SnapshotTable.commitAppend(
+      df.filter(col("x") >= 4 && col("p") === "0"), root, "p")
+    val after = SnapshotTable.read(spark, root, v1)
+    assert(after.count() === 5)
+    assert(after.filter(col("p") === "0").agg(sum("x")).head().getLong(0)
+      === (0L + 2 + 4))
+    // old files all still referenced (no rewrite), new version adds files
+    val v1Files = after.inputFiles.sorted.toSeq
+    assert(v0Files.forall(v1Files.contains))
+    assert(v1Files.size > v0Files.size)
+    // the appended partition holds TWO manifest entries
+    val entries = SnapshotTable.manifestEntries(root, v1)
+    assert(entries.filter(_._1 == "p=0").map(_._2).sorted === Seq(v0, v1))
+    assert(entries.filter(_._1 == "p=1").map(_._2) === Seq(v0))
+    // time travel to the pre-append snapshot still works
+    assert(SnapshotTable.read(spark, root, v0).count() === 4)
+  }
+
+  test("governed stream: batches land as atomic catalog commits, exactly once across restarts") {
+    val tmp = Files.createTempDirectory("graft-gov-stream")
+    val (src, cat, cp) = (s"$tmp/src", s"$tmp/cat", s"$tmp/cp")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val rawTs = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val half1 = raw.filter(col("event_id") % 2 === 0)
+    val half2 = raw.filter(col("event_id") % 2 =!= 0)
+
+    // run 1 bootstraps the catalog from empty
+    half1.write.mode("overwrite").parquet(src)
+    GovernedStream.writeBronzeGoverned(spark, src, cat, cp)
+    val c1 = Catalog.latestCommit(cat)
+    assert(c1 >= 0)
+    assert(Catalog.read(spark, cat, "bronze").count() === half1.count())
+
+    // restart after new files land: only the new files are processed,
+    // each commit advances the recorded batch id
+    half2.write.mode("append").parquet(src)
+    GovernedStream.writeBronzeGoverned(spark, src, cat, cp)
+    val bronze = Catalog.read(spark, cat, "bronze")
+    assert(bronze.count() === raw.count())
+    assert(bronze.select(countDistinct("trade_id")).head().getLong(0)
+      === raw.count())
+    assert(GovernedStream.lastBatchId(spark, cat, "bronze_ingest")
+      > GovernedStream.lastBatchId(spark, cat, "bronze_ingest", c1))
+
+    // restart with nothing new: a no-op
+    val cBefore = Catalog.latestCommit(cat)
+    GovernedStream.writeBronzeGoverned(spark, src, cat, cp)
+    assert(Catalog.latestCommit(cat) === cBefore)
+
+    // replayed batch (commit succeeded, checkpoint lost): the recorded
+    // batch id makes the replay a skip, not a double append
+    val replayed = GovernedStream.commitBatch(spark, cat, "bronze_ingest",
+      GovernedStream.lastBatchId(spark, cat, "bronze_ingest"),
+      Bronze.ingest(rawTs))
+    assert(replayed === None)
+    assert(Catalog.latestCommit(cat) === cBefore)
+    assert(Catalog.read(spark, cat, "bronze").count() === raw.count())
+
+    // the result is row-identical to the batch bronze transform
+    val batch = Bronze.ingest(rawTs)
+    assert(bronze.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(bronze).count() === 0)
+  }
+
+  test("compactAppends folds fragmented partitions to one entry, rows unchanged") {
+    val root = Files.createTempDirectory("graft-compact-appends").toString
+    val df = spark.range(20).select(
+      (col("id") % 2).cast("string").as("p"), col("id").as("x"))
+    SnapshotTable.commitDelta(df.filter(col("x") < 4), root, "p")
+    // five appends fragment both partitions
+    (0 until 5).foreach { i =>
+      SnapshotTable.commitAppend(
+        df.filter(col("x") >= 4 + i * 2 && col("x") < 6 + i * 2), root, "p")
+    }
+    val before = SnapshotTable.read(spark, root)
+    val beforeRows = before.orderBy("x").collect().toSeq
+    assert(SnapshotTable.manifestEntries(root, SnapshotTable.latestVersion(root))
+      .groupBy(_._1).values.map(_.size).max > 4)
+
+    val v = Maintenance.compactAppends(spark, root, "p", minEntries = 4)
+    assert(v > 0)
+    val entries = SnapshotTable.manifestEntries(root, v)
+    assert(entries.groupBy(_._1).values.forall(_.size === 1))
+    val after = SnapshotTable.read(spark, root)
+    assert(after.orderBy("x").collect().toSeq === beforeRows)
+
+    // a healthy table is never churned
+    assert(Maintenance.compactAppends(spark, root, "p", minEntries = 4) === -1L)
+  }
+}
