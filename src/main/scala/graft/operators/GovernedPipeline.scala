@@ -120,16 +120,11 @@ object GovernedPipeline {
     require(base >= 0, s"no published catalog commit at $catalogRoot — " +
       "bootstrap with GovernedPipeline.runFull first")
     val prev = Catalog.tableVersions(catalogRoot, base)
-    def tr(t: String) = Catalog.tableRoot(catalogRoot, t)
     def delta(t: String, df: DataFrame, pcol: String): Long =
-      SnapshotTable.stageDelta(df, tr(t), pcol, prev(t))
-    def full(t: String, df: DataFrame): Long =
-      SnapshotTable.stageVersion(df, tr(t), prev(t))
-    def readAt(t: String, commit: Long = base): DataFrame =
-      Catalog.read(spark, catalogRoot, t, commit)
-
-    val prevWm = readAt("watermark").head().getAs[LocalDateTime](0)
-    val cutoff = prevWm.minusHours(lookbackHours.toLong)
+      SnapshotTable.stageDelta(df, Catalog.tableRoot(catalogRoot, t), pcol,
+        prev(t))
+    def readAt(t: String): DataFrame =
+      Catalog.read(spark, catalogRoot, t, base)
 
     // bronze: copy-on-write append — touched ingestion-date partitions
     // are rewritten as old ∪ batch, the rest inherited by reference
@@ -142,22 +137,69 @@ object GovernedPipeline {
         readAt("bronze").filter(col("_ingestion_date")
           .isin(touchedIngest.map(lit(_)): _*)).unionByName(batch),
         "_ingestion_date")
+    try derive(spark, catalogRoot, base, prev, vB, lookbackHours,
+      failOnViolations, publishBronzeOnEmpty = true)
+    finally batch.unpersist()
+  }
+
+  /** The scheduled refresh over STREAMED bronze — the deployment loop
+    * the reference runs ([[graft.streaming.GovernedStream]] lands
+    * micro-batches in the catalog's bronze continuously; this is the
+    * 30-minute `bronze_to_silver` DAG over it): derive silver + marts
+    * from the rows the published bronze gained since the stored
+    * watermark (− lookback), stage partition deltas, gate, publish
+    * atomically. Bronze itself is untouched. Returns the new commit,
+    * or the current one when bronze holds nothing new. */
+  def refreshFromBronze(spark: SparkSession, catalogRoot: String,
+                        lookbackHours: Int = 2,
+                        failOnViolations: Boolean = true): Long = {
+    val base = Catalog.latestCommit(catalogRoot)
+    require(base >= 0, s"no published catalog commit at $catalogRoot — " +
+      "bootstrap with GovernedPipeline.runFull first")
+    val prev = Catalog.tableVersions(catalogRoot, base)
+    derive(spark, catalogRoot, base, prev, prev("bronze"), lookbackHours,
+      failOnViolations, publishBronzeOnEmpty = false)
+  }
+
+  /** Shared derivation half of the incremental modes: from a (possibly
+    * just-staged) bronze version, rebuild the watermark-window slice of
+    * every downstream table, gate, and publish one catalog commit. */
+  private def derive(spark: SparkSession, catalogRoot: String, base: Long,
+                     prev: Map[String, Long], vB: Long, lookbackHours: Int,
+                     failOnViolations: Boolean,
+                     publishBronzeOnEmpty: Boolean): Long = {
+    def tr(t: String) = Catalog.tableRoot(catalogRoot, t)
+    def delta(t: String, df: DataFrame, pcol: String): Long =
+      SnapshotTable.stageDelta(df, tr(t), pcol, prev(t))
+    def full(t: String, df: DataFrame): Long =
+      SnapshotTable.stageVersion(df, tr(t), prev(t))
+    def readAt(t: String): DataFrame =
+      Catalog.read(spark, catalogRoot, t, base)
+
+    val prevWm = readAt("watermark").head().getAs[LocalDateTime](0)
+    val cutoff = prevWm.minusHours(lookbackHours.toLong)
     val bronzeAll = SnapshotTable.read(spark, tr("bronze"), vB)
 
     // the incremental window, partition-pruned off the staged bronze
-    val batchSilver = BronzeToSilver.transform(
-      bronzeAll.filter(
-        col("_ingestion_date") >= lit(java.sql.Date.valueOf(cutoff.toLocalDate))
-          && col("ingested_at") > lit(cutoff))).persist()
-    val affectedDates = batchSilver.select("_trade_date").distinct()
-      .collect().map(_.getDate(0)).sortBy(_.toString).toSeq
+    val bronzeWindow = bronzeAll.filter(
+      col("_ingestion_date") >= lit(java.sql.Date.valueOf(cutoff.toLocalDate))
+        && col("ingested_at") > lit(cutoff))
+    val newWmRow = bronzeWindow.agg(max("ingested_at"))
+      .head().getAs[LocalDateTime](0)
+    val batchSilver = BronzeToSilver.transform(bronzeWindow).persist()
+    // a watermark that did not advance means bronze holds nothing new —
+    // the lookback tail alone is all-reprocessed rows, not a batch
+    val affectedDates =
+      if (newWmRow == null || !newWmRow.isAfter(prevWm)) Seq.empty
+      else batchSilver.select("_trade_date").distinct()
+        .collect().map(_.getDate(0)).sortBy(_.toString).toSeq
 
     if (affectedDates.isEmpty) {
-      // nothing to merge: publish just the bronze append (if any)
-      val commit = Catalog.commitStaged(catalogRoot,
-        Map("bronze" -> vB), base)
-      batch.unpersist(); batchSilver.unpersist()
-      return commit
+      batchSilver.unpersist()
+      // nothing new to merge: publish just the bronze change (if any)
+      return if (publishBronzeOnEmpty)
+        Catalog.commitStaged(catalogRoot, Map("bronze" -> vB), base)
+      else base
     }
     val dateLits = affectedDates.map(lit(_))
 
@@ -203,19 +245,13 @@ object GovernedPipeline {
     val pl = SnapshotTable.read(spark, tr("price_latest"), vPL)
 
     // quality over THIS run's slices, gated BEFORE publication
-    val bronzeWindow = bronzeAll.filter(
-      col("_ingestion_date") >= lit(java.sql.Date.valueOf(cutoff.toLocalDate))
-        && col("ingested_at") > lit(cutoff))
     val vQ = full("quality_report", DataQuality.fullReport(
       bronzeWindow, silverSlice, m1Slice, h1Slice, dmSlice, pl))
     val quality = SnapshotTable.read(spark, tr("quality_report"), vQ)
     if (failOnViolations) gate(quality, s"${tr("quality_report")}/v=$vQ")
 
-    val newWmRow = batch.agg(max("ingested_at")).head().getAs[LocalDateTime](0)
-    val newWm = if (newWmRow != null && newWmRow.isAfter(prevWm)) newWmRow
-                else prevWm
-    val vW = full("watermark", wmDf(spark, newWm))
-    batch.unpersist(); batchSilver.unpersist()
+    val vW = full("watermark", wmDf(spark, newWmRow))
+    batchSilver.unpersist()
 
     Catalog.commitStaged(catalogRoot, Map(
       "bronze" -> vB, "silver" -> vS, "ohlcv_1m" -> vM1, "ohlcv_1h" -> vH1,
