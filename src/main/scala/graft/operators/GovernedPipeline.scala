@@ -64,14 +64,20 @@ object GovernedPipeline {
     * Returns the commit id. */
   def runFull(spark: SparkSession, sfDir: String, catalogRoot: String,
               failOnViolations: Boolean = true,
-              eventsOverride: Option[DataFrame] = None): Long = {
+              eventsOverride: Option[DataFrame] = None,
+              retries: Int = 2, retryBackoffMs: Long = 1000L): Long = {
     val base = Catalog.latestCommit(catalogRoot)
     val prev = Catalog.tableVersions(catalogRoot, base)
     def tr(t: String) = Catalog.tableRoot(catalogRoot, t)
+    // transient write failures re-stage (Airflow default_args retries);
+    // each attempt claims a fresh version dir, so retries never clobber
+    // a partial write — abandoned claims are expireCommits/sweep fodder
     def delta(t: String, df: DataFrame, pcol: String): Long =
-      SnapshotTable.stageDelta(df, tr(t), pcol, prev.getOrElse(t, -1L))
+      Retry.withRetries(retries, retryBackoffMs, s"stage $t")(
+        SnapshotTable.stageDelta(df, tr(t), pcol, prev.getOrElse(t, -1L)))
     def full(t: String, df: DataFrame): Long =
-      SnapshotTable.stageVersion(df, tr(t), prev.getOrElse(t, -1L))
+      Retry.withRetries(retries, retryBackoffMs, s"stage $t")(
+        SnapshotTable.stageVersion(df, tr(t), prev.getOrElse(t, -1L)))
 
     val events = eventsOverride.getOrElse(Tables.events(spark, sfDir))
     val vB = delta("bronze",
@@ -115,14 +121,16 @@ object GovernedPipeline {
     * commit. Returns the commit id. */
   def runIncremental(spark: SparkSession, catalogRoot: String,
                      newEvents: DataFrame, lookbackHours: Int = 2,
-                     failOnViolations: Boolean = true): Long = {
+                     failOnViolations: Boolean = true,
+                     retries: Int = 2, retryBackoffMs: Long = 1000L): Long = {
     val base = Catalog.latestCommit(catalogRoot)
     require(base >= 0, s"no published catalog commit at $catalogRoot — " +
       "bootstrap with GovernedPipeline.runFull first")
     val prev = Catalog.tableVersions(catalogRoot, base)
     def delta(t: String, df: DataFrame, pcol: String): Long =
-      SnapshotTable.stageDelta(df, Catalog.tableRoot(catalogRoot, t), pcol,
-        prev(t))
+      Retry.withRetries(retries, retryBackoffMs, s"stage $t")(
+        SnapshotTable.stageDelta(df, Catalog.tableRoot(catalogRoot, t), pcol,
+          prev(t)))
     def readAt(t: String): DataFrame =
       Catalog.read(spark, catalogRoot, t, base)
 
@@ -138,7 +146,7 @@ object GovernedPipeline {
           .isin(touchedIngest.map(lit(_)): _*)).unionByName(batch),
         "_ingestion_date")
     try derive(spark, catalogRoot, base, prev, vB, lookbackHours,
-      failOnViolations, publishBronzeOnEmpty = true)
+      failOnViolations, publishBronzeOnEmpty = true, retries, retryBackoffMs)
     finally batch.unpersist()
   }
 
@@ -152,13 +160,14 @@ object GovernedPipeline {
     * or the current one when bronze holds nothing new. */
   def refreshFromBronze(spark: SparkSession, catalogRoot: String,
                         lookbackHours: Int = 2,
-                        failOnViolations: Boolean = true): Long = {
+                        failOnViolations: Boolean = true,
+                        retries: Int = 2, retryBackoffMs: Long = 1000L): Long = {
     val base = Catalog.latestCommit(catalogRoot)
     require(base >= 0, s"no published catalog commit at $catalogRoot — " +
       "bootstrap with GovernedPipeline.runFull first")
     val prev = Catalog.tableVersions(catalogRoot, base)
     derive(spark, catalogRoot, base, prev, prev("bronze"), lookbackHours,
-      failOnViolations, publishBronzeOnEmpty = false)
+      failOnViolations, publishBronzeOnEmpty = false, retries, retryBackoffMs)
   }
 
   /** Shared derivation half of the incremental modes: from a (possibly
@@ -166,13 +175,15 @@ object GovernedPipeline {
     * every downstream table, gate, and publish one catalog commit. */
   private def derive(spark: SparkSession, catalogRoot: String, base: Long,
                      prev: Map[String, Long], vB: Long, lookbackHours: Int,
-                     failOnViolations: Boolean,
-                     publishBronzeOnEmpty: Boolean): Long = {
+                     failOnViolations: Boolean, publishBronzeOnEmpty: Boolean,
+                     retries: Int, retryBackoffMs: Long): Long = {
     def tr(t: String) = Catalog.tableRoot(catalogRoot, t)
     def delta(t: String, df: DataFrame, pcol: String): Long =
-      SnapshotTable.stageDelta(df, tr(t), pcol, prev(t))
+      Retry.withRetries(retries, retryBackoffMs, s"stage $t")(
+        SnapshotTable.stageDelta(df, tr(t), pcol, prev(t)))
     def full(t: String, df: DataFrame): Long =
-      SnapshotTable.stageVersion(df, tr(t), prev(t))
+      Retry.withRetries(retries, retryBackoffMs, s"stage $t")(
+        SnapshotTable.stageVersion(df, tr(t), prev(t)))
     def readAt(t: String): DataFrame =
       Catalog.read(spark, catalogRoot, t, base)
 

@@ -35,6 +35,17 @@ class GovernedStreamSpec extends GraftSuite {
     assert(entries.filter(_._1 == "p=1").map(_._2) === Seq(v0))
     // time travel to the pre-append snapshot still works
     assert(SnapshotTable.read(spark, root, v0).count() === 4)
+
+    // the manifest-union scan still partition-prunes (plan-asserted):
+    // a p=1 filter must select fewer leaf dirs than the manifest lists
+    val pruned = after.filter(col("p") === "1")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty))
+    assert(scans.head.selectedPartitions.partitionCount <
+      SnapshotTable.manifestEntries(root, v1).size)
+    assert(pruned.count() === 2)
   }
 
   test("governed stream: batches land as atomic catalog commits, exactly once across restarts") {
