@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned parquet table: snapshots, time travel, rollback, expiry.
@@ -525,9 +525,54 @@ object SnapshotTable {
                                  partitionCol: String, base: Long): Long =
     stageManifested(slice, root, partitionCol, base, append = true)
 
+  /** Row-level DELETE as a partition-pruned copy-on-write delta commit
+    * (the GDPR-delete / `DELETE FROM ... WHERE` of the table formats):
+    * only partitions holding matching rows are rewritten without them;
+    * everything else is inherited by manifest reference. A partition
+    * emptied by the delete is REMOVED from the manifest rather than
+    * silently inherited (the classic delete-resurrection bug). Rows
+    * where the predicate evaluates to null are kept, per SQL DELETE
+    * semantics. Returns the new version, or the current one when
+    * nothing matches. */
+  def deleteWhere(spark: SparkSession, root: String, partitionCol: String,
+                  predicate: Column): Long = {
+    val cur = read(spark, root)
+    val touched = cur.filter(predicate)
+      .select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return latestVersion(root)
+    val survivors = cur
+      .filter(col(partitionCol).cast("string").isin(touched: _*))
+      .filter(!coalesce(predicate, lit(false)))
+    val next = stageManifested(survivors, root, partitionCol,
+      latestVersion(root), append = false,
+      removeParts = touched.map(v => s"$partitionCol=$v").toSet)
+    moveMarker(root, next)
+    next
+  }
+
+  /** Partition-pruned MERGE-upsert commit — the Delta `MERGE INTO`
+    * with dynamic partition pruning: only the partitions the source
+    * touches are read, merged ([[MergeUpsert.merge]]: source wins on
+    * key match, target survives otherwise), and rewritten as a delta
+    * commit; untouched partitions move zero bytes. Requires the key's
+    * partition to be stable (a key never migrates between partitions —
+    * true of every table here, where the partition date derives from
+    * the row's own event time). */
+  def mergeDeltaCommit(spark: SparkSession, root: String, source: DataFrame,
+                       key: String, partitionCol: String): Long = {
+    val touched = source.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return latestVersion(root)
+    val cur = read(spark, root)
+      .filter(col(partitionCol).cast("string").isin(touched: _*))
+    commitDelta(MergeUpsert.merge(cur, source, key), root, partitionCol)
+  }
+
   private def stageManifested(slice: DataFrame, root: String,
                               partitionCol: String, base: Long,
-                              append: Boolean): Long = {
+                              append: Boolean,
+                              removeParts: Set[String] = Set.empty): Long = {
     val baseEntries: Seq[(String, Long)] =
       if (base < 0) Seq.empty
       else {
@@ -550,7 +595,8 @@ object SnapshotTable {
     val touched = listPartitionDirs(root, next)
     val kept =
       if (append) baseEntries
-      else baseEntries.filterNot(e => touched.contains(e._1))
+      else baseEntries.filterNot(e =>
+        touched.contains(e._1) || removeParts.contains(e._1))
     writeManifest(root, next, kept ++ touched.map(_ -> next))
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)

@@ -260,6 +260,71 @@ class SnapshotTableSpec extends GraftSuite {
     assert(e.getMessage.contains("partition"))
   }
 
+  test("deleteWhere prunes to matching partitions and drops emptied ones") {
+    val root = Files.createTempDirectory("graft-delete").toString
+    val df = Seq(
+      ("a1", "u1", java.sql.Date.valueOf("2024-01-01")),
+      ("a2", "u2", java.sql.Date.valueOf("2024-01-01")),
+      ("b1", "u1", java.sql.Date.valueOf("2024-01-02")),
+      ("c1", "u3", java.sql.Date.valueOf("2024-01-03")),
+      ("c2", "u3", java.sql.Date.valueOf("2024-01-03"))
+    ).toDF("key", "user", "dt")
+    SnapshotTable.commitDelta(df, root, "dt")
+
+    // GDPR-delete user u1: only the two touched dates are rewritten,
+    // 2024-01-03 is inherited untouched
+    val v = SnapshotTable.deleteWhere(spark, root, "dt", col("user") === "u1")
+    val after = SnapshotTable.read(spark, root)
+    assert(after.count() === 3)
+    assert(after.filter(col("user") === "u1").count() === 0)
+    val m = SnapshotTable.manifest(root, v)
+    assert(m("dt=2024-01-03") === 0L, "untouched partition inherited")
+    // 2024-01-02 held ONLY u1 rows: its entry must be gone, not
+    // resurrected from the base manifest
+    assert(!m.contains("dt=2024-01-02"))
+    assert(m("dt=2024-01-01") === v)
+    // time travel still serves the pre-delete snapshot
+    assert(SnapshotTable.read(spark, root, 0L).count() === 5)
+    // no match: published state unchanged
+    assert(SnapshotTable.deleteWhere(spark, root, "dt",
+      col("user") === "nobody") === v)
+    // null predicate rows are kept (SQL DELETE semantics)
+    assert(SnapshotTable.deleteWhere(spark, root, "dt",
+      when(col("user") === "u3", lit(null).cast("boolean"))
+        .otherwise(col("user") === "u2")) > v)
+    assert(SnapshotTable.read(spark, root).select("key").collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("c1", "c2"))
+  }
+
+  test("mergeDeltaCommit merges only touched partitions, untouched move zero bytes") {
+    val root = Files.createTempDirectory("graft-merge-delta").toString
+    val df = Seq(
+      ("a1", 10, java.sql.Date.valueOf("2024-01-01")),
+      ("b1", 20, java.sql.Date.valueOf("2024-01-02")),
+      ("c1", 30, java.sql.Date.valueOf("2024-01-03"))
+    ).toDF("key", "x", "dt")
+    SnapshotTable.commitDelta(df, root, "dt")
+
+    // source updates a1 and inserts a3, both on 2024-01-01
+    val src = Seq(
+      ("a1", 11, java.sql.Date.valueOf("2024-01-01")),
+      ("a3", 12, java.sql.Date.valueOf("2024-01-01"))
+    ).toDF("key", "x", "dt")
+    val v = SnapshotTable.mergeDeltaCommit(spark, root, src, "key", "dt")
+    val after = SnapshotTable.read(spark, root)
+    assert(after.count() === 4)
+    assert(after.filter(col("key") === "a1").head().getInt(1) === 11)
+    assert(after.filter(col("key") === "a3").head().getInt(1) === 12)
+    assert(after.filter(col("key") === "b1").head().getInt(1) === 20)
+    val m = SnapshotTable.manifest(root, v)
+    assert(m("dt=2024-01-01") === v)
+    assert(m("dt=2024-01-02") === 0L && m("dt=2024-01-03") === 0L,
+      "untouched partitions inherited by reference")
+    // empty source: no-op
+    assert(SnapshotTable.mergeDeltaCommit(spark, root,
+      src.limit(0), "key", "dt") === v)
+  }
+
   test("change feed classifies inserts, deletes, and update pre/post images") {
     val root = Files.createTempDirectory("graft-snap-cdf").toString
     SnapshotTable.commit(
