@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Versioned parquet table: snapshots, time travel, rollback, expiry.
   *
@@ -128,8 +129,26 @@ object SnapshotTable {
     if (m.isEmpty) spark.read.parquet(s"$root/v=$v")
     else {
       val dirs = m.sorted.map { case (part, sv) => s"$root/v=$sv/$part" }
-      spark.read.option("basePath", root).parquet(dirs: _*).drop("v")
+      // schema from version METADATA, not file-footer sampling (the
+      // Iceberg rule): a union scan over storage versions written
+      // before a column existed must still surface it (null-filled),
+      // and planning must not read every footer at 100 TB file counts
+      val reader = recordedSchema(root, v)
+        .map(spark.read.schema(_)).getOrElse(spark.read)
+      reader.option("basePath", root).parquet(dirs: _*).drop("v")
     }
+  }
+
+  private def schemaPath(root: String, version: Long) =
+    Paths.get(root, s"v=$version", "_schema")
+
+  /** The schema recorded when `version` was staged (manifested
+    * versions only; None for plain commits and pre-evolution tables). */
+  def recordedSchema(root: String, version: Long): Option[types.StructType] = {
+    val p = schemaPath(root, version)
+    if (!Files.exists(p)) None
+    else Some(types.DataType.fromJson(Files.readString(p))
+      .asInstanceOf[types.StructType])
   }
 
   /** MERGE-upsert `source` into the table on `key` and commit the
@@ -598,6 +617,21 @@ object SnapshotTable {
       else baseEntries.filterNot(e =>
         touched.contains(e._1) || removeParts.contains(e._1))
     writeManifest(root, next, kept ++ touched.map(_ -> next))
+    // record the evolved table schema: base columns keep their TYPE
+    // (an append/delta may ADD columns but never silently flip an
+    // existing column's type — the Iceberg evolution rule), new slice
+    // columns are appended; readers null-fill added columns over files
+    // written before they existed
+    val baseSchema: Option[types.StructType] =
+      if (base < 0 || baseEntries.isEmpty) None
+      else recordedSchema(root, base)
+        .orElse(Some(read(slice.sparkSession, root, base).schema))
+    val evolved = baseSchema match {
+      case None => slice.schema
+      case Some(bs) => types.StructType(bs.fields ++
+        slice.schema.fields.filterNot(f => bs.fieldNames.contains(f.name)))
+    }
+    Files.writeString(schemaPath(root, next), evolved.json)
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)
     next

@@ -107,7 +107,12 @@ object GovernedStream {
     val q = Bronze.ingest(raw.withColumn("ts", tsCol))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch.sparkSession, catalogRoot, sourceId, batchId, batch)
+        // streaming planning needs LTZ timestamps; the bronze table
+        // model is NTZ end-to-end (session UTC) — cast at the sink
+        val ntz = batch
+          .withColumn("trade_time", col("trade_time").cast("timestamp_ntz"))
+          .withColumn("ingested_at", col("ingested_at").cast("timestamp_ntz"))
+        commitBatch(batch.sparkSession, catalogRoot, sourceId, batchId, ntz)
         ()
       }
       .option("checkpointLocation", checkpointDir)

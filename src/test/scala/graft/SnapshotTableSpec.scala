@@ -325,6 +325,35 @@ class SnapshotTableSpec extends GraftSuite {
       src.limit(0), "key", "dt") === v)
   }
 
+  test("schema evolution: appended columns surface null-filled over old files") {
+    val root = Files.createTempDirectory("graft-schevo").toString
+    val df = Seq(("a", 1, "p0"), ("b", 2, "p1")).toDF("k", "x", "p")
+    SnapshotTable.commitDelta(df, root, "p")
+
+    // an appended batch carries a NEW column: the recorded table
+    // schema evolves, readers see it null-filled over older files
+    val evolved = Seq(("c", 3, "extra", "p0")).toDF("k", "x", "y", "p")
+    val v1 = SnapshotTable.commitAppend(evolved, root, "p")
+    val r = SnapshotTable.read(spark, root)
+    // the partition column lands last in the scan output regardless of
+    // recorded-schema order; data columns keep base-first order
+    assert(r.columns.toSeq === Seq("k", "x", "y", "p"))
+    assert(r.filter(col("y").isNull).count() === 2)
+    assert(r.filter(col("y") === "extra").select("k").head().getString(0) === "c")
+
+    // a later delta WITHOUT the new column must not lose it again:
+    // add-column evolution is monotone (MergeUpsert widening semantics)
+    SnapshotTable.commitDelta(Seq(("b2", 9, "p1")).toDF("k", "x", "p"),
+      root, "p")
+    val r2 = SnapshotTable.read(spark, root)
+    assert(r2.columns.sorted.toSeq === Seq("k", "p", "x", "y"))
+    assert(r2.count() === 3)
+    // time travel reads each version under ITS recorded schema
+    assert(SnapshotTable.read(spark, root, 0L).columns.toSeq
+      === Seq("k", "x", "p"))
+    assert(SnapshotTable.recordedSchema(root, v1).get.fieldNames.contains("y"))
+  }
+
   test("change feed classifies inserts, deletes, and update pre/post images") {
     val root = Files.createTempDirectory("graft-snap-cdf").toString
     SnapshotTable.commit(
