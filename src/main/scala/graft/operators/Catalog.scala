@@ -83,11 +83,14 @@ object Catalog {
     if (c < 0) return Map.empty
     val p = manifestPath(root, c)
     require(Files.exists(p), s"unknown catalog commit $c at $root")
+    parseManifest(p)
+  }
+
+  private def parseManifest(p: Path): Map[String, Long] =
     Files.readString(p).linesIterator.filter(_.nonEmpty).map { line =>
       val Array(name, v) = line.split(' ')
       name -> v.toLong
     }.toMap
-  }
 
   /** Tables known to the current catalog state. */
   def tables(root: String): Seq[String] =
@@ -190,6 +193,181 @@ object Catalog {
     moveMarker(root, commit)
   }
 
+  // ─────────── catalog refs: branches and tags over commits ───────────
+  //
+  // The reference's headline Nessie capability is git-like refs over
+  // the WHOLE catalog (`nessie_setup.py:32-60` creates branches whose
+  // commits span every table). Per-table branches (SnapshotTable refs)
+  // cannot isolate a multi-table change; these can: a catalog branch
+  // forks from a main commit, its commits live in a per-branch manifest
+  // namespace (`_commits/<branch>/c=N`, same exclusive-create CAS and
+  // full table→version mapping as main), and main readers never see
+  // them. Publishing is a git fast-forward: allowed only while main
+  // still sits at the branch's fork point, and lands the branch head's
+  // whole mapping as ONE main commit. Tags pin main commits immutably.
+
+  private def refsDir(root: String) = Paths.get(root, "_refs")
+  private def refPath(root: String, kind: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]+") && name != "main",
+      s"invalid ref name '$name'")
+    refsDir(root).resolve(s"$kind.$name")
+  }
+  private def branchManifest(root: String, name: String, n: Long): Path =
+    commitsDir(root).resolve(name).resolve(s"c=$n")
+
+  /** Fork a branch from the current (or an explicit) main commit. */
+  def createBranch(root: String, name: String, from: Long = -1L): Long = {
+    val fork = if (from >= 0) from else latestCommit(root)
+    require(commits(root).contains(fork), s"unknown catalog commit $fork")
+    val p = refPath(root, "branch", name)
+    Files.createDirectories(refsDir(root))
+    try Files.createFile(p)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(s"branch '$name' already exists")
+    }
+    Files.writeString(p, s"$fork -1")
+    fork
+  }
+
+  /** (fork main-commit, branch head n; -1 = no branch commits yet). */
+  private def branchState(root: String, name: String): (Long, Long) = {
+    val p = refPath(root, "branch", name)
+    require(Files.exists(p), s"unknown catalog branch '$name'")
+    val Array(f, h) = Files.readString(p).trim.split(' ')
+    (f.toLong, h.toLong)
+  }
+
+  private def moveRef(root: String, kind: String, name: String,
+                      content: String): Unit = {
+    val tmp = refsDir(root).resolve(s".${kind}.$name.tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, refPath(root, kind, name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The branch head's table → version mapping. */
+  def branchVersions(root: String, name: String): Map[String, Long] = {
+    val (fork, head) = branchState(root, name)
+    if (head < 0) tableVersions(root, fork)
+    else parseManifest(branchManifest(root, name, head))
+  }
+
+  /** Read `table` as the branch head sees it. */
+  def readBranch(spark: SparkSession, root: String, table: String,
+                 name: String): DataFrame = {
+    val vs = branchVersions(root, name)
+    require(vs.contains(table), s"table '$table' not on branch '$name'")
+    SnapshotTable.read(spark, tableRoot(root, table), vs(table))
+  }
+
+  /** [[transact]] on a branch: stage fully-written versions in every
+    * updated table and publish them as the branch's next commit — main
+    * readers are untouched. Same optimistic CAS (exclusive-create of
+    * the branch's next manifest). */
+  def transactOnBranch(root: String, name: String,
+                       updates: Seq[(String, DataFrame)]): Long = {
+    require(updates.map(_._1).distinct.size == updates.size,
+      "a transaction updates each table at most once")
+    val (fork, head) = branchState(root, name)
+    val prev = branchVersions(root, name)
+    val staged = updates.map { case (t, df) =>
+      t -> SnapshotTable.stageVersion(df, tableRoot(root, t),
+        prev.getOrElse(t, -1L))
+    }.toMap
+    val next = head + 1
+    val p = branchManifest(root, name, next)
+    Files.createDirectories(p.getParent)
+    try Files.createFile(p)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"branch '$name' commit $next already exists (concurrent " +
+            "committer); re-stage against the new head and retry")
+    }
+    val manifest = prev ++ staged
+    val tmp = p.getParent.resolve(s".c=$next.tmp")
+    Files.writeString(tmp,
+      manifest.toSeq.sortBy(_._1).map { case (t, v) => s"$t $v" }.mkString("\n"))
+    Files.move(tmp, p,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    moveRef(root, "branch", name, s"$fork $next")
+    next
+  }
+
+  /** Publish a branch to main as ONE atomic commit — the git
+    * fast-forward: allowed only while main still sits at the branch's
+    * fork point (nothing on main to lose); a moved main means
+    * divergence, which needs a content-level merge instead. Returns
+    * the new main commit. */
+  def fastForwardMain(root: String, name: String): Long = {
+    val (fork, head) = branchState(root, name)
+    val current = latestCommit(root)
+    if (current != fork)
+      throw new java.util.ConcurrentModificationException(
+        s"main moved from fork $fork to $current since branch '$name' " +
+          "forked: not a fast-forward — merge table contents instead")
+    if (head < 0) return current
+    commitStaged(root, branchVersions(root, name), current)
+  }
+
+  /** Drop a branch ref and its manifest namespace (staged table
+    * versions it referenced become unreferenced — [[expireCommits]]
+    * collects them). */
+  def dropBranch(root: String, name: String): Unit = {
+    Files.deleteIfExists(refPath(root, "branch", name))
+    val d = commitsDir(root).resolve(name)
+    if (Files.exists(d)) {
+      val stream = Files.list(d)
+      try stream.iterator().asScala.toSeq.foreach(Files.delete)
+      finally stream.close()
+      Files.delete(d)
+    }
+  }
+
+  /** Pin a main commit immutably. */
+  def tag(root: String, name: String, commit: Long = -1L): Long = {
+    val c = if (commit >= 0) commit else latestCommit(root)
+    require(commits(root).contains(c), s"unknown catalog commit $c")
+    val p = refPath(root, "tag", name)
+    Files.createDirectories(refsDir(root))
+    try Files.createFile(p)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists (tags are immutable)")
+    }
+    Files.writeString(p, c.toString)
+    c
+  }
+
+  def tagCommit(root: String, name: String): Long = {
+    val p = refPath(root, "tag", name)
+    require(Files.exists(p), s"unknown catalog tag '$name'")
+    Files.readString(p).trim.toLong
+  }
+
+  def dropTag(root: String, name: String): Unit =
+    Files.deleteIfExists(refPath(root, "tag", name))
+
+  /** All branch names (with fork/head) and tag names (with commit). */
+  def refs(root: String): (Map[String, (Long, Long)], Map[String, Long]) = {
+    val d = refsDir(root)
+    if (!Files.exists(d)) return (Map.empty, Map.empty)
+    val stream = Files.list(d)
+    val names = try stream.iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith("."))
+      .toSeq finally stream.close()
+    (names.filter(_.startsWith("branch.")).map { n =>
+      val name = n.stripPrefix("branch.")
+      name -> branchState(root, name)
+    }.toMap,
+      names.filter(_.startsWith("tag.")).map { n =>
+        val name = n.stripPrefix("tag.")
+        name -> tagCommit(root, name)
+      }.toMap)
+  }
+
   /** Catalog-level GC: drop old manifests beyond `retainLast` (the
     * current commit, newer-than-current roll-forward targets, and the
     * newest `retainLast` older manifests survive), plus unpublished
@@ -200,20 +378,41 @@ object Catalog {
                     graceMs: Long = 3600000L): (Seq[Long], Map[String, Seq[Long]]) = {
     val current = latestCommit(root)
     val now = System.currentTimeMillis()
+    // ref-pinned main commits survive any retention policy: tag
+    // targets, and every live branch's fork point (branch reads with
+    // no branch commits resolve through the fork's manifest)
+    val (branchRefs, tagRefs) = refs(root)
+    val pinned = tagRefs.values.toSet ++ branchRefs.values.map(_._1)
     val dropOld = commits(root).filter(_ < current)
-      .dropRight(math.max(retainLast, 0))
+      .dropRight(math.max(retainLast, 0)).filterNot(pinned)
     // unpublished leftovers: newer than current, unreachable by
     // rollback (rollback only targets <= current), old enough that no
     // in-flight committer still holds them
     val dropCrashed = commits(root).filter(c => c > current &&
+      !pinned(c) &&
       now - Files.getLastModifiedTime(manifestPath(root, c)).toMillis > graceMs)
     val drop = dropOld ++ dropCrashed
     drop.foreach(c => Files.delete(manifestPath(root, c)))
 
+    // table-version reachability spans main manifests AND every live
+    // branch's manifest namespace — a branch's staged versions must
+    // survive until the branch is dropped
     val live = commits(root)
-    val referenced: Map[String, Set[Long]] = live
-      .flatMap(c => tableVersions(root, c).toSeq)
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val branchMappings = branchRefs.keys.toSeq.flatMap { name =>
+      val d = commitsDir(root).resolve(name)
+      if (!Files.exists(d)) Seq.empty
+      else {
+        val stream = Files.list(d)
+        try stream.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("c="))
+          .map(parseManifest)
+        finally stream.close()
+      }
+    }
+    val referenced: Map[String, Set[Long]] =
+      (live.map(c => tableVersions(root, c)) ++ branchMappings)
+        .flatMap(_.toSeq)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val tablesDir = Paths.get(root, "tables")
     val removedVersions =
       if (!Files.exists(tablesDir)) Map.empty[String, Seq[Long]]

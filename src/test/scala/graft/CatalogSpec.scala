@@ -133,6 +133,75 @@ class CatalogSpec extends GraftSuite {
     assert(tagsOf("silver").values.toSet === Set("s2"))
   }
 
+  test("catalog branches isolate multi-table changes until fast-forward") {
+    val root = Files.createTempDirectory("graft-cat-branch").toString
+    Catalog.transact(root, Seq(
+      "bronze" -> df("b0", 10), "silver" -> df("s0", 10)))
+    Catalog.createBranch(root, "experiment")
+
+    // two branch transactions touch BOTH tables; main never moves
+    Catalog.transactOnBranch(root, "experiment", Seq(
+      "bronze" -> df("b1", 12), "silver" -> df("s1", 12)))
+    Catalog.transactOnBranch(root, "experiment", Seq(
+      "silver" -> df("s2", 15)))
+    assert(Catalog.latestCommit(root) === 0L)
+    assert(Catalog.read(spark, root, "silver")
+      .filter(col("tag") === "s0").count() === 10)
+    assert(Catalog.readBranch(spark, root, "silver", "experiment")
+      .filter(col("tag") === "s2").count() === 15)
+    assert(Catalog.readBranch(spark, root, "bronze", "experiment")
+      .filter(col("tag") === "b1").count() === 12)
+
+    // fast-forward publishes BOTH tables to main as one atomic commit
+    val c = Catalog.fastForwardMain(root, "experiment")
+    assert(c === 1L && Catalog.latestCommit(root) === 1L)
+    assert(Catalog.read(spark, root, "bronze")
+      .filter(col("tag") === "b1").count() === 12)
+    assert(Catalog.read(spark, root, "silver")
+      .filter(col("tag") === "s2").count() === 15)
+
+    // a branch whose fork main has left behind cannot fast-forward
+    Catalog.createBranch(root, "stale", from = 0L)
+    Catalog.transactOnBranch(root, "stale", Seq("silver" -> df("sx", 3)))
+    intercept[java.util.ConcurrentModificationException] {
+      Catalog.fastForwardMain(root, "stale")
+    }
+    // main is untouched by the refused fast-forward
+    assert(Catalog.read(spark, root, "silver")
+      .filter(col("tag") === "s2").count() === 15)
+  }
+
+  test("GC protects tag and branch references; dropBranch releases them") {
+    val root = Files.createTempDirectory("graft-cat-refs").toString
+    Catalog.transact(root, Seq("t" -> df("v0", 4)))
+    Catalog.tag(root, "release")
+    Catalog.createBranch(root, "wip")
+    Catalog.transactOnBranch(root, "wip", Seq("t" -> df("wip1", 6)))
+    Catalog.transact(root, Seq("t" -> df("v1", 5)))
+    Catalog.transact(root, Seq("t" -> df("v2", 7)))
+
+    // retainLast=0 would normally drop commit 0 — but the tag pins it
+    // and the branch fork resolves through it
+    Catalog.expireCommits(root, retainLast = 0, graceMs = 0L)
+    assert(Catalog.commits(root).contains(Catalog.tagCommit(root, "release")))
+    assert(Catalog.read(spark, root, "t", Catalog.tagCommit(root, "release"))
+      .filter(col("tag") === "v0").count() === 4)
+    // the branch's staged table version survives GC while the branch lives
+    assert(Catalog.readBranch(spark, root, "t", "wip")
+      .filter(col("tag") === "wip1").count() === 6)
+
+    // dropping tag + branch releases everything they pinned
+    Catalog.dropTag(root, "release")
+    Catalog.dropBranch(root, "wip")
+    val (droppedCommits, droppedVersions) =
+      Catalog.expireCommits(root, retainLast = 0, graceMs = 0L)
+    assert(droppedCommits === Seq(0L))
+    assert(droppedVersions("t").nonEmpty,
+      "the branch's orphaned staged version must be collected")
+    assert(Catalog.read(spark, root, "t")
+      .filter(col("tag") === "v2").count() === 7)
+  }
+
   test("rollback re-points every table together; GC respects retained history") {
     val root = Files.createTempDirectory("graft-cat-roll").toString
     (0 to 3).foreach { i =>
