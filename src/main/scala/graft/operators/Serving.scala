@@ -54,6 +54,21 @@ object Serving {
     versions
   }
 
+  /** Register temp views over a catalog BRANCH's head — SQL over
+    * work-in-progress state without touching main readers (the
+    * Nessie-branch-in-Trino use case: validate a multi-table change
+    * with ad-hoc SQL before [[Catalog.fastForwardMain]] publishes it).
+    * Returns the served table → version mapping at the branch head. */
+  def registerCatalogBranch(spark: SparkSession, root: String, branch: String,
+                            prefix: String = ""): Map[String, Long] = {
+    val versions = Catalog.branchVersions(root, branch)
+    versions.foreach { case (table, v) =>
+      SnapshotTable.read(spark, Catalog.tableRoot(root, table), v)
+        .createOrReplaceTempView(prefix + table)
+    }
+    versions
+  }
+
   /** Drop previously registered views (cleanup for session reuse). */
   def unregister(spark: SparkSession, views: Iterable[String]): Unit =
     views.foreach(spark.catalog.dropTempView)

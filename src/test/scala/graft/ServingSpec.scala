@@ -74,4 +74,30 @@ class ServingSpec extends GraftSuite {
 
     Serving.unregister(spark, Seq("prices", "meta", "old_prices", "old_meta"))
   }
+
+  test("branch views serve work-in-progress SQL; main views are untouched") {
+    val root = Files.createTempDirectory("graft-serve-branch").toString
+    Catalog.transact(root, Seq(
+      "prices" -> Seq((1L, 100.0), (2L, 200.0)).toDF("id", "px"),
+      "meta" -> Seq((1L, "btc"), (2L, "eth")).toDF("id", "sym")))
+    Catalog.createBranch(root, "wip")
+    Catalog.transactOnBranch(root, "wip", Seq(
+      "prices" -> Seq((1L, 111.0), (2L, 222.0)).toDF("id", "px"),
+      "meta" -> Seq((1L, "BTC-USD"), (2L, "ETH-USD")).toDF("id", "sym")))
+
+    // validate the multi-table change with ad-hoc SQL pre-publication
+    Serving.registerCatalog(spark, root, prefix = "main_")
+    Serving.registerCatalogBranch(spark, root, "wip", prefix = "wip_")
+    val joined = spark.sql(
+      """SELECT m.sym, CAST(p.px AS DOUBLE) px
+        |FROM wip_prices p JOIN wip_meta m ON p.id = m.id
+        |ORDER BY m.sym""".stripMargin).collect()
+    assert(joined.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("BTC-USD", 111.0), ("ETH-USD", 222.0)))
+    assert(spark.sql("SELECT CAST(SUM(px) AS DOUBLE) s FROM main_prices")
+      .head().getDouble(0) === 300.0)
+
+    Serving.unregister(spark,
+      Seq("main_prices", "main_meta", "wip_prices", "wip_meta"))
+  }
 }
