@@ -5,6 +5,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Multi-table catalog with ATOMIC cross-table commits — the Nessie
   * analog (`infrastructure/init/nessie_setup.py:1-75`).
@@ -184,6 +185,32 @@ object Catalog {
       s"table '$table' not in catalog commit " +
         s"${if (commit >= 0) commit else latestCommit(root)} at $root")
     SnapshotTable.read(spark, tableRoot(root, table), vs(table))
+  }
+
+  /** Compact a catalog table's append-fragmented partitions (the
+    * catalog-transaction form of [[Maintenance.compactAppends]] —
+    * catalog tables have no per-table marker, so the compacted version
+    * must publish through a catalog commit): every partition holding at
+    * least `minEntries` manifest entries is rewritten to one directory
+    * and delta-committed; untouched partitions are inherited. Returns
+    * the new catalog commit, or the current one when nothing is
+    * fragmented. Run on the streaming bronze after enough micro-batch
+    * appends ([[graft.streaming.GovernedStream]]). */
+  def compactTable(spark: SparkSession, root: String, table: String,
+                   partitionCol: String, minEntries: Int = 4): Long = {
+    val base = latestCommit(root)
+    val prev = tableVersions(root, base)
+    require(prev.contains(table), s"table '$table' not in catalog at $root")
+    val tr = tableRoot(root, table)
+    val fragmented = SnapshotTable.manifestEntries(tr, prev(table))
+      .groupBy(_._1).filter(_._2.size >= minEntries).keys.toSeq.sorted
+    if (fragmented.isEmpty) return base
+    val values = fragmented.map(_.substring(partitionCol.length + 1))
+    val slice = SnapshotTable.read(spark, tr, prev(table))
+      .filter(col(partitionCol).cast("string").isin(values: _*))
+      .repartition(col(partitionCol))
+    val staged = SnapshotTable.stageDelta(slice, tr, partitionCol, prev(table))
+    commitStaged(root, Map(table -> staged), base)
   }
 
   /** Re-point the catalog at an older published commit (atomic) —

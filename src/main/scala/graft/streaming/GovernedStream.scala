@@ -64,27 +64,34 @@ object GovernedStream {
         return None // replayed batch: its data is already published
       if (bronzeBatch.isEmpty) return None
 
-      val vB = SnapshotTable.stageAppend(bronzeBatch,
-        Catalog.tableRoot(catalogRoot, "bronze"), "_ingestion_date",
-        prev.getOrElse("bronze", -1L))
-      // other sources' rows carry over; this source's row advances
-      val others =
-        if (!prev.contains(StateTable)) Seq.empty
-        else Catalog.read(spark, catalogRoot, StateTable, base)
-          .filter(col("source_id") =!= sourceId)
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      import spark.implicits._
-      val state = (others :+ (sourceId, batchId))
-        .toDF("source_id", "batch_id").coalesce(1)
-      val vS = SnapshotTable.stageVersion(state,
-        Catalog.tableRoot(catalogRoot, StateTable),
-        prev.getOrElse(StateTable, -1L))
-      try return Some(Catalog.commitStaged(catalogRoot,
-        Map("bronze" -> vB, StateTable -> vS), base))
-      catch {
+      // the whole stage-and-publish attempt retries on ANY CAS loss:
+      // the version-dir claim (another committer staging into the same
+      // table) and the manifest create (another committer publishing
+      // first) both throw ConcurrentModificationException; the loser's
+      // abandoned staged versions are expireCommits fodder
+      try {
+        val vB = SnapshotTable.stageAppend(bronzeBatch,
+          Catalog.tableRoot(catalogRoot, "bronze"), "_ingestion_date",
+          prev.getOrElse("bronze", -1L))
+        // other sources' rows carry over; this source's row advances
+        val others =
+          if (!prev.contains(StateTable)) Seq.empty
+          else Catalog.read(spark, catalogRoot, StateTable, base)
+            .filter(col("source_id") =!= sourceId)
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        import spark.implicits._
+        val state = (others :+ (sourceId, batchId))
+          .toDF("source_id", "batch_id").coalesce(1)
+        val vS = SnapshotTable.stageVersion(state,
+          Catalog.tableRoot(catalogRoot, StateTable),
+          prev.getOrElse(StateTable, -1L))
+        return Some(Catalog.commitStaged(catalogRoot,
+          Map("bronze" -> vB, StateTable -> vS), base))
+      } catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
-          if (attempt > 3) throw e
+          if (attempt > 5) throw e
+          Thread.sleep(50L * attempt)
       }
     }
     None // unreachable

@@ -141,6 +141,56 @@ class GovernedStreamSpec extends GraftSuite {
       }
   }
 
+  test("concurrent sources race the CAS; the retry lands both batches, no lost update") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cat = Files.createTempDirectory("graft-gov-race").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val bronzeA = Bronze.ingest(raw.filter(col("event_id") % 2 === 0))
+    val bronzeB = Bronze.ingest(raw.filter(col("event_id") % 2 =!= 0))
+
+    // two sources commit their first batch concurrently: the CAS loser
+    // must re-stage on the winner's commit, not overwrite it
+    val fa = Future(GovernedStream.commitBatch(spark, cat, "srcA", 0L, bronzeA))
+    val fb = Future(GovernedStream.commitBatch(spark, cat, "srcB", 0L, bronzeB))
+    val (ca, cb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    assert(ca.nonEmpty && cb.nonEmpty && ca.get != cb.get)
+    assert(Catalog.latestCommit(cat) === math.max(ca.get, cb.get))
+
+    val bronze = Catalog.read(spark, cat, "bronze")
+    assert(bronze.count() === raw.count(), "no lost update under the race")
+    assert(GovernedStream.lastBatchId(spark, cat, "srcA") === 0L)
+    assert(GovernedStream.lastBatchId(spark, cat, "srcB") === 0L)
+  }
+
+  test("catalog compaction folds streamed appends through a catalog commit") {
+    val cat = Files.createTempDirectory("graft-gov-compact").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // five micro-batches fragment the bronze partitions
+    (0 until 5).foreach { i =>
+      GovernedStream.commitBatch(spark, cat, "src", i.toLong,
+        Bronze.ingest(raw.filter(col("event_id") % 5 === i)))
+    }
+    val before = Catalog.read(spark, cat, "bronze")
+    val beforeCount = before.count()
+    val tr = Catalog.tableRoot(cat, "bronze")
+    val vBefore = Catalog.tableVersions(cat)("bronze")
+    assert(SnapshotTable.manifestEntries(tr, vBefore)
+      .groupBy(_._1).values.map(_.size).max >= 4)
+
+    val c = Catalog.compactTable(spark, cat, "bronze", "_ingestion_date")
+    assert(c === Catalog.latestCommit(cat))
+    val vAfter = Catalog.tableVersions(cat)("bronze")
+    assert(SnapshotTable.manifestEntries(tr, vAfter)
+      .groupBy(_._1).values.forall(_.size === 1))
+    assert(Catalog.read(spark, cat, "bronze").count() === beforeCount)
+    // idempotent: a healthy table publishes nothing
+    assert(Catalog.compactTable(spark, cat, "bronze", "_ingestion_date") === c)
+  }
+
   test("compactAppends folds fragmented partitions to one entry, rows unchanged") {
     val root = Files.createTempDirectory("graft-compact-appends").toString
     val df = spark.range(20).select(
