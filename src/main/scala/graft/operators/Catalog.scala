@@ -338,6 +338,41 @@ object Catalog {
     commitStaged(root, branchVersions(root, name), current)
   }
 
+  /** Content-level merge of a DIVERGED branch into main — the other
+    * half of the Nessie flow ([[fastForwardMain]] covers the clean
+    * case): for every table the branch updated since its fork, MERGE
+    * its head rows into MAIN's current content (`keys(table)` is the
+    * merge key; branch wins per key, main rows the branch never
+    * touched survive — the same last-writer-wins row semantics as
+    * [[SnapshotTable.mergeBranch]]); tables the branch left alone keep
+    * main's version. All merged tables publish as ONE atomic main
+    * commit. */
+  def mergeBranchMain(spark: SparkSession, root: String, name: String,
+                      keys: Map[String, String]): Long = {
+    val (fork, _) = branchState(root, name)
+    val branchVs = branchVersions(root, name)
+    val forkVs = tableVersions(root, fork)
+    val updated = branchVs.filter { case (t, v) => forkVs.get(t) != Some(v) }
+    if (updated.isEmpty) return latestCommit(root)
+    val missing = updated.keySet.filterNot(keys.contains)
+    require(missing.isEmpty,
+      s"no merge key given for branch-updated tables: ${missing.mkString(", ")}")
+    val base = latestCommit(root)
+    val mainVs = tableVersions(root, base)
+    val staged = updated.map { case (t, v) =>
+      val branchContent = SnapshotTable.read(spark, tableRoot(root, t), v)
+      val merged = mainVs.get(t) match {
+        case Some(mv) => MergeUpsert.merge(
+          SnapshotTable.read(spark, tableRoot(root, t), mv),
+          branchContent, keys(t))
+        case None => branchContent
+      }
+      t -> SnapshotTable.stageVersion(merged, tableRoot(root, t),
+        mainVs.getOrElse(t, -1L))
+    }
+    commitStaged(root, staged, base)
+  }
+
   /** Drop a branch ref and its manifest namespace (staged table
     * versions it referenced become unreferenced — [[expireCommits]]
     * collects them). */

@@ -171,6 +171,36 @@ class CatalogSpec extends GraftSuite {
       .filter(col("tag") === "s2").count() === 15)
   }
 
+  test("a diverged branch merges into main by key; untouched tables keep main's state") {
+    val root = Files.createTempDirectory("graft-cat-merge").toString
+    Catalog.transact(root, Seq(
+      "t1" -> Seq((1L, "m0"), (2L, "m0")).toDF("id", "tag"),
+      "t2" -> Seq((1L, "m0")).toDF("id", "tag")))
+    Catalog.createBranch(root, "feature")
+    // branch updates t1 rows 2 and 3; main moves t1 row 1 and t2 —
+    // a genuine divergence, so fast-forward is refused
+    Catalog.transactOnBranch(root, "feature", Seq(
+      "t1" -> Seq((2L, "br"), (3L, "br")).toDF("id", "tag")))
+    Catalog.transact(root, Seq(
+      "t1" -> Seq((1L, "m1"), (2L, "m1")).toDF("id", "tag"),
+      "t2" -> Seq((1L, "m1")).toDF("id", "tag")))
+    intercept[java.util.ConcurrentModificationException] {
+      Catalog.fastForwardMain(root, "feature")
+    }
+
+    val c = Catalog.mergeBranchMain(spark, root, "feature", Map("t1" -> "id"))
+    assert(c === Catalog.latestCommit(root))
+    val t1 = Catalog.read(spark, root, "t1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // branch wins per key (2, 3); main-only rows survive (1)
+    assert(t1 === Map(1L -> "m1", 2L -> "br", 3L -> "br"))
+    // t2 was never touched on the branch: main's update stands
+    assert(Catalog.read(spark, root, "t2").head().getString(1) === "m1")
+    // merging a clean branch is a no-op
+    Catalog.createBranch(root, "idle")
+    assert(Catalog.mergeBranchMain(spark, root, "idle", Map.empty) === c)
+  }
+
   test("GC protects tag and branch references; dropBranch releases them") {
     val root = Files.createTempDirectory("graft-cat-refs").toString
     Catalog.transact(root, Seq("t" -> df("v0", 4)))
