@@ -246,15 +246,26 @@ object Catalog {
   def createBranch(root: String, name: String, from: Long = -1L): Long = {
     val fork = if (from >= 0) from else latestCommit(root)
     require(commits(root).contains(fork), s"unknown catalog commit $fork")
-    val p = refPath(root, "branch", name)
+    // hard-link publish: link(2) fails on an existing target, so this
+    // is atomic content AND an already-exists check in one step — a
+    // concurrent reader never sees an empty ref, a concurrent creator
+    // loses cleanly (a rename would silently replace on POSIX)
+    publishNewRef(root, "branch", name, s"$fork -1",
+      s"branch '$name' already exists")
+    fork
+  }
+
+  private def publishNewRef(root: String, kind: String, name: String,
+                            content: String, existsMsg: String): Unit = {
+    val p = refPath(root, kind, name)
     Files.createDirectories(refsDir(root))
-    try Files.createFile(p)
+    val tmp = refsDir(root).resolve(s".$kind.$name.new")
+    Files.writeString(tmp, content)
+    try Files.createLink(p, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalArgumentException(s"branch '$name' already exists")
-    }
-    Files.writeString(p, s"$fork -1")
-    fork
+        throw new IllegalArgumentException(existsMsg)
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** (fork main-commit, branch head n; -1 = no branch commits yet). */
@@ -391,15 +402,8 @@ object Catalog {
   def tag(root: String, name: String, commit: Long = -1L): Long = {
     val c = if (commit >= 0) commit else latestCommit(root)
     require(commits(root).contains(c), s"unknown catalog commit $c")
-    val p = refPath(root, "tag", name)
-    Files.createDirectories(refsDir(root))
-    try Files.createFile(p)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalArgumentException(
-          s"tag '$name' already exists (tags are immutable)")
-    }
-    Files.writeString(p, c.toString)
+    publishNewRef(root, "tag", name, c.toString,
+      s"tag '$name' already exists (tags are immutable)")
     c
   }
 
