@@ -34,10 +34,18 @@ import org.apache.spark.sql.functions.col
   * manifest — invisible to readers, removed by [[expireCommits]].
   *
   * Concurrency is optimistic, like Nessie's CAS on a branch head: the
-  * manifest file for commit base+1 is created with an exclusive
-  * create, so of two committers starting from the same base exactly
-  * one publishes; the loser gets `ConcurrentModificationException` and
-  * retries on the new base.
+  * publish section runs under an exclusive-create lock directory (the
+  * same primitive as [[SnapshotTable]] branch commits) and re-checks
+  * that main still sits at the committer's base — of two committers
+  * starting from the same base exactly one publishes; the loser gets
+  * `ConcurrentModificationException` and retries on the new base.
+  * Commit ids are allocated max(existing)+1, NOT base+1, so manifests
+  * left behind by [[rollback]] (legitimate roll-forward targets) never
+  * block new commits — the same rule as `SnapshotTable.stageVersion`.
+  * A `.published.c=N` stamp separates manifests that really published
+  * (rollback targets, kept forever while newer than current) from
+  * crashed unpublished leftovers (collected by [[expireCommits]] after
+  * a grace period).
   *
   * Scale: staging is the distributed work (one parquet job per updated
   * table); the commit point is one tiny file create + one marker
@@ -105,29 +113,61 @@ object Catalog {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Atomically commit already-staged table versions on top of `base`:
-    * the new manifest carries base's mapping overlaid with `staged`.
-    * Exclusive-creates manifest base+1 (the CAS — a committer that
-    * lost the race fails fast here), then publishes with one marker
-    * move. */
-  private[graft] def commitStaged(root: String, staged: Map[String, Long],
-                                  base: Long): Long = {
-    val next = base + 1
-    val manifest = tableVersions(root, base) ++ staged
-    Files.createDirectories(commitsDir(root))
-    try Files.createFile(manifestPath(root, next))
+  private def publishedStamp(root: String, commit: Long): Path =
+    commitsDir(root).resolve(s".published.c=$commit")
+
+  /** True iff `commit`'s manifest completed publication (vs a crashed
+    * committer's leftover). Published manifests newer than the current
+    * marker are rollback's roll-forward targets and survive GC. */
+  def isPublished(root: String, commit: Long): Boolean =
+    Files.exists(publishedStamp(root, commit))
+
+  /** Run `body` holding the catalog commit lock (atomic exclusive
+    * `createDirectory` — the same primitive as SnapshotTable branch
+    * commits). Held only for the tiny driver-side publish section;
+    * all staging I/O happens before. A crashed committer's stale lock
+    * is swept by [[expireCommits]] / `SnapshotTable.sweepStaleLocks`. */
+  private def withCommitLock[T](root: String)(body: => T): T = {
+    Files.createDirectories(refsDir(root))
+    val lock = refsDir(root).resolve(".lock.main")
+    try Files.createDirectory(lock)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
-          s"catalog commit $next at $root already exists (a concurrent " +
-            "committer won the race, or a crashed commit left it — see " +
-            "expireCommits); re-stage against the current base and retry")
+          s"catalog commit in flight at $root (or a crashed committer " +
+            "left the lock — expireCommits sweeps stale locks); " +
+            "re-stage against the current base and retry")
     }
+    try body finally Files.delete(lock)
+  }
+
+  /** Atomically commit already-staged table versions on top of `base`:
+    * the new manifest carries base's mapping overlaid with `staged`.
+    * Under the commit lock: verify main still sits at `base` (the CAS —
+    * a committer that lost the race fails fast here), allocate the next
+    * id past EVERY manifest on disk (so rollback leftovers never block
+    * — max+1, NOT base+1), write the manifest with a tmp + atomic move,
+    * stamp it published, then move the marker. */
+  private[graft] def commitStaged(root: String, staged: Map[String, Long],
+                                  base: Long): Long = withCommitLock(root) {
+    val current = latestCommit(root)
+    if (current != base)
+      throw new java.util.ConcurrentModificationException(
+        s"catalog at $root moved from $base to $current (a concurrent " +
+          "committer won the race); re-stage against the current base " +
+          "and retry")
+    val next = (commits(root) :+ base).max + 1
+    val manifest = tableVersions(root, base) ++ staged
+    Files.createDirectories(commitsDir(root))
     val tmp = commitsDir(root).resolve(s".c=$next.tmp")
     Files.writeString(tmp,
       manifest.toSeq.sortBy(_._1).map { case (n, v) => s"$n $v" }.mkString("\n"))
     Files.move(tmp, manifestPath(root, next),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // stamp BEFORE the marker move: a crash in between leaves a stamped
+    // never-current manifest (harmless — a valid consistent mapping GC
+    // keeps), never a published-looking hole
+    Files.writeString(publishedStamp(root, next), "")
     moveMarker(root, next)
     next
   }
@@ -214,10 +254,38 @@ object Catalog {
   }
 
   /** Re-point the catalog at an older published commit (atomic) —
-    * rolls EVERY table back together, which is the point. */
+    * rolls EVERY table back together, which is the point. The
+    * rolled-back-from manifests stay on disk as roll-forward targets
+    * (re-`rollback` to any of them); they never block new commits
+    * (allocation is max+1) and GC keeps them while they're newer than
+    * current. To discard them deliberately, see [[abandonRollForward]]. */
   def rollback(root: String, commit: Long): Unit = {
     require(commits(root).contains(commit), s"unknown catalog commit $commit")
     moveMarker(root, commit)
+  }
+
+  /** Deliberately discard the rolled-back-from history: delete every
+    * PUBLISHED manifest newer than the current commit (ref-pinned ones
+    * refuse — drop the branch/tag first). This is the explicit
+    * destructive counterpart to [[rollback]]; GC never does it on its
+    * own. Table versions those manifests referenced become unreachable
+    * and fall to the next [[expireCommits]]. Returns the dropped ids.
+    * Runs under the commit lock so an in-flight committer (who may be
+    * allocating past these ids) can't interleave. */
+  def abandonRollForward(root: String): Seq[Long] = withCommitLock(root) {
+    val current = latestCommit(root)
+    val (branchRefs, tagRefs) = refs(root)
+    val pinned = tagRefs.values.toSet ++ branchRefs.values.map(_._1)
+    val drop = commits(root).filter(c => c > current && isPublished(root, c))
+    val blocked = drop.filter(pinned)
+    require(blocked.isEmpty,
+      s"commits ${blocked.mkString(",")} are pinned by a branch/tag; " +
+        "drop the ref before abandoning")
+    drop.foreach { c =>
+      Files.delete(manifestPath(root, c))
+      Files.deleteIfExists(publishedStamp(root, c))
+    }
+    drop
   }
 
   // ─────────── catalog refs: branches and tags over commits ───────────
@@ -259,7 +327,12 @@ object Catalog {
                             content: String, existsMsg: String): Unit = {
     val p = refPath(root, kind, name)
     Files.createDirectories(refsDir(root))
-    val tmp = refsDir(root).resolve(s".$kind.$name.new")
+    // unique tmp per attempt: a shared tmp path lets a concurrent
+    // creator rewrite the inode our createLink is about to (or already
+    // did) publish — the loser's content would survive under the
+    // winner's success
+    val tmp = refsDir(root).resolve(
+      s".$kind.$name.${java.util.UUID.randomUUID()}.new")
     Files.writeString(tmp, content)
     try Files.createLink(p, tmp)
     catch {
@@ -435,10 +508,11 @@ object Catalog {
   }
 
   /** Catalog-level GC: drop old manifests beyond `retainLast` (the
-    * current commit, newer-than-current roll-forward targets, and the
-    * newest `retainLast` older manifests survive), plus unpublished
-    * crash-leftover manifests older than `graceMs`; then delete every
-    * table version no surviving manifest references. Returns
+    * current commit, PUBLISHED newer-than-current roll-forward targets,
+    * and the newest `retainLast` older manifests survive), plus
+    * never-published crash-leftover manifests older than `graceMs`
+    * wherever they sit; then delete every table version no surviving
+    * manifest references, and sweep stale commit locks. Returns
     * (removed commits, removed versions per table). */
   def expireCommits(root: String, retainLast: Int,
                     graceMs: Long = 3600000L): (Seq[Long], Map[String, Seq[Long]]) = {
@@ -451,14 +525,22 @@ object Catalog {
     val pinned = tagRefs.values.toSet ++ branchRefs.values.map(_._1)
     val dropOld = commits(root).filter(_ < current)
       .dropRight(math.max(retainLast, 0)).filterNot(pinned)
-    // unpublished leftovers: newer than current, unreachable by
-    // rollback (rollback only targets <= current), old enough that no
-    // in-flight committer still holds them
-    val dropCrashed = commits(root).filter(c => c > current &&
-      !pinned(c) &&
+    // crashed unpublished leftovers: never stamped published (published
+    // manifests newer than current are rollback's roll-forward targets
+    // — kept no matter how old; unpublished ones below current must not
+    // occupy retention slots as if they were history), old enough that
+    // no in-flight committer still holds them
+    val dropCrashed = commits(root).filter(c => c != current &&
+      !pinned(c) && !isPublished(root, c) &&
       now - Files.getLastModifiedTime(manifestPath(root, c)).toMillis > graceMs)
-    val drop = dropOld ++ dropCrashed
-    drop.foreach(c => Files.delete(manifestPath(root, c)))
+    val drop = (dropOld ++ dropCrashed).distinct.sorted
+    drop.foreach { c =>
+      Files.delete(manifestPath(root, c))
+      Files.deleteIfExists(publishedStamp(root, c))
+    }
+    // a crashed committer's commit lock blocks all publishes — sweep it
+    // with the same grace discipline as the table-level locks
+    SnapshotTable.sweepStaleLocks(root, graceMs)
 
     // table-version reachability spans main manifests AND every live
     // branch's manifest namespace — a branch's staged versions must

@@ -65,13 +65,57 @@ class CatalogSpec extends GraftSuite {
   test("optimistic concurrency: losing committer fails fast, retry lands on the new base") {
     val root = Files.createTempDirectory("graft-cat-cas").toString
     Catalog.transact(root, Seq("t" -> df("v0", 3)))
-    // a concurrent committer already published commit 1
-    Files.createDirectories(Paths.get(root, "_commits"))
-    Files.writeString(Paths.get(root, "_commits", "c=1"), "t 0")
+    // a concurrent committer holds the commit lock
+    Files.createDirectories(Paths.get(root, "_refs", ".lock.main"))
     intercept[java.util.ConcurrentModificationException] {
       Catalog.transact(root, Seq("t" -> df("v1", 6)))
     }
     assert(Catalog.latestCommit(root) === 0L)
+    Files.delete(Paths.get(root, "_refs", ".lock.main"))
+
+    // a crashed committer's bare manifest (never published — no stamp)
+    // must NOT block new commits: allocation skips past it
+    Files.writeString(Paths.get(root, "_commits", "c=1"), "t 0")
+    val c = Catalog.transact(root, Seq("t" -> df("v1", 6)))
+    assert(c === 2L && Catalog.latestCommit(root) === 2L)
+    assert(Catalog.read(spark, root, "t").filter(col("tag") === "v1").count() === 6)
+    // the leftover is collected once past grace; the published history stays
+    val (dropped, _) = Catalog.expireCommits(root, retainLast = 5, graceMs = 0L)
+    assert(dropped === Seq(1L))
+  }
+
+  test("commits keep working after rollback: roll-forward targets never deadlock the catalog") {
+    val root = Files.createTempDirectory("graft-cat-rollcommit").toString
+    (0 to 2).foreach(i => Catalog.transact(root, Seq("t" -> df(s"v$i", i + 1))))
+    Catalog.rollback(root, 0L)
+    // the rolled-back-from manifests (c=1, c=2) still exist — the next
+    // commit must allocate past them, not collide with c=1
+    val c = Catalog.transact(root, Seq("t" -> df("redo", 9)))
+    assert(c === 3L && Catalog.latestCommit(root) === 3L)
+    assert(Catalog.read(spark, root, "t").filter(col("tag") === "redo").count() === 9)
+    // the redo commit built on the ROLLED-BACK base, not the abandoned head
+    assert(Catalog.commits(root) === Seq(0L, 1L, 2L, 3L))
+    assert(Catalog.read(spark, root, "t", commit = 2L)
+      .filter(col("tag") === "v2").count() === 3)
+
+    // GC with zero grace: published-then-abandoned history is ordinary
+    // old history now (1, 2 < current 3) — subject to retainLast, never
+    // mistaken for crash leftovers
+    val (dropped, _) = Catalog.expireCommits(root, retainLast = 2, graceMs = 0L)
+    assert(dropped === Seq(0L))
+    assert(Catalog.commits(root) === Seq(1L, 2L, 3L))
+  }
+
+  test("GC keeps published roll-forward targets forever, collects unpublished leftovers after grace") {
+    val root = Files.createTempDirectory("graft-cat-gcstamp").toString
+    (0 to 2).foreach(i => Catalog.transact(root, Seq("t" -> df(s"v$i", i + 1))))
+    Catalog.rollback(root, 1L)
+    // c=2 is published (stamped) and newer than current: a legitimate
+    // roll-forward target — zero grace must NOT collect it
+    val (dropped, _) = Catalog.expireCommits(root, retainLast = 0, graceMs = 0L)
+    assert(!dropped.contains(2L))
+    Catalog.rollback(root, 2L)
+    assert(Catalog.read(spark, root, "t").filter(col("tag") === "v2").count() === 3)
   }
 
   test("delta transactions land batch-sized updates across tables atomically") {

@@ -75,9 +75,14 @@ class GovernedPipelineSpec extends GraftSuite {
     assert(wm0 === Bronze.withRedeliveries(Bronze.ingest(e1))
       .agg(max("ingested_at")).head().getAs[java.time.LocalDateTime](0))
 
-    // recovery after rollback: GC the abandoned roll-forward commit
-    // (and the poisoned run's orphaned staged versions), then re-run
+    // recovery after rollback: GC alone keeps the published commit 1
+    // as a roll-forward target — discarding it is an explicit,
+    // deliberate act; then GC the orphaned staged versions and re-run
     // the incremental — same converged state as before
+    Catalog.expireCommits(cat, retainLast = 0, graceMs = 0L)
+    assert(Catalog.commits(cat) === Seq(0L, 1L),
+      "GC must keep the published roll-forward target")
+    assert(Catalog.abandonRollForward(cat) === Seq(1L))
     Catalog.expireCommits(cat, retainLast = 0, graceMs = 0L)
     assert(Catalog.commits(cat) === Seq(0L))
     assert(GovernedPipeline.runIncremental(spark, cat, e2) === 1L)
