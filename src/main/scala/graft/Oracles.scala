@@ -683,6 +683,75 @@ object Oracles {
         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
         |       AND l.l_quantity >= 20 AND l.l_quantity <= 30)""".stripMargin,
 
+    // Q21 shape: correlated EXISTS + NOT-EXISTS-with-inequality — the
+    // oracle keeps the textbook correlated form; the Spark plan
+    // decorrelates both into per-order supplier-set cardinalities over
+    // one window (see Analytics.q21WaitingSupplier).
+    "q21_waiting_supplier" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    // Q22 shape: scalar avg subquery + correlated NOT EXISTS — the
+    // oracle keeps both correlated; Spark broadcasts the 1-row average
+    // and anti-joins the order keys.
+    "q22_global_sales_opp" ->
+      """SELECT n_name AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS totacctbal
+        |FROM customer, nation
+        |WHERE c_nationkey = n_nationkey
+        |  AND c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // Q16 shape: NOT IN subquery — the oracle keeps NOT IN; Spark
+    // decorrelates to a broadcast left-anti join (s_suppkey non-null,
+    // so the three-valued NOT IN collapses to anti-join semantics).
+    "q16_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#4'
+        |  AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q13 shape: filtered LEFT OUTER join grouped twice — the oracle
+    // keeps the textbook outer-join-then-histogram; Spark pre-aggregates
+    // the fact before the outer join.
+    "q13_customer_distribution" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
     // Q6 shape: pure filter + 1-row aggregate (the pushdown benchmark).
     "q6_forecast_revenue" ->
       """SELECT

@@ -136,6 +136,19 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> ((s, dir) =>
       Analytics.q19DisjunctiveRevenue(Tables.part(s, dir),
         Tables.lineitem(s, dir))),
+    "q21_waiting_supplier" -> ((s, dir) =>
+      Analytics.q21WaitingSupplier(Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    "q22_global_sales_opp" -> ((s, dir) =>
+      Analytics.q22GlobalSalesOpp(Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.orders(s, dir))),
+    "q16_supplier_parts" -> ((s, dir) =>
+      Analytics.q16SupplierParts(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    "q13_customer_distribution" -> ((s, dir) =>
+      Analytics.q13CustomerDistribution(Tables.customer(s, dir),
+        Tables.orders(s, dir))),
     "q6_forecast_revenue" -> ((s, dir) =>
       Analytics.q6ForecastRevenue(Tables.lineitem(s, dir))),
     "q10_returned_items" -> ((s, dir) =>

@@ -283,4 +283,135 @@ object Analytics {
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
       .filter(col("rn") <= k)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the textbook
+    * query correlates one EXISTS (another supplier participated in the
+    * order) and one NOT EXISTS (no OTHER supplier was late) against the
+    * same fact — three lineitem scans if decorrelated naively into a
+    * semi- and an anti-join. Spark-first both predicates are per-order
+    * supplier-set cardinalities, so they ride ONE window over the
+    * orderkey partitioning the orders join just produced: a line
+    * qualifies iff it is late, the order has ≥2 distinct suppliers, and
+    * the order's LATE-supplier set is exactly one (necessarily this
+    * line's). One fact scan, one orderkey shuffle, no self-joins.
+    * "Late" adapts TPC-H's receiptdate>commitdate to this schema:
+    * shipped more than `lateDays` after the order date.
+    * Output ordered numwait DESC with the unique name as tiebreak. */
+  def q21WaitingSupplier(supplier: DataFrame, nation: DataFrame,
+                         orders: DataFrame, lineitem: DataFrame,
+                         nationName: String = "NATION_3",
+                         lateDays: Int = 30): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")
+    val suppliers = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    lineitem
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late", late)
+      // both set-cardinalities share one Window node (same spec, same
+      // projection) — a single sorted pass over the orderkey shuffle
+      .select(col("l_suppkey"), col("is_late"),
+        size(collect_set(col("l_suppkey")).over(w)).as("n_supp"),
+        size(collect_set(
+          when(col("is_late"), col("l_suppkey"))).over(w)).as("n_late_supp"))
+      .filter(col("is_late") && col("n_supp") >= 2 &&
+        col("n_late_supp") === 1)
+      .join(broadcast(suppliers), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers whose
+    * balance beats the global positive-balance average (a scalar
+    * subquery → a 1-row broadcast, never a recomputed fact scan per
+    * row) and who placed no urgent order (correlated NOT EXISTS → a
+    * left-anti join against the pre-projected order keys). The anti
+    * side projects to the single join key before the exchange and AQE
+    * broadcasts whichever side is small. Grouped per nation (this
+    * schema's analog of the phone country code). Exact decimal balance
+    * sums; ordered by the unique nation name. */
+  def q22GlobalSalesOpp(customer: DataFrame, nation: DataFrame,
+                        orders: DataFrame,
+                        priority: String = "1-URGENT"): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0.0d)
+      .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+        count(lit(1)).cast("double")).as("_avg_bal"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("_avg_bal"))
+      .join(orders.filter(col("o_orderpriority") === priority)
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        decSum(col("c_acctbal").cast("decimal(18,4)"), "totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  /** TPC-H Q16 shape (supplier-part count): distinct suppliers per
+    * part class, excluding a NOT-IN supplier set (distressed balance —
+    * this schema's analog of the complaints LIKE). NOT IN over a
+    * nullable column is three-valued; `s_suppkey` is a non-null key,
+    * so it decorrelates to a left-anti join (asserted non-null by the
+    * filter so the equivalence is structural, not incidental). The
+    * exclusion set is tiny → broadcast anti; `part` filters before its
+    * broadcast; the association is lineitem (this schema has no
+    * partsupp), deduplicated by the distinct count itself — one fact
+    * scan, one shuffle on the grouping keys. */
+  def q16SupplierParts(part: DataFrame, supplier: DataFrame,
+                       lineitem: DataFrame,
+                       excludeBrand: String = "Brand#4",
+                       excludeTypePrefix: String = "MEDIUM",
+                       sizes: Seq[Int] = Seq(1, 9, 14, 19, 23, 36, 45, 49))
+      : DataFrame = {
+    val parts = part
+      .filter(col("p_brand") =!= excludeBrand &&
+        !col("p_type").startsWith(excludeTypePrefix) &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val distressed = supplier.filter(col("s_acctbal") < 0.0d)
+      .filter(col("s_suppkey").isNotNull) // NOT IN ≡ anti join iff no nulls
+      .select(col("s_suppkey").as("l_suppkey"))
+    lineitem
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(distressed), Seq("l_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): a filtered
+    * LEFT OUTER join grouped twice. The filter lives in the JOIN
+    * condition (orders side only), so it pre-aggregates: count orders
+    * per customer FIRST (map-side partials on the fact), then left-join
+    * the ‖customers‖-sized rollup and histogram — the outer join never
+    * carries fact-table width, and customers with no surviving orders
+    * coalesce to zero. Two shuffles total (custkey, then the tiny
+    * c_count histogram). */
+  def q13CustomerDistribution(customer: DataFrame, orders: DataFrame,
+                              excludePriority: String = "1-URGENT")
+      : DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("_n"))
+    customer.select("c_custkey")
+      .join(perCust, Seq("c_custkey"), "left_outer")
+      .select(coalesce(col("_n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
 }

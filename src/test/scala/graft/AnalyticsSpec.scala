@@ -137,6 +137,143 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.values.sum > 0)
   }
 
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  // plan assertions on the OPTIMIZED LOGICAL plan: stable under AQE,
+  // which may (correctly) elide an anti join whose build side turns
+  // out empty at this sf, or re-number scan nodes between the initial
+  // and final physical trees
+  private def logicalScans(df: org.apache.spark.sql.DataFrame,
+                           table: String): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if fs.location.rootPaths.exists(_.toString.contains(table)) => 1
+          case _ => 0
+        }
+    }.sum
+
+  private def joinTypes(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.joinType.sql
+    }
+
+  test("q21: window decorrelation equals the textbook correlated EXISTS/NOT-EXISTS SQL") {
+    Tables.supplier(spark, sf).createOrReplaceTempView("q21_supplier")
+    Tables.nation(spark, sf).createOrReplaceTempView("q21_nation")
+    Tables.orders(spark, sf).createOrReplaceTempView("q21_orders")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("q21_lineitem")
+    // independent path: Spark's own subquery decorrelation of the
+    // textbook correlated form
+    val expect = spark.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM q21_supplier, q21_lineitem l1, q21_orders, q21_nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAYS
+        |  AND EXISTS (SELECT 1 FROM q21_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAYS)
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |GROUP BY s_name""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val df = Analytics.q21WaitingSupplier(Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.orders(spark, sf),
+      Tables.lineitem(spark, sf))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // ONE lineitem scan (the textbook decorrelation reads it thrice)
+    // and no cross/cartesian join anywhere
+    assert(logicalScans(df, "lineitem") === 1)
+    assert(!joinTypes(df).exists(_.contains("CROSS")), joinTypes(df))
+    assert(!formattedPlan(df).contains("CartesianProduct"))
+  }
+
+  test("q22: broadcast scalar + anti-join equals the textbook correlated SQL") {
+    Tables.customer(spark, sf).createOrReplaceTempView("q22_customer")
+    Tables.nation(spark, sf).createOrReplaceTempView("q22_nation")
+    Tables.orders(spark, sf).createOrReplaceTempView("q22_orders")
+    val expect = spark.sql(
+      """SELECT n_name, COUNT(*) AS numcust
+        |FROM q22_customer, q22_nation
+        |WHERE c_nationkey = n_nationkey
+        |  AND c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |    FROM q22_customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM q22_orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val df = Analytics.q22GlobalSalesOpp(Tables.customer(spark, sf),
+      Tables.nation(spark, sf), Tables.orders(spark, sf))
+    val rows = df.collect()
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap === expect)
+    assert(rows.nonEmpty)
+    // the anti join must be a real anti join, not a post-join filter,
+    // and orders is scanned once (never re-aggregated per row)
+    assert(joinTypes(df).exists(_.contains("ANTI")), joinTypes(df))
+    assert(logicalScans(df, "orders") === 1)
+    assert(!formattedPlan(df).contains("CartesianProduct"))
+  }
+
+  test("q16: anti-join NOT-IN equals the textbook subquery SQL") {
+    Tables.part(spark, sf).createOrReplaceTempView("q16_part")
+    Tables.supplier(spark, sf).createOrReplaceTempView("q16_supplier")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("q16_lineitem")
+    val expect = spark.sql(
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM q16_lineitem, q16_part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#4' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    val df = Analytics.q16SupplierParts(Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.lineitem(spark, sf))
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    assert(joinTypes(df).exists(_.contains("ANTI")), joinTypes(df))
+    assert(logicalScans(df, "lineitem") === 1)
+  }
+
+  test("q13: pre-aggregated outer join equals the textbook outer-join histogram") {
+    val customer = Tables.customer(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    // independent path: the literal textbook plan — outer join first,
+    // count per customer, then histogram
+    val expect = customer
+      .join(orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(customer("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Analytics.q13CustomerDistribution(customer, orders)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // zero-order customers must be present as the c_count=0 bucket
+    assert(got.contains(0L) || expect.forall(_._1 > 0))
+    assert(got.nonEmpty)
+  }
+
   test("q19: disjunctive join equals the per-disjunct union of counts") {
     val part = Tables.part(spark, sf)
     val li = Tables.lineitem(spark, sf)
