@@ -394,6 +394,17 @@ object Oracles {
         |  trade_hour, trade_minute, minute_bucket, hour_bucket
         |FROM stg""".stripMargin),
 
+    // ROLLUP: DuckDB's GROUPING_ID shares Spark's bit convention
+    // (bit 1 = column aggregated out, first column = MSB).
+    "sales_cube" -> withTrades("stg",
+      """SELECT product_id, _trade_date,
+        |  CAST(CAST(SUM(trade_value) AS DECIMAL(18,8)) AS DOUBLE) AS total_value,
+        |  CAST(CAST(SUM(size) AS DECIMAL(18,4)) AS DOUBLE) AS total_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+        |  CAST(GROUPING_ID(product_id, _trade_date) AS BIGINT) AS gid
+        |FROM stg
+        |GROUP BY ROLLUP(product_id, _trade_date)""".stripMargin),
+
     "ohlcv_1m" -> withTrades("m1",
       """SELECT product_id, window_start, CAST(open AS DOUBLE) AS open,
         |  CAST(high AS DOUBLE) AS high, CAST(low AS DOUBLE) AS low,

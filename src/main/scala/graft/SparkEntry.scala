@@ -149,6 +149,7 @@ object SparkEntry {
     "q13_customer_distribution" -> ((s, dir) =>
       Analytics.q13CustomerDistribution(Tables.customer(s, dir),
         Tables.orders(s, dir))),
+    "sales_cube" -> ((s, dir) => Analytics.salesCube(stg(s, dir))),
     "q6_forecast_revenue" -> ((s, dir) =>
       Analytics.q6ForecastRevenue(Tables.lineitem(s, dir))),
     "q10_returned_items" -> ((s, dir) =>

@@ -392,6 +392,26 @@ object Analytics {
         col("p_size"))
   }
 
+  /** ROLLUP cube over the trade mart: per (product, date), per
+    * product, and grand-total rows in ONE pass. Spark plans ROLLUP as
+    * a single Expand (each input row replicated once per grouping set)
+    * feeding one hash aggregate with map-side partials — never N
+    * re-scans unioned together. `grouping_id` disambiguates the
+    * super-aggregate rows (bit per column, MSB = first column, same
+    * convention as DuckDB/Trino GROUPING_ID). Exact decimal value
+    * sums; the 3×‖products×dates‖ Expand fan-out is what every engine
+    * pays for a rollup and stays proportional to the already-reduced
+    * grouping, not the fact. */
+  def salesCube(stg: DataFrame): DataFrame =
+    stg
+      .rollup(col("product_id"), col("_trade_date"))
+      .agg(
+        sum(col("trade_value")).cast("decimal(18,8)").as("total_value"),
+        decSum(col("size"), "total_size"),
+        count(lit(1)).as("n_trades"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("product_id"), col("_trade_date"))
+
   /** TPC-H Q13 shape (customer order-count distribution): a filtered
     * LEFT OUTER join grouped twice. The filter lives in the JOIN
     * condition (orders side only), so it pre-aggregates: count orders

@@ -274,6 +274,37 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("sales_cube: rollup equals the union of its grouping sets, via one Expand") {
+    import graft.operators.{Bronze, BronzeToSilver, Staging}
+    val stg = Staging.stgTrades(BronzeToSilver.transform(
+      Bronze.withRedeliveries(Bronze.ingest(Tables.events(spark, sf)))))
+      .cache()
+    val df = Analytics.salesCube(stg)
+    val rows = df.collect()
+    // the three grouping sets, recomputed independently
+    val fine = stg.groupBy("product_id", "_trade_date").count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    val perProduct = stg.groupBy("product_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = stg.count()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid(0L).map(r => (r.getString(0), r.getDate(1).toString) ->
+      r.getAs[Long]("n_trades")).toMap === fine)
+    assert(byGid(1L).map(r => r.getString(0) ->
+      r.getAs[Long]("n_trades")).toMap === perProduct)
+    assert(byGid(3L).map(_.getAs[Long]("n_trades")).toSeq === Seq(total))
+    assert(byGid.keySet === Set(0L, 1L, 3L))
+    // ONE Expand feeding one aggregate — not a union of three scans
+    val expands = df.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.size === 1)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty)
+    stg.unpersist()
+  }
+
   test("q19: disjunctive join equals the per-disjunct union of counts") {
     val part = Tables.part(spark, sf)
     val li = Tables.lineitem(spark, sf)
