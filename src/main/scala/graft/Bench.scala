@@ -85,7 +85,9 @@ object Bench {
         val report = operators.PipelineRun.run(spark, sfDir, out)
         val stages = report.collect() // tiny: one row per stage
         samples(pipeName) :+= (System.nanoTime() - t0) / 1e9
-        pipeRows(pipeName) = stages.length.toLong
+        // real rows written across stages — a result-shape signal,
+        // unlike the stage count (constant by construction)
+        pipeRows(pipeName) = stages.map(_.getAs[Long]("rows")).sum
       } catch { case e: Throwable =>
         errors.getOrElseUpdate(pipeName,
           Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -122,7 +124,7 @@ object Bench {
           val report = operators.PipelineRun.runIncremental(spark, out, e2)
           val stages = report.collect() // tiny: one row per stage
           samples(incName) :+= (System.nanoTime() - t0) / 1e9
-          pipeRows(incName) = stages.length.toLong
+          pipeRows(incName) = stages.map(_.getAs[Long]("rows")).sum
         } catch { case e: Throwable =>
           errors.getOrElseUpdate(incName,
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -160,7 +162,12 @@ object Bench {
           val t0 = System.nanoTime()
           val commit = operators.GovernedPipeline.runIncremental(spark, cat, e2)
           samples(govName) :+= (System.nanoTime() - t0) / 1e9
-          pipeRows(govName) = commit
+          // real rows served at the published commit (untimed parquet
+          // footer counts), not the commit id
+          pipeRows(govName) = operators.Catalog
+            .tableVersions(cat, commit).keys.toSeq.sorted
+            .map(t => operators.Catalog.read(spark, cat, t, commit).count())
+            .sum
         } catch { case e: Throwable =>
           errors.getOrElseUpdate(govName,
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -205,8 +212,16 @@ object Bench {
     val errs = allNames.collect { case n if errors.contains(n) =>
       s"${jq(n)}:${jq(errors(n))}" }.mkString("{", ",", "}")
     val total = ok.map(n => median(samples(n))).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"runs":$runs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"runs":$runs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
+    // persist the full result BEFORE printing: the driver's captured
+    // stdout keeps only a tail, so the file is the diffable artifact
+    // (every per-query median survives round-over-round)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    println(json)
     spark.stop()
   }
 }
