@@ -38,7 +38,11 @@ object Bench {
     catch { case _: Throwable => () }
     spark.sharedState.cacheManager.clearCache()
 
+    // pipeline_health re-runs the whole pipeline twice inside one
+    // "query" — its cost is already measured by the dedicated
+    // pipeline_* lines below, so benching it would double-count
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "pipeline_health")
     // samples(name) = wall seconds per SUCCESSFUL rep — a failed rep
     // fails fast, and charging its wall time would report a misleadingly
     // low median for an intermittently erroring query; one error capture

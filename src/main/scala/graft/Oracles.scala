@@ -596,6 +596,25 @@ object Oracles {
         |  CAST(volume_24h AS DOUBLE) AS volume_24h, as_of
         |FROM final""".stripMargin),
 
+    // Health rollup over TWO identical full runs: per-stage row counts
+    // recomputed independently from the CTE chain (the quality_report
+    // stage is excluded — its row count is the check-suite size, gated
+    // by data_quality).
+    "pipeline_health" -> withTrades("dm",
+      s""", $priceLatestCtes,
+        |counts(stage, per_run) AS (VALUES
+        |  ('bronze', (SELECT COUNT(*) FROM bronze_dup)),
+        |  ('silver', (SELECT COUNT(*) FROM silver)),
+        |  ('ohlcv_1m', (SELECT COUNT(*) FROM m1)),
+        |  ('ohlcv_1h', (SELECT COUNT(*) FROM h1)),
+        |  ('daily_metrics', (SELECT COUNT(*) FROM dm)),
+        |  ('price_latest', (SELECT COUNT(*) FROM final)))
+        |SELECT stage, CAST(2 AS BIGINT) AS n_runs,
+        |  CAST(2 * per_run AS BIGINT) AS total_rows,
+        |  CAST(per_run AS BIGINT) AS last_rows,
+        |  CAST(0 AS BIGINT) AS total_retries
+        |FROM counts ORDER BY stage""".stripMargin),
+
     "data_quality" -> qualityReport,
 
     // Final DOUBLE casts on the DECIMAL aggregates below mirror the

@@ -150,6 +150,21 @@ object SparkEntry {
       Analytics.q13CustomerDistribution(Tables.customer(s, dir),
         Tables.orders(s, dir))),
     "sales_cube" -> ((s, dir) => Analytics.salesCube(stg(s, dir))),
+    // metrics history + health rollup (the Grafana pipeline-health
+    // analog): two full runs accumulate the `_metrics` time series,
+    // then the dashboard query rolls it up. Deterministic columns only
+    // (row counts, run counts, retries); quality_report's row count is
+    // the check-suite size, already oracle-gated by `data_quality`.
+    "pipeline_health" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-health").toString
+      PipelineRun.run(s, dir, out)
+      PipelineRun.run(s, dir, out)
+      MetricsHistory.health(MetricsHistory.history(s, out))
+        .filter(col("stage") =!= "quality_report")
+        .select("stage", "n_runs", "total_rows", "last_rows",
+          "total_retries")
+    },
     "q6_forecast_revenue" -> ((s, dir) =>
       Analytics.q6ForecastRevenue(Tables.lineitem(s, dir))),
     "q10_returned_items" -> ((s, dir) =>

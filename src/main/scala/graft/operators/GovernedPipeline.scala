@@ -38,7 +38,10 @@ import graft.sources.Tables
   * Tables: `bronze` (by `_ingestion_date`), `silver` (by
   * `_trade_date`), `ohlcv_1m`/`ohlcv_1h` (by `_partition_date`),
   * `daily_metrics` (by `date`), plus tiny full-snapshot tables
-  * `latest_trade`, `price_latest`, `quality_report`, `watermark`.
+  * `latest_trade`, `price_latest`, `quality_report`, `watermark`,
+  * and the append-only `pipeline_metrics` health history (by
+  * `run_id` — see [[MetricsHistory]]; versioned with the data, so a
+  * rollback rewinds the history it describes).
   */
 object GovernedPipeline {
 
@@ -59,6 +62,56 @@ object GovernedPipeline {
   private def wmDf(spark: SparkSession, wm: LocalDateTime): DataFrame =
     spark.range(1).select(lit(wm).as("watermark"))
 
+  /** Per-stage recorder for the governed modes — the same
+    * rows-from-the-write-job discipline as [[PipelineRun]]'s Runner
+    * (scheduler-bus output metrics, never a re-scan), feeding the
+    * `pipeline_metrics` catalog table. */
+  private final class Recorder(spark: SparkSession, retries: Int,
+                               backoffMs: Long) {
+    private val rows = Seq.newBuilder[(String, Long, Double, Int)]
+
+    def timed(name: String)(body: => Long): Long = {
+      val t0 = System.nanoTime()
+      var attempts = 0
+      var staged = 0L
+      val v = Retry.withRetries(retries, backoffMs, s"stage $name") {
+        attempts += 1
+        // metrics scoped per attempt: a failed partial stage's records
+        // never pollute the successful attempt's count
+        val (res, jobs) = Metrics.collectJobs(spark, name)(body)
+        staged = jobs.map(_.outputRecords).sum
+        res
+      }
+      rows += ((name, staged, (System.nanoTime() - t0) / 1e9, attempts))
+      v
+    }
+
+    def reportDF: DataFrame = {
+      import spark.implicits._
+      rows.result().toDF("stage", "rows", "seconds", "attempts")
+    }
+  }
+
+  /** Stage this run's report as the next append of the
+    * `pipeline_metrics` catalog table (versioned WITH the data — a
+    * rollback rewinds the health history it describes). Returns the
+    * staged version for the commit map. */
+  private def stageMetrics(spark: SparkSession, catalogRoot: String,
+                           prev: Map[String, Long], rec: Recorder,
+                           runKind: String, wm: LocalDateTime): Long = {
+    val tr = Catalog.tableRoot(catalogRoot, "pipeline_metrics")
+    val mPrev = prev.getOrElse("pipeline_metrics", -1L)
+    val runId =
+      if (mPrev < 0L) 0L
+      else SnapshotTable.read(spark, tr, mPrev) // tiny: runs × stages
+        .agg(max("run_id")).head().getLong(0) + 1L
+    val report = MetricsHistory
+      .withRunColumns(rec.reportDF, runKind, Option(wm))
+      .withColumn("run_id", lit(runId))
+      .coalesce(1)
+    SnapshotTable.stageAppend(report, tr, "run_id", mPrev)
+  }
+
   /** Bootstrap: full rebuild of every table, staged, gated, then
     * published as catalog commit 0 (or the next commit on re-run).
     * Returns the commit id. */
@@ -72,11 +125,12 @@ object GovernedPipeline {
     // transient write failures re-stage (Airflow default_args retries);
     // each attempt claims a fresh version dir, so retries never clobber
     // a partial write — abandoned claims are expireCommits/sweep fodder
+    val rec = new Recorder(spark, retries, retryBackoffMs)
     def delta(t: String, df: DataFrame, pcol: String): Long =
-      Retry.withRetries(retries, retryBackoffMs, s"stage $t")(
+      rec.timed(t)(
         SnapshotTable.stageDelta(df, tr(t), pcol, prev.getOrElse(t, -1L)))
     def full(t: String, df: DataFrame): Long =
-      Retry.withRetries(retries, retryBackoffMs, s"stage $t")(
+      rec.timed(t)(
         SnapshotTable.stageVersion(df, tr(t), prev.getOrElse(t, -1L)))
 
     val events = eventsOverride.getOrElse(Tables.events(spark, sfDir))
@@ -107,11 +161,13 @@ object GovernedPipeline {
 
     val wm = bronze.agg(max("ingested_at")).head().getAs[LocalDateTime](0)
     val vW = full("watermark", wmDf(spark, wm))
+    val vMet = stageMetrics(spark, catalogRoot, prev, rec, "full", wm)
 
     Catalog.commitStaged(catalogRoot, Map(
       "bronze" -> vB, "silver" -> vS, "ohlcv_1m" -> vM1, "ohlcv_1h" -> vH1,
       "daily_metrics" -> vDM, "latest_trade" -> vLT, "price_latest" -> vPL,
-      "quality_report" -> vQ, "watermark" -> vW), base)
+      "quality_report" -> vQ, "watermark" -> vW,
+      "pipeline_metrics" -> vMet), base)
   }
 
   /** The scheduled incremental mode, governed: process only the new
@@ -127,8 +183,9 @@ object GovernedPipeline {
     require(base >= 0, s"no published catalog commit at $catalogRoot — " +
       "bootstrap with GovernedPipeline.runFull first")
     val prev = Catalog.tableVersions(catalogRoot, base)
+    val rec = new Recorder(spark, retries, retryBackoffMs)
     def delta(t: String, df: DataFrame, pcol: String): Long =
-      Retry.withRetries(retries, retryBackoffMs, s"stage $t")(
+      rec.timed(t)(
         SnapshotTable.stageDelta(df, Catalog.tableRoot(catalogRoot, t), pcol,
           prev(t)))
     def readAt(t: String): DataFrame =
@@ -146,7 +203,8 @@ object GovernedPipeline {
           .isin(touchedIngest.map(lit(_)): _*)).unionByName(batch),
         "_ingestion_date")
     try derive(spark, catalogRoot, base, prev, vB, lookbackHours,
-      failOnViolations, publishBronzeOnEmpty = true, retries, retryBackoffMs)
+      failOnViolations, publishBronzeOnEmpty = true, retries, retryBackoffMs,
+      rec)
     finally batch.unpersist()
   }
 
@@ -167,7 +225,8 @@ object GovernedPipeline {
       "bootstrap with GovernedPipeline.runFull first")
     val prev = Catalog.tableVersions(catalogRoot, base)
     derive(spark, catalogRoot, base, prev, prev("bronze"), lookbackHours,
-      failOnViolations, publishBronzeOnEmpty = false, retries, retryBackoffMs)
+      failOnViolations, publishBronzeOnEmpty = false, retries, retryBackoffMs,
+      new Recorder(spark, retries, retryBackoffMs))
   }
 
   /** Shared derivation half of the incremental modes: from a (possibly
@@ -176,13 +235,14 @@ object GovernedPipeline {
   private def derive(spark: SparkSession, catalogRoot: String, base: Long,
                      prev: Map[String, Long], vB: Long, lookbackHours: Int,
                      failOnViolations: Boolean, publishBronzeOnEmpty: Boolean,
-                     retries: Int, retryBackoffMs: Long): Long = {
+                     retries: Int, retryBackoffMs: Long,
+                     rec: Recorder): Long = {
     def tr(t: String) = Catalog.tableRoot(catalogRoot, t)
     def delta(t: String, df: DataFrame, pcol: String): Long =
-      Retry.withRetries(retries, retryBackoffMs, s"stage $t")(
+      rec.timed(t)(
         SnapshotTable.stageDelta(df, tr(t), pcol, prev(t)))
     def full(t: String, df: DataFrame): Long =
-      Retry.withRetries(retries, retryBackoffMs, s"stage $t")(
+      rec.timed(t)(
         SnapshotTable.stageVersion(df, tr(t), prev(t)))
     def readAt(t: String): DataFrame =
       Catalog.read(spark, catalogRoot, t, base)
@@ -263,10 +323,13 @@ object GovernedPipeline {
 
     val vW = full("watermark", wmDf(spark, newWmRow))
     batchSilver.unpersist()
+    val vMet = stageMetrics(spark, catalogRoot, prev, rec, "incremental",
+      newWmRow)
 
     Catalog.commitStaged(catalogRoot, Map(
       "bronze" -> vB, "silver" -> vS, "ohlcv_1m" -> vM1, "ohlcv_1h" -> vH1,
       "daily_metrics" -> vDM, "latest_trade" -> vLT, "price_latest" -> vPL,
-      "quality_report" -> vQ, "watermark" -> vW), base)
+      "quality_report" -> vQ, "watermark" -> vW,
+      "pipeline_metrics" -> vMet), base)
   }
 }

@@ -219,6 +219,9 @@ object PipelineRun {
     val wm = bronze.agg(max("ingested_at")).head().getAs[LocalDateTime](0)
     if (wm != null) writeWatermark(outRoot, wm)
 
+    // health history: this run's report joins the persisted time
+    // series (one tiny driver-local write — see MetricsHistory)
+    MetricsHistory.append(spark, outRoot, r.reportDF, "full", Option(wm))
     r.reportDF
   }
 
@@ -371,6 +374,8 @@ object PipelineRun {
     ingestNew.unpersist(); batchSilver.unpersist()
     if (newWm != null && newWm.isAfter(prevWm)) writeWatermark(outRoot, newWm)
 
+    MetricsHistory.append(spark, outRoot, r.reportDF, "incremental",
+      Option(if (newWm != null && newWm.isAfter(prevWm)) newWm else prevWm))
     r.reportDF
   }
 }

@@ -69,6 +69,34 @@ object Serving {
     versions
   }
 
+  /** Register the pipeline-health dashboard view (the Grafana
+    * `pipeline-health.json` analog as SQL) over a [[PipelineRun]]
+    * layout's `_metrics` history. Returns the view name. */
+  def registerPipelineHealth(spark: SparkSession, outRoot: String,
+                             prefix: String = ""): String = {
+    val view = prefix + "pipeline_health"
+    MetricsHistory.health(MetricsHistory.history(spark, outRoot))
+      .createOrReplaceTempView(view)
+    view
+  }
+
+  /** [[registerPipelineHealth]] for a governed catalog: the rollup over
+    * the `pipeline_metrics` table pinned at `commit` (default latest) —
+    * health history consistent with the data snapshot it describes. */
+  def registerCatalogHealth(spark: SparkSession, root: String,
+                            commit: Long = -1L, prefix: String = ""): String = {
+    val c = if (commit >= 0) commit else Catalog.latestCommit(root)
+    require(c >= 0, s"no published catalog commit at $root")
+    val v = Catalog.tableVersions(root, c).getOrElse("pipeline_metrics",
+      throw new IllegalArgumentException(
+        s"catalog at $root has no pipeline_metrics table at commit $c"))
+    val view = prefix + "pipeline_health"
+    MetricsHistory.health(SnapshotTable.read(spark,
+        Catalog.tableRoot(root, "pipeline_metrics"), v))
+      .createOrReplaceTempView(view)
+    view
+  }
+
   /** Drop previously registered views (cleanup for session reuse). */
   def unregister(spark: SparkSession, views: Iterable[String]): Unit =
     views.foreach(spark.catalog.dropTempView)
