@@ -166,10 +166,37 @@ object Catalog {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // stamp BEFORE the marker move: a crash in between leaves a stamped
     // never-current manifest (harmless — a valid consistent mapping GC
-    // keeps), never a published-looking hole
-    Files.writeString(publishedStamp(root, next), "")
+    // keeps), never a published-looking hole. The stamp content is the
+    // publish wall time — the commit-log timestamp [[resolveAsOf]]
+    // time-travels on.
+    Files.writeString(publishedStamp(root, next),
+      System.currentTimeMillis().toString)
     moveMarker(root, next)
     next
+  }
+
+  /** Publish wall time of a commit (epoch millis) — the stamp content,
+    * falling back to the manifest mtime for pre-stamp catalogs. */
+  def commitTimeMs(root: String, commit: Long): Long = {
+    val p = publishedStamp(root, commit)
+    val stamped =
+      if (Files.exists(p)) Files.readString(p).trim else ""
+    if (stamped.nonEmpty && stamped.forall(_.isDigit)) stamped.toLong
+    else Files.getLastModifiedTime(manifestPath(root, commit)).toMillis
+  }
+
+  /** Resolve the newest commit published at or before `asOfMs` —
+    * Iceberg/Nessie-style timestamp time travel over the commit log.
+    * Resolution spans every PUBLISHED commit (including ones newer
+    * than the current marker after a [[rollback]] — they existed at
+    * that wall time, exactly like snapshots after an Iceberg
+    * rollback). Throws if nothing was published yet at `asOfMs`. */
+  def resolveAsOf(root: String, asOfMs: Long): Long = {
+    val candidates = commits(root)
+      .filter(c => isPublished(root, c) && commitTimeMs(root, c) <= asOfMs)
+    require(candidates.nonEmpty,
+      s"no catalog commit at $root published at or before epoch-ms $asOfMs")
+    candidates.max
   }
 
   /** Atomically publish new contents for several tables as ONE catalog

@@ -27,7 +27,14 @@ object Serving {
 
   /** Register temp views over every stage table of a [[PipelineRun]]
     * layout at `outRoot` (bronze, silver, the marts, quality_report).
-    * Returns the view names, `prefix`-qualified. */
+    * Returns the view names, `prefix`-qualified.
+    *
+    * Hive-style caveat: a view's plan caches the file listing, so
+    * after the pipeline overwrites a stage directory, queries can hit
+    * deleted files or a stale listing. Call [[refreshPipeline]] after
+    * each run (the `REFRESH TABLE` discipline every Hive-layout
+    * deployment has); the governed [[registerCatalog]] mode does not
+    * have this problem — old versions are immutable. */
   def registerPipeline(spark: SparkSession, outRoot: String,
                        prefix: String = ""): Seq[String] =
     PipelineRun.Stages.map { t =>
@@ -35,6 +42,19 @@ object Serving {
       spark.read.parquet(s"$outRoot/$t").createOrReplaceTempView(view)
       view
     }
+
+  /** Re-resolve a [[registerPipeline]] layout after a pipeline run
+    * rewrote its directories: drops any cached data for the old file
+    * listings and re-registers every view (a temp view's plan pins the
+    * listing taken at registration — `refreshByPath` alone cannot
+    * reach into it, so re-registration IS the refresh, same as Trino's
+    * metadata refresh on a Hive table). Returns the view names. */
+  def refreshPipeline(spark: SparkSession, outRoot: String,
+                      prefix: String = ""): Seq[String] = {
+    PipelineRun.Stages.foreach(t =>
+      spark.catalog.refreshByPath(s"$outRoot/$t"))
+    registerPipeline(spark, outRoot, prefix)
+  }
 
   /** Register temp views over every table of a [[Catalog]], pinned to
     * `commit` (default: the latest published commit at call time).
@@ -53,6 +73,16 @@ object Serving {
     }
     versions
   }
+
+  /** Timestamp time travel: [[registerCatalog]] pinned at the newest
+    * commit published at or before `asOf` (Trino's
+    * `FOR TIMESTAMP AS OF` over Iceberg/Nessie). Returns the served
+    * table → version mapping at that commit. */
+  def registerCatalogAsOf(spark: SparkSession, root: String,
+                          asOf: java.time.Instant,
+                          prefix: String = ""): Map[String, Long] =
+    registerCatalog(spark, root,
+      Catalog.resolveAsOf(root, asOf.toEpochMilli), prefix)
 
   /** Register temp views over a catalog BRANCH's head — SQL over
     * work-in-progress state without touching main readers (the

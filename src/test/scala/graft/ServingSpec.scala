@@ -75,6 +75,56 @@ class ServingSpec extends GraftSuite {
     Serving.unregister(spark, Seq("prices", "meta", "old_prices", "old_meta"))
   }
 
+  test("as-of-timestamp registration resolves the newest commit at that instant") {
+    val root = Files.createTempDirectory("graft-serve-asof").toString
+    Catalog.transact(root, Seq(
+      "prices" -> Seq((1L, 100.0)).toDF("id", "px")))
+    Thread.sleep(10L)
+    val mid = java.time.Instant.now()
+    Thread.sleep(10L)
+    Catalog.transact(root, Seq(
+      "prices" -> Seq((1L, 111.0), (2L, 222.0)).toDF("id", "px")))
+
+    // at `mid` only commit 0 existed
+    val servedMid = Serving.registerCatalogAsOf(spark, root, mid,
+      prefix = "asof_")
+    assert(servedMid("prices") === 0L)
+    assert(spark.sql("SELECT px FROM asof_prices").collect()
+      .map(_.getDouble(0)).toSeq === Seq(100.0))
+    // now resolves the latest commit
+    val servedNow = Serving.registerCatalogAsOf(spark, root,
+      java.time.Instant.now(), prefix = "asofnow_")
+    assert(servedNow("prices") === 1L)
+    assert(spark.sql("SELECT count(*) FROM asofnow_prices").head()
+      .getLong(0) === 2L)
+    // before the first publish: no resolvable commit
+    intercept[IllegalArgumentException] {
+      Catalog.resolveAsOf(root, 0L)
+    }
+    // rollback does not erase the as-of log: `now` still resolves the
+    // rolled-back-from commit (it existed at that wall time)
+    Catalog.rollback(root, 0L)
+    assert(Catalog.resolveAsOf(root,
+      java.time.Instant.now().toEpochMilli) === 1L)
+    Serving.unregister(spark, Seq("asof_prices", "asofnow_prices"))
+  }
+
+  test("refreshPipeline re-resolves overwritten stage directories for live views") {
+    val out = Files.createTempDirectory("graft-serve-refresh").toString
+    val events = graft.sources.Tables.events(spark, sf)
+    PipelineRun.run(spark, sf, out,
+      eventsOverride = Some(events.filter(col("event_id") % 2 === 0)))
+    val views = Serving.registerPipeline(spark, out, prefix = "rf_")
+    val n1 = spark.sql("SELECT count(*) FROM rf_silver").head().getLong(0)
+
+    // the pipeline rewrites every stage directory (more rows now)
+    PipelineRun.run(spark, sf, out, eventsOverride = Some(events))
+    Serving.refreshPipeline(spark, out, prefix = "rf_")
+    val n2 = spark.sql("SELECT count(*) FROM rf_silver").head().getLong(0)
+    assert(n2 > n1, s"refresh must surface the rewritten layout ($n1 -> $n2)")
+    Serving.unregister(spark, views)
+  }
+
   test("branch views serve work-in-progress SQL; main views are untouched") {
     val root = Files.createTempDirectory("graft-serve-branch").toString
     Catalog.transact(root, Seq(
