@@ -468,6 +468,38 @@ object SnapshotTable {
   private def manifestPath(root: String, version: Long) =
     Paths.get(root, s"v=$version", "_manifest")
 
+  private def specPath(root: String) = Paths.get(root, "_partition_spec")
+
+  /** The partition column recorded at the table's first manifested
+    * commit — the Iceberg partition-spec-in-metadata analog. `None`
+    * for plain full-snapshot tables (no manifested commit yet). */
+  def partitionSpec(root: String): Option[String] = {
+    val p = specPath(root)
+    if (Files.exists(p)) Some(Files.readString(p).trim).filter(_.nonEmpty)
+    else None
+  }
+
+  /** First manifested commit records the spec (exclusive create — of
+    * two racing creators one records, the other validates); every
+    * later delta/append/delete/compaction validates against it. A
+    * caller-supplied mismatch used to silently fragment the manifest
+    * into two partition namespaces; now it throws. */
+  private def recordOrValidateSpec(root: String, partitionCol: String): Unit =
+    partitionSpec(root) match {
+      case Some(existing) =>
+        require(existing == partitionCol,
+          s"table at $root is partitioned by '$existing' but this commit " +
+            s"supplied partitionCol '$partitionCol' — a mismatched spec " +
+            "would fragment the manifest into two partition namespaces")
+      case None =>
+        try Files.writeString(specPath(root), partitionCol,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            recordOrValidateSpec(root, partitionCol)
+        }
+    }
+
   /** ALL (partition, storage-version) pairs of a manifested version
     * (empty for versions written by plain [[commit]]). A partition may
     * appear with SEVERAL storage versions — that is how
@@ -608,6 +640,10 @@ object SnapshotTable {
           dirs.map(_ -> base)
         }
       }
+    // validate the spec BEFORE claiming a version dir: a mismatch must
+    // fail clean, not leave an orphan claim behind
+    Files.createDirectories(Paths.get(root))
+    recordOrValidateSpec(root, partitionCol)
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
     slice.write.mode("append").partitionBy(partitionCol).parquet(s"$root/v=$next")

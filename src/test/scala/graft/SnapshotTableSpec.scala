@@ -260,6 +260,34 @@ class SnapshotTableSpec extends GraftSuite {
     assert(e.getMessage.contains("partition"))
   }
 
+  test("partition spec is table metadata: recorded at create, mismatches throw") {
+    val root = Files.createTempDirectory("graft-spec").toString
+    val df = Seq(("a", java.sql.Date.valueOf("2024-01-01"), 1))
+      .toDF("key", "dt", "other")
+    SnapshotTable.commitDelta(df, root, "dt")
+    assert(SnapshotTable.partitionSpec(root) === Some("dt"))
+
+    // a commit supplying a different partition column must fail clean
+    // (no orphan version claim left behind) instead of silently
+    // fragmenting the manifest into two partition namespaces
+    val before = SnapshotTable.versions(root)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppend(df, root, "other")
+    }
+    assert(e.getMessage.contains("partitioned by 'dt'"))
+    assert(SnapshotTable.versions(root) === before)
+
+    // the recorded spec keeps working for matching commits
+    SnapshotTable.commitAppend(
+      Seq(("b", java.sql.Date.valueOf("2024-01-02"), 2))
+        .toDF("key", "dt", "other"), root, "dt")
+    assert(SnapshotTable.read(spark, root).count() === 2)
+    // unmanifested full-snapshot tables carry no spec
+    val plain = Files.createTempDirectory("graft-spec-plain").toString
+    SnapshotTable.commit(df, plain)
+    assert(SnapshotTable.partitionSpec(plain) === None)
+  }
+
   test("deleteWhere prunes to matching partitions and drops emptied ones") {
     val root = Files.createTempDirectory("graft-delete").toString
     val df = Seq(
