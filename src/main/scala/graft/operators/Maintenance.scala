@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions.col
 object Maintenance {
 
   /** Rewrite `inputDir` (parquet) into `outputDir` with `targetFiles`
-    * files. Returns the row count written. */
+    * files. Returns the row count written — taken from the write job's
+    * own scheduler-bus output metrics ([[Metrics.collectJobs]]), never
+    * a second scan of what was just written. */
   def compact(spark: SparkSession, inputDir: String, outputDir: String,
               targetFiles: Int): Long = {
     val df = spark.read.parquet(inputDir)
-    df.repartition(targetFiles).write.mode("overwrite").parquet(outputDir)
-    spark.read.parquet(outputDir).count()
+    val (_, jobs) = Metrics.collectJobs(spark, "compact") {
+      df.repartition(targetFiles).write.mode("overwrite").parquet(outputDir)
+    }
+    jobs.map(_.outputRecords).sum
   }
 
   /** Compaction plan: how many files a directory currently has vs the

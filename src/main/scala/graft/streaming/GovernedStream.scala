@@ -73,7 +73,11 @@ object GovernedStream {
         val vB = SnapshotTable.stageAppend(bronzeBatch,
           Catalog.tableRoot(catalogRoot, "bronze"), "_ingestion_date",
           prev.getOrElse("bronze", -1L))
-        // other sources' rows carry over; this source's row advances
+        // other sources' rows carry over; this source's row advances.
+        // INVARIANT: _stream_state stays O(‖sources‖) forever — exactly
+        // one row per source_id (each commit rewrites the whole tiny
+        // table via coalesce(1)), so this per-batch driver-side collect
+        // is bounded by the source count, never by batches or data
         val others =
           if (!prev.contains(StateTable)) Seq.empty
           else Catalog.read(spark, catalogRoot, StateTable, base)
