@@ -405,6 +405,15 @@ object Oracles {
         |FROM stg
         |GROUP BY ROLLUP(product_id, _trade_date)""".stripMargin),
 
+    // CUBE: all four grouping sets, same GROUPING_ID bit convention.
+    "trade_cube" -> withTrades("stg",
+      """SELECT product_id, side,
+        |  CAST(CAST(SUM(trade_value) AS DECIMAL(18,8)) AS DOUBLE) AS total_value,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+        |  CAST(GROUPING_ID(product_id, side) AS BIGINT) AS gid
+        |FROM stg
+        |GROUP BY CUBE(product_id, side)""".stripMargin),
+
     "ohlcv_1m" -> withTrades("m1",
       """SELECT product_id, window_start, CAST(open AS DOUBLE) AS open,
         |  CAST(high AS DOUBLE) AS high, CAST(low AS DOUBLE) AS low,

@@ -150,6 +150,7 @@ object SparkEntry {
       Analytics.q13CustomerDistribution(Tables.customer(s, dir),
         Tables.orders(s, dir))),
     "sales_cube" -> ((s, dir) => Analytics.salesCube(stg(s, dir))),
+    "trade_cube" -> ((s, dir) => Analytics.tradeCube(stg(s, dir))),
     // metrics history + health rollup (the Grafana pipeline-health
     // analog): two full runs accumulate the `_metrics` time series,
     // then the dashboard query rolls it up. Deterministic columns only

@@ -412,6 +412,20 @@ object Analytics {
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("product_id"), col("_trade_date"))
 
+  /** CUBE over (product, side): all four grouping sets — per pair,
+    * per product, per side, grand total — in the same single-Expand
+    * plan as [[salesCube]] (each input row replicated once per set,
+    * one hash aggregate with map-side partials). The buy/sell margin
+    * view every OLAP tool builds; `grouping_id` disambiguates. */
+  def tradeCube(stg: DataFrame): DataFrame =
+    stg
+      .cube(col("product_id"), col("side"))
+      .agg(
+        sum(col("trade_value")).cast("decimal(18,8)").as("total_value"),
+        count(lit(1)).as("n_trades"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("product_id"), col("side"))
+
   /** TPC-H Q13 shape (customer order-count distribution): a filtered
     * LEFT OUTER join grouped twice. The filter lives in the JOIN
     * condition (orders side only), so it pre-aggregates: count orders

@@ -131,4 +131,44 @@ object GovernedStream {
       .start()
     q.awaitTermination()
   }
+
+  /** The LONG-RUNNING form of [[writeBronzeGoverned]] — the
+    * `coinbase_producer.py:1-120` live-loop analog the batch trigger
+    * cannot model: a `Trigger.ProcessingTime` stream that keeps
+    * polling `srcDir` for new files every `intervalMs`, rate-limited
+    * to `maxFilesPerTrigger` files per micro-batch (the backpressure
+    * valve a production file/Kafka source needs — one giant backlog
+    * must drain as bounded batches, not one unbounded batch). Each
+    * batch lands as the same exactly-once atomic catalog commit.
+    * Returns the running query handle: the caller owns its lifecycle
+    * (`stop()`/`awaitTermination`), which is what a deployment's
+    * supervisor does with a continuous job. */
+  def startBronzeGovernedContinuous(spark: SparkSession, srcDir: String,
+                                    catalogRoot: String, checkpointDir: String,
+                                    sourceId: String = "bronze_ingest",
+                                    intervalMs: Long = 1000L,
+                                    maxFilesPerTrigger: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    val tsCol =
+      if (schema("ts").dataType == LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts").cast("timestamp")
+    Bronze.ingest(raw.withColumn("ts", tsCol))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ntz = batch
+          .withColumn("trade_time", col("trade_time").cast("timestamp_ntz"))
+          .withColumn("ingested_at", col("ingested_at").cast("timestamp_ntz"))
+        commitBatch(batch.sparkSession, catalogRoot, sourceId, batchId, ntz)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(intervalMs))
+      .start()
+  }
 }

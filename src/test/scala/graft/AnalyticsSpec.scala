@@ -305,6 +305,33 @@ class AnalyticsSpec extends GraftSuite {
     stg.unpersist()
   }
 
+  test("trade_cube: all four CUBE grouping sets from one Expand") {
+    import graft.operators.{Bronze, BronzeToSilver, Staging}
+    val stg = Staging.stgTrades(BronzeToSilver.transform(
+      Bronze.withRedeliveries(Bronze.ingest(Tables.events(spark, sf)))))
+      .cache()
+    val df = Analytics.tradeCube(stg)
+    val rows = df.collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet === Set(0L, 1L, 2L, 3L))
+    // the (product, side) cells and both 1-d margins re-derive the total
+    val total = stg.count()
+    assert(byGid(0L).map(_.getAs[Long]("n_trades")).sum === total)
+    assert(byGid(1L).map(_.getAs[Long]("n_trades")).sum === total)
+    assert(byGid(2L).map(_.getAs[Long]("n_trades")).sum === total)
+    assert(byGid(3L).map(_.getAs[Long]("n_trades")).toSeq === Seq(total))
+    // per-side margin equals the independent aggregate
+    val perSide = stg.groupBy("side").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGid(2L).map(r => r.getString(1) -> r.getAs[Long]("n_trades"))
+      .toMap === perSide)
+    val expands = df.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.size === 1)
+    stg.unpersist()
+  }
+
   test("q19: disjunctive join equals the per-disjunct union of counts") {
     val part = Tables.part(spark, sf)
     val li = Tables.lineitem(spark, sf)

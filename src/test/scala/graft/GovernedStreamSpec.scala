@@ -48,6 +48,42 @@ class GovernedStreamSpec extends GraftSuite {
     assert(pruned.count() === 2)
   }
 
+  test("continuous governed stream: long-running trigger drains a backlog as rate-limited atomic commits") {
+    val tmp = Files.createTempDirectory("graft-gov-cont")
+    val (src, cat, cp) = (s"$tmp/src", s"$tmp/cat", s"$tmp/cp")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    // a multi-file backlog: 6 files, rate limit 2 per trigger → ≥3
+    // micro-batches (bounded batches, never one unbounded catch-up)
+    raw.repartition(6).write.mode("overwrite").parquet(src)
+
+    val q = GovernedStream.startBronzeGovernedContinuous(spark, src, cat, cp,
+      intervalMs = 100L, maxFilesPerTrigger = 2)
+    try {
+      val deadline = System.currentTimeMillis() + 120000L
+      def bronzeCount(): Long =
+        if (Catalog.latestCommit(cat) < 0) -1L
+        else Catalog.read(spark, cat, "bronze").count()
+      while (bronzeCount() < raw.count() &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      assert(bronzeCount() === raw.count(), "backlog fully drained")
+
+      // rate limiting split the backlog into several atomic commits
+      val commits = Catalog.commits(cat)
+      assert(commits.size >= 3, s"expected >=3 rate-limited commits: $commits")
+      assert(Catalog.read(spark, cat, "bronze")
+        .select(countDistinct("trade_id")).head().getLong(0) === raw.count())
+
+      // the query keeps running and picks up late-landing files
+      val more = raw.limit(50)
+        .withColumn("event_id", col("event_id") + 10000000L)
+      more.write.mode("append").parquet(src)
+      val n2 = raw.count() + more.count()
+      while (bronzeCount() < n2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      assert(bronzeCount() === n2, "live tail ingested while running")
+    } finally q.stop()
+  }
+
   test("governed stream: batches land as atomic catalog commits, exactly once across restarts") {
     val tmp = Files.createTempDirectory("graft-gov-stream")
     val (src, cat, cp) = (s"$tmp/src", s"$tmp/cat", s"$tmp/cp")
