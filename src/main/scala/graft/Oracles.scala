@@ -862,6 +862,86 @@ object Oracles {
         |WHERE total_qty > 250
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
+    // Q7 shape: bilateral nation-pair shipping volume by ship year.
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND n1.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+        |  AND n2.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // Q8 shape: one nation's market share of a region's PROMO spend by
+    // order year — exact decimal sums under the double ratio.
+    "q8_market_share" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  round(
+        |    CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+        |      THEN CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |  AND p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // Q2 shape: correlated scalar-MIN subquery — the oracle keeps the
+    // textbook correlated form; Spark computes the per-part minimum as
+    // a window over the partkey partitioning (one scan, one shuffle).
+    // The correlation ranges over ALL lines of the part, which equals
+    // the window over the part-filtered join: the size filter restricts
+    // WHICH parts, never which lines within a part.
+    "q2_min_cost_supplier" ->
+      """WITH pf AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15),
+        |ml AS (
+        |  SELECT DISTINCT l.l_partkey, l.l_suppkey, l.l_extendedprice AS price
+        |  FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey
+        |  WHERE l.l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey))
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+        |  CAST(ml.price AS DOUBLE) AS price
+        |FROM ml
+        |JOIN supplier s ON ml.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN pf p ON ml.l_partkey = p.p_partkey
+        |ORDER BY s.s_acctbal DESC, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // Q11 shape: scalar aggregate subquery in HAVING — the oracle keeps
+    // the textbook second-scan total; Spark re-aggregates the rollup
+    // (exact decimal sums are associative, so the two are identical).
+    // Both sides compare exact-decimal-sums-as-doubles.
+    "q11_important_parts" ->
+      """SELECT l_partkey,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS part_value
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY 1
+        |HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 0.001 * (
+        |  SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3')
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,

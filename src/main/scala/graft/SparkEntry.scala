@@ -151,6 +151,22 @@ object SparkEntry {
         Tables.orders(s, dir))),
     "sales_cube" -> ((s, dir) => Analytics.salesCube(stg(s, dir))),
     "trade_cube" -> ((s, dir) => Analytics.tradeCube(stg(s, dir))),
+    "q7_volume_shipping" -> ((s, dir) =>
+      Analytics.q7VolumeShipping(Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q8_market_share" -> ((s, dir) =>
+      Analytics.q8MarketShare(Tables.region(s, dir), Tables.nation(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
+    "q2_min_cost_supplier" -> ((s, dir) =>
+      Analytics.q2MinCostSupplier(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.lineitem(s, dir))),
+    "q11_important_parts" -> ((s, dir) =>
+      Analytics.q11ImportantParts(Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.lineitem(s, dir))),
     // metrics history + health rollup (the Grafana pipeline-health
     // analog): two full runs accumulate the `_metrics` time series,
     // then the dashboard query rolls it up. Deterministic columns only

@@ -448,4 +448,165 @@ object Analytics {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between a
+    * nation watchlist, per (supplier nation, customer nation, year).
+    * Both nation legs pre-filter their dimension BEFORE the broadcast
+    * (supplier and customer shrink to the watchlist's members), so
+    * the only fact-sized exchange is the lineitem↔orders join on
+    * l_orderkey — and the orders side arrives pre-reduced to watchlist
+    * customers' orders. The cross-nation inequality applies after both
+    * cheap broadcasts, never as a join re-scan per nation pair. The
+    * two-year ship-date band pushes to the parquet scan. */
+  def q7VolumeShipping(supplier: DataFrame, nation: DataFrame,
+                       customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame,
+                       nations: Seq[String] =
+                         Seq("NATION_3", "NATION_8", "NATION_12"))
+      : DataFrame = {
+    val n = nation.filter(col("n_name").isin(nations: _*))
+      .select("n_nationkey", "n_name")
+    val supp = supplier
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = orders
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("decimal(18,6)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's spend on one part type, per order year. All four
+    * dimension legs (region-filtered customers, nation-named
+    * suppliers, type-filtered parts) broadcast; the share folds into
+    * ONE conditional aggregate over a single fact pass — the textbook
+    * nested-subquery form would re-scan the join per year. Exact
+    * decimal sums under the final double ratio (same discipline as
+    * [[q14PromoRevenue]]). */
+  def q8MarketShare(region: DataFrame, nation: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame,
+                    part: DataFrame,
+                    shareNation: String = "NATION_2",
+                    regionName: String = "ASIA",
+                    partType: String = "PROMO"): DataFrame = {
+    val rnations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = customer
+      .join(broadcast(rnations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val ord = orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    val supp = supplier
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val pf = part.filter(col("p_type") === partType).select("p_partkey")
+    lineitem
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("rev",
+        (col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(18,6)"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        graft.functions.Rounding.roundScaled(
+          sum(when(col("supp_nation") === shareNation, col("rev"))
+            .otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
+            sum(col("rev")).cast("double"), 6).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q2 shape (minimum-cost supplier): for each part in a size
+    * class, the supplier(s) quoting the minimum price. The textbook
+    * correlated scalar-MIN subquery decorrelates to a self-join — two
+    * fact scans; Spark-first the per-part minimum is a window over the
+    * l_partkey partitioning the broadcast part-filter join already
+    * established (same trick as [[q17SmallOrders]]): ONE fact scan,
+    * one shuffle. Ties at the minimum survive as distinct (part,
+    * supplier) rows; min over the same stored doubles is exact on
+    * every engine, so the equality never drifts. Top-100 bounded by a
+    * total order on (balance DESC, unique supplier name, unique part
+    * key). */
+  def q2MinCostSupplier(part: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, lineitem: DataFrame,
+                        size: Int = 15): DataFrame = {
+    val pf = part.filter(col("p_size") === size)
+      .select("p_partkey", "p_name")
+    val w = Window.partitionBy("l_partkey")
+    val minLines = lineitem
+      .join(broadcast(pf.select(col("p_partkey").as("l_partkey"))),
+        Seq("l_partkey"))
+      .withColumn("min_price", min(col("l_extendedprice")).over(w))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice").as("price"))
+      .distinct() // tying lines collapse to one (part, supplier) row
+    minLines
+      .join(broadcast(supplier.select("s_suppkey", "s_name", "s_acctbal",
+        "s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("price"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11 shape (important stock): per-part inventory value for
+    * one nation's suppliers, kept only where it exceeds a fraction of
+    * the nation's total — a scalar aggregate subquery in HAVING. The
+    * textbook form recomputes the total from a SECOND fact scan;
+    * Spark-first the global total re-aggregates the ‖parts‖-sized
+    * rollup itself (exact decimal sums are associative, so the two are
+    * identical) and broadcasts the 1-row result back. One fact scan,
+    * one l_partkey shuffle, one tiny re-aggregation. */
+  def q11ImportantParts(supplier: DataFrame, nation: DataFrame,
+                        lineitem: DataFrame,
+                        nationName: String = "NATION_3",
+                        fraction: Double = 0.001d): DataFrame = {
+    val supp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"))
+    // persisted: the rollup feeds both the HAVING filter and the 1-row
+    // total — without it the fact would be scanned twice at execution
+    val perPart = lineitem
+      .join(broadcast(supp), Seq("l_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice") * col("l_quantity"))
+        .cast("decimal(18,4)")).cast("decimal(18,4)").as("part_value"))
+      .persist()
+    val total = perPart
+      .agg(sum("part_value").cast("decimal(18,4)").as("_total"))
+    perPart
+      .crossJoin(broadcast(total))
+      .filter(col("part_value").cast("double") >
+        lit(fraction) * col("_total").cast("double"))
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
 }

@@ -332,6 +332,150 @@ class AnalyticsSpec extends GraftSuite {
     stg.unpersist()
   }
 
+  test("q7: nation-pair volume equals the textbook join SQL, both directions present") {
+    Tables.supplier(spark, sf).createOrReplaceTempView("q7_supplier")
+    Tables.nation(spark, sf).createOrReplaceTempView("q7_nation")
+    Tables.customer(spark, sf).createOrReplaceTempView("q7_customer")
+    Tables.orders(spark, sf).createOrReplaceTempView("q7_orders")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("q7_lineitem")
+    val expect = spark.sql(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  SUM(CAST(l_extendedprice * (1.0D - l_discount) AS DECIMAL(18,6))) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM q7_supplier, q7_lineitem, q7_orders, q7_customer,
+        |     q7_nation n1, q7_nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND n1.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+        |  AND n2.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        ((r.getDecimal(3).toPlainString, r.getLong(4)))).toMap
+    val rows = Analytics.q7VolumeShipping(Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.customer(spark, sf),
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)).collect()
+    val got = rows
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        ((r.getDecimal(3).toPlainString, r.getLong(4)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // bilateral: every (a,b) key has its (b,a) mirror somewhere in the
+    // output (trade flows both ways in this data)
+    val pairs = got.keySet.map { case (a, b, _) => (a, b) }
+    assert(pairs.exists { case (a, b) => pairs.contains((b, a)) })
+  }
+
+  test("q8: market share equals the textbook SQL and stays within [0,1]") {
+    Tables.region(spark, sf).createOrReplaceTempView("q8_region")
+    Tables.nation(spark, sf).createOrReplaceTempView("q8_nation")
+    Tables.customer(spark, sf).createOrReplaceTempView("q8_customer")
+    Tables.supplier(spark, sf).createOrReplaceTempView("q8_supplier")
+    Tables.orders(spark, sf).createOrReplaceTempView("q8_orders")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("q8_lineitem")
+    Tables.part(spark, sf).createOrReplaceTempView("q8_part")
+    val expect = spark.sql(
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(
+        |    CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+        |      THEN CAST(l_extendedprice * (1.0D - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice * (1.0D - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+        |  COUNT(*) AS n_lines
+        |FROM q8_part, q8_supplier, q8_lineitem, q8_orders, q8_customer,
+        |     q8_nation n1, q8_nation n2, q8_region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |  AND p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val rows = Analytics.q8MarketShare(Tables.region(spark, sf),
+      Tables.nation(spark, sf), Tables.customer(spark, sf),
+      Tables.supplier(spark, sf), Tables.orders(spark, sf),
+      Tables.lineitem(spark, sf), Tables.part(spark, sf)).collect()
+    val got = rows
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    got.values.foreach { case (share, _) =>
+      assert(share >= 0.0d && share <= 1.0d)
+    }
+  }
+
+  test("q2: window min equals the correlated scalar subquery, one fact scan") {
+    Tables.part(spark, sf).createOrReplaceTempView("q2_part")
+    Tables.supplier(spark, sf).createOrReplaceTempView("q2_supplier")
+    Tables.nation(spark, sf).createOrReplaceTempView("q2_nation")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("q2_lineitem")
+    // independent path: Spark's own decorrelation of the textbook
+    // correlated scalar-MIN subquery (no LIMIT so sets compare whole)
+    val expect = spark.sql(
+      """WITH pf AS (SELECT p_partkey, p_name FROM q2_part WHERE p_size = 15)
+        |SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+        |  p.p_name, l.l_extendedprice AS price
+        |FROM q2_lineitem l
+        |JOIN pf p ON l.l_partkey = p.p_partkey
+        |JOIN q2_supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN q2_nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE l.l_extendedprice = (
+        |  SELECT MIN(l2.l_extendedprice) FROM q2_lineitem l2
+        |  WHERE l2.l_partkey = l.l_partkey)""".stripMargin).collect()
+      .map(r => (r.getString(1), r.getLong(3))).toSet
+    val df = Analytics.q2MinCostSupplier(Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      Tables.lineitem(spark, sf))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val got = rows.map(r => (r.getString(1), r.getLong(3))).toSet
+    if (expect.size <= 100) assert(got === expect)
+    else { assert(got.size === 100); assert(got.subsetOf(expect)) }
+    // every reported price IS the part's true minimum
+    val mins = Tables.lineitem(spark, sf).groupBy("l_partkey")
+      .agg(min("l_extendedprice").as("mn")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(5) === mins(r.getLong(3)))
+    }
+    // ONE lineitem scan: the window replaces the decorrelated self-join
+    assert(logicalScans(df, "lineitem") === 1)
+  }
+
+  test("q11: rollup-derived total equals the textbook second-scan HAVING subquery") {
+    Tables.supplier(spark, sf).createOrReplaceTempView("q11_supplier")
+    Tables.nation(spark, sf).createOrReplaceTempView("q11_nation")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("q11_lineitem")
+    val expect = spark.sql(
+      """SELECT l_partkey,
+        |  SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS part_value
+        |FROM q11_lineitem, q11_supplier, q11_nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY 1
+        |HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 0.001 * (
+        |  SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM q11_lineitem, q11_supplier, q11_nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3')""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).toPlainString).toMap
+    val rows = Analytics.q11ImportantParts(Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.lineitem(spark, sf)).collect()
+    val got = rows
+      .map(r => r.getLong(0) -> r.getDecimal(1).toPlainString).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // descending-value order with the unique partkey as tiebreak
+    val vals = rows.map(r => (r.getDecimal(1).doubleValue(), r.getLong(0)))
+    assert(vals.sortBy { case (v, k) => (-v, k) }.toSeq === vals.toSeq)
+  }
+
   test("q19: disjunctive join equals the per-disjunct union of counts") {
     val part = Tables.part(spark, sf)
     val li = Tables.lineitem(spark, sf)
