@@ -924,6 +924,50 @@ object Oracles {
         |ORDER BY s.s_acctbal DESC, s.s_name, p.p_partkey
         |LIMIT 100""".stripMargin,
 
+    // Q9 shape: per (supplier nation, order year) profit; retail price
+    // stands in for ps_supplycost (no partsupp in this schema).
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) - p_retailprice * l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS profit,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Q12 shape: urgent/non-urgent line counts per line status —
+    // integer conditional sums, no FP anywhere.
+    "q12_priority_shipping" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // Q20 shape: nested IN with an aggregate HAVING subquery — the
+    // oracle keeps the textbook nested form; Spark decorrelates to a
+    // rollup + LEFT SEMI join.
+    "q20_potential_promo" ->
+      """SELECT s_suppkey, s_name, s_acctbal, n_name
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem, part
+        |  WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 200.0)
+        |  AND s_nationkey = n_nationkey
+        |ORDER BY s_name""".stripMargin,
+
     // Q11 shape: scalar aggregate subquery in HAVING — the oracle keeps
     // the textbook second-scan total; Spark re-aggregates the rollup
     // (exact decimal sums are associative, so the two are identical).

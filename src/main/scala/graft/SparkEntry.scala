@@ -167,6 +167,17 @@ object SparkEntry {
     "q11_important_parts" -> ((s, dir) =>
       Analytics.q11ImportantParts(Tables.supplier(s, dir),
         Tables.nation(s, dir), Tables.lineitem(s, dir))),
+    "q9_product_profit" -> ((s, dir) =>
+      Analytics.q9ProductProfit(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q12_priority_shipping" -> ((s, dir) =>
+      Analytics.q12PriorityShipping(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    "q20_potential_promo" -> ((s, dir) =>
+      Analytics.q20PotentialPromo(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.lineitem(s, dir))),
     // metrics history + health rollup (the Grafana pipeline-health
     // analog): two full runs accumulate the `_metrics` time series,
     // then the dashboard query rolls it up. Deterministic columns only

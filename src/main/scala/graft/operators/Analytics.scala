@@ -609,4 +609,90 @@ object Analytics {
       .select(col("l_partkey"), col("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey"))
   }
+
+  /** TPC-H Q9 shape (product-type profit): per (supplier nation, order
+    * year) profit over a part-name-filtered slice. Part (with its
+    * retail price standing in for ps_supplycost — this schema has no
+    * partsupp) and supplier→nation broadcast onto the fact; the only
+    * fact-sized exchange is lineitem↔orders on l_orderkey for the
+    * order year. Per-row profit is pure double arithmetic cast to
+    * decimal — exact, order-proof partial aggregation. */
+  def q9ProductProfit(part: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame,
+                      nameContains: String = "red"): DataFrame = {
+    val pf = part.filter(col("p_name").contains(nameContains))
+      .select("p_partkey", "p_retailprice")
+    val supp = supplier
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    lineitem
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("profit",
+        (col("l_extendedprice") * (lit(1.0d) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity")).cast("decimal(18,6)"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(col("profit")).cast("decimal(18,6)").as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** TPC-H Q12 shape (shipping-priority split): one year of lineitems
+    * joined to orders, urgent/non-urgent line counts folded into two
+    * conditional aggregates grouped by line status. The orders side
+    * projects to (key, priority) before the exchange; the ship-date
+    * band pushes to the fact scan; one orderkey shuffle, integer
+    * conditional sums (no FP anywhere). */
+  def q12PriorityShipping(orders: DataFrame, lineitem: DataFrame,
+                          highPriorities: Seq[String] =
+                            Seq("1-URGENT", "2-HIGH")): DataFrame = {
+    val isHigh = col("o_orderpriority").isin(highPriorities: _*)
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_linestatus")
+      .join(orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(isHigh, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(!isHigh, lit(1L)).otherwise(lit(0L))).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q20 shape (potential promotion suppliers): nested IN
+    * subqueries — suppliers who shipped more than a threshold quantity
+    * of a name-filtered part class — decorrelated into an aggregate
+    * HAVING rollup followed by a LEFT SEMI join. The part filter
+    * broadcasts onto the fact, the qualifying-supplier set reduces to
+    * ‖suppliers‖ rows before the semi join (which AQE broadcast-
+    * promotes), and supplier attributes join after. One fact scan, one
+    * l_suppkey shuffle. */
+  def q20PotentialPromo(part: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, lineitem: DataFrame,
+                        namePrefix: String = "red",
+                        minQty: Double = 200.0d): DataFrame = {
+    val pf = part.filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey").as("l_partkey"))
+    val qualified = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .join(broadcast(pf), Seq("l_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)"))
+        .cast("decimal(18,4)").as("total_qty"))
+      .filter(col("total_qty").cast("double") > minQty)
+      .select(col("l_suppkey").as("s_suppkey"))
+    supplier
+      .join(qualified, Seq("s_suppkey"), "left_semi")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+      .orderBy("s_name")
+  }
 }

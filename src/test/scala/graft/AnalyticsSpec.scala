@@ -476,6 +476,84 @@ class AnalyticsSpec extends GraftSuite {
     assert(vals.sortBy { case (v, k) => (-v, k) }.toSeq === vals.toSeq)
   }
 
+  test("q9: profit rollup equals the textbook 5-table join SQL") {
+    Tables.part(spark, sf).createOrReplaceTempView("q9_part")
+    Tables.supplier(spark, sf).createOrReplaceTempView("q9_supplier")
+    Tables.nation(spark, sf).createOrReplaceTempView("q9_nation")
+    Tables.orders(spark, sf).createOrReplaceTempView("q9_orders")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("q9_lineitem")
+    val expect = spark.sql(
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  SUM(CAST(l_extendedprice * (1.0D - l_discount)
+        |    - p_retailprice * l_quantity AS DECIMAL(18,6))) AS profit,
+        |  COUNT(*) AS n_lines
+        |FROM q9_lineitem, q9_part, q9_supplier, q9_nation, q9_orders
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDecimal(2).toPlainString, r.getLong(3)))).toMap
+    val got = Analytics.q9ProductProfit(Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDecimal(2).toPlainString, r.getLong(3)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q12: priority split counts partition every joined line exactly once") {
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val rows = Analytics.q12PriorityShipping(orders, li).collect()
+    assert(rows.nonEmpty)
+    // high + low = all lines in the ship-date band with a matching order
+    val joined = li
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+    val total = rows.map(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    assert(total === joined.count())
+    // high bucket equals the direct filtered count per status
+    val high = joined
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("l_linestatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("high_line_count") ===
+        high.getOrElse(r.getString(0), 0L))
+    }
+  }
+
+  test("q20: semi-join decorrelation equals the textbook nested IN subquery") {
+    Tables.part(spark, sf).createOrReplaceTempView("q20_part")
+    Tables.supplier(spark, sf).createOrReplaceTempView("q20_supplier")
+    Tables.nation(spark, sf).createOrReplaceTempView("q20_nation")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("q20_lineitem")
+    val expect = spark.sql(
+      """SELECT s_suppkey FROM q20_supplier, q20_nation
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM q20_lineitem, q20_part
+        |  WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 200.0D)
+        |  AND s_nationkey = n_nationkey""".stripMargin).collect()
+      .map(_.getLong(0)).toSet
+    val df = Analytics.q20PotentialPromo(Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      Tables.lineitem(spark, sf))
+    val got = df.collect().map(_.getAs[Long]("s_suppkey")).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // a real semi join on the reduced supplier set, one fact scan
+    assert(joinTypes(df).exists(_.contains("SEMI")), joinTypes(df))
+    assert(logicalScans(df, "lineitem") === 1)
+  }
+
   test("q19: disjunctive join equals the per-disjunct union of counts") {
     val part = Tables.part(spark, sf)
     val li = Tables.lineitem(spark, sf)
