@@ -182,6 +182,51 @@ object BronzeStream {
     q.awaitTermination()
   }
 
+  /** Stream-STREAM interval join — the remaining Structured Streaming
+    * join mode (the other twins cover windowed aggregation, stateful
+    * sessions, and stream-static enrichment): each buy trade pairs
+    * with the same product's sell trades from the preceding
+    * `windowSec` seconds (the matching-engine / trade-surveillance
+    * pairing shape). Watermarks on BOTH sides plus the time-bound
+    * join condition let Spark evict join state (each side retains
+    * only watermark + interval of history — unbounded-state
+    * stream-stream joins don't survive production); the inner join
+    * emits pairs as matches arrive, no window close needed. Settled
+    * result is bit-identical to the batch join (equivalence-tested). */
+  def streamingBuySellPairs(spark: SparkSession, dir: String,
+                            windowSec: Int = 3600): DataFrame = {
+    val buys = stagedStream(spark, dir)
+      .filter(col("side") === "buy")
+      .select(col("product_id").as("b_product"),
+        col("trade_id").as("buy_id"), col("trade_time").as("b_time"),
+        col("price").as("buy_price"))
+      .withWatermark("b_time", "10 minutes")
+    val sells = stagedStream(spark, dir)
+      .filter(col("side") === "sell")
+      .select(col("product_id").as("s_product"),
+        col("trade_id").as("sell_id"), col("trade_time").as("s_time"),
+        col("price").as("sell_price"))
+      .withWatermark("s_time", "10 minutes")
+    val joined = buys.join(sells, expr(
+      s"""b_product = s_product
+         |AND s_time >= b_time - interval $windowSec seconds
+         |AND s_time <= b_time""".stripMargin))
+
+    val name = s"pairs_stream_${counter.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(name).select(
+      col("b_product").as("product_id"), col("buy_id"), col("sell_id"),
+      col("b_time").cast("timestamp_ntz").as("buy_time"),
+      col("s_time").cast("timestamp_ntz").as("sell_time"),
+      (col("buy_price").cast("double") - col("sell_price").cast("double"))
+        .as("spread"))
+  }
+
   /** Streaming at-least-once dedup: the redelivered bronze stream
     * deduplicated by trade_id with `dropDuplicatesWithinWatermark` —
     * the streaming twin of the batch silver dedup

@@ -105,6 +105,30 @@ class AnalyticsSpec extends GraftSuite {
     assert(s.count() > 0)
   }
 
+  test("stream-stream interval join equals the batch buy-sell pairing") {
+    val got = BronzeStream.streamingBuySellPairs(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // batch twin: identical staging casts + the same interval join
+    val staged = graft.operators.Bronze.ingest(Tables.events(spark, sf))
+      .withColumn("price", col("price").cast("decimal(18,8)"))
+      .withColumn("size", col("size").cast("decimal(18,8)"))
+      .filter(col("price") > 0 && col("size") > 0)
+    val b = staged.filter(col("side") === "buy")
+      .select(col("product_id").as("b_product"),
+        col("trade_id").as("buy_id"), col("trade_time").as("b_time"))
+    val s2 = staged.filter(col("side") === "sell")
+      .select(col("product_id").as("s_product"),
+        col("trade_id").as("sell_id"), col("trade_time").as("s_time"))
+    val expect = b.join(s2, expr(
+      """b_product = s_product
+        |AND s_time >= b_time - interval 3600 seconds
+        |AND s_time <= b_time""".stripMargin))
+      .collect().map(r => (r.getAs[Long]("buy_id"),
+        r.getAs[Long]("sell_id"))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("q17: window average equals the decorrelated self-join plan") {
     val li = Tables.lineitem(spark, sf)
     val r = Analytics.q17SmallOrders(Tables.part(spark, sf), li).head()
