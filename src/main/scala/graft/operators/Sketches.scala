@@ -42,19 +42,25 @@ object Sketches {
                         eps: Double = 0.0001d, conf: Double = 0.99d,
                         seed: Int = 42): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val tok = docs.select(explode(tokens).as("token"))
     val candidates = tok.stat.freqItems(Seq("token"), support)
       .head().getSeq[String](0).filter(_ != null)
-    val bytes = tok
+    // count_min_sketch over zero rows aggregates to NULL, not an
+    // empty sketch — degenerate corpus → empty report, no NPE
+    val bytes = Option(tok
       .agg(expr(s"count_min_sketch(token, ${eps}d, ${conf}d, $seed)"))
-      .head().getAs[Array[Byte]](0)
-    val cms = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-    import spark.implicits._
-    candidates
-      .map(t => (t, cms.estimateCount(t)))
-      .sortBy { case (t, c) => (-c, t) }
-      .take(k)
-      .toDF("token", "est_count")
+      .head().getAs[Array[Byte]](0))
+    bytes match {
+      case None => Seq.empty[(String, Long)].toDF("token", "est_count")
+      case Some(b) =>
+        val cms = CountMinSketch.readFrom(new ByteArrayInputStream(b))
+        candidates
+          .map(t => (t, cms.estimateCount(t)))
+          .sortBy { case (t, c) => (-c, t) }
+          .take(k)
+          .toDF("token", "est_count")
+    }
   }
 
   /** Bloom-pruned benchmark decontamination — result-identical to
@@ -78,12 +84,20 @@ object Sketches {
       .select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
     val evalShingles = inv.filter(col("source") === evalSource)
       .select("sh").distinct().persist()
-    val n = evalShingles.count().max(1L)
-    val bf = evalShingles.stat.bloomFilter("sh", n, fpp)
-    val bfBc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => bfBc.value.mightContainString(s))
-    inv.filter(col("source") =!= evalSource)
-      .filter(mightContain(col("sh"))) // sublinear pre-prune, no FN
+    // stat.bloomFilter NPEs on a zero-row build side — an empty eval
+    // set shares nothing, so the probe degenerates to "keep nothing"
+    val n = evalShingles.count()
+    val corpus = inv.filter(col("source") =!= evalSource)
+    val pruned =
+      if (n == 0L) corpus.limit(0)
+      else {
+        val bf = evalShingles.stat.bloomFilter("sh", n, fpp)
+        val bfBc = spark.sparkContext.broadcast(bf)
+        val mightContain =
+          udf((s: String) => bfBc.value.mightContainString(s))
+        corpus.filter(mightContain(col("sh"))) // sublinear pre-prune, no FN
+      }
+    pruned
       .join(broadcast(evalShingles), "sh") // exact verify: FPs drop here
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
@@ -99,7 +113,8 @@ object Sketches {
       .select(col("source"), explode(col("shingles")).as("sh"))
     val evalShingles = inv.filter(col("source") === evalSource)
       .select("sh").distinct()
-    val n = evalShingles.count().max(1L)
+    val n = evalShingles.count()
+    if (n == 0L) return 0.0d
     val bf = evalShingles.stat.bloomFilter("sh", n, fpp)
     val bfBc = spark.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => bfBc.value.mightContainString(s))

@@ -109,6 +109,28 @@ class EmptyInputSpec extends GraftSuite {
       rec.getAs[Double]("recall") === 0.0d)
   }
 
+  test("round-9 TPC-H shapes and sketches on degenerate inputs") {
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf).limit(0)
+    val (p, s, n, c, o, r) = (Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      Tables.customer(spark, sf), Tables.orders(spark, sf),
+      Tables.region(spark, sf))
+    assert(Analytics.q7VolumeShipping(s, n, c, o, li).count() === 0)
+    assert(Analytics.q8MarketShare(r, n, c, s, o, li, p).count() === 0)
+    assert(Analytics.q2MinCostSupplier(p, s, n, li).count() === 0)
+    assert(Analytics.q11ImportantParts(s, n, li).count() === 0)
+    assert(Analytics.q9ProductProfit(p, s, n, o, li).count() === 0)
+    assert(Analytics.q12PriorityShipping(o, li).count() === 0)
+    assert(Analytics.q20PotentialPromo(p, s, n, li).count() === 0)
+    // sketches: zero docs → empty reports, no NPE on the null sketch
+    val emptyDocsFull = emptyDocs
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("source", lit(null).cast("string"))
+    assert(Sketches.tokenHeavyHitters(emptyDocsFull).count() === 0)
+    assert(Sketches.bloomDecontaminate(emptyDocsFull).count() === 0)
+  }
+
   test("ohlcv on zero trades and merge with empty source") {
     val stg = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
