@@ -526,6 +526,44 @@ object Oracles {
         |        ORDER BY CAST(epoch(window_start) AS BIGINT)
         |        RANGE BETWEEN 840 PRECEDING AND CURRENT ROW))))""".stripMargin),
 
+    // Range join: anomaly minutes (same z-score pipeline as
+    // anomaly_zscore) open 5-minute half-open windows; DuckDB's native
+    // non-equi join is the oracle for the bucket-expansion equi-join.
+    "range_join" -> withTrades("m1",
+      """, az AS (
+        |  SELECT product_id, window_start,
+        |    (CAST(close AS DOUBLE) - mean_close) /
+        |      NULLIF(round(sqrt(greatest(var_close, 0.0)), 8), 0.0) AS zscore
+        |  FROM (
+        |    SELECT product_id, window_start, close,
+        |      CAST(close_sum AS DOUBLE) / CAST(n_candles AS DOUBLE) AS mean_close,
+        |      CAST(CAST(n_candles AS DECIMAL(4,0)) * CAST(sq_sum AS DECIMAL(30,16))
+        |        - CAST(close_sum AS DECIMAL(19,8)) * CAST(close_sum AS DECIMAL(18,8)) AS DOUBLE)
+        |        / (CAST(n_candles AS DOUBLE) * CAST(n_candles AS DOUBLE)) AS var_close
+        |    FROM (
+        |      SELECT product_id, window_start, close,
+        |        COUNT(*) OVER w AS n_candles,
+        |        SUM(close) OVER w AS close_sum,
+        |        SUM(CAST(CAST(close AS DECIMAL(19,8)) * close AS DECIMAL(38,16))) OVER w AS sq_sum
+        |      FROM m1
+        |      WINDOW w AS (PARTITION BY product_id
+        |        ORDER BY CAST(epoch(window_start) AS BIGINT)
+        |        RANGE BETWEEN 840 PRECEDING AND CURRENT ROW)))
+        |), anom AS (
+        |  SELECT product_id, window_start AS w_start,
+        |    window_start + INTERVAL '5 minutes' AS w_end
+        |  FROM az WHERE COALESCE(abs(zscore) > 1.0, FALSE)
+        |)
+        |SELECT a.product_id, a.w_start AS window_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+        |  CAST(CAST(SUM(t.trade_value) AS DECIMAL(18,8)) AS DOUBLE) AS value_in_window,
+        |  CAST(MIN(t.trade_id) AS BIGINT) AS first_trade_id
+        |FROM anom a JOIN stg t
+        |  ON t.product_id = a.product_id
+        | AND t.trade_time >= a.w_start AND t.trade_time < a.w_end
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+
     // TWAP: hold durations are exact integer microseconds (epoch_us
     // diffs), price*hold summed as exact decimals; ratio rounded at 8
     // like vwap. lead() is totally ordered by (trade_time, trade_id).

@@ -89,6 +89,11 @@ object SparkEntry {
         Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg(s, dir))))),
     "flow_imbalance" -> ((s, dir) =>
       Microstructure.flowImbalance(stg(s, dir))),
+    "range_join" -> { (s, dir) =>
+      // stg feeds both the candle chain and the point side — persist
+      val st = stg(s, dir).persist()
+      Microstructure.tradesDuringAnomalies(st, Ohlcv.ohlcv1m(st))
+    },
     "price_latest" -> { (s, dir) =>
       // stg/m1/h1 each feed two consumers (candle rollup + horizon
       // lookup) — persist so the events->silver chain runs once

@@ -156,4 +156,31 @@ object Microstructure {
       .withColumn("imbalance",
         (col("buy_volume").cast("double") - col("sell_volume").cast("double")) /
           (col("buy_volume").cast("double") + col("sell_volume").cast("double")))
+
+  /** Trades inside post-anomaly windows — the event-study slice every
+    * surveillance/alerting mart serves ("what traded in the N minutes
+    * from each price spike"): anomaly minutes from
+    * [[Ohlcv.anomalyZscore]] open `windowMinutes`-wide half-open
+    * intervals, trades land in them via [[RangeJoin.intervalJoin]]
+    * (bucket-expansion equi-join — NEVER the nested-loop plan a raw
+    * range predicate gets), then one rollup per window. Exact decimal
+    * value sums; `first_trade_id` is a deterministic min. */
+  def tradesDuringAnomalies(stg: DataFrame, m1: DataFrame,
+                            windowMinutes: Int = 5,
+                            zThresh: Double = 1.0d): DataFrame = {
+    val anom = Ohlcv.anomalyZscore(m1, zThresh = zThresh)
+      .filter(col("is_anomaly"))
+      .select(col("product_id"), col("window_start").as("w_start"),
+        (col("window_start") +
+          expr(s"INTERVAL $windowMinutes MINUTES")).as("w_end"))
+    RangeJoin.intervalJoin(anom,
+        stg.select("product_id", "trade_id", "trade_time", "trade_value"),
+        Seq("product_id"), "w_start", "w_end", "trade_time",
+        bucketSeconds = windowMinutes.toLong * 60L)
+      .groupBy(col("product_id"), col("w_start").as("window_start"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum("trade_value").cast("decimal(18,8)").as("value_in_window"),
+        min("trade_id").as("first_trade_id"))
+      .orderBy("product_id", "window_start")
+  }
 }
