@@ -526,6 +526,42 @@ object Oracles {
         |        ORDER BY CAST(epoch(window_start) AS BIGINT)
         |        RANGE BETWEEN 840 PRECEDING AND CURRENT ROW))))""".stripMargin),
 
+    // Pivot: fixed d1..d7 values → the same conditional-aggregate pass
+    // Spark compiles a fixed-values pivot to. DuckDB dayofweek is
+    // 0-based Sunday; Spark's is 1-based Sunday — the +1 aligns them.
+    "trade_dow_pivot" -> withTrades("stg",
+      """SELECT product_id,
+        |  CAST(CAST(SUM(CASE WHEN dow = 'd1' THEN trade_value END) AS DECIMAL(18,8)) AS DOUBLE) AS d1,
+        |  CAST(CAST(SUM(CASE WHEN dow = 'd2' THEN trade_value END) AS DECIMAL(18,8)) AS DOUBLE) AS d2,
+        |  CAST(CAST(SUM(CASE WHEN dow = 'd3' THEN trade_value END) AS DECIMAL(18,8)) AS DOUBLE) AS d3,
+        |  CAST(CAST(SUM(CASE WHEN dow = 'd4' THEN trade_value END) AS DECIMAL(18,8)) AS DOUBLE) AS d4,
+        |  CAST(CAST(SUM(CASE WHEN dow = 'd5' THEN trade_value END) AS DECIMAL(18,8)) AS DOUBLE) AS d5,
+        |  CAST(CAST(SUM(CASE WHEN dow = 'd6' THEN trade_value END) AS DECIMAL(18,8)) AS DOUBLE) AS d6,
+        |  CAST(CAST(SUM(CASE WHEN dow = 'd7' THEN trade_value END) AS DECIMAL(18,8)) AS DOUBLE) AS d7
+        |FROM (SELECT product_id, trade_value,
+        |        'd' || (dayofweek(trade_time) + 1) AS dow FROM stg)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+
+    // ntile deciles over the reduced customer rollup; ntile's
+    // equal-buckets-remainder-to-first rule is shared by both engines,
+    // and the (value DESC, unique key) order makes assignment exact.
+    "customer_value_deciles" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS cust_value
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT cust_value,
+        |    ntile(10) OVER (ORDER BY cust_value DESC, o_custkey) AS decile
+        |  FROM pc)
+        |SELECT CAST(decile AS INT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(CAST(SUM(cust_value) AS DECIMAL(18,4)) AS DOUBLE) AS decile_value
+        |FROM d
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
     // Range join: anomaly minutes (same z-score pipeline as
     // anomaly_zscore) open 5-minute half-open windows; DuckDB's native
     // non-equi join is the oracle for the bucket-expansion equi-join.

@@ -156,6 +156,9 @@ object SparkEntry {
         Tables.orders(s, dir))),
     "sales_cube" -> ((s, dir) => Analytics.salesCube(stg(s, dir))),
     "trade_cube" -> ((s, dir) => Analytics.tradeCube(stg(s, dir))),
+    "trade_dow_pivot" -> ((s, dir) => Analytics.tradeDowPivot(stg(s, dir))),
+    "customer_value_deciles" -> ((s, dir) =>
+      Analytics.customerValueDeciles(Tables.orders(s, dir))),
     "q7_volume_shipping" -> ((s, dir) =>
       Analytics.q7VolumeShipping(Tables.supplier(s, dir),
         Tables.nation(s, dir), Tables.customer(s, dir),

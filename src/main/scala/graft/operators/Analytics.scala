@@ -610,6 +610,41 @@ object Analytics {
       .orderBy(col("part_value").desc, col("l_partkey"))
   }
 
+  /** Day-of-week × product cross-tab via `pivot` — the BI matrix
+    * report. Pivot values are FIXED up front (`d1`..`d7`), so Catalyst
+    * compiles straight to one conditional-aggregate pass (no
+    * values-discovery pre-query, deterministic column order) — exactly
+    * the plan the hand-written CASE WHEN oracle runs; absent cells
+    * stay NULL on both engines. One product_id shuffle. */
+  def tradeDowPivot(stg: DataFrame): DataFrame =
+    stg
+      .withColumn("dow", concat(lit("d"), dayofweek(col("trade_time"))))
+      .groupBy("product_id")
+      .pivot("dow", (1 to 7).map("d" + _))
+      .agg(sum(col("trade_value")).cast("decimal(18,8)"))
+      .orderBy("product_id")
+
+  /** Customer value deciles via `ntile` — the ranking-bucket window
+    * family (segmentation reports). The global sort ntile needs runs
+    * over the ALREADY-REDUCED ‖customers‖ rollup, never the fact; at
+    * the scale where even that rollup can't single-partition-sort, the
+    * path is approximate cut points (`percentile_approx`) + a
+    * broadcast range lookup. Total order (value DESC, unique custkey)
+    * → identical bucket assignment on every engine. */
+  def customerValueDeciles(orders: DataFrame,
+                           buckets: Int = 10): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)").as("cust_value"))
+    perCust
+      .withColumn("decile", ntile(buckets).over(
+        Window.orderBy(col("cust_value").desc, col("o_custkey"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cust_value").cast("decimal(18,4)").as("decile_value"))
+      .orderBy("decile")
+  }
+
   /** TPC-H Q9 shape (product-type profit): per (supplier nation, order
     * year) profit over a part-name-filtered slice. Part (with its
     * retail price standing in for ps_supplycost — this schema has no

@@ -500,6 +500,56 @@ class AnalyticsSpec extends GraftSuite {
     assert(vals.sortBy { case (v, k) => (-v, k) }.toSeq === vals.toSeq)
   }
 
+  test("pivot: day-of-week matrix equals the conditional-aggregate plan") {
+    import graft.operators.{Bronze, BronzeToSilver, Staging}
+    val stg = Staging.stgTrades(BronzeToSilver.transform(
+      Bronze.withRedeliveries(Bronze.ingest(Tables.events(spark, sf)))))
+      .cache()
+    val rows = Analytics.tradeDowPivot(stg).collect()
+    assert(rows.nonEmpty)
+    // every (product, dow) cell re-derived independently
+    val cells = stg
+      .withColumn("dow", concat(lit("d"), dayofweek(col("trade_time"))))
+      .groupBy("product_id", "dow")
+      .agg(sum(col("trade_value")).cast("decimal(18,8)").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDecimal(2)).toMap
+    rows.foreach { r =>
+      (1 to 7).foreach { d =>
+        val want = cells.get((r.getString(0), s"d$d")).orNull
+        val got = r.getDecimal(r.fieldIndex(s"d$d"))
+        assert(got === want, s"${r.getString(0)} d$d")
+      }
+    }
+    // fixed values → Spark's two-level pivot aggregate (per-cell
+    // rollup + column assembly on the SAME grouping) and nothing more:
+    // no values-discovery union, no extra passes
+    val plan = Analytics.tradeDowPivot(stg).queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size <= 2, plan.toString)
+    assert(plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty)
+    stg.unpersist()
+  }
+
+  test("ntile deciles: bucket sizes differ by at most one, values ordered") {
+    val orders = Tables.orders(spark, sf)
+    val rows = Analytics.customerValueDeciles(orders).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val counts = rows.map(_.getAs[Long]("n_customers"))
+    assert(counts.max - counts.min <= 1) // ntile's equal-split rule
+    assert(counts.sum === orders.select("o_custkey").distinct().count())
+    // decile 1 holds the highest-value customers: per-decile totals
+    // normalized by size must be non-increasing
+    val avg = rows.sortBy(_.getAs[Int]("decile"))
+      .map(r => r.getDecimal(r.fieldIndex("decile_value")).doubleValue() /
+        r.getAs[Long]("n_customers"))
+    assert(avg.zip(avg.tail).forall { case (a, b) => a >= b }, avg.toSeq)
+  }
+
   test("q9: profit rollup equals the textbook 5-table join SQL") {
     Tables.part(spark, sf).createOrReplaceTempView("q9_part")
     Tables.supplier(spark, sf).createOrReplaceTempView("q9_supplier")
