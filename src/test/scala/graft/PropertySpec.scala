@@ -181,4 +181,35 @@ class PropertySpec extends GraftSuite {
       .filter("keep").collect().map(_.getLong(0)).toSet
     assert(keeps1 === keeps0)
   }
+
+  test("interval join equals the naive theta join on random tapes at any width") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val rnd = new Random(19)
+    (1 to 3).foreach { round =>
+      val keys = Seq("a", "b", "c")
+      val intervals = (1 to 60).map { i =>
+        val s = rnd.nextInt(1000).toLong
+        (i.toLong, keys(rnd.nextInt(3)), s, s + rnd.nextInt(120).toLong)
+      }.toDF("iv_id", "k", "s_sec", "e_sec")
+        .select(col("iv_id"), col("k"),
+          timestamp_seconds(col("s_sec")).cast("timestamp_ntz").as("start"),
+          timestamp_seconds(col("e_sec")).cast("timestamp_ntz").as("end"))
+      val points = (1 to 120).map(i =>
+        (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(1100).toLong))
+        .toDF("pt_id", "k", "t_sec")
+        .select(col("pt_id"), col("k"),
+          timestamp_seconds(col("t_sec")).cast("timestamp_ntz").as("ts"))
+      val naive = intervals.join(points, Seq("k"))
+        .filter(col("ts") >= col("start") && col("ts") < col("end"))
+        .select("iv_id", "pt_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Seq(1L, 13L, 60L, 1000L)(rnd.nextInt(4))
+      val got = graft.operators.RangeJoin.intervalJoin(
+          intervals, points, Seq("k"), "start", "end", "ts", w)
+        .select("iv_id", "pt_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === naive, s"round $round width $w")
+    }
+  }
 }
