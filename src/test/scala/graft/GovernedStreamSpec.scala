@@ -11,6 +11,14 @@ import graft.streaming.GovernedStream
   * append snapshots, exactly-once replay dedup, append compaction. */
 class GovernedStreamSpec extends GraftSuite {
 
+  /** events.ts → LTZ timestamp, robust to the testdata's physical type
+    * (int64 nanos read as long, or a native parquet timestamp) — the
+    * same dtype dispatch [[Tables.events]] and the stream readers do. */
+  private def eventsTs(df: org.apache.spark.sql.DataFrame) =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df.withColumn("ts", col("ts").cast("timestamp"))
+
   test("append snapshots accumulate manifest entries without touching existing files") {
     val root = Files.createTempDirectory("graft-append").toString
     val df = spark.range(6).select(
@@ -88,7 +96,7 @@ class GovernedStreamSpec extends GraftSuite {
     val tmp = Files.createTempDirectory("graft-gov-stream")
     val (src, cat, cp) = (s"$tmp/src", s"$tmp/cat", s"$tmp/cp")
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val rawTs = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val rawTs = eventsTs(raw)
     val half1 = raw.filter(col("event_id") % 2 === 0)
     val half2 = raw.filter(col("event_id") % 2 =!= 0)
 
@@ -182,8 +190,7 @@ class GovernedStreamSpec extends GraftSuite {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val cat = Files.createTempDirectory("graft-gov-race").toString
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = eventsTs(spark.read.parquet(s"$sf/events.parquet"))
     val bronzeA = Bronze.ingest(raw.filter(col("event_id") % 2 === 0))
     val bronzeB = Bronze.ingest(raw.filter(col("event_id") % 2 =!= 0))
 
@@ -203,8 +210,7 @@ class GovernedStreamSpec extends GraftSuite {
 
   test("catalog compaction folds streamed appends through a catalog commit") {
     val cat = Files.createTempDirectory("graft-gov-compact").toString
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = eventsTs(spark.read.parquet(s"$sf/events.parquet"))
     // five micro-batches fragment the bronze partitions
     (0 until 5).foreach { i =>
       GovernedStream.commitBatch(spark, cat, "src", i.toLong,
