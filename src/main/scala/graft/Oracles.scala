@@ -1724,6 +1724,62 @@ object Oracles {
         |  CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 120) + 1 END AS duration_s,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS payload_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Log-free rational idf (tf · N / df) — same expression tree as
+    // Retrieval.tfIdf; rank over the ROUNDED score with term tie-break.
+    "tf_idf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, UNNEST(w) AS term FROM toks) GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    round(CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) /
+        |      CAST(dfq.df AS DOUBLE), 8) AS tf_idf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tf_idf, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // BM25 with rational idf, k1=1.2 b=0.75 (literals match the Spark
+    // side bit-for-bit; k1+1 pre-folded to 2.2). Per-doc sum folds in
+    // term order like bigram_doc_score; ranking over the rounded score.
+    "bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, UNNEST(w) AS term FROM toks) GROUP BY 1, 2
+        |), qtf AS (
+        |  SELECT * FROM tf WHERE term IN ('merge', 'spark', 'vector', 'window')
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1
+        |), dls AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls
+        |), contribs AS (
+        |  SELECT q.doc_id, q.term, d.dl,
+        |    (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+        |      (CAST(f.df AS DOUBLE) + 0.5)
+        |      * (CAST(q.tf AS DOUBLE) * 2.2) /
+        |      (CAST(q.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        (CAST(d.dl AS DOUBLE) /
+        |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS contrib
+        |  FROM qtf q JOIN dfq f USING (term)
+        |  JOIN dls d ON q.doc_id = d.doc_id CROSS JOIN stats s)
+        |SELECT doc_id, MAX(dl) AS dl, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)),
+        |    (x, y) -> x + y), 8) AS bm25
+        |FROM contribs GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   )
 }

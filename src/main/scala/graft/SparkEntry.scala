@@ -287,7 +287,10 @@ object SparkEntry {
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.docChunks(Tables.documents(s, dir))),
     "curation_report" -> ((s, dir) =>
-      TextAnalysis.curationReport(Tables.documents(s, dir)))
+      TextAnalysis.curationReport(Tables.documents(s, dir))),
+    "tf_idf" -> ((s, dir) => Retrieval.tfIdf(Tables.documents(s, dir))),
+    "bm25_search" -> ((s, dir) =>
+      Retrieval.bm25Search(Tables.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends GraftSuite {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark spark spark merge", "en", "src0", 23L),
+      (2L, "vector window merge join join join", "en", "src0", 34L),
+      (3L, "the the the the the the the the", "en", "src1", 31L),
+      (4L, "spark vector window merge", "en", "src1", 25L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("tfIdf ranks a doc's dominant rare term first") {
+    val out = Retrieval.tfIdf(docs, k = 2)
+    // doc 1: "spark" tf=3 df=2 → 3*4/2=6.0 beats "merge" tf=1 df=3 → 4/3
+    val d1 = out.filter(col("doc_id") === 1L)
+      .orderBy("rnk").collect()
+    assert(d1.map(_.getString(1)).toSeq === Seq("spark", "merge"))
+    assert(d1.head.getDouble(4) === 6.0)
+    // every doc emits at most k rows, rnk is 1..k
+    val counts = out.groupBy("doc_id").count().collect()
+    assert(counts.forall(_.getLong(1) <= 2))
+    assert(out.agg(min("rnk"), max("rnk")).head.getInt(0) === 1)
+  }
+
+  test("tfIdf tie-break is term-alphabetical") {
+    // doc 4: all four terms tf=1; scores differ only via df, ties on
+    // equal df resolve alphabetically
+    val d4 = Retrieval.tfIdf(docs, k = 4)
+      .filter(col("doc_id") === 4L).orderBy("rnk").collect()
+    val byScoreThenTerm = d4.sortBy(r => (-r.getDouble(4), r.getString(1)))
+    assert(d4.map(_.getString(1)).toSeq ===
+      byScoreThenTerm.map(_.getString(1)).toSeq)
+  }
+
+  test("bm25Search scores query-term docs and omits non-matching docs") {
+    val out = Retrieval.bm25Search(docs).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 4L)) // doc 3 has no query term
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 4 hits all four query terms; doc 1 two; doc 2 three
+    assert(byId(4L).getLong(2) === 4L)
+    assert(byId(1L).getLong(2) === 2L)
+    assert(byId(2L).getLong(2) === 3L)
+    // more distinct hits at comparable length ranks doc 4 first
+    val ranked = out.sortBy(r => -r.getDouble(3)).map(_.getLong(0)).toSeq
+    assert(ranked.head === 4L)
+  }
+
+  test("bm25 contribution saturates in tf (k1 bound)") {
+    import spark.implicits._
+    // one query term, two docs of equal length: tf=1 vs tf=100 — the
+    // tf=100 doc must score higher but below (k1+1)/1 = 2.2 times idf
+    val d = Seq(
+      (1L, ("spark " + "x " * 99).trim, "en", "s", 1L),
+      (2L, ("spark " * 100).trim, "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Retrieval.bm25Search(d, query = Seq("spark"), k = 10)
+      .orderBy("doc_id").collect()
+    val (s1, s2) = (out(0).getDouble(3), out(1).getDouble(3))
+    assert(s2 > s1)
+    // equal dl = avgdl → contrib(1) = idf, contrib(∞) → idf·2.2: the
+    // 100× tf gain is capped under (k1+1)×
+    assert(s2 / s1 < 2.2)
+  }
+
+  test("tfIdf and bm25Search run on the sf0.001 corpus") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    assert(Retrieval.tfIdf(d).count() > 0)
+    val b = Retrieval.bm25Search(d)
+    assert(b.count() > 0 && b.count() <= 20)
+  }
+}
