@@ -405,6 +405,15 @@ object Oracles {
         |FROM stg
         |GROUP BY ROLLUP(product_id, _trade_date)""".stripMargin),
 
+    // Explicit GROUPING SETS (no grand total), same bit convention.
+    "trade_grouping_sets" -> withTrades("stg",
+      """SELECT product_id, side,
+        |  CAST(CAST(SUM(trade_value) AS DECIMAL(18,8)) AS DOUBLE) AS total_value,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+        |  CAST(GROUPING_ID(product_id, side) AS BIGINT) AS gid
+        |FROM stg
+        |GROUP BY GROUPING SETS ((product_id, side), (product_id), (side))""".stripMargin),
+
     // CUBE: all four grouping sets, same GROUPING_ID bit convention.
     "trade_cube" -> withTrades("stg",
       """SELECT product_id, side,

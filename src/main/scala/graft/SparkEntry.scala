@@ -156,6 +156,8 @@ object SparkEntry {
         Tables.orders(s, dir))),
     "sales_cube" -> ((s, dir) => Analytics.salesCube(stg(s, dir))),
     "trade_cube" -> ((s, dir) => Analytics.tradeCube(stg(s, dir))),
+    "trade_grouping_sets" -> ((s, dir) =>
+      Analytics.tradeGroupingSets(stg(s, dir))),
     "trade_dow_pivot" -> ((s, dir) => Analytics.tradeDowPivot(stg(s, dir))),
     "customer_value_deciles" -> ((s, dir) =>
       Analytics.customerValueDeciles(Tables.orders(s, dir))),

@@ -426,6 +426,26 @@ object Analytics {
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("product_id"), col("side"))
 
+  /** Explicit GROUPING SETS over (product, side) — the third member of
+    * the grouping-family API after [[salesCube]] (ROLLUP) and
+    * [[tradeCube]] (CUBE): only the sets the analyst asks for
+    * ((product, side), (product), (side)) — no grand-total row — in
+    * ONE single-Expand plan (each input row replicated once per
+    * requested set, one hash aggregate with map-side partials), never
+    * N scans unioned. `grouping_id` keeps the same bit convention as
+    * the other two. */
+  def tradeGroupingSets(stg: DataFrame): DataFrame =
+    stg
+      .groupingSets(
+        Seq(Seq(col("product_id"), col("side")),
+          Seq(col("product_id")), Seq(col("side"))),
+        col("product_id"), col("side"))
+      .agg(
+        sum(col("trade_value")).cast("decimal(18,8)").as("total_value"),
+        count(lit(1)).as("n_trades"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("product_id"), col("side"))
+
   /** TPC-H Q13 shape (customer order-count distribution): a filtered
     * LEFT OUTER join grouped twice. The filter lives in the JOIN
     * condition (orders side only), so it pre-aggregates: count orders

@@ -356,6 +356,37 @@ class AnalyticsSpec extends GraftSuite {
     stg.unpersist()
   }
 
+  test("trade_grouping_sets: exactly the requested sets, no grand total, one Expand") {
+    import graft.operators.{Bronze, BronzeToSilver, Staging}
+    val stg = Staging.stgTrades(BronzeToSilver.transform(
+      Bronze.withRedeliveries(Bronze.ingest(Tables.events(spark, sf)))))
+      .cache()
+    val df = Analytics.tradeGroupingSets(stg)
+    val rows = df.collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    // (product,side)=0, (product)=1, (side)=2 — and NO gid=3 grand total
+    assert(byGid.keySet === Set(0L, 1L, 2L))
+    val total = stg.count()
+    assert(byGid(0L).map(_.getAs[Long]("n_trades")).sum === total)
+    val perSide = stg.groupBy("side").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGid(2L).map(r => r.getString(1) -> r.getAs[Long]("n_trades"))
+      .toMap === perSide)
+    val perProduct = stg.groupBy("product_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGid(1L).map(r => r.getString(0) -> r.getAs[Long]("n_trades"))
+      .toMap === perProduct)
+    // ONE Expand feeding one aggregate — not a union of three scans
+    val expands = df.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.size === 1)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty)
+    stg.unpersist()
+  }
+
   test("q7: nation-pair volume equals the textbook join SQL, both directions present") {
     Tables.supplier(spark, sf).createOrReplaceTempView("q7_supplier")
     Tables.nation(spark, sf).createOrReplaceTempView("q7_nation")

@@ -76,4 +76,31 @@ class RetrievalSpec extends GraftSuite {
     val b = Retrieval.bm25Search(d)
     assert(b.count() > 0 && b.count() <= 20)
   }
+
+  test("plans: df/stats broadcast, top-k stays bounded, no cartesian blowup") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    // tf_idf: vocab-sized df side broadcasts; the per-doc top-k is a
+    // WindowGroupLimit (partial heap below the exchange), not a sort+filter
+    val tp = Retrieval.tfIdf(d).queryExecution.executedPlan.toString
+    assert(tp.contains("BroadcastHashJoin"))
+    assert(tp.contains("WindowGroupLimit"))
+    // bm25: query-term df and the 1-row stats broadcast; the global
+    // top-k is TakeOrderedAndProject, never a full sort. The doc-length
+    // join is deliberately NOT hinted (n_docs rows — must be free to
+    // fall back to a co-partitioned join at scale).
+    val bp = Retrieval.bm25Search(d).queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastHashJoin"))
+    assert(bp.contains("TakeOrderedAndProject"))
+  }
+
+  test("degenerate inputs: empty corpus and no-hit query") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Retrieval.tfIdf(empty).count() === 0)
+    assert(Retrieval.bm25Search(empty).count() === 0)
+    // a query hitting nothing returns zero rows, not an error
+    assert(Retrieval.bm25Search(docs,
+      query = Seq("zzz_absent")).count() === 0)
+  }
 }
