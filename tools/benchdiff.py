@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Diff two bench JSONs (bench_out.json / BENCH_r{N}.json) per query.
+
+Usage: python3 tools/benchdiff.py <old.json> <new.json> [ratio_threshold]
+
+Prints added/removed keys, any row-count changes (result-shape
+regressions), and every query whose median moved by more than the
+threshold (default 1.25x either way), sorted by ratio.
+"""
+import json
+import sys
+
+
+def load(p):
+    with open(p) as f:
+        txt = f.read()
+    # BENCH_r files may carry a truncated log tail before the JSON line
+    for line in txt.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    return json.loads(txt)
+
+
+def main(old_p, new_p, thresh=1.25):
+    old, new = load(old_p), load(new_p)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if added:
+        print(f"added ({len(added)}):", ", ".join(added))
+    if removed:
+        print(f"removed ({len(removed)}):", ", ".join(removed))
+
+    orows, nrows = old.get("rows", {}), new.get("rows", {})
+    for k in sorted(set(orows) & set(nrows)):
+        if orows[k] != nrows[k]:
+            print(f"ROWS CHANGED {k}: {orows[k]} -> {nrows[k]}")
+
+    moved = []
+    for k in set(oq) & set(nq):
+        if oq[k] <= 0:
+            continue
+        r = nq[k] / oq[k]
+        if r > thresh or r < 1.0 / thresh:
+            moved.append((r, k))
+    for r, k in sorted(moved, reverse=True):
+        print(f"{'SLOWER' if r > 1 else 'faster'} {k}: "
+              f"{oq[k]:.2f}s -> {nq[k]:.2f}s ({r:.2f}x)")
+    ot, nt = old.get("value"), new.get("value")
+    if ot and nt:
+        print(f"total: {ot:.1f}s -> {nt:.1f}s ({nt / ot:.2f}x) "
+              f"[{len(oq)} -> {len(nq)} keys]")
+
+
+if __name__ == "__main__":
+    t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
+    main(sys.argv[1], sys.argv[2], t)
