@@ -146,17 +146,6 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash-LSH near-dup pairs: banding → bucket join → exact-Jaccard
-    * verify ≥ `threshold`.
-    *
-    * The signature projection is persisted before banding: without a
-    * materialization barrier, Catalyst's projection collapse inlines the
-    * (interpreted, 128·|shingles|-op) signature expression into the band
-    * generator's lambda — recomputing it once per band and again on each
-    * self-join side (a measured 30× blowup). At warehouse scale the
-    * equivalent is writing the signature table once and joining on it.
-    * Only (doc_id, band, sig) enters the bucket join; shingle arrays are
-    * re-attached to the (tiny) verified candidate set afterwards. */
   /** 60-bit md5-prefix hash of a UTF-8 string — bit-identical to the
     * SQL `conv(substr(md5(s), 1, 15), 16, 10)` used by the oracle. */
   private[graft] def md5Prefix60(md: java.security.MessageDigest,
@@ -169,21 +158,23 @@ object Dedup {
     (v << 4) | ((b(7) >> 4) & 0xfL) // 15 hex chars = 7.5 bytes
   }
 
-  def minhashLsh(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val shl = shingled(docs).select("doc_id", "shingles")
-      .filter(size(col("shingles")) > 0).persist()
-    // Signature kernel as typed mapPartitions: 128 perms × |shingles|
-    // primitive-long ops per doc, batched per partition with one
-    // MessageDigest — no shuffle, no boxing (the equivalent declarative
-    // higher-order-function pipeline measured ~10× slower interpreted).
-    // Arithmetic is identical to the DuckDB oracle: (a·(sid60 % P) + b) % P.
+  /** 128-perm MinHash signatures `(doc_id, mh)` of a shingled
+    * projection — the kernel shared by [[minhashLsh]] and
+    * [[IncrementalDedup]] (whose persisted signature STORE is exactly
+    * this table). Typed mapPartitions: 128 perms × |shingles|
+    * primitive-long ops per doc, batched per partition with one
+    * MessageDigest — no shuffle, no boxing (the equivalent declarative
+    * higher-order-function pipeline measured ~10× slower interpreted).
+    * Arithmetic is identical to the DuckDB oracle:
+    * (a·(sid60 % P) + b) % P. */
+  private[graft] def signatures(shl: DataFrame): DataFrame = {
     val sess = shl.sparkSession
     import sess.implicits._
     val aArr = Hashing.perms.map(_._1).toArray
     val bArr = Hashing.perms.map(_._2).toArray
     val nPerms = Hashing.NumPerms
     val p = Hashing.P
-    val sigs = shl.as[(Long, Seq[String])]
+    shl.as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, shingles) =>
@@ -199,11 +190,33 @@ object Dedup {
           }
           (id, mh)
         }
-      }.toDF("doc_id", "mh").persist()
-    val bands = sigs.select(col("doc_id"),
+      }.toDF("doc_id", "mh")
+  }
+
+  /** LSH banding of a `(doc_id, mh)` signature table: one row per
+    * (doc_id, band, sig) — the join key of every minhash bucket join. */
+  private[graft] def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       expr(s"inline(transform(sequence(0, ${Hashing.BandsMinhash - 1}), b -> " +
         "struct(b as band, concat_ws(',', transform(slice(mh, b * 4 + 1, 4), " +
         "v -> cast(v as string))) as sig)))"))
+
+  /** MinHash-LSH near-dup pairs: banding → bucket join → exact-Jaccard
+    * verify ≥ `threshold`.
+    *
+    * The signature projection is persisted before banding: without a
+    * materialization barrier, Catalyst's projection collapse inlines the
+    * (interpreted, 128·|shingles|-op) signature expression into the band
+    * generator's lambda — recomputing it once per band and again on each
+    * self-join side (a measured 30× blowup). At warehouse scale the
+    * equivalent is writing the signature table once and joining on it.
+    * Only (doc_id, band, sig) enters the bucket join; shingle arrays are
+    * re-attached to the (tiny) verified candidate set afterwards. */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val shl = shingled(docs).select("doc_id", "shingles")
+      .filter(size(col("shingles")) > 0).persist()
+    val sigs = signatures(shl).persist()
+    val bands = bandsOf(sigs)
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band", "sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
