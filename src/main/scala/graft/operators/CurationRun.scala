@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-data curation pipeline as governed catalog
+  * transactions — [[GovernedPipeline]]'s stage→gate→atomic-publish
+  * discipline applied to the LLM-data operators: every arriving
+  * document batch is cleaned, quality- and repetition-scored,
+  * deduplicated against the GOVERNED cross-batch signature store, and
+  * published as ONE atomic catalog commit.
+  *
+  * Catalog tables:
+  *  - `corpus` (by `batch_id`) — one row per ingested doc: cleaned
+  *    text, quality/repetition signals, the cross-batch dedup verdict,
+  *    and the final `keep` conjunction (the per-batch slice of
+  *    [[TextAnalysis.curationReport]]);
+  *  - `dedup_signatures` (by `sig_bucket`) — [[IncrementalDedup]]'s
+  *    canonical MinHash store, HERE version-governed with the corpus:
+  *    `Catalog.rollback` rewinds the corpus AND the store together, so
+  *    re-ingestion after a rollback re-deduplicates consistently
+  *    (the split-brain a path-owned store would suffer).
+  *
+  * Exactly-once per batch: committed batch ids are partition METADATA
+  * of the corpus table (driver-side manifest names, never a scan) — a
+  * replayed batch id returns the current commit untouched. A batch
+  * whose staged keep-rate falls below `minKeepRate` (a poisoned crawl
+  * shard) aborts BEFORE publication: nothing becomes visible, the
+  * staged partition stays on disk for debugging, and the signature
+  * store is untouched (the staged-but-unpublished version is
+  * [[Catalog.expireCommits]] fodder).
+  *
+  * Scale: per batch this stages O(batch) rows — signals are
+  * shuffle-free projections sharing one doc_id co-partitioning with
+  * the dedup verdicts; the dedup plan is [[IncrementalDedup.plan]]
+  * (band join against the store, corpus never rescanned); both
+  * appends are partition fast-appends.
+  */
+object CurationRun {
+
+  /** Batch ids already published in the corpus table (driver-side
+    * partition metadata, bounded by batches-per-history). */
+  def committedBatchIds(catalogRoot: String): Set[Long] = {
+    val vs = Catalog.tableVersions(catalogRoot)
+    vs.get("corpus") match {
+      case None => Set.empty
+      case Some(v) =>
+        SnapshotTable
+          .manifestEntries(Catalog.tableRoot(catalogRoot, "corpus"), v)
+          .map(_._1).filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong).toSet
+    }
+  }
+
+  /** Ingest one document batch (`doc_id`, `text`): stage the curated
+    * corpus slice and the signature-store append, gate on the staged
+    * keep-rate, publish both atomically. Returns the catalog commit id
+    * (the current one when `batchId` was already published). */
+  def runBatch(spark: SparkSession, catalogRoot: String, batch: DataFrame,
+               batchId: Long, threshold: Double = 0.8,
+               minKeepRate: Double = 0.2): Long = {
+    val base = Catalog.latestCommit(catalogRoot)
+    if (committedBatchIds(catalogRoot).contains(batchId))
+      return base // replay of a published batch: exactly-once skip
+    val prev = Catalog.tableVersions(catalogRoot, base)
+    def tr(t: String) = Catalog.tableRoot(catalogRoot, t)
+
+    val storeContent =
+      if (prev.contains("dedup_signatures"))
+        Catalog.read(spark, catalogRoot, "dedup_signatures", base)
+          .select("doc_id", "mh")
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, Array[Long])].toDF("doc_id", "mh")
+      }
+    val (verdicts, newSigs) =
+      IncrementalDedup.plan(batch, storeContent, threshold)
+
+    // per-doc curation row: shuffle-free signal projections joined to
+    // the dedup verdict on one doc_id co-partitioning
+    val corpus = TextAnalysis.clean(batch)
+      .join(TextAnalysis.quality(batch)
+        .select("doc_id", "n_words", "distinct_ratio", "quality_pass"),
+        "doc_id")
+      .join(TextAnalysis.repetition(batch)
+        .select("doc_id", "top_word_frac", "repetition_pass"), "doc_id")
+      .join(verdicts, "doc_id")
+      .withColumn("keep",
+        col("quality_pass") && col("repetition_pass") && !col("is_dup"))
+      .withColumn("batch_id", lit(batchId))
+
+    val vCorpus = SnapshotTable.stageAppend(corpus, tr("corpus"),
+      "batch_id", prev.getOrElse("corpus", -1L))
+    val staged = Map("corpus" -> vCorpus) ++
+      (if (newSigs.isEmpty) Map.empty[String, Long]
+       else Map("dedup_signatures" -> SnapshotTable.stageAppend(newSigs,
+         tr("dedup_signatures"), "sig_bucket",
+         prev.getOrElse("dedup_signatures", -1L))))
+
+    // gate over the STAGED batch slice: a poisoned shard publishes
+    // nothing (neither corpus rows nor its dedup signatures)
+    val slice = SnapshotTable.read(spark, tr("corpus"), vCorpus)
+      .filter(col("batch_id") === batchId)
+    val (n, kept) = {
+      val r = slice.agg(count(lit(1)),
+        sum(when(col("keep"), 1L).otherwise(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    if (n > 0 && kept.toDouble / n < minKeepRate)
+      throw new IllegalStateException(
+        f"curation gate failed for batch $batchId: keep rate " +
+          f"${kept.toDouble / n}%.2f < $minKeepRate%.2f — nothing " +
+          s"published; staged slice at ${tr("corpus")}/v=$vCorpus")
+
+    Catalog.commitStaged(catalogRoot, staged, base)
+  }
+
+  /** The released dataset view: every kept doc across all batches. */
+  def keptCorpus(spark: SparkSession, catalogRoot: String): DataFrame =
+    Catalog.read(spark, catalogRoot, "corpus").filter(col("keep"))
+}

@@ -81,11 +81,26 @@ object IncrementalDedup {
     * O(new canonicals). */
   def dedupBatch(spark: SparkSession, storeRoot: String, batch: DataFrame,
                  threshold: Double = 0.8): DataFrame = {
+    val (verdicts, newCanonicals) =
+      plan(batch, readStore(spark, storeRoot), threshold)
+    if (!newCanonicals.isEmpty)
+      SnapshotTable.commitAppend(newCanonicals, storeRoot, "sig_bucket")
+    verdicts
+  }
+
+  /** The storage-free planning half of [[dedupBatch]]: given the
+    * current store CONTENT (`(doc_id, mh)`), returns the per-doc
+    * verdicts and the new canonicals' signature rows (with their
+    * `sig_bucket`) ready to append. Callers that govern the store as a
+    * catalog table ([[CurationRun]]) stage the append themselves and
+    * publish it atomically with the rest of the batch. */
+  def plan(batch: DataFrame, storeContent: DataFrame,
+           threshold: Double = 0.8): (DataFrame, DataFrame) = {
     val shl = Dedup.shingled(batch).select("doc_id", "shingles")
       .filter(size(col("shingles")) > 0)
     // persisted: feeds the band join (twice via self-join) + the append
     val sigs = Dedup.signatures(shl).persist()
-    val store = readStore(spark, storeRoot).persist()
+    val store = storeContent.persist()
     val batchBands = Dedup.bandsOf(sigs)
     val storeBands = Dedup.bandsOf(store)
 
@@ -139,8 +154,6 @@ object IncrementalDedup {
       .join(sigs, "doc_id") // short docs have no signature → not stored
       .join(store.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("sig_bucket", pmod(col("doc_id"), lit(Buckets)))
-    if (!newCanonicals.isEmpty)
-      SnapshotTable.commitAppend(newCanonicals, storeRoot, "sig_bucket")
-    verdicts
+    (verdicts, newCanonicals)
   }
 }

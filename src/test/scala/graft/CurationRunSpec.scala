@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Catalog, CurationRun, IncrementalDedup}
+
+/** Governed curation: batches stage, gate, publish atomically; the
+  * dedup store is versioned WITH the corpus. */
+class CurationRunSpec extends GraftSuite {
+  import spark.implicits._
+
+  // all words unique so the Gopher top-word filter passes (a repeated
+  // "the" at 6/33 would exceed the 10% repetition bound by design)
+  private val base =
+    ("quick brown foxes jump over lazy dogs while festival crowds " +
+      "gather near old stone bridges to watch boats drift slowly " +
+      "beneath autumn lanterns before evening markets open")
+  private val other =
+    ("entirely different reports describing broadcast hash joins " +
+      "shuffle partitions catalyst rules tungsten codegen and adaptive " +
+      "execution stages measured across many terabytes of parquet scans")
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("batches publish atomically; cross-batch dups resolve via the governed store") {
+    val cat = Files.createTempDirectory("graft-curation").toString
+    val c1 = CurationRun.runBatch(spark, cat,
+      docs(1L -> base, 2L -> (base + " extra"), 3L -> other), 0L)
+    assert(c1 >= 0)
+    val corpus1 = Catalog.read(spark, cat, "corpus")
+    assert(corpus1.count() === 3)
+    assert(CurationRun.keptCorpus(spark, cat).count() === 2) // doc 2 is a dup
+    assert(Catalog.read(spark, cat, "dedup_signatures").count() === 2)
+
+    // batch 2: doc 10 duplicates STORED canonical 1 — flagged via the
+    // catalog's signature table, batch 1's text is never re-read
+    val c2 = CurationRun.runBatch(spark, cat,
+      docs(10L -> base,
+        11L -> ("fresh coverage of vector search inverted file indexes " +
+          "coarse quantizers probe lists recall curves plus brute " +
+          "force baselines every approximate method gets judged against")),
+      1L)
+    assert(c2 > c1)
+    val corpus = Catalog.read(spark, cat, "corpus")
+    assert(corpus.count() === 5)
+    val v10 = corpus.filter(col("doc_id") === 10L).head()
+    assert(v10.getAs[Long]("canonical_id") === 1L)
+    assert(v10.getAs[Boolean]("is_dup") && !v10.getAs[Boolean]("keep"))
+    assert(Catalog.read(spark, cat, "dedup_signatures").count() === 3)
+
+    // replay of batch 1 is an exactly-once no-op
+    assert(CurationRun.runBatch(spark, cat,
+      docs(10L -> base), 1L) === c2)
+    assert(Catalog.read(spark, cat, "corpus").count() === 5)
+  }
+
+  test("a poisoned batch aborts before publication — corpus AND store untouched") {
+    val cat = Files.createTempDirectory("graft-curation-gate").toString
+    CurationRun.runBatch(spark, cat, docs(1L -> base), 0L)
+    val commit = Catalog.latestCommit(cat)
+    // every doc fails quality (too short) → keep rate 0
+    intercept[IllegalStateException] {
+      CurationRun.runBatch(spark, cat,
+        docs(20L -> "junk", 21L -> "x", 22L -> "y z"), 1L)
+    }
+    assert(Catalog.latestCommit(cat) === commit)
+    assert(Catalog.read(spark, cat, "corpus").count() === 1)
+    assert(Catalog.read(spark, cat, "dedup_signatures").count() === 1)
+    // the failed batch id is NOT recorded — a fixed batch can re-run
+    assert(!CurationRun.committedBatchIds(cat).contains(1L))
+  }
+
+  test("rollback rewinds corpus and dedup store together; re-ingest re-deduplicates") {
+    val cat = Files.createTempDirectory("graft-curation-rb").toString
+    val c1 = CurationRun.runBatch(spark, cat, docs(1L -> base), 0L)
+    CurationRun.runBatch(spark, cat, docs(5L -> other), 1L)
+    Catalog.rollback(cat, c1)
+    assert(Catalog.read(spark, cat, "corpus").count() === 1)
+    assert(Catalog.read(spark, cat, "dedup_signatures").count() === 1)
+    assert(!CurationRun.committedBatchIds(cat).contains(1L))
+    // re-ingesting the rolled-back batch dedups against the REWOUND
+    // store — verdicts identical to the first ingestion
+    CurationRun.runBatch(spark, cat, docs(5L -> other), 1L)
+    assert(Catalog.read(spark, cat, "corpus").count() === 2)
+    assert(Catalog.read(spark, cat, "dedup_signatures").count() === 2)
+    assert(CurationRun.keptCorpus(spark, cat).count() === 2)
+  }
+
+  test("dedupBatch facade still owns its own store") {
+    // the refactor split plan() out of dedupBatch — its behavior is
+    // unchanged (regression for the storage-owning path)
+    val root = Files.createTempDirectory("graft-curation-facade").toString
+    val v = IncrementalDedup.dedupBatch(spark, root,
+      docs(1L -> base, 2L -> (base + " extra"))).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(v === Map(1L -> false, 2L -> true))
+  }
+}
