@@ -38,11 +38,11 @@ object Bench {
     catch { case _: Throwable => () }
     spark.sharedState.cacheManager.clearCache()
 
-    // pipeline_health re-runs the whole pipeline twice inside one
-    // "query" — its cost is already measured by the dedicated
-    // pipeline_* lines below, so benching it would double-count
+    // every gate key is benched — pipeline_health's two full pipeline
+    // runs make it the most expensive line by construction; its cost
+    // overlaps the dedicated pipeline_* lines below, so read it as
+    // "2× end-to-end + health rollup", not as an independent workload
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_ == "pipeline_health")
     // samples(name) = wall seconds per SUCCESSFUL rep — a failed rep
     // fails fast, and charging its wall time would report a misleadingly
     // low median for an intermittently erroring query; one error capture
@@ -215,9 +215,14 @@ object Bench {
       s"${jq(n)}:${rowCounts(n)}" }.mkString("{", ",", "}")
     val errs = allNames.collect { case n if errors.contains(n) =>
       s"${jq(n)}:${jq(errors(n))}" }.mkString("{", ",", "}")
+    // zero-row keys surface explicitly: every gate key is expected to
+    // produce rows at bench scale (caught the r9 q11 empty-result bug
+    // only via the recorded row counts — now it's a first-class field)
+    val empty = allNames.collect { case n
+      if rowCounts.get(n).contains(0L) => jq(n) }.mkString("[", ",", "]")
     val total = ok.map(n => median(samples(n))).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"runs":$runs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"runs":$runs,"rows":$rows,"empty":$empty,"errors":$errs,"sf":"$sfDir"}"""
     // persist the full result BEFORE printing: the driver's captured
     // stdout keeps only a tail, so the file is the diffable artifact
     // (every per-query median survives round-over-round)

@@ -1054,7 +1054,10 @@ object Oracles {
     // Q11 shape: scalar aggregate subquery in HAVING — the oracle keeps
     // the textbook second-scan total; Spark re-aggregates the rollup
     // (exact decimal sums are associative, so the two are identical).
-    // Both sides compare exact-decimal-sums-as-doubles.
+    // The threshold is 2.0 × the average part value (= 2/‖parts‖ of the
+    // total — TPC-H's fraction/SF rule data-derived, so the cut stays
+    // sf-invariant); ×2.0 is an exact exponent bump, division is one
+    // correctly-rounded IEEE op — bit-identical cross-engine.
     "q11_important_parts" ->
       """SELECT l_partkey,
         |  CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS part_value
@@ -1062,11 +1065,16 @@ object Oracles {
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |  AND n_name = 'NATION_3'
         |GROUP BY 1
-        |HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 0.001 * (
-        |  SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-        |  FROM lineitem, supplier, nation
-        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |    AND n_name = 'NATION_3')
+        |HAVING CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) > 2.0 * (
+        |  (SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+        |   FROM lineitem, supplier, nation
+        |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |     AND n_name = 'NATION_3')
+        |  /
+        |  (SELECT CAST(COUNT(DISTINCT l_partkey) AS DOUBLE)
+        |   FROM lineitem, supplier, nation
+        |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |     AND n_name = 'NATION_3'))
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
 
     "dedup_exact" ->

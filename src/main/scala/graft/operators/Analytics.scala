@@ -597,17 +597,23 @@ object Analytics {
   }
 
   /** TPC-H Q11 shape (important stock): per-part inventory value for
-    * one nation's suppliers, kept only where it exceeds a fraction of
-    * the nation's total — a scalar aggregate subquery in HAVING. The
-    * textbook form recomputes the total from a SECOND fact scan;
-    * Spark-first the global total re-aggregates the ‖parts‖-sized
-    * rollup itself (exact decimal sums are associative, so the two are
-    * identical) and broadcasts the 1-row result back. One fact scan,
-    * one l_partkey shuffle, one tiny re-aggregation. */
+    * one nation's suppliers, kept only where it exceeds a threshold
+    * share of the nation's total — a scalar aggregate subquery in
+    * HAVING. TPC-H divides its fixed fraction by SF so the cut tracks
+    * part count; here the threshold is data-derived for the same
+    * sf-invariance: `avgMultiplier / ‖parts‖` of the total, i.e. parts
+    * worth more than `avgMultiplier ×` the average part value (the
+    * ×2.0 is an exact IEEE exponent bump, so the comparison stays
+    * bit-identical cross-engine). The textbook form recomputes the
+    * total from a SECOND fact scan; Spark-first the global total and
+    * part count re-aggregate the ‖parts‖-sized rollup itself (exact
+    * decimal sums are associative, so the two are identical) and
+    * broadcast the 1-row result back. One fact scan, one l_partkey
+    * shuffle, one tiny re-aggregation. */
   def q11ImportantParts(supplier: DataFrame, nation: DataFrame,
                         lineitem: DataFrame,
                         nationName: String = "NATION_3",
-                        fraction: Double = 0.001d): DataFrame = {
+                        avgMultiplier: Double = 2.0d): DataFrame = {
     val supp = supplier
       .join(broadcast(nation.filter(col("n_name") === nationName)),
         col("s_nationkey") === col("n_nationkey"))
@@ -620,12 +626,14 @@ object Analytics {
       .agg(sum((col("l_extendedprice") * col("l_quantity"))
         .cast("decimal(18,4)")).cast("decimal(18,4)").as("part_value"))
       .persist()
-    val total = perPart
-      .agg(sum("part_value").cast("decimal(18,4)").as("_total"))
+    val stats = perPart
+      .agg(sum("part_value").cast("decimal(18,4)").as("_total"),
+        count(lit(1)).as("_nparts"))
     perPart
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(stats))
       .filter(col("part_value").cast("double") >
-        lit(fraction) * col("_total").cast("double"))
+        lit(avgMultiplier) *
+          (col("_total").cast("double") / col("_nparts").cast("double")))
       .select(col("l_partkey"), col("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey"))
   }

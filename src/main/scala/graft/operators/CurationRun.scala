@@ -73,8 +73,9 @@ object CurationRun {
         import spark.implicits._
         Seq.empty[(Long, Array[Long])].toDF("doc_id", "mh")
       }
-    val (verdicts, newSigs) =
-      IncrementalDedup.plan(batch, storeContent, threshold)
+    val (verdicts, newSigs, dedupCaches) =
+      IncrementalDedup.planCached(batch, storeContent, threshold)
+    try {
 
     // per-doc curation row: shuffle-free signal projections joined to
     // the dedup verdict on one doc_id co-partitioning
@@ -104,7 +105,8 @@ object CurationRun {
     val (n, kept) = {
       val r = slice.agg(count(lit(1)),
         sum(when(col("keep"), 1L).otherwise(0L))).head()
-      (r.getLong(0), r.getLong(1))
+      // SUM over zero rows is NULL — an empty batch must not NPE here
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     if (n > 0 && kept.toDouble / n < minKeepRate)
       throw new IllegalStateException(
@@ -113,6 +115,11 @@ object CurationRun {
           s"published; staged slice at ${tr("corpus")}/v=$vCorpus")
 
     Catalog.commitStaged(catalogRoot, staged, base)
+    } finally {
+      // staging wrote every row the caches fed — release them so a
+      // long-lived ingestion driver doesn't accumulate cached blocks
+      dedupCaches.foreach(_.unpersist())
+    }
   }
 
   /** The released dataset view: every kept doc across all batches. */

@@ -81,10 +81,15 @@ object IncrementalDedup {
     * O(new canonicals). */
   def dedupBatch(spark: SparkSession, storeRoot: String, batch: DataFrame,
                  threshold: Double = 0.8): DataFrame = {
-    val (verdicts, newCanonicals) =
-      plan(batch, readStore(spark, storeRoot), threshold)
+    val (verdicts, newCanonicals, caches) =
+      planCached(batch, readStore(spark, storeRoot), threshold)
     if (!newCanonicals.isEmpty)
       SnapshotTable.commitAppend(newCanonicals, storeRoot, "sig_bucket")
+    // fully materialize the caller-owned verdicts cache, then release
+    // the internal signature/store caches a long-lived driver would
+    // otherwise accumulate across batches
+    verdicts.count()
+    caches.filterNot(_ eq verdicts).foreach(_.unpersist())
     verdicts
   }
 
@@ -93,9 +98,22 @@ object IncrementalDedup {
     * verdicts and the new canonicals' signature rows (with their
     * `sig_bucket`) ready to append. Callers that govern the store as a
     * catalog table ([[CurationRun]]) stage the append themselves and
-    * publish it atomically with the rest of the batch. */
+    * publish it atomically with the rest of the batch.
+    *
+    * The returned frames pin internal persisted intermediates; callers
+    * ingesting many batches should use [[planCached]] and unpersist the
+    * returned caches once both outputs are consumed. */
   def plan(batch: DataFrame, storeContent: DataFrame,
            threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    val (v, n, _) = planCached(batch, storeContent, threshold)
+    (v, n)
+  }
+
+  /** [[plan]] plus the internal persisted frames (signatures, store,
+    * verdicts) so eager runners can unpersist them after the commit
+    * that consumes the outputs. */
+  private[graft] def planCached(batch: DataFrame, storeContent: DataFrame,
+      threshold: Double = 0.8): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val shl = Dedup.shingled(batch).select("doc_id", "shingles")
       .filter(size(col("shingles")) > 0)
     // persisted: feeds the band join (twice via self-join) + the append
@@ -154,6 +172,6 @@ object IncrementalDedup {
       .join(sigs, "doc_id") // short docs have no signature → not stored
       .join(store.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("sig_bucket", pmod(col("doc_id"), lit(Buckets)))
-    (verdicts, newCanonicals)
+    (verdicts, newCanonicals, Seq(sigs, store, verdicts))
   }
 }

@@ -64,6 +64,15 @@ object IncrementalIvf {
             .select(col("vec_id").as("centroid_id"),
               col("v_embedding").as("ct_embedding"),
               col("v_nrm").as("ct_nrm")))
+        // an empty quantizer would brick the index permanently: every
+        // later append assigns against zero centroids (indexing nothing)
+        // and the exists-guard forbids ever supplying a real one
+        if (q.isEmpty) {
+          n.unpersist()
+          throw new IllegalArgumentException(
+            "index creation requires a non-empty quantizer (or a first " +
+              "batch with vec_id < nlist rows to seed one)")
+        }
         SnapshotTable.commit(q, centRoot(root))
         readCentroids(spark, root)
       }
@@ -94,8 +103,12 @@ object IncrementalIvf {
           .select("vec_id")
         asg.join(existing, Seq("vec_id"), "left_anti")
       }
-    if (slice.isEmpty) SnapshotTable.latestVersion(lroot)
-    else SnapshotTable.commitAppend(slice, lroot, "centroid_id")
+    val out =
+      if (slice.isEmpty) SnapshotTable.latestVersion(lroot)
+      else SnapshotTable.commitAppend(slice, lroot, "centroid_id")
+    asg.unpersist() // the commit consumed them — release the cache
+    n.unpersist()
+    out
   }
 
   /** Probe the stored index: for each query (`query_id`, `embedding`),
@@ -121,14 +134,23 @@ object IncrementalIvf {
       .filter(col("prn") <= nprobe)
       .select("query_id", "centroid_id", "q_embedding", "q_nrm")
       .persist()
-    val probed = probes.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0)) // planning metadata, ≤ queries×nprobe
+    // planning metadata, ≤ queries×nprobe rows: one collect consumes the
+    // cached probe plan, then the cache is released — the probe side is
+    // rebuilt from the collected pairs joined back to the query relation
+    // (no cached block outlives this call)
+    val pairs = probes.select(col("query_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    probes.unpersist()
+    val probed = pairs.map(_._2).distinct
     val pruneTo =
       if (probed.isEmpty) lit(false)
       else col("centroid_id").isin(probed.toIndexedSeq: _*)
+    import spark.implicits._
+    val probeSide = pairs.toSeq.toDF("query_id", "centroid_id")
+      .join(q, "query_id")
     SnapshotTable.read(spark, listsRoot(root))
       .filter(pruneTo)
-      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(probeSide), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
         DotProduct.dot(col("embedding"), col("q_embedding")) /

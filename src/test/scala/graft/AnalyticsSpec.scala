@@ -514,11 +514,16 @@ class AnalyticsSpec extends GraftSuite {
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |  AND n_name = 'NATION_3'
         |GROUP BY 1
-        |HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 0.001 * (
-        |  SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-        |  FROM q11_lineitem, q11_supplier, q11_nation
-        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |    AND n_name = 'NATION_3')""".stripMargin).collect()
+        |HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 2.0 * (
+        |  (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |   FROM q11_lineitem, q11_supplier, q11_nation
+        |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |     AND n_name = 'NATION_3')
+        |  /
+        |  (SELECT CAST(COUNT(DISTINCT l_partkey) AS DOUBLE)
+        |   FROM q11_lineitem, q11_supplier, q11_nation
+        |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |     AND n_name = 'NATION_3'))""".stripMargin).collect()
       .map(r => r.getLong(0) -> r.getDecimal(1).toPlainString).toMap
     val rows = Analytics.q11ImportantParts(Tables.supplier(spark, sf),
       Tables.nation(spark, sf), Tables.lineitem(spark, sf)).collect()

@@ -56,6 +56,16 @@ class CurationRunSpec extends GraftSuite {
     assert(Catalog.read(spark, cat, "corpus").count() === 5)
   }
 
+  test("an empty batch publishes an empty slice without NPE-ing the gate") {
+    val cat = Files.createTempDirectory("graft-curation-empty").toString
+    CurationRun.runBatch(spark, cat, docs(1L -> base, 2L -> other), 0L)
+    // zero rows staged: SUM(keep) aggregates to NULL — the gate must
+    // treat that as 0 kept of 0, not throw
+    val c = CurationRun.runBatch(spark, cat, docs(), 1L)
+    assert(c >= 0)
+    assert(Catalog.read(spark, cat, "corpus").count() === 2)
+  }
+
   test("a poisoned batch aborts before publication — corpus AND store untouched") {
     val cat = Files.createTempDirectory("graft-curation-gate").toString
     CurationRun.runBatch(spark, cat, docs(1L -> base), 0L)

@@ -54,6 +54,20 @@ class IncrementalIvfSpec extends GraftSuite {
     }
   }
 
+  test("an empty first batch cannot brick the index: creation throws") {
+    val root = Files.createTempDirectory("graft-ivf-empty").toString
+    // committing an empty quantizer would silently index nothing forever
+    // (zero centroids to assign against, and the exists-guard forbids
+    // ever supplying a real one) — creation must fail loudly instead
+    intercept[IllegalArgumentException] {
+      IncrementalIvf.appendBatch(spark, root, emb.filter(col("vec_id") < 0))
+    }
+    assert(SnapshotTable.latestVersion(s"$root/centroids") < 0)
+    // a real first batch afterwards creates the index normally
+    IncrementalIvf.appendBatch(spark, root, emb.filter(col("vec_id") < 100))
+    assert(SnapshotTable.read(spark, s"$root/lists").count() === 100)
+  }
+
   test("search scans only the probed partitions") {
     val root = Files.createTempDirectory("graft-ivf-prune").toString
     IncrementalIvf.appendBatch(spark, root, emb)
