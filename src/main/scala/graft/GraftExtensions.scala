@@ -3,15 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{DotProduct, SimhashFingerprint}
+import graft.functions.{BloomContains, DotProduct, SimhashFingerprint}
 
 /** Spark session extensions for the graft engine.
   *
   * Wire up with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get
   * the engine's native expressions in SQL and the DataFrame API:
-  * `graft_dot(a, b)` (codegen'd float-array dot product) and
-  * `graft_simhash(hs)` (codegen'd 60-bit SimHash fingerprint).
+  * `graft_dot(a, b)` (codegen'd float-array dot product),
+  * `graft_simhash(hs)` (codegen'd 60-bit SimHash fingerprint), and
+  * `graft_bloom_contains(filter, s)` (codegen'd bloom membership
+  * probe over a serialized sketch literal).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -20,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(SimhashFingerprint.name), SimhashFingerprint.info,
         SimhashFingerprint.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(BloomContains.name), BloomContains.info,
+        BloomContains.builder))
   }
 }

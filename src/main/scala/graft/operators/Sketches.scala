@@ -92,10 +92,11 @@ object Sketches {
       if (n == 0L) corpus.limit(0)
       else {
         val bf = evalShingles.stat.bloomFilter("sh", n, fpp)
-        val bfBc = spark.sparkContext.broadcast(bf)
-        val mightContain =
-          udf((s: String) => bfBc.value.mightContainString(s))
-        corpus.filter(mightContain(col("sh"))) // sublinear pre-prune, no FN
+        graft.functions.BloomContains.register(spark)
+        // codegen'd native probe over the serialized sketch — the
+        // sublinear pre-prune, no FN; stays in whole-stage codegen
+        corpus.filter(graft.functions.BloomContains.contains(
+          lit(graft.functions.BloomContains.serialize(bf)), col("sh")))
       }
     pruned
       .join(broadcast(evalShingles), "sh") // exact verify: FPs drop here
@@ -116,11 +117,12 @@ object Sketches {
     val n = evalShingles.count()
     if (n == 0L) return 0.0d
     val bf = evalShingles.stat.bloomFilter("sh", n, fpp)
-    val bfBc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => bfBc.value.mightContainString(s))
+    graft.functions.BloomContains.register(spark)
+    val probe = graft.functions.BloomContains.contains(
+      lit(graft.functions.BloomContains.serialize(bf)), col("sh"))
     val corpus = inv.filter(col("source") =!= evalSource).persist()
     val total = corpus.count().max(1L)
-    val kept = corpus.filter(mightContain(col("sh"))).count()
+    val kept = corpus.filter(probe).count()
     corpus.unpersist()
     kept.toDouble / total.toDouble
   }
