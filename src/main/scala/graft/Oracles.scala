@@ -689,6 +689,14 @@ object Oracles {
         |FROM final""".stripMargin),
 
     // Health rollup over TWO identical full runs: per-stage row counts
+    // Data skipping is answer-INVISIBLE by construction: the key reads
+    // a snapshot of lineitem through the file-pruning path, the oracle
+    // scans everything — identical rows is exactly the claim.
+    "snapshot_skipping_read" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_returnflag
+        |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
+
     // recomputed independently from the CTE chain (the quality_report
     // stage is excluded — its row count is the check-suite size, gated
     // by data_quality).

@@ -203,6 +203,20 @@ object SparkEntry {
         .select("stage", "n_runs", "total_rows", "last_rows",
           "total_retries")
     },
+    // manifest column-stats data skipping: commit lineitem range-laid
+    // over l_orderkey with per-file bounds, then read through the
+    // file-pruning path — the oracle's full scan IS the answer-identity
+    // proof (plan/IO assertions live in DataSkippingSpec)
+    "snapshot_skipping_read" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-skip-key").toString
+      val li = Tables.lineitem(s, dir)
+        .repartitionByRange(8, col("l_orderkey"))
+      SnapshotTable.commit(li, out, statsCols = Seq("l_orderkey"))
+      SnapshotTable.readSkipping(s, out, "l_orderkey <= 500")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+    },
     "q6_forecast_revenue" -> ((s, dir) =>
       Analytics.q6ForecastRevenue(Tables.lineitem(s, dir))),
     "q10_returned_items" -> ((s, dir) =>

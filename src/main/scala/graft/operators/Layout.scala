@@ -49,17 +49,25 @@ object Layout {
     * time, amortized over every subsequent selective read; the curve
     * expression is codegen'd bit arithmetic. */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
-                    path: String, numFiles: Int = 8): Unit = {
+                    path: String, numFiles: Int = 8): Unit =
+    zOrdered(df, colA, colB, numFiles).write.mode("overwrite").parquet(path)
+
+  /** The curve layout itself: `df` range-partitioned + sorted along the
+    * Morton curve of (`colA`, `colB`) so each output partition (= file,
+    * when written) covers a tight bounding box in BOTH dimensions.
+    * Compose with [[SnapshotTable.commit]]`(zOrdered(...), root,
+    * statsCols = Seq(colA, colB))` to persist those per-file boxes as
+    * manifest column stats — [[SnapshotTable.readSkipping]] then prunes
+    * files on range predicates over EITHER dimension. */
+  def zOrdered(df: DataFrame, colA: String, colB: String,
+               numFiles: Int = 8): DataFrame = {
     val s = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
     // empty input or all-NULL z-order columns: no min/max to normalize
     // against — a degenerate table gains nothing from curve layout, so
-    // write it as-is instead of NPE-ing on the NULL aggregates
-    if (s.isNullAt(0) || s.isNullAt(2)) {
-      df.write.mode("overwrite").parquet(path)
-      return
-    }
+    // pass it through instead of NPE-ing on the NULL aggregates
+    if (s.isNullAt(0) || s.isNullAt(2)) return df
     def norm(c: String, lo: Double, hi: Double): Column =
       least(lit(65535L), floor(
         (col(c).cast("double") - lit(lo)) /
@@ -76,7 +84,6 @@ object Layout {
       .repartitionByRange(numFiles, col("_zorder"))
       .sortWithinPartitions("_zorder")
       .drop("_zorder")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Salted inner equi-join: `big` is salted randomly-but-

@@ -76,10 +76,13 @@ object SnapshotTable {
     * rollback the still-on-disk newer versions must never be
     * overwritten in place (copy-on-write isolation). The version dir is
     * claimed atomically first, so a concurrent committer racing to the
-    * same version number fails instead of silently overwriting. */
-  def commit(df: DataFrame, root: String): Long = {
+    * same version number fails instead of silently overwriting.
+    * `statsCols` additionally records per-FILE min/max manifest stats
+    * for those columns ([[readSkipping]] prunes files with them). */
+  def commit(df: DataFrame, root: String,
+             statsCols: Seq[String] = Seq.empty): Long = {
     val base = latestVersion(root)
-    val next = stageVersion(df, root, base)
+    val next = stageVersion(df, root, base, statsCols)
     moveMarker(root, next)
     next
   }
@@ -93,10 +96,12 @@ object SnapshotTable {
     * cannot give). The `_parent` recorded is the version this staging
     * logically succeeds (ancestry for fast-forward checks). */
   private[graft] def stageVersion(df: DataFrame, root: String,
-                                  parent: Long = -1L): Long = {
+                                  parent: Long = -1L,
+                                  statsCols: Seq[String] = Seq.empty): Long = {
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
     df.write.mode("overwrite").parquet(s"$root/v=$next")
+    recordFileStats(df.sparkSession, root, next, statsCols)
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), parent.toString)
     stampCommitted(root, next)
     next
@@ -537,9 +542,10 @@ object SnapshotTable {
     * the slice; untouched data: zero bytes moved. Works on top of a
     * plain full commit (its partitions become the inherited base) or
     * from empty. */
-  def commitDelta(slice: DataFrame, root: String, partitionCol: String): Long = {
+  def commitDelta(slice: DataFrame, root: String, partitionCol: String,
+                  statsCols: Seq[String] = Seq.empty): Long = {
     val base = latestVersion(root)
-    val next = stageDelta(slice, root, partitionCol, base)
+    val next = stageDelta(slice, root, partitionCol, base, statsCols)
     moveMarker(root, next)
     next
   }
@@ -550,8 +556,10 @@ object SnapshotTable {
     * is the catalog manifest's version rather than a per-table
     * marker. */
   private[graft] def stageDelta(slice: DataFrame, root: String,
-                                partitionCol: String, base: Long): Long =
-    stageManifested(slice, root, partitionCol, base, append = false)
+                                partitionCol: String, base: Long,
+                                statsCols: Seq[String] = Seq.empty): Long =
+    stageManifested(slice, root, partitionCol, base, append = false,
+      statsCols = statsCols)
 
   /** Append `slice` to the table, touching NO existing bytes: the new
     * version's manifest keeps every base entry and ADDS the freshly
@@ -564,8 +572,10 @@ object SnapshotTable {
     * [[manifestEntries]]; compaction ([[Maintenance]]) folds
     * accumulated small appends back into one directory per partition
     * via a delta commit. */
-  def commitAppend(slice: DataFrame, root: String, partitionCol: String): Long = {
-    val next = stageAppend(slice, root, partitionCol, latestVersion(root))
+  def commitAppend(slice: DataFrame, root: String, partitionCol: String,
+                   statsCols: Seq[String] = Seq.empty): Long = {
+    val next = stageAppend(slice, root, partitionCol, latestVersion(root),
+      statsCols)
     moveMarker(root, next)
     next
   }
@@ -573,8 +583,10 @@ object SnapshotTable {
   /** The staging half of [[commitAppend]] (fully written + manifested,
     * nothing published), against an explicit base version. */
   private[graft] def stageAppend(slice: DataFrame, root: String,
-                                 partitionCol: String, base: Long): Long =
-    stageManifested(slice, root, partitionCol, base, append = true)
+                                 partitionCol: String, base: Long,
+                                 statsCols: Seq[String] = Seq.empty): Long =
+    stageManifested(slice, root, partitionCol, base, append = true,
+      statsCols = statsCols)
 
   /** Row-level DELETE as a partition-pruned copy-on-write delta commit
     * (the GDPR-delete / `DELETE FROM ... WHERE` of the table formats):
@@ -623,7 +635,8 @@ object SnapshotTable {
   private def stageManifested(slice: DataFrame, root: String,
                               partitionCol: String, base: Long,
                               append: Boolean,
-                              removeParts: Set[String] = Set.empty): Long = {
+                              removeParts: Set[String] = Set.empty,
+                              statsCols: Seq[String] = Seq.empty): Long = {
     val baseEntries: Seq[(String, Long)] =
       if (base < 0) Seq.empty
       else {
@@ -647,6 +660,7 @@ object SnapshotTable {
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
     slice.write.mode("append").partitionBy(partitionCol).parquet(s"$root/v=$next")
+    recordFileStats(slice.sparkSession, root, next, statsCols)
     val touched = listPartitionDirs(root, next)
     val kept =
       if (append) baseEntries
@@ -680,6 +694,158 @@ object SnapshotTable {
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
       .map(_.getFileName.toString).toSeq.sorted
     finally stream.close()
+  }
+
+  // ───────── file-level column stats (manifest data skipping) ─────────
+  //
+  // The one Iceberg read-path capability beyond partition pruning: the
+  // manifest records per-FILE min/max bounds for chosen columns, and a
+  // selective predicate on a NON-partition column prunes files before
+  // Spark ever plans the scan. Stats live as a tiny TYPED parquet
+  // sidecar under the storage version that wrote the files
+  // (`v=N/_stats/`, underscore-prefixed so data scans ignore it), so a
+  // manifested read collects bounds across every referenced storage
+  // version. Files without stats are always kept — skipping is purely
+  // an IO optimization, never an answer change.
+
+  private def statsPath(root: String, version: Long) =
+    Paths.get(root, s"v=$version", "_stats")
+
+  /** Record per-file min/max for `statsCols` over version `version`'s
+    * freshly-written files. One aggregation over ONLY the new files —
+    * O(batch) for appends/deltas, the cost class of the write itself
+    * (a production writer lifts the same numbers from the parquet
+    * footers its tasks just produced). */
+  private def recordFileStats(spark: SparkSession, root: String,
+                              version: Long, statsCols: Seq[String]): Unit = {
+    if (statsCols.isEmpty) return
+    val df = spark.read.parquet(s"$root/v=$version")
+    val present = statsCols.filter(df.columns.contains)
+    if (present.isEmpty) return
+    val aggs = present.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+    df.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      // store root-relative paths: the table directory must stay movable
+      .withColumn("_file", regexp_extract(col("_file"), "(v=\\d+/.*)$", 1))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath(root, version).toString)
+  }
+
+  /** The recorded per-file bounds of a storage version (empty frame
+    * columns differ by table; None when the version carries none). */
+  def fileStats(spark: SparkSession, root: String,
+                version: Long): Option[DataFrame] =
+    if (Files.exists(statsPath(root, version)))
+      Some(spark.read.parquet(statsPath(root, version).toString))
+    else None
+
+  /** Rewrite a row predicate into its file-BOUNDS test over the stats
+    * columns (`c__min`/`c__max`): true ⇔ the file's bounds CANNOT
+    * refute the predicate. Only the monotone fragment prunes —
+    * comparisons and IN between a column and literals, composed with
+    * AND/OR; anything else (LIKE, IS NULL, expressions over columns,
+    * uncovered columns) conservatively keeps the file. NULL bounds
+    * (all-null file, missing stats column) also keep — `coalesce(...,
+    * true)` at every leaf. */
+  private def boundsSql(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                        covered: String => Boolean): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def leaf(a: UnresolvedAttribute, side: String, op: String,
+             l: Literal): String = {
+      val c = a.nameParts.last
+      if (!covered(c)) "true"
+      else s"coalesce(`${c}__$side` $op ${l.sql}, true)"
+    }
+    def eq(a: UnresolvedAttribute, l: Literal): String = {
+      val c = a.nameParts.last
+      if (!covered(c)) "true"
+      else s"(coalesce(`${c}__min` <= ${l.sql}, true) AND " +
+        s"coalesce(`${c}__max` >= ${l.sql}, true))"
+    }
+    e match {
+      case And(l, r) => s"(${boundsSql(l, covered)} AND ${boundsSql(r, covered)})"
+      case Or(l, r) => s"(${boundsSql(l, covered)} OR ${boundsSql(r, covered)})"
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) => leaf(a, "max", ">", l)
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) => leaf(a, "min", "<", l)
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => leaf(a, "max", ">=", l)
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => leaf(a, "min", "<=", l)
+      case LessThan(a: UnresolvedAttribute, l: Literal) => leaf(a, "min", "<", l)
+      case LessThan(l: Literal, a: UnresolvedAttribute) => leaf(a, "max", ">", l)
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => leaf(a, "min", "<=", l)
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => leaf(a, "max", ">=", l)
+      case EqualTo(a: UnresolvedAttribute, l: Literal) => eq(a, l)
+      case EqualTo(l: Literal, a: UnresolvedAttribute) => eq(a, l)
+      case In(a: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.map(v => eq(a, v.asInstanceOf[Literal])).mkString("(", " OR ", ")")
+      case _ => "true"
+    }
+  }
+
+  /** [[read]] + `.filter(predicate)`, with manifest-stats FILE SKIPPING:
+    * files whose recorded bounds refute the predicate never reach the
+    * scan (`result.inputFiles` shows the pruned list). Answer-identical
+    * to the unpruned read by construction — bounds only ever refute,
+    * the surviving files still run the full row filter, and files
+    * without stats are kept. The predicate is a SQL boolean expression
+    * (e.g. `"price > 4000 AND product_id = 'p1'"`); driver-side work is
+    * one walk of the referenced partition dirs (the same metadata cost
+    * every manifest read pays) plus a filter over the tiny stats
+    * relation. */
+  def readSkipping(spark: SparkSession, root: String, predicate: String,
+                   version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    val entries = manifestEntries(root, v)
+    // (relative dir, storage version) pairs the read would scan
+    val dirs: Seq[(String, Long)] =
+      if (entries.isEmpty) Seq(s"v=$v" -> v)
+      else entries.sorted.map { case (part, sv) => s"v=$sv/$part" -> sv }
+    val candidates: Seq[String] = dirs.flatMap { case (rel, _) =>
+      val d = Paths.get(root, rel)
+      if (!Files.exists(d)) Seq.empty
+      else {
+        val stream = Files.list(d)
+        try stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+          .filterNot(n => Files.isDirectory(Paths.get(root, rel, n)))
+          .map(n => s"$rel/$n").toSeq
+        finally stream.close()
+      }
+    }
+    val statVersions = dirs.map(_._2).distinct.sorted
+    val stats = statVersions.flatMap(fileStats(spark, root, _))
+      .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val refuted: Set[String] = stats match {
+      case None => Set.empty
+      case Some(st) =>
+        val coveredCols = st.columns.filter(_.endsWith("__min"))
+          .map(_.stripSuffix("__min")).toSet
+        val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+        val keepSql = boundsSql(parsed, coveredCols.contains)
+        // definitely-refutable files only: NULL/missing bounds keep
+        st.filter(not(coalesce(expr(keepSql), lit(true))))
+          .select("_file").collect().map(_.getString(0)).toSet
+    }
+    val kept = candidates.filterNot(refuted)
+    val rowFilter = expr(predicate)
+    if (kept.isEmpty) {
+      val schema = read(spark, root, v).schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(rowFilter)
+    }
+    // mirror read()'s manifested path: schema from version metadata,
+    // basePath-rooted union so partition columns resolve; the storage
+    // `v` layer is inferred as a partition and dropped
+    val reader = recordedSchema(root, v)
+      .map(spark.read.schema(_)).getOrElse(spark.read)
+    reader.option("basePath", root)
+      .parquet(kept.map(f => s"$root/$f"): _*)
+      .drop("v")
+      .filter(rowFilter)
   }
 
   // ───────────────── crash-leftover GC (orphan sweep) ─────────────────
