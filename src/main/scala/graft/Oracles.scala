@@ -1483,6 +1483,44 @@ object Oracles {
         |  CAST(LEAST(32, n - i * 24) AS BIGINT) AS n_tokens
         |FROM e""".stripMargin,
 
+    // Chunk-level repeated-passage spans: the doc_chunks CTE hashed per
+    // window; every occurrence that is not its hash group's earliest
+    // (in doc_id*IdSpace+chunk_idx order) is a removal span pointing at
+    // the canonical occurrence. Pure integer span arithmetic.
+    "chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+        |    CASE WHEN len(w) <= 32 THEN CAST(1 AS BIGINT)
+        |         ELSE (CAST(len(w) AS BIGINT) - 32 + 23) // 24 + 1 END AS nc
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, w, n,
+        |    UNNEST(generate_series(0, nc - 1)) AS i
+        |  FROM c
+        |), ch AS (
+        |  SELECT doc_id,
+        |    CAST(i AS BIGINT) AS chunk_idx,
+        |    md5(array_to_string(w[CAST(i * 24 + 1 AS INT) : CAST(i * 24 + 32 AS INT)], ' ')) AS chunk_hash,
+        |    CAST(LEAST(32, n - i * 24) AS BIGINT) AS n_tokens
+        |  FROM e
+        |), g AS (
+        |  SELECT chunk_hash,
+        |    MIN(doc_id * 10000000 + chunk_idx) AS canon_key,
+        |    CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, ch.chunk_idx,
+        |  CAST(ch.chunk_idx * 24 AS BIGINT) AS span_start,
+        |  CAST(ch.chunk_idx * 24 + ch.n_tokens AS BIGINT) AS span_end,
+        |  CAST(g.canon_key // 10000000 AS BIGINT) AS canonical_doc,
+        |  CAST(g.canon_key % 10000000 AS BIGINT) AS canonical_chunk,
+        |  g.n_occurrences
+        |FROM ch JOIN g USING (chunk_hash)
+        |WHERE ch.doc_id * 10000000 + ch.chunk_idx <> g.canon_key""".stripMargin,
+
     // Discrete per-language token-count quantiles: rank index in pure
     // integer arithmetic (ceil(p*n) = (p_num*n + p_den-1) // p_den), no
     // FP interpolation — values are exact BIGINTs on both engines.
