@@ -688,6 +688,32 @@ object Oracles {
         |  CAST(volume_24h AS DOUBLE) AS volume_24h, as_of
         |FROM final""".stripMargin),
 
+    // The market-dashboard rollup: price_latest's serving columns plus
+    // a trailing-24h candle aggregation anchored at the same as_of —
+    // window (as_of − 24h, as_of], min_by open on the unique
+    // window_start, exact decimal volume sums.
+    "market_dashboard" -> withTrades("dm",
+      s""", $priceLatestCtes,
+        |roll AS (
+        |  SELECT product_id,
+        |    min_by(open, window_start) AS open_24h,
+        |    MAX(high) AS high_24h_trailing,
+        |    MIN(low) AS low_24h_trailing,
+        |    CAST(SUM(volume) AS DECIMAL(18,8)) AS volume_24h_trailing,
+        |    CAST(SUM(trade_count) AS BIGINT) AS n_trades_24h,
+        |    CAST(COUNT(*) AS BIGINT) AS n_candles_24h
+        |  FROM h1, anchor WHERE window_start > as_of - INTERVAL '24 hours'
+        |  GROUP BY 1)
+        |SELECT f.product_id, CAST(f.price AS DOUBLE) AS price, f.updated_at,
+        |  CAST(f.change_1h_pct AS DOUBLE) AS change_1h_pct,
+        |  CAST(f.change_24h_pct AS DOUBLE) AS change_24h_pct,
+        |  CAST(r.open_24h AS DOUBLE) AS open_24h,
+        |  CAST(r.high_24h_trailing AS DOUBLE) AS high_24h_trailing,
+        |  CAST(r.low_24h_trailing AS DOUBLE) AS low_24h_trailing,
+        |  CAST(r.volume_24h_trailing AS DOUBLE) AS volume_24h_trailing,
+        |  r.n_trades_24h, r.n_candles_24h, f.as_of
+        |FROM final f LEFT JOIN roll r ON f.product_id = r.product_id""".stripMargin),
+
     // Health rollup over TWO identical full runs: per-stage row counts
     // Data skipping is answer-INVISIBLE by construction: the key reads
     // a snapshot of lineitem through the file-pruning path, the oracle

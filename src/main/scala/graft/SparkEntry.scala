@@ -102,6 +102,16 @@ object SparkEntry {
       val h1 = Ohlcv.ohlcv1h(m1).persist()
       PriceLatest.latest(st, m1, h1, DailyMetrics.daily(h1))
     },
+    // the market dashboard's one backing table: price_latest columns +
+    // the trailing-24h candle rollup (h1 feeds the rollup AND the
+    // serving-table chain — persist the shared chain once)
+    "market_dashboard" -> { (s, dir) =>
+      val st = stg(s, dir).persist()
+      val m1 = Ohlcv.ohlcv1m(st).persist()
+      val h1 = Ohlcv.ohlcv1h(m1).persist()
+      MarketDashboard.dashboard(
+        PriceLatest.latest(st, m1, h1, DailyMetrics.daily(h1)), h1)
+    },
     "data_quality" -> { (s, dir) =>
       // full-pipeline quality report: each stage from silver on feeds
       // 2+ consumers (its own suite + the next stage), so persist the
