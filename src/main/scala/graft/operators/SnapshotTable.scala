@@ -133,6 +133,13 @@ object SnapshotTable {
     val m = manifestEntries(root, v)
     if (m.isEmpty) spark.read.parquet(s"$root/v=$v")
     else {
+      // field-id resolution (the Iceberg evolution rule): when version
+      // metadata carries a field-id table, every referenced storage
+      // era's PHYSICAL column names resolve to the current names by id
+      // — a renamed column reads correctly from files written under its
+      // old name, a dropped-then-readded name never resurrects old data
+      val eras = eraProjections(spark, root, v, m)
+      if (eras.isDefined) return eras.get
       val dirs = m.sorted.map { case (part, sv) => s"$root/v=$sv/$part" }
       // schema from version METADATA, not file-footer sampling (the
       // Iceberg rule): a union scan over storage versions written
@@ -154,6 +161,190 @@ object SnapshotTable {
     if (!Files.exists(p)) None
     else Some(types.DataType.fromJson(Files.readString(p))
       .asInstanceOf[types.StructType])
+  }
+
+  // ──────── field-id schema evolution (rename/drop as metadata) ────────
+  //
+  // Iceberg's rule: every column carries a STABLE field id; a rename or
+  // drop is a metadata-only commit (zero data movement) and readers
+  // resolve each file era's physical names by id. `_fields` in a
+  // version dir maps id → the name current AT THAT VERSION; files of a
+  // storage era are projected onto the reading version's names through
+  // the shared ids. Versions written before field ids existed fall back
+  // to name-identity (documented: a drop-then-readd across that
+  // boundary could resurrect — impossible once `_fields` exists, since
+  // the re-added column gets a fresh id).
+
+  private def fieldsPath(root: String, version: Long) =
+    Paths.get(root, s"v=$version", "_fields")
+
+  /** The field-id table of `version`: (id, name-at-that-version). */
+  def fieldIds(root: String, version: Long): Option[Seq[(Int, String)]] = {
+    val p = fieldsPath(root, version)
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).linesIterator
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+        val i = l.indexOf('\t')
+        l.substring(0, i).toInt -> l.substring(i + 1)
+      }.toSeq)
+  }
+
+  /** The monotone id high-water mark (Iceberg's `last-column-id`): ids
+    * allocate strictly past it FOREVER, so a column dropped and later
+    * re-added under the same name can never reclaim the dropped id (and
+    * thus never resurrects old files' bytes). */
+  private def lastFieldId(root: String, version: Long): Int = {
+    val p = fieldsPath(root, version)
+    if (!Files.exists(p)) return 0
+    val lines = Files.readString(p).linesIterator.toSeq
+    lines.find(_.startsWith("#last\t"))
+      .map(_.stripPrefix("#last\t").toInt)
+      .getOrElse(fieldIds(root, version).map(_.map(_._1)).getOrElse(Seq(0)).max)
+  }
+
+  private def writeFields(root: String, version: Long,
+                          fields: Seq[(Int, String)], lastId: Int): Unit =
+    Files.writeString(fieldsPath(root, version),
+      (s"#last\t$lastId" +: fields.map { case (id, n) => s"$id\t$n" })
+        .mkString("\n"))
+
+  /** Ids for `schema`'s fields at a version whose base is `base`:
+    * names present in the base keep their ids (or their base-schema
+    * POSITION when the base predates field ids — the name-identity
+    * fallback the reader applies to those eras), new names allocate
+    * past the base's id high-water mark. Returns (assignment, new high
+    * water). */
+  private def assignFieldIds(root: String, base: Long,
+      schema: types.StructType): (Seq[(Int, String)], Int) = {
+    val baseIds: Map[String, Int] =
+      if (base < 0) Map.empty
+      else fieldIds(root, base).map(_.map(t => t._2 -> t._1).toMap)
+        .getOrElse(recordedSchema(root, base)
+          .map(_.fieldNames.toSeq.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap)
+          .getOrElse(Map.empty))
+    var nextId = math.max(
+      if (base < 0) 0 else lastFieldId(root, base),
+      (baseIds.values.toSeq :+ 0).max)
+    val assigned = schema.fields.toSeq.map { f =>
+      baseIds.get(f.name) match {
+        case Some(id) => id -> f.name
+        case None => nextId += 1; nextId -> f.name
+      }
+    }
+    (assigned, nextId)
+  }
+
+  /** RENAME a column as a METADATA-ONLY commit: the new version
+    * inherits every manifest entry by reference (zero bytes moved),
+    * records the renamed schema under the SAME field id, and readers
+    * resolve old-era files by id. Time travel to pre-rename versions
+    * still reads the old name (each version reads under ITS schema).
+    * The partition column cannot be renamed (its name is the physical
+    * directory layout). */
+  def renameColumn(spark: SparkSession, root: String, oldName: String,
+                   newName: String): Long = {
+    commitMetadataEvolution(spark, root, "rename", oldName, Some(newName))
+  }
+
+  /** DROP a column as a METADATA-ONLY commit: the field id leaves the
+    * schema, files keep their bytes (readers stop projecting them), and
+    * a later re-add under the same name allocates a FRESH id — old data
+    * can never resurrect. Time travel still reads the dropped column at
+    * pre-drop versions. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long =
+    commitMetadataEvolution(spark, root, "drop", name, None)
+
+  private def commitMetadataEvolution(spark: SparkSession, root: String,
+                                      op: String, name: String,
+                                      to: Option[String]): Long = {
+    val base = latestVersion(root)
+    require(base >= 0, s"no committed version at $root")
+    val m = manifestEntries(root, base)
+    require(m.nonEmpty,
+      s"$op is metadata-only on manifested tables; plain snapshots " +
+        "rewrite via commit()")
+    partitionSpec(root).foreach(p => require(p != name,
+      s"cannot $op partition column '$p' — it is the directory layout"))
+    val schema = recordedSchema(root, base)
+      .getOrElse(read(spark, root, base).schema)
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' in ${schema.fieldNames.mkString(", ")}")
+    to.foreach(n => require(!schema.fieldNames.contains(n),
+      s"column '$n' already exists"))
+    val (baseFields, lastId) = assignFieldIds(root, base, schema)
+    val (newSchema, newFields) = op match {
+      case "rename" =>
+        (types.StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(name = to.get) else f)),
+          baseFields.map { case (id, n) =>
+            id -> (if (n == name) to.get else n) })
+      case _ =>
+        (types.StructType(schema.fields.filterNot(_.name == name)),
+          baseFields.filterNot(_._2 == name))
+    }
+    val next = versions(root).lastOption.getOrElse(-1L) + 1
+    claimVersion(root, next)
+    writeManifest(root, next, m) // every entry inherited — zero data moved
+    Files.writeString(schemaPath(root, next), newSchema.json)
+    // the high-water mark survives a drop — that is the whole point
+    writeFields(root, next, newFields, lastId)
+    Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
+    stampCommitted(root, next)
+    moveMarker(root, next)
+    next
+  }
+
+  /** Id-resolved manifested read: None when the reading version has no
+    * field-id table or every referenced era already matches the current
+    * names (the fast path — ONE union relation, no per-era projection).
+    * Otherwise each group of storage eras sharing a physical naming is
+    * scanned under its PHYSICAL read schema (pushdown and partition
+    * pruning intact per group) and projected onto the current names by
+    * field id; added-later columns null-fill, dropped ids are not
+    * selected. */
+  private def eraProjections(spark: SparkSession, root: String, v: Long,
+                             m: Seq[(String, Long)]): Option[DataFrame] = {
+    val curFields = fieldIds(root, v).getOrElse(return None)
+    val curSchema = recordedSchema(root, v).getOrElse(return None)
+    val nameToId = curFields.map(t => t._2 -> t._1).toMap
+    // physical name of each current field in era `sv` (None = absent)
+    def projOf(sv: Long): Seq[Option[String]] = {
+      val eraIds = fieldIds(root, sv).map(_.toMap)
+      val eraNames = recordedSchema(root, sv).map(_.fieldNames.toSet)
+      curSchema.fields.toSeq.map { f =>
+        val phys = eraIds match {
+          case Some(ids) => nameToId.get(f.name).flatMap(ids.get)
+          case None => Some(f.name) // pre-field-id era: name identity
+        }
+        phys.filter(p => eraNames.forall(_.contains(p)))
+      }
+    }
+    val identity = curSchema.fieldNames.toSeq.map(Option(_))
+    val bySv = m.map(_._2).distinct.map(sv => sv -> projOf(sv)).toMap
+    if (bySv.values.forall(_ == identity)) return None // fast path
+    // mirror the fast path's column order: data columns in schema
+    // order, the partition column appended last (Spark's layout for
+    // basePath partition-discovery reads)
+    val partCol = partitionSpec(root)
+    def orderKey(f: types.StructField): Int =
+      if (partCol.contains(f.name)) 1 else 0
+    val groups = m.sorted.groupBy(e => bySv(e._2))
+    val parts = groups.toSeq.sortBy(_._2.head).map { case (proj, entries) =>
+      val dirs = entries.map { case (part, sv) => s"$root/v=$sv/$part" }
+      val readSchema = types.StructType(
+        curSchema.fields.toSeq.zip(proj).collect {
+          case (f, Some(p)) => types.StructField(p, f.dataType, nullable = true)
+        })
+      spark.read.schema(readSchema).option("basePath", root)
+        .parquet(dirs: _*).drop("v")
+        .select(curSchema.fields.toSeq.zip(proj)
+          .sortBy { case (f, _) => orderKey(f) }
+          .map {
+            case (f, Some(p)) => col(s"`$p`").as(f.name)
+            case (f, None) => lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+    }
+    Some(parts.reduce(_.unionByName(_)))
   }
 
   /** MERGE-upsert `source` into the table on `key` and commit the
@@ -682,6 +873,13 @@ object SnapshotTable {
         slice.schema.fields.filterNot(f => bs.fieldNames.contains(f.name)))
     }
     Files.writeString(schemaPath(root, next), evolved.json)
+    // stable field ids ride every manifested commit: base names keep
+    // their ids, new columns allocate past the id high-water mark
+    // (rename/drop readers resolve physical names through these)
+    locally {
+      val (fids, lastId) = assignFieldIds(root, base, evolved)
+      writeFields(root, next, fids, lastId)
+    }
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)
     next
