@@ -602,7 +602,8 @@ object Catalog {
           // reachability extends through each live version's partition
           // manifest (targets are storage versions — one hop suffices)
           val keep = direct ++
-            direct.flatMap(v => SnapshotTable.manifestEntries(tr, v).map(_._2))
+            direct.flatMap(v => SnapshotTable.manifestEntries(tr, v).map(_._2)
+              ++ SnapshotTable.deleteEntries(tr, v))
           val dead = SnapshotTable.versions(tr)
             .filter(v => !keep(v) && SnapshotTable.isCommitted(tr, v))
           dead.foreach { v =>

@@ -127,6 +127,22 @@ object Serving {
     view
   }
 
+  /** Register a table's METADATA inspection views — the Iceberg/Trino
+    * `t$snapshots` / `t$files` / `t$refs` / `t$history` ops surface
+    * ([[TableInspect]]) as SQL: `<name>_snapshots`, `<name>_files`,
+    * `<name>_refs`, `<name>_history`. Metadata-only reads (no data
+    * bytes touched). Returns the view names. */
+  def registerTableMetadata(spark: SparkSession, root: String,
+                            name: String): Seq[String] = {
+    val views = Seq(
+      s"${name}_snapshots" -> TableInspect.snapshots(spark, root),
+      s"${name}_files" -> TableInspect.files(spark, root),
+      s"${name}_refs" -> TableInspect.refs(spark, root),
+      s"${name}_history" -> TableInspect.history(spark, root))
+    views.foreach { case (v, df) => df.createOrReplaceTempView(v) }
+    views.map(_._1)
+  }
+
   /** Drop previously registered views (cleanup for session reuse). */
   def unregister(spark: SparkSession, views: Iterable[String]): Unit =
     views.foreach(spark.catalog.dropTempView)

@@ -130,15 +130,39 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion(root)
     require(v >= 0, s"no committed version at $root")
+    val dels = deleteEntries(root, v)
+    val df = scan(spark, root, v, withPos = dels.nonEmpty)
+    applyDeleteFiles(spark, root, dels, df)
+  }
+
+  /** Reserved (file, position) column names carried by [[scan]] when a
+    * read must resolve merge-on-read delete files. Root-relative file
+    * paths (`v=N/part=.../file.parquet`) keep the table movable. */
+  private val FileCol = "_gft_file"
+  private val PosCol = "_gft_pos"
+
+  private def posCols: Seq[Column] = Seq(
+    regexp_extract(col("_metadata.file_path"), "(v=\\d+/.*)$", 1)
+      .as(FileCol),
+    col("_metadata.row_index").as(PosCol))
+
+  /** The physical scan of a version — plain, manifested, or
+    * era-projected — optionally carrying each row's (file, position)
+    * identity from the parquet reader's `_metadata` column (needed to
+    * resolve merge-on-read position deletes). */
+  private def scan(spark: SparkSession, root: String, v: Long,
+                   withPos: Boolean): DataFrame = {
     val m = manifestEntries(root, v)
-    if (m.isEmpty) spark.read.parquet(s"$root/v=$v")
-    else {
+    if (m.isEmpty) {
+      val base = spark.read.parquet(s"$root/v=$v")
+      if (withPos) base.select(col("*") +: posCols: _*) else base
+    } else {
       // field-id resolution (the Iceberg evolution rule): when version
       // metadata carries a field-id table, every referenced storage
       // era's PHYSICAL column names resolve to the current names by id
       // — a renamed column reads correctly from files written under its
       // old name, a dropped-then-readded name never resurrects old data
-      val eras = eraProjections(spark, root, v, m)
+      val eras = eraProjections(spark, root, v, m, withPos)
       if (eras.isDefined) return eras.get
       val dirs = m.sorted.map { case (part, sv) => s"$root/v=$sv/$part" }
       // schema from version METADATA, not file-footer sampling (the
@@ -147,9 +171,26 @@ object SnapshotTable {
       // and planning must not read every footer at 100 TB file counts
       val reader = recordedSchema(root, v)
         .map(spark.read.schema(_)).getOrElse(spark.read)
-      reader.option("basePath", root).parquet(dirs: _*).drop("v")
+      val base = reader.option("basePath", root).parquet(dirs: _*)
+      val b2 = if (withPos) base.select(col("*") +: posCols: _*) else base
+      b2.drop("v")
     }
   }
+
+  /** Anti-join a position-carrying scan against the accumulated delete
+    * files and drop the identity columns. The delete relation is tiny
+    * relative to the data (rows deleted since the last
+    * [[applyDeletes]] fold), so AQE plans this as a broadcast anti
+    * join — merge-on-read cost is a broadcast probe, not a shuffle. */
+  private def applyDeleteFiles(spark: SparkSession, root: String,
+                               dels: Seq[Long], df: DataFrame): DataFrame =
+    if (dels.isEmpty) df
+    else df.join(readDeleteFiles(spark, root, dels),
+      Seq(FileCol, PosCol), "left_anti").drop(FileCol, PosCol)
+
+  private def readDeleteFiles(spark: SparkSession, root: String,
+                              dels: Seq[Long]): DataFrame =
+    spark.read.parquet(dels.map(d => s"$root/v=$d/_deletes"): _*)
 
   private def schemaPath(root: String, version: Long) =
     Paths.get(root, s"v=$version", "_schema")
@@ -284,7 +325,9 @@ object SnapshotTable {
     }
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
-    writeManifest(root, next, m) // every entry inherited — zero data moved
+    // every entry inherited — zero data moved; unapplied MoR delete
+    // files ride along (dropping them would resurrect deleted rows)
+    writeManifest(root, next, m, deleteEntries(root, base))
     Files.writeString(schemaPath(root, next), newSchema.json)
     // the high-water mark survives a drop — that is the whole point
     writeFields(root, next, newFields, lastId)
@@ -303,7 +346,8 @@ object SnapshotTable {
     * field id; added-later columns null-fill, dropped ids are not
     * selected. */
   private def eraProjections(spark: SparkSession, root: String, v: Long,
-                             m: Seq[(String, Long)]): Option[DataFrame] = {
+                             m: Seq[(String, Long)],
+                             withPos: Boolean = false): Option[DataFrame] = {
     val curFields = fieldIds(root, v).getOrElse(return None)
     val curSchema = recordedSchema(root, v).getOrElse(return None)
     val nameToId = curFields.map(t => t._2 -> t._1).toMap
@@ -335,14 +379,18 @@ object SnapshotTable {
         curSchema.fields.toSeq.zip(proj).collect {
           case (f, Some(p)) => types.StructField(p, f.dataType, nullable = true)
         })
+      val projected = curSchema.fields.toSeq.zip(proj)
+        .sortBy { case (f, _) => orderKey(f) }
+        .map {
+          case (f, Some(p)) => col(s"`$p`").as(f.name)
+          case (f, None) => lit(null).cast(f.dataType).as(f.name)
+        }
+      // no drop("v") needed: the select projects exactly the current
+      // schema (plus pos columns), and `_metadata` resolves directly
+      // against the scan relation
       spark.read.schema(readSchema).option("basePath", root)
-        .parquet(dirs: _*).drop("v")
-        .select(curSchema.fields.toSeq.zip(proj)
-          .sortBy { case (f, _) => orderKey(f) }
-          .map {
-            case (f, Some(p)) => col(s"`$p`").as(f.name)
-            case (f, None) => lit(null).cast(f.dataType).as(f.name)
-          }: _*)
+        .parquet(dirs: _*)
+        .select(projected ++ (if (withPos) posCols else Seq.empty): _*)
     }
     Some(parts.reduce(_.unionByName(_)))
   }
@@ -426,7 +474,8 @@ object SnapshotTable {
       .filterNot(pinned).toSet
     val reachable = versions(root).filterNot(retire).flatMap { v =>
       val m = manifestEntries(root, v)
-      if (m.nonEmpty) m.map(_._2) :+ v else Seq(v)
+      (if (m.nonEmpty) m.map(_._2) :+ v else Seq(v)) ++
+        deleteEntries(root, v) // MoR sidecar versions stay reachable
     }.toSet
     val removed = retire.filterNot(reachable).toSeq.sorted
     removed.foreach { v =>
@@ -705,12 +754,29 @@ object SnapshotTable {
   def manifestEntries(root: String, version: Long): Seq[(String, Long)] = {
     val p = manifestPath(root, version)
     if (!Files.exists(p)) return Seq.empty
-    Files.readString(p).linesIterator.filter(_.nonEmpty).map { line =>
-      // split on the LAST space: escaped partition dir names could
-      // themselves carry spaces
-      val i = line.lastIndexOf(' ')
-      line.substring(0, i) -> line.substring(i + 1).toLong
-    }.toSeq.distinct
+    Files.readString(p).linesIterator.filter(_.nonEmpty)
+      // `!`-prefixed lines are non-data manifest records (currently
+      // `!deletes N` — merge-on-read delete files, [[deleteEntries]]);
+      // partition dir names never start with `!`
+      .filterNot(_.startsWith("!"))
+      .map { line =>
+        // split on the LAST space: escaped partition dir names could
+        // themselves carry spaces
+        val i = line.lastIndexOf(' ')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toSeq.distinct
+  }
+
+  /** Storage versions whose `v=N/_deletes/` parquet holds merge-on-read
+    * position-delete rows applicable to this version's scan, in commit
+    * order (empty for tables with no unapplied MoR deletes). */
+  def deleteEntries(root: String, version: Long): Seq[Long] = {
+    val p = manifestPath(root, version)
+    if (!Files.exists(p)) return Seq.empty
+    Files.readString(p).linesIterator
+      .filter(_.startsWith("!deletes "))
+      .map(_.stripPrefix("!deletes ").trim.toLong)
+      .toSeq.distinct.sorted
   }
 
   /** The NEWEST storage version per partition — the full mapping for
@@ -722,9 +788,11 @@ object SnapshotTable {
       .view.mapValues(_.map(_._2).max).toMap
 
   private def writeManifest(root: String, version: Long,
-                            m: Seq[(String, Long)]): Unit =
+                            m: Seq[(String, Long)],
+                            deletes: Seq[Long] = Seq.empty): Unit =
     Files.writeString(manifestPath(root, version),
-      m.distinct.sorted.map { case (p, v) => s"$p $v" }.mkString("\n"))
+      (m.distinct.sorted.map { case (p, v) => s"$p $v" } ++
+        deletes.distinct.sorted.map(d => s"!deletes $d")).mkString("\n"))
 
   /** Commit ONLY the partitions present in `slice`, inheriting every
     * other live partition from the current version by reference. The
@@ -805,6 +873,114 @@ object SnapshotTable {
     next
   }
 
+  /** Row-level DELETE as a MERGE-ON-READ commit (Iceberg v2 position
+    * deletes): instead of rewriting every touched partition
+    * ([[deleteWhere]]'s copy-on-write), the matching rows' (file,
+    * position) identities are written to a tiny `v=N/_deletes/`
+    * sidecar and the manifest carries a `!deletes N` reference; every
+    * data entry is inherited untouched. [[read]] resolves the table by
+    * anti-joining the scan against the accumulated delete files
+    * (broadcast-sized until [[applyDeletes]] folds them away).
+    *
+    * This is the 100 TB shape for small deletes over huge partitions —
+    * a GDPR erasure of a handful of keys inside a 1 TB partition costs
+    * O(deleted rows) write instead of a partition rewrite. Deletes
+    * stack: a second MoR delete matches against the already-deleted
+    * view and appends its own sidecar. Rows where the predicate is
+    * null are kept (SQL DELETE semantics). Returns the new version, or
+    * the current one when nothing matches. */
+  def deleteWhereMor(spark: SparkSession, root: String,
+                     predicate: Column): Long = {
+    val base = latestVersion(root)
+    require(base >= 0, s"no committed version at $root")
+    val dels = deleteEntries(root, base)
+    val scanned = scan(spark, root, base, withPos = true)
+    val live =
+      if (dels.isEmpty) scanned
+      else scanned.join(readDeleteFiles(spark, root, dels),
+        Seq(FileCol, PosCol), "left_anti")
+    val matches = live.filter(predicate)
+      .select(col(FileCol), col(PosCol)).persist()
+    try {
+      if (matches.head(1).isEmpty) return base
+      val baseEntries = inheritedEntries(root, base,
+        partitionSpec(root).getOrElse("<partition>"))
+      val next = versions(root).lastOption.getOrElse(-1L) + 1
+      claimVersion(root, next)
+      // one sidecar file: the delete set is small by the operation's
+      // nature (a production writer would target file sizes instead)
+      matches.coalesce(1).write.parquet(s"$root/v=$next/_deletes")
+      writeManifest(root, next, baseEntries, dels :+ next)
+      carryVersionMeta(spark, root, base, next)
+      Files.writeString(Paths.get(root, s"v=$next", "_parent"),
+        base.toString)
+      stampCommitted(root, next)
+      moveMarker(root, next)
+      next
+    } finally matches.unpersist()
+  }
+
+  /** Fold accumulated merge-on-read delete files back into clean data
+    * (Iceberg's `rewrite_position_delete_files` + compaction): every
+    * partition holding LIVE delete rows is rewritten without them as
+    * one delta commit that drops all `!deletes` references; untouched
+    * partitions move zero bytes. Stale delete rows (their files were
+    * already rewritten by later deltas) are dropped for free. Returns
+    * the new version, or the current one when there are no delete
+    * files to fold. */
+  def applyDeletes(spark: SparkSession, root: String): Long = {
+    val v = latestVersion(root)
+    val dels = deleteEntries(root, v)
+    if (dels.isEmpty) return v
+    val partCol = partitionSpec(root).getOrElse(
+      throw new IllegalStateException(
+        s"table at $root has MoR deletes but no partition spec"))
+    val entries = manifestEntries(root, v)
+    val liveDirs = entries.map { case (p, sv) => s"v=$sv/$p" }.toSet
+    // partition dirs whose live files still carry delete rows
+    val dirOf = "^(v=\\d+/(.+))/[^/]+$".r
+    val touched: Seq[String] = readDeleteFiles(spark, root, dels)
+      .select(FileCol).distinct().collect().map(_.getString(0))
+      .flatMap {
+        case dirOf(full, part) if liveDirs.contains(full) => Some(part)
+        case _ => None
+      }.distinct.sorted.toSeq
+    val next =
+      if (touched.isEmpty) {
+        // every delete row references a vanished file: metadata-only
+        // commit that drops the now-dead `!deletes` references
+        val n = versions(root).lastOption.getOrElse(-1L) + 1
+        claimVersion(root, n)
+        writeManifest(root, n, entries)
+        carryVersionMeta(spark, root, v, n)
+        Files.writeString(Paths.get(root, s"v=$n", "_parent"), v.toString)
+        stampCommitted(root, n)
+        n
+      } else {
+        val scanned = applyDeleteFiles(spark, root, dels,
+          scan(spark, root, v, withPos = true))
+        val partOf = regexp_extract(col(FileCol), "^v=\\d+/(.+)/[^/]+$", 1)
+        val survivors = scanned.filter(partOf.isin(touched: _*))
+          .drop(FileCol, PosCol)
+        stageManifested(survivors, root, partCol, v, append = false,
+          removeParts = touched.toSet, dropDeletes = true)
+      }
+    moveMarker(root, next)
+    next
+  }
+
+  /** Record `next`'s schema + field-id metadata as inherited unchanged
+    * from `base` (metadata-only and delete-only commits move no data
+    * but must stay era-resolvable). */
+  private def carryVersionMeta(spark: SparkSession, root: String,
+                               base: Long, next: Long): Unit = {
+    val schema = recordedSchema(root, base)
+      .getOrElse(scan(spark, root, base, withPos = false).schema)
+    Files.writeString(schemaPath(root, next), schema.json)
+    val (fids, lastId) = assignFieldIds(root, base, schema)
+    writeFields(root, next, fids, lastId)
+  }
+
   /** Partition-pruned MERGE-upsert commit — the Delta `MERGE INTO`
     * with dynamic partition pruning: only the partitions the source
     * touches are read, merged ([[MergeUpsert.merge]]: source wins on
@@ -823,27 +999,34 @@ object SnapshotTable {
     commitDelta(MergeUpsert.merge(cur, source, key), root, partitionCol)
   }
 
+  /** The (partition dir, storage version) entries a manifested commit
+    * inherits from `base`: its manifest if it has one, else the plain
+    * partitioned commit's own directories. */
+  private def inheritedEntries(root: String, base: Long,
+                               partitionCol: String): Seq[(String, Long)] =
+    if (base < 0) Seq.empty
+    else {
+      val m = manifestEntries(root, base)
+      if (m.nonEmpty) m
+      else {
+        // a plain partitioned commit works as the inherited base; an
+        // UNpartitioned one cannot (no partition dirs to reference —
+        // inheriting nothing would silently drop its rows)
+        val dirs = listPartitionDirs(root, base)
+        require(dirs.nonEmpty,
+          s"version $base at $root has no $partitionCol=... partition " +
+            "directories; commitDelta needs a partitioned (or empty) base")
+        dirs.map(_ -> base)
+      }
+    }
+
   private def stageManifested(slice: DataFrame, root: String,
                               partitionCol: String, base: Long,
                               append: Boolean,
                               removeParts: Set[String] = Set.empty,
-                              statsCols: Seq[String] = Seq.empty): Long = {
-    val baseEntries: Seq[(String, Long)] =
-      if (base < 0) Seq.empty
-      else {
-        val m = manifestEntries(root, base)
-        if (m.nonEmpty) m
-        else {
-          // a plain partitioned commit works as the inherited base; an
-          // UNpartitioned one cannot (no partition dirs to reference —
-          // inheriting nothing would silently drop its rows)
-          val dirs = listPartitionDirs(root, base)
-          require(dirs.nonEmpty,
-            s"version $base at $root has no $partitionCol=... partition " +
-              "directories; commitDelta needs a partitioned (or empty) base")
-          dirs.map(_ -> base)
-        }
-      }
+                              statsCols: Seq[String] = Seq.empty,
+                              dropDeletes: Boolean = false): Long = {
+    val baseEntries = inheritedEntries(root, base, partitionCol)
     // validate the spec BEFORE claiming a version dir: a mismatch must
     // fail clean, not leave an orphan claim behind
     Files.createDirectories(Paths.get(root))
@@ -857,7 +1040,15 @@ object SnapshotTable {
       if (append) baseEntries
       else baseEntries.filterNot(e =>
         touched.contains(e._1) || removeParts.contains(e._1))
-    writeManifest(root, next, kept ++ touched.map(_ -> next))
+    // unapplied MoR delete files ride along: a delta rewrite of some
+    // partitions computed its slice through [[read]] (deletes already
+    // applied, so they're baked into the rewritten files) and the
+    // carried entries still mask deleted rows in every INHERITED file;
+    // entries whose files were rewritten anti-join nothing (no-op).
+    // [[applyDeletes]] is the fold that rewrites and drops them.
+    val carried =
+      if (dropDeletes || base < 0) Seq.empty else deleteEntries(root, base)
+    writeManifest(root, next, kept ++ touched.map(_ -> next), carried)
     // record the evolved table schema: base columns keep their TYPE
     // (an append/delta may ADD columns but never silently flip an
     // existing column's type — the Iceberg evolution rule), new slice
@@ -1037,13 +1228,15 @@ object SnapshotTable {
     }
     // mirror read()'s manifested path: schema from version metadata,
     // basePath-rooted union so partition columns resolve; the storage
-    // `v` layer is inferred as a partition and dropped
+    // `v` layer is inferred as a partition and dropped — and unapplied
+    // MoR delete files mask their rows here exactly as in [[read]]
+    val dels = deleteEntries(root, v)
     val reader = recordedSchema(root, v)
       .map(spark.read.schema(_)).getOrElse(spark.read)
-    reader.option("basePath", root)
+    val base = reader.option("basePath", root)
       .parquet(kept.map(f => s"$root/$f"): _*)
-      .drop("v")
-      .filter(rowFilter)
+    val b2 = if (dels.nonEmpty) base.select(col("*") +: posCols: _*) else base
+    applyDeleteFiles(spark, root, dels, b2.drop("v")).filter(rowFilter)
   }
 
   // ───────────────── crash-leftover GC (orphan sweep) ─────────────────
