@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.Hashing
+import graft.operators.PiiRedact
 
 /** DuckDB oracle SQL for every SparkEntry query.
   *
@@ -229,6 +230,38 @@ object Oracles {
   private def duckDot(a: String, b: String): String =
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
        |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, ${Hashing.EmbDim + 1})]), (x, y) -> x + y)""".stripMargin
+
+  /** The trained-quantizer CTE chain over `nrm` — one ordered-fold
+    * k-means iteration (seeds = 16 lowest vec_ids, per-cluster sums
+    * folded in ascending vec_id order so the IEEE doubles match
+    * Spark's `trainCentroidsOrdered` bit-identically) ending in `cent`
+    * (trained centroids) and `asg` (every vector's nearest-centroid
+    * assignment). Shared by ivf_topk_trained and semantic_dedup. */
+  private def trainedAsgCtes: String =
+    s"""seed AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn FROM nrm WHERE vec_id < 16),
+       |tasg AS (
+       |  SELECT v.vec_id, v.embedding, c.centroid_id
+       |  FROM nrm v, seed c
+       |  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |    ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC, c.centroid_id) = 1),
+       |tsum AS (
+       |  SELECT centroid_id, COUNT(*) AS cnt,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS DOUBLE) FOR i IN range(1, ${Hashing.EmbDim + 1})],
+       |        list(embedding ORDER BY vec_id)),
+       |      (a, b) -> list_transform(range(1, ${Hashing.EmbDim + 1}),
+       |        i -> a[i] + CAST(b[i] AS DOUBLE))) AS sums
+       |  FROM tasg GROUP BY centroid_id),
+       |tmean AS (SELECT centroid_id, [CAST(x / cnt AS FLOAT) FOR x IN sums] AS ce FROM tsum),
+       |cent0 AS (
+       |  SELECT s.centroid_id, COALESCE(m.ce, s.ce) AS ce
+       |  FROM seed s LEFT JOIN tmean m USING (centroid_id)),
+       |cent AS (SELECT centroid_id, ce, sqrt(${duckDot("ce", "ce")}) AS cn FROM cent0),
+       |asg AS (
+       |  SELECT v.vec_id, c.centroid_id
+       |  FROM nrm v, cent c
+       |  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |    ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC, c.centroid_id) = 1)""".stripMargin
 
   /** Random-hyperplane LSH signature + band CTEs over `nrm` — shared by
     * dedup_embedding and ann_topk_bucketed (identical bucketing on both
@@ -722,6 +755,16 @@ object Oracles {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
+
+    // the table after two stacked merge-on-read delete commits == the
+    // source minus both delete predicates (delete-sidecar resolution
+    // must be invisible to the answer)
+    "mor_delete_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_totalprice > 400000)
+        |  AND NOT (o_orderstatus = 'F' AND o_custkey % 10 = 0)""".stripMargin,
 
     // recomputed independently from the CTE chain (the quality_report
     // stage is excluded — its row count is the check-suite size, gated
@@ -1338,30 +1381,7 @@ object Oracles {
     // the narrowed arrays, then the probe path is ivf_topk verbatim.
     "ivf_topk_trained" ->
       s"""WITH $nrmCte,
-         |seed AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn FROM nrm WHERE vec_id < 16),
-         |tasg AS (
-         |  SELECT v.vec_id, v.embedding, c.centroid_id
-         |  FROM nrm v, seed c
-         |  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |    ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC, c.centroid_id) = 1),
-         |tsum AS (
-         |  SELECT centroid_id, COUNT(*) AS cnt,
-         |    list_reduce(
-         |      list_prepend([CAST(0 AS DOUBLE) FOR i IN range(1, ${Hashing.EmbDim + 1})],
-         |        list(embedding ORDER BY vec_id)),
-         |      (a, b) -> list_transform(range(1, ${Hashing.EmbDim + 1}),
-         |        i -> a[i] + CAST(b[i] AS DOUBLE))) AS sums
-         |  FROM tasg GROUP BY centroid_id),
-         |tmean AS (SELECT centroid_id, [CAST(x / cnt AS FLOAT) FOR x IN sums] AS ce FROM tsum),
-         |cent0 AS (
-         |  SELECT s.centroid_id, COALESCE(m.ce, s.ce) AS ce
-         |  FROM seed s LEFT JOIN tmean m USING (centroid_id)),
-         |cent AS (SELECT centroid_id, ce, sqrt(${duckDot("ce", "ce")}) AS cn FROM cent0),
-         |asg AS (
-         |  SELECT v.vec_id, c.centroid_id
-         |  FROM nrm v, cent c
-         |  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |    ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC, c.centroid_id) = 1),
+         |$trainedAsgCtes,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM nrm WHERE vec_id < 10),
          |probes AS (
          |  SELECT q.query_id, c.centroid_id
@@ -1380,9 +1400,47 @@ object Oracles {
          |  FROM cand JOIN nrm nv ON cand.neighbor_id = nv.vec_id JOIN nrm nq ON cand.query_id = nq.vec_id)
          |WHERE rank <= 10""".stripMargin,
 
+    // SemDeDup: same trained clustering as ivf_topk_trained, then
+    // within-cluster cosine pairs — a vector is dropped iff a lower-id
+    // cluster-mate sits above the threshold.
+    "semantic_dedup" ->
+      s"""WITH $nrmCte,
+         |$trainedAsgCtes,
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id AS vec_b
+         |  FROM asg a JOIN asg b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  JOIN nrm na ON a.vec_id = na.vec_id
+         |  JOIN nrm nb ON b.vec_id = nb.vec_id
+         |  WHERE ${duckDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) >= CAST(0.4 AS DOUBLE))
+         |SELECT asg.vec_id, asg.centroid_id AS cluster_id,
+         |  asg.vec_id NOT IN (SELECT vec_b FROM dup) AS keep
+         |FROM asg""".stripMargin,
+
     "lang_id" ->
       s"""WITH $langIdCtes
          |SELECT doc_id, pred_lang, score FROM lid""".stripMargin,
+
+    // PII redaction over the deterministically-augmented corpus: the
+    // SAME RE2-compatible patterns as PiiRedact, applied in the same
+    // sequence (email → IP → id) with counts on the intermediate
+    // strings — replacement order is part of the contract.
+    "pii_redact" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com from 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.7 card ' || CAST(doc_id + 4000000000000000 AS VARCHAR) AS text
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, text,
+         |  regexp_replace(text, '${PiiRedact.EmailRe}', '${PiiRedact.EmailToken}', 'g') AS t1 FROM aug),
+         |r2 AS (SELECT doc_id, text, t1,
+         |  regexp_replace(t1, '${PiiRedact.Ipv4Re}', '${PiiRedact.IpToken}', 'g') AS t2 FROM r1)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${PiiRedact.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '${PiiRedact.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t2, '${PiiRedact.IdRe}')) AS BIGINT) AS n_ids,
+         |  regexp_replace(t2, '${PiiRedact.IdRe}', '${PiiRedact.IdToken}', 'g') AS redacted
+         |FROM r2""".stripMargin,
 
     // Per-language corpus rollup: same token/quality expressions as
     // token_count / text_quality, joined to the lang_id prediction and

@@ -227,6 +227,24 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag")
     },
+    // merge-on-read position deletes: stage orders as a partitioned
+    // snapshot, stack two MoR delete commits (zero data bytes moved —
+    // only `_deletes` sidecars land), then read through the
+    // delete-resolving path; the oracle is the source minus both
+    // predicates (byte-identity proofs live in MorDeleteSpec)
+    "mor_delete_read" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-mor-key").toString
+      SnapshotTable.commitDelta(Tables.orders(s, dir), out,
+        "o_orderpriority")
+      SnapshotTable.deleteWhereMor(s, out,
+        col("o_totalprice") > lit(400000.0))
+      SnapshotTable.deleteWhereMor(s, out,
+        col("o_orderstatus") === "F" && col("o_custkey") % 10 === 0)
+      SnapshotTable.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+    },
     "q6_forecast_revenue" -> ((s, dir) =>
       Analytics.q6ForecastRevenue(Tables.lineitem(s, dir))),
     "q10_returned_items" -> ((s, dir) =>
@@ -256,6 +274,26 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir))),
+    // SemDeDup (cluster-scoped semantic near-dup removal): pairwise
+    // cosine ONLY within a trained k-means cluster — the cluster valve
+    // that keeps semantic dedup sub-quadratic at corpus scale
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir))),
+    // PII redaction: the synthetic corpus is digit-free, so the key
+    // plants one email / IP / card-shaped id per doc with the SAME
+    // deterministic expression the oracle uses, then hash-checks the
+    // fully redacted strings + per-class counts (tricky-case behavior
+    // is pinned by PiiRedactSpec)
+    "pii_redact" -> { (s, dir) =>
+      val aug = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com from 10.1."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 card "),
+          (col("doc_id") + lit(4000000000000000L)).cast("string")))
+      PiiRedact.redact(aug)
+    },
     "embedding_dup_clusters" -> ((s, dir) =>
       // the same min-label-propagation CC as dedup_clusters, over the
       // embedding near-dup graph instead of the shingle one

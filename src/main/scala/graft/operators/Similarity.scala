@@ -329,4 +329,56 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the trained
+    * coarse quantizer, then compare pairs ONLY within a cluster and
+    * drop every vector that has a higher-priority (lower-id)
+    * cluster-mate above the cosine threshold. The whole point is the
+    * cluster valve: pairwise work is quadratic per cluster, linear in
+    * cluster count — pick k ∝ N/target-cluster-size at scale and the
+    * comparison never becomes all-pairs (the paper runs this shape at
+    * web scale; cluster skew is an equi-join on `cluster_id`, so AQE
+    * skew-split applies). Uses the ordered-fold k-means
+    * ([[trainCentroidsOrdered]]) so the DuckDB oracle reproduces the
+    * clustering bit-identically; at corpus scale swap in
+    * [[trainCentroids]] (same contract, partial-sums speed).
+    *
+    * Returns (vec_id, cluster_id, keep): `keep=false` rows are the
+    * semantic near-dups a curation pass removes. */
+  def semanticDedup(emb: DataFrame, k: Int = 16, iters: Int = 1,
+                    threshold: Double = 0.4): DataFrame = {
+    val n = withNorms(emb).persist()
+    val cent = trainCentroidsOrdered(n.drop("nrm"), k, iters)
+    val asg = n
+      .select(col("vec_id"), col("embedding").as("v_embedding"),
+        col("nrm").as("v_nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        DotProduct.dot(col("v_embedding"), col("ct_embedding")) /
+          (col("v_nrm") * col("ct_nrm")))
+      .select(col("vec_id"), col("centroid_id"), col("ccos"),
+        col("v_embedding"), col("v_nrm"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"),
+        col("v_embedding"), col("v_nrm"))
+      .persist()
+    val a = asg.select(col("cluster_id"), col("vec_id").as("vec_a"),
+      col("v_embedding").as("a_embedding"), col("v_nrm").as("a_nrm"))
+    val b = asg.select(col("cluster_id"), col("vec_id").as("vec_b"),
+      col("v_embedding").as("b_embedding"), col("v_nrm").as("b_nrm"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine("a", "b"))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("_dup", lit(true))
+    asg.select("vec_id", "cluster_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        col("_dup").isNull.as("keep"))
+  }
 }
