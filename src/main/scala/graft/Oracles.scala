@@ -756,6 +756,13 @@ object Oracles {
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
 
+    // bloom-pruned point lookup == the full-scan filter (pruning is
+    // IO-only; false positives die in the row filter)
+    "snapshot_bloom_read" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_returnflag
+        |FROM lineitem WHERE l_orderkey IN (500, 700)""".stripMargin,
+
     // the table after two stacked merge-on-read delete commits == the
     // source minus both delete predicates (delete-sidecar resolution
     // must be invisible to the answer)

@@ -227,6 +227,20 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag")
     },
+    // per-file bloom-filter skipping: lineitem HASH-scattered over
+    // l_orderkey (min/max bounds span everything — only the bloom
+    // probes can prune a point lookup), read through the file-pruning
+    // path; oracle = the full-scan IN filter (IO assertions live in
+    // BloomSkippingSpec)
+    "snapshot_bloom_read" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bloom-key").toString
+      val li = Tables.lineitem(s, dir).repartition(8, col("l_orderkey"))
+      SnapshotTable.commit(li, out, bloomCols = Seq("l_orderkey"))
+      SnapshotTable.readSkipping(s, out, "l_orderkey IN (500, 700)")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+    },
     // merge-on-read position deletes: stage orders as a partitioned
     // snapshot, stack two MoR delete commits (zero data bytes moved —
     // only `_deletes` sidecars land), then read through the

@@ -89,7 +89,8 @@ object Maintenance {
   }
 
   /** One finished table's maintenance outcome. */
-  case class TableMaintenance(table: String, compactedTo: Long,
+  case class TableMaintenance(table: String, deletesFoldedTo: Long,
+                              compactedTo: Long,
                               expired: Seq[Long], orphansRemoved: Seq[Long],
                               staleLocksRemoved: Seq[String])
 
@@ -109,9 +110,16 @@ object Maintenance {
                  targetFiles: Int = 8, minInputFiles: Int = 16,
                  retainLast: Int = 2, graceMs: Long = 3600000L): DataFrame = {
     val rows = tables.map { case (name, root) =>
+      // fold unapplied MoR delete files FIRST (Iceberg's
+      // rewrite_position_delete_files step): compaction then sees the
+      // clean table, and the freed sidecar versions expire below
+      val folded =
+        if (SnapshotTable.deleteEntries(root,
+          SnapshotTable.latestVersion(root)).isEmpty) -1L
+        else SnapshotTable.applyDeletes(spark, root)
       val compacted = compactSnapshot(spark, root, targetFiles, minInputFiles)
       val expired = SnapshotTable.expireSnapshots(root, retainLast)
-      TableMaintenance(name, compacted, expired,
+      TableMaintenance(name, folded, compacted, expired,
         SnapshotTable.sweepOrphans(root, graceMs),
         SnapshotTable.sweepStaleLocks(root, graceMs))
     }

@@ -80,9 +80,10 @@ object SnapshotTable {
     * `statsCols` additionally records per-FILE min/max manifest stats
     * for those columns ([[readSkipping]] prunes files with them). */
   def commit(df: DataFrame, root: String,
-             statsCols: Seq[String] = Seq.empty): Long = {
+             statsCols: Seq[String] = Seq.empty,
+             bloomCols: Seq[String] = Seq.empty): Long = {
     val base = latestVersion(root)
-    val next = stageVersion(df, root, base, statsCols)
+    val next = stageVersion(df, root, base, statsCols, bloomCols)
     moveMarker(root, next)
     next
   }
@@ -97,11 +98,13 @@ object SnapshotTable {
     * logically succeeds (ancestry for fast-forward checks). */
   private[graft] def stageVersion(df: DataFrame, root: String,
                                   parent: Long = -1L,
-                                  statsCols: Seq[String] = Seq.empty): Long = {
+                                  statsCols: Seq[String] = Seq.empty,
+                                  bloomCols: Seq[String] = Seq.empty): Long = {
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
     df.write.mode("overwrite").parquet(s"$root/v=$next")
     recordFileStats(df.sparkSession, root, next, statsCols)
+    recordFileBlooms(df.sparkSession, root, next, bloomCols)
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), parent.toString)
     stampCommitted(root, next)
     next
@@ -802,9 +805,11 @@ object SnapshotTable {
     * plain full commit (its partitions become the inherited base) or
     * from empty. */
   def commitDelta(slice: DataFrame, root: String, partitionCol: String,
-                  statsCols: Seq[String] = Seq.empty): Long = {
+                  statsCols: Seq[String] = Seq.empty,
+                  bloomCols: Seq[String] = Seq.empty): Long = {
     val base = latestVersion(root)
-    val next = stageDelta(slice, root, partitionCol, base, statsCols)
+    val next = stageDelta(slice, root, partitionCol, base, statsCols,
+      bloomCols)
     moveMarker(root, next)
     next
   }
@@ -816,9 +821,10 @@ object SnapshotTable {
     * marker. */
   private[graft] def stageDelta(slice: DataFrame, root: String,
                                 partitionCol: String, base: Long,
-                                statsCols: Seq[String] = Seq.empty): Long =
+                                statsCols: Seq[String] = Seq.empty,
+                                bloomCols: Seq[String] = Seq.empty): Long =
     stageManifested(slice, root, partitionCol, base, append = false,
-      statsCols = statsCols)
+      statsCols = statsCols, bloomCols = bloomCols)
 
   /** Append `slice` to the table, touching NO existing bytes: the new
     * version's manifest keeps every base entry and ADDS the freshly
@@ -832,9 +838,10 @@ object SnapshotTable {
     * accumulated small appends back into one directory per partition
     * via a delta commit. */
   def commitAppend(slice: DataFrame, root: String, partitionCol: String,
-                   statsCols: Seq[String] = Seq.empty): Long = {
+                   statsCols: Seq[String] = Seq.empty,
+                   bloomCols: Seq[String] = Seq.empty): Long = {
     val next = stageAppend(slice, root, partitionCol, latestVersion(root),
-      statsCols)
+      statsCols, bloomCols)
     moveMarker(root, next)
     next
   }
@@ -843,9 +850,10 @@ object SnapshotTable {
     * nothing published), against an explicit base version. */
   private[graft] def stageAppend(slice: DataFrame, root: String,
                                  partitionCol: String, base: Long,
-                                 statsCols: Seq[String] = Seq.empty): Long =
+                                 statsCols: Seq[String] = Seq.empty,
+                                 bloomCols: Seq[String] = Seq.empty): Long =
     stageManifested(slice, root, partitionCol, base, append = true,
-      statsCols = statsCols)
+      statsCols = statsCols, bloomCols = bloomCols)
 
   /** Row-level DELETE as a partition-pruned copy-on-write delta commit
     * (the GDPR-delete / `DELETE FROM ... WHERE` of the table formats):
@@ -1025,7 +1033,8 @@ object SnapshotTable {
                               append: Boolean,
                               removeParts: Set[String] = Set.empty,
                               statsCols: Seq[String] = Seq.empty,
-                              dropDeletes: Boolean = false): Long = {
+                              dropDeletes: Boolean = false,
+                              bloomCols: Seq[String] = Seq.empty): Long = {
     val baseEntries = inheritedEntries(root, base, partitionCol)
     // validate the spec BEFORE claiming a version dir: a mismatch must
     // fail clean, not leave an orphan claim behind
@@ -1035,6 +1044,7 @@ object SnapshotTable {
     claimVersion(root, next)
     slice.write.mode("append").partitionBy(partitionCol).parquet(s"$root/v=$next")
     recordFileStats(slice.sparkSession, root, next, statsCols)
+    recordFileBlooms(slice.sparkSession, root, next, bloomCols)
     val touched = listPartitionDirs(root, next)
     val kept =
       if (append) baseEntries
@@ -1129,6 +1139,139 @@ object SnapshotTable {
       Some(spark.read.parquet(statsPath(root, version).toString))
     else None
 
+  // ─────────── file-level bloom filters (point-lookup skipping) ───────────
+  //
+  // Min/max bounds cannot prune a point lookup over UNSORTED data —
+  // every file's range spans the whole key space. The table formats
+  // answer with per-file bloom filters (parquet's column bloom
+  // filters; Iceberg carries them as Puffin sidecars): k hash probes
+  // per value into an m-bit set, a file whose filter misses any probe
+  // of the literal CANNOT contain it. Same sidecar discipline as the
+  // stats: `v=N/_blooms/` rows (_file, column, bits array<long>),
+  // built by one aggregation over only the just-written files.
+  // Membership is one-sided — a missing filter or a false positive
+  // only costs IO, never correctness.
+
+  /** Bloom geometry: 8192 bits (128 longs ≈ 1 KB per file per column),
+    * 3 probes — ~1-2% false positives at ~1k distinct values/file. */
+  private val BloomBits = 8192
+  private val BloomWords = BloomBits / 64
+  private val BloomK = 3
+
+  private def bloomsPath(root: String, version: Long) =
+    Paths.get(root, s"v=$version", "_blooms")
+
+  /** The k probe positions of a value, as column expressions — double
+    * hashing pos_i = (xxhash64 + i·murmur3) mod m, both seeds Spark's
+    * defaults so [[probePositions]] reproduces them driver-side for a
+    * literal. Long overflow wraps identically in both places. */
+  private def probeCols(c: Column): Seq[Column] =
+    (0 until BloomK).map(i =>
+      pmod(xxhash64(c) + lit(i.toLong) * hash(c).cast("long"),
+        lit(BloomBits.toLong)))
+
+  /** Driver-side probe positions of a literal CAST TO the column's
+    * recorded type (hashing an int literal against a long column would
+    * probe the wrong bits and falsely refute — so an uncastable or
+    * unknown type yields None and the file is kept). */
+  private def probePositions(
+      lit0: org.apache.spark.sql.catalyst.expressions.Literal,
+      dt: types.DataType): Option[Seq[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, XxHash64}
+    if (!Cast.canCast(lit0.dataType, dt)) return None
+    val casted = Cast(lit0, dt, Some("UTC")).eval(null)
+    if (casted == null) return None
+    val cl = Literal(casted, dt) // internal-representation constructor
+    val h1 = XxHash64(Seq(cl), 42L).eval(null).asInstanceOf[Long]
+    val h2 = Murmur3Hash(Seq(cl), 42).eval(null).asInstanceOf[Int].toLong
+    Some((0 until BloomK).map(i =>
+      Math.floorMod(h1 + i.toLong * h2, BloomBits.toLong).toInt))
+  }
+
+  /** Build per-file bloom sidecars for `bloomCols` over version
+    * `version`'s freshly-written files — one distributed aggregation
+    * per covered column over only the new files (the write's own cost
+    * class; a production writer lifts parquet's built-in column bloom
+    * filters instead of rescanning). */
+  private def recordFileBlooms(spark: SparkSession, root: String,
+                               version: Long, bloomCols: Seq[String]): Unit = {
+    if (bloomCols.isEmpty) return
+    val df = spark.read.parquet(s"$root/v=$version")
+    val present = bloomCols.filter(df.columns.contains)
+    if (present.isEmpty) return
+    val perCol = present.map { c =>
+      df.select(input_file_name().as("_file"),
+          explode(array(probeCols(col(c)): _*)).as("p"))
+        .distinct()
+        .groupBy("_file")
+        .agg(collect_set(col("p")).as("ps"))
+        .select(
+          regexp_extract(col("_file"), "(v=\\d+/.*)$", 1).as("_file"),
+          lit(c).as("column"),
+          expr(s"""transform(sequence(0L, ${BloomWords - 1}L),
+            w -> aggregate(filter(ps, p -> p div 64 = w), 0L,
+              (acc, p) -> acc | shiftleft(1L, cast(p % 64 as int))))""")
+            .as("bits"))
+    }
+    perCol.reduce(_.unionByName(_))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomsPath(root, version).toString)
+  }
+
+  /** The recorded per-file bloom filters of a storage version (None
+    * when it carries none). */
+  def fileBlooms(spark: SparkSession, root: String,
+                 version: Long): Option[DataFrame] =
+    if (Files.exists(bloomsPath(root, version)))
+      Some(spark.read.parquet(bloomsPath(root, version).toString))
+    else None
+
+  /** Files DEFINITELY not containing any of the predicate's equality
+    * literals, per its top-level conjuncts of shape `c = lit` /
+    * `c IN (lits)` over bloom-covered columns. A file is refuted by a
+    * conjunct iff for EVERY literal some probe bit is clear; files
+    * without a filter row for the column are never refuted. */
+  private def bloomRefuted(spark: SparkSession, root: String, v: Long,
+                           statVersions: Seq[Long],
+                           parsed: org.apache.spark.sql.catalyst.expressions.Expression): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, In, Literal => CLit}
+    val blooms = statVersions
+      .flatMap(fileBlooms(spark, root, _))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(return Set.empty)
+    val schema: Option[types.StructType] =
+      Some(recordedSchema(root, v).getOrElse(read(spark, root, v).schema))
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val eqLeaves: Seq[(String, Seq[CLit])] = conjuncts(parsed).collect {
+      case EqualTo(a: UnresolvedAttribute, l: CLit) =>
+        a.nameParts.last -> Seq(l)
+      case EqualTo(l: CLit, a: UnresolvedAttribute) =>
+        a.nameParts.last -> Seq(l)
+      case In(a: UnresolvedAttribute, ls) if ls.forall(_.isInstanceOf[CLit]) =>
+        a.nameParts.last -> ls.map(_.asInstanceOf[CLit])
+    }
+    eqLeaves.flatMap { case (c, lits) =>
+      val dtOpt = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+      val probes = dtOpt.map(dt => lits.map(probePositions(_, dt)))
+      probes match {
+        case Some(ps) if ps.forall(_.isDefined) =>
+          // "may contain literal l" = all k probe bits set
+          val mayAny = ps.flatten.map(pos =>
+            pos.map(p => (element_at(col("bits"), p / 64 + 1)
+              .bitwiseAND(lit(1L << (p % 64)))) =!= lit(0L))
+              .reduce(_ && _)).reduce(_ || _)
+          blooms.filter(col("column") === c).filter(!mayAny)
+            .select("_file").collect().map(_.getString(0)).toSeq
+        case _ => Seq.empty // unknown type / uncastable literal: keep
+      }
+    }.toSet
+  }
+
   /** Rewrite a row predicate into its file-BOUNDS test over the stats
     * columns (`c__min`/`c__max`): true ⇔ the file's bounds CANNOT
     * refute the predicate. Only the monotone fragment prunes —
@@ -1205,19 +1348,23 @@ object SnapshotTable {
       }
     }
     val statVersions = dirs.map(_._2).distinct.sorted
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
     val stats = statVersions.flatMap(fileStats(spark, root, _))
       .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
-    val refuted: Set[String] = stats match {
+    val boundsRefuted: Set[String] = stats match {
       case None => Set.empty
       case Some(st) =>
         val coveredCols = st.columns.filter(_.endsWith("__min"))
           .map(_.stripSuffix("__min")).toSet
-        val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
         val keepSql = boundsSql(parsed, coveredCols.contains)
         // definitely-refutable files only: NULL/missing bounds keep
         st.filter(not(coalesce(expr(keepSql), lit(true))))
           .select("_file").collect().map(_.getString(0)).toSet
     }
+    // bloom filters refute the equality/IN conjuncts bounds cannot
+    // (point lookups over unsorted data)
+    val refuted = boundsRefuted ++
+      bloomRefuted(spark, root, v, statVersions, parsed)
     val kept = candidates.filterNot(refuted)
     val rowFilter = expr(predicate)
     if (kept.isEmpty) {

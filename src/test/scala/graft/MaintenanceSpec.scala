@@ -104,5 +104,25 @@ class MaintenanceSpec extends GraftSuite {
     assert(pr.getAs[Long]("compactedTo") === -1L)
     assert(pr.getAs[Seq[Long]]("expired") === Seq.empty)
     assert(SnapshotTable.versions(t2) === Seq(0L))
+    // no MoR deletes anywhere → fold skipped on both tables
+    assert(tr.getAs[Long]("deletesFoldedTo") === -1L)
+    assert(pr.getAs[Long]("deletesFoldedTo") === -1L)
+  }
+
+  test("runCatalog folds MoR delete files before compacting") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-maint-mor").toString
+    val df = (0L until 60L).map(i => (i, s"g${i % 3}", i)).toDF("id", "g", "x")
+    SnapshotTable.commitDelta(df, root, "g")
+    SnapshotTable.deleteWhereMor(spark, root,
+      org.apache.spark.sql.functions.col("id") < 10L)
+
+    val rep = Maintenance.runCatalog(spark, Seq("t" -> root),
+      targetFiles = 2, minInputFiles = 1000, retainLast = 1, graceMs = 0L)
+      .collect().head
+    assert(rep.getAs[Long]("deletesFoldedTo") >= 0L)
+    val v = SnapshotTable.latestVersion(root)
+    assert(SnapshotTable.deleteEntries(root, v).isEmpty)
+    assert(SnapshotTable.read(spark, root).count() === 50L)
   }
 }
