@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Multi-table catalog with ATOMIC cross-table commits — the Nessie
@@ -241,6 +241,34 @@ object Catalog {
         partitionCol, prev.getOrElse(name, -1L))
     }.toMap
     commitStaged(root, staged, base)
+  }
+
+  /** Row-level MERGE-ON-READ deletes across tables as ONE atomic
+    * catalog commit — the governed "right to be forgotten": each
+    * (table, predicate) stages a [[SnapshotTable.stageMorDelete]]
+    * delete-file version against the table's version AT THE CURRENT
+    * CATALOG COMMIT (never the table root's highest staged leftover),
+    * and all of them publish together — a reader either sees every
+    * erasure or none, and [[rollback]] resurrects them together (until
+    * the retention window ends and [[expireCommits]] + the table GC
+    * drop the bytes). Write cost: O(matched rows) per table — no
+    * partition rewrites ([[Maintenance]]'s fold applies them later).
+    * Tables whose predicate matches nothing carry over unchanged;
+    * returns the current commit when nothing matched anywhere. */
+  def transactMorDelete(spark: SparkSession, root: String,
+                        deletes: Seq[(String, Column)]): Long = {
+    require(deletes.map(_._1).distinct.size == deletes.size,
+      "a transaction deletes from each table at most once")
+    val base = latestCommit(root)
+    val prev = tableVersions(root, base)
+    val staged = deletes.flatMap { case (name, pred) =>
+      require(prev.contains(name),
+        s"table '$name' not in catalog at $root")
+      val v = SnapshotTable.stageMorDelete(spark, tableRoot(root, name),
+        pred, prev(name))
+      if (v < 0) None else Some(name -> v)
+    }.toMap
+    if (staged.isEmpty) base else commitStaged(root, staged, base)
   }
 
   /** Read `table` at a catalog `commit` (default: latest) — every

@@ -125,4 +125,22 @@ object CurationRun {
   /** The released dataset view: every kept doc across all batches. */
   def keptCorpus(spark: SparkSession, catalogRoot: String): DataFrame =
     Catalog.read(spark, catalogRoot, "corpus").filter(col("keep"))
+
+  /** GOVERNED RETRACTION (right-to-be-forgotten over the curated
+    * corpus): erase `docIds` from the corpus AND their canonical
+    * MinHash signatures as ONE atomic merge-on-read catalog commit
+    * ([[Catalog.transactMorDelete]]) — O(matched rows), no partition
+    * rewrites, readers see both erasures or neither. Dropping the
+    * signatures is deliberate: a future near-duplicate of a retracted
+    * document must be ADMITTED again (nothing of the retracted text
+    * may keep acting as a dedup anchor). Returns the new catalog
+    * commit (or the current one when no id matched). */
+  def retract(spark: SparkSession, catalogRoot: String,
+              docIds: Seq[Long]): Long = {
+    require(docIds.nonEmpty, "retract needs at least one doc_id")
+    val prev = Catalog.tableVersions(catalogRoot)
+    val targets = Seq("corpus", "dedup_signatures").filter(prev.contains)
+      .map(t => t -> col("doc_id").isin(docIds: _*))
+    Catalog.transactMorDelete(spark, catalogRoot, targets)
+  }
 }

@@ -901,6 +901,18 @@ object SnapshotTable {
                      predicate: Column): Long = {
     val base = latestVersion(root)
     require(base >= 0, s"no committed version at $root")
+    val next = stageMorDelete(spark, root, predicate, base)
+    if (next < 0) base
+    else { moveMarker(root, next); next }
+  }
+
+  /** The staging half of [[deleteWhereMor]] against an EXPLICIT base
+    * version (sidecar + manifest written, nothing published) — what
+    * lets [[Catalog.transactMorDelete]] land row erasures across
+    * several tables as ONE atomic catalog commit. Returns -1 when the
+    * predicate matches nothing (no version staged). */
+  private[graft] def stageMorDelete(spark: SparkSession, root: String,
+                                    predicate: Column, base: Long): Long = {
     val dels = deleteEntries(root, base)
     val scanned = scan(spark, root, base, withPos = true)
     val live =
@@ -910,7 +922,7 @@ object SnapshotTable {
     val matches = live.filter(predicate)
       .select(col(FileCol), col(PosCol)).persist()
     try {
-      if (matches.head(1).isEmpty) return base
+      if (matches.head(1).isEmpty) return -1L
       val baseEntries = inheritedEntries(root, base,
         partitionSpec(root).getOrElse("<partition>"))
       val next = versions(root).lastOption.getOrElse(-1L) + 1
@@ -923,7 +935,6 @@ object SnapshotTable {
       Files.writeString(Paths.get(root, s"v=$next", "_parent"),
         base.toString)
       stampCommitted(root, next)
-      moveMarker(root, next)
       next
     } finally matches.unpersist()
   }

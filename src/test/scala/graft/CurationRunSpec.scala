@@ -56,6 +56,43 @@ class CurationRunSpec extends GraftSuite {
     assert(Catalog.read(spark, cat, "corpus").count() === 5)
   }
 
+  test("retraction erases corpus rows AND signatures atomically; near-dups re-admit") {
+    val cat = Files.createTempDirectory("graft-curation-retract").toString
+    CurationRun.runBatch(spark, cat,
+      docs(1L -> base, 3L -> other), 0L)
+    assert(CurationRun.keptCorpus(spark, cat).count() === 2)
+    val cBefore = Catalog.latestCommit(cat)
+
+    // one catalog commit moves BOTH tables (merge-on-read: no
+    // partition rewrites — read counts drop, history resurrects)
+    val cRet = CurationRun.retract(spark, cat, Seq(1L))
+    assert(cRet === cBefore + 1)
+    assert(CurationRun.keptCorpus(spark, cat)
+      .select("doc_id").as[Long].collect().toSet === Set(3L))
+    assert(Catalog.read(spark, cat, "dedup_signatures")
+      .filter(col("doc_id") === 1L).count() === 0)
+
+    // a near-duplicate of the retracted doc must be ADMITTED now —
+    // nothing of the erased text may keep acting as a dedup anchor
+    val c2 = CurationRun.runBatch(spark, cat, docs(20L -> base), 1L)
+    assert(c2 > cRet)
+    val v20 = Catalog.read(spark, cat, "corpus")
+      .filter(col("doc_id") === 20L).head()
+    assert(v20.getAs[Boolean]("keep") && !v20.getAs[Boolean]("is_dup"))
+
+    // governance still holds: rollback to before the retraction
+    // resurrects the erased doc and its signature together
+    Catalog.rollback(cat, cBefore)
+    assert(CurationRun.keptCorpus(spark, cat)
+      .filter(col("doc_id") === 1L).count() === 1)
+    assert(Catalog.read(spark, cat, "dedup_signatures")
+      .filter(col("doc_id") === 1L).count() === 1)
+
+    // retracting an id that matches nothing is a commit-free no-op
+    assert(CurationRun.retract(spark, cat, Seq(999L)) ===
+      Catalog.latestCommit(cat))
+  }
+
   test("an empty batch publishes an empty slice without NPE-ing the gate") {
     val cat = Files.createTempDirectory("graft-curation-empty").toString
     CurationRun.runBatch(spark, cat, docs(1L -> base, 2L -> other), 0L)
