@@ -1428,6 +1428,26 @@ object Oracles {
       s"""WITH $langIdCtes
          |SELECT doc_id, pred_lang, score FROM lid""".stripMargin,
 
+    // α=0.5 temperature mixture: weight ∝ sqrt(source tokens), the
+    // normalizer folded in source order (ordered-fold determinism);
+    // token estimate matches corpus_stats' ceil(n_chars/4)
+    "mixture_plan" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE),
+        |      list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+        |    (a, b) -> a + b) AS z
+        |  FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / z AS weight,
+        |  CAST(floor(1000000.0 * (sqrt(CAST(n_tokens AS DOUBLE)) / z)) AS BIGINT) AS target_tokens,
+        |  1000000.0 * (sqrt(CAST(n_tokens AS DOUBLE)) / z) / CAST(n_tokens AS DOUBLE) AS epochs
+        |FROM per, tot""".stripMargin,
+
     // PII redaction over the deterministically-augmented corpus: the
     // SAME RE2-compatible patterns as PiiRedact, applied in the same
     // sequence (email → IP → id) with counts on the intermediate

@@ -298,6 +298,10 @@ object SparkEntry {
     // deterministic expression the oracle uses, then hash-checks the
     // fully redacted strings + per-class counts (tricky-case behavior
     // is pinned by PiiRedactSpec)
+    // α=0.5 temperature mixture plan over the curated sources (the
+    // data-mixing step between curation and training)
+    "mixture_plan" -> ((s, dir) =>
+      Mixture.plan(Tables.documents(s, dir))),
     "pii_redact" -> { (s, dir) =>
       val aug = Tables.documents(s, dir).withColumn("text",
         concat(col("text"), lit(" contact user"),
