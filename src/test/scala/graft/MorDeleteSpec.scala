@@ -163,6 +163,17 @@ class MorDeleteSpec extends GraftSuite {
     assert(SnapshotTable.read(spark, root).count() === 97)
   }
 
+  test("change data feed reports MoR-deleted rows as deletes") {
+    val root = Files.createTempDirectory("graft-mor-cdc").toString
+    base(root) // v0
+    val vDel = SnapshotTable.deleteWhereMor(spark, root,
+      col("id").isin(5L, 17L))
+    val feed = SnapshotTable.changes(spark, root, "id", 0L, vDel)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set(5L -> "delete", 17L -> "delete"))
+  }
+
   test("readSkipping applies MoR deletes") {
     val root = Files.createTempDirectory("graft-mor-skip").toString
     val df = (0L until 100L).map(i => (i, s"g${i % 4}", i * 10L))
