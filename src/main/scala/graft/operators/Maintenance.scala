@@ -73,7 +73,8 @@ object Maintenance {
     * 30-minute ingest cadence that is one day-partition rewrite per
     * maintenance run, not a table rewrite. */
   def compactAppends(spark: SparkSession, root: String, partitionCol: String,
-                     minEntries: Int = 4): Long = {
+                     minEntries: Int = 4,
+                     filesPerPartition: Int = 4): Long = {
     val v = SnapshotTable.latestVersion(root)
     if (v < 0) return -1L
     val fragmented = SnapshotTable.manifestEntries(root, v)
@@ -82,10 +83,25 @@ object Maintenance {
     // partition dir names are `col=value`; date/number values
     // round-trip through the string cast exactly
     val values = fragmented.map(_.substring(partitionCol.length + 1))
-    val slice = SnapshotTable.read(spark, root, v)
+    val touched = SnapshotTable.read(spark, root, v)
       .filter(col(partitionCol).cast("string").isin(values: _*))
-      .repartition(col(partitionCol))
-    SnapshotTable.commitDelta(slice, root, partitionCol)
+    SnapshotTable.sortOrder(root) match {
+      case None =>
+        SnapshotTable.commitDelta(touched.repartition(col(partitionCol)),
+          root, partitionCol)
+      case Some(sortCols) =>
+        // the table declares a WRITE ORDER: compaction is where it is
+        // applied (appends land unsorted by design) — range-split each
+        // partition on the sort key into `filesPerPartition` clustered
+        // files and re-record their stats, so the streaming-append
+        // table converges to a stats-skippable layout
+        val slice = touched
+          .repartitionByRange(fragmented.size * filesPerPartition,
+            (partitionCol +: sortCols).map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+        SnapshotTable.commitDelta(slice, root, partitionCol,
+          statsCols = sortCols)
+    }
   }
 
   /** One finished table's maintenance outcome. */

@@ -748,6 +748,30 @@ object SnapshotTable {
         }
     }
 
+  private def sortOrderPath(root: String) = Paths.get(root, "_sort_order")
+
+  /** Declare the table's WRITE ORDER (Iceberg's `WRITE ORDERED BY`
+    * table property): maintenance rewrites cluster rows by these
+    * columns — range-split files with tight per-file bounds, which is
+    * what makes column-stats skipping bite on a streaming-append table
+    * whose arrival order scatters the key space. Declarative only:
+    * appends stay cheap and UNSORTED (the append path must not pay a
+    * sort); [[Maintenance.compactAppends]] applies the order and
+    * re-records stats for these columns. */
+  def setSortOrder(root: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "sort order needs at least one column")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(sortOrderPath(root), cols.mkString(","))
+  }
+
+  /** The declared write order, if any. */
+  def sortOrder(root: String): Option[Seq[String]] = {
+    val p = sortOrderPath(root)
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).trim.split(",").toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+  }
+
   /** ALL (partition, storage-version) pairs of a manifested version
     * (empty for versions written by plain [[commit]]). A partition may
     * appear with SEVERAL storage versions — that is how

@@ -109,6 +109,32 @@ class MaintenanceSpec extends GraftSuite {
     assert(pr.getAs[Long]("deletesFoldedTo") === -1L)
   }
 
+  test("declared write order: compaction converges appends to a stats-skippable layout") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-maint-sort").toString
+    SnapshotTable.setSortOrder(root, Seq("id"))
+    // micro-batch appends arrive UNSORTED — ids scattered per batch
+    (0 until 4).foreach { b =>
+      val rows = (0L until 1000L).filter(_ % 4 == b)
+        .map(i => (i, s"g${i % 2}", i * 3L))
+      SnapshotTable.commitAppend(rows.toDF("id", "g", "x"), root, "g")
+    }
+    // no stats yet: a range predicate reads every file
+    val before = SnapshotTable.readSkipping(spark, root, "id <= 100")
+    val allFiles = before.inputFiles.length
+    assert(allFiles >= 8)
+
+    val vc = Maintenance.compactAppends(spark, root, "g",
+      minEntries = 2, filesPerPartition = 4)
+    assert(vc >= 0)
+    val after = SnapshotTable.readSkipping(spark, root, "id <= 100")
+    assert(after.inputFiles.length <
+      SnapshotTable.read(spark, root).inputFiles.length,
+      "sorted compaction must make range predicates prune files")
+    assert(after.select("id").as[Long].collect().toSet ===
+      (0L to 100L).toSet)
+  }
+
   test("runCatalog folds MoR delete files before compacting") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-maint-mor").toString
