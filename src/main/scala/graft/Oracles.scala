@@ -516,6 +516,35 @@ object Oracles {
         |    ORDER BY CAST(epoch(window_start) AS BIGINT)
         |    RANGE BETWEEN 840 PRECEDING AND CURRENT ROW))""".stripMargin),
 
+    // EWMA(α=1/2) over the last 16 candles, numerator and denominator
+    // both scaled by 2^15 so every weight is an exact INTEGER 2^(15-k)
+    // (shifted bigint, never libm pow): close·w terms are exact
+    // DECIMAL(23,8) products summed exactly with NO scale-reducing
+    // decimal cast (Spark's downcast rounds HALF_UP, DuckDB's
+    // truncates — they diverge on ties); sums stay under 2^53 so the
+    // decimal→double cast is one correctly-rounded divide in both
+    // engines; the scaled normalizer 2^16 - 2^(16-n) is an exact
+    // integer double; one final divide rounded to 8.
+    "ewma_price" -> withTrades("m1",
+      """, lists AS (
+        |  SELECT product_id, window_start, close,
+        |    list(close) OVER (PARTITION BY product_id ORDER BY window_start
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS cl
+        |  FROM m1)
+        |SELECT product_id, window_start, CAST(close AS DOUBLE) AS close,
+        |  len(cl) AS n_candles,
+        |  CAST(round(
+        |    CAST(list_aggregate(
+        |      [CAST(CAST(cl[i] AS DECIMAL(18,8)) *
+        |            CAST((CAST(1 AS BIGINT) << (i + 15 - len(cl)))
+        |              AS DECIMAL(5,0))
+        |        AS DECIMAL(24,8)) FOR i IN range(1, len(cl) + 1)],
+        |      'sum') AS DOUBLE)
+        |    / CAST((CAST(1 AS BIGINT) << 16) -
+        |           (CAST(1 AS BIGINT) << (16 - len(cl))) AS DOUBLE),
+        |    8) AS DOUBLE) AS ewma_close
+        |FROM lists""".stripMargin),
+
     // Spine via generate_series + forward fill with IGNORE NULLS —
     // mirrors Ohlcv.gapFill's sequence/explode + last(ignoreNulls).
     "ohlcv_gap_fill" -> withTrades("m1",
@@ -772,6 +801,32 @@ object Oracles {
         |FROM orders
         |WHERE NOT (o_totalprice > 400000)
         |  AND NOT (o_orderstatus = 'F' AND o_custkey % 10 = 0)""".stripMargin,
+
+    // a spec-evolved table (3/4 written under the old layout, 1/4
+    // under the new) reads as the plain union of its slices — the
+    // directory-layout era of a row must be answer-invisible
+    "spec_evolution_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+
+    // the table after one MoR upsert commit == plain MERGE semantics:
+    // the batch's rows plus every base row whose key the batch does
+    // not carry (equality-delete resolution must be answer-invisible)
+    "upsert_mor" ->
+      """WITH batch AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey % 7 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        |UNION ALL
+        |SELECT * FROM batch""".stripMargin,
 
     // recomputed independently from the CTE chain (the quality_report
     // stage is excluded — its row count is the check-suite size, gated

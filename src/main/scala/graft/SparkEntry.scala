@@ -76,6 +76,8 @@ object SparkEntry {
     },
     "rolling_metrics" -> ((s, dir) =>
       Ohlcv.rolling(Ohlcv.ohlcv1m(stg(s, dir)))),
+    "ewma_price" -> ((s, dir) =>
+      Ohlcv.ewma(Ohlcv.ohlcv1m(stg(s, dir)))),
     "ohlcv_gap_fill" -> { (s, dir) =>
       // m1 feeds the bounds aggregate AND the spine join — persist it
       val m1 = Ohlcv.ohlcv1m(stg(s, dir)).persist()
@@ -255,6 +257,47 @@ object SparkEntry {
         col("o_totalprice") > lit(400000.0))
       SnapshotTable.deleteWhereMor(s, out,
         col("o_orderstatus") === "F" && col("o_custkey") % 10 === 0)
+      SnapshotTable.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+    },
+    // partition-spec evolution: stage 3/4 of orders laid out by
+    // priority, evolve the spec (metadata-only), append the last
+    // quarter laid out by STATUS, then read the mixed-era table —
+    // which must equal the plain union of both slices (layout eras
+    // must be answer-invisible; pruning/migration proofs live in
+    // SpecEvolutionSpec)
+    "spec_evolution_read" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-specevo-key").toString
+      val ord = Tables.orders(s, dir)
+      SnapshotTable.commitDelta(
+        ord.filter(col("o_orderkey") % 4 =!= 0), out, "o_orderpriority")
+      SnapshotTable.evolvePartitionSpec(out, "o_orderstatus")
+      SnapshotTable.commitAppend(
+        ord.filter(col("o_orderkey") % 4 === 0), out, "o_orderstatus")
+      SnapshotTable.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+    },
+    // merge-on-read EQUALITY deletes + the O(batch) CDC upsert: stage
+    // orders partitioned, upsert a batch (doubled-price updates keyed
+    // by o_orderkey) in ONE commit — appended rows + an equality-delete
+    // sidecar of the batch's keys; the strict sequence rule masks only
+    // the OLDER twins. The oracle is plain MERGE semantics: batch rows
+    // plus every base row whose key the batch does not carry
+    // (sidecar resolution must be invisible to the answer; byte-level
+    // proofs live in EqDeleteSpec)
+    "upsert_mor" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-upsert-key").toString
+      val ord = Tables.orders(s, dir)
+      SnapshotTable.commitDelta(ord, out, "o_orderpriority")
+      val batch = ord.filter(col("o_custkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      SnapshotTable.upsertMor(s, out, "o_orderpriority", batch,
+        Seq("o_orderkey"))
       SnapshotTable.read(s, out)
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")

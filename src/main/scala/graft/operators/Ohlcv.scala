@@ -114,6 +114,53 @@ object Ohlcv {
         "roll_high", "roll_low", "roll_volume")
   }
 
+  /** Exponentially-weighted moving average of the close over the last
+    * `span` candles (α = 1/2): `ewma = Σ close_k·w_k / Σ w_k` with
+    * `w_k = 2^-k` over the frame ordered newest-first — the smoothing
+    * line charting/TA consumers draw next to [[rolling]]'s plain MA.
+    *
+    * Determinism (the cross-engine stance of twap/vwap): numerator and
+    * denominator are both scaled by 2^(span-1), making every weight an
+    * exact INTEGER `2^(15-k)` (shifted long, never libm `pow`) — each
+    * `close·w` term is an exact DECIMAL(24,8) product, summed exactly
+    * (order-free) with NO scale-reducing decimal cast anywhere
+    * (Spark's decimal downcast rounds HALF_UP, DuckDB's truncates —
+    * observed diverging on a scale-10 tie); the sum's unscaled value
+    * stays under 2^53 so the decimal→double cast is one
+    * correctly-rounded divide in both engines; the scaled normalizer
+    * `2^16 - 2^(16-n)` is an exact integer double; one final double
+    * divide is rounded to 8. The per-row fold is a frame
+    * `collect_list` + `aggregate` — codegen'd expressions over ≤
+    * `span` elements, no UDF.
+    *
+    * Scale: ONE shuffle on product_id serves the window; state per row
+    * is the ≤ `span`-element frame list. */
+  def ewma(m1: DataFrame, span: Int = 16): DataFrame = {
+    require(span >= 1 && span <= 16,
+      "span beyond 16 overflows the exact integer weight scaling")
+    val w = Window.partitionBy("product_id").orderBy("window_start")
+      .rowsBetween(-(span - 1), 0)
+    m1.select(col("product_id"), col("window_start"), col("close"),
+        collect_list(col("close")).over(w).as("cl"))
+      // Σ close_i · 2^(15-k): weight exponent for 0-based index i in an
+      // n-element frame (current row last, k = n-1-i) is i + 16 - n
+      .withColumn("num", expr("""
+        aggregate(
+          transform(cl, (c, i) ->
+            CAST(CAST(c AS DECIMAL(18,8)) *
+                 CAST(shiftleft(1L, i + 16 - size(cl)) AS DECIMAL(5,0))
+              AS DECIMAL(24,8))),
+          CAST(0 AS DECIMAL(30,8)),
+          (acc, x) -> CAST(acc + x AS DECIMAL(30,8)))"""))
+      .withColumn("den", expr(
+        "CAST(shiftleft(1L, 16) - shiftleft(1L, 16 - size(cl)) AS DOUBLE)"))
+      .select(col("product_id"), col("window_start"), col("close"),
+        size(col("cl")).cast("long").as("n_candles"),
+        graft.functions.Rounding.roundScaled(
+          col("num").cast("double") / col("den"), 8)
+          .cast("decimal(18,8)").as("ewma_close"))
+  }
+
   /** Candle gap filling: emit a complete per-product minute spine from
     * the product's first to last candle, forward-filling the close over
     * empty minutes (volume/trade_count zero) — the densification step

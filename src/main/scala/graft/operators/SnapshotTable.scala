@@ -134,8 +134,9 @@ object SnapshotTable {
     val v = if (version >= 0) version else latestVersion(root)
     require(v >= 0, s"no committed version at $root")
     val dels = deleteEntries(root, v)
-    val df = scan(spark, root, v, withPos = dels.nonEmpty)
-    applyDeleteFiles(spark, root, dels, df)
+    val eqs = eqDeleteEntries(root, v)
+    val df = scan(spark, root, v, withPos = dels.nonEmpty || eqs.nonEmpty)
+    resolveDeletes(spark, root, dels, eqs, df)
   }
 
   /** Reserved (file, position) column names carried by [[scan]] when a
@@ -167,16 +168,27 @@ object SnapshotTable {
       // old name, a dropped-then-readded name never resurrects old data
       val eras = eraProjections(spark, root, v, m, withPos)
       if (eras.isDefined) return eras.get
-      val dirs = m.sorted.map { case (part, sv) => s"$root/v=$sv/$part" }
-      // schema from version METADATA, not file-footer sampling (the
-      // Iceberg rule): a union scan over storage versions written
-      // before a column existed must still surface it (null-filled),
-      // and planning must not read every footer at 100 TB file counts
-      val reader = recordedSchema(root, v)
-        .map(spark.read.schema(_)).getOrElse(spark.read)
-      val base = reader.option("basePath", root).parquet(dirs: _*)
-      val b2 = if (withPos) base.select(col("*") +: posCols: _*) else base
-      b2.drop("v")
+      // one scan per partition-spec ERA (usually one): directories
+      // written under different specs cannot share a partition
+      //-discovery pass (their dir layouts disagree), but each era's
+      // scan keeps its own partition pruning, and a predicate on the
+      // other era's column pushes down as a data filter there
+      val specGroups = m.sorted
+        .groupBy { case (_, sv) => partitionSpecAt(root, sv) }
+        .toSeq.sortBy(_._1.getOrElse(""))
+      val scans = specGroups.map { case (_, entries) =>
+        val dirs = entries.map { case (part, sv) => s"$root/v=$sv/$part" }
+        // schema from version METADATA, not file-footer sampling (the
+        // Iceberg rule): a union scan over storage versions written
+        // before a column existed must still surface it (null-filled),
+        // and planning must not read every footer at 100 TB file counts
+        val reader = recordedSchema(root, v)
+          .map(spark.read.schema(_)).getOrElse(spark.read)
+        val base = reader.option("basePath", root).parquet(dirs: _*)
+        val b2 = if (withPos) base.select(col("*") +: posCols: _*) else base
+        b2.drop("v")
+      }
+      scans.reduce(_.unionByName(_))
     }
   }
 
@@ -190,6 +202,57 @@ object SnapshotTable {
     if (dels.isEmpty) df
     else df.join(readDeleteFiles(spark, root, dels),
       Seq(FileCol, PosCol), "left_anti").drop(FileCol, PosCol)
+
+  /** Resolve BOTH merge-on-read delete flavors over a
+    * position-carrying scan — position sidecars first (exact (file,
+    * row) identities), then equality sidecars under the Iceberg
+    * sequence rule — and drop the identity columns. */
+  private def resolveDeletes(spark: SparkSession, root: String,
+                             dels: Seq[Long],
+                             eqs: Seq[(Long, Seq[String])],
+                             df: DataFrame): DataFrame =
+    if (dels.isEmpty && eqs.isEmpty) df
+    else {
+      val afterPos =
+        if (dels.isEmpty) df
+        else df.join(readDeleteFiles(spark, root, dels),
+          Seq(FileCol, PosCol), "left_anti")
+      applyEqDeleteFiles(spark, root, eqs, afterPos)
+        .drop(FileCol, PosCol)
+    }
+
+  /** A row's storage version (the `v=M` its file lives under) — the
+    * sequence number of the Iceberg equality-delete rule. */
+  private val SeqCol = "_gft_seq"
+  private val EqVerCol = "_gft_delv"
+
+  /** Anti-join a position-carrying frame against the accumulated
+    * equality-delete sidecars: a row in storage version M is dead iff
+    * some equality delete at version D > M matches its key columns
+    * (null-safe equality). STRICT inequality is the Iceberg sequence
+    * rule — it is what lets [[upsertMor]] land a batch's appends and
+    * the delete of their older twins in ONE commit without the batch
+    * deleting itself. Each sidecar is tiny (the op's key set), so the
+    * join is an explicit broadcast probe, never a shuffle. */
+  private def applyEqDeleteFiles(spark: SparkSession, root: String,
+                                 eqs: Seq[(Long, Seq[String])],
+                                 df: DataFrame): DataFrame =
+    if (eqs.isEmpty) df
+    else {
+      val rowV = regexp_extract(col(FileCol), "^v=(\\d+)/", 1).cast("long")
+      eqs.groupBy(_._2).toSeq.sortBy(_._1.mkString(","))
+        .foldLeft(df.withColumn(SeqCol, rowV)) {
+          case (cur, (keyCols, group)) =>
+            val delDf = group.map { case (d, _) =>
+              spark.read.parquet(s"$root/v=$d/_eqdeletes")
+                .select(keyCols.map(col): _*)
+                .withColumn(EqVerCol, lit(d))
+            }.reduce(_.unionByName(_))
+            val cond = keyCols.map(k => cur(k) <=> delDf(k))
+              .reduce(_ && _) && cur(SeqCol) < delDf(EqVerCol)
+            cur.join(broadcast(delDf), cond, "left_anti")
+        }.drop(SeqCol)
+    }
 
   private def readDeleteFiles(spark: SparkSession, root: String,
                               dels: Seq[Long]): DataFrame =
@@ -307,8 +370,16 @@ object SnapshotTable {
     require(m.nonEmpty,
       s"$op is metadata-only on manifested tables; plain snapshots " +
         "rewrite via commit()")
-    partitionSpec(root).foreach(p => require(p != name,
-      s"cannot $op partition column '$p' — it is the directory layout"))
+    // every spec era with LIVE directories is a directory layout —
+    // including pre-evolution eras not yet migrated
+    locally {
+      val liveSpecs = manifestEntries(root, base)
+        .flatMap(e => partitionSpecAt(root, e._2)).toSet ++
+        partitionSpec(root)
+      require(!liveSpecs.contains(name),
+        s"cannot $op partition column '$name' — it is a live directory " +
+          "layout (current or unmigrated era)")
+    }
     val schema = recordedSchema(root, base)
       .getOrElse(read(spark, root, base).schema)
     require(schema.fieldNames.contains(name),
@@ -326,11 +397,20 @@ object SnapshotTable {
         (types.StructType(schema.fields.filterNot(_.name == name)),
           baseFields.filterNot(_._2 == name))
     }
+    // an unapplied equality delete matches on RECORDED key column
+    // names; renaming/dropping one out from under it would break (or
+    // silently skip) its resolution — fold first, evolve after
+    eqDeleteEntries(root, base).foreach { case (d, ks) =>
+      require(!ks.contains(name),
+        s"cannot $op '$name': it is a key of the unapplied equality " +
+          s"delete at version $d — run applyDeletes first")
+    }
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
     // every entry inherited — zero data moved; unapplied MoR delete
     // files ride along (dropping them would resurrect deleted rows)
-    writeManifest(root, next, m, deleteEntries(root, base))
+    writeManifest(root, next, m, deleteEntries(root, base),
+      eqDeleteEntries(root, base))
     Files.writeString(schemaPath(root, next), newSchema.json)
     // the high-water mark survives a drop — that is the whole point
     writeFields(root, next, newFields, lastId)
@@ -375,8 +455,12 @@ object SnapshotTable {
     val partCol = partitionSpec(root)
     def orderKey(f: types.StructField): Int =
       if (partCol.contains(f.name)) 1 else 0
-    val groups = m.sorted.groupBy(e => bySv(e._2))
-    val parts = groups.toSeq.sortBy(_._2.head).map { case (proj, entries) =>
+    // group by (projection, spec era): dirs under different partition
+    // specs cannot share one partition-discovery pass
+    val groups = m.sorted
+      .groupBy(e => (bySv(e._2), partitionSpecAt(root, e._2)))
+    val parts = groups.toSeq.sortBy(_._2.head)
+      .map { case ((proj, _), entries) =>
       val dirs = entries.map { case (part, sv) => s"$root/v=$sv/$part" }
       val readSchema = types.StructType(
         curSchema.fields.toSeq.zip(proj).collect {
@@ -478,7 +562,8 @@ object SnapshotTable {
     val reachable = versions(root).filterNot(retire).flatMap { v =>
       val m = manifestEntries(root, v)
       (if (m.nonEmpty) m.map(_._2) :+ v else Seq(v)) ++
-        deleteEntries(root, v) // MoR sidecar versions stay reachable
+        deleteEntries(root, v) ++ // MoR sidecar versions stay reachable
+        eqDeleteEntries(root, v).map(_._1)
     }.toSet
     val removed = retire.filterNot(reachable).toSeq.sorted
     removed.foreach { v =>
@@ -718,13 +803,103 @@ object SnapshotTable {
 
   private def specPath(root: String) = Paths.get(root, "_partition_spec")
 
-  /** The partition column recorded at the table's first manifested
-    * commit — the Iceberg partition-spec-in-metadata analog. `None`
-    * for plain full-snapshot tables (no manifested commit yet). */
-  def partitionSpec(root: String): Option[String] = {
+  /** The table's partition-spec HISTORY, oldest first: each entry is
+    * (partition column, first storage version written under it). The
+    * original spec covers from version 0; [[evolvePartitionSpec]]
+    * appends an era starting at the next version to be written. File
+    * format: one line per era, `col` (era from 0) or `col@N`. */
+  def specHistory(root: String): Seq[(String, Long)] = {
     val p = specPath(root)
-    if (Files.exists(p)) Some(Files.readString(p).trim).filter(_.nonEmpty)
-    else None
+    if (!Files.exists(p)) return Seq.empty
+    Files.readString(p).linesIterator.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val i = line.lastIndexOf('@')
+        if (i < 0) line -> 0L
+        else line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toSeq.sortBy(_._2)
+  }
+
+  /** The CURRENT partition column — what every new manifested commit
+    * writes under (the Iceberg partition-spec-in-metadata analog).
+    * `None` for plain full-snapshot tables (no manifested commit
+    * yet). */
+  def partitionSpec(root: String): Option[String] =
+    specHistory(root).lastOption.map(_._1)
+
+  /** The partition column storage version `sv`'s directories were
+    * written under — era resolution for reads over spec-evolved
+    * tables. */
+  def partitionSpecAt(root: String, sv: Long): Option[String] =
+    specHistory(root).filter(_._2 <= sv).lastOption.map(_._1)
+
+  /** Change the table's partition layout for FUTURE writes — Iceberg
+    * partition-spec evolution, a pure METADATA operation: zero data
+    * bytes move, existing directories keep their old layout, and
+    * every later manifested commit writes `newCol=...` directories.
+    * Reads union the eras (each era's scan keeps its own partition
+    * pruning; predicates on the other era's column still push down as
+    * data filters, and recorded file stats still skip). Copy-on-write
+    * delta ops refuse mixed-era tables — [[migrateSpec]] (or the
+    * maintenance cadence) rewrites old-era directories into the
+    * current layout and makes the table single-era again. */
+  def evolvePartitionSpec(root: String, newCol: String): Unit = {
+    val cur = partitionSpec(root).getOrElse(throw new IllegalStateException(
+      s"table at $root has no partition spec to evolve — it needs a " +
+        "manifested commit first"))
+    require(newCol != cur, s"partition spec is already '$cur'")
+    require(newCol.nonEmpty, "empty partition column")
+    val from = versions(root).lastOption.getOrElse(-1L) + 1
+    Files.writeString(specPath(root),
+      s"\n$newCol@$from", java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Live manifest entries NOT written under the current spec (empty
+    * for single-era tables). */
+  private def foreignEraEntries(root: String,
+                                entries: Seq[(String, Long)])
+      : Seq[(String, Long)] = {
+    val cur = partitionSpec(root)
+    entries.filter(e => partitionSpecAt(root, e._2) != cur)
+  }
+
+  /** Rewrite every live directory still laid out under an OLD
+    * partition spec into the current one, as ONE delta commit:
+    * old-era rows (merge-on-read deletes resolved) land under
+    * `currentCol=...` directories, the old entries leave the
+    * manifest, current-era directories move zero bytes. Iceberg's
+    * `rewrite_data_files` spec-migration story; after this the table
+    * is single-era and copy-on-write delta ops work again. Returns
+    * the new version (or the current one when already single-era). */
+  def migrateSpec(spark: SparkSession, root: String): Long = {
+    val v = latestVersion(root)
+    val cur = partitionSpec(root).getOrElse(return v)
+    val entries = manifestEntries(root, v)
+    val foreign = foreignEraEntries(root, entries)
+    if (foreign.isEmpty) return v
+    val dels = deleteEntries(root, v)
+    val eqs = eqDeleteEntries(root, v)
+    val scanned = scan(spark, root, v, withPos = true)
+    val resolved = applyEqDeleteFiles(spark, root, eqs,
+      if (dels.isEmpty) scanned
+      else scanned.join(readDeleteFiles(spark, root, dels),
+        Seq(FileCol, PosCol), "left_anti"))
+    val foreignDirs = foreign.map { case (p, sv) => s"v=$sv/$p" }
+    val dirOfRow = regexp_extract(col(FileCol), "^(v=\\d+/.+)/[^/]+$", 1)
+    // a rewritten delta partition must hold its COMPLETE content: if a
+    // current-era directory already exists for a target value, its rows
+    // ride along (the new directory replaces it by the touched-name
+    // rule) — otherwise inheriting it beside the migrated rows would
+    // drop or duplicate data
+    val affected = resolved.filter(dirOfRow.isin(foreignDirs: _*))
+      .select(col(cur).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val movers = resolved
+      .filter(col(cur).cast("string").isin(affected: _*))
+      .drop(FileCol, PosCol)
+    val next = stageManifested(movers, root, cur, v, append = false,
+      removeParts = foreign.map(_._1).toSet, allowCrossEra = true)
+    moveMarker(root, next)
+    next
   }
 
   /** First manifested commit records the spec (exclusive create — of
@@ -806,6 +981,25 @@ object SnapshotTable {
       .toSeq.distinct.sorted
   }
 
+  /** Storage versions carrying equality-delete sidecars
+    * (`v=D/_eqdeletes/`) applicable to this version's scan, each with
+    * the key columns its rows match on — empty for tables with no
+    * unapplied equality deletes. Manifest record:
+    * `!eqdeletes D col1,col2`. */
+  def eqDeleteEntries(root: String,
+                      version: Long): Seq[(Long, Seq[String])] = {
+    val p = manifestPath(root, version)
+    if (!Files.exists(p)) return Seq.empty
+    Files.readString(p).linesIterator
+      .filter(_.startsWith("!eqdeletes "))
+      .map { line =>
+        val rest = line.stripPrefix("!eqdeletes ").trim
+        val i = rest.indexOf(' ')
+        rest.substring(0, i).toLong ->
+          rest.substring(i + 1).split(",").toSeq.filter(_.nonEmpty)
+      }.toSeq.distinct.sortBy(_._1)
+  }
+
   /** The NEWEST storage version per partition — the full mapping for
     * delta-committed versions (one entry per partition); for
     * append-committed versions prefer [[manifestEntries]], which keeps
@@ -816,10 +1010,14 @@ object SnapshotTable {
 
   private def writeManifest(root: String, version: Long,
                             m: Seq[(String, Long)],
-                            deletes: Seq[Long] = Seq.empty): Unit =
+                            deletes: Seq[Long] = Seq.empty,
+                            eqDeletes: Seq[(Long, Seq[String])] = Seq.empty)
+      : Unit =
     Files.writeString(manifestPath(root, version),
       (m.distinct.sorted.map { case (p, v) => s"$p $v" } ++
-        deletes.distinct.sorted.map(d => s"!deletes $d")).mkString("\n"))
+        deletes.distinct.sorted.map(d => s"!deletes $d") ++
+        eqDeletes.distinct.sortBy(_._1).map { case (d, ks) =>
+          s"!eqdeletes $d ${ks.mkString(",")}" }).mkString("\n"))
 
   /** Commit ONLY the partitions present in `slice`, inheriting every
     * other live partition from the current version by reference. The
@@ -939,10 +1137,14 @@ object SnapshotTable {
                                     predicate: Column, base: Long): Long = {
     val dels = deleteEntries(root, base)
     val scanned = scan(spark, root, base, withPos = true)
-    val live =
+    val afterPos =
       if (dels.isEmpty) scanned
       else scanned.join(readDeleteFiles(spark, root, dels),
         Seq(FileCol, PosCol), "left_anti")
+    // rows already masked by an equality delete must not re-land as
+    // position-delete rows (harmless but unbounded growth otherwise)
+    val live = applyEqDeleteFiles(spark, root,
+      eqDeleteEntries(root, base), afterPos)
     val matches = live.filter(predicate)
       .select(col(FileCol), col(PosCol)).persist()
     try {
@@ -954,13 +1156,72 @@ object SnapshotTable {
       // one sidecar file: the delete set is small by the operation's
       // nature (a production writer would target file sizes instead)
       matches.coalesce(1).write.parquet(s"$root/v=$next/_deletes")
-      writeManifest(root, next, baseEntries, dels :+ next)
+      writeManifest(root, next, baseEntries, dels :+ next,
+        eqDeleteEntries(root, base))
       carryVersionMeta(spark, root, base, next)
       Files.writeString(Paths.get(root, s"v=$next", "_parent"),
         base.toString)
       stampCommitted(root, next)
       next
     } finally matches.unpersist()
+  }
+
+  /** Row-level DELETE BY KEY as a merge-on-read EQUALITY-delete commit
+    * (Iceberg v2's second delete-file flavor — the one CDC writers
+    * land, because it needs NO read of the table at all): `keys`'
+    * distinct rows become a `v=N/_eqdeletes/` sidecar masking every
+    * row in a STRICTLY OLDER storage version whose key columns match
+    * (null-safe). Zero data bytes move and zero data bytes are READ —
+    * where [[deleteWhereMor]] must scan to resolve (file, position)
+    * identities, this commit's cost is the key set itself. Readers
+    * resolve it with one broadcast anti-join per sidecar batch;
+    * [[applyDeletes]] folds it back into clean data. Returns the new
+    * version. */
+  def deleteEqualityMor(spark: SparkSession, root: String,
+                        keys: DataFrame): Long = {
+    val base = latestVersion(root)
+    require(base >= 0, s"no committed version at $root")
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
+    val baseEntries = inheritedEntries(root, base,
+      partitionSpec(root).getOrElse("<partition>"))
+    val next = versions(root).lastOption.getOrElse(-1L) + 1
+    claimVersion(root, next)
+    keys.distinct().coalesce(1)
+      .write.parquet(s"$root/v=$next/_eqdeletes")
+    writeManifest(root, next, baseEntries, deleteEntries(root, base),
+      eqDeleteEntries(root, base) :+ (next -> keyCols))
+    carryVersionMeta(spark, root, base, next)
+    Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
+    stampCommitted(root, next)
+    moveMarker(root, next)
+    next
+  }
+
+  /** MERGE-upsert whose write cost tracks the BATCH, not the table —
+    * the Flink→Iceberg CDC upsert shape: `source`'s rows are
+    * fast-appended (touching no existing bytes, like [[commitAppend]])
+    * and the SAME commit lands `source`'s key tuples as an
+    * equality-delete sidecar. The strict sequence rule does the rest:
+    * the sidecar at version N masks matching rows only in files
+    * STRICTLY OLDER than N, so the batch's own appended rows survive
+    * while every older row with a matching key dies — upsert semantics
+    * with zero reads and zero rewrites of existing data. Compare
+    * [[mergeDeltaCommit]], the copy-on-write twin that rewrites every
+    * touched partition per batch: at streaming cadence on a 100 TB
+    * table, this is the only shape that holds. Readers pay one
+    * broadcast anti-join per unfolded batch; fold with
+    * [[applyDeletes]] on the maintenance cadence. */
+  def upsertMor(spark: SparkSession, root: String, partitionCol: String,
+                source: DataFrame, keyCols: Seq[String],
+                statsCols: Seq[String] = Seq.empty,
+                bloomCols: Seq[String] = Seq.empty): Long = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val next = stageManifested(source, root, partitionCol,
+      latestVersion(root), append = true, statsCols = statsCols,
+      bloomCols = bloomCols, eqDeleteKeys = Some(keyCols))
+    moveMarker(root, next)
+    next
   }
 
   /** Fold accumulated merge-on-read delete files back into clean data
@@ -972,9 +1233,18 @@ object SnapshotTable {
     * the new version, or the current one when there are no delete
     * files to fold. */
   def applyDeletes(spark: SparkSession, root: String): Long = {
+    // a mixed-era table migrates first: the fold's touched-partition
+    // rewrite assumes partition names and the current spec agree
+    locally {
+      val v0 = latestVersion(root)
+      if (v0 >= 0 &&
+        foreignEraEntries(root, manifestEntries(root, v0)).nonEmpty)
+        migrateSpec(spark, root)
+    }
     val v = latestVersion(root)
     val dels = deleteEntries(root, v)
-    if (dels.isEmpty) return v
+    val eqs = eqDeleteEntries(root, v)
+    if (dels.isEmpty && eqs.isEmpty) return v
     val partCol = partitionSpec(root).getOrElse(
       throw new IllegalStateException(
         s"table at $root has MoR deletes but no partition spec"))
@@ -982,16 +1252,50 @@ object SnapshotTable {
     val liveDirs = entries.map { case (p, sv) => s"v=$sv/$p" }.toSet
     // partition dirs whose live files still carry delete rows
     val dirOf = "^(v=\\d+/(.+))/[^/]+$".r
-    val touched: Seq[String] = readDeleteFiles(spark, root, dels)
-      .select(FileCol).distinct().collect().map(_.getString(0))
-      .flatMap {
-        case dirOf(full, part) if liveDirs.contains(full) => Some(part)
-        case _ => None
-      }.distinct.sorted.toSeq
+    def toParts(files: Seq[String]): Seq[String] = files.flatMap {
+      case dirOf(full, part) if liveDirs.contains(full) => Some(part)
+      case _ => None
+    }.distinct
+    val posTouched: Seq[String] =
+      if (dels.isEmpty) Seq.empty
+      else toParts(readDeleteFiles(spark, root, dels)
+        .select(FileCol).distinct().collect().map(_.getString(0)).toSeq)
+    // files some equality delete still masks live rows in: one
+    // broadcast SEMI-join per sidecar key set over the pos-resolved
+    // scan (rows a position delete already killed must not drag their
+    // partition into the rewrite)
+    val eqTouched: Seq[String] =
+      if (eqs.isEmpty) Seq.empty
+      else {
+        val scanned0 = scan(spark, root, v, withPos = true)
+        val afterPos =
+          if (dels.isEmpty) scanned0
+          else scanned0.join(readDeleteFiles(spark, root, dels),
+            Seq(FileCol, PosCol), "left_anti")
+        val rowV = regexp_extract(col(FileCol), "^v=(\\d+)/", 1)
+          .cast("long")
+        val dead = eqs.groupBy(_._2).toSeq.sortBy(_._1.mkString(","))
+          .map { case (keyCols, group) =>
+            val delDf = group.map { case (d, _) =>
+              spark.read.parquet(s"$root/v=$d/_eqdeletes")
+                .select(keyCols.map(col): _*)
+                .withColumn(EqVerCol, lit(d))
+            }.reduce(_.unionByName(_))
+            val withSeq = afterPos.withColumn(SeqCol, rowV)
+            val cond = keyCols.map(k => withSeq(k) <=> delDf(k))
+              .reduce(_ && _) && withSeq(SeqCol) < delDf(EqVerCol)
+            withSeq.join(broadcast(delDf), cond, "left_semi")
+              .select(FileCol)
+          }.reduce(_.unionByName(_))
+          .distinct().collect().map(_.getString(0)).toSeq
+        toParts(dead)
+      }
+    val touched = (posTouched ++ eqTouched).distinct.sorted
     val next =
       if (touched.isEmpty) {
-        // every delete row references a vanished file: metadata-only
-        // commit that drops the now-dead `!deletes` references
+        // every delete row references a vanished file (or masks
+        // nothing live): metadata-only commit that drops the now-dead
+        // `!deletes` / `!eqdeletes` references
         val n = versions(root).lastOption.getOrElse(-1L) + 1
         claimVersion(root, n)
         writeManifest(root, n, entries)
@@ -1000,10 +1304,13 @@ object SnapshotTable {
         stampCommitted(root, n)
         n
       } else {
-        val scanned = applyDeleteFiles(spark, root, dels,
-          scan(spark, root, v, withPos = true))
+        val scanned = scan(spark, root, v, withPos = true)
+        val resolved = applyEqDeleteFiles(spark, root, eqs,
+          if (dels.isEmpty) scanned
+          else scanned.join(readDeleteFiles(spark, root, dels),
+            Seq(FileCol, PosCol), "left_anti"))
         val partOf = regexp_extract(col(FileCol), "^v=\\d+/(.+)/[^/]+$", 1)
-        val survivors = scanned.filter(partOf.isin(touched: _*))
+        val survivors = resolved.filter(partOf.isin(touched: _*))
           .drop(FileCol, PosCol)
         stageManifested(survivors, root, partCol, v, append = false,
           removeParts = touched.toSet, dropDeletes = true)
@@ -1069,12 +1376,30 @@ object SnapshotTable {
                               removeParts: Set[String] = Set.empty,
                               statsCols: Seq[String] = Seq.empty,
                               dropDeletes: Boolean = false,
-                              bloomCols: Seq[String] = Seq.empty): Long = {
+                              bloomCols: Seq[String] = Seq.empty,
+                              eqDeleteKeys: Option[Seq[String]] = None,
+                              allowCrossEra: Boolean = false)
+      : Long = {
     val baseEntries = inheritedEntries(root, base, partitionCol)
     // validate the spec BEFORE claiming a version dir: a mismatch must
     // fail clean, not leave an orphan claim behind
     Files.createDirectories(Paths.get(root))
     recordOrValidateSpec(root, partitionCol)
+    // a copy-on-write delta's "complete new content of each touched
+    // partition" contract is only checkable within ONE spec era: rows
+    // of a touched partition may hide inside inherited old-era
+    // directories this commit cannot see. Appends never rewrite, so
+    // they stay safe across eras; [[applyDeletes]]/[[migrateSpec]]
+    // remove every old-era entry they rewrite and opt in explicitly.
+    if (!append && !allowCrossEra) {
+      val foreign = foreignEraEntries(root,
+        baseEntries.filterNot(e => removeParts.contains(e._1)))
+      require(foreign.isEmpty,
+        s"table at $root has live directories under an older partition " +
+          s"spec (${foreign.take(3).map(_._1).mkString(", ")}…) — run " +
+          "migrateSpec (or the maintenance cadence) before a " +
+          "copy-on-write delta commit")
+    }
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
     slice.write.mode("append").partitionBy(partitionCol).parquet(s"$root/v=$next")
@@ -1093,7 +1418,26 @@ object SnapshotTable {
     // [[applyDeletes]] is the fold that rewrites and drops them.
     val carried =
       if (dropDeletes || base < 0) Seq.empty else deleteEntries(root, base)
-    writeManifest(root, next, kept ++ touched.map(_ -> next), carried)
+    // carried equality deletes stay correct across a delta rewrite for
+    // free: rewritten files land at storage version `next` >= every
+    // carried delete version, so the strict sequence rule never
+    // re-masks rows the rewrite already resolved, while inherited
+    // files stay masked
+    val carriedEq =
+      if (dropDeletes || base < 0) Seq.empty
+      else eqDeleteEntries(root, base)
+    // an upsert commit lands its batch's key set as an equality-delete
+    // sidecar IN THIS version: older twins die, the batch survives
+    val ownEq = eqDeleteKeys.toSeq.map { ks =>
+      // key tuples re-read from the files just written, not recomputed
+      // through the slice's lineage (which may be arbitrarily deep)
+      slice.sparkSession.read.parquet(s"$root/v=$next")
+        .select(ks.map(col): _*).distinct()
+        .coalesce(1).write.parquet(s"$root/v=$next/_eqdeletes")
+      next -> ks
+    }
+    writeManifest(root, next, kept ++ touched.map(_ -> next), carried,
+      carriedEq ++ ownEq)
     // record the evolved table schema: base columns keep their TYPE
     // (an append/delta may ADD columns but never silently flip an
     // existing column's type — the Iceberg evolution rule), new slice
@@ -1413,12 +1757,26 @@ object SnapshotTable {
     // `v` layer is inferred as a partition and dropped — and unapplied
     // MoR delete files mask their rows here exactly as in [[read]]
     val dels = deleteEntries(root, v)
-    val reader = recordedSchema(root, v)
-      .map(spark.read.schema(_)).getOrElse(spark.read)
-    val base = reader.option("basePath", root)
-      .parquet(kept.map(f => s"$root/$f"): _*)
-    val b2 = if (dels.nonEmpty) base.select(col("*") +: posCols: _*) else base
-    applyDeleteFiles(spark, root, dels, b2.drop("v")).filter(rowFilter)
+    val eqs = eqDeleteEntries(root, v)
+    // one scan per spec era (see [[scan]]): mixed dir layouts cannot
+    // share a partition-discovery pass
+    val keptByEra = kept
+      .groupBy(f => partitionSpecAt(root,
+        f.stripPrefix("v=").takeWhile(_.isDigit).toLong))
+      .toSeq.sortBy(_._1.getOrElse(""))
+    val scans = keptByEra.map { case (_, fs) =>
+      val reader = recordedSchema(root, v)
+        .map(spark.read.schema(_)).getOrElse(spark.read)
+      val base = reader.option("basePath", root)
+        .parquet(fs.map(f => s"$root/$f"): _*)
+      val b2 =
+        if (dels.nonEmpty || eqs.nonEmpty)
+          base.select(col("*") +: posCols: _*)
+        else base
+      b2.drop("v")
+    }
+    resolveDeletes(spark, root, dels, eqs,
+      scans.reduce(_.unionByName(_))).filter(rowFilter)
   }
 
   // ───────────────── crash-leftover GC (orphan sweep) ─────────────────

@@ -35,15 +35,17 @@ object TableInspect {
     val rows = SnapshotTable.versions(root).map { v =>
       val entries = SnapshotTable.manifestEntries(root, v)
       val dels = SnapshotTable.deleteEntries(root, v)
+      val eqs = SnapshotTable.eqDeleteEntries(root, v)
       val ownsData = hasDataFiles(root, s"v=$v")
       val kind =
         if (entries.isEmpty) "snapshot"
-        else if (!ownsData && dels.lastOption.contains(v)) "delete-only"
+        else if (!ownsData && (dels.lastOption.contains(v) ||
+          eqs.lastOption.exists(_._1 == v))) "delete-only"
         else "manifested"
       (v, SnapshotTable.parentVersion(root, v),
         SnapshotTable.isCommitted(root, v), v == current,
         refsByV.getOrElse(v, ""), kind,
-        entries.size.toLong, dels.size.toLong)
+        entries.size.toLong, (dels.size + eqs.size).toLong)
     }
     rows.toDF("version", "parent", "is_committed", "is_current",
       "refs", "kind", "data_entries", "delete_refs")

@@ -108,6 +108,25 @@ class OhlcvSpec extends GraftSuite {
       .withColumn("minute_bucket",
         date_trunc("minute", col("trade_time")).cast("timestamp_ntz"))
 
+  test("ewma: α=1/2 weights over the candle frame, exact on clean powers") {
+    val m1 = Ohlcv.ohlcv1m(tape3(Seq(
+      "2024-01-01 10:00:05" -> 10.0, "2024-01-01 10:01:05" -> 20.0,
+      "2024-01-01 10:02:05" -> 40.0)))
+    val rows = Ohlcv.ewma(m1).orderBy("window_start").collect()
+    // n=1: ewma = close
+    assert(rows(0).getAs[java.math.BigDecimal]("ewma_close")
+      .doubleValue() === 10.0)
+    // n=2: (20 + 10·0.5) / 1.5, rounded to 8
+    assert(math.abs(rows(1).getAs[java.math.BigDecimal]("ewma_close")
+      .doubleValue() - 25.0 / 1.5) < 1e-8)
+    // n=3: (40 + 20·0.5 + 10·0.25) / 1.75 = 52.5 / 1.75 = 30
+    assert(rows(2).getAs[java.math.BigDecimal]("ewma_close")
+      .doubleValue() === 30.0)
+    assert(rows(2).getAs[Long]("n_candles") === 3L)
+    // span valve: the exact-weight scale caps at 16
+    intercept[IllegalArgumentException] { Ohlcv.ewma(m1, span = 17) }
+  }
+
   test("gap fill: dense spine, forward-filled close, zeroed volume") {
     val m1 = Ohlcv.ohlcv1m(tape3(Seq(
       "2024-01-01 10:00:05" -> 10.0, "2024-01-01 10:03:05" -> 20.0)))
