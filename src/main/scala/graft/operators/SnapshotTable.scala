@@ -176,17 +176,33 @@ object SnapshotTable {
       val specGroups = m.sorted
         .groupBy { case (_, sv) => partitionSpecAt(root, sv) }
         .toSeq.sortBy(_._1.getOrElse(""))
-      val scans = specGroups.map { case (_, entries) =>
-        val dirs = entries.map { case (part, sv) => s"$root/v=$sv/$part" }
-        // schema from version METADATA, not file-footer sampling (the
-        // Iceberg rule): a union scan over storage versions written
-        // before a column existed must still surface it (null-filled),
-        // and planning must not read every footer at 100 TB file counts
-        val reader = recordedSchema(root, v)
-          .map(spark.read.schema(_)).getOrElse(spark.read)
-        val base = reader.option("basePath", root).parquet(dirs: _*)
-        val b2 = if (withPos) base.select(col("*") +: posCols: _*) else base
-        b2.drop("v")
+      // schema from version METADATA, not file-footer sampling (the
+      // Iceberg rule): a union scan over storage versions written
+      // before a column existed must still surface it (null-filled),
+      // and planning must not read every footer at 100 TB file counts
+      val recSchema = recordedSchema(root, v)
+      // a DATA column literally named "v" collides with the storage
+      // layer's `v=N` partition inference under a table-root basePath
+      // (drop("v") would silently erase user data) — such tables scan
+      // per storage version with basePath v=N, so the storage layer
+      // never becomes a column at all
+      val vCollision = recSchema.exists(_.fieldNames.contains("v"))
+      val scans = specGroups.flatMap { case (_, entries) =>
+        def reader = recSchema.map(spark.read.schema(_))
+          .getOrElse(spark.read)
+        if (!vCollision) {
+          val dirs = entries.map { case (part, sv) => s"$root/v=$sv/$part" }
+          val base = reader.option("basePath", root).parquet(dirs: _*)
+          val b2 =
+            if (withPos) base.select(col("*") +: posCols: _*) else base
+          Seq(b2.drop("v"))
+        } else entries.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (sv, es) =>
+            val dirs = es.map { case (part, _) => s"$root/v=$sv/$part" }
+            val base = reader.option("basePath", s"$root/v=$sv")
+              .parquet(dirs: _*)
+            if (withPos) base.select(col("*") +: posCols: _*) else base
+          }
       }
       scans.reduce(_.unionByName(_))
     }
@@ -1216,12 +1232,29 @@ object SnapshotTable {
                 source: DataFrame, keyCols: Seq[String],
                 statsCols: Seq[String] = Seq.empty,
                 bloomCols: Seq[String] = Seq.empty): Long = {
-    require(keyCols.nonEmpty, "upsert needs at least one key column")
-    val next = stageManifested(source, root, partitionCol,
-      latestVersion(root), append = true, statsCols = statsCols,
-      bloomCols = bloomCols, eqDeleteKeys = Some(keyCols))
+    val next = stageUpsertMor(source, root, partitionCol, keyCols,
+      latestVersion(root), statsCols, bloomCols)
     moveMarker(root, next)
     next
+  }
+
+  /** The staging half of [[upsertMor]] against an EXPLICIT base
+    * version (appended files + equality sidecar + manifest written,
+    * nothing published) — what lets [[Catalog]] transactions and the
+    * governed streaming sink land CDC upserts atomically with other
+    * tables. Unlike [[mergeDeltaCommit]], there is NO key-partition
+    * stability requirement: equality deletes match globally, so a key
+    * may migrate between partitions across batches. */
+  private[graft] def stageUpsertMor(source: DataFrame, root: String,
+                                    partitionCol: String,
+                                    keyCols: Seq[String], base: Long,
+                                    statsCols: Seq[String] = Seq.empty,
+                                    bloomCols: Seq[String] = Seq.empty)
+      : Long = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    stageManifested(source, root, partitionCol, base, append = true,
+      statsCols = statsCols, bloomCols = bloomCols,
+      eqDeleteKeys = Some(keyCols))
   }
 
   /** Fold accumulated merge-on-read delete files back into clean data
@@ -1759,21 +1792,28 @@ object SnapshotTable {
     val dels = deleteEntries(root, v)
     val eqs = eqDeleteEntries(root, v)
     // one scan per spec era (see [[scan]]): mixed dir layouts cannot
-    // share a partition-discovery pass
-    val keptByEra = kept
-      .groupBy(f => partitionSpecAt(root,
-        f.stripPrefix("v=").takeWhile(_.isDigit).toLong))
-      .toSeq.sortBy(_._1.getOrElse(""))
-    val scans = keptByEra.map { case (_, fs) =>
-      val reader = recordedSchema(root, v)
-        .map(spark.read.schema(_)).getOrElse(spark.read)
-      val base = reader.option("basePath", root)
+    // share a partition-discovery pass; a data column named "v"
+    // collides with the storage layer and scans per storage version
+    val recSchema = recordedSchema(root, v)
+    val vCollision = recSchema.exists(_.fieldNames.contains("v"))
+    def svOf(f: String): Long =
+      f.stripPrefix("v=").takeWhile(_.isDigit).toLong
+    val keptGroups: Seq[(Option[String], Seq[String])] =
+      if (!vCollision)
+        kept.groupBy(f => partitionSpecAt(root, svOf(f)))
+          .toSeq.sortBy(_._1.getOrElse(""))
+      else kept.groupBy(f => Option(svOf(f).toString))
+        .toSeq.sortBy(_._1.getOrElse(""))
+    val scans = keptGroups.map { case (key, fs) =>
+      val reader = recSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+      val bp = if (!vCollision) root else s"$root/v=${key.get}"
+      val base = reader.option("basePath", bp)
         .parquet(fs.map(f => s"$root/$f"): _*)
       val b2 =
         if (dels.nonEmpty || eqs.nonEmpty)
           base.select(col("*") +: posCols: _*)
         else base
-      b2.drop("v")
+      if (!vCollision) b2.drop("v") else b2
     }
     resolveDeletes(spark, root, dels, eqs,
       scans.reduce(_.unionByName(_))).filter(rowFilter)

@@ -101,6 +101,96 @@ object GovernedStream {
     None // unreachable
   }
 
+  /** Transactionally UPSERT one micro-batch into a governed
+    * current-state table — the streaming CDC sink the table formats
+    * serve with equality deletes (Flink→Iceberg upsert mode): the
+    * batch lands via [[SnapshotTable.stageUpsertMor]] (append + the
+    * batch's key set as an equality-delete sidecar, O(batch), zero
+    * table reads — where a MERGE-rewrite sink would rewrite touched
+    * partitions every 30 seconds) and publishes atomically with the
+    * advanced batch id, so a replayed batch upserts NOTHING twice
+    * (exactly-once; a re-upsert would be harmlessly idempotent for
+    * same-content rows but not for aggregated state, so it is skipped
+    * outright like [[commitBatch]]). Accumulated sidecars fold on the
+    * maintenance cadence ([[graft.operators.Maintenance.runCatalog]]'s
+    * applyDeletes step). Returns the new catalog commit, or None on
+    * replay/empty batch. */
+  def commitUpsertBatch(spark: SparkSession, catalogRoot: String,
+                        table: String, partitionCol: String,
+                        keyCols: Seq[String], sourceId: String,
+                        batchId: Long, batch: DataFrame): Option[Long] = {
+    var attempt = 0
+    while (true) {
+      val base = Catalog.latestCommit(catalogRoot)
+      val prev = Catalog.tableVersions(catalogRoot, base)
+      if (lastBatchId(spark, catalogRoot, sourceId, base) >= batchId)
+        return None
+      if (batch.isEmpty) return None
+      try {
+        val vT = SnapshotTable.stageUpsertMor(batch,
+          Catalog.tableRoot(catalogRoot, table), partitionCol, keyCols,
+          prev.getOrElse(table, -1L))
+        val others =
+          if (!prev.contains(StateTable)) Seq.empty
+          else Catalog.read(spark, catalogRoot, StateTable, base)
+            .filter(col("source_id") =!= sourceId)
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        import spark.implicits._
+        val state = (others :+ (sourceId, batchId))
+          .toDF("source_id", "batch_id").coalesce(1)
+        val vS = SnapshotTable.stageVersion(state,
+          Catalog.tableRoot(catalogRoot, StateTable),
+          prev.getOrElse(StateTable, -1L))
+        return Some(Catalog.commitStaged(catalogRoot,
+          Map(table -> vT, StateTable -> vS), base))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          Thread.sleep(50L * attempt)
+      }
+    }
+    None // unreachable
+  }
+
+  /** Checkpointed trade stream → per-batch latest-row reduction →
+    * governed CDC upsert of a `latest_trades` current-state table:
+    * each micro-batch keeps its newest row per product (tie-broken by
+    * trade_id like the batch `price_latest`) and upserts it keyed by
+    * product_id — the streaming twin of the serving table, maintained
+    * at O(batch per trigger) without ever reading or rewriting the
+    * table. Exactly-once via the same committed-batch-id protocol. */
+  def writeLatestGoverned(spark: SparkSession, srcDir: String,
+                          catalogRoot: String, checkpointDir: String,
+                          sourceId: String = "latest_upsert"): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    val tsCol =
+      if (schema("ts").dataType == LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts").cast("timestamp")
+    val q = Bronze.ingest(raw.withColumn("ts", tsCol))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val latest = batch
+          .withColumn("trade_time", col("trade_time").cast("timestamp_ntz"))
+          .groupBy("product_id")
+          .agg(max_by(struct(col("price"), col("size"), col("trade_time"),
+            col("trade_id")), struct(col("trade_time"), col("trade_id")))
+            .as("r"))
+          .select(col("product_id"), col("r.price"), col("r.size"),
+            col("r.trade_time"), col("r.trade_id"))
+        commitUpsertBatch(batch.sparkSession, catalogRoot,
+          "latest_trades", "product_id", Seq("product_id"), sourceId,
+          batchId, latest)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Checkpointed file-source stream → bronze transform → one atomic
     * governed catalog commit per micro-batch. Restartable: re-invoking
     * after new files land processes only the new files; a replayed
