@@ -545,6 +545,33 @@ object Oracles {
         |    8) AS DOUBLE) AS ewma_close
         |FROM lists""".stripMargin),
 
+    // Cutler's RSI-14: exact decimal close-to-close diffs, exact
+    // frame sums (order-free), one final double divide rounded to 8;
+    // NULL on no-prior-change rows and zero total movement. Wilder's
+    // recursive smoothing is deliberately NOT used (order-dependent
+    // float state).
+    "rsi_14" -> withTrades("m1",
+      """, diffs AS (
+        |  SELECT product_id, window_start, close,
+        |    CAST(close - lag(close) OVER
+        |      (PARTITION BY product_id ORDER BY window_start)
+        |      AS DECIMAL(19,8)) AS diff
+        |  FROM m1)
+        |SELECT product_id, window_start, CAST(close AS DOUBLE) AS close,
+        |  COUNT(diff) OVER w AS n_changes,
+        |  CAST(round(
+        |    CAST(100 AS DOUBLE) *
+        |      CAST(SUM(greatest(diff, CAST(0 AS DECIMAL(19,8)))) OVER w
+        |        AS DOUBLE) /
+        |      NULLIF(CAST(SUM(greatest(diff, CAST(0 AS DECIMAL(19,8))))
+        |          OVER w +
+        |        SUM(greatest(-diff, CAST(0 AS DECIMAL(19,8)))) OVER w
+        |        AS DOUBLE), 0.0),
+        |    8) AS DOUBLE) AS rsi
+        |FROM diffs
+        |WINDOW w AS (PARTITION BY product_id ORDER BY window_start
+        |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin),
+
     // Spine via generate_series + forward fill with IGNORE NULLS —
     // mirrors Ohlcv.gapFill's sequence/explode + last(ignoreNulls).
     "ohlcv_gap_fill" -> withTrades("m1",

@@ -78,6 +78,8 @@ object SparkEntry {
       Ohlcv.rolling(Ohlcv.ohlcv1m(stg(s, dir)))),
     "ewma_price" -> ((s, dir) =>
       Ohlcv.ewma(Ohlcv.ohlcv1m(stg(s, dir)))),
+    "rsi_14" -> ((s, dir) =>
+      Ohlcv.rsi(Ohlcv.ohlcv1m(stg(s, dir)))),
     "ohlcv_gap_fill" -> { (s, dir) =>
       // m1 feeds the bounds aggregate AND the spine join — persist it
       val m1 = Ohlcv.ohlcv1m(stg(s, dir)).persist()

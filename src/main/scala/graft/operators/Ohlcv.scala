@@ -161,6 +161,39 @@ object Ohlcv {
           .cast("decimal(18,8)").as("ewma_close"))
   }
 
+  /** Cutler's RSI over the last `period` close-to-close changes:
+    * `rsi = 100·Σgain / (Σgain + Σloss)` — the SMA form (Wilder's
+    * recursive smoothing is order-dependent float state; Cutler's is
+    * the standard deterministic variant). Gains/losses are EXACT
+    * decimal diffs of DECIMAL(18,8) closes, frame-summed exactly
+    * (order-free); one final double divide rounded to 8. A row with no
+    * prior change (first candle) or zero total movement yields NULL,
+    * per the indicator's convention. Same single product_id shuffle as
+    * the other candle windows — the lag and the frame sums share it. */
+  def rsi(m1: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 1, "rsi needs a positive period")
+    val ord = Window.partitionBy("product_id").orderBy("window_start")
+    val frame = ord.rowsBetween(-(period - 1), 0)
+    m1.select(col("product_id"), col("window_start"), col("close"))
+      .withColumn("diff",
+        (col("close") - lag(col("close"), 1).over(ord))
+          .cast("decimal(19,8)"))
+      .withColumn("gain", greatest(col("diff"),
+        lit(0).cast("decimal(19,8)")))
+      .withColumn("loss", greatest(-col("diff"),
+        lit(0).cast("decimal(19,8)")))
+      .select(col("product_id"), col("window_start"), col("close"),
+        count(col("diff")).over(frame).as("n_changes"),
+        sum(col("gain")).over(frame).as("sg"),
+        sum(col("loss")).over(frame).as("sl"))
+      .select(col("product_id"), col("window_start"), col("close"),
+        col("n_changes"),
+        graft.functions.Rounding.roundScaled(
+          lit(100.0d) * col("sg").cast("double") /
+            nullif((col("sg") + col("sl")).cast("double"), lit(0.0d)),
+          8).as("rsi"))
+  }
+
   /** Candle gap filling: emit a complete per-product minute spine from
     * the product's first to last candle, forward-filling the close over
     * empty minutes (volume/trade_count zero) — the densification step

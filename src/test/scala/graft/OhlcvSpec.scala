@@ -127,6 +127,27 @@ class OhlcvSpec extends GraftSuite {
     intercept[IllegalArgumentException] { Ohlcv.ewma(m1, span = 17) }
   }
 
+  test("rsi: Cutler's SMA form over exact decimal diffs; null edges") {
+    val m1 = Ohlcv.ohlcv1m(tape3(Seq(
+      "2024-01-01 10:00:05" -> 10.0, "2024-01-01 10:01:05" -> 20.0,
+      "2024-01-01 10:02:05" -> 15.0)))
+    val rows = Ohlcv.rsi(m1).orderBy("window_start").collect()
+    // first candle: no prior change
+    assert(rows(0).isNullAt(rows(0).fieldIndex("rsi")))
+    assert(rows(0).getAs[Long]("n_changes") === 0L)
+    // +10 only: all gain
+    assert(rows(1).getAs[Double]("rsi") === 100.0)
+    // +10, -5: 100·10/15
+    assert(math.abs(rows(2).getAs[Double]("rsi") - 100.0 * 10 / 15) < 1e-7)
+    assert(rows(2).getAs[Long]("n_changes") === 2L)
+
+    // zero total movement → null (not divide-by-zero)
+    val flat = Ohlcv.rsi(Ohlcv.ohlcv1m(tape3(Seq(
+      "2024-01-01 10:00:05" -> 10.0, "2024-01-01 10:01:05" -> 10.0))))
+      .orderBy("window_start").collect()
+    assert(flat(1).isNullAt(flat(1).fieldIndex("rsi")))
+  }
+
   test("gap fill: dense spine, forward-filled close, zeroed volume") {
     val m1 = Ohlcv.ohlcv1m(tape3(Seq(
       "2024-01-01 10:00:05" -> 10.0, "2024-01-01 10:03:05" -> 20.0)))
