@@ -1887,6 +1887,18 @@ object Oracles {
 
     // Deterministic hash-stratified sampling: identical 60-bit md5
     // bucket on both engines, rates folded to a CASE expression.
+    // stable hash split: md5-bucket mod 100 (engines bit-identical),
+    // CASE thresholds mirror datasetSplit's defaults
+    "dataset_split" ->
+      s"""SELECT doc_id, lang, source, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, lang, source,
+         |    ${Hashing.sid60Duck("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents)""".stripMargin,
+
     "stratified_sample" -> {
       val rateCase = graft.operators.TextAnalysis.SampleRates
         .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }

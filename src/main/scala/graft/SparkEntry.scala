@@ -387,6 +387,8 @@ object SparkEntry {
       graft.streaming.Sessionize.sessionsExact(s, dir)),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "text_clean" -> ((s, dir) => TextAnalysis.clean(Tables.documents(s, dir))),
+    "dataset_split" -> ((s, dir) =>
+      TextAnalysis.datasetSplit(Tables.documents(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),

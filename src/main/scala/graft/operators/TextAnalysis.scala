@@ -184,6 +184,29 @@ object TextAnalysis {
       .select("doc_id", "lang", "source", "bucket", "sample_rate")
   }
 
+  /** Deterministic train/validation/test split by stable content-free
+    * hash: a doc's 60-bit md5 id mod 100 buckets it into train
+    * (< trainPct), validation (< trainPct+valPct), or test — the
+    * standard holdout assignment a training pipeline needs to be (a)
+    * reproducible across reruns and engines (the md5 bridge both
+    * engines compute bit-identically), (b) STABLE under corpus growth
+    * (a doc's split never flips as other docs arrive — row_number or
+    * rand() splits both fail this), and (c) shuffle-free (a narrow
+    * projection at any corpus size). */
+  def datasetSplit(docs: DataFrame, trainPct: Int = 90,
+                   valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "split percentages must leave room for test")
+    docs
+      .withColumn("bucket",
+        expr(s"pmod(${Hashing.sid60Spark("cast(doc_id as string)")}, 100)"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("validation"))
+          .otherwise(lit("test")))
+      .select("doc_id", "lang", "source", "bucket", "split")
+  }
+
   /** Token-count distribution profile per language: exact discrete
     * p50/p90/p99 of whitespace tokens per document — the length
     * histogram a curation pipeline reads before choosing packing and

@@ -476,4 +476,26 @@ class LlmOpsSpec extends GraftSuite {
     assert(got(2L).getAs[Double]("dup_bigram_frac") === 0.0)
     assert(!got(2L).getAs[Boolean]("repetition_pass"))
   }
+
+  test("dataset split: content-free, stable under corpus growth, covers all docs") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val split = TextAnalysis.datasetSplit(real)
+    assert(split.count() === real.count())
+    val m = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.values.sum === real.count())
+    assert(m("train") > m.getOrElse("validation", 0L) &&
+      m("train") > m.getOrElse("test", 0L))
+    // stability: a subset's assignments agree with the full corpus
+    // (a doc's split must never flip as other docs arrive)
+    val full = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    TextAnalysis.datasetSplit(real.limit(50))
+      .select("doc_id", "split").collect()
+      .foreach(r => assert(full(r.getLong(0)) === r.getString(1)))
+    // bad fractions fail loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.datasetSplit(real, trainPct = 96, valPct = 5)
+    }
+  }
 }
