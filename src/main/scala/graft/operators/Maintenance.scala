@@ -126,13 +126,21 @@ object Maintenance {
                  targetFiles: Int = 8, minInputFiles: Int = 16,
                  retainLast: Int = 2, graceMs: Long = 3600000L): DataFrame = {
     val rows = tables.map { case (name, root) =>
-      // fold unapplied MoR delete files FIRST (Iceberg's
-      // rewrite_position_delete_files step): compaction then sees the
-      // clean table, and the freed sidecar versions expire below
+      // fold unapplied MoR delete files (BOTH flavors) and migrate any
+      // old-spec-era directories FIRST (Iceberg's
+      // rewrite_position_delete_files + rewrite_data_files steps):
+      // compaction then sees a clean single-era table, and the freed
+      // sidecar/old-era versions expire below
+      val v0 = SnapshotTable.latestVersion(root)
+      val needsFold = v0 >= 0 &&
+        (SnapshotTable.deleteEntries(root, v0).nonEmpty ||
+          SnapshotTable.eqDeleteEntries(root, v0).nonEmpty)
       val folded =
-        if (SnapshotTable.deleteEntries(root,
-          SnapshotTable.latestVersion(root)).isEmpty) -1L
-        else SnapshotTable.applyDeletes(spark, root)
+        if (needsFold) SnapshotTable.applyDeletes(spark, root)
+        else if (v0 >= 0) {
+          val migrated = SnapshotTable.migrateSpec(spark, root)
+          if (migrated == v0) -1L else migrated
+        } else -1L
       val compacted = compactSnapshot(spark, root, targetFiles, minInputFiles)
       val expired = SnapshotTable.expireSnapshots(root, retainLast)
       TableMaintenance(name, folded, compacted, expired,

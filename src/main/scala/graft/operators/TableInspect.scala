@@ -45,10 +45,11 @@ object TableInspect {
       (v, SnapshotTable.parentVersion(root, v),
         SnapshotTable.isCommitted(root, v), v == current,
         refsByV.getOrElse(v, ""), kind,
-        entries.size.toLong, (dels.size + eqs.size).toLong)
+        entries.size.toLong, (dels.size + eqs.size).toLong,
+        SnapshotTable.partitionSpecAt(root, v).getOrElse(""))
     }
     rows.toDF("version", "parent", "is_committed", "is_current",
-      "refs", "kind", "data_entries", "delete_refs")
+      "refs", "kind", "data_entries", "delete_refs", "partition_spec")
   }
 
   /** One row per live DATA file of a version (default: current): its

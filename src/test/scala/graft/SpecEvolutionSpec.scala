@@ -146,6 +146,27 @@ class SpecEvolutionSpec extends GraftSuite {
     assert(got2 === got, "fold+migrate changed the answer")
   }
 
+  test("maintenance cadence migrates mixed-era tables (no deletes needed)") {
+    val root = Files.createTempDirectory("graft-spec-maint").toString
+    seed(root)
+    SnapshotTable.evolvePartitionSpec(root, "h")
+    SnapshotTable.commitAppend(
+      Seq((100L, "g1", "h1", 5L)).toDF("id", "g", "h", "x"), root, "h")
+    val before = SnapshotTable.read(spark, root).select("id").as[Long]
+      .collect().toSet
+    graft.operators.Maintenance.runCatalog(spark, Seq("t" -> root))
+    val v = SnapshotTable.latestVersion(root)
+    assert(SnapshotTable.manifestEntries(root, v)
+      .forall(_._1.startsWith("h=")), "maintenance left old-era dirs")
+    assert(SnapshotTable.read(spark, root).select("id").as[Long]
+      .collect().toSet === before)
+    // snapshots inspection reports the era each version was written in
+    val specs = graft.operators.TableInspect.snapshots(spark, root)
+      .select("version", "partition_spec").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(specs(0L) === "g" && specs(v) === "h")
+  }
+
   test("readSkipping prunes by recorded bounds across eras") {
     val root = Files.createTempDirectory("graft-spec-skip").toString
     val df = (0L until 100L)
