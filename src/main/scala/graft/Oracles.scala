@@ -829,6 +829,14 @@ object Oracles {
         |WHERE NOT (o_totalprice > 400000)
         |  AND NOT (o_orderstatus = 'F' AND o_custkey % 10 = 0)""".stripMargin,
 
+    // the incremental scan after snapshot 0 == exactly the two
+    // appended batches (orderkey % 3 != 1)
+    "snapshot_incremental_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 != 1""".stripMargin,
+
     // a spec-evolved table (3/4 written under the old layout, 1/4
     // under the new) reads as the plain union of its slices — the
     // directory-layout era of a row must be answer-invisible

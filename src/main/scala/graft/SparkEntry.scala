@@ -263,6 +263,25 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
     },
+    // incremental append scan: stage a third of orders, fast-append
+    // the other two thirds in two commits, then read ONLY what
+    // arrived after the first snapshot — cost is the new files, never
+    // a two-snapshot diff (proofs incl. the append-only refusal and
+    // delete/upsert interplay live in IncrementalReadSpec)
+    "snapshot_incremental_read" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-incr-key").toString
+      val ord = Tables.orders(s, dir)
+      SnapshotTable.commitDelta(
+        ord.filter(col("o_orderkey") % 3 === 1), out, "o_orderpriority")
+      SnapshotTable.commitAppend(
+        ord.filter(col("o_orderkey") % 3 === 2), out, "o_orderpriority")
+      SnapshotTable.commitAppend(
+        ord.filter(col("o_orderkey") % 3 === 0), out, "o_orderpriority")
+      SnapshotTable.appendedBetween(s, out, 0L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+    },
     // partition-spec evolution: stage 3/4 of orders laid out by
     // priority, evolve the spec (metadata-only), append the last
     // quarter laid out by STATUS, then read the mixed-era table —
