@@ -819,6 +819,14 @@ object Oracles {
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey IN (500, 700)""".stripMargin,
 
+    // hidden partitioning: the days(ts)-pruned read == the full-scan
+    // filter on the SOURCE column (the layout is answer-invisible)
+    "hidden_partition_read" ->
+      """SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+
     // the table after two stacked merge-on-read delete commits == the
     // source minus both delete predicates (delete-sidecar resolution
     // must be invisible to the answer)

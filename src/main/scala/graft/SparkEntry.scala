@@ -282,6 +282,23 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
     },
+    // hidden partitioning (Iceberg partition transforms): events land
+    // under a days(ts)-DERIVED directory layout — the query names only
+    // the source column `ts`, never the layout, and the day
+    // directories prune anyway; the oracle's full-scan filter is the
+    // answer-identity proof (pruning/IO assertions live in
+    // HiddenPartitionSpec)
+    "hidden_partition_read" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-hidden-key").toString
+      val ev = Tables.events(s, dir)
+        .select("event_id", "event_type", "value", "ts")
+      SnapshotTable.commitDelta(ev, out, "days(ts)")
+      SnapshotTable.readSkipping(s, out,
+        "ts >= timestamp'2024-01-05 00:00:00' AND " +
+          "ts < timestamp'2024-01-08 00:00:00'")
+        .select("event_id", "event_type", "value", "ts")
+    },
     // partition-spec evolution: stage 3/4 of orders laid out by
     // priority, evolve the spec (metadata-only), append the last
     // quarter laid out by STATUS, then read the mixed-era table —

@@ -80,14 +80,17 @@ object Maintenance {
     val fragmented = SnapshotTable.manifestEntries(root, v)
       .groupBy(_._1).filter(_._2.size >= minEntries).keys.toSeq.sorted
     if (fragmented.isEmpty) return -1L
-    // partition dir names are `col=value`; date/number values
+    // partition dir names are `field=value` (the DERIVED field for a
+    // hidden-partitioning transform spec); date/number values
     // round-trip through the string cast exactly
-    val values = fragmented.map(_.substring(partitionCol.length + 1))
-    val touched = SnapshotTable.read(spark, root, v)
-      .filter(col(partitionCol).cast("string").isin(values: _*))
+    val ps = SnapshotTable.parseSpec(partitionCol)
+    val values = fragmented.map(_.substring(ps.field.length + 1))
+    val cur = SnapshotTable.read(spark, root, v)
+    val pv = ps.valueExpr(cur.schema(ps.source).dataType)
+    val touched = cur.filter(pv.cast("string").isin(values: _*))
     SnapshotTable.sortOrder(root) match {
       case None =>
-        SnapshotTable.commitDelta(touched.repartition(col(partitionCol)),
+        SnapshotTable.commitDelta(touched.repartition(pv),
           root, partitionCol)
       case Some(sortCols) =>
         // the table declares a WRITE ORDER: compaction is where it is
@@ -97,7 +100,7 @@ object Maintenance {
         // table converges to a stats-skippable layout
         val slice = touched
           .repartitionByRange(fragmented.size * filesPerPartition,
-            (partitionCol +: sortCols).map(col): _*)
+            pv +: sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
         SnapshotTable.commitDelta(slice, root, partitionCol,
           statsCols = sortCols)

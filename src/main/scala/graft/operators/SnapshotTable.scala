@@ -197,7 +197,13 @@ object SnapshotTable {
       // per storage version with basePath v=N, so the storage layer
       // never becomes a column at all
       val vCollision = recSchema.exists(_.fieldNames.contains("v"))
-      val scans = specGroups.flatMap { case (_, entries) =>
+      val scans = specGroups.flatMap { case (specOpt, entries) =>
+        // hidden partitioning: a transform era's DERIVED directory
+        // field is layout, not data — partition discovery surfaces it,
+        // readers never do
+        val hidden = specOpt.map(parseSpec).filterNot(_.isIdentity)
+          .map(_.field)
+        def hide(df: DataFrame): DataFrame = hidden.fold(df)(df.drop(_))
         def reader = recSchema.map(spark.read.schema(_))
           .getOrElse(spark.read)
         if (!vCollision) {
@@ -205,13 +211,13 @@ object SnapshotTable {
           val base = reader.option("basePath", root).parquet(dirs: _*)
           val b2 =
             if (withPos) base.select(col("*") +: posCols: _*) else base
-          Seq(b2.drop("v"))
+          Seq(hide(b2.drop("v")))
         } else entries.groupBy(_._2).toSeq.sortBy(_._1)
           .map { case (sv, es) =>
             val dirs = es.map { case (part, _) => s"$root/v=$sv/$part" }
             val base = reader.option("basePath", s"$root/v=$sv")
               .parquet(dirs: _*)
-            if (withPos) base.select(col("*") +: posCols: _*) else base
+            hide(if (withPos) base.select(col("*") +: posCols: _*) else base)
           }
       }
       scans.reduce(_.unionByName(_))
@@ -402,9 +408,12 @@ object SnapshotTable {
       val liveSpecs = manifestEntries(root, base)
         .flatMap(e => partitionSpecAt(root, e._2)).toSet ++
         partitionSpec(root)
-      require(!liveSpecs.contains(name),
-        s"cannot $op partition column '$name' — it is a live directory " +
-          "layout (current or unmigrated era)")
+      // a transform spec's SOURCE column is equally a layout column —
+      // renaming `ts` out from under `days(ts)` would orphan the layout
+      val layoutCols = liveSpecs.map(s => parseSpec(s).source)
+      require(!layoutCols.contains(name),
+        s"cannot $op partition column '$name' — a live directory " +
+          "layout (current or unmigrated era) derives from it")
     }
     val schema = recordedSchema(root, base)
       .getOrElse(read(spark, root, base).schema)
@@ -902,6 +911,110 @@ object SnapshotTable {
   def partitionSpecAt(root: String, sv: Long): Option[String] =
     specHistory(root).filter(_._2 <= sv).lastOption.map(_._1)
 
+  // ───────── hidden partitioning (Iceberg partition transforms) ─────────
+  //
+  // A partition spec is either a plain column name (identity layout) or
+  // a TRANSFORM of one — `days(ts)`, `bucket(16, id)`,
+  // `truncate(8, col)` — Iceberg's hidden partitioning (the reference's
+  // tables are Iceberg, trino/catalog/iceberg.properties:1-6): the
+  // directory value is DERIVED at write time, the source column stays
+  // in the data files untouched, and readers never see the derived
+  // field. Predicates on the SOURCE column prune transform directories
+  // in [[readSkipping]] — a `ts_day=d` directory IS a
+  // [d 00:00, d+1d) bound on `ts` and refutes through the same
+  // [[boundsSql]] machinery as file stats (integral truncate
+  // likewise); bucket and string-truncate directories refute
+  // equality/IN conjuncts by recomputing the transform of each literal
+  // driver-side (the [[probePositions]] discipline, literal cast to
+  // the column's recorded type first). Queries never mention the
+  // layout — which is the point: nobody writes `WHERE ts_day = ...` in
+  // one query and forgets it in the next.
+
+  private[graft] sealed trait PartSpec {
+    /** the NORMALIZED spec string recorded in `_partition_spec` */
+    def spec: String
+    /** the DATA column the layout derives from */
+    def source: String
+    /** the physical directory field name (= `source` for identity) */
+    def field: String
+    /** the derived directory value of a data row (`dt` = the source
+      * column's type; truncate semantics are per-type) */
+    def valueExpr(dt: types.DataType): Column
+    def isIdentity: Boolean = false
+  }
+  private final case class IdentitySpec(source: String) extends PartSpec {
+    val spec = source; val field = source
+    def valueExpr(dt: types.DataType): Column = col(source)
+    override def isIdentity: Boolean = true
+  }
+  private final case class DaysSpec(source: String) extends PartSpec {
+    val spec = s"days($source)"; val field = s"${source}_day"
+    def valueExpr(dt: types.DataType): Column = to_date(col(source))
+  }
+  private final case class BucketSpec(n: Int, source: String)
+      extends PartSpec {
+    val spec = s"bucket($n,$source)"; val field = s"${source}_bucket"
+    // Spark's murmur3 `hash` (seed 42) — recomputable driver-side for
+    // a literal, so equality probes resolve their one bucket at read
+    def valueExpr(dt: types.DataType): Column =
+      pmod(hash(col(source)), lit(n))
+  }
+  private final case class TruncateSpec(w: Int, source: String)
+      extends PartSpec {
+    val spec = s"truncate($w,$source)"; val field = s"${source}_trunc"
+    def valueExpr(dt: types.DataType): Column = dt match {
+      case types.StringType => substring(col(source), 1, w)
+      case types.ByteType | types.ShortType | types.IntegerType |
+           types.LongType =>
+        col(source) - pmod(col(source), lit(w.toLong))
+      case other => throw new IllegalArgumentException(
+        s"truncate($w, $source): unsupported source type $other " +
+          "(string and integral columns only)")
+    }
+  }
+
+  private val SpecPattern =
+    """^(days|bucket|truncate)\(\s*(?:(\d+)\s*,)?\s*([^()\s,]+)\s*\)$""".r
+
+  /** Parse a partition-spec string. A bare name is the identity
+    * layout; `days(col)` / `bucket(n,col)` / `truncate(w,col)` are
+    * hidden-partitioning transforms. Malformed transform syntax fails
+    * loudly — a typo must not silently become an identity column
+    * literally named `"days(ts"`. */
+  private[graft] def parseSpec(spec: String): PartSpec = spec.trim match {
+    case SpecPattern("days", null, c) => DaysSpec(c)
+    case SpecPattern("bucket", n, c) if n != null && n.toInt > 0 =>
+      BucketSpec(n.toInt, c)
+    case SpecPattern("truncate", w, c) if w != null && w.toInt > 0 =>
+      TruncateSpec(w.toInt, c)
+    case s if s.exists("()".contains(_)) =>
+      throw new IllegalArgumentException(
+        s"malformed partition spec '$s' — expected a column name, " +
+          "days(col), bucket(n,col), or truncate(w,col)")
+    case c => IdentitySpec(c)
+  }
+
+  /** Undo Spark's partition-path escaping (%XX sequences) on a
+    * directory value. */
+  private def unescapePathValue(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length)
+          try {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch {
+            case _: NumberFormatException => sb.append(c); i += 1
+          }
+        else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
   /** Change the table's partition layout for FUTURE writes — Iceberg
     * partition-spec evolution, a pure METADATA operation: zero data
     * bytes move, existing directories keep their old layout, and
@@ -916,11 +1029,12 @@ object SnapshotTable {
     val cur = partitionSpec(root).getOrElse(throw new IllegalStateException(
       s"table at $root has no partition spec to evolve — it needs a " +
         "manifested commit first"))
-    require(newCol != cur, s"partition spec is already '$cur'")
     require(newCol.nonEmpty, "empty partition column")
+    val norm = parseSpec(newCol).spec
+    require(norm != cur, s"partition spec is already '$cur'")
     val from = versions(root).lastOption.getOrElse(-1L) + 1
     Files.writeString(specPath(root),
-      s"\n$newCol@$from", java.nio.file.StandardOpenOption.APPEND)
+      s"\n$norm@$from", java.nio.file.StandardOpenOption.APPEND)
   }
 
   /** Live manifest entries NOT written under the current spec (empty
@@ -960,11 +1074,13 @@ object SnapshotTable {
     // ride along (the new directory replaces it by the touched-name
     // rule) — otherwise inheriting it beside the migrated rows would
     // drop or duplicate data
+    val ps = parseSpec(cur)
+    val pv = ps.valueExpr(resolved.schema(ps.source).dataType)
     val affected = resolved.filter(dirOfRow.isin(foreignDirs: _*))
-      .select(col(cur).cast("string")).distinct()
+      .select(pv.cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
     val movers = resolved
-      .filter(col(cur).cast("string").isin(affected: _*))
+      .filter(pv.cast("string").isin(affected: _*))
       .drop(FileCol, PosCol)
     val next = stageManifested(movers, root, cur, v, append = false,
       removeParts = foreign.map(_._1).toSet, allowCrossEra = true)
@@ -977,21 +1093,23 @@ object SnapshotTable {
     * later delta/append/delete/compaction validates against it. A
     * caller-supplied mismatch used to silently fragment the manifest
     * into two partition namespaces; now it throws. */
-  private def recordOrValidateSpec(root: String, partitionCol: String): Unit =
+  private def recordOrValidateSpec(root: String, partitionCol: String): Unit = {
+    val norm = parseSpec(partitionCol).spec
     partitionSpec(root) match {
       case Some(existing) =>
-        require(existing == partitionCol,
+        require(existing == norm,
           s"table at $root is partitioned by '$existing' but this commit " +
-            s"supplied partitionCol '$partitionCol' — a mismatched spec " +
+            s"supplied partitionCol '$norm' — a mismatched spec " +
             "would fragment the manifest into two partition namespaces")
       case None =>
-        try Files.writeString(specPath(root), partitionCol,
+        try Files.writeString(specPath(root), norm,
           java.nio.file.StandardOpenOption.CREATE_NEW)
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             recordOrValidateSpec(root, partitionCol)
         }
     }
+  }
 
   private def sortOrderPath(root: String) = Paths.get(root, "_sort_order")
 
@@ -1159,16 +1277,19 @@ object SnapshotTable {
   def deleteWhere(spark: SparkSession, root: String, partitionCol: String,
                   predicate: Column): Long = {
     val cur = read(spark, root)
+    val ps = parseSpec(partitionCol)
+    // the partition VALUE of a row — derived for transform specs
+    val pv = ps.valueExpr(cur.schema(ps.source).dataType)
     val touched = cur.filter(predicate)
-      .select(col(partitionCol).cast("string")).distinct()
+      .select(pv.cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return latestVersion(root)
     val survivors = cur
-      .filter(col(partitionCol).cast("string").isin(touched: _*))
+      .filter(pv.cast("string").isin(touched: _*))
       .filter(!coalesce(predicate, lit(false)))
     val next = stageManifested(survivors, root, partitionCol,
       latestVersion(root), append = false,
-      removeParts = touched.map(v => s"$partitionCol=$v").toSet)
+      removeParts = touched.map(v => s"${ps.field}=$v").toSet)
     moveMarker(root, next)
     next
   }
@@ -1428,11 +1549,16 @@ object SnapshotTable {
     * the row's own event time). */
   def mergeDeltaCommit(spark: SparkSession, root: String, source: DataFrame,
                        key: String, partitionCol: String): Long = {
-    val touched = source.select(col(partitionCol).cast("string")).distinct()
+    val ps = parseSpec(partitionCol)
+    val touched = source
+      .select(ps.valueExpr(source.schema(ps.source).dataType)
+        .cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return latestVersion(root)
-    val cur = read(spark, root)
-      .filter(col(partitionCol).cast("string").isin(touched: _*))
+    val curAll = read(spark, root)
+    val cur = curAll
+      .filter(ps.valueExpr(curAll.schema(ps.source).dataType)
+        .cast("string").isin(touched: _*))
     commitDelta(MergeUpsert.merge(cur, source, key), root, partitionCol)
   }
 
@@ -1489,7 +1615,20 @@ object SnapshotTable {
     }
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
-    slice.write.mode("append").partitionBy(partitionCol).parquet(s"$root/v=$next")
+    // hidden partitioning: a transform spec derives the directory value
+    // at write time; the source column stays in the data files and the
+    // derived field exists ONLY as the directory layer (readers drop it)
+    val ps = parseSpec(partitionCol)
+    val writeDf =
+      if (ps.isIdentity) slice
+      else {
+        require(!slice.columns.contains(ps.field),
+          s"data column '${ps.field}' collides with the derived " +
+            s"partition field of spec '${ps.spec}'")
+        slice.withColumn(ps.field,
+          ps.valueExpr(slice.schema(ps.source).dataType))
+      }
+    writeDf.write.mode("append").partitionBy(ps.field).parquet(s"$root/v=$next")
     recordFileStats(slice.sparkSession, root, next, statsCols)
     recordFileBlooms(slice.sparkSession, root, next, bloomCols)
     val touched = listPartitionDirs(root, next)
@@ -1738,6 +1877,122 @@ object SnapshotTable {
     }.toSet
   }
 
+  /** Candidate files refuted by their TRANSFORM partition value alone —
+    * hidden partitioning's read half: a predicate on the SOURCE column
+    * prunes derived directories without the query ever naming the
+    * layout. A `days` / integral-`truncate` directory value is a
+    * [lo, hi] BOUND on the source column and refutes through
+    * [[boundsSql]] (evaluated over a tiny driver-built (file, bounds)
+    * relation — the same metadata cost class as the stats path);
+    * `bucket` / string-`truncate` directories refute top-level
+    * equality/IN conjuncts by recomputing the transform of each
+    * literal driver-side, cast to the column's recorded type first
+    * (the [[probePositions]] discipline — hashing an int literal
+    * against a long column would bucket differently and falsely
+    * refute). Identity eras prune nothing here: their directory value
+    * IS the data column, which the row filter and stats path already
+    * see. Null partitions (`__HIVE_DEFAULT_PARTITION__`) and
+    * unresolvable values always keep — refutation-only, never an
+    * answer change. */
+  private def transformRefuted(spark: SparkSession, root: String, v: Long,
+      candidates: Seq[String],
+      parsed: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, In, Murmur3Hash, Literal => CLit}
+    def svOf(f: String): Long = f.stripPrefix("v=").takeWhile(_.isDigit).toLong
+    val transforms = candidates.groupBy(f => partitionSpecAt(root, svOf(f)))
+      .collect { case (Some(s), fs) if !parseSpec(s).isIdentity =>
+        parseSpec(s) -> fs }
+    if (transforms.isEmpty) return Set.empty
+    lazy val schema: types.StructType =
+      recordedSchema(root, v).getOrElse(read(spark, root, v).schema)
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // `keep ⇔ bounds cannot refute` over a driver-built stats-shaped
+    // relation (file, src__min, src__max)
+    def refuteBounds(src: String, rows: Seq[(String, String)],
+                     lo: Column, hi: Column): Seq[String] = {
+      if (rows.isEmpty) return Seq.empty
+      import spark.implicits._
+      val st = rows.toDF("_file", "_pv")
+        .select(col("_file"), lo.as(s"${src}__min"), hi.as(s"${src}__max"))
+      val keepSql = boundsSql(parsed, Set(src).contains)
+      st.filter(not(coalesce(expr(keepSql), lit(true))))
+        .select("_file").collect().map(_.getString(0)).toSeq
+    }
+    // equality/IN conjuncts on `src`, as literal groups (one group per
+    // conjunct — EACH conjunct may independently refute)
+    def eqLiteralGroups(src: String): Seq[Seq[CLit]] =
+      conjuncts(parsed).collect {
+        case EqualTo(a: UnresolvedAttribute, l: CLit)
+          if a.nameParts.last == src => Seq(l)
+        case EqualTo(l: CLit, a: UnresolvedAttribute)
+          if a.nameParts.last == src => Seq(l)
+        case In(a: UnresolvedAttribute, ls)
+          if a.nameParts.last == src &&
+            ls.forall(_.isInstanceOf[CLit]) =>
+          ls.map(_.asInstanceOf[CLit])
+      }
+    def castLit(l: CLit, dt: types.DataType): Option[Any] = {
+      if (!Cast.canCast(l.dataType, dt)) return None
+      Option(Cast(l, dt, Some("UTC")).eval(null))
+    }
+    transforms.toSeq.flatMap { case (ps, fs) =>
+      val dtOpt = schema.fields.find(_.name == ps.source).map(_.dataType)
+      dtOpt.toSeq.flatMap { dt =>
+        val vals: Seq[(String, String)] = fs.flatMap { f =>
+          f.split("/").find(_.startsWith(ps.field + "="))
+            .map(seg => f -> unescapePathValue(seg.drop(ps.field.length + 1)))
+        }.filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__")
+        ps match {
+          case DaysSpec(src) =>
+            val lo = col("_pv").cast(types.DateType).cast(dt)
+            val hi = dt match {
+              case types.DateType => lo
+              case _ => expr("timestampadd(MICROSECOND, -1, " +
+                "timestampadd(DAY, 1, cast(cast(_pv as date) as " +
+                "timestamp_ntz)))").cast(dt)
+            }
+            refuteBounds(src, vals, lo, hi)
+          case TruncateSpec(w, src) if !dt.isInstanceOf[types.StringType] =>
+            val lo = col("_pv").cast(types.LongType).cast(dt)
+            val hi = (col("_pv").cast(types.LongType) + lit(w.toLong - 1))
+              .cast(dt)
+            refuteBounds(src, vals, lo, hi)
+          case TruncateSpec(w, src) => // string truncate: equality only
+            eqLiteralGroups(src).flatMap { lits =>
+              val allowed = lits.map(castLit(_, dt).map(u =>
+                u.toString.take(w)))
+              if (allowed.exists(_.isEmpty)) Seq.empty
+              else {
+                val as = allowed.flatten.toSet
+                vals.filterNot { case (_, pv) => as.contains(pv) }.map(_._1)
+              }
+            }
+          case BucketSpec(n, src) => // bucket: equality only
+            eqLiteralGroups(src).flatMap { lits =>
+              val allowed = lits.map(l => castLit(l, dt).map { _ =>
+                val cl = CLit(Cast(l, dt, Some("UTC")).eval(null), dt)
+                val h = Murmur3Hash(Seq(cl), 42).eval(null)
+                  .asInstanceOf[Int]
+                Math.floorMod(h, n).toString
+              })
+              if (allowed.exists(_.isEmpty)) Seq.empty
+              else {
+                val as = allowed.flatten.toSet
+                vals.filterNot { case (_, pv) => as.contains(pv) }.map(_._1)
+              }
+            }
+          case _ => Seq.empty
+        }
+      }
+    }.toSet
+  }
+
   /** Rewrite a row predicate into its file-BOUNDS test over the stats
     * columns (`c__min`/`c__max`): true ⇔ the file's bounds CANNOT
     * refute the predicate. Only the monotone fragment prunes —
@@ -1828,9 +2083,12 @@ object SnapshotTable {
           .select("_file").collect().map(_.getString(0)).toSet
     }
     // bloom filters refute the equality/IN conjuncts bounds cannot
-    // (point lookups over unsorted data)
+    // (point lookups over unsorted data); transform partition values
+    // refute through the source column's predicate — hidden
+    // partitioning's read half
     val refuted = boundsRefuted ++
-      bloomRefuted(spark, root, v, statVersions, parsed)
+      bloomRefuted(spark, root, v, statVersions, parsed) ++
+      transformRefuted(spark, root, v, candidates, parsed)
     val kept = candidates.filterNot(refuted)
     val rowFilter = expr(predicate)
     if (kept.isEmpty) {
@@ -1861,13 +2119,18 @@ object SnapshotTable {
     val scans = keptGroups.map { case (key, fs) =>
       val reader = recSchema.map(spark.read.schema(_)).getOrElse(spark.read)
       val bp = if (!vCollision) root else s"$root/v=${key.get}"
+      // hidden partitioning: drop this group's derived directory field
+      val spec = if (!vCollision) key
+        else partitionSpecAt(root, key.get.toLong)
+      val hidden = spec.map(parseSpec).filterNot(_.isIdentity).map(_.field)
+      def hide(df: DataFrame): DataFrame = hidden.fold(df)(df.drop(_))
       val base = reader.option("basePath", bp)
         .parquet(fs.map(f => s"$root/$f"): _*)
       val b2 =
         if (dels.nonEmpty || eqs.nonEmpty)
           base.select(col("*") +: posCols: _*)
         else base
-      if (!vCollision) b2.drop("v") else b2
+      hide(if (!vCollision) b2.drop("v") else b2)
     }
     resolveDeletes(spark, root, dels, eqs,
       scans.reduce(_.unionByName(_))).filter(rowFilter)
