@@ -1386,6 +1386,44 @@ object Oracles {
          |  FROM q, nrm c WHERE c.vec_id <> q.query_id)
          |WHERE rank <= 10""".stripMargin,
 
+    // int8 scalar-quantized ANN: per-vector scale max|x|/127, codes
+    // round(x/scale), ranking by the EXACT integer code dot over the
+    // integer code norms — all integer arithmetic plus
+    // correctly-rounded sqrt/divide, so the approximation itself is
+    // bit-identical across engines. Round semantics match (both
+    // half-away-from-zero on doubles); the float max is exact under
+    // any fold order.
+    "ann_topk_quantized" ->
+      s"""WITH sq AS (
+         |  SELECT vec_id,
+         |    CAST(list_max([abs(x) FOR x IN embedding]) AS DOUBLE) / 127.0 AS scale,
+         |    embedding
+         |  FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id,
+         |    [CASE WHEN scale = 0 THEN 0
+         |          ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS INT) END
+         |     FOR x IN embedding] AS codes
+         |  FROM sq),
+         |qn AS (
+         |  SELECT vec_id, codes,
+         |    sqrt(CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |      [CAST(c AS BIGINT) * c FOR c IN codes]), (a, b) -> a + b)
+         |      AS DOUBLE)) AS qnrm
+         |  FROM qz)
+         |SELECT query_id, neighbor_id, qcosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |      [CAST(q.codes[i] AS BIGINT) * c.codes[i] FOR i IN range(1, ${graft.functions.Hashing.EmbDim + 1})]),
+         |      (x, y) -> x + y) AS DOUBLE) / nullif(q.qnrm * c.qnrm, 0.0) AS qcosine,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |        [CAST(q.codes[i] AS BIGINT) * c.codes[i] FOR i IN range(1, ${graft.functions.Hashing.EmbDim + 1})]),
+         |        (x, y) -> x + y) AS DOUBLE) / nullif(q.qnrm * c.qnrm, 0.0) DESC,
+         |      c.vec_id) AS rank
+         |  FROM qn q, qn c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |WHERE rank <= 10""".stripMargin,
+
     "ann_topk_bucketed" ->
       s"""WITH $nrmCte,
          |$sigBndCtes,

@@ -402,6 +402,8 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("cluster_id"),
           col("is_canonical"))),
     "ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
+    "ann_topk_quantized" -> ((s, dir) =>
+      Similarity.annTopKQuantized(Tables.embeddings(s, dir))),
     "ann_topk_bucketed" -> ((s, dir) =>
       Similarity.annTopKBucketed(Tables.embeddings(s, dir))),
     "ann_recall" -> { (s, dir) =>

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Int8 scalar-quantized ANN: codes fit a byte, the quantized ranking
+  * is deterministic integer arithmetic, and quantization error costs
+  * bounded recall against the exact float path. */
+class QuantizedAnnSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  test("codes are int8-representable and reconstruct within half a scale step") {
+    val sq = Similarity.quantizeInt8(emb)
+    val bad = sq.select(explode(col("codes")).as("c"))
+      .filter(col("c") > 127 || col("c") < -127).count()
+    assert(bad === 0, "a code overflowed int8 range")
+    // |x - code*scale| <= scale/2 per element (round's error bound)
+    val worst = Similarity.quantizeInt8(emb)
+      .join(emb, "vec_id")
+      .select(expr(
+        """aggregate(zip_with(embedding, codes,
+          |  (x, c) -> abs(cast(x as double) - c * scale)),
+          |  0D, (a, e) -> greatest(a, e)) / nullif(scale, 0D)""".stripMargin)
+        .as("worst_steps"))
+      .agg(max("worst_steps")).head.getDouble(0)
+    assert(worst <= 0.5 + 1e-9, s"reconstruction error $worst steps")
+  }
+
+  test("quantized top-k keeps high recall against the exact float ranking") {
+    val exact = Similarity.annTopK(emb)
+    val quant = Similarity.annTopKQuantized(emb)
+    val rec = Similarity.annRecall(exact, quant)
+      .agg(avg("recall")).head.getDouble(0)
+    // 8-bit codes over 64 dims lose little ranking fidelity; anything
+    // below this bound means the quantized scorer is wrong, not lossy
+    assert(rec >= 0.8, s"mean recall@10 = $rec")
+  }
+
+  test("all-zero vectors quantize to zero codes and never rank") {
+    val withZero = emb.limit(20).unionByName(
+      Seq((9999L, Array.fill(graft.functions.Hashing.EmbDim)(0.0f)))
+        .toDF("vec_id", "embedding"))
+    val sq = Similarity.quantizeInt8(withZero)
+    val z = sq.filter(col("vec_id") === 9999L).head
+    assert(z.getAs[Double]("scale") === 0.0)
+    assert(z.getAs[Seq[Int]]("codes").forall(_ == 0))
+    // the zero vector's score is NULL everywhere -> sinks to the tail,
+    // never NaN-pollutes the ranking
+    val ranked = Similarity.annTopKQuantized(withZero, nQueries = 5, k = 5)
+    assert(ranked.filter(col("neighbor_id") === 9999L &&
+      col("qcosine").isNotNull).count() === 0)
+  }
+}
