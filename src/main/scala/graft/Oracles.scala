@@ -819,6 +819,28 @@ object Oracles {
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey IN (500, 700)""".stripMargin,
 
+    // incremental MV maintenance: the CDC-incremented view == a
+    // from-scratch aggregate over the post-upsert post-delete table
+    // (exact decimal sums make the increments associative)
+    "mv_incremental" ->
+      """WITH batch AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_custkey % 7 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+        |  FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        |  UNION ALL
+        |  SELECT * FROM batch),
+        |final AS (SELECT * FROM merged WHERE NOT o_custkey % 11 = 0)
+        |SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DECIMAL(28,4)) AS DOUBLE) AS total_sum
+        |FROM final GROUP BY o_orderpriority""".stripMargin,
+
     // hidden partitioning: the days(ts)-pruned read == the full-scan
     // filter on the SOURCE column (the layout is answer-invisible)
     "hidden_partition_read" ->

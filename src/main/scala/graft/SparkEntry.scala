@@ -282,6 +282,31 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
     },
+    // incremental materialized-view maintenance: an aggregate mart
+    // over orders refreshes by applying the CDC delta (one upsert +
+    // one MoR delete) — never re-aggregating the base; the oracle
+    // recomputes the aggregate from scratch over the merged table, so
+    // a hash match proves increment ≡ full recompute (equivalence /
+    // zero-group proofs live in MaterializedViewSpec)
+    "mv_incremental" -> { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-mv-key-base").toString
+      val mv = java.nio.file.Files
+        .createTempDirectory("graft-mv-key").toString
+      val ord = Tables.orders(s, dir)
+      SnapshotTable.commitDelta(ord, base, "o_orderpriority")
+      MaterializedView.create(s, base, mv, "o_orderkey",
+        Seq("o_orderpriority"), Seq("o_totalprice"))
+      val batch = ord.filter(col("o_custkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      SnapshotTable.upsertMor(s, base, "o_orderpriority", batch,
+        Seq("o_orderkey"))
+      SnapshotTable.deleteWhereMor(s, base, col("o_custkey") % 11 === 0)
+      MaterializedView.refresh(s, base, mv)
+      SnapshotTable.read(s, mv)
+        .select(col("o_orderpriority"), col("n_rows"),
+          col("o_totalprice_sum").cast("double").as("total_sum"))
+    },
     // hidden partitioning (Iceberg partition transforms): events land
     // under a days(ts)-DERIVED directory layout — the query names only
     // the source column `ts`, never the layout, and the day

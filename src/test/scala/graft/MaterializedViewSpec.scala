@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MaterializedView, SnapshotTable}
+
+/** Incremental materialized-view maintenance: applying the CDC feed
+  * must land BIT-IDENTICAL to a full recompute — exact decimal sums
+  * make increments associative — and groups leave the view when their
+  * count hits zero. */
+class MaterializedViewSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def rows(ids: Range, grp: Long => String): DataFrame =
+    ids.map(i => (i.toLong, grp(i.toLong), i * 1.01)).toDF("id", "g", "amt")
+
+  private def fullRecompute(baseRoot: String): Set[(String, Long, BigDecimal)] =
+    SnapshotTable.read(spark, baseRoot)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("amt").cast("decimal(18,4)")).cast("decimal(28,4)")
+          .as("amt_sum"))
+      .as[(String, Long, BigDecimal)].collect().toSet
+
+  private def view(mvRoot: String): Set[(String, Long, BigDecimal)] =
+    SnapshotTable.read(spark, mvRoot).select("g", "n_rows", "amt_sum")
+      .as[(String, Long, BigDecimal)].collect().toSet
+
+  test("refresh over upserts and deletes equals full recompute exactly") {
+    val base = Files.createTempDirectory("graft-mv-base").toString
+    val mv = Files.createTempDirectory("graft-mv").toString
+    SnapshotTable.commitDelta(rows(0 until 100, i => s"g${i % 4}"),
+      base, "g")
+    MaterializedView.create(spark, base, mv, "id", Seq("g"), Seq("amt"))
+    assert(view(mv) === fullRecompute(base))
+
+    // CDC upsert: 20 updated rows (tripled amounts) + 10 inserts
+    val batch = rows(0 until 20, i => s"g${i % 4}")
+      .withColumn("amt", col("amt") * 3)
+      .unionByName(rows(200 until 210, _ => "g9"))
+    SnapshotTable.upsertMor(spark, base, "g", batch, Seq("id"))
+    // and a MoR delete
+    SnapshotTable.deleteWhereMor(spark, base, col("id") % 10 === 7)
+    MaterializedView.refresh(spark, base, mv)
+    assert(view(mv) === fullRecompute(base))
+
+    // a second stacked round: refresh composes across many commits
+    SnapshotTable.deleteWhereMor(spark, base, col("g") === "g9")
+    SnapshotTable.upsertMor(spark, base, "g",
+      rows(300 until 305, _ => "g0"), Seq("id"))
+    MaterializedView.refresh(spark, base, mv)
+    assert(view(mv) === fullRecompute(base))
+  }
+
+  test("a group whose count reaches zero leaves the view; it returns on re-insert") {
+    val base = Files.createTempDirectory("graft-mv-zero").toString
+    val mv = Files.createTempDirectory("graft-mv-zero-v").toString
+    SnapshotTable.commitDelta(rows(0 until 30, i => s"g${i % 3}"),
+      base, "g")
+    MaterializedView.create(spark, base, mv, "id", Seq("g"), Seq("amt"))
+    SnapshotTable.deleteWhereMor(spark, base, col("g") === "g1")
+    MaterializedView.refresh(spark, base, mv)
+    assert(!view(mv).exists(_._1 == "g1"))
+    SnapshotTable.upsertMor(spark, base, "g",
+      rows(500 until 502, _ => "g1"), Seq("id"))
+    MaterializedView.refresh(spark, base, mv)
+    assert(view(mv).count(_._1 == "g1") === 1)
+    assert(view(mv) === fullRecompute(base))
+  }
+
+  test("no-change refresh is a no-op and the covered version advances with the base") {
+    val base = Files.createTempDirectory("graft-mv-noop").toString
+    val mv = Files.createTempDirectory("graft-mv-noop-v").toString
+    SnapshotTable.commitDelta(rows(0 until 10, _ => "g0"), base, "g")
+    MaterializedView.create(spark, base, mv, "id", Seq("g"), Seq("amt"))
+    val v0 = SnapshotTable.latestVersion(mv)
+    assert(MaterializedView.refresh(spark, base, mv) === v0)
+    SnapshotTable.upsertMor(spark, base, "g",
+      rows(10 until 12, _ => "g0"), Seq("id"))
+    MaterializedView.refresh(spark, base, mv)
+    assert(MaterializedView.coveredBaseVersion(mv) ===
+      SnapshotTable.latestVersion(base))
+    assert(view(mv) === fullRecompute(base))
+  }
+}
