@@ -819,6 +819,18 @@ object Oracles {
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey IN (500, 700)""".stripMargin,
 
+    // fuzzy join: the q-gram-prefiltered pairs == the naive all-pairs
+    // levenshtein join (completeness proof; both engines' levenshtein
+    // is the classic unit-cost edit distance)
+    "fuzzy_join" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS a, b.p_name AS b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM n a, n b
+        |WHERE a.p_name < b.p_name
+        |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
     // incremental MV maintenance: the CDC-incremented view == a
     // from-scratch aggregate over the post-upsert post-delete table
     // (exact decimal sums make the increments associative)

@@ -282,6 +282,13 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
     },
+    // fuzzy (edit-distance) join: near-duplicate part names within 2
+    // edits via the q-gram inverted-index prefilter + levenshtein
+    // verify; the oracle is the NAIVE all-pairs join, so a hash match
+    // proves the prefilter is complete (short-string and
+    // cross-table proofs live in FuzzyJoinSpec)
+    "fuzzy_join" -> ((s, dir) =>
+      FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)),
     // incremental materialized-view maintenance: an aggregate mart
     // over orders refreshes by applying the CDC delta (one upsert +
     // one MoR delete) — never re-aggregating the base; the oracle

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyJoin
+
+/** Fuzzy (edit-distance) join: the q-gram prefilter must be COMPLETE
+  * — every pair the naive all-pairs levenshtein join finds, including
+  * short strings the gram bound cannot promise — while doing
+  * candidate-bounded work. */
+class FuzzyJoinSpec extends GraftSuite {
+  import spark.implicits._
+
+  // deterministic mixed-length vocabulary: clusters of near-identical
+  // strings, plus very short strings that evade the gram bound
+  private def vocab: Seq[String] = {
+    val bases = Seq("silver ingot", "copper coil", "steel beam",
+      "glass pane", "ab", "abc", "x", "", "zq")
+    bases ++ bases.map(_ + "s") ++ bases.map(b =>
+      if (b.nonEmpty) b.updated(0, 'k') else "k") ++
+      Seq("silvery ingot", "copper coils", "stel beam")
+  }
+
+  private def naive(maxDist: Int, voc: Seq[String] = vocab)
+      : Set[(String, String, Int)] = {
+    val n = voc.distinct
+    (for {
+      a <- n; b <- n if a < b
+      d = {
+        // classic Levenshtein, reference implementation
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length)
+      }
+      if d <= maxDist
+    } yield (a, b, d)).toSet
+  }
+
+  test("selfPairs equals the naive all-pairs join at d=1 and d=2, shorts included") {
+    val df = vocab.toDF("s")
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.selfPairs(df, "s", d)
+        .as[(String, String, Int)].collect().toSet
+      assert(got === naive(d), s"maxDist=$d")
+    }
+  }
+
+  test("two-sided matches finds cross-table pairs and dedups values first") {
+    val l = Seq("silver ingot", "silver ingot", "copper coil")
+      .toDF("name")
+    val r = Seq("silvery ingot", "coppre coil", "steel beam").toDF("label")
+    val got = FuzzyJoin.matches(l, "name", r, "label", 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(got === Set(("silver ingot", "silvery ingot", 1),
+      ("copper coil", "coppre coil", 2)))
+  }
+
+  test("the gram path, not the short bucket, carries long strings (candidate work is bounded)") {
+    // 60 long strings in 3 well-separated families: candidates stay
+    // within families (shared grams), never the full cross product
+    val fams = Seq("alpha particle stream", "benthic zone survey",
+      "cryogenic pump array")
+    val strs = for (f <- fams; i <- 0 until 20) yield s"$f $i"
+    val df = strs.toDF("s")
+    val cand = FuzzyJoin.selfPairs(df, "s", 1)
+    assert(cand.as[(String, String, Int)].collect().toSet ===
+      naive(1, strs))
+    // a string of one family never pairs with another family
+    assert(cand.filter(substring(col("a"), 1, 5) =!=
+      substring(col("b"), 1, 5)).count() === 0)
+  }
+}
