@@ -227,6 +227,45 @@ object Oracles {
       |  FROM embeddings
       |)""".stripMargin
 
+  /** BPE training CTE chain, k stages: v0 is the char-split word
+    * inventory; each stage s computes pair counts over v(s-1), picks
+    * the best pair (count DESC, l, r — Spark's exact tie-break) into
+    * b_s, and applies the greedy leftmost-first merge pass into v_s.
+    * The merge pass is a list_reduce over singleton-wrapped symbols —
+    * the accumulator starts as the first symbol's singleton, so it is
+    * exactly Spark's empty-seeded aggregate fold. */
+  private def bpeCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      "tk AS (\n" +
+        "  SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS word\n" +
+        "  FROM documents),\n" +
+        "wc AS (SELECT word, COUNT(*) AS cnt FROM tk WHERE word <> '' GROUP BY word),\n" +
+        "v0 AS (SELECT word, cnt, [word[i] FOR i IN range(1, len(word) + 1)] AS syms FROM wc)")
+    for (s <- 1 to k) {
+      sb.append(s""",
+p$s AS (
+  SELECT pr.l AS l, pr.r AS r, SUM(cnt) AS c FROM (
+    SELECT unnest([{'l': syms[i], 'r': syms[i+1]} FOR i IN range(1, len(syms))]) AS pr, cnt
+    FROM v${s - 1}) GROUP BY pr.l, pr.r),
+b$s AS (SELECT l, r, c FROM p$s ORDER BY c DESC, l, r LIMIT 1),
+v$s AS (
+  SELECT word, cnt,
+    list_reduce([[t] FOR t IN syms], (acc, te) ->
+      CASE WHEN acc[-1] = b.l AND te[1] = b.r
+           THEN list_append(acc[1:len(acc)-1], b.l || b.r)
+           ELSE list_concat(acc, te) END) AS syms
+  FROM v${s - 1}, b$s b)""")
+    }
+    sb.toString
+  }
+
+  /** The merge-table select over k trained stages. */
+  private def bpeMergeSelect(k: Int): String =
+    (1 to k).map(s =>
+      s"SELECT $s AS rank, l AS lft, r AS rgt, CAST(c AS BIGINT) AS pair_count FROM b$s")
+      .mkString("\nUNION ALL\n")
+
   private def duckDot(a: String, b: String): String =
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
        |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, ${Hashing.EmbDim + 1})]), (x, y) -> x + y)""".stripMargin
@@ -818,6 +857,23 @@ object Oracles {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey IN (500, 700)""".stripMargin,
+
+    // BPE training replayed step for step: k chained stages of
+    // pair-count -> deterministic argmax -> greedy leftmost merge pass
+    // (the list_reduce over singleton lists mirrors Spark's aggregate
+    // fold exactly — the accumulator starts as the first symbol, every
+    // later symbol either merges into the tail or appends)
+    "bpe_merges" ->
+      s"WITH ${bpeCtes(8)}\n${bpeMergeSelect(8)}",
+
+    // corpus encoding under the same learned merges: per-doc BPE token
+    // counts from the final vocab state
+    "bpe_tokenize" ->
+      s"""WITH ${bpeCtes(8)}
+         |SELECT tk.doc_id, CAST(SUM(len(v8.syms)) AS BIGINT) AS bpe_tokens
+         |FROM tk JOIN v8 ON tk.word = v8.word
+         |WHERE tk.word <> ''
+         |GROUP BY tk.doc_id""".stripMargin,
 
     // fuzzy join: the q-gram-prefiltered pairs == the naive all-pairs
     // levenshtein join (completeness proof; both engines' levenshtein

@@ -282,6 +282,18 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
     },
+    // BPE tokenizer training: 8 greedy merges learned over the
+    // documents word inventory — the oracle replays the IDENTICAL
+    // iterations (pair count → argmax with the (count DESC, l, r)
+    // tie-break → leftmost-first merge pass) in DuckDB, so a hash
+    // match proves the whole trainer step for step
+    "bpe_merges" -> ((s, dir) => Bpe.train(Tables.documents(s, dir), 8)),
+    // ...and corpus encoding under those learned merges: per-doc BPE
+    // token counts (train → encode end-to-end through the oracle)
+    "bpe_tokenize" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Bpe.encode(docs, Bpe.trainMerges(docs, 8).map(m => (m._1, m._2)))
+    },
     // fuzzy (edit-distance) join: near-duplicate part names within 2
     // edits via the q-gram inverted-index prefilter + levenshtein
     // verify; the oracle is the NAIVE all-pairs join, so a hash match
