@@ -858,6 +858,39 @@ v$s AS (
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey IN (500, 700)""".stripMargin,
 
+    // SCD2 history == consecutive-run collapse over the snapshot
+    // chain: a version starts where the price IS DISTINCT FROM the
+    // previous snapshot's (or at the key's first snapshot), valid_to =
+    // the next version's valid_from, current = open-ended
+    "scd2_history" ->
+      """WITH tr AS (
+        |  SELECT event_id AS trade_id, event_type AS product_id,
+        |    value AS price, CAST(ts AS TIMESTAMP) AS trade_time
+        |  FROM events WHERE event_id IS NOT NULL),
+        |snap AS (
+        |  SELECT c.idx, t.product_id, t.price, t.trade_time
+        |  FROM (VALUES (1, TIMESTAMP '2024-01-10 00:00:00'),
+        |               (2, TIMESTAMP '2024-01-20 00:00:00'),
+        |               (3, TIMESTAMP '2024-01-30 00:00:00')) c(idx, cut)
+        |  JOIN tr t ON t.trade_time <= c.cut
+        |  QUALIFY row_number() OVER (PARTITION BY c.idx, t.product_id
+        |    ORDER BY t.trade_time DESC, t.trade_id DESC) = 1),
+        |runs AS (
+        |  SELECT *,
+        |    lag(price) OVER (PARTITION BY product_id ORDER BY idx)
+        |      AS prev_price,
+        |    min(idx) OVER (PARTITION BY product_id) AS first_idx
+        |  FROM snap),
+        |starts AS (
+        |  SELECT product_id, price, trade_time, idx FROM runs
+        |  WHERE idx = first_idx OR price IS DISTINCT FROM prev_price)
+        |SELECT product_id, price, trade_time AS valid_from,
+        |  lead(trade_time) OVER (PARTITION BY product_id ORDER BY idx)
+        |    AS valid_to,
+        |  lead(trade_time) OVER (PARTITION BY product_id ORDER BY idx)
+        |    IS NULL AS is_current
+        |FROM starts""".stripMargin,
+
     // BPE training replayed step for step: k chained stages of
     // pair-count -> deterministic argmax -> greedy leftmost merge pass
     // (the list_reduce over singleton lists mirrors Spark's aggregate

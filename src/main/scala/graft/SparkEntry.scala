@@ -282,6 +282,33 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
     },
+    // SCD Type-2 dimension history (the dbt-snapshot analog): three
+    // per-product latest-price snapshots fold through init + two
+    // merges — changed prices close/open versions at the snapshot's
+    // latest trade time, unchanged snapshots are no-ops; the oracle
+    // derives the same history as consecutive-run collapse over the
+    // snapshot chain (merge semantics proofs live in ScdTwoSpec)
+    "scd2_history" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("event_id").isNotNull)
+        .select(col("event_id").as("trade_id"),
+          col("event_type").as("product_id"),
+          col("value").as("price"), col("ts").as("trade_time"))
+      def snap(cut: String) = ev
+        .filter(expr(s"trade_time <= timestamp_ntz'$cut'"))
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("product_id")
+            .orderBy(col("trade_time").desc, col("trade_id").desc)))
+        .filter(col("_rn") === 1)
+        .select("product_id", "price", "trade_time")
+      val d0 = ScdTwo.init(snap("2024-01-10 00:00:00"), "trade_time")
+      val d1 = ScdTwo.merge(d0, snap("2024-01-20 00:00:00"),
+        "product_id", "trade_time")
+      val d2 = ScdTwo.merge(d1, snap("2024-01-30 00:00:00"),
+        "product_id", "trade_time")
+      d2.select("product_id", "price", "valid_from", "valid_to",
+        "is_current")
+    },
     // BPE tokenizer training: 8 greedy merges learned over the
     // documents word inventory — the oracle replays the IDENTICAL
     // iterations (pair count → argmax with the (count DESC, l, r)
