@@ -80,22 +80,47 @@ object MaterializedView {
     v
   }
 
+  /** Is the base history `from..to` PURE appends — no manifest entry
+    * dropped (no compaction/CoW rewrite) and no new merge-on-read
+    * delete sidecar of either flavor? Then every row of the range is
+    * an insert and the MV delta reads ONLY the new files. */
+  private[graft] def isAppendOnly(baseRoot: String, from: Long,
+                                  to: Long): Boolean = {
+    val fe = SnapshotTable.manifestEntries(baseRoot, from)
+    val te = SnapshotTable.manifestEntries(baseRoot, to)
+    fe.nonEmpty && te.nonEmpty && (fe.toSet -- te.toSet).isEmpty &&
+      SnapshotTable.deleteEntries(baseRoot, to) ==
+        SnapshotTable.deleteEntries(baseRoot, from) &&
+      SnapshotTable.eqDeleteEntries(baseRoot, to) ==
+        SnapshotTable.eqDeleteEntries(baseRoot, from)
+  }
+
   /** Refresh the view to the base's current version by applying ONLY
     * the CDC delta since the covered version: signed per-group count
     * and sum deltas from the change feed (insert/update_postimage +1,
     * delete/update_preimage −1), merged into the view with one
     * null-safe full-outer join on the group keys. Commits a new view
     * version and advances the covered base version; a no-change
-    * refresh is a no-op. Returns the view version. */
+    * refresh is a no-op. Returns the view version.
+    *
+    * Cost: for a PURE-append history (the streaming-ingest shape) the
+    * delta reads only the NEW files ([[SnapshotTable.appendedBetween]]
+    * — O(batch), the micro-batch-cadence path); otherwise the general
+    * row-diff change feed runs (one join of the two snapshots). */
   def refresh(spark: SparkSession, baseRoot: String,
               mvRoot: String): Long = {
     val d = readDef(mvRoot)
     val toV = SnapshotTable.latestVersion(baseRoot)
     if (toV == d.baseVersion) return SnapshotTable.latestVersion(mvRoot)
-    val ch = SnapshotTable.changes(spark, baseRoot, d.rowKey,
-      d.baseVersion, toV)
-    val sign = when(col("_change_type")
-      .isin("insert", "update_postimage"), lit(1)).otherwise(lit(-1))
+    val (ch, sign) =
+      if (isAppendOnly(baseRoot, d.baseVersion, toV))
+        (SnapshotTable.appendedBetween(spark, baseRoot, d.baseVersion,
+          toV), lit(1))
+      else
+        (SnapshotTable.changes(spark, baseRoot, d.rowKey,
+          d.baseVersion, toV),
+          when(col("_change_type").isin("insert", "update_postimage"),
+            lit(1)).otherwise(lit(-1)))
     val deltaAggs = sum(sign.cast("long")).as("d_rows") +:
       d.sumCols.map(c =>
         sumType(sum(rowDec(col(c)) * sign)).as(s"d_${c}_sum"))

@@ -71,6 +71,33 @@ class MaterializedViewSpec extends GraftSuite {
     assert(view(mv) === fullRecompute(base))
   }
 
+  test("pure-append histories take the O(batch) fast path and still match full recompute") {
+    val base = Files.createTempDirectory("graft-mv-app").toString
+    val mv = Files.createTempDirectory("graft-mv-app-v").toString
+    SnapshotTable.commitDelta(rows(0 until 40, i => s"g${i % 4}"),
+      base, "g")
+    MaterializedView.create(spark, base, mv, "id", Seq("g"), Seq("amt"))
+    val from = SnapshotTable.latestVersion(base)
+    SnapshotTable.commitAppend(rows(40 until 60, i => s"g${i % 5}"),
+      base, "g")
+    SnapshotTable.commitAppend(rows(60 until 70, _ => "g7"), base, "g")
+    assert(MaterializedView.isAppendOnly(base, from,
+      SnapshotTable.latestVersion(base)),
+      "append-only commits must qualify for the fast path")
+    MaterializedView.refresh(spark, base, mv)
+    assert(view(mv) === fullRecompute(base))
+    // an upsert (equality-delete sidecar) disqualifies the fast path —
+    // and the general path still lands exactly
+    val from2 = SnapshotTable.latestVersion(base)
+    SnapshotTable.upsertMor(spark, base, "g",
+      rows(0 until 5, _ => "g0").withColumn("amt", col("amt") * 10),
+      Seq("id"))
+    assert(!MaterializedView.isAppendOnly(base, from2,
+      SnapshotTable.latestVersion(base)))
+    MaterializedView.refresh(spark, base, mv)
+    assert(view(mv) === fullRecompute(base))
+  }
+
   test("no-change refresh is a no-op and the covered version advances with the base") {
     val base = Files.createTempDirectory("graft-mv-noop").toString
     val mv = Files.createTempDirectory("graft-mv-noop-v").toString
