@@ -942,6 +942,16 @@ v$s AS (
         |    AS DECIMAL(28,4)) AS DOUBLE) AS total_sum
         |FROM final GROUP BY o_orderpriority""".stripMargin,
 
+    // multi-column hidden partitioning: the two-level
+    // (day × bucket)-pruned read == the full-scan filter on the
+    // source columns
+    "multi_partition_read" ->
+      """SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-14 00:00:00'
+        |  AND event_type = 'click'""".stripMargin,
+
     // hidden partitioning: the days(ts)-pruned read == the full-scan
     // filter on the SOURCE column (the layout is answer-invisible)
     "hidden_partition_read" ->

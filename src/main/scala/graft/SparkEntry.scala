@@ -370,6 +370,22 @@ object SparkEntry {
           "ts < timestamp'2024-01-08 00:00:00'")
         .select("event_id", "event_type", "value", "ts")
     },
+    // MULTI-column hidden partitioning: a two-field spec (day
+    // transform × product bucket) nests directory levels; the read
+    // names only the SOURCE columns and both levels prune; oracle =
+    // the full-scan filter (layout answer-invisible; nesting/pruning
+    // proofs live in MultiPartitionSpec)
+    "multi_partition_read" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-multi-key").toString
+      val ev = Tables.events(s, dir)
+        .select("event_id", "event_type", "value", "ts")
+      SnapshotTable.commitDelta(ev, out, "days(ts),bucket(4,event_type)")
+      SnapshotTable.readSkipping(s, out,
+        "ts >= timestamp'2024-01-12 00:00:00' AND " +
+          "ts < timestamp'2024-01-14 00:00:00' AND event_type = 'click'")
+        .select("event_id", "event_type", "value", "ts")
+    },
     // partition-spec evolution: stage 3/4 of orders laid out by
     // priority, evolve the spec (metadata-only), append the last
     // quarter laid out by STATUS, then read the mixed-era table —

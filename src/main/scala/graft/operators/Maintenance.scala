@@ -80,17 +80,17 @@ object Maintenance {
     val fragmented = SnapshotTable.manifestEntries(root, v)
       .groupBy(_._1).filter(_._2.size >= minEntries).keys.toSeq.sorted
     if (fragmented.isEmpty) return -1L
-    // partition dir names are `field=value` (the DERIVED field for a
-    // hidden-partitioning transform spec); date/number values
-    // round-trip through the string cast exactly
-    val ps = SnapshotTable.parseSpec(partitionCol)
-    val values = fragmented.map(_.substring(ps.field.length + 1))
+    // fragmented names are full relative partition dirs
+    // (`field=value`, nested for multi-column specs; fields DERIVED
+    // for hidden-partitioning transforms) — rows address them through
+    // the same row→dir expression the write path uses
     val cur = SnapshotTable.read(spark, root, v)
-    val pv = ps.valueExpr(cur.schema(ps.source).dataType)
-    val touched = cur.filter(pv.cast("string").isin(values: _*))
+    val dirc = SnapshotTable.rowDirExpr(
+      SnapshotTable.parseSpecs(partitionCol), cur.schema)
+    val touched = cur.filter(dirc.isin(fragmented: _*))
     SnapshotTable.sortOrder(root) match {
       case None =>
-        SnapshotTable.commitDelta(touched.repartition(pv),
+        SnapshotTable.commitDelta(touched.repartition(dirc),
           root, partitionCol)
       case Some(sortCols) =>
         // the table declares a WRITE ORDER: compaction is where it is
@@ -100,7 +100,7 @@ object Maintenance {
         // table converges to a stats-skippable layout
         val slice = touched
           .repartitionByRange(fragmented.size * filesPerPartition,
-            pv +: sortCols.map(col): _*)
+            dirc +: sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
         SnapshotTable.commitDelta(slice, root, partitionCol,
           statsCols = sortCols)

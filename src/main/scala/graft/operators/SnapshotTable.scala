@@ -199,11 +199,11 @@ object SnapshotTable {
       val vCollision = recSchema.exists(_.fieldNames.contains("v"))
       val scans = specGroups.flatMap { case (specOpt, entries) =>
         // hidden partitioning: a transform era's DERIVED directory
-        // field is layout, not data — partition discovery surfaces it,
-        // readers never do
-        val hidden = specOpt.map(parseSpec).filterNot(_.isIdentity)
-          .map(_.field)
-        def hide(df: DataFrame): DataFrame = hidden.fold(df)(df.drop(_))
+        // fields are layout, not data — partition discovery surfaces
+        // them, readers never do
+        val hidden = specOpt.toSeq.flatMap(parseSpecs)
+          .filterNot(_.isIdentity).map(_.field)
+        def hide(df: DataFrame): DataFrame = hidden.foldLeft(df)(_.drop(_))
         def reader = recSchema.map(spark.read.schema(_))
           .getOrElse(spark.read)
         if (!vCollision) {
@@ -410,7 +410,7 @@ object SnapshotTable {
         partitionSpec(root)
       // a transform spec's SOURCE column is equally a layout column —
       // renaming `ts` out from under `days(ts)` would orphan the layout
-      val layoutCols = liveSpecs.map(s => parseSpec(s).source)
+      val layoutCols = liveSpecs.flatMap(s => parseSpecs(s).map(_.source))
       require(!layoutCols.contains(name),
         s"cannot $op partition column '$name' — a live directory " +
           "layout (current or unmigrated era) derives from it")
@@ -994,6 +994,45 @@ object SnapshotTable {
     case c => IdentitySpec(c)
   }
 
+  /** Parse a (possibly MULTI-column) partition spec — a comma-joined
+    * list of fields, each identity or transform: `days(ts),product` is
+    * a two-level layout `ts_day=…/product=…` (the Iceberg multi-field
+    * spec shape). Commas inside transform parentheses belong to the
+    * transform; duplicate derived fields are refused. */
+  private[graft] def parseSpecs(spec: String): Seq[PartSpec] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    val sb = new StringBuilder
+    spec.foreach {
+      case '(' => depth += 1; sb.append('(')
+      case ')' => depth -= 1; sb.append(')')
+      case ',' if depth == 0 => parts += sb.toString; sb.clear()
+      case c => sb.append(c)
+    }
+    parts += sb.toString
+    val ps = parts.result().map(_.trim).filter(_.nonEmpty).map(parseSpec)
+    require(ps.nonEmpty, s"empty partition spec '$spec'")
+    require(ps.map(_.field).distinct.size == ps.size,
+      s"duplicate partition fields in '$spec'")
+    ps
+  }
+
+  /** Normalized multi-column spec string. */
+  private def normSpec(spec: String): String =
+    parseSpecs(spec).map(_.spec).mkString(",")
+
+  /** The relative partition directory of a data row under `specs` —
+    * `f1=v1/f2=v2`, the string [[listPartitionDirs]] and the manifest
+    * use. A null partition value yields a NULL dir, so value-addressed
+    * ops (deleteWhere touched sets, compaction) never match the null
+    * partition — the same pre-existing limitation as the single-column
+    * path (Spark writes it as `__HIVE_DEFAULT_PARTITION__`). */
+  private[graft] def rowDirExpr(specs: Seq[PartSpec],
+                                schema: types.StructType): Column =
+    specs.map(ps => concat(lit(ps.field + "="),
+        ps.valueExpr(schema(ps.source).dataType).cast("string")))
+      .reduce((a, b) => concat(a, lit("/"), b))
+
   /** Undo Spark's partition-path escaping (%XX sequences) on a
     * directory value. */
   private def unescapePathValue(s: String): String =
@@ -1030,7 +1069,7 @@ object SnapshotTable {
       s"table at $root has no partition spec to evolve — it needs a " +
         "manifested commit first"))
     require(newCol.nonEmpty, "empty partition column")
-    val norm = parseSpec(newCol).spec
+    val norm = normSpec(newCol)
     require(norm != cur, s"partition spec is already '$cur'")
     val from = versions(root).lastOption.getOrElse(-1L) + 1
     Files.writeString(specPath(root),
@@ -1074,13 +1113,12 @@ object SnapshotTable {
     // ride along (the new directory replaces it by the touched-name
     // rule) — otherwise inheriting it beside the migrated rows would
     // drop or duplicate data
-    val ps = parseSpec(cur)
-    val pv = ps.valueExpr(resolved.schema(ps.source).dataType)
+    val dirc = rowDirExpr(parseSpecs(cur), resolved.schema)
     val affected = resolved.filter(dirOfRow.isin(foreignDirs: _*))
-      .select(pv.cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq
+      .select(dirc).distinct()
+      .collect().map(_.getString(0)).filter(_ != null).toSeq
     val movers = resolved
-      .filter(pv.cast("string").isin(affected: _*))
+      .filter(dirc.isin(affected: _*))
       .drop(FileCol, PosCol)
     val next = stageManifested(movers, root, cur, v, append = false,
       removeParts = foreign.map(_._1).toSet, allowCrossEra = true)
@@ -1094,7 +1132,7 @@ object SnapshotTable {
     * caller-supplied mismatch used to silently fragment the manifest
     * into two partition namespaces; now it throws. */
   private def recordOrValidateSpec(root: String, partitionCol: String): Unit = {
-    val norm = parseSpec(partitionCol).spec
+    val norm = normSpec(partitionCol)
     partitionSpec(root) match {
       case Some(existing) =>
         require(existing == norm,
@@ -1277,19 +1315,19 @@ object SnapshotTable {
   def deleteWhere(spark: SparkSession, root: String, partitionCol: String,
                   predicate: Column): Long = {
     val cur = read(spark, root)
-    val ps = parseSpec(partitionCol)
-    // the partition VALUE of a row — derived for transform specs
-    val pv = ps.valueExpr(cur.schema(ps.source).dataType)
+    // the partition DIRECTORY of a row — derived for transform specs,
+    // nested for multi-column specs
+    val dirc = rowDirExpr(parseSpecs(partitionCol), cur.schema)
     val touched = cur.filter(predicate)
-      .select(pv.cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .select(dirc).distinct()
+      .collect().map(_.getString(0)).filter(_ != null).toSeq.sorted
     if (touched.isEmpty) return latestVersion(root)
     val survivors = cur
-      .filter(pv.cast("string").isin(touched: _*))
+      .filter(dirc.isin(touched: _*))
       .filter(!coalesce(predicate, lit(false)))
     val next = stageManifested(survivors, root, partitionCol,
       latestVersion(root), append = false,
-      removeParts = touched.map(v => s"${ps.field}=$v").toSet)
+      removeParts = touched.toSet)
     moveMarker(root, next)
     next
   }
@@ -1549,16 +1587,14 @@ object SnapshotTable {
     * the row's own event time). */
   def mergeDeltaCommit(spark: SparkSession, root: String, source: DataFrame,
                        key: String, partitionCol: String): Long = {
-    val ps = parseSpec(partitionCol)
+    val pss = parseSpecs(partitionCol)
     val touched = source
-      .select(ps.valueExpr(source.schema(ps.source).dataType)
-        .cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .select(rowDirExpr(pss, source.schema)).distinct()
+      .collect().map(_.getString(0)).filter(_ != null).toSeq.sorted
     if (touched.isEmpty) return latestVersion(root)
     val curAll = read(spark, root)
     val cur = curAll
-      .filter(ps.valueExpr(curAll.schema(ps.source).dataType)
-        .cast("string").isin(touched: _*))
+      .filter(rowDirExpr(pss, curAll.schema).isin(touched: _*))
     commitDelta(MergeUpsert.merge(cur, source, key), root, partitionCol)
   }
 
@@ -1617,18 +1653,21 @@ object SnapshotTable {
     claimVersion(root, next)
     // hidden partitioning: a transform spec derives the directory value
     // at write time; the source column stays in the data files and the
-    // derived field exists ONLY as the directory layer (readers drop it)
-    val ps = parseSpec(partitionCol)
-    val writeDf =
-      if (ps.isIdentity) slice
+    // derived field exists ONLY as the directory layer (readers drop
+    // it). Multi-column specs nest one directory level per field.
+    val pss = parseSpecs(partitionCol)
+    val writeDf = pss.foldLeft(slice) { (df, ps) =>
+      if (ps.isIdentity) df
       else {
         require(!slice.columns.contains(ps.field),
           s"data column '${ps.field}' collides with the derived " +
             s"partition field of spec '${ps.spec}'")
-        slice.withColumn(ps.field,
+        df.withColumn(ps.field,
           ps.valueExpr(slice.schema(ps.source).dataType))
       }
-    writeDf.write.mode("append").partitionBy(ps.field).parquet(s"$root/v=$next")
+    }
+    writeDf.write.mode("append").partitionBy(pss.map(_.field): _*)
+      .parquet(s"$root/v=$next")
     recordFileStats(slice.sparkSession, root, next, statsCols)
     recordFileBlooms(slice.sparkSession, root, next, bloomCols)
     val touched = listPartitionDirs(root, next)
@@ -1691,13 +1730,25 @@ object SnapshotTable {
     next
   }
 
+  /** Relative LEAF partition directories of a version — one path per
+    * partition, nested one level per spec field
+    * (`f1=v1/f2=v2` for a two-column spec). */
   private def listPartitionDirs(root: String, version: Long): Seq[String] = {
-    val d = Paths.get(root, s"v=$version")
-    val stream = Files.list(d)
-    try stream.iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-      .map(_.getFileName.toString).toSeq.sorted
-    finally stream.close()
+    def partSubdirs(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val stream = Files.list(d)
+      try stream.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.contains("="))
+        .toSeq
+      finally stream.close()
+    }
+    def leaves(d: java.nio.file.Path, rel: String): Seq[String] = {
+      val subs = partSubdirs(d)
+      if (subs.isEmpty) Seq(rel)
+      else subs.flatMap(s => leaves(s, s"$rel/${s.getFileName}"))
+    }
+    partSubdirs(Paths.get(root, s"v=$version"))
+      .flatMap(p => leaves(p, p.getFileName.toString)).sorted
   }
 
   // ───────── file-level column stats (manifest data skipping) ─────────
@@ -1889,9 +1940,10 @@ object SnapshotTable {
     * literal driver-side, cast to the column's recorded type first
     * (the [[probePositions]] discipline — hashing an int literal
     * against a long column would bucket differently and falsely
-    * refute). Identity eras prune nothing here: their directory value
-    * IS the data column, which the row filter and stats path already
-    * see. Null partitions (`__HIVE_DEFAULT_PARTITION__`) and
+    * refute). Identity fields prune as exact [v, v] bounds — classic
+    * partition pruning, applied at the manifest file listing so the
+    * explicit-file scan never reads a refuted directory. Null
+    * partitions (`__HIVE_DEFAULT_PARTITION__`) and
     * unresolvable values always keep — refutation-only, never an
     * answer change. */
   private def transformRefuted(spark: SparkSession, root: String, v: Long,
@@ -1901,9 +1953,15 @@ object SnapshotTable {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, In, Murmur3Hash, Literal => CLit}
     def svOf(f: String): Long = f.stripPrefix("v=").takeWhile(_.isDigit).toLong
+    // one (field, files) task per era × spec field — each field of a
+    // multi-column spec refutes independently. Identity fields prune
+    // too: their directory value is an exact [v, v] bound on the data
+    // column (classic partition pruning, done here at the manifest
+    // file listing).
     val transforms = candidates.groupBy(f => partitionSpecAt(root, svOf(f)))
-      .collect { case (Some(s), fs) if !parseSpec(s).isIdentity =>
-        parseSpec(s) -> fs }
+      .toSeq.flatMap { case (specOpt, fs) =>
+        specOpt.toSeq.flatMap(parseSpecs).map(_ -> fs)
+      }
     if (transforms.isEmpty) return Set.empty
     lazy val schema: types.StructType =
       recordedSchema(root, v).getOrElse(read(spark, root, v).schema)
@@ -1949,6 +2007,9 @@ object SnapshotTable {
             .map(seg => f -> unescapePathValue(seg.drop(ps.field.length + 1)))
         }.filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__")
         ps match {
+          case IdentitySpec(src) =>
+            val v0 = col("_pv").cast(dt)
+            refuteBounds(src, vals, v0, v0)
           case DaysSpec(src) =>
             val lo = col("_pv").cast(types.DateType).cast(dt)
             val hi = dt match {
@@ -2119,11 +2180,12 @@ object SnapshotTable {
     val scans = keptGroups.map { case (key, fs) =>
       val reader = recSchema.map(spark.read.schema(_)).getOrElse(spark.read)
       val bp = if (!vCollision) root else s"$root/v=${key.get}"
-      // hidden partitioning: drop this group's derived directory field
+      // hidden partitioning: drop this group's derived directory fields
       val spec = if (!vCollision) key
         else partitionSpecAt(root, key.get.toLong)
-      val hidden = spec.map(parseSpec).filterNot(_.isIdentity).map(_.field)
-      def hide(df: DataFrame): DataFrame = hidden.fold(df)(df.drop(_))
+      val hidden = spec.toSeq.flatMap(parseSpecs)
+        .filterNot(_.isIdentity).map(_.field)
+      def hide(df: DataFrame): DataFrame = hidden.foldLeft(df)(_.drop(_))
       val base = reader.option("basePath", bp)
         .parquet(fs.map(f => s"$root/$f"): _*)
       val b2 =
