@@ -942,6 +942,12 @@ v$s AS (
         |    AS DECIMAL(28,4)) AS DOUBLE) AS total_sum
         |FROM final GROUP BY o_orderpriority""".stripMargin,
 
+    // metadata-only count == the full-scan count after the same
+    // merge-on-read delete
+    "fast_count" ->
+      """SELECT COUNT(*) AS n_rows FROM orders
+        |WHERE NOT (o_totalprice > 400000.0)""".stripMargin,
+
     // multi-column hidden partitioning: the two-level
     // (day × bucket)-pruned read == the full-scan filter on the
     // source columns
@@ -1556,6 +1562,53 @@ v$s AS (
          |      c.vec_id) AS rank
          |  FROM qn q, qn c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
          |WHERE rank <= 10""".stripMargin,
+
+    // product-quantization ANN: codes = per-subspace argmin of the
+    // exact ordered squared-distance fold (code tie-break); ADC score
+    // = the M LUT terms folded in subspace order — every double on
+    // both engines comes from the identical fold, so the approximate
+    // ranking hash-matches
+    "ann_topk_pq" -> {
+      val sq = (a: String, b: String) =>
+        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           |  [(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+           |   (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+           |   FOR i IN range(1, 9)]), (x, y) -> x + y)""".stripMargin
+      val dot = (a: String, b: String) =>
+        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+           |   FOR i IN range(1, 9)]), (x, y) -> x + y)""".stripMargin
+      s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+         |cb AS (
+         |  SELECT ms.m, CAST(e.vec_id AS INT) AS code,
+         |    e.embedding[ms.m*8+1 : ms.m*8+8] AS cw
+         |  FROM embeddings e, ms WHERE e.vec_id < 16),
+         |sv AS (
+         |  SELECT e.vec_id, ms.m, e.embedding[ms.m*8+1 : ms.m*8+8] AS sv
+         |  FROM embeddings e, ms),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        ${sq("s.sv", "c.cw")}, c.code) AS rn
+         |    FROM sv s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS query_id, s.m, c.code,
+         |    ${dot("s.sv", "c.cw")} AS term
+         |  FROM sv s JOIN cb c ON s.m = c.m WHERE s.vec_id < 10),
+         |scored AS (
+         |  SELECT l.query_id, co.vec_id AS neighbor_id,
+         |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+         |      list(l.term ORDER BY l.m)), (a, b) -> a + b) AS pq_score
+         |  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+         |  WHERE co.vec_id <> l.query_id
+         |  GROUP BY l.query_id, co.vec_id)
+         |SELECT query_id, neighbor_id, pq_score, CAST(rank AS INT) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY pq_score DESC, neighbor_id) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin
+    },
 
     "ann_topk_bucketed" ->
       s"""WITH $nrmCte,

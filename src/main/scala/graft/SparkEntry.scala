@@ -370,6 +370,20 @@ object SparkEntry {
           "ts < timestamp'2024-01-08 00:00:00'")
         .select("event_id", "event_type", "value", "ts")
     },
+    // metadata-only COUNT(*): the manifests answer the count without
+    // a data scan — recorded per-file rows minus live position-delete
+    // rows; oracle = the full-scan count after the same delete
+    // (fallback/eq-delete proofs live in FastCountSpec)
+    "fast_count" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-fc-key").toString
+      SnapshotTable.commitDelta(Tables.orders(s, dir), out,
+        "o_orderpriority")
+      SnapshotTable.deleteWhereMor(s, out,
+        col("o_totalprice") > lit(400000.0))
+      import s.implicits._
+      Seq(SnapshotTable.fastCount(s, out)).toDF("n_rows")
+    },
     // MULTI-column hidden partitioning: a two-field spec (day
     // transform × product bucket) nests directory levels; the read
     // names only the SOURCE columns and both levels prune; oracle =
@@ -491,6 +505,8 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
     "ann_topk_quantized" -> ((s, dir) =>
       Similarity.annTopKQuantized(Tables.embeddings(s, dir))),
+    "ann_topk_pq" -> ((s, dir) =>
+      Similarity.annTopKPq(Tables.embeddings(s, dir))),
     "ann_topk_bucketed" -> ((s, dir) =>
       Similarity.annTopKBucketed(Tables.embeddings(s, dir))),
     "ann_recall" -> { (s, dir) =>

@@ -389,6 +389,98 @@ object Similarity {
       .select("query_id", "neighbor_id", "qcosine", "rank")
   }
 
+  /** Exact ordered fold of squared element distances between two
+    * float-array columns (double arithmetic, strict element order —
+    * engine-reproducible). */
+  private def subSqDist(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) ->
+      |  (cast(x as double) - cast(y as double)) *
+      |  (cast(x as double) - cast(y as double))), 0D,
+      |  (acc, v) -> acc + v)""".stripMargin)
+
+  private def subDot(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) ->
+      |  cast(x as double) * cast(y as double)), 0D,
+      |  (acc, v) -> acc + v)""".stripMargin)
+
+  /** PQ codebook: `nCodes` codewords per subspace, taken from the
+    * `nCodes` lowest-id vectors' subvectors — the deterministic
+    * quantizer stance of [[ivfTopK]] (swap per-subspace k-means in at
+    * deployment; everything downstream is unchanged). M×K tiny rows. */
+  def pqCodebook(emb: DataFrame, m: Int = 8, nCodes: Int = 16): DataFrame = {
+    val sub = Hashing.EmbDim / m
+    require(sub * m == Hashing.EmbDim, s"$m subspaces must divide the dim")
+    emb.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").cast("int").as("code"),
+        explode(expr(s"""transform(sequence(0, ${m - 1}), mm ->
+          |named_struct('m', mm,
+          |  'cw', slice(embedding, mm * $sub + 1, $sub)))""".stripMargin))
+          .as("s"))
+      .select(col("s.m").as("m"), col("code"), col("s.cw").as("cw"))
+  }
+
+  /** PRODUCT-QUANTIZATION encoding (Jégou et al. 2011) — the
+    * compressed-index path beyond [[quantizeInt8]]: each vector
+    * becomes M sub-codes (here 8×4 bits ≈ 4 bytes per 64-dim vector,
+    * a 64× compression), each sub-code the codeword minimizing the
+    * EXACT squared subvector distance (argmin window over narrow
+    * rows, code tie-break). The codes table IS the index; at corpus
+    * scale it is what gets stored and scanned. */
+  def pqCodes(emb: DataFrame, codebook: DataFrame, m: Int = 8): DataFrame = {
+    val sub = Hashing.EmbDim / m
+    val subv = emb.select(col("vec_id"),
+      explode(expr(s"""transform(sequence(0, ${m - 1}), mm ->
+        |named_struct('m', mm,
+        |  'sv', slice(embedding, mm * $sub + 1, $sub)))""".stripMargin))
+        .as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    subv.join(broadcast(codebook), Seq("m"))
+      .withColumn("d", subSqDist("sv", "cw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m")
+          .orderBy(col("d"), col("code"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "code")
+  }
+
+  /** PQ ANN top-k via ASYMMETRIC DISTANCE COMPUTATION: the query stays
+    * un-quantized; a per-query lookup table of subspace dot products
+    * against every codeword (‖queries‖×M×K rows, broadcast) scores a
+    * corpus vector as the M-term sum of its codes' LUT entries —
+    * folded in subspace ORDER (collect/sort/fold), so the approximate
+    * score is bit-identical on any engine and the whole path is
+    * oracle-checked like the other ANN variants. Scan cost at corpus
+    * scale is the CODES table (bytes, not floats); recall < 1 is the
+    * PQ trade (bound-tested). */
+  def annTopKPq(emb: DataFrame, nQueries: Int = 10, k: Int = 10,
+                m: Int = 8, nCodes: Int = 16): DataFrame = {
+    val sub = Hashing.EmbDim / m
+    val cb = pqCodebook(emb, m, nCodes).persist()
+    val codes = pqCodes(emb, cb, m).persist()
+    val qsub = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(expr(s"""transform(sequence(0, ${m - 1}), mm ->
+          |named_struct('m', mm,
+          |  'qv', slice(embedding, mm * $sub + 1, $sub)))""".stripMargin))
+          .as("s"))
+      .select(col("query_id"), col("s.m").as("m"), col("s.qv").as("qv"))
+    val lut = qsub.join(broadcast(cb), Seq("m"))
+      .withColumn("term", subDot("qv", "cw"))
+      .select("query_id", "m", "code", "term")
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(collect_list(struct(col("m"), col("term"))).as("ts"))
+      .withColumn("pq_score", expr(
+        "aggregate(array_sort(ts), 0D, (acc, s) -> acc + s.term)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("pq_score").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("pq_score"), col("rank"))
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the trained
     * coarse quantizer, then compare pairs ONLY within a cluster and

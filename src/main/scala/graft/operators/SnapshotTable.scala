@@ -1033,6 +1033,15 @@ object SnapshotTable {
         ps.valueExpr(schema(ps.source).dataType).cast("string")))
       .reduce((a, b) => concat(a, lit("/"), b))
 
+  /** Decode a Spark-reported file path (`input_file_name` /
+    * `_metadata.file_path`, which URI-encode raw partition characters
+    * — a literal space becomes `%20`, a literal `%` becomes `%25`)
+    * back to the RAW filesystem form directory listings produce. One
+    * decode of the URI form is exactly the raw form — Hadoop path
+    * encoding is a single layer. */
+  private def decodeReportedPath(path: String): String =
+    unescapePathValue(path)
+
   /** Undo Spark's partition-path escaping (%XX sequences) on a
     * directory value. */
   private def unescapePathValue(s: String): String =
@@ -1766,18 +1775,28 @@ object SnapshotTable {
   private def statsPath(root: String, version: Long) =
     Paths.get(root, s"v=$version", "_stats")
 
-  /** Record per-file min/max for `statsCols` over version `version`'s
-    * freshly-written files. One aggregation over ONLY the new files —
+  /** Record per-file min/max for `statsCols` — plus the per-file ROW
+    * COUNT (`__rows`), always, which is what lets [[fastCount]] answer
+    * `COUNT(*)` from metadata alone (the Iceberg manifests-only count).
+    * One aggregation over ONLY the version's freshly-written files —
     * O(batch) for appends/deltas, the cost class of the write itself
     * (a production writer lifts the same numbers from the parquet
     * footers its tasks just produced). */
   private def recordFileStats(spark: SparkSession, root: String,
                               version: Long, statsCols: Seq[String]): Unit = {
-    if (statsCols.isEmpty) return
+    // an empty write may land zero data files — nothing to record
+    val anyData = {
+      val stream = Files.walk(Paths.get(root, s"v=$version"))
+      try stream.iterator().asScala.exists(p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.toString.contains("/_"))
+      finally stream.close()
+    }
+    if (!anyData) return
     val df = spark.read.parquet(s"$root/v=$version")
     val present = statsCols.filter(df.columns.contains)
-    if (present.isEmpty) return
-    val aggs = present.flatMap(c =>
+    val aggs = count(lit(1)).as("__rows") +: present.flatMap(c =>
       Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
     df.groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1794,6 +1813,67 @@ object SnapshotTable {
     if (Files.exists(statsPath(root, version)))
       Some(spark.read.parquet(statsPath(root, version).toString))
     else None
+
+  /** `COUNT(*)` from METADATA — the Iceberg manifests-only count: sums
+    * the per-file `__rows` the stats sidecars record at write time and
+    * subtracts live position-delete rows, touching no data bytes for
+    * any file with recorded stats (files written before counts existed
+    * fall back to one scan over JUST those files). Equality-delete
+    * sidecars cannot be resolved without reading keys, so their
+    * presence falls back to the full resolved count — run
+    * [[applyDeletes]] on the maintenance cadence to restore the
+    * metadata path. */
+  def fastCount(spark: SparkSession, root: String,
+                version: Long = -1L): Long = {
+    val v = if (version >= 0) version else latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    if (eqDeleteEntries(root, v).nonEmpty)
+      return read(spark, root, v).count()
+    val entries = manifestEntries(root, v)
+    val dirs: Seq[(String, Long)] =
+      if (entries.isEmpty) Seq(s"v=$v" -> v)
+      else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
+    // every candidate data file of the read, root-relative
+    val candidates: Seq[String] = dirs.flatMap { case (rel, _) =>
+      val d = Paths.get(root, rel)
+      if (!Files.exists(d)) Seq.empty
+      else {
+        val stream = Files.list(d)
+        try stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+          .filterNot(n => Files.isDirectory(Paths.get(root, rel, n)))
+          .map(n => s"$rel/$n").toSeq
+        finally stream.close()
+      }
+    }
+    // stats paths are Spark-reported (URI-encoded) — decode them to
+    // the raw filesystem form the candidate listing uses
+    val counted: Map[String, Long] = dirs.map(_._2).distinct.sorted
+      .flatMap(fileStats(spark, root, _))
+      .filter(_.columns.contains("__rows"))
+      .map(_.select("_file", "__rows").collect()
+        .map(r => decodeReportedPath(r.getString(0)) -> r.getLong(1))
+        .toMap)
+      .foldLeft(Map.empty[String, Long])(_ ++ _)
+    val (known, unknown) = candidates.partition(counted.contains)
+    val base = known.map(counted).sum + (
+      if (unknown.isEmpty) 0L
+      else spark.read.parquet(unknown.map(f => s"$root/$f"): _*).count())
+    // live position-delete rows subtract (each (file,pos) lands once —
+    // stacked deletes anti-join the already-deleted view before
+    // committing, so no double count); the per-file rollup is tiny (a
+    // delete set by nature), so the decode runs driver-side
+    val dels = deleteEntries(root, v)
+    val live = candidates.toSet
+    val deleted =
+      if (dels.isEmpty) 0L
+      else readDeleteFiles(spark, root, dels)
+        .groupBy(FileCol).count().collect()
+        .filter(r => live(decodeReportedPath(r.getString(0))))
+        .map(_.getLong(1)).sum
+    base - deleted
+  }
 
   // ─────────── file-level bloom filters (point-lookup skipping) ───────────
   //
@@ -2146,9 +2226,13 @@ object SnapshotTable {
     // bloom filters refute the equality/IN conjuncts bounds cannot
     // (point lookups over unsorted data); transform partition values
     // refute through the source column's predicate — hidden
-    // partitioning's read half
-    val refuted = boundsRefuted ++
-      bloomRefuted(spark, root, v, statVersions, parsed) ++
+    // partitioning's read half. Stats/bloom refutations carry
+    // Spark-reported (URI-encoded) paths — decode them to the raw
+    // filesystem form the candidate listing uses (transform
+    // refutations are candidate paths already).
+    val refuted = (boundsRefuted ++
+      bloomRefuted(spark, root, v, statVersions, parsed))
+      .map(decodeReportedPath) ++
       transformRefuted(spark, root, v, candidates, parsed)
     val kept = candidates.filterNot(refuted)
     val rowFilter = expr(predicate)

@@ -40,6 +40,31 @@ class QuantizedAnnSpec extends GraftSuite {
     assert(rec >= 0.8, s"mean recall@10 = $rec")
   }
 
+  test("PQ: every vector gets one code per subspace; codebook vectors encode to themselves") {
+    val cb = Similarity.pqCodebook(emb)
+    assert(cb.count() === 8 * 16)
+    val codes = Similarity.pqCodes(emb, cb)
+    val n = emb.count()
+    assert(codes.count() === n * 8)
+    val bad = codes.filter(col("code") < 0 || col("code") >= 16).count()
+    assert(bad === 0)
+    // a codebook vector's nearest codeword in every subspace is its own
+    val self = codes.filter(col("vec_id") < 16)
+      .filter(col("code") =!= col("vec_id")).count()
+    assert(self === 0, "codebook vectors must encode to themselves")
+  }
+
+  test("PQ top-k recall clears the sanity floor (far above chance)") {
+    val exact = Similarity.annTopK(emb)
+    val pq = Similarity.annTopKPq(emb)
+    assert(pq.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() === 0)
+    val rec = Similarity.annRecall(exact, pq)
+      .agg(avg("recall")).head.getDouble(0)
+    // 8x16 codes over 64 dims is a coarse sketch; chance is k/N = 0.02
+    assert(rec >= 0.15, s"mean PQ recall@10 = $rec")
+  }
+
   test("all-zero vectors quantize to zero codes and never rank") {
     val withZero = emb.limit(20).unionByName(
       Seq((9999L, Array.fill(graft.functions.Hashing.EmbDim)(0.0f)))

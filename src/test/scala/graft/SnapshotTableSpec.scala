@@ -209,6 +209,7 @@ class SnapshotTableSpec extends GraftSuite {
     // manifest inherits the other two from v=0 by reference
     val v1dirs = new java.io.File(s"$root/v=1").listFiles()
       .filter(_.isDirectory).map(_.getName).toSeq
+      .filterNot(_.startsWith("_")) // metadata sidecars (_stats) aside
     assert(v1dirs === Seq("dt=2024-01-02"))
     assert(SnapshotTable.manifest(root, 1L) === Map(
       "dt=2024-01-01" -> 0L, "dt=2024-01-02" -> 1L, "dt=2024-01-03" -> 0L))
