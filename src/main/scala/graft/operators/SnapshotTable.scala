@@ -1814,6 +1814,56 @@ object SnapshotTable {
       Some(spark.read.parquet(statsPath(root, version).toString))
     else None
 
+  /** MIN/MAX of a column from METADATA — the stats-sidecar twin of
+    * [[fastCount]]: folds the recorded per-file bounds over the
+    * manifest file listing, touching no data bytes. REFUSES (returns
+    * None) when any candidate file lacks recorded bounds for the
+    * column or when ANY merge-on-read delete is unapplied — a delete
+    * may have removed exactly the extreme row, so bounds from stats
+    * would lie (Iceberg's same caveat; fold deletes first). */
+  def fastBounds(spark: SparkSession, root: String, column: String,
+                 version: Long = -1L): Option[(Any, Any)] = {
+    val v = if (version >= 0) version else latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    if (deleteEntries(root, v).nonEmpty ||
+      eqDeleteEntries(root, v).nonEmpty) return None
+    val entries = manifestEntries(root, v)
+    val dirs: Seq[(String, Long)] =
+      if (entries.isEmpty) Seq(s"v=$v" -> v)
+      else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
+    val candidates: Set[String] = dirs.flatMap { case (rel, _) =>
+      val d = Paths.get(root, rel)
+      if (!Files.exists(d)) Seq.empty
+      else {
+        val stream = Files.list(d)
+        try stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+          .filterNot(n => Files.isDirectory(Paths.get(root, rel, n)))
+          .map(n => s"$rel/$n").toSeq
+        finally stream.close()
+      }
+    }.toSet
+    val stats = dirs.map(_._2).distinct.sorted
+      .flatMap(fileStats(spark, root, _))
+      .filter(st => st.columns.contains(s"${column}__min"))
+      .map(_.select(col("_file"), col(s"${column}__min"),
+        col(s"${column}__max")).collect().toSeq)
+      .flatten
+      .map(r => (decodeReportedPath(r.getString(0)), r.get(1), r.get(2)))
+      .filter { case (f, _, _) => candidates(f) }
+    val covered = stats.map(_._1).toSet
+    if (!candidates.forall(covered) || stats.isEmpty) return None
+    // all-null files record null bounds — they cannot contribute
+    val nonNull = stats.filter(s => s._2 != null && s._3 != null)
+    if (nonNull.isEmpty) return None
+    implicit val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
+    Some((nonNull.map(_._2).min, nonNull.map(_._3).max))
+  }
+
   /** `COUNT(*)` from METADATA — the Iceberg manifests-only count: sums
     * the per-file `__rows` the stats sidecars record at write time and
     * subtracts live position-delete rows, touching no data bytes for

@@ -70,6 +70,31 @@ class FastCountSpec extends GraftSuite {
       SnapshotTable.read(spark, root).inputFiles.length)
   }
 
+  test("fastBounds answers MIN/MAX from stats and refuses when deletes or gaps could lie") {
+    val root = Files.createTempDirectory("graft-fb").toString
+    SnapshotTable.commitDelta(rows(5 until 45), root, "g",
+      statsCols = Seq("id"))
+    SnapshotTable.commitAppend(rows(100 until 120), root, "g",
+      statsCols = Seq("id"))
+    assert(SnapshotTable.fastBounds(spark, root, "id") ===
+      Some((5L, 119L)))
+    // a column without recorded bounds refuses
+    assert(SnapshotTable.fastBounds(spark, root, "x") === None)
+    // an unapplied MoR delete could have removed the extremes: refuse
+    SnapshotTable.deleteWhereMor(spark, root, col("id") === 119)
+    assert(SnapshotTable.fastBounds(spark, root, "id") === None)
+    // folding the deletes restores the metadata answer
+    SnapshotTable.applyDeletes(spark, root)
+    SnapshotTable.fastBounds(spark, root, "id") match {
+      case Some((lo, hi)) => assert(lo === 5L && hi === 118L)
+      case None =>
+        // applyDeletes re-records stats only for statsCols it is told
+        // about via sort order; absent that, refusal is the honest
+        // answer — accept either, but the count must still be exact
+        assert(SnapshotTable.fastCount(spark, root) === 59)
+    }
+  }
+
   test("files written before counts existed fall back to a scan of just those files") {
     val root = Files.createTempDirectory("graft-fc-old").toString
     SnapshotTable.commitDelta(rows(0 until 40), root, "g")
