@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   * equality), the classic entity-resolution layout. A hot gram (a
   * common substring) is an equi-join key, so AQE skew-split applies;
   * for pathological gram distributions cap gram df like
-  * `Dedup.ngramJaccard` does. */
+  * `Dedup.ngramJaccard` does.
+  *
+  * Caching: the deduplicated value sets are persisted (each feeds the
+  * gram join AND the short bucket) and, as everywhere in the dedup
+  * family, ownership passes to the caller — drop them with
+  * `spark.catalog.clearCache()` between unrelated jobs. */
 object FuzzyJoin {
 
   /** Distinct q-grams of a string column (strings shorter than q have
