@@ -69,9 +69,13 @@ object MaterializedView {
     * identity the CDC diff keys on. Returns the view version. */
   def create(spark: SparkSession, baseRoot: String, mvRoot: String,
              rowKey: String, keys: Seq[String],
-             sumCols: Seq[String]): Long = {
+             sumCols: Seq[String], baseVersion: Long = -1L): Long = {
     require(keys.nonEmpty, "materialized view needs group keys")
-    val baseV = SnapshotTable.latestVersion(baseRoot)
+    // an explicit base version serves catalog-governed tables, whose
+    // versions advance through catalog manifests, not table markers
+    val baseV =
+      if (baseVersion >= 0) baseVersion
+      else SnapshotTable.latestVersion(baseRoot)
     require(baseV >= 0, s"no committed base version at $baseRoot")
     val v = SnapshotTable.commit(
       aggregateBase(SnapshotTable.read(spark, baseRoot, baseV), keys,
@@ -108,9 +112,11 @@ object MaterializedView {
     * — O(batch), the micro-batch-cadence path); otherwise the general
     * row-diff change feed runs (one join of the two snapshots). */
   def refresh(spark: SparkSession, baseRoot: String,
-              mvRoot: String): Long = {
+              mvRoot: String, toVersion: Long = -1L): Long = {
     val d = readDef(mvRoot)
-    val toV = SnapshotTable.latestVersion(baseRoot)
+    val toV =
+      if (toVersion >= 0) toVersion
+      else SnapshotTable.latestVersion(baseRoot)
     if (toV == d.baseVersion) return SnapshotTable.latestVersion(mvRoot)
     val (ch, sign) =
       if (isAppendOnly(baseRoot, d.baseVersion, toV))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Bronze, Catalog, SnapshotTable}
+import graft.operators.{Bronze, Catalog, MaterializedView, SnapshotTable}
 
 /** Streaming ingestion INTO the governed catalog — the missing edge
   * between the reference's two halves: its streaming bronze writer
@@ -55,7 +55,9 @@ object GovernedStream {
     * losing attempt's staged versions are [[Catalog.expireCommits]]
     * fodder). */
   def commitBatch(spark: SparkSession, catalogRoot: String, sourceId: String,
-                  batchId: Long, bronzeBatch: DataFrame): Option[Long] = {
+                  batchId: Long, bronzeBatch: DataFrame,
+                  table: String = "bronze",
+                  partitionCol: String = "_ingestion_date"): Option[Long] = {
     var attempt = 0
     while (true) {
       val base = Catalog.latestCommit(catalogRoot)
@@ -71,8 +73,8 @@ object GovernedStream {
       // abandoned staged versions are expireCommits fodder
       try {
         val vB = SnapshotTable.stageAppend(bronzeBatch,
-          Catalog.tableRoot(catalogRoot, "bronze"), "_ingestion_date",
-          prev.getOrElse("bronze", -1L))
+          Catalog.tableRoot(catalogRoot, table), partitionCol,
+          prev.getOrElse(table, -1L))
         // other sources' rows carry over; this source's row advances.
         // INVARIANT: _stream_state stays O(‖sources‖) forever — exactly
         // one row per source_id (each commit rewrites the whole tiny
@@ -90,7 +92,7 @@ object GovernedStream {
           Catalog.tableRoot(catalogRoot, StateTable),
           prev.getOrElse(StateTable, -1L))
         return Some(Catalog.commitStaged(catalogRoot,
-          Map("bronze" -> vB, StateTable -> vS), base))
+          Map(table -> vB, StateTable -> vS), base))
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -183,6 +185,58 @@ object GovernedStream {
         commitUpsertBatch(batch.sparkSession, catalogRoot,
           "latest_trades", "product_id", Seq("product_id"), sourceId,
           batchId, latest)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Checkpointed trade stream → exactly-once governed bronze appends
+    * → a MATERIALIZED VIEW refreshed per trigger: the streaming shape
+    * of "the aggregate mart stays fresh". Each micro-batch lands via
+    * [[commitBatch]] (atomic append + batch id — replays skip), then
+    * [[graft.operators.MaterializedView.refresh]] advances the view to
+    * the committed table version through its append-only FAST PATH
+    * (the stream only ever appends, so every refresh reads just the
+    * new files — O(batch) per trigger at any table size). The refresh
+    * needs no exactly-once bookkeeping of its own: it anchors on the
+    * view's covered base version, so a crash between commit and
+    * refresh just refreshes later, and a replayed trigger's refresh is
+    * structurally a no-op. The view is bit-identical to a full
+    * re-aggregation at every trigger (exact decimal sums). */
+  def maintainViewGoverned(spark: SparkSession, srcDir: String,
+                           catalogRoot: String, checkpointDir: String,
+                           mvRoot: String, keys: Seq[String],
+                           sumCols: Seq[String],
+                           sourceId: String = "mv_ingest"): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    val tsCol =
+      if (schema("ts").dataType == LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts").cast("timestamp")
+    val q = Bronze.ingest(raw.withColumn("ts", tsCol))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val ntz = batch
+          .withColumn("trade_time", col("trade_time").cast("timestamp_ntz"))
+          .withColumn("ingested_at", col("ingested_at").cast("timestamp_ntz"))
+        commitBatch(s, catalogRoot, sourceId, batchId, ntz)
+        // refresh to the PUBLISHED table version at the newest commit
+        // (a skipped replay refreshes to the already-covered version —
+        // a no-op by the covered-version anchor)
+        val root = Catalog.tableRoot(catalogRoot, "bronze")
+        Catalog.tableVersions(catalogRoot, Catalog.latestCommit(catalogRoot))
+          .get("bronze").foreach { tv =>
+            if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(mvRoot, "_mv_def")))
+              MaterializedView.create(s, root, mvRoot, "trade_id", keys,
+                sumCols, baseVersion = tv)
+            else MaterializedView.refresh(s, root, mvRoot, toVersion = tv)
+          }
         ()
       }
       .option("checkpointLocation", checkpointDir)
