@@ -851,6 +851,14 @@ v$s AS (
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
 
+    // the DSv2 connector read (write → pushed filter → file skipping)
+    // == the plain full-scan filter: the connector only ever prunes
+    // IO, every pushed filter stays a residual row filter
+    "datasource_read" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_returnflag
+        |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
+
     // bloom-pruned point lookup == the full-scan filter (pruning is
     // IO-only; false positives die in the row filter)
     "snapshot_bloom_read" ->

@@ -231,6 +231,23 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag")
     },
+    // the format("graft") DSv2 connector end-to-end: a connector WRITE
+    // (full commit + manifest stats), then a connector READ whose
+    // filter Catalyst pushes across the DSv2 boundary into the
+    // file-skipping path; Spark re-applies every pushed filter as a
+    // residual, so the oracle's full scan is the answer-identity proof
+    // (pushdown/pruning assertions live in GraftDataSourceSpec)
+    "datasource_read" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ds-key").toString + "/t"
+      Tables.lineitem(s, dir).repartitionByRange(8, col("l_orderkey"))
+        .write.format("graft").option("statsCols", "l_orderkey")
+        .mode("overwrite").save(out)
+      s.read.format("graft").load(out)
+        .filter(col("l_orderkey") <= 500)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+    },
     // per-file bloom-filter skipping: lineitem HASH-scattered over
     // l_orderkey (min/max bounds span everything — only the bloom
     // probes can prune a point lookup), read through the file-pruning

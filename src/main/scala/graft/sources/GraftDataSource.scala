@@ -1,0 +1,305 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.SnapshotTable
+
+/** `spark.read.format("graft")` / `df.write.format("graft")` — the
+  * snapshot table format surfaced as a Spark DataSource V2 connector,
+  * so every [[graft.operators.SnapshotTable]] capability (time travel,
+  * branches/tags, merge-on-read deletes, manifest stats / bloom /
+  * transform FILE SKIPPING) is reachable through Spark's own planner
+  * instead of library calls.
+  *
+  * Architecture is the Delta-Lake fallback shape: a DSv2
+  * [[TableProvider]] whose [[ScanBuilder]] accepts Catalyst's pushed
+  * filters and pruned columns, and whose [[Scan]] is a [[V1Scan]]
+  * delegating the physical read to `SnapshotTable.read`/`readSkipping`
+  * — Spark's whole parquet stack (vectorized reader, codegen, AQE)
+  * runs unchanged underneath, and the connector's only job is the
+  * manifest-level file pruning Spark cannot do itself. (The
+  * alternative — a bespoke DSv2 `PartitionReaderFactory` — would mean
+  * re-owning a parquet reader the way Iceberg does; reference:
+  * `trino/catalog/iceberg.properties:1-6` is the reference's
+  * equivalent "tables are a connector, not API calls" surface.)
+  *
+  * Correctness contract: EVERY pushed filter is also returned as a
+  * residual (`pushFilters` returns its input), so Spark re-applies the
+  * full predicate on the surviving rows — the connector's translation
+  * only ever REFUTES files (bounds/bloom/transform pruning is
+  * answer-invariant by [[SnapshotTable.readSkipping]]'s construction),
+  * never decides row membership. A filter the translator cannot render
+  * (null-safe equality, string predicates, NaN literals) simply prunes
+  * nothing.
+  *
+  * Read options: `path` (table root), and at most one of `versionAsOf`
+  * / `tag` / `branch` (default: latest committed version). Write
+  * options: `partitionBy` (fast-append partition column), `statsCols`
+  * / `bloomCols` (comma-separated manifest-stats columns recorded at
+  * commit). `mode("append")` is the O(batch) partition fast-append
+  * and therefore REQUIRES `partitionBy` on an existing table;
+  * `mode("overwrite")` commits a fresh full snapshot (time travel
+  * keeps the old versions readable).
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  // user-supplied schemas are accepted (write path: the insert carries
+  // its own schema; read path: an explicit .schema(...) skips the
+  // inference read)
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = GraftDataSource.rootOf(options)
+    val v = GraftDataSource.resolveVersion(root, options)
+    if (v < 0) new StructType() // not-yet-created table (write path)
+    else SnapshotTable.read(SparkSession.active, root, v).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new GraftTable(GraftDataSource.rootOf(options), schema, options)
+  }
+}
+
+object GraftDataSource {
+
+  private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft datasource needs a table root: .load(path) or .option(\"path\", ...)")
+    p
+  }
+
+  /** Resolve the version the options pin: explicit `versionAsOf`, a
+    * `tag`, a `branch`, or the latest committed version (-1 = none). */
+  private[sources] def resolveVersion(root: String,
+                                      options: CaseInsensitiveStringMap): Long = {
+    val pins = Seq("versionasof", "tag", "branch").filter(options.containsKey)
+    require(pins.size <= 1,
+      s"at most one of versionAsOf/tag/branch may be set (got: $pins)")
+    if (options.containsKey("versionasof")) options.get("versionasof").toLong
+    else if (options.containsKey("tag"))
+      SnapshotTable.tagVersion(root, options.get("tag"))
+    else if (options.containsKey("branch"))
+      SnapshotTable.branchVersion(root, options.get("branch"))
+    else SnapshotTable.latestVersion(root)
+  }
+
+  private[sources] def csv(options: CaseInsensitiveStringMap,
+                           key: String): Seq[String] =
+    Option(options.get(key)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  // ───────────────────── filter → SQL translation ─────────────────────
+  // Renders the subset of Spark's datasource filters that
+  // SnapshotTable.readSkipping's bounds/bloom/transform logic can use
+  // to refute files. Sound under partial translation: an And may keep
+  // either side alone (a file must satisfy both), an Or needs both.
+
+  private def quoted(name: String): Option[String] =
+    // nested fields arrive dotted; manifest stats cover top-level
+    // columns only, so a dotted reference translates to nothing
+    if (name.contains(".")) None
+    else Some("`" + name.replace("`", "``") + "`")
+
+  private[graft] def litSql(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case b: Boolean => Some(b.toString)
+    case b: Byte => Some(b.toString)
+    case s: Short => Some(s.toString)
+    case i: Int => Some(i.toString)
+    case l: Long => Some(l.toString + "L")
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) None
+      else Some(s"CAST('$f' AS FLOAT)")
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) None
+      else Some(s"CAST('$d' AS DOUBLE)")
+    case d: java.math.BigDecimal => Some(d.toPlainString + "BD")
+    case d: BigDecimal => Some(d.underlying.toPlainString + "BD")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+    case i: java.time.Instant =>
+      Some(s"TIMESTAMP '${java.sql.Timestamp.from(i)}'")
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case d: java.time.LocalDate => Some(s"DATE '$d'")
+    case d: java.time.LocalDateTime =>
+      Some(s"TIMESTAMP_NTZ '${d.toString.replace('T', ' ')}'")
+    case _ => None
+  }
+
+  private[graft] def filterSql(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) =>
+      for (q <- quoted(a); l <- litSql(v)) yield s"$q = $l"
+    case GreaterThan(a, v) =>
+      for (q <- quoted(a); l <- litSql(v)) yield s"$q > $l"
+    case GreaterThanOrEqual(a, v) =>
+      for (q <- quoted(a); l <- litSql(v)) yield s"$q >= $l"
+    case LessThan(a, v) =>
+      for (q <- quoted(a); l <- litSql(v)) yield s"$q < $l"
+    case LessThanOrEqual(a, v) =>
+      for (q <- quoted(a); l <- litSql(v)) yield s"$q <= $l"
+    case In(a, vs) if vs.nonEmpty =>
+      val ls = vs.toSeq.map(litSql)
+      for (q <- quoted(a); all <- sequence(ls))
+        yield all.mkString(s"$q IN (", ", ", ")")
+    case And(l, r) =>
+      (filterSql(l), filterSql(r)) match {
+        case (Some(a), Some(b)) => Some(s"($a AND $b)")
+        case (a @ Some(_), None) => a // sound: prune on one conjunct
+        case (None, b @ Some(_)) => b
+        case _ => None
+      }
+    case Or(l, r) =>
+      for (a <- filterSql(l); b <- filterSql(r)) yield s"($a OR $b)"
+    case _ => None // IsNull/IsNotNull/Not/string matches: no file pruning
+  }
+
+  private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  /** The conjunction of every translatable pushed filter — the
+    * predicate handed to [[SnapshotTable.readSkipping]]. */
+  private[graft] def predicateSql(filters: Seq[Filter]): Option[String] = {
+    val parts = filters.flatMap(filterSql)
+    if (parts.isEmpty) None else Some(parts.mkString("(", ") AND (", ")"))
+  }
+}
+
+/** One snapshot table at a pinned version, readable and writable. */
+class GraftTable(root: String, tableSchema: StructType,
+                 options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+
+  import TableCapability._
+
+  override def name(): String = s"graft.`$root`"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE,
+      TRUNCATE, ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // scan options carry the read's own versionAsOf/tag/branch; fall
+    // back to the table-level options, then latest
+    val merged =
+      if (Seq("versionasof", "tag", "branch").exists(scanOptions.containsKey))
+        scanOptions
+      else options
+    val v = GraftDataSource.resolveVersion(root, merged)
+    require(v >= 0, s"no committed version at $root")
+    new GraftScanBuilder(root, v, tableSchema)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(root, info.options())
+}
+
+private[sources] class GraftScanBuilder(root: String, version: Long,
+                                        fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftDataSource.filterSql(f).isDefined)
+    filters // ALL filters stay residual: pruning refutes, rows re-check
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(root, version,
+      GraftDataSource.predicateSql(pushed.toSeq), required)
+}
+
+private[sources] class GraftScan(root: String, version: Long,
+                                 predicate: Option[String],
+                                 required: StructType) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftScan root=$root v=$version skip=${predicate.getOrElse("-")}"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftRelation(context, root, version, predicate, required)
+      .asInstanceOf[T]
+}
+
+/** The V1 fallback relation: builds the library read (file-skipping
+  * when a predicate was pushed) and hands Spark its RDD — the inner
+  * parquet scan keeps vectorization and whole-stage codegen. */
+private[sources] class GraftRelation(ctx: SQLContext, root: String,
+                                     version: Long,
+                                     predicate: Option[String],
+                                     required: StructType)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val base = predicate match {
+      case Some(p) => SnapshotTable.readSkipping(spark, root, p, version)
+      case None => SnapshotTable.read(spark, root, version)
+    }
+    base.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
+  }
+}
+
+private[sources] class GraftWriteBuilder(root: String,
+                                         options: CaseInsensitiveStringMap)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation(): InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
+          val stats = GraftDataSource.csv(options, "statsCols")
+          val blooms = GraftDataSource.csv(options, "bloomCols")
+          val part = Option(options.get("partitionBy")).filter(_.nonEmpty)
+          if (overwrite || legacyOverwrite)
+            // a fresh full snapshot; prior versions stay time-travelable
+            SnapshotTable.commit(data, root, stats, blooms)
+          else part match {
+            case Some(p) =>
+              SnapshotTable.commitAppend(data, root, p, stats, blooms)
+            case None if SnapshotTable.latestVersion(root) < 0 =>
+              SnapshotTable.commit(data, root, stats, blooms)
+            case None => throw new IllegalArgumentException(
+              "append to an existing graft table is the partition " +
+                "fast-append: set .option(\"partitionBy\", <col>)")
+          }
+        }
+      }
+  }
+}

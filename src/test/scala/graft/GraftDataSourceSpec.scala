@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+import graft.operators.SnapshotTable
+import graft.sources.{GraftDataSource, Tables}
+
+/** The `format("graft")` DataSource V2 connector: round-trip writes,
+  * pushed-filter file skipping reachable from Spark's planner, column
+  * pruning, time travel options, and the partition fast-append write
+  * path. */
+class GraftDataSourceSpec extends GraftSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  test("write/read round trip; filters pushed and answer-identical") {
+    val root = tmp("graft-ds-rt")
+    val li = Tables.lineitem(spark, sf).repartitionByRange(4, col("l_orderkey"))
+    li.write.format("graft").option("statsCols", "l_orderkey")
+      .mode("overwrite").save(root)
+
+    val df = spark.read.format("graft").load(root)
+    assert(df.count() === li.count())
+    assert(df.schema === li.schema)
+
+    val q = df.filter(col("l_orderkey") <= 100)
+      .select("l_orderkey", "l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    // the filter crossed the DSv2 boundary into the connector...
+    assert(plan.contains("PushedFilters: [LessThanOrEqual(l_orderkey,100)]"),
+      plan)
+    // ...and column pruning reached the relation
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan)
+    val expect = li.filter(col("l_orderkey") <= 100)
+      .select("l_orderkey", "l_quantity").collect().toSet
+    assert(q.collect().toSet === expect)
+  }
+
+  test("pushed predicate drives FILE skipping: a refuted file is never opened") {
+    val root = tmp("graft-ds-skip")
+    val li = Tables.lineitem(spark, sf).repartitionByRange(4, col("l_orderkey"))
+    li.write.format("graft").option("statsCols", "l_orderkey")
+      .mode("overwrite").save(root)
+
+    // corrupt the file holding the HIGHEST l_orderkey range: any read
+    // that opens it fails, so success under a low-range predicate is
+    // behavioral proof the pushed filter pruned it at the manifest
+    val stats = spark.read.parquet(s"$root/v=0/_stats")
+    val lowMax = stats.agg(min("l_orderkey__max")).first().getLong(0)
+    val corrupt = stats.orderBy(desc("l_orderkey__max"))
+      .select("_file").first().getString(0)
+    val rel = corrupt.substring(corrupt.indexOf("v=0/"))
+    Files.write(Paths.get(root, rel), "not parquet".getBytes)
+
+    val df = spark.read.format("graft").load(root)
+    intercept[Exception] { df.count() } // full scan opens the corrupt file
+
+    val q = df.filter(col("l_orderkey") <= lowMax)
+    val expect = li.filter(col("l_orderkey") <= lowMax).count()
+    assert(q.count() === expect) // skipped file never opened
+  }
+
+  test("time travel: versionAsOf and tag options pin snapshots") {
+    val root = tmp("graft-ds-tt")
+    val li = Tables.lineitem(spark, sf)
+    val v0 = li.filter(col("l_returnflag") === "A")
+    v0.write.format("graft").mode("overwrite").save(root)
+    SnapshotTable.createTag(root, "era-a")
+    li.write.format("graft").mode("overwrite").save(root)
+
+    val latest = spark.read.format("graft").load(root)
+    assert(latest.count() === li.count())
+    assert(spark.read.format("graft").option("versionAsOf", 0)
+      .load(root).count() === v0.count())
+    assert(spark.read.format("graft").option("tag", "era-a")
+      .load(root).count() === v0.count())
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", 0)
+        .option("tag", "era-a").load(root).count()
+    }
+  }
+
+  test("append mode is the partition fast-append; bare append to a flat table refuses") {
+    val root = tmp("graft-ds-app")
+    val li = Tables.lineitem(spark, sf)
+    val a = li.filter(col("l_returnflag") === "A")
+    val r = li.filter(col("l_returnflag") === "R")
+    a.write.format("graft").option("partitionBy", "l_returnflag")
+      .mode("append").save(root)
+    r.write.format("graft").option("partitionBy", "l_returnflag")
+      .mode("append").save(root)
+    assert(SnapshotTable.latestVersion(root) === 1L)
+    val got = spark.read.format("graft").load(root)
+      .select(li.columns.map(col).toIndexedSeq: _*)
+    assert(got.count() === a.count() + r.count())
+    assert(got.collect().toSet === a.unionByName(r).collect().toSet)
+
+    val flat = tmp("graft-ds-flat")
+    li.limit(5).write.format("graft").mode("overwrite").save(flat)
+    val err = intercept[Exception] {
+      li.limit(5).write.format("graft").mode("append").save(flat)
+    }
+    assert(err.getMessage.contains("partitionBy"), err.getMessage)
+  }
+
+  test("filter translation: supported shapes render, unsound shapes refuse") {
+    import GraftDataSource.{filterSql, predicateSql}
+    assert(filterSql(EqualTo("k", "o'brien")) === Some("`k` = 'o''brien'"))
+    assert(filterSql(In("k", Array(1, 2))) === Some("`k` IN (1, 2)"))
+    assert(filterSql(GreaterThan("k", 5L)) === Some("`k` > 5L"))
+    // And keeps a translatable side alone (sound: pruning a conjunct)
+    assert(filterSql(And(LessThan("k", 9), IsNotNull("k")))
+      === Some("`k` < 9"))
+    // Or needs BOTH sides (pruning one disjunct is unsound)
+    assert(filterSql(Or(LessThan("k", 9), IsNotNull("k"))) === None)
+    assert(filterSql(EqualNullSafe("k", 1)) === None)
+    assert(filterSql(EqualTo("k", Double.NaN)) === None)
+    assert(filterSql(EqualTo("a.b", 1)) === None) // nested: no stats
+    assert(predicateSql(Seq(LessThan("k", 9), EqualTo("j", 1)))
+      === Some("(`k` < 9) AND (`j` = 1)"))
+    // timestamps/dates render as typed literals
+    assert(filterSql(GreaterThan("t", java.sql.Date.valueOf("2024-01-02")))
+      === Some("`t` > DATE '2024-01-02'"))
+  }
+}
