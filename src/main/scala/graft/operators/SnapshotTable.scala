@@ -176,7 +176,8 @@ object SnapshotTable {
       // era's PHYSICAL column names resolve to the current names by id
       // — a renamed column reads correctly from files written under its
       // old name, a dropped-then-readded name never resurrects old data
-      val eras = eraProjections(spark, root, v, m, withPos)
+      val eras = eraProjections(spark, root, v,
+        m.map { case (part, sv) => (s"v=$sv/$part", sv) }, withPos)
       if (eras.isDefined) return eras.get
       // one scan per partition-spec ERA (usually one): directories
       // written under different specs cannot share a partition
@@ -462,7 +463,13 @@ object SnapshotTable {
     * scanned under its PHYSICAL read schema (pushdown and partition
     * pruning intact per group) and projected onto the current names by
     * field id; added-later columns null-fill, dropped ids are not
-    * selected. */
+    * selected.
+    *
+    * `m` entries are (root-relative leaf, storage version) — the leaf
+    * is a `v=N/part=...` partition DIRECTORY on the [[scan]] path, or
+    * an individual FILE on the [[readSkipping]] path (file pruning must
+    * keep per-era name resolution, or a renamed column silently
+    * null-fills from old-era files). */
   private def eraProjections(spark: SparkSession, root: String, v: Long,
                              m: Seq[(String, Long)],
                              withPos: Boolean = false): Option[DataFrame] = {
@@ -496,7 +503,7 @@ object SnapshotTable {
       .groupBy(e => (bySv(e._2), partitionSpecAt(root, e._2)))
     val parts = groups.toSeq.sortBy(_._2.head)
       .map { case ((proj, _), entries) =>
-      val dirs = entries.map { case (part, sv) => s"$root/v=$sv/$part" }
+      val dirs = entries.map { case (rel, _) => s"$root/$rel" }
       val readSchema = types.StructType(
         curSchema.fields.toSeq.zip(proj).collect {
           case (f, Some(p)) => types.StructField(p, f.dataType, nullable = true)
@@ -2305,6 +2312,14 @@ object SnapshotTable {
     val vCollision = recSchema.exists(_.fieldNames.contains("v"))
     def svOf(f: String): Long =
       f.stripPrefix("v=").takeWhile(_.isDigit).toLong
+    // field-id evolution: old-era files must resolve physical names by
+    // id (a renamed column read under the current name null-fills) —
+    // the same era projection [[scan]] applies, over kept FILES
+    val eras = eraProjections(spark, root, v,
+      kept.map(f => (f, svOf(f))), withPos = dels.nonEmpty || eqs.nonEmpty)
+    if (eras.isDefined)
+      return resolveDeletes(spark, root, dels, eqs, eras.get)
+        .filter(rowFilter)
     val keptGroups: Seq[(Option[String], Seq[String])] =
       if (!vCollision)
         kept.groupBy(f => partitionSpecAt(root, svOf(f)))

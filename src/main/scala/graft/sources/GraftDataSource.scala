@@ -192,8 +192,15 @@ class GraftTable(root: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE,
-      TRUNCATE, ACCEPT_ANY_SCHEMA)
+    // a not-yet-created table (empty schema) must accept the first
+    // write's schema as-is; once a schema exists, Spark aligns every
+    // insert to it (INSERT VALUES positional names, casts, order)
+    if (tableSchema.isEmpty)
+      java.util.EnumSet.of(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE,
+        TRUNCATE, ACCEPT_ANY_SCHEMA)
+    else
+      java.util.EnumSet.of(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE,
+        TRUNCATE)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // scan options carry the read's own versionAsOf/tag/branch; fall
@@ -207,8 +214,13 @@ class GraftTable(root: String, tableSchema: StructType,
     new GraftScanBuilder(root, v, tableSchema)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(root, info.options())
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // table-level options (e.g. a catalog table's recorded partition
+    // column) are write defaults; per-write options win
+    val merged = new java.util.HashMap[String, String](options)
+    merged.putAll(info.options())
+    new GraftWriteBuilder(root, new CaseInsensitiveStringMap(merged))
+  }
 }
 
 private[sources] class GraftScanBuilder(root: String, version: Long,

@@ -1,0 +1,329 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Collections, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.SnapshotTable
+
+/** Snapshot tables as a Spark SQL catalog — names instead of paths:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.g", classOf[GraftSqlCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.g.warehouse", "/data/warehouse")
+  *   spark.sql("CREATE TABLE g.db.trades (...) PARTITIONED BY (trade_date)")
+  *   spark.sql("INSERT INTO g.db.trades SELECT ...")
+  *   spark.sql("SELECT * FROM g.db.trades VERSION AS OF 3")
+  *   spark.sql("ALTER TABLE g.db.trades RENAME COLUMN price TO px")
+  * }}}
+  *
+  * The reference serves its Iceberg tables by NAME through a catalog
+  * (Nessie + `trino/catalog/iceberg.properties:1-6`); this is that
+  * surface on the snapshot format, implemented as a DSv2
+  * [[TableCatalog]] over a warehouse directory: identifier
+  * `ns1.ns2.t` maps to the snapshot-table root
+  * `<warehouse>/ns1/ns2/t`, so every library capability (time travel,
+  * merge-on-read deletes, manifest file skipping via the pushed-filter
+  * scan in [[GraftDataSource]]) is reachable from plain SQL.
+  *
+  * - `VERSION AS OF` accepts a version number, a tag, or a branch
+  *   name; `TIMESTAMP AS OF` resolves the newest version whose commit
+  *   stamp is at or before the instant (Iceberg's rule).
+  * - `ALTER TABLE ... RENAME/DROP COLUMN` is the metadata-only
+  *   field-id evolution ([[SnapshotTable.renameColumn]]) — no rewrite.
+  * - `CREATE TABLE ... PARTITIONED BY (c)` records the identity
+  *   partition column; `INSERT INTO` then lands as the O(batch)
+  *   partition fast-append. Non-identity transforms are rejected —
+  *   hidden partitioning uses the library's transform specs instead.
+  * - DDL state lives in a `_table` sidecar (schema + write options) so
+  *   an empty CREATEd table is loadable before its first commit.
+  */
+class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse")
+    warehouse = Paths.get(w)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def rootOf(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(warehouse)((p, part) => p.resolve(part))
+
+  private def sidecar(root: Path): Path = root.resolve("_table")
+
+  private def isTable(root: Path): Boolean =
+    Files.exists(sidecar(root)) || SnapshotTable.latestVersion(root.toString) >= 0
+
+  override def tableExists(ident: Identifier): Boolean = isTable(rootOf(ident))
+
+  // ───────────────────────────── tables ─────────────────────────────
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)((p, part) => p.resolve(part))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTable(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally stream.close()
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, GraftSqlCatalog.Latest)
+
+  /** `VERSION AS OF x` — a version number, else a tag, else a branch. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = requireTable(ident).toString
+    val v = version.toLongOption.getOrElse {
+      try SnapshotTable.tagVersion(root, version)
+      catch {
+        case _: Exception => SnapshotTable.branchVersion(root, version)
+      }
+    }
+    loadAt(ident, v)
+  }
+
+  /** `TIMESTAMP AS OF t` (microseconds): the newest version committed
+    * at or before the instant. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = requireTable(ident)
+    val cutoff = timestampMicros / 1000L // commit stamps are millis
+    val committedAtOrBefore = listVersions(root).filter { v =>
+      val marker = root.resolve(s"v=$v").resolve("_committed")
+      Files.exists(marker) &&
+        Files.getLastModifiedTime(marker).toMillis <= cutoff
+    }
+    require(committedAtOrBefore.nonEmpty,
+      s"no version of ${ident.name} committed at or before " +
+        s"timestamp $timestampMicros")
+    loadAt(ident, committedAtOrBefore.max)
+  }
+
+  private def listVersions(root: Path): Seq[Long] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    val stream = Files.list(root)
+    try stream.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("v="))
+      .flatMap(_.stripPrefix("v=").toLongOption).toSeq
+    finally stream.close()
+  }
+
+  private def requireTable(ident: Identifier): Path = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    root
+  }
+
+  private def loadAt(ident: Identifier, version: Long): Table = {
+    val root = requireTable(ident)
+    val meta = readSidecar(root)
+    val dataV =
+      if (version == GraftSqlCatalog.Latest)
+        SnapshotTable.latestVersion(root.toString)
+      else version
+    val schema =
+      if (dataV >= 0) {
+        // partitioned storage surfaces the partition column LAST; a
+        // catalog table keeps its DECLARED order (evolution-added or
+        // renamed fields follow, in storage order)
+        val data = SnapshotTable.read(spark, root.toString, dataV).schema
+        meta match {
+          case Some(m) =>
+            val declared = m.schema.fieldNames.filter(data.fieldNames.contains)
+            val rest = data.fieldNames.filterNot(declared.contains)
+            new StructType((declared ++ rest).map(data(_)))
+          case None => data
+        }
+      } else meta.map(_.schema).getOrElse(new StructType())
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", root.toString)
+    if (version != GraftSqlCatalog.Latest)
+      opts.put("versionAsOf", version.toString)
+    meta.foreach(_.writeOptions.foreach { case (k, v) => opts.put(k, v) })
+    new GraftTable(root.toString, schema, new CaseInsensitiveStringMap(opts))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val root = rootOf(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft catalog tables partition by identity columns only " +
+          s"(got $t); use the library's transform partition specs for " +
+          "hidden partitioning")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val writeOpts =
+      (if (partCols.nonEmpty) Map("partitionBy" -> partCols.mkString(","))
+       else Map.empty[String, String]) ++
+        properties.asScala.view
+          .filterKeys(k => GraftSqlCatalog.WriteOptionKeys(k.toLowerCase))
+          .toMap ++
+        properties.asScala.view
+          .filter(_._1.startsWith(TableCatalog.OPTION_PREFIX))
+          .map { case (k, v) =>
+            k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
+          }.toMap
+    Files.createDirectories(root)
+    writeSidecar(root, GraftSqlCatalog.TableMeta(schema, writeOpts))
+    loadTable(ident)
+  }
+
+  /** RENAME/DROP COLUMN land as the library's metadata-only field-id
+    * evolution; anything else is unsupported. */
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    val root = requireTable(ident).toString
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "nested column rename is not supported")
+        SnapshotTable.renameColumn(spark, root, r.fieldNames.head,
+          r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "nested column drop is not supported")
+        SnapshotTable.dropColumn(spark, root, d.fieldNames.head)
+      case c => throw new UnsupportedOperationException(
+        s"graft catalog does not support ALTER change $c")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!isTable(root)) return false
+    deleteRecursively(root)
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = requireTable(from)
+    val dst = rootOf(to)
+    if (isTable(dst)) throw new TableAlreadyExistsException(to)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+  }
+
+  // ─────────────────────────── namespaces ───────────────────────────
+
+  private def nsDir(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, part) => p.resolve(part))
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (Files.isDirectory(nsDir(namespace)) && !isTable(nsDir(namespace)))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val stream = Files.list(warehouse)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString)).toArray
+    finally stream.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) return Array.empty
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString).toArray
+    finally stream.close()
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    val dir = nsDir(namespace)
+    if (Files.exists(dir)) throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    if (!cascade) {
+      val stream = Files.list(dir)
+      val empty = try !stream.iterator().hasNext finally stream.close()
+      require(empty, s"namespace ${namespace.mkString(".")} is not " +
+        "empty; use CASCADE")
+    }
+    deleteRecursively(dir)
+    true
+  }
+
+  // ───────────────────────────── helpers ─────────────────────────────
+
+  private def readSidecar(root: Path): Option[GraftSqlCatalog.TableMeta] = {
+    val p = sidecar(root)
+    if (!Files.exists(p)) return None
+    val lines = Files.readAllLines(p).asScala
+    val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
+    val opts = lines.drop(1).filter(_.contains("=")).map { l =>
+      val i = l.indexOf('=')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    Some(GraftSqlCatalog.TableMeta(schema, opts))
+  }
+
+  private def writeSidecar(root: Path,
+                           meta: GraftSqlCatalog.TableMeta): Unit = {
+    val body = meta.schema.json +: meta.writeOptions.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }
+    Files.write(sidecar(root), body.mkString("\n").getBytes)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator().asScala.foreach(deleteRecursively)
+      finally stream.close()
+    }
+    Files.delete(p)
+  }
+}
+
+object GraftSqlCatalog {
+  private val Latest = -1L
+  private val WriteOptionKeys = Set("partitionby", "statscols", "bloomcols")
+
+  private[sources] case class TableMeta(schema: StructType,
+                                        writeOptions: Map[String, String])
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SnapshotTable
+
+/** The graft SQL catalog: snapshot tables addressable by NAME from
+  * plain SQL — DDL, O(batch) INSERT fast-appends, time travel
+  * (`VERSION AS OF` number/tag, `TIMESTAMP AS OF`), metadata-only
+  * column rename, CTAS — plus the library-level regression the
+  * connector surfaced: file-skipping reads must era-project renamed
+  * columns. */
+class GraftSqlCatalogSpec extends GraftSuite {
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-sql-cat").toString
+    spark.conf.set("spark.sql.catalog.gtest",
+      "graft.sources.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.db")
+    dir
+  }
+
+  test("DDL + INSERT fast-append + time travel from SQL") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.t (k STRING, n BIGINT, d DATE) " +
+      "PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gtest.db.t VALUES " +
+      "('a', 1, DATE'2024-01-01'), ('b', 2, DATE'2024-01-02')")
+    spark.sql("INSERT INTO gtest.db.t VALUES ('a', 3, DATE'2024-01-03')")
+
+    assert(spark.sql("SELECT count(*) FROM gtest.db.t").first.getLong(0) === 3)
+    // each INSERT is one fast-append version, manifests accumulate
+    assert(SnapshotTable.latestVersion(s"$wh/db/t") === 1L)
+    assert(spark.sql("SELECT count(*) FROM gtest.db.t VERSION AS OF 0")
+      .first.getLong(0) === 2)
+    // declared column order survives partitioned storage (k moved last
+    // on disk) — INSERT stays positional
+    assert(spark.table("gtest.db.t").columns.toSeq === Seq("k", "n", "d"))
+
+    SnapshotTable.createTag(s"$wh/db/t", "first")
+    assert(spark.sql("SELECT count(*) FROM gtest.db.t VERSION AS OF 'first'")
+      .first.getLong(0) === 3)
+
+    val cut = java.time.Instant.now()
+    Thread.sleep(10)
+    spark.sql("INSERT INTO gtest.db.t VALUES ('c', 9, DATE'2024-01-04')")
+    assert(spark.sql("SELECT count(*) FROM gtest.db.t").first.getLong(0) === 4)
+    assert(spark.sql(
+      s"SELECT count(*) FROM gtest.db.t TIMESTAMP AS OF '$cut'")
+      .first.getLong(0) === 3)
+  }
+
+  test("ALTER RENAME COLUMN is metadata-only; filtered (skipping) reads era-project") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.r (k STRING, n BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gtest.db.r VALUES ('a', 2), ('b', 4), ('a', 9)")
+    val before = SnapshotTable.latestVersion(s"$wh/db/r")
+    spark.sql("ALTER TABLE gtest.db.r RENAME COLUMN n TO m")
+    assert(SnapshotTable.latestVersion(s"$wh/db/r") === before + 1) // no rewrite
+
+    // the filter pushes across the connector into the file-skipping
+    // read; old-era files carry physical column `n` and must resolve
+    // by field id (regression: this used to null-fill and return 0)
+    assert(spark.sql("SELECT sum(m) FROM gtest.db.r WHERE m > 1")
+      .first.getLong(0) === 15)
+    // same at the library level
+    assert(SnapshotTable.readSkipping(spark, s"$wh/db/r", "m > 1")
+      .agg(sum("m")).first.getLong(0) === 15)
+  }
+
+  test("CTAS, SHOW TABLES, INSERT OVERWRITE, RENAME TABLE, DROP") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.c (k STRING, n BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gtest.db.c VALUES ('a', 2), ('b', 4)")
+    spark.sql("CREATE TABLE gtest.db.c2 AS SELECT k, n FROM gtest.db.c WHERE n > 2")
+    assert(spark.table("gtest.db.c2").collect().map(_.getLong(1)).toSeq === Seq(4L))
+
+    val names = spark.sql("SHOW TABLES IN gtest.db").collect()
+      .map(_.getString(1)).toSet
+    assert(Set("c", "c2").subsetOf(names))
+
+    spark.sql("INSERT OVERWRITE gtest.db.c2 SELECT 'z' AS k, 0L AS n")
+    assert(spark.table("gtest.db.c2").collect().map(_.getString(0)).toSeq
+      === Seq("z"))
+    // overwrite committed a NEW version; the old one stays readable
+    assert(spark.sql("SELECT n FROM gtest.db.c2 VERSION AS OF 0")
+      .first.getLong(0) === 4L)
+
+    spark.sql("ALTER TABLE gtest.db.c2 RENAME TO c3")
+    assert(spark.table("gtest.db.c3").count() === 1)
+    spark.sql("DROP TABLE gtest.db.c3")
+    assert(!spark.catalog.tableExists("gtest.db.c3"))
+  }
+
+  test("namespaces list and drop; unpartitioned INSERT refuses with guidance") {
+    wh
+    spark.sql("CREATE NAMESPACE gtest.scratch")
+    val ns = spark.sql("SHOW NAMESPACES IN gtest").collect()
+      .map(_.getString(0)).toSet
+    assert(Set("db", "scratch").subsetOf(ns))
+    spark.sql("DROP NAMESPACE gtest.scratch")
+
+    spark.sql("CREATE TABLE gtest.db.flat (k STRING, n BIGINT)")
+    spark.sql("INSERT INTO gtest.db.flat VALUES ('a', 1)") // creates v0
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gtest.db.flat VALUES ('b', 2)")
+    }
+    assert(e.getMessage.contains("partitionBy") ||
+      Option(e.getCause).exists(_.getMessage.contains("partitionBy")))
+  }
+}
