@@ -1,0 +1,256 @@
+package graft.sources
+
+import java.util.{Collections, Map => JMap}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.{Catalog, SnapshotTable}
+
+/** The GOVERNED catalog as a Spark SQL catalog — the Nessie+Trino
+  * surface of the reference (`infrastructure/init/nessie_setup.py:32-60`
+  * + `trino/catalog/iceberg.properties:1-6`): multi-table commits,
+  * cross-table consistency, catalog-level time travel — from SQL.
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gov", classOf[GraftGovernedCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.gov.root", "/data/catalog")
+  *   spark.sql("SELECT * FROM gov.bronze")                  // latest commit
+  *   spark.sql("SELECT * FROM gov.bronze VERSION AS OF 3")  // CATALOG commit 3
+  *   spark.sql("SELECT * FROM gov.bronze VERSION AS OF 'audit'") // tag/branch
+  *   spark.sql("SELECT * FROM gov.bronze TIMESTAMP AS OF '...'")
+  *   spark.sql("INSERT INTO gov.bronze SELECT ...")         // atomic commit
+  * }}}
+  *
+  * - `VERSION AS OF` pins a CATALOG COMMIT (number), a catalog tag, or
+  *   a branch head — so two tables read at the same pin are mutually
+  *   consistent, the [[Catalog]] isolation guarantee surfaced to SQL.
+  * - `TIMESTAMP AS OF` resolves through [[Catalog.resolveAsOf]].
+  * - `INSERT INTO` a partitioned table lands as ONE atomic catalog
+  *   commit of an O(batch) partition fast-append, CAS-retried against
+  *   concurrent committers (the [[graft.streaming.GovernedStream]]
+  *   protocol without the streaming batch id); `INSERT OVERWRITE` is a
+  *   full-replace [[Catalog.transact]]. CTAS transacts the query
+  *   result as a new governed table.
+  * - DDL that would bypass catalog history (DROP/RENAME TABLE, ALTER)
+  *   refuses loudly — governed history is rolled back or expired
+  *   through [[Catalog]], never edited in place.
+  */
+class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"governed catalog '$name' needs spark.sql.catalog.$name.root")
+    root = r
+  }
+
+  override def name(): String = catalogName
+
+  private def requireTop(namespace: Array[String]): Unit =
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireTop(namespace)
+    Catalog.tables(root).map(Identifier.of(Array.empty[String], _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty &&
+      Catalog.tableVersions(root).contains(ident.name())
+
+  override def loadTable(ident: Identifier): Table =
+    loadAtCommit(ident, Catalog.latestCommit(root))
+
+  /** `VERSION AS OF x`: a catalog COMMIT number, else a catalog tag,
+    * else a branch head. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    version.toLongOption match {
+      case Some(c) => loadAtCommit(ident, c)
+      case None =>
+        try loadAtCommit(ident, Catalog.tagCommit(root, version))
+        catch {
+          case _: Exception => // branch heads carry their own manifests
+            loadBranch(ident, version)
+        }
+    }
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadAtCommit(ident, Catalog.resolveAsOf(root, timestampMicros / 1000L))
+
+  private def loadBranch(ident: Identifier, branch: String): Table = {
+    val vs = Catalog.branchVersions(root, branch)
+    val v = vs.getOrElse(ident.name(),
+      throw new NoSuchTableException(ident))
+    governedTable(ident.name(), v, writable = false)
+  }
+
+  private def loadAtCommit(ident: Identifier, commit: Long): Table = {
+    requireTop(ident.namespace())
+    val vs = Catalog.tableVersions(root, commit)
+    val v = vs.getOrElse(ident.name(),
+      throw new NoSuchTableException(ident))
+    governedTable(ident.name(), v,
+      writable = commit == Catalog.latestCommit(root))
+  }
+
+  private def governedTable(table: String, version: Long,
+                            writable: Boolean): Table = {
+    val tr = Catalog.tableRoot(root, table)
+    val schema = SnapshotTable.read(SparkSession.active, tr, version).schema
+    new GraftGovernedTable(root, table, tr, version, schema, writable)
+  }
+
+  /** CTAS only (`CREATE TABLE gov.t AS SELECT ...`): the created table
+    * materializes at the first write's catalog commit. A plain CREATE
+    * with no data has no commit to carry it — refuse with guidance. */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    requireTop(ident.namespace())
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "governed CTAS commits an unpartitioned snapshot; evolve the " +
+        "layout with Catalog.transactDelta / Layout afterwards")
+    new GraftGovernedTable(root, ident.name(),
+      Catalog.tableRoot(root, ident.name()), -1L, schema, writable = true)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "governed tables evolve through Catalog transactions, not ALTER")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "governed history is append-only: roll back or expire commits " +
+        "through Catalog, tables are never dropped in place")
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "governed history is append-only: tables are never renamed in place")
+
+  // namespaces: the governed catalog is flat
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty
+
+  override def listNamespaces(): Array[Array[String]] = Array.empty
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    requireTop(namespace)
+    Array.empty
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    requireTop(namespace)
+    Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit =
+    throw new UnsupportedOperationException("the governed catalog is flat")
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("the governed catalog is flat")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("the governed catalog is flat")
+}
+
+/** One governed table pinned at a snapshot version. Reads share the
+  * connector's pushed-filter skipping scan; writes publish through
+  * atomic catalog commits (CAS-retried). Time-travel pins are
+  * read-only — only a table loaded at the LATEST commit writes. */
+private[sources] class GraftGovernedTable(catalogRoot: String,
+                                          table: String, tableRoot: String,
+                                          version: Long,
+                                          tableSchema: StructType,
+                                          writable: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
+
+  import TableCapability._
+
+  override def name(): String = s"governed.`$catalogRoot`.$table"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    if (tableSchema.isEmpty)
+      java.util.EnumSet.of(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE,
+        TRUNCATE, ACCEPT_ANY_SCHEMA)
+    else
+      java.util.EnumSet.of(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE,
+        TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(version >= 0, s"table '$table' has no committed content yet")
+    new GraftScanBuilder(tableRoot, version, tableSchema)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation(): InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, legacy: Boolean): Unit = {
+              require(writable,
+                "time-travel pins are read-only; write at the latest commit")
+              if (overwrite || legacy || version < 0)
+                Catalog.transact(catalogRoot, Seq(table -> data))
+              else GraftGovernedTable.appendCas(catalogRoot, table, data)
+            }
+          }
+      }
+    }
+}
+
+private[sources] object GraftGovernedTable {
+
+  /** Atomic governed fast-append with CAS retry — the
+    * [[graft.streaming.GovernedStream.commitBatch]] protocol minus the
+    * streaming batch id: stage an O(batch) partition append against
+    * the table's version at the current commit, publish, and re-stage
+    * on the new base if a concurrent committer won the race. */
+  private[sources] def appendCas(catalogRoot: String, table: String,
+                                 data: DataFrame,
+                                 maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      val base = Catalog.latestCommit(catalogRoot)
+      val prev = Catalog.tableVersions(catalogRoot, base)
+      val tr = Catalog.tableRoot(catalogRoot, table)
+      val prevV = prev.getOrElse(table, -1L)
+      val spec = SnapshotTable.partitionSpecAt(tr, math.max(prevV, 0L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"INSERT INTO governed table '$table' is the partition " +
+            "fast-append and needs a partitioned layout; use INSERT " +
+            "OVERWRITE (full transact) on flat tables"))
+      try {
+        val v = SnapshotTable.stageAppend(data, tr, spec, prevV)
+        return Catalog.commitStaged(catalogRoot, Map(table -> v), base)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Catalog, SnapshotTable}
+
+/** The governed catalog surfaced as a Spark SQL catalog: reads pin
+  * catalog commits (cross-table consistency from SQL), INSERT INTO is
+  * an atomic catalog-commit fast-append, VERSION AS OF accepts commit
+  * numbers and catalog tags, TIMESTAMP AS OF resolves commit stamps,
+  * and history-bypassing DDL refuses. */
+class GraftGovernedCatalogSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-gov-cat").toString + "/cat"
+    spark.conf.set("spark.sql.catalog.govt",
+      "graft.sources.GraftGovernedCatalog")
+    spark.conf.set("spark.sql.catalog.govt.root", r)
+    val t0 = Seq(("a", 1L, "d1"), ("b", 2L, "d1"), ("c", 3L, "d2"))
+      .toDF("k", "n", "day")
+    Catalog.transactDelta(r, Seq(("bronze", t0, "day")))
+    r
+  }
+
+  test("INSERT INTO is an atomic catalog-commit fast-append; time travel pins commits and tags") {
+    root
+    assert(spark.sql("SELECT count(*) FROM govt.bronze").first.getLong(0) === 3)
+
+    val commitsBefore = Catalog.commits(root).size
+    val tr = Catalog.tableRoot(root, "bronze")
+    val entriesBefore = SnapshotTable
+      .manifestEntries(tr, Catalog.tableVersions(root)("bronze")).size
+    spark.sql("INSERT INTO govt.bronze VALUES ('d', 4, 'd2')")
+
+    // one new catalog commit; the append KEPT every base manifest
+    // entry and added the batch's (no partition rewrite)
+    assert(Catalog.commits(root).size === commitsBefore + 1)
+    val entriesAfter = SnapshotTable
+      .manifestEntries(tr, Catalog.tableVersions(root)("bronze")).size
+    assert(entriesAfter > entriesBefore)
+    assert(spark.sql("SELECT count(*) FROM govt.bronze").first.getLong(0) === 4)
+
+    // VERSION AS OF = catalog commit number, then a catalog tag
+    assert(spark.sql("SELECT count(*) FROM govt.bronze VERSION AS OF 0")
+      .first.getLong(0) === 3)
+    Catalog.tag(root, "seed", 0L)
+    assert(spark.sql("SELECT count(*) FROM govt.bronze VERSION AS OF 'seed'")
+      .first.getLong(0) === 3)
+    // TIMESTAMP AS OF now = the latest commit
+    val now = java.time.Instant.now().plusSeconds(1).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM govt.bronze TIMESTAMP AS OF '$now'")
+      .first.getLong(0) === 4)
+    // filtered reads run the pushed-filter skipping scan
+    assert(spark.sql("SELECT sum(n) FROM govt.bronze WHERE day = 'd2'")
+      .first.getLong(0) === 7)
+  }
+
+  test("CTAS + INSERT OVERWRITE transact; pinned cross-table reads are consistent") {
+    root
+    spark.sql("CREATE TABLE govt.top AS SELECT k, n FROM govt.bronze WHERE n >= 3")
+    assert(spark.sql("SELECT count(*) FROM govt.top").first.getLong(0) >= 1)
+    val names = spark.sql("SHOW TABLES IN govt").collect()
+      .map(_.getString(1)).toSet
+    assert(Set("bronze", "top").subsetOf(names))
+
+    val pin = Catalog.latestCommit(root)
+    val topAtPin = spark.sql("SELECT count(*) FROM govt.top").first.getLong(0)
+    spark.sql("INSERT OVERWRITE govt.top SELECT 'z' AS k, 0L AS n")
+    assert(spark.sql("SELECT count(*) FROM govt.top").first.getLong(0) === 1)
+    // the pinned commit still serves the pre-overwrite content, and a
+    // join of two pins is the consistent pair
+    assert(spark.sql(s"SELECT count(*) FROM govt.top VERSION AS OF $pin")
+      .first.getLong(0) === topAtPin)
+  }
+
+  test("history-bypassing DDL and unpartitioned INSERT refuse loudly") {
+    root
+    intercept[UnsupportedOperationException] {
+      spark.sql("DROP TABLE govt.bronze")
+    }
+    // CTAS tables are flat snapshots: INSERT INTO refuses with the
+    // fast-append guidance (INSERT OVERWRITE is the supported path)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO govt.top VALUES ('q', 5)")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("fast-append")), e.getMessage)
+  }
+}
