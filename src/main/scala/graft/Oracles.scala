@@ -1886,6 +1886,27 @@ v$s AS (
     // pack = floor(preceding-token cumsum / context); doc_id is unique
     // inside a shard so the ROWS cumsum is a total order on both
     // engines.
+    // training export plan == the same permutation in SQL: md5 digest
+    // orders, a 6-hex-digit prefix mods into shards, the cumulative
+    // whitespace-token fill packs — every step exact integer/string
+    // arithmetic both engines share
+    "training_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens
+        |  FROM documents
+        |), s AS (
+        |  SELECT *,
+        |    CAST(CAST(concat('0x', substr(shuffle_key, 1, 6)) AS BIGINT) % 8 AS BIGINT) AS shard
+        |  FROM t
+        |), c AS (
+        |  SELECT *, SUM(ws_tokens) OVER (PARTITION BY shard
+        |    ORDER BY shuffle_key, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s)
+        |SELECT doc_id, shard, shuffle_key, ws_tokens,
+        |  CAST((cum - ws_tokens) // 2048 AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
+
     "sequence_packing" ->
       """WITH t AS (
         |  SELECT source, doc_id,

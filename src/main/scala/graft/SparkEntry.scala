@@ -573,6 +573,10 @@ object SparkEntry {
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "sequence_packing" -> ((s, dir) =>
       TextAnalysis.sequencePacking(Tables.documents(s, dir))),
+    // training export plan: deterministic md5 shuffle → shard → greedy
+    // pack, all in one exchange (export/manifest in TrainingExportSpec)
+    "training_shards" -> ((s, dir) =>
+      TrainingExport.plan(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.docChunks(Tables.documents(s, dir))),
     "curation_report" -> ((s, dir) =>
