@@ -1907,6 +1907,37 @@ v$s AS (
         |  CAST((cum - ws_tokens) // 2048 AS BIGINT) AS pack_id
         |FROM c""".stripMargin,
 
+    // deterministic mixture sampling == the same epochs rates (the
+    // mixture_plan CTE) fanned out by ceil(epochs) copies, the
+    // fractional epoch kept by the identical 13-hex-digit unit hash
+    // (2^52 denominator: exact doubles both engines)
+    "mixture_sample" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE),
+        |      list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+        |    (a, b) -> a + b) AS z
+        |  FROM per),
+        |r AS (
+        |  SELECT source,
+        |    1000000.0 * (sqrt(CAST(n_tokens AS DOUBLE)) / z) / CAST(n_tokens AS DOUBLE) AS epochs
+        |  FROM per, tot),
+        |eps AS (
+        |  SELECT CAST(unnest(range(64)) AS BIGINT) AS epoch),
+        |e AS (
+        |  SELECT d.doc_id, d.source, r.epochs, eps.epoch
+        |  FROM documents d JOIN r USING (source)
+        |  JOIN eps ON CAST(eps.epoch AS DOUBLE) < ceil(r.epochs))
+        |SELECT doc_id, source, epoch
+        |FROM e
+        |WHERE CAST(epoch AS DOUBLE) < floor(epochs)
+        |   OR CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '::', CAST(epoch AS VARCHAR))), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0
+        |      < epochs - floor(epochs)""".stripMargin,
+
     "sequence_packing" ->
       """WITH t AS (
         |  SELECT source, doc_id,

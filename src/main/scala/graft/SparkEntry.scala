@@ -577,6 +577,14 @@ object SparkEntry {
     // pack, all in one exchange (export/manifest in TrainingExportSpec)
     "training_shards" -> ((s, dir) =>
       TrainingExport.plan(Tables.documents(s, dir))),
+    // deterministic mixture materialization: every source sampled (or
+    // repeated) at its alpha-temperature epochs rate, no randomness
+    "mixture_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TrainingExport.sampleToRates(docs,
+          Mixture.plan(docs).select("source", "epochs"))
+        .select("doc_id", "source", "epoch")
+    }),
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.docChunks(Tables.documents(s, dir))),
     "curation_report" -> ((s, dir) =>

@@ -33,14 +33,19 @@ import org.apache.spark.sql.functions._
 object TrainingExport {
 
   /** Per-document shard / shuffle-order / pack assignment.
-    * Deterministic in `doc_id` alone. */
+    * Deterministic in `doc_id` alone; a non-empty `salt` re-keys the
+    * whole permutation — the per-EPOCH reshuffle, costing one string
+    * concat instead of moving any bytes. */
   def plan(docs: DataFrame, shards: Int = 8,
-           contextTokens: Int = 2048): DataFrame = {
+           contextTokens: Int = 2048, salt: String = ""): DataFrame = {
     require(shards > 0 && contextTokens > 0,
       "shards and contextTokens must be positive")
+    val key =
+      if (salt.isEmpty) md5(col("doc_id").cast("string"))
+      else md5(concat(col("doc_id").cast("string"), lit(":" + salt)))
     val keyed = docs
       .select(col("doc_id"), col("text"))
-      .withColumn("shuffle_key", md5(col("doc_id").cast("string")))
+      .withColumn("shuffle_key", key)
       .withColumn("shard",
         (conv(substring(col("shuffle_key"), 1, 6), 16, 10)
           .cast("long") % shards).cast("long"))
@@ -54,6 +59,35 @@ object TrainingExport {
       .withColumn("pack_id",
         expr(s"(cum - ws_tokens) div $contextTokens"))
       .select("doc_id", "shard", "shuffle_key", "ws_tokens", "pack_id")
+  }
+
+  /** 16^13 = 2^52: a 13-hex-digit hash prefix is an EXACT double, and
+    * dividing by a power of two is exact scaling — so the unit-interval
+    * hash below is bit-identical across engines (the oracle computes
+    * the same value from the same digest). */
+  private val UnitDenom = 4503599627370496.0
+
+  /** Deterministic mixture sampling: materialize each source at its
+    * (possibly >1) `epochs` rate from [[Mixture.plan]] — `floor(rate)`
+    * full copies tagged `epoch = 0..`, plus one fractional epoch kept
+    * where the per-(doc, epoch) unit-interval hash falls under the
+    * fraction. No randomness: re-running reproduces the sample
+    * exactly; `salt` re-draws it. The rates relation is ‖sources‖-sized
+    * and broadcast; the fan-out is the target token budget itself, so
+    * cost tracks the OUTPUT, not a shuffle. */
+  def sampleToRates(docs: DataFrame, rates: DataFrame,
+                    salt: String = ""): DataFrame = {
+    val keep = docs.join(broadcast(rates.select("source", "epochs")),
+      Seq("source"))
+      .withColumn("epoch",
+        explode(expr("sequence(0L, cast(ceil(epochs) as long) - 1L)")))
+      .withColumn("u",
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":$salt:"), col("epoch").cast("string"))), 1, 13),
+          16, 10).cast("double") / lit(UnitDenom))
+      .filter(col("epoch").cast("double") < floor(col("epochs")) ||
+        col("u") < col("epochs") - floor(col("epochs")))
+    keep.select((docs.columns.map(col) :+ col("epoch")).toIndexedSeq: _*)
   }
 
   /** The shard index a trainer resumes from: docs, packs, token mass,

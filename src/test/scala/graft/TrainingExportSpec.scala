@@ -73,6 +73,47 @@ class TrainingExportSpec extends GraftSuite {
     }
   }
 
+  test("salt re-keys the permutation; same salt reproduces it") {
+    val base = TrainingExport.plan(docs, 8, 512)
+    val salted = TrainingExport.plan(docs, 8, 512, salt = "epoch1")
+    val again = TrainingExport.plan(docs, 8, 512, salt = "epoch1")
+    assert(salted.collect().toSet === again.collect().toSet)
+    // the permutation actually moved: most docs change shard or key
+    val moved = base.select("doc_id", "shard")
+      .join(salted.select(col("doc_id"),
+        col("shard").as("shard2")), Seq("doc_id"))
+      .filter(col("shard") =!= col("shard2")).count()
+    assert(moved > docs.count() / 2)
+  }
+
+  test("mixture sampling is deterministic and lands near the target rates") {
+    import spark.implicits._
+    val rates = Seq(("src0", 1.4), ("src1", 0.25), ("src2", 2.0))
+      .toDF("source", "epochs")
+    val have = docs.select("source").distinct().as[String].collect().toSet
+    val usable = rates.filter(col("source").isin(have.toSeq: _*))
+    assert(usable.count() === 3)
+    val s1 = TrainingExport.sampleToRates(docs, usable)
+    val s2 = TrainingExport.sampleToRates(docs, usable)
+    assert(s1.collect().toSet === s2.collect().toSet) // no randomness
+
+    val got = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val per = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    usable.collect().foreach { r =>
+      val (src, rate) = (r.getString(0), r.getDouble(1))
+      val expect = per(src) * rate
+      assert(math.abs(got(src) - expect) < per(src) * 0.15 + 5,
+        s"$src got ${got(src)} expect ~$expect")
+      // integer rates are exact full copies
+      if (rate == math.floor(rate)) assert(got(src) === expect.toLong)
+    }
+    // a different salt re-draws the fractional epoch
+    val s3 = TrainingExport.sampleToRates(docs, usable, salt = "redraw")
+    assert(s3.collect().toSet !== s1.collect().toSet)
+  }
+
   test("the one exchange: shuffle, pack and manifest share a single shard partitioning") {
     val p = TrainingExport.plan(docs, shards = 8, contextTokens = 512)
     val plan = p.queryExecution.executedPlan.toString
