@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.SnapshotTable
+
+/** Consume a snapshot table like a topic — the Kafka-consumer shape
+  * over table versions (Iceberg's incremental scan / Delta's CDF
+  * turned into a SUBSCRIPTION): the offset is the last table version
+  * drained, checkpointed atomically, and each drain hands the
+  * consumer exactly the rows that arrived since.
+  *
+  * Delivery contract: the handler runs BEFORE the offset advances —
+  * at-least-once on a crash between handler and checkpoint, and
+  * EXACTLY-once when the handler is idempotent in the `toVersion` it
+  * receives (e.g. [[GovernedStream.commitBatch]] keyed by it, which
+  * skips replays outright — spec-demonstrated). This is the same
+  * contract Structured Streaming's foreachBatch gives `batchId`, with
+  * table versions as the offsets.
+  *
+  * Scale: a drain costs O(new files) via
+  * [[SnapshotTable.appendedBetween]] (manifest arithmetic selects
+  * them; the corpus is never rescanned); the changes variant costs the
+  * two-snapshot key join of [[SnapshotTable.changes]]. Offsets are one
+  * tiny file per checkpoint — no state grows with the table. */
+object SnapshotStream {
+
+  private def offsetPath(checkpointDir: String): Path =
+    Paths.get(checkpointDir, "offset")
+
+  /** The last drained version recorded at `checkpointDir` (-1 =
+    * nothing consumed yet). */
+  def committedOffset(checkpointDir: String): Long = {
+    val p = offsetPath(checkpointDir)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  }
+
+  private def writeOffset(checkpointDir: String, v: Long): Unit = {
+    Files.createDirectories(Paths.get(checkpointDir))
+    val tmp = Paths.get(checkpointDir, s".offset.tmp.$v")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, offsetPath(checkpointDir),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drain everything appended since the checkpoint as ONE batch:
+    * `handler(newRows, toVersion)` runs, then the offset advances.
+    * Returns the new offset (the prior one when nothing arrived —
+    * handler not invoked). */
+  def drainAppends(spark: SparkSession, root: String,
+                   checkpointDir: String)
+                  (handler: (DataFrame, Long) => Unit): Long = {
+    val from = committedOffset(checkpointDir)
+    val to = SnapshotTable.latestVersion(root)
+    if (to <= from) return from
+    handler(SnapshotTable.appendedBetween(spark, root, from, to), to)
+    writeOffset(checkpointDir, to)
+    to
+  }
+
+  /** The CDC variant: the keyed row-diff change feed
+    * ([[SnapshotTable.changes]]: insert / delete / update pre+post
+    * images) between the checkpoint and the latest version. Unlike
+    * [[drainAppends]] this follows NON-append histories (upserts,
+    * deletes, compactions) — at the price of the two-snapshot join.
+    * A first drain (no checkpoint) delivers the whole table as
+    * inserts, the CDC bootstrap convention. */
+  def drainChanges(spark: SparkSession, root: String, key: String,
+                   checkpointDir: String)
+                  (handler: (DataFrame, Long) => Unit): Long = {
+    val from = committedOffset(checkpointDir)
+    val to = SnapshotTable.latestVersion(root)
+    if (to <= from) return from
+    val feed =
+      if (from < 0) {
+        import org.apache.spark.sql.functions._
+        SnapshotTable.read(spark, root, to)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(to))
+      } else SnapshotTable.changes(spark, root, key, from, to)
+    handler(feed, to)
+    writeOffset(checkpointDir, to)
+    to
+  }
+
+  /** Bounded tail loop: keep draining until `maxIdlePolls` consecutive
+    * polls find nothing new (a test/cron harness; a deployment would
+    * schedule [[drainAppends]] on its trigger cadence). Returns the
+    * final offset. */
+  def tail(spark: SparkSession, root: String, checkpointDir: String,
+           pollMs: Long = 100L, maxIdlePolls: Int = 3)
+          (handler: (DataFrame, Long) => Unit): Long = {
+    var idle = 0
+    var offset = committedOffset(checkpointDir)
+    while (idle < maxIdlePolls) {
+      val next = drainAppends(spark, root, checkpointDir)(handler)
+      if (next == offset) {
+        idle += 1
+        Thread.sleep(pollMs)
+      } else {
+        idle = 0
+        offset = next
+      }
+    }
+    offset
+  }
+}
