@@ -226,10 +226,16 @@ class GraftTable(root: String, tableSchema: StructType,
 private[sources] class GraftScanBuilder(root: String, version: Long,
                                         fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.types.{LongType, StructField}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var aggResult: Option[(StructType, Row)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftDataSource.filterSql(f).isDefined)
@@ -241,9 +247,82 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(root, version,
-      GraftDataSource.predicateSql(pushed.toSeq), required)
+  // ── metadata-answered aggregates (Iceberg's manifests-answer-the-
+  // count, surfaced through Catalyst's aggregate pushdown): a bare
+  // COUNT(*) / MIN / MAX over the whole table resolves from the
+  // recorded per-file stats — zero data bytes when the sidecars cover
+  // the files. Any filter, grouping, or unanswerable column (no
+  // recorded bounds, unapplied MoR deletes) declines, and Spark runs
+  // the ordinary scan-and-aggregate plan.
+
+  private def topField(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames.head).filter(fullSchema.fieldNames.contains)
+    case _ => None
+  }
+
+  private def answer(agg: Aggregation): Option[(StructType, Row)] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val spark = SparkSession.active
+    val bounds = scala.collection.mutable.Map.empty[String, Option[(Any, Any)]]
+    def boundsOf(c: String): Option[(Any, Any)] =
+      bounds.getOrElseUpdate(c,
+        SnapshotTable.fastBounds(spark, root, c, version))
+    val cells = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(StructField("count_star", LongType, nullable = false) ->
+          (SnapshotTable.fastCount(spark, root, version): Any))
+      case m: Min => topField(m.column).flatMap { c =>
+        boundsOf(c).map(b =>
+          StructField(s"min_$c", fullSchema(c).dataType) -> b._1)
+      }
+      case m: Max => topField(m.column).flatMap { c =>
+        boundsOf(c).map(b =>
+          StructField(s"max_$c", fullSchema(c).dataType) -> b._2)
+      }
+      case _ => None
+    }
+    if (cells.exists(_.isEmpty) || cells.isEmpty) None
+    else Some((StructType(cells.map(_.get._1)),
+      Row.fromSeq(cells.map(_.get._2))))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    aggResult = answer(agg)
+    aggResult.isDefined
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (aggResult.isEmpty) aggResult = answer(agg)
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new GraftAggScan(root, version, schema, row)
+    case None =>
+      new GraftScan(root, version,
+        GraftDataSource.predicateSql(pushed.toSeq), required)
+  }
+}
+
+/** The metadata-answered aggregate scan: one precomputed row. */
+private[sources] class GraftAggScan(root: String, version: Long,
+                                    aggSchema: StructType,
+                                    row: Row) extends V1Scan {
+
+  override def readSchema(): StructType = aggSchema
+
+  override def description(): String =
+    s"GraftAggScan root=$root v=$version metadata-answered"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def buildScan(): RDD[Row] =
+        context.sparkSession.sparkContext.parallelize(Seq(row), 1)
+    }.asInstanceOf[T]
 }
 
 private[sources] class GraftScan(root: String, version: Long,

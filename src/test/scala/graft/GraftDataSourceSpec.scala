@@ -58,7 +58,10 @@ class GraftDataSourceSpec extends GraftSuite {
     Files.write(Paths.get(root, rel), "not parquet".getBytes)
 
     val df = spark.read.format("graft").load(root)
-    intercept[Exception] { df.count() } // full scan opens the corrupt file
+    // a SUM is not metadata-answerable (a bare count now is! —
+    // fastCount reads recorded per-file rows and never opens data
+    // files), so this full scan must hit the corrupt file
+    intercept[Exception] { df.agg(sum("l_quantity")).first() }
 
     val q = df.filter(col("l_orderkey") <= lowMax)
     val expect = li.filter(col("l_orderkey") <= lowMax).count()
@@ -106,6 +109,50 @@ class GraftDataSourceSpec extends GraftSuite {
       li.limit(5).write.format("graft").mode("append").save(flat)
     }
     assert(err.getMessage.contains("partitionBy"), err.getMessage)
+  }
+
+  test("COUNT/MIN/MAX answer from metadata through aggregate pushdown") {
+    val root = tmp("graft-ds-agg")
+    val li = Tables.lineitem(spark, sf).repartitionByRange(4, col("l_orderkey"))
+    li.write.format("graft").option("statsCols", "l_orderkey")
+      .mode("overwrite").save(root)
+    val df = spark.read.format("graft").load(root)
+
+    val q = df.agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
+      max("l_orderkey").as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains(
+      "PushedAggregates: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]"),
+      plan)
+    assert(plan.contains("GraftAggScan"), plan)
+    val expect = li.agg(count(lit(1)), min("l_orderkey"),
+      max("l_orderkey")).first()
+    assert(q.first() === expect)
+
+    // a filter declines the metadata answer (stats cover whole files)
+    val qf = df.filter(col("l_quantity") > 10).agg(count(lit(1)))
+    assert(!qf.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(qf.first().getLong(0) ===
+      li.filter(col("l_quantity") > 10).count())
+    // a column without recorded bounds declines, stays correct
+    assert(df.agg(min("l_extendedprice")).first().getDouble(0) ===
+      li.agg(min("l_extendedprice")).first().getDouble(0))
+    // grouping declines
+    val qg = df.groupBy("l_returnflag").count()
+    assert(!qg.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(qg.count() === li.select("l_returnflag").distinct().count())
+  }
+
+  test("metadata count subtracts merge-on-read deletes") {
+    val root = tmp("graft-ds-aggdel")
+    val li = Tables.lineitem(spark, sf)
+    SnapshotTable.commitDelta(li, root, "l_returnflag",
+      statsCols = Seq("l_orderkey"))
+    SnapshotTable.deleteWhereMor(spark, root, col("l_orderkey") <= 10)
+    val df = spark.read.format("graft").load(root)
+    val q = df.agg(count(lit(1)))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(q.first().getLong(0) === li.filter(col("l_orderkey") > 10).count())
   }
 
   test("filter translation: supported shapes render, unsound shapes refuse") {
