@@ -363,6 +363,55 @@ private[sources] class GraftRelation(ctx: SQLContext, root: String,
   }
 }
 
+/** A read-only DSv2 table over a deferred DataFrame — serves the
+  * metadata inspection tables (`db.t.files` / `.snapshots` / `.refs` /
+  * `.history`, Iceberg's `t$files` family) through the SQL catalogs. */
+private[sources] class GraftMetadataTable(tableName: String,
+                                          df: () => DataFrame)
+    extends Table with SupportsRead {
+
+  private lazy val frame: DataFrame = df()
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = frame.schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = frame.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = frame.schema
+            override def buildScan(): RDD[Row] = frame.rdd
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+private[sources] object GraftMetadataTable {
+
+  /** The metadata relation `kind` over snapshot table `root`, or None
+    * for an unknown kind. `version` pins marker-less (catalog-governed)
+    * tables, whose current version lives in catalog manifests. */
+  def forKind(spark: SparkSession, root: String, kind: String,
+              version: Long = -1L): Option[() => DataFrame] = kind match {
+    case "files" =>
+      Some(() => graft.operators.TableInspect.files(spark, root, version))
+    case "snapshots" =>
+      Some(() => graft.operators.TableInspect.snapshots(spark, root))
+    case "refs" => Some(() => graft.operators.TableInspect.refs(spark, root))
+    case "history" =>
+      Some(() => graft.operators.TableInspect.history(spark, root, version))
+    case _ => None
+  }
+}
+
 private[sources] class GraftWriteBuilder(root: String,
                                          options: CaseInsensitiveStringMap)
     extends WriteBuilder with SupportsTruncate {

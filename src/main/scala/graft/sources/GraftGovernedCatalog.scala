@@ -71,8 +71,21 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces {
     ident.namespace().isEmpty &&
       Catalog.tableVersions(root).contains(ident.name())
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // `gov.t.files` etc. — the metadata relations over a governed
+    // table's root (all versions; the catalog pin governs DATA reads)
+    if (ident.namespace().length == 1 &&
+        Catalog.tableVersions(root).contains(ident.namespace().head)) {
+      val tbl = ident.namespace().head
+      val tr = Catalog.tableRoot(root, tbl)
+      GraftMetadataTable.forKind(SparkSession.active, tr, ident.name(),
+          version = Catalog.tableVersions(root)(tbl))
+        .foreach { mk =>
+          return new GraftMetadataTable(s"$tbl.${ident.name()}", mk)
+        }
+    }
     loadAtCommit(ident, Catalog.latestCommit(root))
+  }
 
   /** `VERSION AS OF x`: a catalog COMMIT number, else a catalog tag,
     * else a branch head. */

@@ -89,8 +89,26 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     finally stream.close()
   }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // metadata tables resolve as `db.t.files` / `.snapshots` / `.refs`
+    // / `.history` (the Iceberg dot-suffix form): when the identifier's
+    // last namespace part IS a table, the name selects the inspection
+    // relation
+    if (!isTable(rootOf(ident)) && ident.namespace().nonEmpty) {
+      val parent = Identifier.of(ident.namespace().init,
+        ident.namespace().last)
+      val proot = rootOf(parent)
+      if (isTable(proot)) {
+        val s = spark
+        GraftMetadataTable.forKind(s, proot.toString, ident.name())
+          .foreach { mk =>
+            return new GraftMetadataTable(
+              s"${parent.name()}.${ident.name()}", mk)
+          }
+      }
+    }
     loadAt(ident, GraftSqlCatalog.Latest)
+  }
 
   /** `VERSION AS OF x` — a version number, else a tag, else a branch. */
   override def loadTable(ident: Identifier, version: String): Table = {

@@ -77,6 +77,14 @@ class GraftGovernedCatalogSpec extends GraftSuite {
       .first.getLong(0) === topAtPin)
   }
 
+  test("metadata tables over governed tables: gov.t.files / .snapshots") {
+    root
+    assert(spark.sql("SELECT count(*) FROM govt.bronze.files")
+      .first.getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM govt.bronze.snapshots")
+      .first.getLong(0) > 0)
+  }
+
   test("history-bypassing DDL and unpartitioned INSERT refuse loudly") {
     root
     intercept[UnsupportedOperationException] {

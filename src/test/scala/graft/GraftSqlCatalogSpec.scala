@@ -95,6 +95,26 @@ class GraftSqlCatalogSpec extends GraftSuite {
     assert(!spark.catalog.tableExists("gtest.db.c3"))
   }
 
+  test("metadata tables: db.t.files / .snapshots / .history / .refs from SQL") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.m (k STRING, n BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gtest.db.m VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO gtest.db.m VALUES ('c', 3)")
+    SnapshotTable.createTag(s"$wh/db/m", "cut")
+
+    assert(spark.sql("SELECT count(*) FROM gtest.db.m.snapshots")
+      .first.getLong(0) === 2)
+    // one live data file per single-row partition append
+    assert(spark.sql("SELECT count(*) FROM gtest.db.m.files")
+      .first.getLong(0) === 3)
+    assert(spark.sql("SELECT count(*) FROM gtest.db.m.history")
+      .first.getLong(0) === 2)
+    val refs = spark.sql("SELECT name, kind FROM gtest.db.m.refs")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(refs.get("cut") === Some("tag"))
+    assert(refs.contains("main"))
+  }
+
   test("namespaces list and drop; unpartitioned INSERT refuses with guidance") {
     wh
     spark.sql("CREATE NAMESPACE gtest.scratch")
