@@ -423,10 +423,26 @@ private[sources] class GraftWriteBuilder(root: String,
   override def build(): Write = new V1Write {
     override def toInsertableRelation(): InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
+        override def insert(data0: DataFrame, legacyOverwrite: Boolean): Unit = {
+          val part = Option(options.get("partitionBy")).filter(_.nonEmpty)
+          // cluster by the partition columns BEFORE the write: each
+          // partition value lands in one task, so a fast-append writes
+          // ONE file per touched partition instead of tasks ×
+          // partitions — the small-files guard at any parallelism
+          // (Iceberg's write.distribution-mode=hash; done here because
+          // Spark's RequiresDistributionAndOrdering is not honored on
+          // the V1 fallback write path — verified empirically).
+          // .option("clusterWrites", "false") opts out for
+          // pre-clustered inputs.
+          val cluster = part.isDefined &&
+            !"false".equalsIgnoreCase(options.get("clusterWrites"))
+          val data =
+            if (cluster)
+              data0.repartition(part.get.split(",").map(_.trim)
+                .filter(_.nonEmpty).map(col).toIndexedSeq: _*)
+            else data0
           val stats = GraftDataSource.csv(options, "statsCols")
           val blooms = GraftDataSource.csv(options, "bloomCols")
-          val part = Option(options.get("partitionBy")).filter(_.nonEmpty)
           if (overwrite || legacyOverwrite)
             // a fresh full snapshot; prior versions stay time-travelable
             SnapshotTable.commit(data, root, stats, blooms)

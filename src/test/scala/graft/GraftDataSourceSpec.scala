@@ -111,6 +111,25 @@ class GraftDataSourceSpec extends GraftSuite {
     assert(err.getMessage.contains("partitionBy"), err.getMessage)
   }
 
+  test("writes cluster by partition column: one file per touched partition") {
+    val root = tmp("graft-ds-clus")
+    val li = Tables.lineitem(spark, sf).repartition(4) // rows scattered
+    li.write.format("graft").option("partitionBy", "l_returnflag")
+      .mode("append").save(root)
+    // without the required distribution every task writes every
+    // partition (4 tasks × 3 flags = 12 files); clustering makes it 1
+    val partDirs = new java.io.File(s"$root/v=0").listFiles()
+      .filter(_.getName.startsWith("l_returnflag="))
+    assert(partDirs.nonEmpty)
+    partDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getName}: ${files.length} files — write not clustered")
+    }
+    val got = spark.read.format("graft").load(root)
+    assert(got.count() === li.count())
+  }
+
   test("COUNT/MIN/MAX answer from metadata through aggregate pushdown") {
     val root = tmp("graft-ds-agg")
     val li = Tables.lineitem(spark, sf).repartitionByRange(4, col("l_orderkey"))
