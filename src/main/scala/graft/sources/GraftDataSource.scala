@@ -166,7 +166,25 @@ object GraftDataSource {
       }
     case Or(l, r) =>
       for (a <- filterSql(l); b <- filterSql(r)) yield s"($a OR $b)"
-    case _ => None // IsNull/IsNotNull/Not/string matches: no file pruning
+    case StringStartsWith(a, p) if p.nonEmpty =>
+      // exact range form: startsWith(p) ⟺ p <= a < nextPrefix(p), so
+      // min/max bounds prune prefix scans (Iceberg's truncated-bound
+      // compare). nextPrefix bumps the last non-￿ char; an
+      // all-￿ prefix has no upper bound → lower bound only.
+      for (q <- quoted(a); lo <- litSql(p)) yield nextPrefix(p) match {
+        case Some(hi) => s"($q >= $lo AND $q < ${litSql(hi).get})"
+        case None => s"$q >= $lo"
+      }
+    case _ => None // IsNull/IsNotNull/Not/contains: no file pruning
+  }
+
+  /** The smallest string greater than every string with prefix `p`:
+    * bump the last bump-able char, dropping any trailing ￿ runs.
+    * None when p is all ￿ (no finite upper bound exists). */
+  private[graft] def nextPrefix(p: String): Option[String] = {
+    val trimmed = p.reverse.dropWhile(_ == '￿').reverse
+    if (trimmed.isEmpty) None
+    else Some(trimmed.init + (trimmed.last + 1).toChar)
   }
 
   private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =

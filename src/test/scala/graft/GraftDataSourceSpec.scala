@@ -192,5 +192,27 @@ class GraftDataSourceSpec extends GraftSuite {
     // timestamps/dates render as typed literals
     assert(filterSql(GreaterThan("t", java.sql.Date.valueOf("2024-01-02")))
       === Some("`t` > DATE '2024-01-02'"))
+    // prefix predicates prune as an exact range
+    assert(filterSql(StringStartsWith("k", "abc"))
+      === Some("(`k` >= 'abc' AND `k` < 'abd')"))
+    assert(GraftDataSource.nextPrefix("ab￿") === Some("ac"))
+    assert(GraftDataSource.nextPrefix("￿￿") === None)
+    assert(filterSql(StringStartsWith("k", "￿"))
+      === Some("`k` >= '￿'"))
+  }
+
+  test("prefix pushdown is answer-identical and range-refutes files") {
+    val root = tmp("graft-ds-prefix")
+    val li = Tables.lineitem(spark, sf)
+      .withColumn("tag", concat(col("l_returnflag"), lit("-"),
+        col("l_orderkey").cast("string")))
+      .repartitionByRange(4, col("tag"))
+    li.write.format("graft").option("statsCols", "tag")
+      .mode("overwrite").save(root)
+    val df = spark.read.format("graft").load(root)
+    val q = df.filter(col("tag").startsWith("N-1"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("StringStartsWith(tag,N-1)"))
+    assert(q.count() === li.filter(col("tag").startsWith("N-1")).count())
   }
 }
