@@ -111,6 +111,60 @@ object IncrementalIvf {
     out
   }
 
+  /** How skewed are the stored lists? One row per centroid with its
+    * vector count plus the index-wide balance ratio
+    * `max_n / avg_n` — the drift signal a rebalance cadence watches
+    * (a frozen quantizer under distribution drift concentrates new
+    * vectors in few lists, and probe cost follows list size). */
+  def listStats(spark: SparkSession, root: String): DataFrame = {
+    val per = SnapshotTable.read(spark, listsRoot(root))
+      .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
+    per.crossJoin(broadcast(
+      per.agg((max("n_vectors").cast("double") /
+        avg("n_vectors")).as("balance_ratio"))))
+  }
+
+  /** REBUILD the index with a retrained quantizer into `destRoot` —
+    * the answer to quantizer drift that [[appendBatch]]'s frozen-
+    * quantizer rule deliberately refuses in place. Side-by-side roll,
+    * the way production vector stores do it: the new index builds
+    * next to the live one (O(corpus) — a rebuild's honest cost, paid
+    * on the rebalance cadence, never per batch), the old index serves
+    * reads throughout, and [[swapAlias]] flips the serving pointer
+    * atomically (flip back = instant rollback). New quantizer =
+    * `quantizer` or [[Similarity.trainCentroids]] over the stored
+    * vectors (deterministic); returns the new index's lists version. */
+  def rebalance(spark: SparkSession, root: String, destRoot: String,
+                nlist: Int = 16, iters: Int = 5,
+                quantizer: Option[DataFrame] = None): Long = {
+    require(SnapshotTable.latestVersion(listsRoot(destRoot)) < 0 &&
+      SnapshotTable.latestVersion(centRoot(destRoot)) < 0,
+      s"rebalance destination $destRoot already holds an index")
+    val vectors = SnapshotTable.read(spark, listsRoot(root))
+      .select("vec_id", "embedding")
+    val q = quantizer.getOrElse(
+      Similarity.trainCentroids(vectors, nlist, iters))
+    appendBatch(spark, destRoot, vectors, Some(q), nlist)
+  }
+
+  /** Atomically point `aliasPath` (a one-line pointer file, the
+    * serving alias) at `indexRoot`. Readers resolve through
+    * [[resolveAlias]]; the flip is a tmp-write + atomic move. */
+  def swapAlias(aliasPath: String, indexRoot: String): Unit = {
+    val p = java.nio.file.Paths.get(aliasPath)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s".${p.getFileName}.tmp")
+    java.nio.file.Files.writeString(tmp, indexRoot)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The index root `aliasPath` currently serves. */
+  def resolveAlias(aliasPath: String): String =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(aliasPath)).trim
+
   /** Probe the stored index: for each query (`query_id`, `embedding`),
     * rank exactly within its `nprobe` nearest lists and return the
     * top-k — identical semantics to [[Similarity.ivfTopK]] over the

@@ -92,4 +92,42 @@ class IncrementalIvfSpec extends GraftSuite {
       case None    => spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
+
+  test("rebalance rolls a retrained index side-by-side; alias flips atomically") {
+    val tmp = Files.createTempDirectory("graft-ivf-reb").toString
+    val (oldRoot, newRoot, alias) = (s"$tmp/idx0", s"$tmp/idx1", s"$tmp/alias")
+    IncrementalIvf.appendBatch(spark, oldRoot,
+      emb.filter(col("vec_id") % 2 === 0))
+    IncrementalIvf.appendBatch(spark, oldRoot,
+      emb.filter(col("vec_id") % 2 =!= 0))
+    IncrementalIvf.swapAlias(alias, oldRoot)
+
+    val stats = IncrementalIvf.listStats(spark, oldRoot)
+    assert(stats.columns.toSet ===
+      Set("centroid_id", "n_vectors", "balance_ratio"))
+    assert(stats.agg(org.apache.spark.sql.functions.sum("n_vectors"))
+      .first.getLong(0) === emb.count())
+
+    IncrementalIvf.rebalance(spark, oldRoot, newRoot)
+    // the old index keeps serving until the flip
+    assert(IncrementalIvf.resolveAlias(alias) === oldRoot)
+    IncrementalIvf.swapAlias(alias, newRoot)
+    assert(IncrementalIvf.resolveAlias(alias) === newRoot)
+
+    // every vector survived the rebuild, and the rolled index answers
+    // queries with the exact per-list ranking semantics
+    val served = IncrementalIvf.resolveAlias(alias)
+    assert(SnapshotTable.read(spark, s"$served/lists").count() === emb.count())
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = IncrementalIvf.search(spark, served, queries)
+    assert(got.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 10))
+    // flip back = instant rollback
+    IncrementalIvf.swapAlias(alias, oldRoot)
+    assert(IncrementalIvf.resolveAlias(alias) === oldRoot)
+    // rebuilding onto an occupied destination refuses
+    intercept[IllegalArgumentException] {
+      IncrementalIvf.rebalance(spark, oldRoot, newRoot)
+    }
+  }
 }
