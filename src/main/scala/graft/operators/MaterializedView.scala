@@ -51,6 +51,25 @@ object MaterializedView {
   /** The base version the view currently covers. */
   def coveredBaseVersion(mvRoot: String): Long = readDef(mvRoot).baseVersion
 
+  private def intentPath(mvRoot: String) = Paths.get(mvRoot, "_mv_intent")
+
+  /** Heal a crash inside a refresh: the view commit and the anchor
+    * advance are two steps, so a refresh writes an INTENT (`toV`,
+    * expected view version) first. If the expected version landed but
+    * the anchor didn't, the crash was between the two — finalize the
+    * anchor so the replay doesn't re-apply an already-merged delta
+    * (double-counted sums); if the version never landed, the crash was
+    * pre-commit — the intent is discarded and the replay recomputes. */
+  private def heal(mvRoot: String): Unit = {
+    val p = intentPath(mvRoot)
+    if (!Files.exists(p)) return
+    val parts = Files.readString(p).trim.split(" ")
+    val (toV, expectV) = (parts(0).toLong, parts(1).toLong)
+    if (SnapshotTable.latestVersion(mvRoot) >= expectV)
+      writeDef(mvRoot, readDef(mvRoot).copy(baseVersion = toV))
+    Files.delete(p)
+  }
+
   // exact per-row decimal; the stored sum type is pinned to
   // DECIMAL(28,4) so every refresh adds in the same type
   private def rowDec(c: Column): Column = c.cast("decimal(18,4)")
@@ -113,6 +132,7 @@ object MaterializedView {
     * row-diff change feed runs (one join of the two snapshots). */
   def refresh(spark: SparkSession, baseRoot: String,
               mvRoot: String, toVersion: Long = -1L): Long = {
+    heal(mvRoot)
     val d = readDef(mvRoot)
     val toV =
       if (toVersion >= 0) toVersion
@@ -145,8 +165,13 @@ object MaterializedView {
             sumType(coalesce(col(s"${c}_sum"), zero) +
               coalesce(col(s"d_${c}_sum"), zero)).as(s"${c}_sum")): _*)
       .filter(col("n_rows") > 0)
+    // intent before commit; anchor + intent-clear after — [[heal]]
+    // resolves the crash windows on the next refresh
+    Files.writeString(intentPath(mvRoot),
+      s"$toV ${SnapshotTable.latestVersion(mvRoot) + 1}")
     val v = SnapshotTable.commit(merged, mvRoot)
     writeDef(mvRoot, d.copy(baseVersion = toV))
+    Files.delete(intentPath(mvRoot))
     v
   }
 }

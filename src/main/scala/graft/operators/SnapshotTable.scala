@@ -1865,8 +1865,18 @@ object SnapshotTable {
     val nonNull = stats.filter(s => s._2 != null && s._3 != null)
     if (nonNull.isEmpty) return None
     implicit val ord: Ordering[Any] = new Ordering[Any] {
-      def compare(a: Any, b: Any): Int =
-        a.asInstanceOf[Comparable[Any]].compareTo(b)
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        // Spark orders strings by UTF-8 BYTES (UTF8String.compareTo);
+        // Java's compareTo orders UTF-16 code units — they disagree on
+        // supplementary-plane characters (a surrogate pair's lead unit
+        // 0xD800-0xDBFF sorts below 0xE000-0xFFFF), so the driver-side
+        // fold must compare the same bytes Spark's min/max recorded
+        case (x: String, y: String) =>
+          java.util.Arrays.compareUnsigned(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+      }
     }
     Some((nonNull.map(_._2).min, nonNull.map(_._3).max))
   }
@@ -1881,11 +1891,49 @@ object SnapshotTable {
     * [[applyDeletes]] on the maintenance cadence to restore the
     * metadata path. */
   def fastCount(spark: SparkSession, root: String,
-                version: Long = -1L): Long = {
+                version: Long = -1L): Long =
+    fastCountMeta(spark, root, version).getOrElse {
+      val v = if (version >= 0) version else latestVersion(root)
+      // equality deletes need key matching (data), and files without
+      // recorded counts need their own scan — [[fastCountMeta]]
+      // declined, so fall back through the resolving read / partial
+      // scan paths below
+      if (eqDeleteEntries(root, v).nonEmpty) read(spark, root, v).count()
+      else fastCountFallback(spark, root, v)
+    }
+
+  /** The STRICTLY metadata-only count: Some(n) iff no equality-delete
+    * sidecar is live and every candidate file carries a recorded
+    * `__rows` (position deletes subtract from their tiny sidecars —
+    * still metadata-class). None means answering needs data bytes —
+    * callers that only want the free answer (e.g. the connector's
+    * aggregate pushdown, which must not run scans at PLANNING time)
+    * decline instead of falling back. */
+  def fastCountMeta(spark: SparkSession, root: String,
+                    version: Long = -1L): Option[Long] = {
     val v = if (version >= 0) version else latestVersion(root)
     require(v >= 0, s"no committed version at $root")
-    if (eqDeleteEntries(root, v).nonEmpty)
-      return read(spark, root, v).count()
+    if (eqDeleteEntries(root, v).nonEmpty) return None
+    val (candidates, counted) = countedFiles(spark, root, v)
+    if (!candidates.forall(counted.contains)) return None
+    Some(candidates.map(counted).sum - deletedRows(spark, root, v,
+      candidates.toSet))
+  }
+
+  private def fastCountFallback(spark: SparkSession, root: String,
+                                v: Long): Long = {
+    val (candidates, counted) = countedFiles(spark, root, v)
+    val (known, unknown) = candidates.partition(counted.contains)
+    val base = known.map(counted).sum + (
+      if (unknown.isEmpty) 0L
+      else spark.read.parquet(unknown.map(f => s"$root/$f"): _*).count())
+    base - deletedRows(spark, root, v, candidates.toSet)
+  }
+
+  /** (every candidate data file of version `v`, the recorded per-file
+    * row counts) — the shared metadata walk of the count paths. */
+  private def countedFiles(spark: SparkSession, root: String,
+                           v: Long): (Seq[String], Map[String, Long]) = {
     val entries = manifestEntries(root, v)
     val dirs: Seq[(String, Long)] =
       if (entries.isEmpty) Seq(s"v=$v" -> v)
@@ -1913,23 +1961,22 @@ object SnapshotTable {
         .map(r => decodeReportedPath(r.getString(0)) -> r.getLong(1))
         .toMap)
       .foldLeft(Map.empty[String, Long])(_ ++ _)
-    val (known, unknown) = candidates.partition(counted.contains)
-    val base = known.map(counted).sum + (
-      if (unknown.isEmpty) 0L
-      else spark.read.parquet(unknown.map(f => s"$root/$f"): _*).count())
-    // live position-delete rows subtract (each (file,pos) lands once —
-    // stacked deletes anti-join the already-deleted view before
-    // committing, so no double count); the per-file rollup is tiny (a
-    // delete set by nature), so the decode runs driver-side
+    (candidates, counted)
+  }
+
+  /** Live position-delete rows of version `v` landing in `live` files
+    * — subtracted by both count paths (each (file,pos) lands once:
+    * stacked deletes anti-join the already-deleted view before
+    * committing). The per-file rollup is tiny (a delete set by
+    * nature), so the decode runs driver-side. */
+  private def deletedRows(spark: SparkSession, root: String, v: Long,
+                          live: Set[String]): Long = {
     val dels = deleteEntries(root, v)
-    val live = candidates.toSet
-    val deleted =
-      if (dels.isEmpty) 0L
-      else readDeleteFiles(spark, root, dels)
-        .groupBy(FileCol).count().collect()
-        .filter(r => live(decodeReportedPath(r.getString(0))))
-        .map(_.getLong(1)).sum
-    base - deleted
+    if (dels.isEmpty) 0L
+    else readDeleteFiles(spark, root, dels)
+      .groupBy(FileCol).count().collect()
+      .filter(r => live(decodeReportedPath(r.getString(0))))
+      .map(_.getLong(1)).sum
   }
 
   // ─────────── file-level bloom filters (point-lookup skipping) ───────────

@@ -77,8 +77,11 @@ object TrainingExport {
     * cost tracks the OUTPUT, not a shuffle. */
   def sampleToRates(docs: DataFrame, rates: DataFrame,
                     salt: String = ""): DataFrame = {
-    val keep = docs.join(broadcast(rates.select("source", "epochs")),
-      Seq("source"))
+    // a rate ≤ 0 drops the source entirely (sequence(0, ceil(0)-1)
+    // would DESCEND to [0,-1] and emit a phantom full copy at epoch -1)
+    val live = rates.select("source", "epochs")
+      .filter(col("epochs") > 0.0)
+    val keep = docs.join(broadcast(live), Seq("source"))
       .withColumn("epoch",
         explode(expr("sequence(0L, cast(ceil(epochs) as long) - 1L)")))
       .withColumn("u",
@@ -106,14 +109,19 @@ object TrainingExport {
     * `_manifest` parquet. Returns the manifest. */
   def export(spark: SparkSession, docs: DataFrame, outDir: String,
              shards: Int = 8, contextTokens: Int = 2048): DataFrame = {
-    val p = plan(docs, shards, contextTokens)
-    p.join(docs.select("doc_id", "text"), Seq("doc_id"))
-      .repartition(col("shard"))
-      .sortWithinPartitions("shard", "shuffle_key", "doc_id")
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$outDir/data")
-    val m = manifest(p, contextTokens)
-    m.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    // one materialization serves both the data write and the manifest
+    // aggregation (the plan's shuffle+window lineage would otherwise
+    // run twice over the corpus)
+    val p = plan(docs, shards, contextTokens).persist()
+    try {
+      p.join(docs.select("doc_id", "text"), Seq("doc_id"))
+        .repartition(col("shard"))
+        .sortWithinPartitions("shard", "shuffle_key", "doc_id")
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$outDir/data")
+      val m = manifest(p, contextTokens)
+      m.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    } finally p.unpersist()
     spark.read.parquet(s"$outDir/_manifest")
   }
 }

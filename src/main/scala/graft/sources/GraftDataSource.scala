@@ -132,14 +132,26 @@ object GraftDataSource {
       else Some(s"CAST('$d' AS DOUBLE)")
     case d: java.math.BigDecimal => Some(d.toPlainString + "BD")
     case d: BigDecimal => Some(d.underlying.toPlainString + "BD")
-    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
-    case i: java.time.Instant =>
-      Some(s"TIMESTAMP '${java.sql.Timestamp.from(i)}'")
+    // instant-typed literals must render in the SESSION timezone: a
+    // TIMESTAMP 'yyyy-...' literal re-parses in the session zone, so
+    // rendering the JVM-default-zone toString would shift the pruning
+    // bound by the zone offset — unsound refutation (rows vanish)
+    case t: java.sql.Timestamp => Some(sessionTsLiteral(t.toInstant))
+    case i: java.time.Instant => Some(sessionTsLiteral(i))
     case d: java.sql.Date => Some(s"DATE '$d'")
     case d: java.time.LocalDate => Some(s"DATE '$d'")
     case d: java.time.LocalDateTime =>
       Some(s"TIMESTAMP_NTZ '${d.toString.replace('T', ' ')}'")
     case _ => None
+  }
+
+  private def sessionTsLiteral(i: java.time.Instant): String = {
+    val zone = java.time.ZoneId.of(
+      SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+    val ldt = java.time.LocalDateTime.ofInstant(i, zone)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    s"TIMESTAMP '${ldt.format(fmt)}'"
   }
 
   private[graft] def filterSql(f: Filter): Option[String] = f match {
@@ -288,8 +300,13 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
         SnapshotTable.fastBounds(spark, root, c, version))
     val cells = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
-        Some(StructField("count_star", LongType, nullable = false) ->
-          (SnapshotTable.fastCount(spark, root, version): Any))
+        // STRICTLY metadata-only (fastCountMeta): the unrestricted
+        // fastCount can fall back to scans, which would run a full
+        // read at query PLANNING time — decline and let the ordinary
+        // scan-aggregate plan pay that cost where it belongs
+        SnapshotTable.fastCountMeta(spark, root, version).map(n =>
+          StructField("count_star", LongType, nullable = false) ->
+            (n: Any))
       case m: Min => topField(m.column).flatMap { c =>
         boundsOf(c).map(b =>
           StructField(s"min_$c", fullSchema(c).dataType) -> b._1)

@@ -39,9 +39,11 @@ import graft.operators.{Catalog, SnapshotTable}
   *   protocol without the streaming batch id); `INSERT OVERWRITE` is a
   *   full-replace [[Catalog.transact]]. CTAS transacts the query
   *   result as a new governed table.
-  * - DDL that would bypass catalog history (DROP/RENAME TABLE, ALTER)
-  *   refuses loudly — governed history is rolled back or expired
-  *   through [[Catalog]], never edited in place.
+  * - `CREATE TABLE` commits an empty first snapshot (durable, CTAS's
+  *   write replaces it); DDL that would bypass catalog history refuses
+  *   (`ALTER`/`RENAME` throw; `DROP` is a documented no-op so a failed
+  *   CTAS cleanup can't mask the real error) — governed history is
+  *   rolled back or expired through [[Catalog]], never edited in place.
   */
 class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -88,15 +90,17 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `VERSION AS OF x`: a catalog COMMIT number, else a catalog tag,
-    * else a branch head. */
+    * else a branch head. Only the TAG RESOLUTION itself may fall
+    * through to the branch lookup — a table genuinely absent at a
+    * valid tag's commit must surface as NoSuchTable, not a misleading
+    * branch-not-found. */
   override def loadTable(ident: Identifier, version: String): Table =
     version.toLongOption match {
       case Some(c) => loadAtCommit(ident, c)
       case None =>
-        try loadAtCommit(ident, Catalog.tagCommit(root, version))
-        catch {
-          case _: Exception => // branch heads carry their own manifests
-            loadBranch(ident, version)
+        scala.util.Try(Catalog.tagCommit(root, version)).toOption match {
+          case Some(c) => loadAtCommit(ident, c)
+          case None => loadBranch(ident, version)
         }
     }
 
@@ -126,9 +130,10 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces {
     new GraftGovernedTable(root, table, tr, version, schema, writable)
   }
 
-  /** CTAS only (`CREATE TABLE gov.t AS SELECT ...`): the created table
-    * materializes at the first write's catalog commit. A plain CREATE
-    * with no data has no commit to carry it — refuse with guidance. */
+  /** CREATE TABLE commits the table's EMPTY first snapshot through a
+    * catalog transaction (so a plain CREATE is durable and immediately
+    * queryable); a CTAS's following write REPLACES that empty snapshot
+    * in a second commit. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
@@ -137,20 +142,27 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     require(partitions.isEmpty,
-      "governed CTAS commits an unpartitioned snapshot; evolve the " +
-        "layout with Catalog.transactDelta / Layout afterwards")
+      "governed tables take their layout from the written data; evolve " +
+        "with Catalog.transactDelta / Layout instead of PARTITIONED BY")
+    val s = SparkSession.active
+    val empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    Catalog.transact(root, Seq(ident.name() -> empty))
     new GraftGovernedTable(root, ident.name(),
-      Catalog.tableRoot(root, ident.name()), -1L, schema, writable = true)
+      Catalog.tableRoot(root, ident.name()),
+      Catalog.tableVersions(root)(ident.name()), schema,
+      writable = true, firstInsertReplaces = true)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "governed tables evolve through Catalog transactions, not ALTER")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "governed history is append-only: roll back or expire commits " +
-        "through Catalog, tables are never dropped in place")
+  /** Governed history is append-only — tables retire through
+    * [[Catalog.rollback]]/expiry, never an in-place drop. Returns
+    * false (a no-op) instead of throwing so a failed CTAS's cleanup
+    * drop cannot mask the write's real error. */
+  override def dropTable(ident: Identifier): Boolean = false
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException(
@@ -193,7 +205,8 @@ private[sources] class GraftGovernedTable(catalogRoot: String,
                                           table: String, tableRoot: String,
                                           version: Long,
                                           tableSchema: StructType,
-                                          writable: Boolean)
+                                          writable: Boolean,
+                                          firstInsertReplaces: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
 
   import TableCapability._
@@ -225,7 +238,9 @@ private[sources] class GraftGovernedTable(catalogRoot: String,
             override def insert(data: DataFrame, legacy: Boolean): Unit = {
               require(writable,
                 "time-travel pins are read-only; write at the latest commit")
-              if (overwrite || legacy || version < 0)
+              // firstInsertReplaces: the CTAS write following
+              // createTable's empty snapshot replaces it
+              if (overwrite || legacy || version < 0 || firstInsertReplaces)
                 Catalog.transact(catalogRoot, Seq(table -> data))
               else GraftGovernedTable.appendCas(catalogRoot, table, data)
             }

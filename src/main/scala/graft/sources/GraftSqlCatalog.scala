@@ -211,25 +211,44 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** RENAME/DROP COLUMN land as the library's metadata-only field-id
-    * evolution; anything else is unsupported. */
+    * evolution; anything else is unsupported. The `_table` sidecar's
+    * DECLARED schema follows the same change — a stale sidecar would
+    * reorder the renamed column to the schema's end (the declared-order
+    * rule keys on names) and serve a pre-evolution schema for an
+    * empty table. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
-    val root = requireTable(ident).toString
+    val rootPath = requireTable(ident)
+    val root = rootPath.toString
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "nested column rename is not supported")
         SnapshotTable.renameColumn(spark, root, r.fieldNames.head,
           r.newName)
+        updateSidecarSchema(rootPath) { sch =>
+          new StructType(sch.fields.map(f =>
+            if (f.name == r.fieldNames.head) f.copy(name = r.newName)
+            else f))
+        }
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "nested column drop is not supported")
         SnapshotTable.dropColumn(spark, root, d.fieldNames.head)
+        updateSidecarSchema(rootPath) { sch =>
+          new StructType(sch.fields.filterNot(_.name == d.fieldNames.head))
+        }
       case c => throw new UnsupportedOperationException(
         s"graft catalog does not support ALTER change $c")
     }
     loadTable(ident)
   }
+
+  private def updateSidecarSchema(root: Path)
+                                 (f: StructType => StructType): Unit =
+    readSidecar(root).foreach { meta =>
+      writeSidecar(root, meta.copy(schema = f(meta.schema)))
+    }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)

@@ -162,18 +162,49 @@ object GovernedStream {
     * product_id — the streaming twin of the serving table, maintained
     * at O(batch per trigger) without ever reading or rewriting the
     * table. Exactly-once via the same committed-batch-id protocol. */
-  def writeLatestGoverned(spark: SparkSession, srcDir: String,
-                          catalogRoot: String, checkpointDir: String,
-                          sourceId: String = "latest_upsert"): Unit = {
+  /** The shared scaffold of every governed stream: `srcDir` as a
+    * checkpointed file stream (schema from a one-off batch read, `ts`
+    * normalized from either physical type — nanos LONG or native
+    * timestamp), bronze-ingested, with `onBatch` per micro-batch under
+    * the given trigger. One place owns the ts heuristic and plumbing
+    * for all four governed stream shapes. */
+  private def startIngest(spark: SparkSession, srcDir: String,
+                          checkpointDir: String,
+                          trigger: org.apache.spark.sql.streaming.Trigger,
+                          maxFilesPerTrigger: Option[Int] = None)
+                         (onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
-    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger.fold(reader0)(m =>
+      reader0.option("maxFilesPerTrigger", m.toString))
+    val raw = reader.parquet(srcDir)
     val tsCol =
       if (schema("ts").dataType == LongType)
         expr("timestamp_micros(ts div 1000)")
       else col("ts").cast("timestamp")
-    val q = Bronze.ingest(raw.withColumn("ts", tsCol))
+    Bronze.ingest(raw.withColumn("ts", tsCol))
       .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (b: DataFrame, id: Long) => onBatch(b, id); () }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  private def availableNow = org.apache.spark.sql.streaming.Trigger
+    .AvailableNow()
+
+  /** Streaming planning needs LTZ timestamps; the bronze table model
+    * is NTZ end-to-end (session UTC) — cast at the sink. */
+  private def ntzSink(batch: DataFrame): DataFrame = batch
+    .withColumn("trade_time", col("trade_time").cast("timestamp_ntz"))
+    .withColumn("ingested_at", col("ingested_at").cast("timestamp_ntz"))
+
+  def writeLatestGoverned(spark: SparkSession, srcDir: String,
+                          catalogRoot: String, checkpointDir: String,
+                          sourceId: String = "latest_upsert"): Unit = {
+    val q = startIngest(spark, srcDir, checkpointDir, availableNow) {
+      (batch, batchId) =>
         val latest = batch
           .withColumn("trade_time", col("trade_time").cast("timestamp_ntz"))
           .groupBy("product_id")
@@ -185,11 +216,7 @@ object GovernedStream {
         commitUpsertBatch(batch.sparkSession, catalogRoot,
           "latest_trades", "product_id", Seq("product_id"), sourceId,
           batchId, latest)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    }
     q.awaitTermination()
   }
 
@@ -211,20 +238,10 @@ object GovernedStream {
                            mvRoot: String, keys: Seq[String],
                            sumCols: Seq[String],
                            sourceId: String = "mv_ingest"): Unit = {
-    val schema = spark.read.parquet(srcDir).schema
-    val raw = spark.readStream.schema(schema).parquet(srcDir)
-    val tsCol =
-      if (schema("ts").dataType == LongType)
-        expr("timestamp_micros(ts div 1000)")
-      else col("ts").cast("timestamp")
-    val q = Bronze.ingest(raw.withColumn("ts", tsCol))
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    val q = startIngest(spark, srcDir, checkpointDir, availableNow) {
+      (batch, batchId) =>
         val s = batch.sparkSession
-        val ntz = batch
-          .withColumn("trade_time", col("trade_time").cast("timestamp_ntz"))
-          .withColumn("ingested_at", col("ingested_at").cast("timestamp_ntz"))
-        commitBatch(s, catalogRoot, sourceId, batchId, ntz)
+        commitBatch(s, catalogRoot, sourceId, batchId, ntzSink(batch))
         // refresh to the PUBLISHED table version at the newest commit
         // (a skipped replay refreshes to the already-covered version —
         // a no-op by the covered-version anchor)
@@ -237,11 +254,7 @@ object GovernedStream {
                 sumCols, baseVersion = tv)
             else MaterializedView.refresh(s, root, mvRoot, toVersion = tv)
           }
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    }
     q.awaitTermination()
   }
 
@@ -252,29 +265,12 @@ object GovernedStream {
     * its recorded batch id and skipped instead of double-appended. */
   def writeBronzeGoverned(spark: SparkSession, srcDir: String,
                           catalogRoot: String, checkpointDir: String,
-                          sourceId: String = "bronze_ingest"): Unit = {
-    val schema = spark.read.parquet(srcDir).schema
-    val raw = spark.readStream.schema(schema).parquet(srcDir)
-    val tsCol =
-      if (schema("ts").dataType == LongType)
-        expr("timestamp_micros(ts div 1000)")
-      else col("ts").cast("timestamp")
-    val q = Bronze.ingest(raw.withColumn("ts", tsCol))
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // streaming planning needs LTZ timestamps; the bronze table
-        // model is NTZ end-to-end (session UTC) — cast at the sink
-        val ntz = batch
-          .withColumn("trade_time", col("trade_time").cast("timestamp_ntz"))
-          .withColumn("ingested_at", col("ingested_at").cast("timestamp_ntz"))
-        commitBatch(batch.sparkSession, catalogRoot, sourceId, batchId, ntz)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+                          sourceId: String = "bronze_ingest"): Unit =
+    startIngest(spark, srcDir, checkpointDir, availableNow) {
+      (batch, batchId) =>
+        commitBatch(batch.sparkSession, catalogRoot, sourceId, batchId,
+          ntzSink(batch))
+    }.awaitTermination()
 
   /** The LONG-RUNNING form of [[writeBronzeGoverned]] — the
     * `coinbase_producer.py:1-120` live-loop analog the batch trigger
@@ -292,27 +288,12 @@ object GovernedStream {
                                     sourceId: String = "bronze_ingest",
                                     intervalMs: Long = 1000L,
                                     maxFilesPerTrigger: Int = 4)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = spark.read.parquet(srcDir).schema
-    val raw = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(srcDir)
-    val tsCol =
-      if (schema("ts").dataType == LongType)
-        expr("timestamp_micros(ts div 1000)")
-      else col("ts").cast("timestamp")
-    Bronze.ingest(raw.withColumn("ts", tsCol))
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ntz = batch
-          .withColumn("trade_time", col("trade_time").cast("timestamp_ntz"))
-          .withColumn("ingested_at", col("ingested_at").cast("timestamp_ntz"))
-        commitBatch(batch.sparkSession, catalogRoot, sourceId, batchId, ntz)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger
-        .ProcessingTime(intervalMs))
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startIngest(spark, srcDir, checkpointDir,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs),
+      maxFilesPerTrigger = Some(maxFilesPerTrigger)) {
+      (batch, batchId) =>
+        commitBatch(batch.sparkSession, catalogRoot, sourceId, batchId,
+          ntzSink(batch))
+    }
 }

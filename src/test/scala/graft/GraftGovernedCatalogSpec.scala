@@ -85,11 +85,33 @@ class GraftGovernedCatalogSpec extends GraftSuite {
       .first.getLong(0) > 0)
   }
 
+  test("plain CREATE TABLE is durable; absent-at-tag surfaces as NoSuchTable") {
+    root
+    spark.sql("CREATE TABLE govt.ledger (k STRING, n BIGINT)")
+    assert(spark.sql("SELECT count(*) FROM govt.ledger").first.getLong(0) === 0)
+    intercept[Exception] { // already exists
+      spark.sql("CREATE TABLE govt.ledger (k STRING)")
+    }
+    // 'seed' tags commit 0, where ledger did not exist: the failure
+    // must be table-not-found at that pin, not a branch lookup error
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM govt.ledger VERSION AS OF 'seed'").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).toLowerCase.contains("table"), msgs(e))
+    assert(!msgs(e).toLowerCase.contains("branch"), msgs(e))
+  }
+
   test("history-bypassing DDL and unpartitioned INSERT refuse loudly") {
     root
-    intercept[UnsupportedOperationException] {
-      spark.sql("DROP TABLE govt.bronze")
+    // ALTER bypasses history → throws; DROP is a documented no-op
+    // (returning false would otherwise mask a failed CTAS's real error)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE govt.bronze RENAME COLUMN n TO m")
     }
+    assert(spark.sql("SELECT count(*) FROM govt.bronze")
+      .first.getLong(0) > 0) // still there after any DROP attempt
     // CTAS tables are flat snapshots: INSERT INTO refuses with the
     // fast-append guidance (INSERT OVERWRITE is the supported path)
     val e = intercept[Exception] {

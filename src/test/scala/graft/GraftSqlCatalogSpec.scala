@@ -61,6 +61,11 @@ class GraftSqlCatalogSpec extends GraftSuite {
     spark.sql("ALTER TABLE gtest.db.r RENAME COLUMN n TO m")
     assert(SnapshotTable.latestVersion(s"$wh/db/r") === before + 1) // no rewrite
 
+    // the declared column order survives the rename in place (the
+    // sidecar schema follows the evolution; a stale sidecar would
+    // drift the renamed column to the end)
+    assert(spark.table("gtest.db.r").columns.toSeq === Seq("k", "m"))
+
     // the filter pushes across the connector into the file-skipping
     // read; old-era files carry physical column `n` and must resolve
     // by field id (regression: this used to null-fill and return 0)

@@ -112,4 +112,45 @@ class MaterializedViewSpec extends GraftSuite {
       SnapshotTable.latestVersion(base))
     assert(view(mv) === fullRecompute(base))
   }
+
+  test("a crash between the view commit and the anchor heals without double-counting") {
+    val base = Files.createTempDirectory("graft-mv-heal-base").toString
+    val mv = Files.createTempDirectory("graft-mv-heal").toString
+    SnapshotTable.commitDelta(rows(0 until 40, i => s"g${i % 3}"),
+      base, "g")
+    MaterializedView.create(spark, base, mv, "id", Seq("g"), Seq("amt"))
+    val defBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(mv, "_mv_def"))
+    SnapshotTable.commitAppend(rows(100 until 120, i => s"g${i % 3}"),
+      base, "g")
+    val toV = SnapshotTable.latestVersion(base)
+    MaterializedView.refresh(spark, base, mv)
+    val healthy = view(mv)
+    assert(healthy === fullRecompute(base))
+
+    // reconstruct the crash window: the view COMMIT landed (it is the
+    // current mv version) but the anchor write did not — old def back
+    // in place plus the refresh intent
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(mv, "_mv_def"), defBefore)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(mv, "_mv_intent"),
+      s"$toV ${SnapshotTable.latestVersion(mv)}")
+
+    // the replayed refresh must HEAL (finalize the anchor) instead of
+    // re-applying the already-merged delta
+    MaterializedView.refresh(spark, base, mv)
+    assert(view(mv) === healthy) // no double-count
+    assert(MaterializedView.coveredBaseVersion(mv) === toV)
+
+    // and a PRE-commit crash (intent without the landed version) just
+    // discards the intent and recomputes normally
+    SnapshotTable.commitAppend(rows(200 until 210, i => s"g${i % 3}"),
+      base, "g")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(mv, "_mv_intent"),
+      s"${SnapshotTable.latestVersion(base)} ${SnapshotTable.latestVersion(mv) + 5}")
+    MaterializedView.refresh(spark, base, mv)
+    assert(view(mv) === fullRecompute(base))
+  }
 }

@@ -112,6 +112,15 @@ class TrainingExportSpec extends GraftSuite {
     // a different salt re-draws the fractional epoch
     val s3 = TrainingExport.sampleToRates(docs, usable, salt = "redraw")
     assert(s3.collect().toSet !== s1.collect().toSet)
+
+    // rate 0 drops the source entirely (regression: sequence(0,-1)
+    // descends and emitted a phantom epoch -1 full copy)
+    val withZero = Seq(("src0", 1.0), ("src1", 0.0), ("src2", -1.0))
+      .toDF("source", "epochs")
+    val sz = TrainingExport.sampleToRates(docs, withZero)
+    assert(sz.select("source").distinct().as[String].collect().toSet
+      === Set("src0"))
+    assert(sz.filter(col("epoch") < 0).count() === 0)
   }
 
   test("the one exchange: shuffle, pack and manifest share a single shard partitioning") {
