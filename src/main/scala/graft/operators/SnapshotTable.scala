@@ -1930,6 +1930,33 @@ object SnapshotTable {
     base - deletedRows(spark, root, v, candidates.toSet)
   }
 
+  /** Total bytes of version `v`'s live data files — the planner-
+    * statistics size (one metadata walk; `Files.size` per candidate).
+    * Catalyst's auto-broadcast threshold compares against THIS, so a
+    * relation that reports it gets broadcast joins for free where the
+    * default (a huge placeholder) forces sort-merge. */
+  def dataSizeBytes(root: String, version: Long = -1L): Long = {
+    val v = if (version >= 0) version else latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    val entries = manifestEntries(root, v)
+    val dirs: Seq[String] =
+      if (entries.isEmpty) Seq(s"v=$v")
+      else entries.sorted.map { case (p, sv) => s"v=$sv/$p" }
+    dirs.flatMap { rel =>
+      val d = Paths.get(root, rel)
+      if (!Files.exists(d)) Seq.empty
+      else {
+        val stream = Files.list(d)
+        try stream.iterator().asScala
+          .filterNot(p => p.getFileName.toString.startsWith("_") ||
+            p.getFileName.toString.startsWith("."))
+          .filterNot(Files.isDirectory(_))
+          .map(Files.size).toSeq
+        finally stream.close()
+      }
+    }.sum
+  }
+
   /** (every candidate data file of version `v`, the recorded per-file
     * row counts) — the shared metadata walk of the count paths. */
   private def countedFiles(spark: SparkSession, root: String,

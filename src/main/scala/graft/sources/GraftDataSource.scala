@@ -388,6 +388,14 @@ private[sources] class GraftRelation(ctx: SQLContext, root: String,
 
   override def schema: StructType = required
 
+  // the REAL table size (live data bytes at this version): the
+  // BaseRelation default is a never-broadcast placeholder, so without
+  // this a tiny dimension read through the connector always plans a
+  // sort-merge join. Conservative under a pushed predicate (pruning
+  // only shrinks the scan — an overestimate never falsely broadcasts).
+  override def sizeInBytes: Long =
+    SnapshotTable.dataSizeBytes(root, version)
+
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     val base = predicate match {

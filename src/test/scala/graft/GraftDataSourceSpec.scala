@@ -174,6 +174,21 @@ class GraftDataSourceSpec extends GraftSuite {
     assert(q.first().getLong(0) === li.filter(col("l_orderkey") > 10).count())
   }
 
+  test("small connector tables auto-broadcast: real size statistics reach the planner") {
+    val root = tmp("graft-ds-size")
+    val dim = Tables.lineitem(spark, sf)
+      .select("l_returnflag").distinct() // 3 rows
+    dim.write.format("graft").mode("overwrite").save(root)
+    val fact = Tables.lineitem(spark, sf)
+    val joined = fact.join(spark.read.format("graft").load(root),
+      Seq("l_returnflag"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // a V1 relation's DEFAULT size is the never-broadcast placeholder;
+    // reporting live data bytes makes Catalyst pick the broadcast join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() === fact.count())
+  }
+
   test("filter translation: supported shapes render, unsound shapes refuse") {
     import GraftDataSource.{filterSql, predicateSql}
     assert(filterSql(EqualTo("k", "o'brien")) === Some("`k` = 'o''brien'"))
