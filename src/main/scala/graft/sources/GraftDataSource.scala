@@ -190,6 +190,42 @@ object GraftDataSource {
     case _ => None // IsNull/IsNotNull/Not/contains: no file pruning
   }
 
+  /** EXACT filter translation for row-DECIDING uses (SQL `DELETE
+    * WHERE`): unlike [[filterSql]] — whose partial-AND is sound only
+    * because pruning merely refutes files — every node here must
+    * translate completely and with identical semantics, or the whole
+    * predicate refuses (and the DELETE is rejected rather than
+    * deleting the wrong rows). NULL semantics match Spark's: a NULL
+    * comparison is NULL → the row is NOT deleted. */
+  private[graft] def strictFilterSql(f: Filter): Option[String] = f match {
+    case And(l, r) =>
+      for (a <- strictFilterSql(l); b <- strictFilterSql(r))
+        yield s"($a AND $b)"
+    case Or(l, r) =>
+      for (a <- strictFilterSql(l); b <- strictFilterSql(r))
+        yield s"($a OR $b)"
+    case Not(inner) => strictFilterSql(inner).map(s => s"(NOT ($s))")
+    case IsNull(a) => quoted(a).map(q => s"$q IS NULL")
+    case IsNotNull(a) => quoted(a).map(q => s"$q IS NOT NULL")
+    case EqualNullSafe(a, null) => quoted(a).map(q => s"$q IS NULL")
+    case EqualNullSafe(a, v) =>
+      for (q <- quoted(a); l <- litSql(v)) yield s"$q <=> $l"
+    case AlwaysTrue() => Some("true")
+    case AlwaysFalse() => Some("false")
+    // the comparison/IN/prefix leaves are already exact
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In |
+         _: StringStartsWith => filterSql(f)
+    case _ => None
+  }
+
+  private[graft] def strictPredicateSql(filters: Seq[Filter]): Option[String] = {
+    val parts = filters.map(strictFilterSql)
+    if (parts.exists(_.isEmpty)) None
+    else if (parts.isEmpty) Some("true") // DELETE with no WHERE
+    else Some(parts.map(_.get).mkString("(", ") AND (", ")"))
+  }
+
   /** The smallest string greater than every string with prefix `p`:
     * bump the last bump-able char, dropping any trailing ￿ runs.
     * None when p is all ￿ (no finite upper bound exists). */
@@ -210,12 +246,32 @@ object GraftDataSource {
   }
 }
 
-/** One snapshot table at a pinned version, readable and writable. */
+/** One snapshot table at a pinned version, readable and writable.
+  * SQL `DELETE FROM ... WHERE ...` lands as a MERGE-ON-READ position
+  * delete ([[SnapshotTable.deleteWhereMor]]) — a sidecar commit, zero
+  * data bytes rewritten; predicates the strict translator cannot
+  * render exactly are REJECTED (deleting the wrong rows is not an
+  * optimization miss), as are non-manifested tables (the MoR sidecar
+  * rides the partition manifest). */
 class GraftTable(root: String, tableSchema: StructType,
                  options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   import TableCapability._
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftDataSource.strictPredicateSql(filters.toSeq).isDefined &&
+      SnapshotTable.manifestEntries(root,
+        SnapshotTable.latestVersion(root)).nonEmpty
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val sql = GraftDataSource.strictPredicateSql(filters.toSeq)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"cannot translate delete predicate exactly: ${filters.mkString(", ")}"))
+    SnapshotTable.deleteWhereMor(SparkSession.active, root,
+      org.apache.spark.sql.functions.expr(sql))
+  }
 
   override def name(): String = s"graft.`$root`"
 

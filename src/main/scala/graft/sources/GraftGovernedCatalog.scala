@@ -207,9 +207,30 @@ private[sources] class GraftGovernedTable(catalogRoot: String,
                                           tableSchema: StructType,
                                           writable: Boolean,
                                           firstInsertReplaces: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   import TableCapability._
+
+  /** SQL `DELETE FROM gov.t WHERE ...` = ONE atomic catalog commit of
+    * a merge-on-read position-delete sidecar
+    * ([[Catalog.transactMorDelete]]) — governed row erasure from SQL,
+    * rollback-able like any commit. Exact-translation-or-reject, and
+    * only at the latest commit. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writable &&
+      GraftDataSource.strictPredicateSql(filters.toSeq).isDefined &&
+      SnapshotTable.manifestEntries(tableRoot, version).nonEmpty
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val sql = GraftDataSource.strictPredicateSql(filters.toSeq)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"cannot translate delete predicate exactly: ${filters.mkString(", ")}"))
+    Catalog.transactMorDelete(SparkSession.active, catalogRoot,
+      Seq(table -> org.apache.spark.sql.functions.expr(sql)))
+  }
 
   override def name(): String = s"governed.`$catalogRoot`.$table"
 

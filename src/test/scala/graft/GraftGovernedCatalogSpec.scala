@@ -85,6 +85,23 @@ class GraftGovernedCatalogSpec extends GraftSuite {
       .first.getLong(0) > 0)
   }
 
+  test("DELETE FROM a governed table is one atomic catalog commit of a MoR sidecar") {
+    root
+    val before = spark.sql("SELECT count(*) FROM govt.bronze").first.getLong(0)
+    val commitsBefore = Catalog.commits(root).size
+    val doomed = spark.sql(
+      "SELECT count(*) FROM govt.bronze WHERE n = 4").first.getLong(0)
+    assume(doomed > 0)
+    spark.sql("DELETE FROM govt.bronze WHERE n = 4")
+    assert(Catalog.commits(root).size === commitsBefore + 1)
+    assert(spark.sql("SELECT count(*) FROM govt.bronze").first.getLong(0)
+      === before - doomed)
+    // the pre-delete commit still serves every row (governed rollback)
+    assert(spark.sql(
+      s"SELECT count(*) FROM govt.bronze VERSION AS OF ${commitsBefore - 1}")
+      .first.getLong(0) === before)
+  }
+
   test("plain CREATE TABLE is durable; absent-at-tag surfaces as NoSuchTable") {
     root
     spark.sql("CREATE TABLE govt.ledger (k STRING, n BIGINT)")

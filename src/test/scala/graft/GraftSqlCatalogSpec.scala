@@ -100,6 +100,37 @@ class GraftSqlCatalogSpec extends GraftSuite {
     assert(!spark.catalog.tableExists("gtest.db.c3"))
   }
 
+  test("DELETE FROM lands as a merge-on-read sidecar; inexact predicates refuse") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.dml (k STRING, n BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gtest.db.dml VALUES ('a', 1), ('b', 2), ('a', 9)")
+    val root = s"$wh/db/dml"
+    val vBefore = SnapshotTable.latestVersion(root)
+    val entriesBefore = SnapshotTable.manifestEntries(root, vBefore).toSet
+
+    spark.sql("DELETE FROM gtest.db.dml WHERE n >= 9 OR k IS NULL")
+    assert(spark.table("gtest.db.dml").collect().map(_.getLong(1)).toSet
+      === Set(1L, 2L))
+    // zero data bytes rewrote: the delete is a sidecar-only commit, the
+    // base manifest entries all survive, and time travel sees the rows
+    val vAfter = SnapshotTable.latestVersion(root)
+    assert(vAfter === vBefore + 1)
+    assert(entriesBefore.subsetOf(
+      SnapshotTable.manifestEntries(root, vAfter).toSet))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, s"v=$vAfter", "_deletes")))
+    assert(spark.sql(s"SELECT count(*) FROM gtest.db.dml VERSION AS OF $vBefore")
+      .first.getLong(0) === 3)
+    // a count after the delete subtracts through the metadata path
+    assert(spark.sql("SELECT count(*) FROM gtest.db.dml").first.getLong(0) === 2)
+
+    // a predicate the strict translator cannot render refuses loudly
+    intercept[Exception] {
+      spark.sql("DELETE FROM gtest.db.dml WHERE k LIKE '%a%'")
+    }
+    assert(spark.table("gtest.db.dml").count() === 2) // nothing deleted
+  }
+
   test("metadata tables: db.t.files / .snapshots / .history / .refs from SQL") {
     wh
     spark.sql("CREATE TABLE gtest.db.m (k STRING, n BIGINT) PARTITIONED BY (k)")
