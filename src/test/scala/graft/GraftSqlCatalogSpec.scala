@@ -129,6 +129,12 @@ class GraftSqlCatalogSpec extends GraftSuite {
       spark.sql("DELETE FROM gtest.db.dml WHERE k LIKE '%a%'")
     }
     assert(spark.table("gtest.db.dml").count() === 2) // nothing deleted
+
+    // TRUNCATE rides the same path (delete-all sidecar); history intact
+    spark.sql("TRUNCATE TABLE gtest.db.dml")
+    assert(spark.table("gtest.db.dml").count() === 0)
+    assert(spark.sql(s"SELECT count(*) FROM gtest.db.dml VERSION AS OF $vBefore")
+      .first.getLong(0) === 3)
   }
 
   test("metadata tables: db.t.files / .snapshots / .history / .refs from SQL") {
