@@ -45,7 +45,8 @@ import graft.operators.{Catalog, SnapshotTable}
   *   CTAS cleanup can't mask the real error) — governed history is
   *   rolled back or expired through [[Catalog]], never edited in place.
   */
-class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces {
+class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -167,6 +168,17 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException(
       "governed history is append-only: tables are never renamed in place")
+
+  // CALL gov.system.rollback(c) / expire_commits / compact / tag —
+  // catalog-level maintenance from SQL (every effect is itself a
+  // commit or ref move, rollback-able like any other)
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, GraftProcedures.governed(root))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Seq("rollback", "expire_commits", "compact", "tag")
+      .map(Identifier.of(Array("system"), _)).toArray
 
   // namespaces: the governed catalog is flat
   override def namespaceExists(namespace: Array[String]): Boolean =

@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{Catalog, Maintenance, SnapshotTable}
+
+/** Maintenance STORED PROCEDURES — `CALL cat.system.proc(...)` (the
+  * Iceberg `system.*` procedure surface on the snapshot format, via
+  * Spark 4's DSv2 `ProcedureCatalog`): compaction, snapshot/commit
+  * expiry, orphan sweeps, rollback, and tagging run from plain SQL on
+  * the maintenance cadence. Every procedure returns its effect as
+  * rows (versions removed, the new version/commit) through a
+  * driver-local scan — these are metadata-sized results by nature. */
+private[sources] object GraftProcedures {
+
+  /** One procedure: fixed IN parameters, a driver-side body, rows out. */
+  private[sources] def proc(pname: String, ps: Seq[(String, DataType)],
+                            out: StructType)
+                           (body: InternalRow => Seq[InternalRow])
+      : UnboundProcedure = new UnboundProcedure {
+    override def name(): String = pname
+    override def description(): String = s"graft maintenance: $pname"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = pname
+        override def description(): String = s"graft maintenance: $pname"
+        override def parameters(): Array[ProcedureParameter] =
+          ps.map { case (n, t) => ProcedureParameter.in(n, t).build() }
+            .toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val result = body(input).toArray
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = result
+            override def readSchema(): StructType = out
+          }).iterator()
+        }
+      }
+  }
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.map {
+      case s: String => UTF8String.fromString(s): Any
+      case other => other
+    }.toArray)
+
+  private def versionRows(vs: Seq[Long]): Seq[InternalRow] =
+    vs.map(v => row(v))
+
+  private val VersionOut = StructType(Seq(StructField("version", LongType)))
+  private val CommitOut = StructType(Seq(StructField("commit", LongType)))
+
+  /** The warehouse catalog's `system.*` procedures; `table` is the
+    * dot-joined path under the warehouse (`db.t`). */
+  def warehouse(rootOf: String => String): PartialFunction[String, UnboundProcedure] = {
+    case "expire_snapshots" =>
+      proc("expire_snapshots",
+        Seq("table" -> StringType, "retain_last" -> IntegerType),
+        VersionOut) { in =>
+        versionRows(SnapshotTable.expireSnapshots(
+          rootOf(in.getUTF8String(0).toString), in.getInt(1)))
+      }
+    case "sweep_orphans" =>
+      proc("sweep_orphans",
+        Seq("table" -> StringType, "grace_ms" -> LongType),
+        VersionOut) { in =>
+        versionRows(SnapshotTable.sweepOrphans(
+          rootOf(in.getUTF8String(0).toString), in.getLong(1)))
+      }
+    case "compact" =>
+      proc("compact",
+        Seq("table" -> StringType, "partition_col" -> StringType,
+          "min_entries" -> IntegerType),
+        VersionOut) { in =>
+        Seq(row(Maintenance.compactAppends(SparkSession.active,
+          rootOf(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString, in.getInt(2))))
+      }
+    case "rollback" =>
+      proc("rollback",
+        Seq("table" -> StringType, "version" -> LongType),
+        VersionOut) { in =>
+        val root = rootOf(in.getUTF8String(0).toString)
+        SnapshotTable.rollback(root, in.getLong(1))
+        Seq(row(SnapshotTable.latestVersion(root)))
+      }
+    case "create_tag" =>
+      proc("create_tag",
+        Seq("table" -> StringType, "name" -> StringType),
+        VersionOut) { in =>
+        Seq(row(SnapshotTable.createTag(
+          rootOf(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString)))
+      }
+  }
+
+  /** The governed catalog's `system.*` procedures over `catalogRoot`. */
+  def governed(catalogRoot: String): PartialFunction[String, UnboundProcedure] = {
+    case "rollback" =>
+      proc("rollback", Seq("commit" -> LongType), CommitOut) { in =>
+        Catalog.rollback(catalogRoot, in.getLong(0))
+        Seq(row(Catalog.latestCommit(catalogRoot)))
+      }
+    case "expire_commits" =>
+      proc("expire_commits",
+        Seq("retain_last" -> IntegerType, "grace_ms" -> LongType),
+        CommitOut) { in =>
+        val (removed, _) = Catalog.expireCommits(catalogRoot,
+          in.getInt(0), in.getLong(1))
+        removed.map(c => row(c))
+      }
+    case "compact" =>
+      proc("compact",
+        Seq("table" -> StringType, "partition_col" -> StringType,
+          "min_entries" -> IntegerType),
+        CommitOut) { in =>
+        Seq(row(Catalog.compactTable(SparkSession.active, catalogRoot,
+          in.getUTF8String(0).toString, in.getUTF8String(1).toString,
+          in.getInt(2))))
+      }
+    case "tag" =>
+      proc("tag", Seq("name" -> StringType, "commit" -> LongType),
+        CommitOut) { in =>
+        Seq(row(Catalog.tag(catalogRoot, in.getUTF8String(0).toString,
+          in.getLong(1))))
+      }
+  }
+
+  /** Resolve `ident` (must be `system.<name>`) through `procs`. */
+  def load(ident: Identifier,
+           procs: PartialFunction[String, UnboundProcedure]): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace (got $ident)")
+    procs.applyOrElse(ident.name(), (n: String) =>
+      throw new NoSuchElementException(s"unknown procedure system.$n"))
+  }
+}

@@ -46,7 +46,8 @@ import graft.operators.SnapshotTable
   * - DDL state lives in a `_table` sidecar (schema + write options) so
   *   an empty CREATEd table is loadable before its first commit.
   */
-class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -325,6 +326,25 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     deleteRecursively(dir)
     true
   }
+
+  // ───────────────────── maintenance procedures ─────────────────────
+  // CALL g.system.expire_snapshots('db.t', 3) / sweep_orphans /
+  // compact / rollback / create_tag — the Iceberg system.* surface;
+  // `table` arguments are dot-joined paths under the warehouse
+
+  private def tableRootOf(dotted: String): String = {
+    val p = dotted.split("\\.").foldLeft(warehouse)(_.resolve(_))
+    require(isTable(p), s"no table '$dotted' in warehouse $warehouse")
+    p.toString
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, GraftProcedures.warehouse(tableRootOf))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Seq("expire_snapshots", "sweep_orphans", "compact", "rollback",
+      "create_tag").map(Identifier.of(Array("system"), _)).toArray
 
   // ───────────────────────────── helpers ─────────────────────────────
 

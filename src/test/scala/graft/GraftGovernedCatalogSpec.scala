@@ -120,6 +120,20 @@ class GraftGovernedCatalogSpec extends GraftSuite {
     assert(!msgs(e).toLowerCase.contains("branch"), msgs(e))
   }
 
+  test("CALL govt.system.rollback rewinds the whole catalog from SQL") {
+    root
+    val pin = Catalog.latestCommit(root)
+    val before = spark.sql("SELECT count(*) FROM govt.bronze").first.getLong(0)
+    spark.sql("INSERT INTO govt.bronze VALUES ('zz', 99, 'd9')")
+    assert(spark.sql("SELECT count(*) FROM govt.bronze").first.getLong(0)
+      === before + 1)
+    val res = spark.sql(s"CALL govt.system.rollback($pin)")
+    assert(res.columns.toSeq === Seq("commit"))
+    assert(res.first.getLong(0) === pin)
+    assert(spark.sql("SELECT count(*) FROM govt.bronze").first.getLong(0)
+      === before)
+  }
+
   test("history-bypassing DDL and unpartitioned INSERT refuse loudly") {
     root
     // ALTER bypasses history → throws; DROP is a documented no-op

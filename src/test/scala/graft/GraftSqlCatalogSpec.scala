@@ -157,6 +157,35 @@ class GraftSqlCatalogSpec extends GraftSuite {
     assert(refs.contains("main"))
   }
 
+  test("CALL g.system.* maintenance procedures run from SQL") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.mx (k STRING, n BIGINT) PARTITIONED BY (k)")
+    for (i <- 1 to 4)
+      spark.sql(s"INSERT INTO gtest.db.mx VALUES ('a', $i), ('b', $i)")
+    val root = s"$wh/db/mx"
+    def entries = SnapshotTable.manifestEntries(root,
+      SnapshotTable.latestVersion(root)).size
+    assert(entries === 8) // 4 fast-appends × 2 partitions
+
+    val res = spark.sql("CALL gtest.system.compact('db.mx', 'k', 2)")
+    assert(res.columns.toSeq === Seq("version"))
+    assert(res.first.getLong(0) === SnapshotTable.latestVersion(root))
+    assert(entries === 2) // folded to one entry per partition
+    assert(spark.table("gtest.db.mx").count() === 8) // rows unchanged
+
+    val tagged = spark.sql("CALL gtest.system.create_tag('db.mx', 'fold')")
+      .first.getLong(0)
+    assert(SnapshotTable.tagVersion(root, "fold") === tagged)
+
+    spark.sql("INSERT INTO gtest.db.mx VALUES ('c', 9)")
+    spark.sql(s"CALL gtest.system.rollback('db.mx', $tagged)")
+    assert(spark.table("gtest.db.mx").count() === 8)
+
+    intercept[Exception] { // unknown procedure refuses
+      spark.sql("CALL gtest.system.nope(1)")
+    }
+  }
+
   test("namespaces list and drop; unpartitioned INSERT refuses with guidance") {
     wh
     spark.sql("CREATE NAMESPACE gtest.scratch")
