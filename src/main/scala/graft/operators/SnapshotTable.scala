@@ -394,9 +394,24 @@ object SnapshotTable {
   def dropColumn(spark: SparkSession, root: String, name: String): Long =
     commitMetadataEvolution(spark, root, "drop", name, None)
 
+  /** ADD a column as a METADATA-ONLY commit (the third field-id
+    * evolution beside rename/drop): the new field allocates a FRESH id
+    * past the high-water mark — a name dropped earlier and re-added
+    * gets a NEW id, so the dropped column's bytes never resurrect —
+    * every manifest entry is inherited by reference, and readers
+    * null-fill the column (typed) over every pre-add file via the same
+    * era projection renames use. Time travel to pre-add versions reads
+    * the old schema. The column is necessarily nullable (old files
+    * have no values for it — the Iceberg rule). */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                dataType: types.DataType): Long =
+    commitMetadataEvolution(spark, root, "add", name, None, Some(dataType))
+
   private def commitMetadataEvolution(spark: SparkSession, root: String,
                                       op: String, name: String,
-                                      to: Option[String]): Long = {
+                                      to: Option[String],
+                                      addType: Option[types.DataType] = None)
+      : Long = {
     val base = latestVersion(root)
     require(base >= 0, s"no committed version at $root")
     val m = manifestEntries(root, base)
@@ -405,7 +420,7 @@ object SnapshotTable {
         "rewrite via commit()")
     // every spec era with LIVE directories is a directory layout —
     // including pre-evolution eras not yet migrated
-    locally {
+    if (op != "add") locally {
       val liveSpecs = manifestEntries(root, base)
         .flatMap(e => partitionSpecAt(root, e._2)).toSet ++
         partitionSpec(root)
@@ -418,25 +433,37 @@ object SnapshotTable {
     }
     val schema = recordedSchema(root, base)
       .getOrElse(read(spark, root, base).schema)
-    require(schema.fieldNames.contains(name),
-      s"no column '$name' in ${schema.fieldNames.mkString(", ")}")
+    if (op == "add")
+      require(!schema.fieldNames.contains(name),
+        s"column '$name' already exists")
+    else
+      require(schema.fieldNames.contains(name),
+        s"no column '$name' in ${schema.fieldNames.mkString(", ")}")
     to.foreach(n => require(!schema.fieldNames.contains(n),
       s"column '$n' already exists"))
-    val (baseFields, lastId) = assignFieldIds(root, base, schema)
-    val (newSchema, newFields) = op match {
+    val (baseFields, baseLast) = assignFieldIds(root, base, schema)
+    val (newSchema, newFields, lastId) = op match {
       case "rename" =>
         (types.StructType(schema.fields.map(f =>
           if (f.name == name) f.copy(name = to.get) else f)),
           baseFields.map { case (id, n) =>
-            id -> (if (n == name) to.get else n) })
+            id -> (if (n == name) to.get else n) },
+          baseLast)
+      case "add" =>
+        (types.StructType(schema.fields :+
+          types.StructField(name, addType.get, nullable = true)),
+          baseFields :+ ((baseLast + 1) -> name),
+          baseLast + 1)
       case _ =>
         (types.StructType(schema.fields.filterNot(_.name == name)),
-          baseFields.filterNot(_._2 == name))
+          baseFields.filterNot(_._2 == name),
+          baseLast)
     }
     // an unapplied equality delete matches on RECORDED key column
     // names; renaming/dropping one out from under it would break (or
-    // silently skip) its resolution — fold first, evolve after
-    eqDeleteEntries(root, base).foreach { case (d, ks) =>
+    // silently skip) its resolution — fold first, evolve after (an ADD
+    // cannot collide: the name provably isn't a recorded key)
+    if (op != "add") eqDeleteEntries(root, base).foreach { case (d, ks) =>
       require(!ks.contains(name),
         s"cannot $op '$name': it is a key of the unapplied equality " +
           s"delete at version $d — run applyDeletes first")

@@ -99,6 +99,33 @@ private[sources] object GraftProcedures {
           rootOf(in.getUTF8String(0).toString),
           in.getUTF8String(1).toString)))
       }
+    case "apply_deletes" => // rewrite_position_delete_files: fold MoR
+      proc("apply_deletes", Seq("table" -> StringType), VersionOut) { in =>
+        Seq(row(SnapshotTable.applyDeletes(SparkSession.active,
+          rootOf(in.getUTF8String(0).toString))))
+      }
+    case "migrate_spec" => // rewrite_data_files after spec evolution
+      proc("migrate_spec", Seq("table" -> StringType), VersionOut) { in =>
+        Seq(row(SnapshotTable.migrateSpec(SparkSession.active,
+          rootOf(in.getUTF8String(0).toString))))
+      }
+    case "create_branch" =>
+      proc("create_branch",
+        Seq("table" -> StringType, "name" -> StringType),
+        VersionOut) { in =>
+        Seq(row(SnapshotTable.createBranch(
+          rootOf(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString)))
+      }
+    case "fast_forward" => // git-ancestor-rule publish of a branch head
+      proc("fast_forward",
+        Seq("table" -> StringType, "to" -> StringType,
+          "from" -> StringType),
+        VersionOut) { in =>
+        Seq(row(SnapshotTable.fastForward(
+          rootOf(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString)))
+      }
   }
 
   /** The governed catalog's `system.*` procedures over `catalogRoot`. */
@@ -130,6 +157,17 @@ private[sources] object GraftProcedures {
         CommitOut) { in =>
         Seq(row(Catalog.tag(catalogRoot, in.getUTF8String(0).toString,
           in.getLong(1))))
+      }
+    case "create_branch" =>
+      proc("create_branch", Seq("name" -> StringType), CommitOut) { in =>
+        Seq(row(Catalog.createBranch(catalogRoot,
+          in.getUTF8String(0).toString)))
+      }
+    case "fast_forward_main" => // publish a branch head atomically
+      proc("fast_forward_main", Seq("name" -> StringType),
+        CommitOut) { in =>
+        Seq(row(Catalog.fastForwardMain(catalogRoot,
+          in.getUTF8String(0).toString)))
       }
   }
 

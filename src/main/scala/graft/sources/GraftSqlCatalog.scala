@@ -222,6 +222,16 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     val rootPath = requireTable(ident)
     val root = rootPath.toString
     changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "nested column add is not supported")
+        require(a.isNullable,
+          "an added column must be nullable: existing files have no " +
+            "values for it and read as NULL")
+        SnapshotTable.addColumn(spark, root, a.fieldNames.head, a.dataType)
+        updateSidecarSchema(rootPath) { sch =>
+          sch.add(a.fieldNames.head, a.dataType, nullable = true)
+        }
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "nested column rename is not supported")
@@ -344,7 +354,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Seq("expire_snapshots", "sweep_orphans", "compact", "rollback",
-      "create_tag").map(Identifier.of(Array("system"), _)).toArray
+      "create_tag", "apply_deletes", "migrate_spec", "create_branch",
+      "fast_forward").map(Identifier.of(Array("system"), _)).toArray
 
   // ───────────────────────────── helpers ─────────────────────────────
 

@@ -134,6 +134,24 @@ class GraftGovernedCatalogSpec extends GraftSuite {
       === before)
   }
 
+  test("CALL create_branch / fast_forward_main publish a branch head from SQL") {
+    root
+    import spark.implicits._
+    val before = spark.sql("SELECT count(*) FROM govt.bronze").first.getLong(0)
+    spark.sql("CALL govt.system.create_branch('exp')")
+    // a multi-table branch transaction is invisible on main
+    Catalog.transactOnBranch(root, "exp", Seq(
+      "bronze" -> spark.sql("SELECT * FROM govt.bronze")
+        .union(Seq(("nw", 7L, "d8")).toDF("k", "n", "d"))))
+    assert(spark.sql("SELECT count(*) FROM govt.bronze").first.getLong(0)
+      === before)
+    assert(spark.sql("SELECT count(*) FROM govt.bronze VERSION AS OF 'exp'")
+      .first.getLong(0) === before + 1)
+    spark.sql("CALL govt.system.fast_forward_main('exp')")
+    assert(spark.sql("SELECT count(*) FROM govt.bronze").first.getLong(0)
+      === before + 1)
+  }
+
   test("history-bypassing DDL and unpartitioned INSERT refuse loudly") {
     root
     // ALTER bypasses history → throws; DROP is a documented no-op

@@ -76,6 +76,31 @@ class GraftSqlCatalogSpec extends GraftSuite {
       .agg(sum("m")).first.getLong(0) === 15)
   }
 
+  test("ALTER ADD COLUMN is metadata-only; old rows read as typed NULL") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.ac (k STRING, n BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gtest.db.ac VALUES ('a', 2), ('b', 4)")
+    val before = SnapshotTable.latestVersion(s"$wh/db/ac")
+    spark.sql("ALTER TABLE gtest.db.ac ADD COLUMN score DOUBLE")
+    assert(SnapshotTable.latestVersion(s"$wh/db/ac") === before + 1) // no rewrite
+    // declared order: the added column lands at the end, typed
+    assert(spark.table("gtest.db.ac").columns.toSeq === Seq("k", "n", "score"))
+    assert(spark.table("gtest.db.ac").schema("score").dataType.typeName
+      === "double")
+    assert(spark.sql("SELECT count(*) FROM gtest.db.ac WHERE score IS NULL")
+      .first.getLong(0) === 2)
+    // new writes carry the column; both eras unify
+    spark.sql("INSERT INTO gtest.db.ac VALUES ('a', 9, 0.5)")
+    assert(spark.sql(
+      "SELECT sum(score) FROM gtest.db.ac WHERE score IS NOT NULL")
+      .first.getDouble(0) === 0.5)
+    // pre-add time travel has no such column
+    intercept[Exception] {
+      spark.sql(s"SELECT score FROM gtest.db.ac VERSION AS OF $before")
+        .collect()
+    }
+  }
+
   test("CTAS, SHOW TABLES, INSERT OVERWRITE, RENAME TABLE, DROP") {
     wh
     spark.sql("CREATE TABLE gtest.db.c (k STRING, n BIGINT) PARTITIONED BY (k)")
@@ -181,9 +206,44 @@ class GraftSqlCatalogSpec extends GraftSuite {
     spark.sql(s"CALL gtest.system.rollback('db.mx', $tagged)")
     assert(spark.table("gtest.db.mx").count() === 8)
 
+    // apply_deletes folds a MoR delete sidecar back into clean data
+    spark.sql("DELETE FROM gtest.db.mx WHERE n = 1")
+    assert(SnapshotTable.deleteEntries(root,
+      SnapshotTable.latestVersion(root)).nonEmpty)
+    spark.sql("CALL gtest.system.apply_deletes('db.mx')")
+    assert(SnapshotTable.deleteEntries(root,
+      SnapshotTable.latestVersion(root)).isEmpty)
+    assert(spark.table("gtest.db.mx").count() === 6) // answer unchanged
+
+    // migrate_spec rewrites old-era rows into an evolved layout
+    SnapshotTable.evolvePartitionSpec(root, "n")
+    spark.sql("CALL gtest.system.migrate_spec('db.mx')")
+    assert(SnapshotTable.manifestEntries(root,
+      SnapshotTable.latestVersion(root)).forall(_._1.contains("n=")))
+    assert(spark.table("gtest.db.mx").count() === 6)
+
     intercept[Exception] { // unknown procedure refuses
       spark.sql("CALL gtest.system.nope(1)")
     }
+  }
+
+  test("CALL create_branch / fast_forward manage refs from SQL") {
+    wh
+    import spark.implicits._
+    spark.sql("CREATE TABLE gtest.db.br (k STRING, n BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gtest.db.br VALUES ('a', 1)")
+    val root = s"$wh/db/br"
+    spark.sql("CALL gtest.system.create_branch('db.br', 'dev')")
+    // a branch commit (a full snapshot) is invisible on main until
+    // fast-forwarded
+    SnapshotTable.commitToBranch(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "n"), root, "dev")
+    assert(spark.table("gtest.db.br").count() === 1)
+    assert(spark.sql("SELECT * FROM gtest.db.br VERSION AS OF 'dev'")
+      .count() === 2)
+    val ff = spark.sql("CALL gtest.system.fast_forward('db.br', 'main', 'dev')")
+    assert(ff.first.getLong(0) === SnapshotTable.latestVersion(root))
+    assert(spark.table("gtest.db.br").count() === 2)
   }
 
   test("namespaces list and drop; unpartitioned INSERT refuses with guidance") {

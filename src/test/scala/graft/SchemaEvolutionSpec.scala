@@ -84,6 +84,48 @@ class SchemaEvolutionSpec extends GraftSuite {
     assert(SnapshotTable.read(spark, root, 0L).columns.contains("note"))
   }
 
+  test("add is metadata-only; pre-add files null-fill the typed column") {
+    val root = mkTable
+    val vOld = SnapshotTable.latestVersion(root)
+    val vAdd = SnapshotTable.addColumn(spark, root, "qty",
+      org.apache.spark.sql.types.LongType)
+    // metadata-only: the new version dir holds no partition directories
+    assert(Files.list(java.nio.file.Paths.get(root, s"v=$vAdd"))
+      .iterator().asScala.count(p => Files.isDirectory(p)) === 0)
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.columns.toSeq === Seq("id", "price", "note", "qty", "day"))
+    assert(cur.schema("qty").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(cur.collect().forall(_.getAs[Any]("qty") == null))
+
+    // an append carrying the column unifies with the null-filled era
+    val b2 = Seq((3L, "d0", 30.0, "x3", 7L))
+      .toDF("id", "day", "price", "note", "qty")
+    SnapshotTable.commitAppend(b2, root, "day")
+    val all = SnapshotTable.read(spark, root).orderBy("id").collect()
+    assert(all.map(r => Option(r.getAs[Any]("qty"))).toSeq ===
+      Seq(None, None, Some(7L)))
+
+    // time travel: the pre-add version has no such column
+    assert(!SnapshotTable.read(spark, root, vOld).columns.contains("qty"))
+    // duplicate add refuses
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addColumn(spark, root, "price",
+        org.apache.spark.sql.types.IntegerType)
+    }
+  }
+
+  test("add after a drop of the same name never resurrects old bytes") {
+    val root = mkTable
+    SnapshotTable.dropColumn(spark, root, "note")
+    SnapshotTable.addColumn(spark, root, "note",
+      org.apache.spark.sql.types.StringType)
+    // fresh field id: era-0 files' note bytes stay dead
+    val rows = SnapshotTable.read(spark, root).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("note") == null))
+  }
+
   test("rename of the partition column is refused") {
     val root = mkTable
     intercept[IllegalArgumentException] {
