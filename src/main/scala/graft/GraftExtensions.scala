@@ -25,5 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(BloomContains.name), BloomContains.info,
         BloomContains.builder))
+    // SQL MERGE INTO / UPDATE over snapshot tables: Spark's own
+    // row-level rewrite only fires for SupportsRowLevelOperations
+    // tables, so the analyzed nodes survive to this post-hoc rule,
+    // which reroutes them to the library's O(batch) MoR upsert /
+    // partition-pruned copy-on-write update
+    ext.injectPostHocResolutionRule(session =>
+      graft.sources.GraftDmlRule(session))
   }
 }

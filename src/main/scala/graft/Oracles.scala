@@ -1018,6 +1018,31 @@ v$s AS (
         |UNION ALL
         |SELECT * FROM batch""".stripMargin,
 
+    // SQL MERGE + UPDATE replayed as plain set logic: batch-wins-else-
+    // base for the merge, then the conditional price bump. All price
+    // arithmetic in DOUBLE (*3, +1) — bit-identical on both engines.
+    "sql_merge_update" ->
+      """WITH batch AS (
+        |  SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+        |    o_totalprice * 3 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey % 11 = 0),
+        |merged AS (
+        |  SELECT * FROM batch
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch))
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'M' THEN o_totalprice + 1
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM merged""".stripMargin,
+
     // recomputed independently from the CTE chain (the quality_report
     // stage is excluded — its row count is the check-suite size, gated
     // by data_quality).

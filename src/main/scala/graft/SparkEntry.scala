@@ -458,6 +458,40 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
     },
+    // SQL row-level DML end to end: MERGE INTO (upsert shape → the
+    // O(batch) MoR commit) then UPDATE (partition-pruned CoW delta),
+    // both through the injected post-hoc rule. The batch updates
+    // custkey%5 rows (tripled price, status 'M') and inserts fresh
+    // keys for custkey%11 rows; the UPDATE then bumps every 'M' price
+    // by 1. Oracle replays the same chain as plain SQL set logic.
+    "sql_merge_update" -> { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-dml-key").toString
+      s.conf.set("spark.sql.catalog.graft_dml_key",
+        "graft.sources.GraftSqlCatalog")
+      s.conf.set("spark.sql.catalog.graft_dml_key.warehouse", wh)
+      val ord = Tables.orders(s, dir)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(wh, "db"))
+      SnapshotTable.commitDelta(ord, s"$wh/db/t", "o_orderpriority")
+      ord.filter(col("o_custkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .unionByName(ord.filter(col("o_custkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+          .withColumn("o_orderstatus", lit("N")))
+        .createOrReplaceTempView("sql_merge_update_src")
+      s.sql("""MERGE INTO graft_dml_key.db.t AS t
+        |USING sql_merge_update_src AS src ON t.o_orderkey = src.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""UPDATE graft_dml_key.db.t
+        |SET o_totalprice = o_totalprice + 1
+        |WHERE o_orderstatus = 'M'""".stripMargin)
+      s.table("graft_dml_key.db.t")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+    },
     "q6_forecast_revenue" -> ((s, dir) =>
       Analytics.q6ForecastRevenue(Tables.lineitem(s, dir))),
     "q10_returned_items" -> ((s, dir) =>

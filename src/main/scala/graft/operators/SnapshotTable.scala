@@ -1375,6 +1375,61 @@ object SnapshotTable {
     next
   }
 
+  /** Row-level UPDATE as a partition-pruned copy-on-write delta commit
+    * (SQL `UPDATE ... SET ... WHERE ...`): only partitions holding
+    * matching rows are rewritten with the assignments applied;
+    * everything else is inherited by manifest reference. Rows where
+    * the predicate is null or false keep their values (SQL UPDATE
+    * semantics); assignment values cast to the column's existing type
+    * (the implicit cast SQL UPDATE performs). Layout (partition-spec
+    * source) columns REFUSE — an update that moves rows between
+    * partitions is a layout rewrite ([[migrateSpec]] / MERGE), not an
+    * in-place delta. Returns the new version, or the current one when
+    * nothing matches. */
+  def updateWhere(spark: SparkSession, root: String, partitionCol: String,
+                  predicate: Column, sets: Seq[(String, Column)]): Long = {
+    val next = stageUpdateWhere(spark, root, partitionCol, predicate,
+      sets, latestVersion(root))
+    if (next >= 0) moveMarker(root, next)
+    latestVersion(root)
+  }
+
+  /** The staging half of [[updateWhere]] against an EXPLICIT base
+    * version (rewritten partitions + manifest written, nothing
+    * published) — what lets [[Catalog]] transactions land governed
+    * row-level updates atomically. Returns -1 when the predicate
+    * matches nothing (no version staged). */
+  private[graft] def stageUpdateWhere(spark: SparkSession, root: String,
+                                      partitionCol: String,
+                                      predicate: Column,
+                                      sets: Seq[(String, Column)],
+                                      base: Long): Long = {
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    val layout = parseSpecs(partitionCol).map(_.source).toSet
+    val bad = sets.map(_._1).filter(layout.contains)
+    require(bad.isEmpty,
+      s"cannot update layout column(s) ${bad.mkString(", ")} in place — " +
+        "rows would have to move between partitions")
+    val cur = read(spark, root, base)
+    sets.foreach { case (n, _) => require(cur.columns.contains(n),
+      s"no column '$n' in ${cur.columns.mkString(", ")}") }
+    val dirc = rowDirExpr(parseSpecs(partitionCol), cur.schema)
+    val touched = cur.filter(predicate)
+      .select(dirc).distinct()
+      .collect().map(_.getString(0)).filter(_ != null).toSeq.sorted
+    if (touched.isEmpty) return -1L
+    val hit = coalesce(predicate, lit(false))
+    val setMap = sets.toMap
+    val updated = cur.filter(dirc.isin(touched: _*))
+      .select(cur.schema.fields.toSeq.map { f =>
+        setMap.get(f.name)
+          .map(v => when(hit, v.cast(f.dataType)).otherwise(col(f.name))
+            .as(f.name))
+          .getOrElse(col(f.name))
+      }: _*)
+    stageManifested(updated, root, partitionCol, base, append = false)
+  }
+
   /** Row-level DELETE as a MERGE-ON-READ commit (Iceberg v2 position
     * deletes): instead of rewriting every touched partition
     * ([[deleteWhere]]'s copy-on-write), the matching rows' (file,

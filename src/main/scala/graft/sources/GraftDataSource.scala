@@ -253,12 +253,17 @@ object GraftDataSource {
   * render exactly are REJECTED (deleting the wrong rows is not an
   * optimization miss), as are non-manifested tables (the MoR sidecar
   * rides the partition manifest). */
-class GraftTable(root: String, tableSchema: StructType,
+class GraftTable(private[graft] val root: String, tableSchema: StructType,
                  options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   import TableCapability._
+
+  /** A version/tag/branch pin — such a relation is read-only for the
+    * row-level DML rewrites (MERGE/UPDATE run against the live head). */
+  private[graft] def isPinned: Boolean =
+    Seq("versionAsOf", "tag", "branch").exists(options.containsKey)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     GraftDataSource.strictPredicateSql(filters.toSeq).isDefined &&

@@ -1,0 +1,272 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Catalog, SnapshotTable}
+
+/** SQL row-level DML over snapshot tables — `MERGE INTO` and
+  * `UPDATE`, the two statements the connector's `SupportsDelete`
+  * surface cannot carry (Spark routes them through
+  * `SupportsRowLevelOperations`, whose group-based write path has no
+  * V1 fallback). Instead [[GraftDmlRule]] intercepts the ANALYZED
+  * `MergeIntoTable` / `UpdateTable` over a [[GraftTable]] (Spark's own
+  * row-level rewrite only matches `SupportsRowLevelOperations` tables,
+  * so the nodes survive resolution untouched) and replaces them with
+  * eager commands that run the library's scale-safe writers:
+  *
+  *   - MERGE (upsert shape: `WHEN MATCHED UPDATE` + `WHEN NOT MATCHED
+  *     INSERT`, both full-row and identical) →
+  *     [[SnapshotTable.upsertMor]] — the O(batch) append +
+  *     equality-delete commit; zero table reads, zero rewrites.
+  *   - UPDATE → [[SnapshotTable.updateWhere]] — a partition-pruned
+  *     copy-on-write delta commit.
+  *
+  * Shapes outside the contract REFUSE with the supported form in the
+  * error (running the wrong rows is not an optimization miss).
+  * Reference analog: `processing/spark_jobs/bronze_to_silver.py:156-188`
+  * runs exactly this MERGE through Spark SQL on Iceberg. */
+object GraftDml {
+
+  /** Where a DML statement lands: a plain warehouse table (commits
+    * publish via the table marker) or a governed table (commits
+    * publish as atomic catalog commits). */
+  sealed trait Target { def tableRoot: String }
+  case class Warehouse(tableRoot: String) extends Target
+  case class Governed(catalogRoot: String, table: String) extends Target {
+    def tableRoot: String = Catalog.tableRoot(catalogRoot, table)
+  }
+
+  private def baseVersion(t: Target): Long = t match {
+    case Warehouse(r) => SnapshotTable.latestVersion(r)
+    case g: Governed => Catalog.tableVersions(g.catalogRoot)(g.table)
+  }
+
+  /** MERGE upsert through the O(batch) MoR path. The SQL contract
+    * (validated by the rule) guarantees the batch is the full
+    * replacement/insert row set; the cardinality check here is the
+    * runtime half of SQL MERGE's "a target row may match at most one
+    * source row" rule — duplicate source keys would otherwise BOTH
+    * survive in the appended batch. Governed targets publish as ONE
+    * atomic catalog commit, CAS-retried against concurrent committers
+    * (the [[graft.streaming.GovernedStream]] protocol minus the batch
+    * id). Returns the new version (warehouse) / commit (governed). */
+  def runMerge(spark: SparkSession, target: Target, partitionCol: String,
+               keyCols: Seq[String], batch: DataFrame): Long = {
+    val schema = SnapshotTable.read(spark, target.tableRoot,
+      baseVersion(target)).schema
+    val aligned = batch.select(schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val dups = aligned.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"MERGE cardinality violation: duplicate source key " +
+        s"${dups.head.toSeq.init.mkString("(", ", ", ")")} — a target " +
+        "row may match at most one source row")
+    target match {
+      case Warehouse(root) =>
+        SnapshotTable.upsertMor(spark, root, partitionCol, aligned, keyCols)
+      case g: Governed =>
+        casCommit(g) { prev =>
+          Some(SnapshotTable.stageUpsertMor(aligned, g.tableRoot,
+            partitionCol, keyCols, prev))
+        }
+    }
+  }
+
+  /** UPDATE as a partition-pruned copy-on-write rewrite; governed
+    * targets publish the staged rewrite as one atomic catalog
+    * commit. */
+  def runUpdate(spark: SparkSession, target: Target, partitionCol: String,
+                predicate: Column, sets: Seq[(String, Column)]): Long =
+    target match {
+      case Warehouse(root) =>
+        SnapshotTable.updateWhere(spark, root, partitionCol, predicate, sets)
+      case g: Governed =>
+        casCommit(g) { prev =>
+          val v = SnapshotTable.stageUpdateWhere(spark, g.tableRoot,
+            partitionCol, predicate, sets, prev)
+          if (v < 0) None else Some(v)
+        }
+    }
+
+  /** Optimistic catalog-commit loop: `stage(tableBaseVersion)` stages
+    * the table's next version (None = no-op), the commit CAS
+    * publishes; a racing committer re-stages against the new base,
+    * bounded retries. */
+  private def casCommit(g: Governed)(stage: Long => Option[Long]): Long = {
+    var attempt = 0
+    while (true) {
+      val base = Catalog.latestCommit(g.catalogRoot)
+      val prev = Catalog.tableVersions(g.catalogRoot, base)
+      stage(prev.getOrElse(g.table, -1L)) match {
+        case None => return base
+        case Some(v) =>
+          try return Catalog.commitStaged(g.catalogRoot,
+            Map(g.table -> v), base)
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              attempt += 1
+              if (attempt > 5) throw e
+              Thread.sleep(50L * attempt)
+          }
+      }
+    }
+    -1L // unreachable
+  }
+}
+
+/** The post-hoc resolution rule wiring SQL MERGE/UPDATE to
+  * [[GraftDml]] — injected by [[graft.GraftExtensions]]. Validation
+  * happens HERE (analysis time, loud errors); execution is the eager
+  * command in `org.apache.spark.sql.graft.GraftDmlCommands`. */
+case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  import org.apache.spark.sql.graft.{GraftMergeCommand, GraftUpdateCommand}
+
+  /** The statement's target: (where the write lands, the relation).
+    * Pinned (version/tag/branch) relations refuse — time travel is
+    * read-only; DML runs against the live head. */
+  private def graftTarget(plan: LogicalPlan, stmt: String)
+      : Option[(GraftDml.Target, DataSourceV2Relation)] = plan match {
+    case SubqueryAlias(_, child) => graftTarget(child, stmt)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable =>
+        require(!t.isPinned,
+          s"$stmt against a version/tag/branch pin is read-only time " +
+            "travel; run it against the live table")
+        Some((GraftDml.Warehouse(t.root), r))
+      case t: GraftGovernedTable =>
+        require(t.writable,
+          s"$stmt against a pinned/branch governed read is read-only; " +
+            "run it against the latest catalog commit")
+        Some((GraftDml.Governed(t.catalogRoot, t.table), r))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case m: MergeIntoTable if m.resolved =>
+        graftTarget(m.targetTable, "MERGE INTO")
+          .map(t => rewriteMerge(m, t._1, t._2)).getOrElse(m)
+      case u: UpdateTable if u.resolved =>
+        graftTarget(u.table, "UPDATE")
+          .map(t => rewriteUpdate(u, t._1, t._2)).getOrElse(u)
+    }
+
+  private def refuse(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft MERGE supports the upsert shape only — ON <conjunction " +
+        "of key equalities> WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
+        s"MATCHED THEN INSERT * (or identical explicit full-row " +
+        s"assignments in both) — got: $what")
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  private def tableRequirements(t: GraftDml.Target, stmt: String): String =
+    SnapshotTable.partitionSpec(t.tableRoot).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$stmt needs a partitioned, manifested graft table (the " +
+          "write lands as a partition-level commit); this table has " +
+          "no partition spec"))
+
+  /** assignments as (target column name → value), refusing nested or
+    * conditional forms. */
+  private def assignMap(actionName: String, cond: Option[Expression],
+                        assigns: Seq[Assignment],
+                        targetOut: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+      : Map[String, Expression] = {
+    require(cond.isEmpty,
+      s"conditional WHEN clauses (AND <cond>) are not supported in $actionName")
+    assigns.map { a =>
+      a.key match {
+        case ar: AttributeReference if targetOut.contains(ar.exprId) =>
+          ar.name -> a.value
+        case other => refuse(s"non-column assignment target $other")
+      }
+    }.toMap
+  }
+
+  private def rewriteMerge(m: MergeIntoTable, t: GraftDml.Target,
+                           rel: DataSourceV2Relation): LogicalPlan = {
+    val partitionCol = tableRequirements(t, "MERGE INTO")
+    require(!m.withSchemaEvolution,
+      "MERGE ... WITH SCHEMA EVOLUTION is not supported; evolve via " +
+        "ALTER TABLE ADD/RENAME/DROP COLUMN first")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      refuse("WHEN NOT MATCHED BY SOURCE clauses")
+    val targetIds = rel.outputSet.map(_.exprId).toSet
+    val upd = m.matchedActions match {
+      case Seq(UpdateAction(c, assigns, _)) =>
+        assignMap("WHEN MATCHED", c, assigns, targetIds)
+      case other => refuse(s"matched actions $other")
+    }
+    val ins = m.notMatchedActions match {
+      case Seq(InsertAction(c, assigns)) =>
+        assignMap("WHEN NOT MATCHED", c, assigns, targetIds)
+      case other => refuse(s"not-matched actions $other")
+    }
+    val cols = rel.output.map(_.name)
+    // full-row and identical: one appended row serves as both the
+    // update result and the insert — the upsertMor contract
+    cols.foreach { c =>
+      val (u, i) = (upd.get(c), ins.get(c))
+      if (u.isEmpty || i.isEmpty)
+        refuse(s"partial assignment (column '$c' not set in both clauses)")
+      if (u.get.canonicalized != i.get.canonicalized &&
+          stripCast(u.get).canonicalized != stripCast(i.get).canonicalized)
+        refuse(s"UPDATE and INSERT assign different values to '$c'")
+    }
+    // ON: a conjunction of target-column = source-expression equalities
+    val keyCols = splitConjunctivePredicates(m.mergeCondition).map {
+      case EqualTo(l, r) =>
+        val (tc, se) = (stripCast(l), stripCast(r)) match {
+          case (a: AttributeReference, s) if targetIds.contains(a.exprId) &&
+            s.references.forall(ref => !targetIds.contains(ref.exprId)) =>
+            (a, r)
+          case (s, a: AttributeReference) if targetIds.contains(a.exprId) &&
+            s.references.forall(ref => !targetIds.contains(ref.exprId)) =>
+            (a, l)
+          case other => refuse(s"ON condition $other (need target-column " +
+            "= source-expression)")
+        }
+        // the batch's key value must BE the ON's source expression, or
+        // the equality-delete would mask the wrong rows
+        val assigned = upd(tc.name)
+        require(stripCast(assigned).canonicalized ==
+            stripCast(se).canonicalized,
+          s"key column '${tc.name}' must be assigned the ON " +
+            s"condition's source expression (got $assigned vs $se)")
+        tc.name
+      case other => refuse(s"non-equality ON conjunct $other")
+    }
+    require(keyCols.nonEmpty, "MERGE needs at least one key equality")
+    GraftMergeCommand(t, partitionCol, keyCols, m.sourceTable,
+      rel.output.map(a => a.name -> upd(a.name)))
+  }
+
+  private def rewriteUpdate(u: UpdateTable, t: GraftDml.Target,
+                            rel: DataSourceV2Relation): LogicalPlan = {
+    val partitionCol = tableRequirements(t, "UPDATE")
+    val targetIds = rel.outputSet.map(_.exprId).toSet
+    val sets = u.assignments.map { a =>
+      a.key match {
+        case ar: AttributeReference if targetIds.contains(ar.exprId) =>
+          ar.name -> a.value
+        case other => throw new UnsupportedOperationException(
+          s"UPDATE supports plain column assignments only, got $other")
+      }
+    }
+    GraftUpdateCommand(t, partitionCol, u.condition, sets)
+  }
+}

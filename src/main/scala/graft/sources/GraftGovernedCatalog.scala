@@ -213,12 +213,14 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces
   * connector's pushed-filter skipping scan; writes publish through
   * atomic catalog commits (CAS-retried). Time-travel pins are
   * read-only — only a table loaded at the LATEST commit writes. */
-private[sources] class GraftGovernedTable(catalogRoot: String,
-                                          table: String, tableRoot: String,
-                                          version: Long,
-                                          tableSchema: StructType,
-                                          writable: Boolean,
-                                          firstInsertReplaces: Boolean = false)
+private[graft] class GraftGovernedTable(
+    private[graft] val catalogRoot: String,
+    private[graft] val table: String,
+    private[graft] val tableRoot: String,
+    version: Long,
+    tableSchema: StructType,
+    private[graft] val writable: Boolean,
+    firstInsertReplaces: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 

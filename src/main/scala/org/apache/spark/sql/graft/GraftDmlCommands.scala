@@ -1,0 +1,79 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.LongType
+
+/** Eager commands behind `graft.sources.GraftDmlRule` — SQL
+  * MERGE/UPDATE over snapshot tables. This file lives under
+  * `org.apache.spark.sql` for the two `private[sql]` bridges every
+  * external table format needs (the Delta-Lake precedent):
+  * `Dataset.ofRows` (analyzed source plan → DataFrame) and
+  * `ExpressionUtils.column` (analyzed expression → Column). All DML
+  * logic stays in `graft.sources.GraftDml`; the commands only convert
+  * plans/expressions and delegate.
+  *
+  * Analyzed expressions carry the ORIGINAL relation's expression ids;
+  * re-applying them to a freshly-read DataFrame would not resolve, so
+  * attribute references are rewritten to name lookups first
+  * ([[GraftDmlExec.byName]]) — every referenced name exists on the
+  * re-read side by construction (the rule validated the columns). */
+private[graft] object GraftDmlExec {
+  def byName(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  def column(e: Expression): org.apache.spark.sql.Column =
+    ExpressionUtils.column(byName(e))
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan) =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+}
+
+/** `MERGE INTO <graft table> USING <source> ON <keys> WHEN MATCHED
+  * UPDATE SET * WHEN NOT MATCHED INSERT *` → one O(batch)
+  * append + equality-delete commit (one atomic catalog commit for
+  * governed targets). Returns the new version/commit. */
+case class GraftMergeCommand(target: graft.sources.GraftDml.Target,
+                             partitionCol: String,
+                             keyCols: Seq[String], source: LogicalPlan,
+                             projection: Seq[(String, Expression)])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftDmlExec.ofRows(spark, source)
+    val batch = src.select(projection.map { case (n, e) =>
+      GraftDmlExec.column(e).as(n) }: _*)
+    Seq(Row(graft.sources.GraftDml.runMerge(spark, target, partitionCol,
+      keyCols, batch)))
+  }
+}
+
+/** `UPDATE <graft table> SET ... [WHERE ...]` → a partition-pruned
+  * copy-on-write delta commit (one atomic catalog commit for governed
+  * targets). Returns the new version/commit. */
+case class GraftUpdateCommand(target: graft.sources.GraftDml.Target,
+                              partitionCol: String,
+                              condition: Option[Expression],
+                              sets: Seq[(String, Expression)])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = condition.map(GraftDmlExec.column).getOrElse(lit(true))
+    Seq(Row(graft.sources.GraftDml.runUpdate(spark, target, partitionCol,
+      pred, sets.map { case (n, e) => n -> GraftDmlExec.column(e) })))
+  }
+}

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SnapshotTable
+
+/** SQL MERGE INTO / UPDATE over snapshot tables: the post-hoc rule
+  * reroutes the analyzed nodes to upsertMor / updateWhere — MERGE is
+  * an O(batch) append + equality-delete commit (zero rewrites of
+  * existing data, mtime-pinned), UPDATE a partition-pruned
+  * copy-on-write delta. Unsupported shapes refuse loudly. */
+class GraftDmlSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def mkCatalogTable(name: String): String = {
+    val wh = Files.createTempDirectory("graft-dmlwh").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "graft.sources.GraftSqlCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE TABLE $name.db.t (k STRING, n BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $name.db.t VALUES " +
+      "('a', 1, 'x'), ('b', 2, 'x'), ('c', 3, 'y')")
+    s"$wh/db/t"
+  }
+
+  test("MERGE INTO upserts as one O(batch) MoR commit") {
+    val root = mkCatalogTable("dml1")
+    val before = SnapshotTable.latestVersion(root)
+    // existing data files must not be rewritten (the O(batch) claim)
+    val dataFiles = SnapshotTable.manifestEntries(root, before)
+      .map(e => java.nio.file.Paths.get(root, s"v=${e._2}", e._1))
+    val mtimes = dataFiles.map(p => p -> Files.getLastModifiedTime(p)).toMap
+
+    Seq(("b", 20L, "x"), ("d", 4L, "y"))
+      .toDF("k", "n", "p").createOrReplaceTempView("dml1_src")
+    val res = spark.sql(
+      """MERGE INTO dml1.db.t AS t USING dml1_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(res.columns.toSeq === Seq("version"))
+    assert(res.first.getLong(0) === before + 1)
+
+    val rows = spark.table("dml1.db.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("a", 1L), ("b", 20L), ("c", 3L), ("d", 4L)))
+    // time travel: pre-merge rows intact
+    assert(spark.sql(s"SELECT n FROM dml1.db.t VERSION AS OF $before " +
+      "WHERE k = 'b'").first.getLong(0) === 2L)
+    // zero existing bytes moved
+    dataFiles.foreach(p =>
+      assert(Files.getLastModifiedTime(p) === mtimes(p), s"$p rewritten"))
+    // and the commit carries an equality-delete sidecar, not a rewrite
+    assert(SnapshotTable.eqDeleteEntries(root, before + 1).nonEmpty)
+  }
+
+  test("MERGE refuses non-upsert shapes and duplicate source keys") {
+    val root = mkCatalogTable("dml2")
+    val before = SnapshotTable.latestVersion(root)
+    Seq(("b", 20L, "x")).toDF("k", "n", "p")
+      .createOrReplaceTempView("dml2_src")
+    // matched-only (no INSERT clause)
+    val e1 = intercept[Exception] {
+      spark.sql("MERGE INTO dml2.db.t t USING dml2_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e1.getMessage.contains("upsert shape"), e1.getMessage)
+    // WHEN MATCHED DELETE
+    val e2 = intercept[Exception] {
+      spark.sql("MERGE INTO dml2.db.t t USING dml2_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e2.getMessage.contains("upsert shape"), e2.getMessage)
+    // partial SET
+    val e3 = intercept[Exception] {
+      spark.sql("MERGE INTO dml2.db.t t USING dml2_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET n = s.n " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e3.getMessage.contains("partial assignment"), e3.getMessage)
+    // duplicate source keys = the SQL MERGE cardinality violation
+    Seq(("b", 20L, "x"), ("b", 30L, "x")).toDF("k", "n", "p")
+      .createOrReplaceTempView("dml2_dup")
+    val e4 = intercept[Exception] {
+      spark.sql("MERGE INTO dml2.db.t t USING dml2_dup s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e4.getMessage.contains("cardinality"), e4.getMessage)
+    assert(SnapshotTable.latestVersion(root) === before) // nothing committed
+  }
+
+  test("UPDATE rewrites only touched partitions; WHERE-null rows keep") {
+    val root = mkCatalogTable("dml3")
+    val before = SnapshotTable.latestVersion(root)
+    val yEntry = SnapshotTable.manifestEntries(root, before)
+      .find(_._1.contains("p=y")).get
+    val yDir = java.nio.file.Paths.get(root, s"v=${yEntry._2}", yEntry._1)
+    val yM = Files.getLastModifiedTime(yDir)
+
+    val res = spark.sql(
+      "UPDATE dml3.db.t SET n = n * 10 WHERE p = 'x' AND n >= 2")
+    assert(res.first.getLong(0) === before + 1)
+    val rows = spark.table("dml3.db.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("a", 1L), ("b", 20L), ("c", 3L)))
+    // the y partition was inherited by reference, not rewritten
+    assert(Files.getLastModifiedTime(yDir) === yM)
+    // time travel reads the pre-update values
+    assert(spark.sql(s"SELECT n FROM dml3.db.t VERSION AS OF $before " +
+      "WHERE k = 'b'").first.getLong(0) === 2L)
+
+    // updating the partition column refuses (rows would change dirs)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE dml3.db.t SET p = 'z' WHERE k = 'a'")
+    }
+    assert(e.getMessage.contains("layout column"), e.getMessage)
+  }
+
+  test("governed MERGE/UPDATE publish as atomic catalog commits") {
+    val cat = Files.createTempDirectory("graft-dml-gov").toString + "/cat"
+    spark.conf.set("spark.sql.catalog.dmlg",
+      "graft.sources.GraftGovernedCatalog")
+    spark.conf.set("spark.sql.catalog.dmlg.root", cat)
+    graft.operators.Catalog.transactDelta(cat, Seq(("t",
+      Seq(("a", 1L, "x"), ("b", 2L, "y")).toDF("k", "n", "p"), "p")))
+    val c0 = graft.operators.Catalog.latestCommit(cat)
+
+    // MERGE = ONE new catalog commit carrying the O(batch) upsert
+    Seq(("b", 20L, "y"), ("c", 3L, "x")).toDF("k", "n", "p")
+      .createOrReplaceTempView("dmlg_src")
+    val res = spark.sql(
+      """MERGE INTO dmlg.t AS t USING dmlg_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(res.first.getLong(0) === c0 + 1)
+    assert(spark.table("dmlg.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 1L), ("b", 20L), ("c", 3L)))
+    // time travel to the pre-merge commit
+    assert(spark.sql(s"SELECT n FROM dmlg.t VERSION AS OF $c0 " +
+      "WHERE k = 'b'").first.getLong(0) === 2L)
+
+    // UPDATE = one more atomic commit; rollback rewinds both
+    spark.sql("UPDATE dmlg.t SET n = 0 WHERE k = 'a'")
+    assert(spark.sql("SELECT n FROM dmlg.t WHERE k = 'a'")
+      .first.getLong(0) === 0L)
+    graft.operators.Catalog.rollback(cat, c0)
+    assert(spark.table("dmlg.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 1L), ("b", 2L)))
+  }
+
+  test("MERGE/UPDATE against a time-travel pin refuse") {
+    mkCatalogTable("dml4")
+    Seq(("b", 20L, "x")).toDF("k", "n", "p")
+      .createOrReplaceTempView("dml4_src")
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO (SELECT * FROM dml4.db.t VERSION AS OF 1) t " +
+        "USING dml4_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    } // a pinned subquery is not a writable target at all
+    assert(e != null)
+  }
+}
