@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, EqualTo, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, EqualTo, Expression, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
@@ -41,7 +41,7 @@ object GraftDml {
     def tableRoot: String = Catalog.tableRoot(catalogRoot, table)
   }
 
-  private def baseVersion(t: Target): Long = t match {
+  private[sources] def baseVersion(t: Target): Long = t match {
     case Warehouse(r) => SnapshotTable.latestVersion(r)
     case g: Governed => Catalog.tableVersions(g.catalogRoot)(g.table)
   }
@@ -94,6 +94,22 @@ object GraftDml {
         }
     }
 
+  /** DELETE as a merge-on-read sidecar commit, with the EXACT
+    * analyzed predicate — the rule-routed superset of the connector's
+    * `SupportsDelete` path, which can only carry predicates the strict
+    * V1-filter translator renders (a `LIKE '%a%'` used to refuse;
+    * the Catalyst expression IS the predicate, so nothing is lost in
+    * translation). Governed targets land as one atomic catalog
+    * commit ([[Catalog.transactMorDelete]]). */
+  def runDelete(spark: SparkSession, target: Target,
+                predicate: Column): Long = target match {
+    case Warehouse(root) =>
+      SnapshotTable.deleteWhereMor(spark, root, predicate)
+    case g: Governed =>
+      Catalog.transactMorDelete(spark, g.catalogRoot,
+        Seq(g.table -> predicate))
+  }
+
   /** Optimistic catalog-commit loop: `stage(tableBaseVersion)` stages
     * the table's next version (None = no-op), the commit CAS
     * publishes; a racing committer re-stages against the new base,
@@ -127,7 +143,7 @@ object GraftDml {
 case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
-  import org.apache.spark.sql.graft.{GraftMergeCommand, GraftUpdateCommand}
+  import org.apache.spark.sql.graft.{GraftDeleteCommand, GraftMergeCommand, GraftUpdateCommand}
 
   /** The statement's target: (where the write lands, the relation).
     * Pinned (version/tag/branch) relations refuse — time travel is
@@ -159,7 +175,27 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
       case u: UpdateTable if u.resolved =>
         graftTarget(u.table, "UPDATE")
           .map(t => rewriteUpdate(u, t._1, t._2)).getOrElse(u)
+      case d: DeleteFromTable if d.resolved =>
+        graftTarget(d.table, "DELETE FROM")
+          .map(t => rewriteDelete(d, t._1)).getOrElse(d)
     }
+
+  /** DELETE carries the full analyzed predicate to the MoR sidecar —
+    * no V1-filter translation loss (the `SupportsDelete` path stays as
+    * the fallback when the extensions are not loaded). Subqueries in
+    * the predicate refuse: a DELETE whose row set depends on another
+    * query needs MERGE semantics. */
+  private def rewriteDelete(d: DeleteFromTable,
+                            t: GraftDml.Target): LogicalPlan = {
+    require(!d.condition.exists(_.isInstanceOf[SubqueryExpression]),
+      "DELETE with a subquery predicate is not supported; materialize " +
+        "the key set and MERGE, or use the library API")
+    require(SnapshotTable.manifestEntries(t.tableRoot,
+      GraftDml.baseVersion(t)).nonEmpty,
+      "DELETE needs a manifested table (the MoR sidecar rides the " +
+        "partition manifest)")
+    GraftDeleteCommand(t, d.condition)
+  }
 
   private def refuse(what: String): Nothing =
     throw new UnsupportedOperationException(

@@ -59,6 +59,22 @@ case class GraftMergeCommand(target: graft.sources.GraftDml.Target,
   }
 }
 
+/** `DELETE FROM <graft table> WHERE <any subquery-free predicate>` →
+  * a merge-on-read sidecar commit with the EXACT analyzed predicate
+  * (one atomic catalog commit for governed targets). Returns the new
+  * version/commit. */
+case class GraftDeleteCommand(target: graft.sources.GraftDml.Target,
+                              condition: Expression)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.sources.GraftDml.runDelete(spark, target,
+      GraftDmlExec.column(condition))))
+}
+
 /** `UPDATE <graft table> SET ... [WHERE ...]` → a partition-pruned
   * copy-on-write delta commit (one atomic catalog commit for governed
   * targets). Returns the new version/commit. */

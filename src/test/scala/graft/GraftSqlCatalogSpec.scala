@@ -149,11 +149,19 @@ class GraftSqlCatalogSpec extends GraftSuite {
     // a count after the delete subtracts through the metadata path
     assert(spark.sql("SELECT count(*) FROM gtest.db.dml").first.getLong(0) === 2)
 
-    // a predicate the strict translator cannot render refuses loudly
-    intercept[Exception] {
-      spark.sql("DELETE FROM gtest.db.dml WHERE k LIKE '%a%'")
+    // a predicate BEYOND the strict V1 translator now lands EXACTLY
+    // through the DML rule (it used to refuse): the analyzed Catalyst
+    // expression IS the predicate, nothing lost in translation
+    spark.sql("DELETE FROM gtest.db.dml WHERE k LIKE '%b%' AND n * 2 < 100")
+    assert(spark.table("gtest.db.dml").collect().map(_.getLong(1)).toSet
+      === Set(1L))
+    // a subquery predicate refuses — its row set needs MERGE semantics
+    val es = intercept[Exception] {
+      spark.sql("DELETE FROM gtest.db.dml WHERE n IN " +
+        "(SELECT n FROM gtest.db.dml WHERE k = 'a')")
     }
-    assert(spark.table("gtest.db.dml").count() === 2) // nothing deleted
+    assert(es.getMessage.contains("subquery"), es.getMessage)
+    assert(spark.table("gtest.db.dml").count() === 1) // nothing deleted
 
     // TRUNCATE rides the same path (delete-all sidecar); history intact
     spark.sql("TRUNCATE TABLE gtest.db.dml")
