@@ -63,9 +63,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = GraftDataSource.rootOf(options)
-    val v = GraftDataSource.resolveVersion(root, options)
-    if (v < 0) new StructType() // not-yet-created table (write path)
-    else SnapshotTable.read(SparkSession.active, root, v).schema
+    GraftDataSource.auxFrame(root, options) match {
+      case Some(df) => df().schema // CDC / incremental-append read
+      case None =>
+        val v = GraftDataSource.resolveVersion(root, options)
+        if (v < 0) new StructType() // not-yet-created table (write path)
+        else SnapshotTable.read(SparkSession.active, root, v).schema
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -103,6 +107,66 @@ object GraftDataSource {
                            key: String): Seq[String] =
     Option(options.get(key)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+
+  /** CDC / incremental-append reads through the connector (the Delta
+    * `readChangeFeed` shape, over the library's [[SnapshotTable.changes]]
+    * / [[SnapshotTable.appendedBetween]]):
+    *
+    *   - `.option("changesFrom", v).option("changeKey", "k")`
+    *     [`.option("changesTo", v)`] — the keyed row-diff feed
+    *     (insert / delete / update pre+post images, `_change_type` +
+    *     `_commit_version` columns appended);
+    *   - `.option("appendsFrom", v)` [`.option("appendsTo", v)`] —
+    *     only the rows that ARRIVED between the snapshots, from pure
+    *     manifest arithmetic (append-only histories; O(new files)).
+    *
+    * Returns None when the options request a plain data read. CDC
+    * options are mutually exclusive with version/tag/branch pins (the
+    * range IS the time travel). */
+  private[sources] def auxFrame(root: String,
+                                options: CaseInsensitiveStringMap)
+      : Option[() => DataFrame] = {
+    val isChanges = options.containsKey("changesfrom")
+    val isAppends = options.containsKey("appendsfrom")
+    if (!isChanges && !isAppends) return None
+    require(!(isChanges && isAppends),
+      "set either changesFrom (keyed CDC diff) or appendsFrom " +
+        "(incremental append scan), not both")
+    require(Seq("versionasof", "tag", "branch").forall(!options.containsKey(_)),
+      "CDC/append-range reads carry their own versions; drop " +
+        "versionAsOf/tag/branch")
+    if (isChanges) {
+      val key = options.get("changekey")
+      require(key != null && key.nonEmpty,
+        "changesFrom needs .option(\"changeKey\", <key column>) — the " +
+          "row identity the diff is keyed by")
+      Some(() => SnapshotTable.changes(SparkSession.active, root, key,
+        options.get("changesfrom").toLong,
+        Option(options.get("changesto")).map(_.toLong)
+          .getOrElse(SnapshotTable.latestVersion(root))))
+    } else {
+      Some(() => SnapshotTable.appendedBetween(SparkSession.active, root,
+        options.get("appendsfrom").toLong,
+        Option(options.get("appendsto")).map(_.toLong).getOrElse(-1L)))
+    }
+  }
+
+  /** A ScanBuilder over a deferred DataFrame (no pushdown — Spark
+    * filters above; these are derived, range-bounded relations). */
+  private[sources] def frameScanBuilder(df: () => DataFrame): ScanBuilder =
+    new ScanBuilder {
+      private lazy val frame = df()
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = frame.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = frame.schema
+            override def buildScan(): RDD[Row] = frame.rdd
+          }.asInstanceOf[T]
+      }
+    }
 
   // ───────────────────── filter → SQL translation ─────────────────────
   // Renders the subset of Spark's datasource filters that
@@ -294,15 +358,20 @@ class GraftTable(private[graft] val root: String, tableSchema: StructType,
         TRUNCATE)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
-    // scan options carry the read's own versionAsOf/tag/branch; fall
-    // back to the table-level options, then latest
+    // scan options carry the read's own versionAsOf/tag/branch (or a
+    // CDC range); fall back to the table-level options, then latest
     val merged =
-      if (Seq("versionasof", "tag", "branch").exists(scanOptions.containsKey))
+      if (Seq("versionasof", "tag", "branch", "changesfrom", "appendsfrom")
+          .exists(scanOptions.containsKey))
         scanOptions
       else options
-    val v = GraftDataSource.resolveVersion(root, merged)
-    require(v >= 0, s"no committed version at $root")
-    new GraftScanBuilder(root, v, tableSchema)
+    GraftDataSource.auxFrame(root, merged) match {
+      case Some(df) => GraftDataSource.frameScanBuilder(df)
+      case None =>
+        val v = GraftDataSource.resolveVersion(root, merged)
+        require(v >= 0, s"no committed version at $root")
+        new GraftScanBuilder(root, v, tableSchema)
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

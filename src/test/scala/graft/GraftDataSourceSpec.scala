@@ -189,6 +189,53 @@ class GraftDataSourceSpec extends GraftSuite {
     assert(joined.count() === fact.count())
   }
 
+  test("CDC read options: changesFrom diff feed and appendsFrom incremental scan") {
+    import spark.implicits._
+    val root = tmp("graft-ds-cdc")
+    val b0 = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"))
+      .toDF("id", "v", "p")
+    SnapshotTable.commitDelta(b0, root, "p")
+    val v0 = SnapshotTable.latestVersion(root)
+    SnapshotTable.commitAppend(Seq((4L, "d", "y")).toDF("id", "v", "p"),
+      root, "p")
+    SnapshotTable.upsertMor(spark, root, "p",
+      Seq((2L, "B", "x")).toDF("id", "v", "p"), Seq("id"))
+    val vEnd = SnapshotTable.latestVersion(root)
+
+    // the keyed CDC diff through the connector ≡ the library call
+    val feed = spark.read.format("graft")
+      .option("changesFrom", v0).option("changeKey", "id").load(root)
+    assert(feed.columns.contains("_change_type"))
+    val types = feed.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type")))
+      .toSet
+    assert(types === Set((4L, "insert"), (2L, "update_preimage"),
+      (2L, "update_postimage")))
+    assert(feed.collect().toSet === SnapshotTable.changes(spark, root,
+      "id", v0, vEnd).collect().toSet)
+
+    // incremental appends: only the arrived rows, deletes resolved —
+    // the upserted twin surfaces once with its newest value
+    val arrived = spark.read.format("graft")
+      .option("appendsFrom", v0).load(root)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(arrived === Set((4L, "d"), (2L, "B")))
+
+    // CDC ranges and time-travel pins are mutually exclusive
+    intercept[Exception] {
+      spark.read.format("graft").option("changesFrom", v0)
+        .option("changeKey", "id").option("versionAsOf", v0).load(root)
+        .collect()
+    }
+    // changesFrom without a key refuses with guidance
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("changesFrom", v0).load(root)
+        .collect()
+    }
+    assert(e.getMessage.contains("changeKey"), e.getMessage)
+  }
+
   test("filter translation: supported shapes render, unsound shapes refuse") {
     import GraftDataSource.{filterSql, predicateSql}
     assert(filterSql(EqualTo("k", "o'brien")) === Some("`k` = 'o''brien'"))
