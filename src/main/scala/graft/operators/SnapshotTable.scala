@@ -412,7 +412,22 @@ object SnapshotTable {
                                       to: Option[String],
                                       addType: Option[types.DataType] = None)
       : Long = {
-    val base = latestVersion(root)
+    val next = stageMetadataEvolution(spark, root, op, name, to, addType,
+      latestVersion(root))
+    moveMarker(root, next)
+    next
+  }
+
+  /** The staging half of the metadata-only column evolutions
+    * (rename/drop/add) against an EXPLICIT base version — what lets
+    * [[Catalog]] transactions publish governed schema evolution as one
+    * atomic catalog commit. Nothing is published here. */
+  private[graft] def stageMetadataEvolution(spark: SparkSession,
+                                            root: String, op: String,
+                                            name: String,
+                                            to: Option[String],
+                                            addType: Option[types.DataType],
+                                            base: Long): Long = {
     require(base >= 0, s"no committed version at $root")
     val m = manifestEntries(root, base)
     require(m.nonEmpty,
@@ -479,7 +494,6 @@ object SnapshotTable {
     writeFields(root, next, newFields, lastId)
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)
-    moveMarker(root, next)
     next
   }
 

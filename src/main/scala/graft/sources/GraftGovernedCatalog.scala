@@ -155,9 +155,63 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces
       writable = true, firstInsertReplaces = true)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "governed tables evolve through Catalog transactions, not ALTER")
+  /** Column evolution on a governed table — `ALTER TABLE gov.t
+    * ADD/RENAME/DROP COLUMN` — publishes each metadata-only evolution
+    * version as ONE atomic catalog commit (CAS-retried like every
+    * governed write): no history is bypassed — the evolution IS a
+    * commit, time travel reads old commits under their schema, and
+    * [[Catalog.rollback]] rewinds it like any other. Non-column ALTERs
+    * still refuse. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireTop(ident.namespace())
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "nested column add is not supported")
+        require(a.isNullable,
+          "an added column must be nullable: existing files have no " +
+            "values for it and read as NULL")
+        evolveCas(ident.name(), "add", a.fieldNames.head, None,
+          Some(a.dataType))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "nested column rename is not supported")
+        evolveCas(ident.name(), "rename", r.fieldNames.head,
+          Some(r.newName), None)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "nested column drop is not supported")
+        evolveCas(ident.name(), "drop", d.fieldNames.head, None, None)
+      case c => throw new UnsupportedOperationException(
+        "governed tables support column ADD/RENAME/DROP evolution " +
+          s"only (history is append-only); got ALTER change $c")
+    }
+    loadTable(ident)
+  }
+
+  private def evolveCas(table: String, op: String, name: String,
+                        to: Option[String],
+                        addType: Option[org.apache.spark.sql.types.DataType],
+                        maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      val base = Catalog.latestCommit(root)
+      val prev = Catalog.tableVersions(root, base)
+      val prevV = prev.getOrElse(table,
+        throw new NoSuchTableException(
+          Identifier.of(Array.empty[String], table)))
+      try {
+        val v = SnapshotTable.stageMetadataEvolution(SparkSession.active,
+          Catalog.tableRoot(root, table), op, name, to, addType, prevV)
+        return Catalog.commitStaged(root, Map(table -> v), base)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
 
   /** Governed history is append-only — tables retire through
     * [[Catalog.rollback]]/expiry, never an in-place drop. Returns

@@ -152,12 +152,37 @@ class GraftGovernedCatalogSpec extends GraftSuite {
       === before + 1)
   }
 
+  test("ALTER COLUMN evolution is an atomic governed commit; time travel keeps old schema") {
+    root
+    Catalog.transactDelta(root, Seq(("evo",
+      Seq(("a", 1L, "d1"), ("b", 2L, "d2")).toDF("k", "n", "day"), "day")))
+    val c0 = Catalog.latestCommit(root)
+    val n0 = spark.sql("SELECT count(*) FROM govt.evo").first.getLong(0)
+    // rename publishes ONE catalog commit (metadata-only, rollback-able)
+    spark.sql("ALTER TABLE govt.evo RENAME COLUMN n TO qty")
+    assert(Catalog.latestCommit(root) === c0 + 1)
+    assert(spark.table("govt.evo").columns.contains("qty"))
+    // old-era files resolve by field id; values survive the rename
+    assert(spark.sql("SELECT sum(qty) FROM govt.evo").first.getLong(0) === 3)
+    // pre-evolution commits read under THEIR schema
+    assert(spark.sql(s"SELECT n FROM govt.evo VERSION AS OF $c0")
+      .count() === n0)
+    // add: typed NULL over every pre-add row
+    spark.sql("ALTER TABLE govt.evo ADD COLUMN score DOUBLE")
+    assert(spark.sql(
+      "SELECT count(*) FROM govt.evo WHERE score IS NULL")
+      .first.getLong(0) === n0)
+    // rollback rewinds the evolution like any commit
+    Catalog.rollback(root, c0 + 1)
+    assert(!spark.table("govt.evo").columns.contains("score"))
+    assert(spark.table("govt.evo").columns.contains("qty"))
+  }
+
   test("history-bypassing DDL and unpartitioned INSERT refuse loudly") {
     root
-    // ALTER bypasses history → throws; DROP is a documented no-op
-    // (returning false would otherwise mask a failed CTAS's real error)
+    // non-column ALTER still bypasses history → throws
     intercept[Exception] {
-      spark.sql("ALTER TABLE govt.bronze RENAME COLUMN n TO m")
+      spark.sql("ALTER TABLE govt.bronze SET TBLPROPERTIES ('a'='b')")
     }
     assert(spark.sql("SELECT count(*) FROM govt.bronze")
       .first.getLong(0) > 0) // still there after any DROP attempt
