@@ -1520,7 +1520,17 @@ object SnapshotTable {
     * version. */
   def deleteEqualityMor(spark: SparkSession, root: String,
                         keys: DataFrame): Long = {
-    val base = latestVersion(root)
+    val next = stageEqualityDelete(spark, root, keys, latestVersion(root))
+    moveMarker(root, next)
+    next
+  }
+
+  /** The staging half of [[deleteEqualityMor]] against an EXPLICIT
+    * base version (sidecar + manifest written, nothing published) —
+    * what lets [[Catalog]] transactions land governed key erasures
+    * atomically. */
+  private[graft] def stageEqualityDelete(spark: SparkSession, root: String,
+                                         keys: DataFrame, base: Long): Long = {
     require(base >= 0, s"no committed version at $root")
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "equality delete needs at least one key column")
@@ -1535,7 +1545,6 @@ object SnapshotTable {
     carryVersionMeta(spark, root, base, next)
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)
-    moveMarker(root, next)
     next
   }
 

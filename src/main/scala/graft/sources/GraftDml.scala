@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, EqualTo, Expression, PredicateHelper, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
@@ -94,6 +94,29 @@ object GraftDml {
         }
     }
 
+  /** MERGE `WHEN MATCHED THEN DELETE` (alone): the source's key set
+    * lands as one equality-delete sidecar commit masking every
+    * matching row — O(batch), zero reads/rewrites of the table (the
+    * Iceberg v2 equality-delete flavor CDC writers use for
+    * tombstones). Keys cast to the target's column types so sidecar
+    * resolution matches exactly. */
+  def runMergeDelete(spark: SparkSession, target: Target,
+                     keys: DataFrame): Long = {
+    val schema = SnapshotTable.read(spark, target.tableRoot,
+      baseVersion(target)).schema
+    val aligned = keys.select(keys.columns.toSeq.map(c =>
+      col(c).cast(schema(c).dataType).as(c)): _*)
+    target match {
+      case Warehouse(root) =>
+        SnapshotTable.deleteEqualityMor(spark, root, aligned)
+      case g: Governed =>
+        casCommit(g) { prev =>
+          Some(SnapshotTable.stageEqualityDelete(spark, g.tableRoot,
+            aligned, prev))
+        }
+    }
+  }
+
   /** DELETE as a merge-on-read sidecar commit, with the EXACT
     * analyzed predicate — the rule-routed superset of the connector's
     * `SupportsDelete` path, which can only carry predicates the strict
@@ -143,7 +166,7 @@ object GraftDml {
 case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
-  import org.apache.spark.sql.graft.{GraftDeleteCommand, GraftMergeCommand, GraftUpdateCommand}
+  import org.apache.spark.sql.graft.{GraftDeleteCommand, GraftMergeCommand, GraftMergeDeleteCommand, GraftUpdateCommand}
 
   /** The statement's target: (where the write lands, the relation).
     * Pinned (version/tag/branch) relations refuse — time travel is
@@ -233,6 +256,30 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     }.toMap
   }
 
+  /** The ON condition as (target column, source expression) pairs —
+    * a conjunction of equalities between one bare target column and
+    * one source-rooted expression; anything else refuses. */
+  private def keyPairsOf(m: MergeIntoTable,
+                         targetIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+      : Seq[(String, Expression)] = {
+    val pairs = splitConjunctivePredicates(m.mergeCondition).map {
+      case EqualTo(l, r) =>
+        (stripCast(l), stripCast(r)) match {
+          case (a: AttributeReference, s) if targetIds.contains(a.exprId) &&
+            s.references.forall(ref => !targetIds.contains(ref.exprId)) =>
+            a.name -> r
+          case (s, a: AttributeReference) if targetIds.contains(a.exprId) &&
+            s.references.forall(ref => !targetIds.contains(ref.exprId)) =>
+            a.name -> l
+          case other => refuse(s"ON condition $other (need target-column " +
+            "= source-expression)")
+        }
+      case other => refuse(s"non-equality ON conjunct $other")
+    }
+    require(pairs.nonEmpty, "MERGE needs at least one key equality")
+    pairs
+  }
+
   private def rewriteMerge(m: MergeIntoTable, t: GraftDml.Target,
                            rel: DataSourceV2Relation): LogicalPlan = {
     val partitionCol = tableRequirements(t, "MERGE INTO")
@@ -242,6 +289,17 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     if (m.notMatchedBySourceActions.nonEmpty)
       refuse("WHEN NOT MATCHED BY SOURCE clauses")
     val targetIds = rel.outputSet.map(_.exprId).toSet
+
+    // WHEN MATCHED DELETE (alone): "remove the keys the source
+    // carries" — exactly an equality-delete sidecar commit, O(batch),
+    // zero reads of the table
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(DeleteAction(None)), Seq()) =>
+        return GraftMergeDeleteCommand(t, m.sourceTable,
+          keyPairsOf(m, targetIds))
+      case _ => ()
+    }
+
     val upd = m.matchedActions match {
       case Seq(UpdateAction(c, assigns, _)) =>
         assignMap("WHEN MATCHED", c, assigns, targetIds)
@@ -263,30 +321,17 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
           stripCast(u.get).canonicalized != stripCast(i.get).canonicalized)
         refuse(s"UPDATE and INSERT assign different values to '$c'")
     }
-    // ON: a conjunction of target-column = source-expression equalities
-    val keyCols = splitConjunctivePredicates(m.mergeCondition).map {
-      case EqualTo(l, r) =>
-        val (tc, se) = (stripCast(l), stripCast(r)) match {
-          case (a: AttributeReference, s) if targetIds.contains(a.exprId) &&
-            s.references.forall(ref => !targetIds.contains(ref.exprId)) =>
-            (a, r)
-          case (s, a: AttributeReference) if targetIds.contains(a.exprId) &&
-            s.references.forall(ref => !targetIds.contains(ref.exprId)) =>
-            (a, l)
-          case other => refuse(s"ON condition $other (need target-column " +
-            "= source-expression)")
-        }
-        // the batch's key value must BE the ON's source expression, or
-        // the equality-delete would mask the wrong rows
-        val assigned = upd(tc.name)
-        require(stripCast(assigned).canonicalized ==
-            stripCast(se).canonicalized,
-          s"key column '${tc.name}' must be assigned the ON " +
-            s"condition's source expression (got $assigned vs $se)")
-        tc.name
-      case other => refuse(s"non-equality ON conjunct $other")
+    // ON: a conjunction of target-column = source-expression
+    // equalities; the batch's key value must BE the ON's source
+    // expression, or the equality-delete would mask the wrong rows
+    val keyCols = keyPairsOf(m, targetIds).map { case (tc, se) =>
+      val assigned = upd(tc)
+      require(stripCast(assigned).canonicalized ==
+          stripCast(se).canonicalized,
+        s"key column '$tc' must be assigned the ON " +
+          s"condition's source expression (got $assigned vs $se)")
+      tc
     }
-    require(keyCols.nonEmpty, "MERGE needs at least one key equality")
     GraftMergeCommand(t, partitionCol, keyCols, m.sourceTable,
       rel.output.map(a => a.name -> upd(a.name)))
   }

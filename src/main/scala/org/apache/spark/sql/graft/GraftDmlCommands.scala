@@ -59,6 +59,28 @@ case class GraftMergeCommand(target: graft.sources.GraftDml.Target,
   }
 }
 
+/** `MERGE INTO <graft table> USING <source> ON <keys> WHEN MATCHED
+  * THEN DELETE` (alone) → one equality-delete sidecar commit of the
+  * source's key set: O(batch), zero table reads. Returns the new
+  * version/commit. */
+case class GraftMergeDeleteCommand(target: graft.sources.GraftDml.Target,
+                                   source: LogicalPlan,
+                                   keyExprs: Seq[(String, Expression)])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftDmlExec.ofRows(spark, source)
+    val keys = src.select(keyExprs.map { case (n, e) =>
+      GraftDmlExec.column(e).as(n) }: _*)
+    Seq(Row(graft.sources.GraftDml.runMergeDelete(spark, target, keys)))
+  }
+}
+
 /** `DELETE FROM <graft table> WHERE <any subquery-free predicate>` →
   * a merge-on-read sidecar commit with the EXACT analyzed predicate
   * (one atomic catalog commit for governed targets). Returns the new

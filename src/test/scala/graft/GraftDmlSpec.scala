@@ -118,6 +118,32 @@ class GraftDmlSpec extends GraftSuite {
     assert(e.getMessage.contains("layout column"), e.getMessage)
   }
 
+  test("MERGE WHEN MATCHED DELETE lands the key set as an equality-delete sidecar") {
+    val root = mkCatalogTable("dml5")
+    val before = SnapshotTable.latestVersion(root)
+    val dataFiles = SnapshotTable.manifestEntries(root, before)
+      .map(e => java.nio.file.Paths.get(root, s"v=${e._2}", e._1))
+    val mtimes = dataFiles.map(p => p -> Files.getLastModifiedTime(p)).toMap
+
+    // tombstone feed: keys 'a' and 'b' (plus one unknown key — a
+    // non-matching tombstone deletes nothing, harmlessly)
+    Seq(("a", 0L, "?"), ("b", 0L, "?"), ("zz", 0L, "?"))
+      .toDF("k", "n", "p").createOrReplaceTempView("dml5_src")
+    val res = spark.sql(
+      "MERGE INTO dml5.db.t t USING dml5_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE")
+    assert(res.first.getLong(0) === before + 1)
+    assert(spark.table("dml5.db.t").collect()
+      .map(_.getString(0)).toSeq === Seq("c"))
+    // O(batch): zero existing bytes moved, sidecar-only commit
+    dataFiles.foreach(p =>
+      assert(Files.getLastModifiedTime(p) === mtimes(p), s"$p rewritten"))
+    assert(SnapshotTable.eqDeleteEntries(root, before + 1).nonEmpty)
+    // time travel keeps the rows
+    assert(spark.sql(s"SELECT count(*) FROM dml5.db.t VERSION AS OF $before")
+      .first.getLong(0) === 3)
+  }
+
   test("governed MERGE/UPDATE publish as atomic catalog commits") {
     val cat = Files.createTempDirectory("graft-dml-gov").toString + "/cat"
     spark.conf.set("spark.sql.catalog.dmlg",
