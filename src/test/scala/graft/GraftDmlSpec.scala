@@ -178,6 +178,42 @@ class GraftDmlSpec extends GraftSuite {
       Seq(("a", 1L), ("b", 2L)))
   }
 
+  test("updateWhere composes with hidden partitioning and rename evolution") {
+    import org.apache.spark.sql.functions.expr
+    // a days(ts)-transformed layout: the UPDATE resolves rows through
+    // the derived directory value; the source column is NOT a layout
+    // column (the derived field is), so updating other columns works
+    // and updating ts refuses
+    val root = Files.createTempDirectory("graft-dml-hidden").toString
+    val df = spark.range(0, 48).selectExpr("id",
+      "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts",
+      "CAST(id AS DOUBLE) AS v")
+    SnapshotTable.commitDelta(df, root, "days(ts)")
+    SnapshotTable.updateWhere(spark, root, "days(ts)",
+      expr("ts >= timestamp'2024-03-02 00:00:00'"),
+      Seq("v" -> expr("v + 1000")))
+    val got = SnapshotTable.read(spark, root)
+    assert(got.filter(expr("v >= 1000")).count() === 24) // day 2 rows
+    assert(got.filter(expr("ts < timestamp'2024-03-02 00:00:00' AND v >= 1000"))
+      .count() === 0)
+    intercept[IllegalArgumentException] { // layout source refuses
+      SnapshotTable.updateWhere(spark, root, "days(ts)",
+        expr("v = 0"), Seq("ts" -> expr("ts")))
+    }
+
+    // UPDATE after a RENAME: the rewrite reads old-era files through
+    // the field-id projection and writes under the current name
+    val r2 = Files.createTempDirectory("graft-dml-ren").toString
+    SnapshotTable.commitDelta(
+      Seq((1L, 5.0, "x"), (2L, 6.0, "y")).toDF("id", "price", "p"),
+      r2, "p")
+    SnapshotTable.renameColumn(spark, r2, "price", "px")
+    SnapshotTable.updateWhere(spark, r2, "p",
+      expr("px > 5"), Seq("px" -> expr("px * 2")))
+    assert(SnapshotTable.read(spark, r2).orderBy("id").collect()
+      .map(_.getAs[Double]("px")).toSeq === Seq(5.0, 12.0))
+  }
+
   test("MERGE/UPDATE against a time-travel pin refuse") {
     mkCatalogTable("dml4")
     Seq(("b", 20L, "x")).toDF("k", "n", "p")
