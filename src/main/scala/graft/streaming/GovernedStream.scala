@@ -155,6 +155,66 @@ object GovernedStream {
     None // unreachable
   }
 
+  /** Transactionally apply one FULL CDC micro-batch — upsert rows AND
+    * delete tombstones (the Debezium batch shape: inserts/updates plus
+    * `op = d` events, which [[commitUpsertBatch]] cannot express) — as
+    * ONE atomic catalog commit with the exactly-once batch id:
+    * the upserts land via [[SnapshotTable.stageUpsertMor]] (append +
+    * key sidecar), the tombstones chain a second staged version whose
+    * equality-delete sidecar masks every strictly-older row with a
+    * matching key ([[SnapshotTable.stageEqualityDelete]]) — still
+    * O(batch), zero table reads, zero rewrites. Within one batch a key
+    * carried by BOTH sides resolves to DELETED (the tombstone sidecar
+    * outranks the batch's own append by the sequence rule) — sources
+    * that interleave ops per key should pre-reduce the batch to its
+    * last op per key, the standard foreachBatch reduction. Returns the
+    * new catalog commit; None on replay or a fully-empty batch. */
+  def commitCdcBatch(spark: SparkSession, catalogRoot: String,
+                     table: String, partitionCol: String,
+                     keyCols: Seq[String], sourceId: String,
+                     batchId: Long, upserts: DataFrame,
+                     deleteKeys: DataFrame): Option[Long] = {
+    var attempt = 0
+    while (true) {
+      val base = Catalog.latestCommit(catalogRoot)
+      val prev = Catalog.tableVersions(catalogRoot, base)
+      if (lastBatchId(spark, catalogRoot, sourceId, base) >= batchId)
+        return None
+      val hasUp = !upserts.isEmpty
+      val hasDel = !deleteKeys.isEmpty
+      if (!hasUp && !hasDel) return None
+      try {
+        val tr = Catalog.tableRoot(catalogRoot, table)
+        var v = prev.getOrElse(table, -1L)
+        if (hasUp)
+          v = SnapshotTable.stageUpsertMor(upserts, tr, partitionCol,
+            keyCols, v)
+        if (hasDel)
+          v = SnapshotTable.stageEqualityDelete(spark, tr,
+            deleteKeys.select(keyCols.map(col): _*), v)
+        val others =
+          if (!prev.contains(StateTable)) Seq.empty
+          else Catalog.read(spark, catalogRoot, StateTable, base)
+            .filter(col("source_id") =!= sourceId)
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        import spark.implicits._
+        val state = (others :+ (sourceId, batchId))
+          .toDF("source_id", "batch_id").coalesce(1)
+        val vS = SnapshotTable.stageVersion(state,
+          Catalog.tableRoot(catalogRoot, StateTable),
+          prev.getOrElse(StateTable, -1L))
+        return Some(Catalog.commitStaged(catalogRoot,
+          Map(table -> v, StateTable -> vS), base))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          Thread.sleep(50L * attempt)
+      }
+    }
+    None // unreachable
+  }
+
   /** Checkpointed trade stream → per-batch latest-row reduction →
     * governed CDC upsert of a `latest_trades` current-state table:
     * each micro-batch keeps its newest row per product (tie-broken by

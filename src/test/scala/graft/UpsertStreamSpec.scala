@@ -53,6 +53,45 @@ class UpsertStreamSpec extends GraftSuite {
     assert(at0 === Map("a" -> 1L, "b" -> 1L))
   }
 
+  test("commitCdcBatch: one atomic commit of upserts AND delete tombstones") {
+    val cat = Files.createTempDirectory("graft-cdcstream").toString
+    GovernedStream.commitCdcBatch(spark, cat, "state", "k", Seq("k"),
+      "src", 0L,
+      Seq(("a", 10.0, "x"), ("b", 20.0, "x"), ("c", 30.0, "y"))
+        .toDF("k", "v", "p"),
+      spark.emptyDataFrame.select())
+    def state(): Map[String, Double] =
+      Catalog.read(spark, cat, "state").select("k", "v").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(state() === Map("a" -> 10.0, "b" -> 20.0, "c" -> 30.0))
+
+    // a Debezium-shaped batch: update b, insert d, tombstone a — ONE
+    // catalog commit for the lot
+    val commits = Catalog.commits(cat).size
+    val c1 = GovernedStream.commitCdcBatch(spark, cat, "state", "k",
+      Seq("k"), "src", 1L,
+      Seq(("b", 21.0, "x"), ("d", 40.0, "y")).toDF("k", "v", "p"),
+      Seq(("a", -1.0)).toDF("k", "ignored"))
+    assert(c1.nonEmpty)
+    assert(Catalog.commits(cat).size === commits + 1)
+    assert(state() === Map("b" -> 21.0, "c" -> 30.0, "d" -> 40.0))
+    // replay skips outright
+    assert(GovernedStream.commitCdcBatch(spark, cat, "state", "k",
+      Seq("k"), "src", 1L,
+      Seq(("z", 0.0, "x")).toDF("k", "v", "p"),
+      spark.emptyDataFrame.select()).isEmpty)
+    assert(state() === Map("b" -> 21.0, "c" -> 30.0, "d" -> 40.0))
+    // delete-only batch works too
+    GovernedStream.commitCdcBatch(spark, cat, "state", "k", Seq("k"),
+      "src", 2L, spark.emptyDataFrame.select(),
+      Seq(Tuple1("d")).toDF("k"))
+    assert(state() === Map("b" -> 21.0, "c" -> 30.0))
+    // time travel: the pre-tombstone commit still sees a
+    assert(Catalog.read(spark, cat, "state", c1.get - 1)
+      .select("k").collect().map(_.getString(0)).toSet
+      === Set("a", "b", "c"))
+  }
+
   test("writeLatestGoverned maintains the per-product latest row exactly once") {
     val tmp = Files.createTempDirectory("graft-latest-stream")
     val (src, cat, cp) = (s"$tmp/src", s"$tmp/cat", s"$tmp/cp")
