@@ -1926,6 +1926,64 @@ object SnapshotTable {
       Some(spark.read.parquet(statsPath(root, version).toString))
     else None
 
+  /** BACKFILL stats sidecars for files that already exist — the
+    * Iceberg `compute_table_stats` / SQL ANALYZE analog: a table
+    * written without `statsCols` (or before the skipping feature)
+    * gains per-file min/max bounds + `__rows` WITHOUT rewriting a
+    * byte of data, turning on [[readSkipping]] file pruning and
+    * [[fastCount]] metadata counts retroactively. One scan per
+    * storage version that lacks coverage, over only that version's
+    * files; versions whose sidecar already covers every requested
+    * column are skipped (idempotent), and previously-recorded columns
+    * are preserved (the recompute unions them in). The sidecar swap
+    * is a tmp-dir atomic move; in the brief window between old-drop
+    * and new-move readers simply keep all files (skipping is IO-only
+    * by construction). Returns the storage versions recomputed. */
+  def collectStats(spark: SparkSession, root: String,
+                   statsCols: Seq[String]): Seq[Long] = {
+    require(statsCols.nonEmpty, "collectStats needs at least one column")
+    val v = latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    val storageVersions = {
+      val m = manifestEntries(root, v)
+      if (m.isEmpty) Seq(v) else m.map(_._2).distinct.sorted
+    }
+    storageVersions.flatMap { sv =>
+      val existingCols: Seq[String] = fileStats(spark, root, sv)
+        .map(_.columns.toSeq.filter(_.endsWith("__min"))
+          .map(_.stripSuffix("__min")))
+        .getOrElse(Seq.empty)
+      val covered = fileStats(spark, root, sv).isDefined &&
+        statsCols.forall(existingCols.contains)
+      if (covered) None
+      else {
+        val want = (existingCols ++ statsCols).distinct
+        // recompute into a tmp sidecar, then swap atomically
+        val tmp = Paths.get(root, s"v=$sv",
+          s".stats.new-${java.util.UUID.randomUUID()}")
+        val df = spark.read.parquet(s"$root/v=$sv")
+        val present = want.filter(df.columns.contains)
+        val aggs = count(lit(1)).as("__rows") +: present.flatMap(c =>
+          Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+        df.groupBy(input_file_name().as("_file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumn("_file",
+            regexp_extract(col("_file"), "(v=\\d+/.*)$", 1))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val target = statsPath(root, sv)
+        if (Files.exists(target)) { // drop the old sidecar first
+          val stream = Files.walk(target)
+          try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          finally stream.close()
+        }
+        Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Some(sv)
+      }
+    }
+  }
+
   /** MIN/MAX of a column from METADATA — the stats-sidecar twin of
     * [[fastCount]]: folds the recorded per-file bounds over the
     * manifest file listing, touching no data bytes. REFUSES (returns

@@ -109,6 +109,15 @@ private[sources] object GraftProcedures {
         Seq(row(SnapshotTable.migrateSpec(SparkSession.active,
           rootOf(in.getUTF8String(0).toString))))
       }
+    case "collect_stats" => // ANALYZE: backfill skipping stats sidecars
+      proc("collect_stats",
+        Seq("table" -> StringType, "columns" -> StringType),
+        VersionOut) { in =>
+        versionRows(SnapshotTable.collectStats(SparkSession.active,
+          rootOf(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq))
+      }
     case "create_branch" =>
       proc("create_branch",
         Seq("table" -> StringType, "name" -> StringType),

@@ -355,7 +355,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Seq("expire_snapshots", "sweep_orphans", "compact", "rollback",
       "create_tag", "apply_deletes", "migrate_spec", "create_branch",
-      "fast_forward").map(Identifier.of(Array("system"), _)).toArray
+      "fast_forward", "collect_stats")
+      .map(Identifier.of(Array("system"), _)).toArray
 
   // ───────────────────────────── helpers ─────────────────────────────
 

@@ -63,6 +63,36 @@ class DataSkippingSpec extends GraftSuite {
     assert(skip.columns.toSeq === Seq("id", "grp", "score"))
   }
 
+  test("collectStats backfills sidecars: skipping and fast counts turn on retroactively") {
+    // a table committed with NO statsCols: skipping prunes nothing
+    val root = Files.createTempDirectory("graft-skip-bf").toString
+    val df = (0L until 4000L).map(i => (i, s"g${i % 2}", i * 1.5))
+      .toDF("id", "grp", "score").repartitionByRange(4, col("id"))
+    SnapshotTable.commit(df, root)
+    assert(SnapshotTable.readSkipping(spark, root, "id <= 100")
+      .inputFiles.length === 4) // no bounds recorded: nothing to prune by
+    assert(SnapshotTable.fastBounds(spark, root, "id").isEmpty)
+
+    // ANALYZE: one pass over the existing files, zero data rewritten
+    val done = SnapshotTable.collectStats(spark, root, Seq("id"))
+    assert(done.nonEmpty)
+    val skip = SnapshotTable.readSkipping(spark, root, "id <= 100")
+    assert(skip.inputFiles.length < 4)
+    assert(skip.count() === 101) // answer identical
+    assert(SnapshotTable.fastBounds(spark, root, "id")
+      === Some((0L, 3999L)))
+    assert(SnapshotTable.fastCountMeta(spark, root) === Some(4000L))
+
+    // idempotent: covered columns recompute nothing
+    assert(SnapshotTable.collectStats(spark, root, Seq("id")).isEmpty)
+    // extending preserves previously recorded columns
+    assert(SnapshotTable.collectStats(spark, root, Seq("score")).nonEmpty)
+    assert(SnapshotTable.readSkipping(spark, root, "id <= 100")
+      .inputFiles.length < 4) // id bounds survived the extension
+    assert(SnapshotTable.readSkipping(spark, root, "score > 5700.0")
+      .inputFiles.length < 4) // and score bounds now prune too
+  }
+
   test("append snapshots skip across storage versions; stat-less files are kept") {
     val root = Files.createTempDirectory("graft-skip-app").toString
     def batch(lo: Long, hi: Long) =

@@ -230,6 +230,13 @@ class GraftSqlCatalogSpec extends GraftSuite {
       SnapshotTable.latestVersion(root)).forall(_._1.contains("n=")))
     assert(spark.table("gtest.db.mx").count() === 6)
 
+    // collect_stats backfills skipping sidecars (ANALYZE): the table
+    // had no bounds for n; after the CALL, metadata bounds answer
+    // without touching data
+    assert(SnapshotTable.fastBounds(spark, root, "n").isEmpty)
+    spark.sql("CALL gtest.system.collect_stats('db.mx', 'n')")
+    assert(SnapshotTable.fastBounds(spark, root, "n") === Some((2L, 4L)))
+
     intercept[Exception] { // unknown procedure refuses
       spark.sql("CALL gtest.system.nope(1)")
     }
