@@ -2223,13 +2223,8 @@ object SnapshotTable {
     * per covered column over only the new files (the write's own cost
     * class; a production writer lifts parquet's built-in column bloom
     * filters instead of rescanning). */
-  private def recordFileBlooms(spark: SparkSession, root: String,
-                               version: Long, bloomCols: Seq[String]): Unit = {
-    if (bloomCols.isEmpty) return
-    val df = spark.read.parquet(s"$root/v=$version")
-    val present = bloomCols.filter(df.columns.contains)
-    if (present.isEmpty) return
-    val perCol = present.map { c =>
+  private def bloomFrame(df: DataFrame, present: Seq[String]): DataFrame =
+    present.map { c =>
       df.select(input_file_name().as("_file"),
           explode(array(probeCols(col(c)): _*)).as("p"))
         .distinct()
@@ -2242,10 +2237,64 @@ object SnapshotTable {
             w -> aggregate(filter(ps, p -> p div 64 = w), 0L,
               (acc, p) -> acc | shiftleft(1L, cast(p % 64 as int))))""")
             .as("bits"))
-    }
-    perCol.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_))
+
+  private def recordFileBlooms(spark: SparkSession, root: String,
+                               version: Long, bloomCols: Seq[String]): Unit = {
+    if (bloomCols.isEmpty) return
+    val df = spark.read.parquet(s"$root/v=$version")
+    val present = bloomCols.filter(df.columns.contains)
+    if (present.isEmpty) return
+    bloomFrame(df, present)
       .coalesce(1)
       .write.mode("overwrite").parquet(bloomsPath(root, version).toString)
+  }
+
+  /** BACKFILL bloom sidecars for files that already exist — the
+    * point-lookup twin of [[collectStats]]: pre-bloom tables gain
+    * per-(file, column) filters without rewriting data, turning on
+    * equality/IN file pruning on hash/unsorted layouts where min/max
+    * bounds refute nothing. Same contract: one scan per uncovered
+    * storage version, idempotent, existing columns preserved, atomic
+    * sidecar swap. Returns the storage versions recomputed. */
+  def collectBlooms(spark: SparkSession, root: String,
+                    bloomCols: Seq[String]): Seq[Long] = {
+    require(bloomCols.nonEmpty, "collectBlooms needs at least one column")
+    val v = latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    val storageVersions = {
+      val m = manifestEntries(root, v)
+      if (m.isEmpty) Seq(v) else m.map(_._2).distinct.sorted
+    }
+    storageVersions.flatMap { sv =>
+      val existing: Seq[String] = fileBlooms(spark, root, sv)
+        .map(_.select("column").distinct()
+          .collect().map(_.getString(0)).toSeq)
+        .getOrElse(Seq.empty)
+      if (fileBlooms(spark, root, sv).isDefined &&
+          bloomCols.forall(existing.contains)) None
+      else {
+        val df = spark.read.parquet(s"$root/v=$sv")
+        val present = (existing ++ bloomCols).distinct
+          .filter(df.columns.contains)
+        if (present.isEmpty) None
+        else {
+          val tmp = Paths.get(root, s"v=$sv",
+            s".blooms.new-${java.util.UUID.randomUUID()}")
+          bloomFrame(df, present).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val target = bloomsPath(root, sv)
+          if (Files.exists(target)) {
+            val stream = Files.walk(target)
+            try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            finally stream.close()
+          }
+          Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          Some(sv)
+        }
+      }
+    }
   }
 
   /** The recorded per-file bloom filters of a storage version (None

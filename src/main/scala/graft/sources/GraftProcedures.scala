@@ -118,6 +118,15 @@ private[sources] object GraftProcedures {
           in.getUTF8String(1).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq))
       }
+    case "collect_blooms" => // the point-lookup twin of collect_stats
+      proc("collect_blooms",
+        Seq("table" -> StringType, "columns" -> StringType),
+        VersionOut) { in =>
+        versionRows(SnapshotTable.collectBlooms(SparkSession.active,
+          rootOf(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq))
+      }
     case "create_branch" =>
       proc("create_branch",
         Seq("table" -> StringType, "name" -> StringType),

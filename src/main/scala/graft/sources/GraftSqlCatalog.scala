@@ -355,7 +355,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Seq("expire_snapshots", "sweep_orphans", "compact", "rollback",
       "create_tag", "apply_deletes", "migrate_spec", "create_branch",
-      "fast_forward", "collect_stats")
+      "fast_forward", "collect_stats", "collect_blooms")
       .map(Identifier.of(Array("system"), _)).toArray
 
   // ───────────────────────────── helpers ─────────────────────────────

@@ -37,6 +37,24 @@ class BloomSkippingSpec extends GraftSuite {
       Seq(Seq(4242L, "u4242@h.io", 4242 * 2.5)))
   }
 
+  test("collectBlooms backfills filters: point lookups prune retroactively") {
+    val root = scatteredTable(bloom = false)
+    assert(SnapshotTable.readSkipping(spark, root, "id = 4242")
+      .inputFiles.length === 8) // nothing recorded yet
+    assert(SnapshotTable.collectBlooms(spark, root, Seq("id")).nonEmpty)
+    val skip = SnapshotTable.readSkipping(spark, root, "id = 4242")
+    assert(skip.inputFiles.length < 8)
+    assert(skip.collect().map(_.toSeq).toSeq ===
+      Seq(Seq(4242L, "u4242@h.io", 4242 * 2.5)))
+    // idempotent; extending preserves the recorded column
+    assert(SnapshotTable.collectBlooms(spark, root, Seq("id")).isEmpty)
+    assert(SnapshotTable.collectBlooms(spark, root, Seq("user")).nonEmpty)
+    assert(SnapshotTable.readSkipping(spark, root, "id = 4242")
+      .inputFiles.length < 8)
+    assert(SnapshotTable.readSkipping(spark, root, "user = 'u9@h.io'")
+      .inputFiles.length < 8)
+  }
+
   test("IN lists, string columns, and conjuncts compose; absent value → near-zero IO") {
     val root = scatteredTable(bloom = true)
     val full = SnapshotTable.read(spark, root)
