@@ -178,6 +178,35 @@ class GraftDmlSpec extends GraftSuite {
       Seq(("a", 1L), ("b", 2L)))
   }
 
+  test("concurrent governed MERGEs race the CAS; both land, no lost update") {
+    val cat = Files.createTempDirectory("graft-dml-race").toString + "/cat"
+    spark.conf.set("spark.sql.catalog.dmlr",
+      "graft.sources.GraftGovernedCatalog")
+    spark.conf.set("spark.sql.catalog.dmlr.root", cat)
+    graft.operators.Catalog.transactDelta(cat, Seq(("t",
+      Seq(("a", 1L, "x"), ("b", 2L, "y")).toDF("k", "n", "p"), "p")))
+    Seq(("a", 10L, "x")).toDF("k", "n", "p")
+      .createOrReplaceTempView("dmlr_s1")
+    Seq(("c", 30L, "y")).toDF("k", "n", "p")
+      .createOrReplaceTempView("dmlr_s2")
+    def merge(src: String): Unit = {
+      spark.sql(s"MERGE INTO dmlr.t t USING $src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      ()
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val both = Future.sequence(Seq(
+      Future(merge("dmlr_s1")), Future(merge("dmlr_s2"))))
+    Await.result(both, 120.seconds)
+    // the CAS loser re-staged against the winner's commit: two
+    // commits, both updates visible, nothing lost
+    assert(spark.table("dmlr.t").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 10L), ("b", 2L), ("c", 30L)))
+  }
+
   test("updateWhere composes with hidden partitioning and rename evolution") {
     import org.apache.spark.sql.functions.expr
     // a days(ts)-transformed layout: the UPDATE resolves rows through
