@@ -992,6 +992,15 @@ v$s AS (
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 3 != 1""".stripMargin,
 
+    // the version-offset streaming read (bootstrap + incremental
+    // micro-batches into a file sink) delivers every row exactly once
+    // == the plain full table
+    "stream_table_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+
     // a spec-evolved table (3/4 written under the old layout, 1/4
     // under the new) reads as the plain union of its slices — the
     // directory-layout era of a row must be answer-invisible

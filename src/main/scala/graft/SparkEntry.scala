@@ -299,6 +299,36 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
     },
+    // `readStream.format("graft")` end-to-end: a snapshot table
+    // streamed by VERSION offsets through two REAL micro-batch
+    // queries sharing one checkpoint (bootstrap snapshot, then an
+    // incremental batch of only the appended rows) into a file sink —
+    // every row arrives exactly once, so the landed files equal the
+    // plain full table (offset/replay/rate-limit/refusal proofs live
+    // in GraftStreamingSpec)
+    "stream_table_read" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-streamkey").toString
+      val (root, out, cp) = (s"$tmp/t", s"$tmp/out", s"$tmp/cp")
+      val ord = Tables.orders(s, dir)
+      def drain(): Unit = {
+        val q = s.readStream.format("graft").load(root)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(out)
+        q.awaitTermination()
+      }
+      SnapshotTable.commitAppend(
+        ord.filter(col("o_orderkey") % 3 === 1), root, "o_orderpriority")
+      drain()
+      SnapshotTable.commitAppend(
+        ord.filter(col("o_orderkey") % 3 =!= 1), root, "o_orderpriority")
+      drain()
+      s.read.parquet(out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+    },
     // SCD Type-2 dimension history (the dbt-snapshot analog): three
     // per-product latest-price snapshots fold through init + two
     // merges — changed prices close/open versions at the snapshot's

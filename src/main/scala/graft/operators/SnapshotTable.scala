@@ -1360,6 +1360,87 @@ object SnapshotTable {
     stageManifested(slice, root, partitionCol, base, append = true,
       statsCols = statsCols, bloomCols = bloomCols)
 
+  // ───────── idempotent-writer transactions (Delta SetTransaction) ─────────
+
+  /** [[commitAppend]] that additionally records an idempotent-writer
+    * stamp `(writerId, batchId)` INSIDE the staged version directory —
+    * written before the marker move, so the stamp is atomic with the
+    * commit (Delta's `SetTransaction` action / the `txnAppId` +
+    * `txnVersion` idempotent-write contract). A restarted streaming
+    * writer checks [[lastTxnBatch]] and skips batches it already
+    * landed: crash AFTER the marker move → the stamp is visible and
+    * the replay is a no-op; crash BEFORE it → the unpublished claim is
+    * [[sweepOrphans]] garbage and the replay re-commits. Exactly-once
+    * for any writer whose batch ids are monotone per `writerId` (the
+    * Structured Streaming `batchId` contract). */
+  def commitAppendTxn(slice: DataFrame, root: String, partitionCol: String,
+                      writerId: String, batchId: Long,
+                      statsCols: Seq[String] = Seq.empty,
+                      bloomCols: Seq[String] = Seq.empty): Long = {
+    require(!writerId.contains("\n"), "writerId must be newline-free")
+    val next = stageAppend(slice, root, partitionCol, latestVersion(root),
+      statsCols, bloomCols)
+    Files.writeString(Paths.get(root, s"v=$next", "_txn"),
+      s"$writerId\n$batchId")
+    moveMarker(root, next)
+    next
+  }
+
+  /** The MoR-upsert twin of [[commitAppendTxn]] (an Update-mode
+    * streaming sink: each trigger's rows REPLACE their key's older
+    * twins via [[upsertMor]]'s append + equality-delete commit —
+    * O(batch), zero table reads) with the same atomic idempotent
+    * stamp. */
+  def commitUpsertTxn(source: DataFrame, root: String, partitionCol: String,
+                      keyCols: Seq[String], writerId: String, batchId: Long,
+                      statsCols: Seq[String] = Seq.empty,
+                      bloomCols: Seq[String] = Seq.empty): Long = {
+    require(!writerId.contains("\n"), "writerId must be newline-free")
+    val next = stageUpsertMor(source, root, partitionCol, keyCols,
+      latestVersion(root), statsCols, bloomCols)
+    Files.writeString(Paths.get(root, s"v=$next", "_txn"),
+      s"$writerId\n$batchId")
+    moveMarker(root, next)
+    next
+  }
+
+  /** The full-snapshot twin of [[commitAppendTxn]] (a Complete-mode
+    * streaming sink replaces the table every trigger): stage + stamp +
+    * marker move. */
+  def commitTxn(df: DataFrame, root: String,
+                writerId: String, batchId: Long,
+                statsCols: Seq[String] = Seq.empty,
+                bloomCols: Seq[String] = Seq.empty): Long = {
+    require(!writerId.contains("\n"), "writerId must be newline-free")
+    val next = stageVersion(df, root, latestVersion(root), statsCols, bloomCols)
+    Files.writeString(Paths.get(root, s"v=$next", "_txn"),
+      s"$writerId\n$batchId")
+    moveMarker(root, next)
+    next
+  }
+
+  /** The newest batch id `writerId` has COMMITTED to this table, or
+    * None — the replay-detection read of the idempotent-write
+    * protocol. Scans version stamps newest-first (metadata-sized: one
+    * tiny file per version, no data reads), considering only versions
+    * AT OR BELOW the published marker: a claim that crashed before its
+    * marker move and a version undone by [[rollback]] both sit above
+    * it, and a replayed batch must RE-commit in exactly those states.
+    * Note [[expireSnapshots]] can eventually remove old stamped
+    * versions, but a live writer's newest stamp rides the current
+    * version, which expiry always keeps. */
+  def lastTxnBatch(root: String, writerId: String): Option[Long] = {
+    val published = latestVersion(root)
+    versions(root).filter(_ <= published).sorted.reverse.iterator.flatMap { v =>
+      val p = Paths.get(root, s"v=$v", "_txn")
+      if (!isCommitted(root, v) || !Files.exists(p)) None
+      else Files.readString(p).split("\n", 2) match {
+        case Array(w, b) if w == writerId => Some(b.trim.toLong)
+        case _ => None
+      }
+    }.nextOption()
+  }
+
   /** Row-level DELETE as a partition-pruned copy-on-write delta commit
     * (the GDPR-delete / `DELETE FROM ... WHERE` of the table formats):
     * only partitions holding matching rows are rewritten without them;

@@ -52,9 +52,38 @@ import graft.operators.SnapshotTable
   * `mode("overwrite")` commits a fresh full snapshot (time travel
   * keeps the old versions readable).
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  // ── Structured Streaming (the V1 provider path: GraftTable declares
+  // no MICRO_BATCH_READ/STREAMING_WRITE capability, so the engine
+  // falls back here — see GraftStreaming for why that is the right
+  // architecture for a V1Scan-shaped connector) ──
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(),
+      schema.getOrElse(GraftStreaming.sourceSchema(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    GraftStreaming.sourceOf(parameters, metadataPath)
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    GraftStreaming.sinkOf(parameters, partitionColumns, outputMode)
 
   // user-supplied schemas are accepted (write path: the insert carries
   // its own schema; read path: an explicit .schema(...) skips the

@@ -1,0 +1,251 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.GraftStreamBridge
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.SnapshotTable
+
+/** `spark.readStream.format("graft")` — a snapshot table as a
+  * Structured Streaming SOURCE (the Delta/Iceberg streaming-read
+  * shape): the offset is a TABLE VERSION, each micro-batch is the
+  * manifest-arithmetic incremental append scan between two versions
+  * ([[SnapshotTable.appendedBetween]] — O(new files), the corpus is
+  * never rescanned), and the engine's own offset log gives restart
+  * resume for free. Architecture is the V1 `Source` API (Delta's
+  * choice for the same reason the batch connector is a `V1Scan`:
+  * `getBatch` returns a DataFrame built from library reads, so Spark's
+  * vectorized parquet reader and codegen run unchanged — a DSv2
+  * `MicroBatchStream` would mean owning an executor-side parquet
+  * reader).
+  *
+  * Options:
+  *   - `startingVersion` (default: bootstrap) — `"latest"` streams
+  *     only versions committed after the query starts (Delta's
+  *     convention); a number N starts the stream at version N's
+  *     appends (no snapshot). Absent: the first batch is the FULL
+  *     table at the then-current version (the initial-snapshot
+  *     bootstrap), and later batches are incremental.
+  *   - `maxVersionsPerTrigger` — admission control: each trigger
+  *     consumes at most this many table versions. Best-effort on the
+  *     first trigger after a restart (the V1 source contract: rate
+  *     limits are source-tracked, not engine-tracked).
+  *
+  * Non-append-only histories (copy-on-write deltas, compactions)
+  * REFUSE loudly mid-stream exactly as Iceberg's incremental scan
+  * refuses replace snapshots — run streaming consumers below the
+  * compaction watermark. MoR deletes resolve per batch (an
+  * appended-then-deleted row never surfaces). */
+private[sources] class GraftSource(root: String, metadataPath: String,
+                                   options: CaseInsensitiveStringMap)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  override val schema: StructType = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val v = SnapshotTable.latestVersion(root)
+    require(v >= 0, s"streaming read needs a committed table at $root")
+    SnapshotTable.read(spark, root, v).schema
+  }
+
+  /** The version BEFORE the first one this stream delivers — resolved
+    * ONCE per query and persisted under the source's metadata path
+    * (the Kafka/FileStreamSource initial-offset log): without the
+    * anchor, a `startingVersion=latest` query restarted before its
+    * first batch would re-resolve "latest" and silently skip whatever
+    * landed in between. */
+  private val base: Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // the engine hands a qualified URI ("file:/…") on local filesystems
+    val uri = java.net.URI.create(metadataPath)
+    val dir = if (uri.getScheme == null) Paths.get(metadataPath)
+              else Paths.get(uri)
+    val anchor = dir.resolve("graft-base")
+    if (Files.exists(anchor)) Files.readString(anchor).trim.toLong
+    else {
+      val b = Option(options.get("startingVersion")) match {
+        case None => -1L // bootstrap: first batch = the whole table
+        case Some("latest") => SnapshotTable.latestVersion(root)
+        case Some(n) => n.toLong - 1
+      }
+      Files.createDirectories(anchor.getParent)
+      val tmp = anchor.resolveSibling(s".graft-base.tmp${System.nanoTime()}")
+      Files.writeString(tmp, b.toString)
+      Files.move(tmp, anchor, StandardCopyOption.ATOMIC_MOVE)
+      b
+    }
+  }
+
+  private val maxVersions: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+
+  // newest version handed to getBatch — the floor rate limiting counts
+  // from (re-seeded by the engine's recovery getBatch on restart)
+  private var lastEnd: Option[Long] = None
+
+  // Trigger.AvailableNow: implementing the capability OURSELVES (the
+  // FileStreamSource pattern) instead of taking the engine's generic
+  // V1 wrapper matters under rate limiting — the wrapper freezes the
+  // run's end at the source's FIRST (capped) offset, which would end
+  // an AvailableNow drain one increment in; here the end is pinned to
+  // the table version at query start and the cap just splits the way
+  // there into bounded batches. Declaring the capability routes offset
+  // discovery through latestOffset (the admission-control API) with
+  // the engine-tracked floor; getOffset below keeps the plain-Source
+  // contract for completeness.
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(SnapshotTable.latestVersion(root))
+
+  private def boundedLatest: Long = {
+    val live = SnapshotTable.latestVersion(root)
+    availableNowEnd.fold(live)(math.min(live, _))
+  }
+
+  private def nextEnd(floor: Long): Option[Long] = {
+    val latest = boundedLatest
+    if (latest < 0) return None
+    val capped = maxVersions match {
+      case Some(m) => math.min(latest, floor + math.max(m, 1L))
+      case None => latest
+    }
+    if (capped > floor) Some(capped) else None
+  }
+
+  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val floor = Option(start).map(_.json().trim.toLong).getOrElse(base)
+    nextEnd(floor).map(LongOffset(_)).orNull
+  }
+
+  override def getOffset: Option[OffsetV1] = {
+    val floor = lastEnd.getOrElse(base)
+    nextEnd(floor).map(LongOffset(_)).orElse(lastEnd.map(LongOffset(_)))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val to = end.json.trim.toLong
+    val from = start.map(_.json.trim.toLong).getOrElse(base)
+    lastEnd = Some(math.max(to, lastEnd.getOrElse(-1L)))
+    GraftStreamBridge.asStreaming(
+      SnapshotTable.appendedBetween(spark, root, from, to))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `df.writeStream.format("graft")` — a snapshot table as a
+  * Structured Streaming SINK with EXACTLY-once semantics: each
+  * micro-batch lands as one [[SnapshotTable.commitAppendTxn]] —
+  * an O(batch) partition fast-append whose `(queryId, batchId)`
+  * stamp is atomic with the commit (the Delta `SetTransaction`
+  * protocol) — so a batch replayed after a checkpoint-recovery
+  * restart is detected and skipped. Append mode requires
+  * `partitionBy` (the same contract as batch connector appends:
+  * appending to a table IS the partition fast-append); Complete mode
+  * replaces the table per trigger as a full stamped snapshot commit.
+  * `statsCols` / `bloomCols` record manifest-skipping sidecars at
+  * write, exactly as on the batch path. */
+private[sources] class GraftSink(root: String, partitionCols: Seq[String],
+                                 mode: OutputMode,
+                                 options: CaseInsensitiveStringMap)
+    extends Sink {
+
+  private val complete = mode == OutputMode.Complete()
+  private val update = mode == OutputMode.Update()
+  require(complete || update || mode == OutputMode.Append(),
+    s"graft sink supports Append, Update, or Complete, got $mode")
+
+  // Update mode = per-key upsert: each trigger's rows replace their
+  // key's older twins via the O(batch) MoR upsert commit
+  private val mergeKeys: Seq[String] = GraftDataSource.csv(options, "mergeKeys")
+  require(!update || mergeKeys.nonEmpty,
+    "Update-mode graft sink upserts by key: set " +
+      ".option(\"mergeKeys\", \"k1[,k2...]\")")
+  require(update || mergeKeys.isEmpty,
+    "mergeKeys is Update-mode only (Append never rewrites a key; " +
+      "Complete replaces the whole table)")
+
+  private val partitionSpec: Option[String] = {
+    val fromWriter = Option(partitionCols).filter(_.nonEmpty).map(_.mkString(","))
+    fromWriter.orElse(Option(options.get("partitionBy")).filter(_.nonEmpty))
+  }
+  require(complete || partitionSpec.isDefined,
+    "append/update-mode graft sink is the partition fast-append: set " +
+      ".partitionBy(<col>) or .option(\"partitionBy\", <col>)")
+
+  // stable across restarts: the streaming query id persists in the
+  // checkpoint (runId changes per restart, id does not); the literal
+  // is StreamExecution.QUERY_ID_KEY, set on the micro-batch thread
+  private def writerId(spark: org.apache.spark.sql.SparkSession): String = {
+    val explicit = Option(options.get("txnAppId"))
+    val qid = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+    "graft-sink-" + explicit.orElse(qid).getOrElse(root)
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val writer = writerId(spark)
+    if (SnapshotTable.lastTxnBatch(root, writer).exists(_ >= batchId))
+      return // checkpoint-recovery replay: already committed
+    val stats = GraftDataSource.csv(options, "statsCols")
+    val blooms = GraftDataSource.csv(options, "bloomCols")
+    val batch0 = GraftStreamBridge.asBatch(data)
+    if (complete) {
+      SnapshotTable.commitTxn(batch0, root, writer, batchId, stats, blooms)
+    } else {
+      val spec = partitionSpec.get
+      // cluster by the partition columns so each touched partition
+      // lands as ONE file per trigger (the batch write path's
+      // small-files guard); transform specs carry derived dirs the
+      // sink can't repartition by — they skip clustering
+      val identity = !spec.contains("(")
+      val batch =
+        if (identity && !"false".equalsIgnoreCase(options.get("clusterWrites")))
+          batch0.repartition(spec.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        else batch0
+      // an empty trigger commits an empty (no-op) append version —
+      // rare (the engine fires batches on offset movement), and a
+      // pre-check would execute the micro-batch plan a second time
+      if (update)
+        SnapshotTable.commitUpsertTxn(batch, root, spec, mergeKeys,
+          writer, batchId, stats, blooms)
+      else
+        SnapshotTable.commitAppendTxn(batch, root, spec, writer, batchId,
+          stats, blooms)
+    }
+  }
+
+  override def toString: String = s"GraftSink[$root]"
+}
+
+private[sources] object GraftStreaming {
+
+  def sourceOf(parameters: Map[String, String], metadataPath: String): Source = {
+    val options = new CaseInsensitiveStringMap(parameters.asJava)
+    new GraftSource(GraftDataSource.rootOf(options), metadataPath, options)
+  }
+
+  def sinkOf(parameters: Map[String, String], partitionCols: Seq[String],
+             mode: OutputMode): Sink = {
+    val options = new CaseInsensitiveStringMap(parameters.asJava)
+    new GraftSink(GraftDataSource.rootOf(options), partitionCols, mode, options)
+  }
+
+  def sourceSchema(parameters: Map[String, String]): StructType = {
+    val options = new CaseInsensitiveStringMap(parameters.asJava)
+    val root = GraftDataSource.rootOf(options)
+    val spark = org.apache.spark.sql.SparkSession.active
+    SnapshotTable.read(spark, root).schema
+  }
+}

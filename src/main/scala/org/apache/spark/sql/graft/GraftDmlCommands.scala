@@ -115,3 +115,27 @@ case class GraftUpdateCommand(target: graft.sources.GraftDml.Target,
       pred, sets.map { case (n, e) => n -> GraftDmlExec.column(e) })))
   }
 }
+
+/** The V1-streaming DataFrame bridges (third `private[sql]` use, same
+  * Delta precedent as above): a V1 [[org.apache.spark.sql.execution.streaming.Source]]
+  * must return a STREAMING-marked DataFrame from `getBatch` (the
+  * micro-batch runner asserts it), and a V1 Sink's `addBatch` hands a
+  * streaming-planned DataFrame that batch writers refuse — both
+  * conversions are `internalCreateDataFrame` over the plan's own
+  * `InternalRow` RDD (zero row copies; the RDD executes lazily inside
+  * the consuming action, so Spark's codegen/AQE run unchanged). */
+object GraftStreamBridge {
+
+  private def classic(spark: SparkSession): ClassicSession =
+    spark.asInstanceOf[ClassicSession]
+
+  /** Streaming-marked frame over a batch plan (Source.getBatch). */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    classic(df.sparkSession).internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+
+  /** Batch frame over a micro-batch's physical rows (Sink.addBatch). */
+  def asBatch(data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    classic(data.sparkSession).internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+}

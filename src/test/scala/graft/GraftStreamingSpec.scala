@@ -1,0 +1,248 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.SnapshotTable
+
+/** `format("graft")` as a Structured Streaming SOURCE and SINK: the
+  * source streams a snapshot table by VERSION offsets (bootstrap +
+  * O(new files) incremental batches, restart resume from the engine's
+  * offset log, loud refusal of non-append histories); the sink lands
+  * each micro-batch as one stamped fast-append/upsert commit with the
+  * Delta SetTransaction exactly-once protocol (forced-replay-proof). */
+class GraftStreamingSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-streamio").toString
+
+  private def seeded(dir: String): String = {
+    val root = s"$dir/t"
+    SnapshotTable.commitAppend(
+      Seq(("a", 1L, "d1"), ("b", 2L, "d1")).toDF("k", "n", "day"),
+      root, "day")
+    root
+  }
+
+  /** Drain the graft source into a parquet FILE sink (recovery-capable,
+    * unlike the memory sink, so restarts from the same checkpoint work). */
+  private def drainToFiles(root: String, cp: String, out: String,
+                           extra: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("graft")
+    extra.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(root)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+  }
+
+  test("source: bootstrap snapshot, then each restart delivers only what arrived") {
+    val dir = tmp(); val root = seeded(dir); val cp = s"$dir/cp"
+    val out = s"$dir/out"
+
+    drainToFiles(root, cp, out)
+    val boot = spark.read.parquet(out)
+    assert(boot.count() === 2)
+    assert(boot.columns.toSeq === Seq("k", "n", "day"))
+
+    // two appends land; the next run (same checkpoint) delivers ONLY
+    // them — the cumulative sink holds each row exactly once
+    SnapshotTable.commitAppend(Seq(("c", 3L, "d2")).toDF("k", "n", "day"),
+      root, "day")
+    SnapshotTable.commitAppend(Seq(("d", 4L, "d2")).toDF("k", "n", "day"),
+      root, "day")
+    drainToFiles(root, cp, out)
+    assert(spark.read.parquet(out).count() === 4)
+
+    // nothing new: a no-op run
+    drainToFiles(root, cp, out)
+    assert(spark.read.parquet(out).count() === 4)
+    assert(spark.read.parquet(out).select("k").as[String].collect().sorted
+      === Array("a", "b", "c", "d"))
+  }
+
+  test("source: startingVersion=latest skips existing data; a number starts mid-history") {
+    val dir = tmp(); val root = seeded(dir)
+
+    // latest: the seed snapshot is skipped; only the later append flows
+    drainToFiles(root, s"$dir/cpL", s"$dir/outL",
+      Map("startingVersion" -> "latest"))
+    SnapshotTable.commitAppend(Seq(("c", 3L, "d2")).toDF("k", "n", "day"),
+      root, "day") // v1
+    drainToFiles(root, s"$dir/cpL", s"$dir/outL",
+      Map("startingVersion" -> "latest"))
+    assert(spark.read.parquet(s"$dir/outL").select("k").as[String]
+      .collect().toSeq === Seq("c"))
+
+    // startingVersion=1 → version 1's appends onward, no snapshot
+    drainToFiles(root, s"$dir/cpN", s"$dir/outN",
+      Map("startingVersion" -> "1"))
+    assert(spark.read.parquet(s"$dir/outN").select("k").as[String]
+      .collect().toSeq === Seq("c"))
+  }
+
+  test("source: maxVersionsPerTrigger splits a backlog into rate-limited batches") {
+    val dir = tmp(); val root = seeded(dir); val cp = s"$dir/cp"
+    for (i <- 2 to 4)
+      SnapshotTable.commitAppend(
+        Seq((s"k$i", i.toLong, "d2")).toDF("k", "n", "day"), root, "day")
+
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1")
+      .load(root)
+      .writeStream.format("memory").queryName("gs_rate")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every row arrives exactly once…
+    assert(spark.table("gs_rate").count() === 5)
+    // …across MULTIPLE rate-limited batches (bootstrap v0, then v1..v3)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected a split backlog, got $batches batches")
+  }
+
+  test("source: a non-append-only history refuses loudly mid-stream") {
+    val dir = tmp(); val root = seeded(dir); val cp = s"$dir/cp"
+    drainToFiles(root, cp, s"$dir/out")
+
+    // a copy-on-write delete rewrites d1's entries: incremental
+    // consumers below the compaction watermark must fail, not misread
+    SnapshotTable.deleteWhere(spark, root, "day", col("k") === "a")
+    SnapshotTable.commitAppend(Seq(("e", 5L, "d3")).toDF("k", "n", "day"),
+      root, "day")
+    val ex = intercept[Exception] {
+      drainToFiles(root, cp, s"$dir/out")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("not append-only")), ex.toString)
+  }
+
+  test("sink: file stream → stamped fast-appends; restart and forced replay stay exactly-once") {
+    val dir = tmp()
+    val (src, dest, cp) = (s"$dir/src", s"$dir/dst", s"$dir/cp")
+    val half1 = Seq(("a", 1L, "d1"), ("b", 2L, "d2")).toDF("k", "n", "day")
+    half1.write.mode("overwrite").parquet(src)
+    val sch = spark.read.parquet(src).schema
+
+    def run(): Unit = {
+      val q = spark.readStream.schema(sch).parquet(src)
+        .writeStream.format("graft")
+        .partitionBy("day")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start(dest)
+      q.awaitTermination()
+    }
+
+    run()
+    assert(SnapshotTable.read(spark, dest).count() === 2)
+    val v1 = SnapshotTable.latestVersion(dest)
+
+    // restart with one new file: ONE new stamped append of just it
+    Seq(("c", 3L, "d1")).toDF("k", "n", "day")
+      .write.mode("append").parquet(src)
+    run()
+    assert(SnapshotTable.read(spark, dest).count() === 3)
+    assert(SnapshotTable.latestVersion(dest) === v1 + 1)
+
+    // forced replay: drop the last engine commit marker (and its crc
+    // sidecar) so the final batch re-runs with identical input — the
+    // (queryId, batchId) stamp makes it a skip, not a double append
+    val commits = Paths.get(cp, "commits")
+    val names = new scala.collection.mutable.ArrayBuffer[Path]
+    Files.list(commits).iterator()
+      .forEachRemaining(p => if (!p.getFileName.toString.startsWith("."))
+        names += p)
+    val newest = names.maxBy(_.getFileName.toString.toLong)
+    Files.delete(newest)
+    Files.deleteIfExists(
+      newest.resolveSibling("." + newest.getFileName.toString + ".crc"))
+    run()
+    assert(SnapshotTable.read(spark, dest).count() === 3)
+    assert(SnapshotTable.latestVersion(dest) === v1 + 1)
+
+    // restart with nothing new: no version churn
+    run()
+    assert(SnapshotTable.latestVersion(dest) === v1 + 1)
+  }
+
+  test("sink: Update mode upserts by key via the O(batch) MoR commit") {
+    val dir = tmp()
+    val (src, dest, cp) = (s"$dir/src", s"$dir/dst", s"$dir/cp")
+    Seq(("a", 1L, "d1"), ("b", 1L, "d1")).toDF("k", "n", "day")
+      .write.mode("overwrite").parquet(src)
+    val sch = spark.read.parquet(src).schema
+
+    def run(): Unit = {
+      val q = spark.readStream.schema(sch).parquet(src)
+        .writeStream.format("graft")
+        .outputMode("update")
+        .partitionBy("day")
+        .option("mergeKeys", "k")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start(dest)
+      q.awaitTermination()
+    }
+
+    run()
+    assert(SnapshotTable.read(spark, dest).count() === 2)
+
+    // a second batch re-keys a: its older twin dies, b survives, and
+    // existing data files are untouched (equality-delete sidecar)
+    Seq(("a", 2L, "d2")).toDF("k", "n", "day")
+      .write.mode("append").parquet(src)
+    run()
+    val out = SnapshotTable.read(spark, dest)
+      .select("k", "n").as[(String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("graft→graft pipe: a table streams into another table exactly once") {
+    val dir = tmp(); val root = seeded(dir)
+    val (dest, cp) = (s"$dir/mirror", s"$dir/cp")
+
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.format("graft")
+        .option("partitionBy", "day")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start(dest)
+      q.awaitTermination()
+    }
+
+    pipe()
+    SnapshotTable.commitAppend(Seq(("c", 3L, "d2")).toDF("k", "n", "day"),
+      root, "day")
+    pipe()
+    val got = SnapshotTable.read(spark, dest)
+    val want = SnapshotTable.read(spark, root)
+    assert(got.count() === 3)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("library protocol: lastTxnBatch ignores rolled-back and unpublished stamps") {
+    val dir = tmp(); val root = s"$dir/t"
+    val df = Seq(("a", 1L, "d1")).toDF("k", "n", "day")
+    SnapshotTable.commitAppendTxn(df, root, "day", "w1", 0L)
+    SnapshotTable.commitAppendTxn(
+      Seq(("b", 2L, "d1")).toDF("k", "n", "day"), root, "day", "w1", 1L)
+    assert(SnapshotTable.lastTxnBatch(root, "w1") === Some(1L))
+    assert(SnapshotTable.lastTxnBatch(root, "other") === None)
+
+    // rollback: the undone stamp must NOT mask a replay — the batch
+    // has to re-commit to be visible again
+    SnapshotTable.rollback(root, 0L)
+    assert(SnapshotTable.lastTxnBatch(root, "w1") === Some(0L))
+  }
+}
