@@ -2659,12 +2659,49 @@ object SnapshotTable {
       .map(decodeReportedPath) ++
       transformRefuted(spark, root, v, candidates, parsed)
     val kept = candidates.filterNot(refuted)
-    val rowFilter = expr(predicate)
+    scanKeptFiles(spark, root, v, kept, Some(expr(predicate)))
+  }
+
+  /** LIMIT-driven file pruning (the connector's `SupportsPushDownLimit`
+    * target): a scan over the FEWEST recorded-count files whose row
+    * total guarantees `minRows` (largest files first), or the plain
+    * read when the guarantee is unreachable. Sound because any file
+    * subset is a superset of some valid LIMIT answer once its
+    * GUARANTEED total reaches `minRows`: uncounted files contribute no
+    * guarantee (they are dropped only when the counted subset already
+    * covers), any live MoR delete sidecar disables pruning entirely (a
+    * delete may hollow out any file), and the caller re-applies its own
+    * LIMIT above the scan. */
+  def readLimit(spark: SparkSession, root: String, minRows: Long,
+                version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    if (minRows <= 0 || deleteEntries(root, v).nonEmpty ||
+        eqDeleteEntries(root, v).nonEmpty)
+      return read(spark, root, v)
+    val (candidates, counted) = countedFiles(spark, root, v)
+    val known = candidates.filter(counted.contains)
+      .sortBy(f => (-counted(f), f))
+    var sum = 0L
+    val taken = known.takeWhile { f =>
+      val need = sum < minRows; if (need) sum += counted(f); need
+    }
+    if (sum < minRows || taken.size >= candidates.size)
+      read(spark, root, v)
+    else scanKeptFiles(spark, root, v, taken, None)
+  }
+
+  /** The shared pruned-file scan of [[readSkipping]] / [[readLimit]]:
+    * read exactly `kept` (root-relative data files) under version
+    * `v`'s schema/era/delete semantics, applying `rowFilter` above. */
+  private def scanKeptFiles(spark: SparkSession, root: String, v: Long,
+                            kept: Seq[String],
+                            rowFilter: Option[Column]): DataFrame = {
+    def filtered(df: DataFrame): DataFrame = rowFilter.fold(df)(df.filter)
     if (kept.isEmpty) {
       val schema = read(spark, root, v).schema
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .filter(rowFilter)
+      return filtered(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     }
     // mirror read()'s manifested path: schema from version metadata,
     // basePath-rooted union so partition columns resolve; the storage
@@ -2685,8 +2722,7 @@ object SnapshotTable {
     val eras = eraProjections(spark, root, v,
       kept.map(f => (f, svOf(f))), withPos = dels.nonEmpty || eqs.nonEmpty)
     if (eras.isDefined)
-      return resolveDeletes(spark, root, dels, eqs, eras.get)
-        .filter(rowFilter)
+      return filtered(resolveDeletes(spark, root, dels, eqs, eras.get))
     val keptGroups: Seq[(Option[String], Seq[String])] =
       if (!vCollision)
         kept.groupBy(f => partitionSpecAt(root, svOf(f)))
@@ -2710,8 +2746,8 @@ object SnapshotTable {
         else base
       hide(if (!vCollision) b2.drop("v") else b2)
     }
-    resolveDeletes(spark, root, dels, eqs,
-      scans.reduce(_.unionByName(_))).filter(rowFilter)
+    filtered(resolveDeletes(spark, root, dels, eqs,
+      scans.reduce(_.unionByName(_))))
   }
 
   // ───────────────── crash-leftover GC (orphan sweep) ─────────────────

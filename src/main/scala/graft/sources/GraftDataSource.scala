@@ -416,6 +416,7 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
                                         fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -424,6 +425,7 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var limit: Option[Int] = None
   private var aggResult: Option[(StructType, Row)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -432,6 +434,19 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  // LIMIT over a bare scan prunes FILES via the recorded per-file row
+  // counts (readLimit: fewest counted files whose total guarantees the
+  // limit). Under a filter the post-filter row count of a file is
+  // unknowable from metadata, so the push declines. Always PARTIAL:
+  // Spark keeps its own limit above the scan, pruning is IO-only.
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.nonEmpty) return false
+    limit = Some(n)
+    true
+  }
+
+  override def isPartiallyPushed: Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -495,7 +510,7 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
     case Some((schema, row)) => new GraftAggScan(root, version, schema, row)
     case None =>
       new GraftScan(root, version,
-        GraftDataSource.predicateSql(pushed.toSeq), required)
+        GraftDataSource.predicateSql(pushed.toSeq), required, limit)
   }
 }
 
@@ -521,16 +536,18 @@ private[sources] class GraftAggScan(root: String, version: Long,
 
 private[sources] class GraftScan(root: String, version: Long,
                                  predicate: Option[String],
-                                 required: StructType) extends V1Scan {
+                                 required: StructType,
+                                 limit: Option[Int] = None) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"GraftScan root=$root v=$version skip=${predicate.getOrElse("-")}"
+    s"GraftScan root=$root v=$version skip=${predicate.getOrElse("-")}" +
+      limit.fold("")(n => s" limit=$n")
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftRelation(context, root, version, predicate, required)
+    new GraftRelation(context, root, version, predicate, required, limit)
       .asInstanceOf[T]
 }
 
@@ -540,7 +557,8 @@ private[sources] class GraftScan(root: String, version: Long,
 private[sources] class GraftRelation(ctx: SQLContext, root: String,
                                      version: Long,
                                      predicate: Option[String],
-                                     required: StructType)
+                                     required: StructType,
+                                     limit: Option[Int] = None)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -557,9 +575,10 @@ private[sources] class GraftRelation(ctx: SQLContext, root: String,
 
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
-    val base = predicate match {
-      case Some(p) => SnapshotTable.readSkipping(spark, root, p, version)
-      case None => SnapshotTable.read(spark, root, version)
+    val base = (predicate, limit) match {
+      case (Some(p), _) => SnapshotTable.readSkipping(spark, root, p, version)
+      case (None, Some(n)) => SnapshotTable.readLimit(spark, root, n, version)
+      case _ => SnapshotTable.read(spark, root, version)
     }
     base.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
   }

@@ -277,4 +277,44 @@ class GraftDataSourceSpec extends GraftSuite {
       .contains("StringStartsWith(tag,N-1)"))
     assert(q.count() === li.filter(col("tag").startsWith("N-1")).count())
   }
+
+  test("LIMIT prunes files via recorded row counts; unneeded files never opened") {
+    val root = tmp("graft-ds-limit")
+    val li = Tables.lineitem(spark, sf)
+      .repartitionByRange(4, col("l_orderkey"))
+    li.write.format("graft").option("statsCols", "l_orderkey")
+      .mode("overwrite").save(root)
+
+    // corrupt every file EXCEPT the largest: a bare LIMIT within the
+    // largest file's recorded rows must open ONLY that file — success
+    // is the behavioral proof of the metadata-driven pruning
+    val stats = spark.read.parquet(s"$root/v=0/_stats")
+      .select("_file", "__rows").collect()
+      .sortBy(r => (-r.getLong(1), r.getString(0)))
+    val keepRows = stats.head.getLong(1)
+    stats.tail.foreach { r =>
+      val rel = r.getString(0)
+      Files.write(Paths.get(root, rel.substring(rel.indexOf("v=0/"))),
+        "not parquet".getBytes)
+    }
+
+    // explicit schema: inference would read an arbitrary footer (and
+    // may pick a corrupted one) — the test measures the SCAN's IO
+    val df = spark.read.format("graft").schema(li.schema).load(root)
+    val n = math.min(5L, keepRows).toInt
+    assert(df.limit(n).count() === n)
+    assert(df.limit(n).select("l_orderkey").count() === n)
+
+    // a limit the counted coverage cannot guarantee falls back to the
+    // full read — which must hit a corrupt file (soundness: pruning
+    // never drops files the limit might need)
+    intercept[Exception] {
+      df.limit((li.count() + 10).toInt).agg(sum("l_quantity")).first()
+    }
+    // and a filtered limit declines the push entirely (post-filter
+    // counts are unknowable from metadata): full scan → corrupt file
+    intercept[Exception] {
+      df.filter(col("l_quantity") >= 0).limit(n).agg(count(lit(1))).first()
+    }
+  }
 }
