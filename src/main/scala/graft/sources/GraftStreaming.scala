@@ -60,27 +60,13 @@ private[sources] class GraftSource(root: String, metadataPath: String,
     * anchor, a `startingVersion=latest` query restarted before its
     * first batch would re-resolve "latest" and silently skip whatever
     * landed in between. */
-  private val base: Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    // the engine hands a qualified URI ("file:/…") on local filesystems
-    val uri = java.net.URI.create(metadataPath)
-    val dir = if (uri.getScheme == null) Paths.get(metadataPath)
-              else Paths.get(uri)
-    val anchor = dir.resolve("graft-base")
-    if (Files.exists(anchor)) Files.readString(anchor).trim.toLong
-    else {
-      val b = Option(options.get("startingVersion")) match {
-        case None => -1L // bootstrap: first batch = the whole table
-        case Some("latest") => SnapshotTable.latestVersion(root)
-        case Some(n) => n.toLong - 1
-      }
-      Files.createDirectories(anchor.getParent)
-      val tmp = anchor.resolveSibling(s".graft-base.tmp${System.nanoTime()}")
-      Files.writeString(tmp, b.toString)
-      Files.move(tmp, anchor, StandardCopyOption.ATOMIC_MOVE)
-      b
+  private val base: Long = GraftStreaming.persistedBase(metadataPath, {
+    Option(options.get("startingVersion")) match {
+      case None => -1L // bootstrap: first batch = the whole table
+      case Some("latest") => SnapshotTable.latestVersion(root)
+      case Some(n) => n.toLong - 1
     }
-  }
+  })
 
   private val maxVersions: Option[Long] =
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
@@ -229,23 +215,204 @@ private[sources] class GraftSink(root: String, partitionCols: Seq[String],
   override def toString: String = s"GraftSink[$root]"
 }
 
+/** Streaming a GOVERNED catalog table (the Nessie+Iceberg consumer
+  * shape): `.option("catalog", <catalog root>).load(<table name>)` —
+  * the offset is a CATALOG COMMIT id, and each micro-batch is the
+  * incremental append scan between the table's versions at the two
+  * commits. Because the offset is the catalog's atomicity unit, a
+  * consumer joining several tables at the same offset sees a
+  * CONSISTENT cross-table state; commits that did not touch this
+  * table deliver empty batches for free (version arithmetic, no IO).
+  * `startingVersion`/`maxVersionsPerTrigger` mean commit ids here;
+  * the same non-append refusal applies (run consumers below the
+  * compaction watermark — [[graft.operators.Catalog.compactTable]]
+  * breaks append arithmetic exactly like table-level compaction). */
+private[sources] class GraftGovernedSource(cat: String, table: String,
+                                           metadataPath: String,
+                                           options: CaseInsensitiveStringMap)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import graft.operators.Catalog
+
+  override val schema: StructType = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(Catalog.latestCommit(cat) >= 0 &&
+      Catalog.tableVersions(cat).contains(table),
+      s"streaming read needs table '$table' in a committed catalog at $cat")
+    Catalog.read(spark, cat, table).schema
+  }
+
+  private val base: Long = GraftStreaming.persistedBase(metadataPath, {
+    Option(options.get("startingVersion")) match {
+      case None => -1L
+      case Some("latest") => Catalog.latestCommit(cat)
+      case Some(n) => n.toLong - 1
+    }
+  })
+
+  private val maxCommits: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+
+  private var lastEnd: Option[Long] = None
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(Catalog.latestCommit(cat))
+
+  private def nextEnd(floor: Long): Option[Long] = {
+    val live = Catalog.latestCommit(cat)
+    val latest = availableNowEnd.fold(live)(math.min(live, _))
+    if (latest < 0) return None
+    val capped = maxCommits match {
+      case Some(m) => math.min(latest, floor + math.max(m, 1L))
+      case None => latest
+    }
+    if (capped > floor) Some(capped) else None
+  }
+
+  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val floor = Option(start).map(_.json().trim.toLong).getOrElse(base)
+    nextEnd(floor).map(LongOffset(_)).orNull
+  }
+
+  override def getOffset: Option[OffsetV1] = {
+    val floor = lastEnd.getOrElse(base)
+    nextEnd(floor).map(LongOffset(_)).orElse(lastEnd.map(LongOffset(_)))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val toCommit = end.json.trim.toLong
+    val fromCommit = start.map(_.json.trim.toLong).getOrElse(base)
+    lastEnd = Some(math.max(toCommit, lastEnd.getOrElse(-1L)))
+    val toV = Catalog.tableVersions(cat, toCommit).getOrElse(table, -1L)
+    val fromV =
+      if (fromCommit < 0) -1L
+      else Catalog.tableVersions(cat, fromCommit).getOrElse(table, -1L)
+    val root = Catalog.tableRoot(cat, table)
+    val batch =
+      if (toV < 0 || toV == fromV) // commits that never touched the table
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else SnapshotTable.appendedBetween(spark, root, fromV, toV)
+    GraftStreamBridge.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** The governed streaming SINK: each micro-batch publishes as ONE
+  * atomic catalog commit carrying the appended/upserted rows AND the
+  * advanced batch id ([[graft.streaming.GovernedStream.commitBatch]] /
+  * `commitUpsertBatch` — the `_stream_state` exactly-once protocol, so
+  * replay detection is the CATALOG's, not a table stamp). Append mode
+  * = partition fast-append, Update mode = per-key MoR upsert
+  * (`mergeKeys`); Complete refuses (a full-table replace per trigger
+  * is a batch `Catalog.transact`, not a streaming shape). */
+private[sources] class GraftGovernedSink(cat: String, table: String,
+                                         partitionCols: Seq[String],
+                                         mode: OutputMode,
+                                         options: CaseInsensitiveStringMap)
+    extends Sink {
+
+  private val update = mode == OutputMode.Update()
+  require(update || mode == OutputMode.Append(),
+    s"governed graft sink supports Append or Update, got $mode")
+
+  private val mergeKeys: Seq[String] = GraftDataSource.csv(options, "mergeKeys")
+  require(!update || mergeKeys.nonEmpty,
+    "Update-mode governed sink upserts by key: set " +
+      ".option(\"mergeKeys\", \"k1[,k2...]\")")
+
+  private val partitionSpec: String = {
+    val fromWriter = Option(partitionCols).filter(_.nonEmpty).map(_.mkString(","))
+    fromWriter.orElse(Option(options.get("partitionBy")).filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        "governed graft sink appends by partition: set " +
+          ".partitionBy(<col>) or .option(\"partitionBy\", <col>)"))
+  }
+
+  private def sourceId(spark: org.apache.spark.sql.SparkSession): String = {
+    val explicit = Option(options.get("txnAppId"))
+    val qid = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+    s"graft-sink-$table-" + explicit.orElse(qid).getOrElse(cat)
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = GraftStreamBridge.asBatch(data)
+    if (update)
+      graft.streaming.GovernedStream.commitUpsertBatch(spark, cat, table,
+        partitionSpec, mergeKeys, sourceId(spark), batchId, batch)
+    else
+      graft.streaming.GovernedStream.commitBatch(spark, cat,
+        sourceId(spark), batchId, batch, table, partitionSpec)
+  }
+
+  override def toString: String = s"GraftGovernedSink[$cat/$table]"
+}
+
 private[sources] object GraftStreaming {
+
+  /** Resolve-once-and-persist for a stream's starting point (the
+    * Kafka/FileStreamSource initial-offset log; see [[GraftSource]]'s
+    * `base` doc for why `latest` must not re-resolve on restart). */
+  private[sources] def persistedBase(metadataPath: String,
+                                     resolve: => Long): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // the engine hands a qualified URI ("file:/…") on local filesystems
+    val uri = java.net.URI.create(metadataPath)
+    val dir = if (uri.getScheme == null) Paths.get(metadataPath)
+              else Paths.get(uri)
+    val anchor = dir.resolve("graft-base")
+    if (Files.exists(anchor)) Files.readString(anchor).trim.toLong
+    else {
+      val b = resolve
+      Files.createDirectories(anchor.getParent)
+      val tmp = anchor.resolveSibling(s".graft-base.tmp${System.nanoTime()}")
+      Files.writeString(tmp, b.toString)
+      Files.move(tmp, anchor, StandardCopyOption.ATOMIC_MOVE)
+      b
+    }
+  }
+
+  private def governed(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("catalog")).filter(_.nonEmpty)
 
   def sourceOf(parameters: Map[String, String], metadataPath: String): Source = {
     val options = new CaseInsensitiveStringMap(parameters.asJava)
-    new GraftSource(GraftDataSource.rootOf(options), metadataPath, options)
+    governed(options) match {
+      case Some(cat) =>
+        new GraftGovernedSource(cat, GraftDataSource.rootOf(options),
+          metadataPath, options)
+      case None =>
+        new GraftSource(GraftDataSource.rootOf(options), metadataPath, options)
+    }
   }
 
   def sinkOf(parameters: Map[String, String], partitionCols: Seq[String],
              mode: OutputMode): Sink = {
     val options = new CaseInsensitiveStringMap(parameters.asJava)
-    new GraftSink(GraftDataSource.rootOf(options), partitionCols, mode, options)
+    governed(options) match {
+      case Some(cat) =>
+        new GraftGovernedSink(cat, GraftDataSource.rootOf(options),
+          partitionCols, mode, options)
+      case None =>
+        new GraftSink(GraftDataSource.rootOf(options), partitionCols, mode,
+          options)
+    }
   }
 
   def sourceSchema(parameters: Map[String, String]): StructType = {
     val options = new CaseInsensitiveStringMap(parameters.asJava)
     val root = GraftDataSource.rootOf(options)
     val spark = org.apache.spark.sql.SparkSession.active
-    SnapshotTable.read(spark, root).schema
+    governed(options) match {
+      case Some(cat) => graft.operators.Catalog.read(spark, cat, root).schema
+      case None => SnapshotTable.read(spark, root).schema
+    }
   }
 }

@@ -231,6 +231,89 @@ class GraftStreamingSpec extends GraftSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("governed source: catalog-commit offsets deliver appends; untouched commits are empty") {
+    import graft.operators.Catalog
+    import graft.streaming.GovernedStream
+    val dir = tmp(); val cat = s"$dir/cat"
+    val (cp, out) = (s"$dir/cp", s"$dir/out")
+    def batch(k: String, n: Long) = Seq((k, n, "d1")).toDF("k", "n", "day")
+    GovernedStream.commitBatch(spark, cat, "seed", 0L, batch("a", 1L),
+      table = "bronze", partitionCol = "day")
+    GovernedStream.commitBatch(spark, cat, "seed", 1L, batch("b", 2L),
+      table = "bronze", partitionCol = "day")
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").option("catalog", cat)
+        .load("bronze")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    }
+
+    drain()
+    assert(spark.read.parquet(out).count() === 2)
+
+    // a commit that never touches bronze: the stream sees an empty
+    // batch from version arithmetic, no duplicate delivery
+    Catalog.transact(cat, Seq("other" -> Seq((9L, "x")).toDF("id", "v")))
+    drain()
+    assert(spark.read.parquet(out).count() === 2)
+
+    GovernedStream.commitBatch(spark, cat, "seed", 2L, batch("c", 3L),
+      table = "bronze", partitionCol = "day")
+    drain()
+    assert(spark.read.parquet(out).select("k").as[String].collect().sorted
+      === Array("a", "b", "c"))
+  }
+
+  test("governed sink: micro-batches publish as atomic catalog commits exactly once") {
+    import graft.operators.Catalog
+    val dir = tmp()
+    val (src, cat, cp) = (s"$dir/src", s"$dir/cat", s"$dir/cp")
+    Seq(("a", 1L, "d1"), ("b", 2L, "d2")).toDF("k", "n", "day")
+      .write.mode("overwrite").parquet(src)
+    val sch = spark.read.parquet(src).schema
+
+    def run(): Unit = {
+      val q = spark.readStream.schema(sch).parquet(src)
+        .writeStream.format("graft")
+        .option("catalog", cat)
+        .option("partitionBy", "day")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start("trades")
+      q.awaitTermination()
+    }
+
+    run()
+    assert(Catalog.read(spark, cat, "trades").count() === 2)
+    val c1 = Catalog.latestCommit(cat)
+
+    // restart with one new file: ONE new atomic commit of just it
+    Seq(("c", 3L, "d1")).toDF("k", "n", "day")
+      .write.mode("append").parquet(src)
+    run()
+    assert(Catalog.read(spark, cat, "trades").count() === 3)
+    assert(Catalog.latestCommit(cat) === c1 + 1)
+
+    // forced replay: drop the engine's last commit marker — the
+    // catalog's _stream_state batch id makes the replay a skip
+    val commits = Paths.get(cp, "commits")
+    val names = new scala.collection.mutable.ArrayBuffer[Path]
+    Files.list(commits).iterator()
+      .forEachRemaining(p => if (!p.getFileName.toString.startsWith("."))
+        names += p)
+    val newest = names.maxBy(_.getFileName.toString.toLong)
+    Files.delete(newest)
+    Files.deleteIfExists(
+      newest.resolveSibling("." + newest.getFileName.toString + ".crc"))
+    run()
+    assert(Catalog.read(spark, cat, "trades").count() === 3)
+    assert(Catalog.latestCommit(cat) === c1 + 1)
+  }
+
   test("library protocol: lastTxnBatch ignores rolled-back and unpublished stamps") {
     val dir = tmp(); val root = s"$dir/t"
     val df = Seq(("a", 1L, "d1")).toDF("k", "n", "day")
