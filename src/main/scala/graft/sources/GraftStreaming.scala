@@ -47,12 +47,32 @@ private[sources] class GraftSource(root: String, metadataPath: String,
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  override val schema: StructType = {
+  /** CDC mode (`readChangeFeed=true` + `changeKey` — the Delta CDF
+    * readStream shape): batches are the keyed row-diff feed
+    * ([[SnapshotTable.changes]]: insert / delete / update pre+post
+    * images, `_change_type` + `_commit_version` appended), the
+    * bootstrap delivers the whole table as inserts, and — unlike the
+    * append feed — NON-append histories (upserts, deletes,
+    * compactions) stream through instead of refusing, at the
+    * two-snapshot-join price per batch. */
+  private val cdcKey: Option[String] = {
+    val cdc = "true".equalsIgnoreCase(options.get("readChangeFeed"))
+    val k = Option(options.get("changeKey")).filter(_.nonEmpty)
+    require(!cdc || k.isDefined,
+      "readChangeFeed needs .option(\"changeKey\", <key column>) — " +
+        "the row identity the diff is keyed by")
+    if (cdc) k else None
+  }
+
+  private val baseSchema: StructType = {
     val spark = org.apache.spark.sql.SparkSession.active
     val v = SnapshotTable.latestVersion(root)
     require(v >= 0, s"streaming read needs a committed table at $root")
     SnapshotTable.read(spark, root, v).schema
   }
+
+  override val schema: StructType =
+    if (cdcKey.isEmpty) baseSchema else GraftStreaming.cdcSchema(baseSchema)
 
   /** The version BEFORE the first one this stream delivers — resolved
     * ONCE per query and persisted under the source's metadata path
@@ -122,8 +142,13 @@ private[sources] class GraftSource(root: String, metadataPath: String,
     val to = end.json.trim.toLong
     val from = start.map(_.json.trim.toLong).getOrElse(base)
     lastEnd = Some(math.max(to, lastEnd.getOrElse(-1L)))
-    GraftStreamBridge.asStreaming(
-      SnapshotTable.appendedBetween(spark, root, from, to))
+    val batch = cdcKey match {
+      case Some(k) =>
+        GraftStreaming.cdcFrame(spark, root, k, from, to,
+          baseSchema.fieldNames.toIndexedSeq)
+      case None => SnapshotTable.appendedBetween(spark, root, from, to)
+    }
+    GraftStreamBridge.asStreaming(batch)
   }
 
   override def stop(): Unit = ()
@@ -235,13 +260,25 @@ private[sources] class GraftGovernedSource(cat: String, table: String,
 
   import graft.operators.Catalog
 
-  override val schema: StructType = {
+  private val cdcKey: Option[String] = {
+    val cdc = "true".equalsIgnoreCase(options.get("readChangeFeed"))
+    val k = Option(options.get("changeKey")).filter(_.nonEmpty)
+    require(!cdc || k.isDefined,
+      "readChangeFeed needs .option(\"changeKey\", <key column>) — " +
+        "the row identity the diff is keyed by")
+    if (cdc) k else None
+  }
+
+  private val baseSchema: StructType = {
     val spark = org.apache.spark.sql.SparkSession.active
     require(Catalog.latestCommit(cat) >= 0 &&
       Catalog.tableVersions(cat).contains(table),
       s"streaming read needs table '$table' in a committed catalog at $cat")
     Catalog.read(spark, cat, table).schema
   }
+
+  override val schema: StructType =
+    if (cdcKey.isEmpty) baseSchema else GraftStreaming.cdcSchema(baseSchema)
 
   private val base: Long = GraftStreaming.persistedBase(metadataPath, {
     Option(options.get("startingVersion")) match {
@@ -297,7 +334,11 @@ private[sources] class GraftGovernedSource(cat: String, table: String,
       if (toV < 0 || toV == fromV) // commits that never touched the table
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else SnapshotTable.appendedBetween(spark, root, fromV, toV)
+      else cdcKey match {
+        case Some(k) => GraftStreaming.cdcFrame(spark, root, k, fromV, toV,
+          baseSchema.fieldNames.toIndexedSeq)
+        case None => SnapshotTable.appendedBetween(spark, root, fromV, toV)
+      }
     GraftStreamBridge.asStreaming(batch)
   }
 
@@ -327,6 +368,14 @@ private[sources] class GraftGovernedSink(cat: String, table: String,
     "Update-mode governed sink upserts by key: set " +
       ".option(\"mergeKeys\", \"k1[,k2...]\")")
 
+  // full Debezium-shaped input: rows whose `cdcOps` column is "d" are
+  // delete tombstones (their keys land as an equality-delete sidecar),
+  // everything else upserts — one atomic commit per batch
+  private val cdcOps: Option[String] =
+    Option(options.get("cdcOps")).filter(_.nonEmpty)
+  require(cdcOps.isEmpty || update,
+    "cdcOps (delete tombstones) is Update-mode only")
+
   private val partitionSpec: String = {
     val fromWriter = Option(partitionCols).filter(_.nonEmpty).map(_.mkString(","))
     fromWriter.orElse(Option(options.get("partitionBy")).filter(_.nonEmpty))
@@ -342,20 +391,59 @@ private[sources] class GraftGovernedSink(cat: String, table: String,
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
     val spark = data.sparkSession
     val batch = GraftStreamBridge.asBatch(data)
-    if (update)
-      graft.streaming.GovernedStream.commitUpsertBatch(spark, cat, table,
-        partitionSpec, mergeKeys, sourceId(spark), batchId, batch)
-    else
-      graft.streaming.GovernedStream.commitBatch(spark, cat,
-        sourceId(spark), batchId, batch, table, partitionSpec)
+    (update, cdcOps) match {
+      case (true, Some(op)) =>
+        // the split consumes the micro-batch twice — persist so the
+        // streaming plan executes once
+        val cached = batch.persist()
+        try graft.streaming.GovernedStream.commitCdcBatch(spark, cat, table,
+          partitionSpec, mergeKeys, sourceId(spark), batchId,
+          upserts = cached.filter(col(op) =!= "d").drop(op),
+          deleteKeys = cached.filter(col(op) === "d")
+            .select(mergeKeys.map(col): _*))
+        finally cached.unpersist()
+      case (true, None) =>
+        graft.streaming.GovernedStream.commitUpsertBatch(spark, cat, table,
+          partitionSpec, mergeKeys, sourceId(spark), batchId, batch)
+      case _ =>
+        graft.streaming.GovernedStream.commitBatch(spark, cat,
+          sourceId(spark), batchId, batch, table, partitionSpec)
+    }
   }
 
   override def toString: String = s"GraftGovernedSink[$cat/$table]"
 }
 
 private[sources] object GraftStreaming {
+
+  private[sources] def cdcSchema(base: StructType): StructType =
+    base.add("_change_type", org.apache.spark.sql.types.StringType,
+        nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType,
+        nullable = false)
+
+  /** One CDC micro-batch: the keyed diff between two versions, or the
+    * whole-table-as-inserts bootstrap; column order pinned to the base
+    * read schema + the two feed columns (`changes` fronts the key —
+    * the streaming engine aligns batches by POSITION, so every batch
+    * must share one order). */
+  private[sources] def cdcFrame(spark: org.apache.spark.sql.SparkSession,
+                                root: String, key: String,
+                                from: Long, to: Long,
+                                baseCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val feed =
+      if (from < 0)
+        SnapshotTable.read(spark, root, to)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(to))
+      else SnapshotTable.changes(spark, root, key, from, to)
+    feed.select((baseCols ++ Seq("_change_type", "_commit_version"))
+      .map(col).toIndexedSeq: _*)
+  }
 
   /** Resolve-once-and-persist for a stream's starting point (the
     * Kafka/FileStreamSource initial-offset log; see [[GraftSource]]'s
@@ -410,9 +498,12 @@ private[sources] object GraftStreaming {
     val options = new CaseInsensitiveStringMap(parameters.asJava)
     val root = GraftDataSource.rootOf(options)
     val spark = org.apache.spark.sql.SparkSession.active
-    governed(options) match {
+    val base = governed(options) match {
       case Some(cat) => graft.operators.Catalog.read(spark, cat, root).schema
       case None => SnapshotTable.read(spark, root).schema
     }
+    if ("true".equalsIgnoreCase(options.get("readChangeFeed")))
+      cdcSchema(base)
+    else base
   }
 }

@@ -314,6 +314,77 @@ class GraftStreamingSpec extends GraftSuite {
     assert(Catalog.latestCommit(cat) === c1 + 1)
   }
 
+  test("CDC source: readChangeFeed streams keyed diffs across non-append commits") {
+    val dir = tmp(); val root = seeded(dir)
+    val (cp, out) = (s"$dir/cp", s"$dir/out")
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("changeKey", "k")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    }
+
+    drain()
+    val boot = spark.read.parquet(out)
+    assert(boot.count() === 2)
+    assert(boot.filter(col("_change_type") === "insert").count() === 2)
+
+    // an upsert (equality-delete commit) and a CoW delete — histories
+    // the APPEND feed refuses — stream through as update/delete images
+    SnapshotTable.upsertMor(spark, root, "day",
+      Seq(("a", 10L, "d1")).toDF("k", "n", "day"), Seq("k"))
+    SnapshotTable.deleteWhere(spark, root, "day", col("k") === "b")
+    drain()
+    val feed = spark.read.parquet(out)
+      .filter(col("_commit_version") > 0)
+      .select("k", "_change_type").as[(String, String)].collect().sorted
+    assert(feed.toSeq === Seq(("a", "update_postimage"),
+      ("a", "update_preimage"), ("b", "delete")))
+  }
+
+  test("governed CDC sink: Debezium-shaped batches upsert and tombstone atomically") {
+    import graft.operators.Catalog
+    val dir = tmp()
+    val (src, cat, cp) = (s"$dir/src", s"$dir/cat", s"$dir/cp")
+    Seq(("a", 1L, "d1", "u"), ("b", 2L, "d1", "u"))
+      .toDF("k", "n", "day", "op")
+      .write.mode("overwrite").parquet(src)
+    val sch = spark.read.parquet(src).schema
+
+    def run(): Unit = {
+      val q = spark.readStream.schema(sch).parquet(src)
+        .writeStream.format("graft")
+        .outputMode("update")
+        .option("catalog", cat)
+        .option("partitionBy", "day")
+        .option("mergeKeys", "k")
+        .option("cdcOps", "op")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start("state")
+      q.awaitTermination()
+    }
+
+    run()
+    assert(Catalog.read(spark, cat, "state")
+      .select("k", "n").as[(String, Long)].collect().sorted.toSeq
+      === Seq(("a", 1L), ("b", 2L)))
+
+    // batch 2: re-key a, tombstone b — ONE atomic commit applies both
+    Seq(("a", 5L, "d2", "u"), ("b", 0L, "d1", "d"))
+      .toDF("k", "n", "day", "op")
+      .write.mode("append").parquet(src)
+    run()
+    assert(Catalog.read(spark, cat, "state")
+      .select("k", "n").as[(String, Long)].collect().toSeq
+      === Seq(("a", 5L)))
+  }
+
   test("library protocol: lastTxnBatch ignores rolled-back and unpublished stamps") {
     val dir = tmp(); val root = s"$dir/t"
     val df = Seq(("a", 1L, "d1")).toDF("k", "n", "day")
