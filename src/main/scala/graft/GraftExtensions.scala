@@ -32,5 +32,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // partition-pruned copy-on-write update
     ext.injectPostHocResolutionRule(session =>
       graft.sources.GraftDmlRule(session))
+    // V1-fallback scans lose their SupportsReportStatistics behind
+    // Spark's plain V1ScanWrapper, so the connector's POST-pruning
+    // size estimate never reaches Catalyst's broadcast decision. The
+    // swap rule must run AFTER "Early Filter and Projection Push-Down"
+    // builds the wrapper, and the only extensible batch past that
+    // point is "User Provided Optimizers" (experimental methods) — no
+    // SparkSessionExtensions hook lands there, so the pre-CBO BUILDER
+    // (invoked once per session, when its optimizer is first built)
+    // registers the rule into the session's extraOptimizations. The
+    // rule is also returned (harmless at pre-CBO: the scan relation
+    // does not exist yet), keeping the wiring visible in both batches.
+    ext.injectPreCBORule { session =>
+      val rule = org.apache.spark.sql.graft.GraftScanStatsRule(session)
+      if (!session.experimental.extraOptimizations
+          .exists(_.isInstanceOf[org.apache.spark.sql.graft.GraftScanStatsRule]))
+        session.experimental.extraOptimizations =
+          session.experimental.extraOptimizations :+ rule
+      rule
+    }
   }
 }

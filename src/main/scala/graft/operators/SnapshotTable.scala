@@ -2615,6 +2615,21 @@ object SnapshotTable {
                    version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion(root)
     require(v >= 0, s"no committed version at $root")
+    scanKeptFiles(spark, root, v, skippingKept(spark, root, predicate, v),
+      Some(expr(predicate)))
+  }
+
+  /** The file-skipping half of [[readSkipping]]: the root-relative data
+    * files of version `v` the predicate cannot refute. Exposed so the
+    * connector can compute the kept set ONCE at planning time — its
+    * post-pruning byte total is the planner statistic (a selective scan
+    * of a big table becomes broadcast-joinable) and the same list feeds
+    * the physical scan via [[readKept]]. */
+  private[graft] def skippingKept(spark: SparkSession, root: String,
+                                  predicate: String, version: Long = -1L)
+      : Seq[String] = {
+    val v = if (version >= 0) version else latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
     val entries = manifestEntries(root, v)
     // (relative dir, storage version) pairs the read would scan
     val dirs: Seq[(String, Long)] =
@@ -2658,9 +2673,25 @@ object SnapshotTable {
       bloomRefuted(spark, root, v, statVersions, parsed))
       .map(decodeReportedPath) ++
       transformRefuted(spark, root, v, candidates, parsed)
-    val kept = candidates.filterNot(refuted)
-    scanKeptFiles(spark, root, v, kept, Some(expr(predicate)))
+    candidates.filterNot(refuted)
   }
+
+  /** Scan exactly `kept` (as produced by [[skippingKept]]) and apply
+    * the row predicate above — the physical half of [[readSkipping]],
+    * callable separately so a planner that already paid for the kept
+    * set does not prune twice. */
+  private[graft] def readKept(spark: SparkSession, root: String, v: Long,
+                              kept: Seq[String], predicate: String)
+      : DataFrame =
+    scanKeptFiles(spark, root, v, kept, Some(expr(predicate)))
+
+  /** Total bytes of `kept` root-relative data files — the post-pruning
+    * planner statistic. */
+  private[graft] def keptBytes(root: String, kept: Seq[String]): Long =
+    kept.map { f =>
+      val p = Paths.get(root, f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
 
   /** LIMIT-driven file pruning (the connector's `SupportsPushDownLimit`
     * target): a scan over the FEWEST recorded-count files whose row

@@ -537,7 +537,9 @@ private[sources] class GraftAggScan(root: String, version: Long,
 private[sources] class GraftScan(root: String, version: Long,
                                  predicate: Option[String],
                                  required: StructType,
-                                 limit: Option[Int] = None) extends V1Scan {
+                                 limit: Option[Int] = None)
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
@@ -545,10 +547,40 @@ private[sources] class GraftScan(root: String, version: Long,
     s"GraftScan root=$root v=$version skip=${predicate.getOrElse("-")}" +
       limit.fold("")(n => s" limit=$n")
 
+  // the files a pushed predicate keeps, computed ONCE at planning
+  // time: their byte total is the statistic Catalyst's join selection
+  // reads (below), and the physical scan reuses the same list — the
+  // pruning pass is never paid twice
+  private lazy val kept: Option[Seq[String]] = predicate.map(p =>
+    SnapshotTable.skippingKept(SparkSession.active, root, p, version))
+
+  /** POST-pruning planner statistics (Catalyst consults this through
+    * `SupportsReportStatistics` — a V1 relation's own `sizeInBytes` is
+    * only built at physical planning, AFTER join selection): the live
+    * data bytes of this version, shrunk to the surviving files when a
+    * pushed predicate file-prunes — a selective scan of a big table
+    * drops below the auto-broadcast threshold exactly when its
+    * surviving files do (the filter-then-join star-schema pattern).
+    * Row count reports only when the manifest covers it for free. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(kept match {
+          case Some(fs) => SnapshotTable.keptBytes(root, fs)
+          case None => SnapshotTable.dataSizeBytes(root, version)
+        })
+      override def numRows(): java.util.OptionalLong =
+        if (predicate.isDefined) java.util.OptionalLong.empty
+        else SnapshotTable.fastCountMeta(SparkSession.active, root, version)
+          .map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty)
+    }
+
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftRelation(context, root, version, predicate, required, limit)
-      .asInstanceOf[T]
+    new GraftRelation(context, root, version, predicate, required, limit,
+      kept).asInstanceOf[T]
 }
 
 /** The V1 fallback relation: builds the library read (file-skipping
@@ -558,25 +590,33 @@ private[sources] class GraftRelation(ctx: SQLContext, root: String,
                                      version: Long,
                                      predicate: Option[String],
                                      required: StructType,
-                                     limit: Option[Int] = None)
+                                     limit: Option[Int] = None,
+                                     keptFiles: Option[Seq[String]] = None)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
 
+  // the kept-file list [[GraftScan]] already computed for its planner
+  // statistics; recomputed here only when the relation is built
+  // standalone
+  private lazy val kept: Option[Seq[String]] = keptFiles.map(Some(_))
+    .getOrElse(predicate.map(p =>
+      SnapshotTable.skippingKept(ctx.sparkSession, root, p, version)))
+
   override def schema: StructType = required
 
-  // the REAL table size (live data bytes at this version): the
-  // BaseRelation default is a never-broadcast placeholder, so without
-  // this a tiny dimension read through the connector always plans a
-  // sort-merge join. Conservative under a pushed predicate (pruning
-  // only shrinks the scan — an overestimate never falsely broadcasts).
-  override def sizeInBytes: Long =
-    SnapshotTable.dataSizeBytes(root, version)
+  // join selection reads [[GraftScan.estimateStatistics]] (the V2
+  // node's stats); this covers direct uses of the relation
+  override def sizeInBytes: Long = kept match {
+    case Some(fs) => SnapshotTable.keptBytes(root, fs)
+    case None => SnapshotTable.dataSizeBytes(root, version)
+  }
 
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     val base = (predicate, limit) match {
-      case (Some(p), _) => SnapshotTable.readSkipping(spark, root, p, version)
+      case (Some(p), _) =>
+        SnapshotTable.readKept(spark, root, version, kept.get, p)
       case (None, Some(n)) => SnapshotTable.readLimit(spark, root, n, version)
       case _ => SnapshotTable.read(spark, root, version)
     }

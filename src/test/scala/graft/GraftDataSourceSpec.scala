@@ -189,6 +189,42 @@ class GraftDataSourceSpec extends GraftSuite {
     assert(joined.count() === fact.count())
   }
 
+  test("post-pruning statistics: a selective scan of a big table broadcasts") {
+    val root = tmp("graft-ds-prunedsize")
+    val li = Tables.lineitem(spark, sf)
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+    li.write.format("graft").option("statsCols", "l_orderkey")
+      .mode("overwrite").save(root)
+    val full = SnapshotTable.dataSizeBytes(root)
+    // a threshold between the pruned slice and the full table: the
+    // join broadcasts exactly when file skipping shrinks the statistic
+    val threshold = full / 2
+    val maxKey = li.agg(max("l_orderkey")).first().getLong(0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    try {
+      val fact = Tables.lineitem(spark, sf)
+      // negative control: unfiltered, the connector reports the full
+      // size (over threshold) — no static broadcast
+      val flat = fact.join(spark.read.format("graft").load(root),
+        Seq("l_orderkey"))
+      assert(!flat.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "unfiltered graft side must exceed the lowered threshold")
+      // the selective predicate prunes to a file slice whose BYTE total
+      // is the reported statistic → Catalyst picks the broadcast join
+      val slice = spark.read.format("graft").load(root)
+        .filter(col("l_orderkey") <= maxKey / 8)
+      val joined = fact.join(slice, Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(joined.count() ===
+        fact.join(li.filter(col("l_orderkey") <= maxKey / 8),
+          Seq("l_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("CDC read options: changesFrom diff feed and appendsFrom incremental scan") {
     import spark.implicits._
     val root = tmp("graft-ds-cdc")
