@@ -103,6 +103,7 @@ object SnapshotTable {
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
     df.write.mode("overwrite").parquet(s"$root/v=$next")
+    enforceConstraints(df.sparkSession, root, next)
     recordFileStats(df.sparkSession, root, next, statsCols)
     recordFileBlooms(df.sparkSession, root, next, bloomCols)
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), parent.toString)
@@ -1206,6 +1207,103 @@ object SnapshotTable {
     }
   }
 
+  // ──────── CHECK constraints (write-path validation) ────────
+  //
+  // Table-level row constraints (the Delta `ALTER TABLE ADD
+  // CONSTRAINT` surface; `NOT NULL` is the constraint `c IS NOT
+  // NULL`): every data-writing commit validates the rows it is about
+  // to publish and REFUSES on violation — the claimed version dir
+  // never gets its `_committed` stamp, so nothing is published and
+  // [[sweepOrphans]] GCs the leftover. Validation reads back the
+  // just-written files (one O(batch) scan; the input plan is never
+  // re-computed) and uses SQL CHECK semantics: a row passes when the
+  // expression is TRUE or UNKNOWN (NULL), fails only on FALSE.
+
+  private def constraintsPath(root: String) = Paths.get(root, "_constraints")
+
+  /** The table's declared constraints: (name, boolean SQL expr). */
+  def constraints(root: String): Seq[(String, String)] = {
+    val p = constraintsPath(root)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toSeq
+  }
+
+  private def writeConstraints(root: String, cs: Seq[(String, String)]): Unit = {
+    val tmp = Files.createTempFile(Paths.get(root), "_constraints", ".tmp")
+    Files.writeString(tmp, cs.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+    Files.move(tmp, constraintsPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Declare a CHECK constraint. EXISTING rows are validated first
+    * (one scan of the current version — the Delta rule: a constraint
+    * the live data already violates refuses instead of poisoning every
+    * future write); names are unique; the expression must be a boolean
+    * SQL predicate over the table's columns. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    exprSql: String): Unit = {
+    require(name.nonEmpty && !name.contains('\t') && !exprSql.contains('\n'),
+      "constraint name/expr must be single-line, name non-empty")
+    val existing = constraints(root)
+    require(!existing.exists(_._1 == name),
+      s"constraint '$name' already exists on $root")
+    if (latestVersion(root) >= 0) {
+      val bad = read(spark, root)
+        .filter(not(coalesce(expr(exprSql), lit(true)))).count()
+      require(bad == 0L,
+        s"cannot add constraint '$name' ($exprSql): $bad existing " +
+          s"row(s) violate it")
+    }
+    Files.createDirectories(Paths.get(root))
+    writeConstraints(root, existing :+ (name -> exprSql))
+  }
+
+  /** Drop a constraint by name (unknown names refuse). */
+  def dropConstraint(root: String, name: String): Unit = {
+    val existing = constraints(root)
+    require(existing.exists(_._1 == name),
+      s"no constraint '$name' on $root")
+    writeConstraints(root, existing.filterNot(_._1 == name))
+  }
+
+  /** Validate the just-written data of a claimed-but-unpublished
+    * version dir against the table's constraints; throws (leaving the
+    * claim an orphan) on any FALSE row. One conditional-aggregate scan
+    * covers every constraint. */
+  private def enforceConstraints(spark: SparkSession, root: String,
+                                 version: Long): Unit = {
+    val cs = constraints(root)
+    if (cs.isEmpty) return
+    // an empty batch (zero data files) has nothing to violate — and
+    // would fail schema inference
+    def hasData(d: java.nio.file.Path): Boolean = {
+      if (!Files.exists(d)) return false
+      val stream = Files.list(d)
+      try stream.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("_") || n.startsWith(".")) false
+        else if (Files.isDirectory(p)) hasData(p)
+        else true
+      } finally stream.close()
+    }
+    if (!hasData(Paths.get(root, s"v=$version"))) return
+    val df = spark.read.parquet(s"$root/v=$version")
+    val counts = df.select(cs.map { case (n, e) =>
+      sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L)).as(n)
+    }: _*).first()
+    val violated = cs.zipWithIndex.collect {
+      case ((n, e), i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+        s"'$n' ($e): ${counts.getLong(i)} row(s)"
+    }
+    if (violated.nonEmpty) throw new IllegalStateException(
+      s"write to $root violates CHECK constraint(s) " +
+        s"${violated.mkString("; ")} — nothing was published")
+  }
+
   private def sortOrderPath(root: String) = Paths.get(root, "_sort_order")
 
   /** Declare the table's WRITE ORDER (Iceberg's `WRITE ORDERED BY`
@@ -1870,6 +1968,7 @@ object SnapshotTable {
     }
     writeDf.write.mode("append").partitionBy(pss.map(_.field): _*)
       .parquet(s"$root/v=$next")
+    enforceConstraints(slice.sparkSession, root, next)
     recordFileStats(slice.sparkSession, root, next, statsCols)
     recordFileBlooms(slice.sparkSession, root, next, bloomCols)
     val touched = listPartitionDirs(root, next)

@@ -127,6 +127,26 @@ private[sources] object GraftProcedures {
           in.getUTF8String(1).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq))
       }
+    case "add_constraint" => // Delta ALTER TABLE ADD CONSTRAINT analog
+      proc("add_constraint",
+        Seq("table" -> StringType, "name" -> StringType,
+          "expr" -> StringType),
+        StructType(Seq(StructField("constraint", StringType)))) { in =>
+        val cname = in.getUTF8String(1).toString
+        SnapshotTable.addConstraint(SparkSession.active,
+          rootOf(in.getUTF8String(0).toString), cname,
+          in.getUTF8String(2).toString)
+        Seq(row(cname))
+      }
+    case "drop_constraint" =>
+      proc("drop_constraint",
+        Seq("table" -> StringType, "name" -> StringType),
+        StructType(Seq(StructField("constraint", StringType)))) { in =>
+        val cname = in.getUTF8String(1).toString
+        SnapshotTable.dropConstraint(
+          rootOf(in.getUTF8String(0).toString), cname)
+        Seq(row(cname))
+      }
     case "create_branch" =>
       proc("create_branch",
         Seq("table" -> StringType, "name" -> StringType),
