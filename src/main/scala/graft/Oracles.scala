@@ -851,6 +851,19 @@ v$s AS (
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
 
+    // initial-default column evolution: odd orders were written BEFORE
+    // the column existed (they read the declared default), even orders
+    // arrived after with real values — the oracle replays that split
+    // with plain literals
+    "default_column_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  CAST(0.05 AS DOUBLE) AS discount_rate
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  CAST(0.1 AS DOUBLE) AS discount_rate
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+
     // the DSv2 connector read (write → pushed filter → file skipping)
     // == the plain full-scan filter: the connector only ever prunes
     // IO, every pushed filter stays a residual row filter

@@ -231,6 +231,27 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag")
     },
+    // initial-default column evolution (Iceberg v3 initial-default):
+    // stage odd orders, add a defaulted column as a METADATA-ONLY
+    // commit, append even orders carrying real values — pre-add files
+    // read the default, post-add files their values (drop/carry/null
+    // proofs live in DefaultValueSpec)
+    "default_column_read" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-def-key").toString
+      val ord = Tables.orders(s, dir)
+      SnapshotTable.commitDelta(
+        ord.filter(col("o_orderkey") % 2 === 1), out, "o_orderpriority")
+      SnapshotTable.addColumn(s, out, "discount_rate",
+        org.apache.spark.sql.types.DoubleType, Some("0.05"))
+      SnapshotTable.commitAppend(
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("discount_rate", lit(0.1)),
+        out, "o_orderpriority")
+      SnapshotTable.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority", "discount_rate")
+    },
     // the format("graft") DSv2 connector end-to-end: a connector WRITE
     // (full commit + manifest stats), then a connector READ whose
     // filter Catalyst pushes across the DSv2 boundary into the

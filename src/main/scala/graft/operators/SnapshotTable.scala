@@ -349,6 +349,42 @@ object SnapshotTable {
       (s"#last\t$lastId" +: fields.map { case (id, n) => s"$id\t$n" })
         .mkString("\n"))
 
+  // ──────── initial defaults (Iceberg v3 `initial-default`) ────────
+  //
+  // A column added WITH a default reads that value — not null — from
+  // every file written before the column existed; files written after
+  // the add carry real values (genuine NULLs stay NULL — the reader
+  // distinguishes the eras by field id, which a blanket coalesce could
+  // not). Stored per version as fieldId → literal SQL, carried by
+  // every later commit like `_fields`; time travel to pre-add versions
+  // has no such column at all.
+
+  private def defaultsPath(root: String, version: Long) =
+    Paths.get(root, s"v=$version", "_defaults")
+
+  /** `version`'s initial defaults: field id → default SQL literal. */
+  def columnDefaults(root: String, version: Long): Seq[(Int, String)] = {
+    val p = defaultsPath(root, version)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t')
+      l.substring(0, i).toInt -> l.substring(i + 1)
+    }.toSeq
+  }
+
+  /** Carry `base`'s defaults onto `next` (every commit that writes a
+    * field-id table must also carry these), minus a dropped field's
+    * entry, plus a freshly-added one. */
+  private def carryDefaults(root: String, base: Long, next: Long,
+                            drop: Option[Int] = None,
+                            add: Option[(Int, String)] = None): Unit = {
+    val carried = (if (base < 0) Seq.empty else columnDefaults(root, base))
+      .filterNot(d => drop.contains(d._1)) ++ add
+    if (carried.nonEmpty)
+      Files.writeString(defaultsPath(root, next),
+        carried.map { case (id, sql) => s"$id\t$sql" }.mkString("\n"))
+  }
+
   /** Ids for `schema`'s fields at a version whose base is `base`:
     * names present in the base keep their ids (or their base-schema
     * POSITION when the base predates field ids — the name-identity
@@ -403,18 +439,37 @@ object SnapshotTable {
     * null-fill the column (typed) over every pre-add file via the same
     * era projection renames use. Time travel to pre-add versions reads
     * the old schema. The column is necessarily nullable (old files
-    * have no values for it — the Iceberg rule). */
+    * have no values for it — the Iceberg rule), UNLESS a `default` is
+    * given (Iceberg v3 `initial-default`): then pre-add files read the
+    * default literal instead of null, while files written after the
+    * add read their real values — including genuine NULLs, which a
+    * blanket coalesce would silently erase. */
   def addColumn(spark: SparkSession, root: String, name: String,
-                dataType: types.DataType): Long =
-    commitMetadataEvolution(spark, root, "add", name, None, Some(dataType))
+                dataType: types.DataType,
+                default: Option[String] = None): Long = {
+    default.foreach { d =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(d)
+      require(!parsed.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]),
+        s"initial default must be a literal expression, got: $d")
+      require(!d.contains('\n') && !d.contains('\t'),
+        "initial default must be single-line")
+      // evaluates and casts — a malformed default fails HERE, not on
+      // every future read
+      spark.range(1).select(expr(d).cast(dataType)).first()
+    }
+    commitMetadataEvolution(spark, root, "add", name, None, Some(dataType),
+      default)
+  }
 
   private def commitMetadataEvolution(spark: SparkSession, root: String,
                                       op: String, name: String,
                                       to: Option[String],
-                                      addType: Option[types.DataType] = None)
+                                      addType: Option[types.DataType] = None,
+                                      default: Option[String] = None)
       : Long = {
     val next = stageMetadataEvolution(spark, root, op, name, to, addType,
-      latestVersion(root))
+      latestVersion(root), default)
     moveMarker(root, next)
     next
   }
@@ -428,7 +483,9 @@ object SnapshotTable {
                                             name: String,
                                             to: Option[String],
                                             addType: Option[types.DataType],
-                                            base: Long): Long = {
+                                            base: Long,
+                                            default: Option[String] = None)
+      : Long = {
     require(base >= 0, s"no committed version at $root")
     val m = manifestEntries(root, base)
     require(m.nonEmpty,
@@ -493,6 +550,13 @@ object SnapshotTable {
     Files.writeString(schemaPath(root, next), newSchema.json)
     // the high-water mark survives a drop — that is the whole point
     writeFields(root, next, newFields, lastId)
+    // initial defaults ride along: a drop releases its entry (the id
+    // never returns), an add-with-default records one under the fresh
+    // id, a rename keeps ids — and therefore defaults — untouched
+    carryDefaults(root, base, next,
+      drop = if (op == "drop") baseFields.find(_._2 == name).map(_._1)
+             else None,
+      add = if (op == "add") default.map(d => lastId -> d) else None)
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)
     next
@@ -550,11 +614,20 @@ object SnapshotTable {
         curSchema.fields.toSeq.zip(proj).collect {
           case (f, Some(p)) => types.StructField(p, f.dataType, nullable = true)
         })
+      // a column absent from the era fills its INITIAL DEFAULT when
+      // one was declared at add time (pre-add files read the default;
+      // eras that HAVE the column read real values, NULLs included),
+      // null otherwise
+      val defs = columnDefaults(root, v).toMap
       val projected = curSchema.fields.toSeq.zip(proj)
         .sortBy { case (f, _) => orderKey(f) }
         .map {
           case (f, Some(p)) => col(s"`$p`").as(f.name)
-          case (f, None) => lit(null).cast(f.dataType).as(f.name)
+          case (f, None) =>
+            nameToId.get(f.name).flatMap(defs.get) match {
+              case Some(d) => expr(d).cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
         }
       // no drop("v") needed: the select projects exactly the current
       // schema (plus pos columns), and `_metadata` resolves directly
@@ -1875,6 +1948,7 @@ object SnapshotTable {
     Files.writeString(schemaPath(root, next), schema.json)
     val (fids, lastId) = assignFieldIds(root, base, schema)
     writeFields(root, next, fids, lastId)
+    carryDefaults(root, base, next)
   }
 
   /** Partition-pruned MERGE-upsert commit — the Delta `MERGE INTO`
@@ -2025,6 +2099,7 @@ object SnapshotTable {
     locally {
       val (fids, lastId) = assignFieldIds(root, base, evolved)
       writeFields(root, next, fids, lastId)
+      carryDefaults(root, base, next)
     }
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)
