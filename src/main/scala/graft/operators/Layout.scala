@@ -60,14 +60,27 @@ object Layout {
     * manifest column stats — [[SnapshotTable.readSkipping]] then prunes
     * files on range predicates over EITHER dimension. */
   def zOrdered(df: DataFrame, colA: String, colB: String,
-               numFiles: Int = 8): DataFrame = {
+               numFiles: Int = 8): DataFrame =
+    mortonColumn(df, colA, colB) match {
+      case None => df
+      case Some(z) =>
+        df.withColumn("_zorder", z)
+          .repartitionByRange(numFiles, col("_zorder"))
+          .sortWithinPartitions("_zorder")
+          .drop("_zorder")
+    }
+
+  /** The Morton curve value of (`colA`, `colB`) normalized against
+    * `df`'s own min/max (one tiny aggregate job) — the clustering key
+    * [[zOrdered]] and the z-order write-order compaction share. None
+    * when the input is empty or a dimension is all-NULL (a degenerate
+    * table gains nothing from curve layout). */
+  def mortonColumn(df: DataFrame, colA: String,
+                   colB: String): Option[Column] = {
     val s = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    // empty input or all-NULL z-order columns: no min/max to normalize
-    // against — a degenerate table gains nothing from curve layout, so
-    // pass it through instead of NPE-ing on the NULL aggregates
-    if (s.isNullAt(0) || s.isNullAt(2)) return df
+    if (s.isNullAt(0) || s.isNullAt(2)) return None
     def norm(c: String, lo: Double, hi: Double): Column =
       least(lit(65535L), floor(
         (col(c).cast("double") - lit(lo)) /
@@ -75,15 +88,11 @@ object Layout {
         .cast("long"))
     val a = norm(colA, s.getDouble(0), s.getDouble(1))
     val b = norm(colB, s.getDouble(2), s.getDouble(3))
-    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+    Some((0 until 16).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
-    df.withColumn("_zorder", z)
-      .repartitionByRange(numFiles, col("_zorder"))
-      .sortWithinPartitions("_zorder")
-      .drop("_zorder")
+    })
   }
 
   /** Salted inner equi-join: `big` is salted randomly-but-

@@ -88,11 +88,11 @@ object Maintenance {
     val dirc = SnapshotTable.rowDirExpr(
       SnapshotTable.parseSpecs(partitionCol), cur.schema)
     val touched = cur.filter(dirc.isin(fragmented: _*))
-    SnapshotTable.sortOrder(root) match {
+    SnapshotTable.sortOrderSpec(root) match {
       case None =>
         SnapshotTable.commitDelta(touched.repartition(dirc),
           root, partitionCol)
-      case Some(sortCols) =>
+      case Some((sortCols, false)) =>
         // the table declares a WRITE ORDER: compaction is where it is
         // applied (appends land unsorted by design) — range-split each
         // partition on the sort key into `filesPerPartition` clustered
@@ -104,6 +104,26 @@ object Maintenance {
           .sortWithinPartitions(sortCols.map(col): _*)
         SnapshotTable.commitDelta(slice, root, partitionCol,
           statsCols = sortCols)
+      case Some((sortCols, true)) =>
+        // Z-ORDER write order (Delta OPTIMIZE ZORDER BY): cluster the
+        // fragmented partitions along the Morton curve of the two
+        // declared dimensions and record stats on BOTH, so range
+        // predicates on EITHER column file-prune after compaction —
+        // the two-dimensional convergence a single-column sort cannot
+        // give a streaming-append table
+        Layout.mortonColumn(touched, sortCols(0), sortCols(1)) match {
+          case None => // degenerate slice (empty / all-NULL dimension)
+            SnapshotTable.commitDelta(touched.repartition(dirc),
+              root, partitionCol)
+          case Some(z) =>
+            val slice = touched.withColumn("_zorder", z)
+              .repartitionByRange(fragmented.size * filesPerPartition,
+                dirc, col("_zorder"))
+              .sortWithinPartitions("_zorder")
+              .drop("_zorder")
+            SnapshotTable.commitDelta(slice, root, partitionCol,
+              statsCols = sortCols)
+        }
     }
   }
 

@@ -1387,18 +1387,34 @@ object SnapshotTable {
     * appends stay cheap and UNSORTED (the append path must not pay a
     * sort); [[Maintenance.compactAppends]] applies the order and
     * re-records stats for these columns. */
-  def setSortOrder(root: String, cols: Seq[String]): Unit = {
+  def setSortOrder(root: String, cols: Seq[String],
+                   zorder: Boolean = false): Unit = {
     require(cols.nonEmpty, "sort order needs at least one column")
+    require(!zorder || cols.size == 2,
+      "z-order write order interleaves exactly TWO dimensions")
     Files.createDirectories(Paths.get(root))
-    Files.writeString(sortOrderPath(root), cols.mkString(","))
+    Files.writeString(sortOrderPath(root),
+      (if (zorder) "zorder:" else "") + cols.mkString(","))
   }
 
   /** The declared write order, if any. */
-  def sortOrder(root: String): Option[Seq[String]] = {
+  def sortOrder(root: String): Option[Seq[String]] =
+    sortOrderSpec(root).map(_._1)
+
+  /** The declared write order WITH its clustering mode: (columns,
+    * isZOrder). Z-order (`setSortOrder(..., zorder = true)`) declares
+    * the Delta `OPTIMIZE ZORDER BY` layout: compaction clusters
+    * fragmented partitions along the Morton curve of the two columns,
+    * so stats skipping prunes on EITHER dimension. */
+  def sortOrderSpec(root: String): Option[(Seq[String], Boolean)] = {
     val p = sortOrderPath(root)
-    if (!Files.exists(p)) None
-    else Some(Files.readString(p).trim.split(",").toSeq.filter(_.nonEmpty))
-      .filter(_.nonEmpty)
+    if (!Files.exists(p)) return None
+    val raw = Files.readString(p).trim
+    val (z, body) =
+      if (raw.startsWith("zorder:")) (true, raw.stripPrefix("zorder:"))
+      else (false, raw)
+    Some(body.split(",").toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty).map(_ -> z)
   }
 
   /** ALL (partition, storage-version) pairs of a manifested version

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.{Catalog, Maintenance, SnapshotTable}
@@ -126,6 +126,18 @@ private[sources] object GraftProcedures {
           rootOf(in.getUTF8String(0).toString),
           in.getUTF8String(1).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq))
+      }
+    case "set_sort_order" => // WRITE ORDERED BY / OPTIMIZE ZORDER BY
+      proc("set_sort_order",
+        Seq("table" -> StringType, "columns" -> StringType,
+          "zorder" -> BooleanType),
+        StructType(Seq(StructField("order", StringType)))) { in =>
+        val cols = in.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        SnapshotTable.setSortOrder(
+          rootOf(in.getUTF8String(0).toString), cols, in.getBoolean(2))
+        Seq(row((if (in.getBoolean(2)) "zorder:" else "") +
+          cols.mkString(",")))
       }
     case "add_constraint" => // Delta ALTER TABLE ADD CONSTRAINT analog
       proc("add_constraint",

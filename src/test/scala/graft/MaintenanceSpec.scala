@@ -135,6 +135,51 @@ class MaintenanceSpec extends GraftSuite {
       (0L to 100L).toSet)
   }
 
+  test("z-order write order: compaction converges to TWO-dimensional skipping") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-maint-z").toString
+    SnapshotTable.setSortOrder(root, Seq("x", "y"), zorder = true)
+    // appends arrive scattered on BOTH dimensions
+    (0 until 4).foreach { b =>
+      val rows = (0L until 1024L).filter(_ % 4 == b)
+        .map(i => ((i * 7919L) % 1024L, (i * 104729L) % 1024L, s"g${i % 2}", i))
+      SnapshotTable.commitAppend(rows.toDF("x", "y", "g", "id"), root, "g")
+    }
+    def files(pred: String): Int =
+      SnapshotTable.readSkipping(spark, root, pred).inputFiles.length
+    val total0 = SnapshotTable.read(spark, root).inputFiles.length
+    assert(files("x <= 100") === total0 && files("y <= 100") === total0,
+      "no stats yet: nothing prunes")
+
+    assert(Maintenance.compactAppends(spark, root, "g",
+      minEntries = 2, filesPerPartition = 4) >= 0)
+    val total = SnapshotTable.read(spark, root).inputFiles.length
+    // the Morton layout gives every file a tight bounding box in BOTH
+    // dimensions — range predicates prune on EITHER column
+    assert(files("x <= 100") < total, "x-range must prune after z-order")
+    assert(files("y <= 100") < total, "y-range must prune after z-order")
+    // and the answers stay identical to the full-scan filter
+    assert(SnapshotTable.readSkipping(spark, root, "x <= 100")
+      .agg(org.apache.spark.sql.functions.sum("id")).first().getLong(0) ===
+      SnapshotTable.read(spark, root).filter("x <= 100")
+        .agg(org.apache.spark.sql.functions.sum("id")).first().getLong(0))
+    // a single-column declared sort could not have pruned the OTHER
+    // dimension: pin the two-dimensional claim by comparing layouts
+    val root1 = Files.createTempDirectory("graft-maint-z1").toString
+    SnapshotTable.setSortOrder(root1, Seq("x"))
+    (0 until 4).foreach { b =>
+      val rows = (0L until 1024L).filter(_ % 4 == b)
+        .map(i => ((i * 7919L) % 1024L, (i * 104729L) % 1024L, s"g${i % 2}", i))
+      SnapshotTable.commitAppend(rows.toDF("x", "y", "g", "id"), root1, "g")
+    }
+    Maintenance.compactAppends(spark, root1, "g", minEntries = 2,
+      filesPerPartition = 4)
+    val total1 = SnapshotTable.read(spark, root1).inputFiles.length
+    assert(SnapshotTable.readSkipping(spark, root1, "y <= 100")
+      .inputFiles.length === total1,
+      "x-only sort records no y stats — y-range reads everything")
+  }
+
   test("runCatalog folds MoR delete files before compacting") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-maint-mor").toString
