@@ -130,15 +130,17 @@ object Serving {
   /** Register a table's METADATA inspection views — the Iceberg/Trino
     * `t$snapshots` / `t$files` / `t$refs` / `t$history` ops surface
     * ([[TableInspect]]) as SQL: `<name>_snapshots`, `<name>_files`,
-    * `<name>_refs`, `<name>_history`. Metadata-only reads (no data
-    * bytes touched). Returns the view names. */
+    * `<name>_refs`, `<name>_history`, `<name>_properties`.
+    * Metadata-only reads (no data bytes touched). Returns the view
+    * names. */
   def registerTableMetadata(spark: SparkSession, root: String,
                             name: String): Seq[String] = {
     val views = Seq(
       s"${name}_snapshots" -> TableInspect.snapshots(spark, root),
       s"${name}_files" -> TableInspect.files(spark, root),
       s"${name}_refs" -> TableInspect.refs(spark, root),
-      s"${name}_history" -> TableInspect.history(spark, root))
+      s"${name}_history" -> TableInspect.history(spark, root),
+      s"${name}_properties" -> TableInspect.properties(spark, root))
     views.foreach { case (v, df) => df.createOrReplaceTempView(v) }
     views.map(_._1)
   }

@@ -446,21 +446,9 @@ object SnapshotTable {
     * blanket coalesce would silently erase. */
   def addColumn(spark: SparkSession, root: String, name: String,
                 dataType: types.DataType,
-                default: Option[String] = None): Long = {
-    default.foreach { d =>
-      val parsed = spark.sessionState.sqlParser.parseExpression(d)
-      require(!parsed.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]),
-        s"initial default must be a literal expression, got: $d")
-      require(!d.contains('\n') && !d.contains('\t'),
-        "initial default must be single-line")
-      // evaluates and casts — a malformed default fails HERE, not on
-      // every future read
-      spark.range(1).select(expr(d).cast(dataType)).first()
-    }
+                default: Option[String] = None): Long =
     commitMetadataEvolution(spark, root, "add", name, None, Some(dataType),
       default)
-  }
 
   private def commitMetadataEvolution(spark: SparkSession, root: String,
                                       op: String, name: String,
@@ -487,6 +475,21 @@ object SnapshotTable {
                                             default: Option[String] = None)
       : Long = {
     require(base >= 0, s"no committed version at $root")
+    // validate an initial default BEFORE any claim: literal-only (a
+    // column reference cannot evaluate over files that lack the
+    // column), single-line (the metadata file is line-oriented), and
+    // it must evaluate+cast — a malformed default fails HERE, not on
+    // every future read. Both the library addColumn and the SQL
+    // catalogs' ALTER paths pass through this staging half.
+    default.filter(_ => op == "add").foreach { d =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(d)
+      require(!parsed.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]),
+        s"initial default must be a literal expression, got: $d")
+      require(!d.contains('\n') && !d.contains('\t'),
+        "initial default must be single-line")
+      spark.range(1).select(expr(d).cast(addType.get)).first()
+    }
     val m = manifestEntries(root, base)
     require(m.nonEmpty,
       s"$op is metadata-only on manifested tables; plain snapshots " +
@@ -2197,6 +2200,22 @@ object SnapshotTable {
       Some(spark.read.parquet(statsPath(root, version).toString))
     else None
 
+  /** Columns with recorded min/max bounds in ANY storage version
+    * `version` references — the `stats.columns` inspection property.
+    * Schema-only sidecar reads, zero data bytes. */
+  def statsCoverage(root: String, version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else latestVersion(root)
+    if (v < 0) return Seq.empty
+    val svs = manifestEntries(root, v).map(_._2).distinct match {
+      case Seq() => Seq(v)
+      case s => s
+    }
+    svs.flatMap(sv => fileStats(SparkSession.active, root, sv))
+      .flatMap(_.columns.filter(_.endsWith("__min"))
+        .map(_.stripSuffix("__min")))
+      .distinct.sorted
+  }
+
   /** BACKFILL stats sidecars for files that already exist — the
     * Iceberg `compute_table_stats` / SQL ANALYZE analog: a table
     * written without `statsCols` (or before the skipping feature)
@@ -2575,6 +2594,21 @@ object SnapshotTable {
     if (Files.exists(bloomsPath(root, version)))
       Some(spark.read.parquet(bloomsPath(root, version).toString))
     else None
+
+  /** Columns with recorded bloom filters in ANY storage version
+    * `version` references — the `bloom.columns` inspection property
+    * (one tiny sidecar scan per referenced version). */
+  def bloomCoverage(root: String, version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else latestVersion(root)
+    if (v < 0) return Seq.empty
+    val svs = manifestEntries(root, v).map(_._2).distinct match {
+      case Seq() => Seq(v)
+      case s => s
+    }
+    svs.flatMap(sv => fileBlooms(SparkSession.active, root, sv))
+      .flatMap(_.select("column").distinct().collect().map(_.getString(0)))
+      .distinct.sorted
+  }
 
   /** Files DEFINITELY not containing any of the predicate's equality
     * literals, per its top-level conjuncts of shape `c = lit` /

@@ -126,6 +126,42 @@ object TableInspect {
     }.toDF("ordinal", "version", "parent", "is_committed")
   }
 
+  /** The table's declared PROPERTIES as one (key, value) row each —
+    * the `SHOW TBLPROPERTIES` / Iceberg `t$properties` analog: current
+    * version, partition spec, declared write order (+ mode), CHECK
+    * constraints, initial defaults, and per-version stats/bloom
+    * sidecar coverage. Pure metadata-file reads — zero data bytes at
+    * any table size. */
+  def properties(spark: SparkSession, root: String,
+                 version: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    val rows = Seq.newBuilder[(String, String)]
+    rows += ("version.current" -> v.toString)
+    SnapshotTable.partitionSpec(root).foreach(s =>
+      rows += ("partition.spec" -> s))
+    SnapshotTable.sortOrderSpec(root).foreach { case (cols, z) =>
+      rows += ("write.order" -> cols.mkString(","))
+      rows += ("write.order.mode" -> (if (z) "zorder" else "sort"))
+    }
+    SnapshotTable.constraints(root).foreach { case (n, e) =>
+      rows += (s"constraint.$n" -> e)
+    }
+    val fieldNames = SnapshotTable.fieldIds(root, v).map(_.toMap)
+    SnapshotTable.columnDefaults(root, v).foreach { case (id, d) =>
+      val col = fieldNames.flatMap(_.get(id)).getOrElse(id.toString)
+      rows += (s"default.$col" -> d)
+    }
+    val stats = SnapshotTable.statsCoverage(root, v)
+    if (stats.nonEmpty)
+      rows += ("stats.columns" -> stats.mkString(","))
+    val blooms = SnapshotTable.bloomCoverage(root, v)
+    if (blooms.nonEmpty)
+      rows += ("bloom.columns" -> blooms.mkString(","))
+    rows.result().toDF("key", "value")
+  }
+
   /** Does any DATA parquet live under `rel` (recursively), sidecar
     * dirs (`_deletes`, `_stats`) excluded? */
   private def hasDataFiles(root: String, rel: String): Boolean = {

@@ -669,6 +669,8 @@ private[sources] object GraftMetadataTable {
     case "refs" => Some(() => graft.operators.TableInspect.refs(spark, root))
     case "history" =>
       Some(() => graft.operators.TableInspect.history(spark, root, version))
+    case "properties" =>
+      Some(() => graft.operators.TableInspect.properties(spark, root, version))
     case _ => None
   }
 }

@@ -170,9 +170,9 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces
           "nested column add is not supported")
         require(a.isNullable,
           "an added column must be nullable: existing files have no " +
-            "values for it and read as NULL")
+            "values for it and read as NULL (or the DEFAULT)")
         evolveCas(ident.name(), "add", a.fieldNames.head, None,
-          Some(a.dataType))
+          Some(a.dataType), Option(a.defaultValue()).map(_.getSql))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "nested column rename is not supported")
@@ -192,6 +192,7 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces
   private def evolveCas(table: String, op: String, name: String,
                         to: Option[String],
                         addType: Option[org.apache.spark.sql.types.DataType],
+                        default: Option[String] = None,
                         maxAttempts: Int = 5): Long = {
     var attempt = 0
     while (true) {
@@ -202,7 +203,8 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces
           Identifier.of(Array.empty[String], table)))
       try {
         val v = SnapshotTable.stageMetadataEvolution(SparkSession.active,
-          Catalog.tableRoot(root, table), op, name, to, addType, prevV)
+          Catalog.tableRoot(root, table), op, name, to, addType, prevV,
+          default)
         return Catalog.commitStaged(root, Map(table -> v), base)
       } catch {
         case e: java.util.ConcurrentModificationException =>

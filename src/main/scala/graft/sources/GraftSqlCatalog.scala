@@ -49,6 +49,14 @@ import graft.operators.SnapshotTable
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
+  // lets the analyzer admit `ALTER TABLE ... ADD COLUMN ... DEFAULT`
+  // for this catalog (the default lands as the snapshot format's
+  // initial-default metadata)
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -227,8 +235,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           "nested column add is not supported")
         require(a.isNullable,
           "an added column must be nullable: existing files have no " +
-            "values for it and read as NULL")
-        SnapshotTable.addColumn(spark, root, a.fieldNames.head, a.dataType)
+            "values for it and read as NULL (or the DEFAULT)")
+        // `ADD COLUMN ... DEFAULT <lit>` (gated by the catalog's
+        // SUPPORT_COLUMN_DEFAULT_VALUE capability) lands as the
+        // initial-default: pre-add files read the literal, post-add
+        // writes their real values
+        SnapshotTable.addColumn(spark, root, a.fieldNames.head, a.dataType,
+          Option(a.defaultValue()).map(_.getSql))
         updateSidecarSchema(rootPath) { sch =>
           sch.add(a.fieldNames.head, a.dataType, nullable = true)
         }

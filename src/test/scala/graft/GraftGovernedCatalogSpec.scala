@@ -172,9 +172,15 @@ class GraftGovernedCatalogSpec extends GraftSuite {
     assert(spark.sql(
       "SELECT count(*) FROM govt.evo WHERE score IS NULL")
       .first.getLong(0) === n0)
-    // rollback rewinds the evolution like any commit
+    // add WITH DEFAULT: pre-add rows read the initial default instead
+    spark.sql("ALTER TABLE govt.evo ADD COLUMN src STRING DEFAULT 'seed'")
+    assert(spark.sql(
+      "SELECT count(*) FROM govt.evo WHERE src = 'seed'")
+      .first.getLong(0) === n0)
+    // rollback rewinds the evolutions like any commits
     Catalog.rollback(root, c0 + 1)
     assert(!spark.table("govt.evo").columns.contains("score"))
+    assert(!spark.table("govt.evo").columns.contains("src"))
     assert(spark.table("govt.evo").columns.contains("qty"))
   }
 

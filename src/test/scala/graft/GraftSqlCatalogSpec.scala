@@ -101,6 +101,44 @@ class GraftSqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("ALTER ADD COLUMN DEFAULT: pre-add rows read the literal, post-add their values") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.acd (k STRING, n BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gtest.db.acd VALUES ('a', 2), ('b', 4)")
+    val before = SnapshotTable.latestVersion(s"$wh/db/acd")
+    spark.sql("ALTER TABLE gtest.db.acd ADD COLUMN rate DOUBLE DEFAULT 0.05")
+    assert(SnapshotTable.latestVersion(s"$wh/db/acd") === before + 1) // no rewrite
+    // pre-add rows read the initial default — not NULL
+    assert(spark.sql(
+      "SELECT sum(rate) FROM gtest.db.acd").first.getDouble(0) === 0.1)
+    // post-add writes carry real values; the default never overwrites
+    spark.sql("INSERT INTO gtest.db.acd VALUES ('a', 9, 0.5)")
+    assert(spark.sql("SELECT rate FROM gtest.db.acd WHERE n = 9")
+      .first.getDouble(0) === 0.5)
+    assert(spark.sql(
+      "SELECT sum(rate) FROM gtest.db.acd").first.getDouble(0) === 0.6)
+    // pre-add time travel has no such column
+    intercept[Exception] {
+      spark.sql(s"SELECT rate FROM gtest.db.acd VERSION AS OF $before")
+        .collect()
+    }
+  }
+
+  test("CREATE TABLE column DEFAULT fills omitted INSERT columns") {
+    wh
+    // the default rides the schema's field metadata (CURRENT_DEFAULT),
+    // which the sidecar schema preserves — Spark's own default
+    // resolution then fills omitted columns and the DEFAULT keyword
+    spark.sql("CREATE TABLE gtest.db.cd " +
+      "(k STRING, n BIGINT, r DOUBLE DEFAULT 0.5) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gtest.db.cd (k, n) VALUES ('a', 1)")
+    spark.sql("INSERT INTO gtest.db.cd VALUES ('a', 2, DEFAULT)")
+    spark.sql("INSERT INTO gtest.db.cd VALUES ('a', 3, 0.9)")
+    assert(spark.sql("SELECT n, r FROM gtest.db.cd ORDER BY n")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 0.5), (2L, 0.5), (3L, 0.9)))
+  }
+
   test("CTAS, SHOW TABLES, INSERT OVERWRITE, RENAME TABLE, DROP") {
     wh
     spark.sql("CREATE TABLE gtest.db.c (k STRING, n BIGINT) PARTITIONED BY (k)")

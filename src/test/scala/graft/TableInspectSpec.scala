@@ -64,12 +64,55 @@ class TableInspectSpec extends GraftSuite {
 
     // SQL surface
     val views = Serving.registerTableMetadata(spark, root, "t")
-    assert(views === Seq("t_snapshots", "t_files", "t_refs", "t_history"))
+    assert(views === Seq("t_snapshots", "t_files", "t_refs", "t_history",
+      "t_properties"))
     assert(spark.sql(
       "SELECT count(*) FROM t_snapshots WHERE is_committed").head.getLong(0) === 3L)
     assert(spark.sql(
       "SELECT version FROM t_refs WHERE name = 'rel-1'").head.getLong(0) === vDel)
     Serving.unregister(spark, views)
+  }
+
+  test("properties surfaces spec, write order, constraints, defaults, coverage") {
+    val root = Files.createTempDirectory("graft-inspect-props").toString
+    SnapshotTable.setSortOrder(root, Seq("id", "x"), zorder = true)
+    val df = (0L until 20L).map(i => (i, s"g${i % 2}", i * 2L))
+      .toDF("id", "g", "x")
+    SnapshotTable.commitDelta(df, root, "g",
+      statsCols = Seq("id"), bloomCols = Seq("x"))
+    SnapshotTable.addConstraint(spark, root, "id_pos", "id >= 0")
+    SnapshotTable.addColumn(spark, root, "src",
+      org.apache.spark.sql.types.StringType, Some("'seed'"))
+
+    val props = TableInspect.properties(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("partition.spec") === "g")
+    assert(props("write.order") === "id,x")
+    assert(props("write.order.mode") === "zorder")
+    assert(props("constraint.id_pos") === "id >= 0")
+    assert(props("default.src") === "'seed'")
+    assert(props("stats.columns") === "id")
+    assert(props("bloom.columns") === "x")
+    assert(props("version.current").toLong ===
+      SnapshotTable.latestVersion(root))
+
+    // served as SQL alongside the other metadata views…
+    val views = Serving.registerTableMetadata(spark, root, "pt")
+    assert(views.contains("pt_properties"))
+    assert(spark.sql(
+      "SELECT value FROM pt_properties WHERE key = 'write.order.mode'")
+      .first().getString(0) === "zorder")
+    Serving.unregister(spark, views)
+    // …and through the SQL catalog's dot-suffix metadata tables
+    val wh = Files.createTempDirectory("graft-inspect-wh").toString
+    spark.conf.set("spark.sql.catalog.iwh", "graft.sources.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.iwh.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE iwh.db.p (k STRING, n BIGINT) PARTITIONED BY (k)")
+      spark.sql("INSERT INTO iwh.db.p VALUES ('a', 1)")
+      assert(spark.sql("SELECT value FROM iwh.db.p.properties " +
+        "WHERE key = 'partition.spec'").first().getString(0) === "k")
+    } finally spark.conf.unset("spark.sql.catalog.iwh")
   }
 
   test("files reflects compaction: fewer files, same partitions") {
