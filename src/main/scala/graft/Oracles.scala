@@ -1710,6 +1710,71 @@ v$s AS (
          |  FROM cand JOIN nrm nv ON cand.neighbor_id = nv.vec_id JOIN nrm nq ON cand.query_id = nq.vec_id)
          |WHERE rank <= 10""".stripMargin,
 
+    // IVF-PQ: the ivf_topk coarse chain (cent/asg/probes → candidate
+    // pairs) composed with ann_topk_pq's ADC chain (cb/sv/codes/lut →
+    // subspace-ordered fold), scoring ONLY candidates in probed lists.
+    // Every operand order mirrors the Spark side exactly.
+    "ivfpq_topk" -> {
+      val sq = (a: String, b: String) =>
+        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           |  [(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+           |   (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+           |   FOR i IN range(1, 9)]), (x, y) -> x + y)""".stripMargin
+      val dot = (a: String, b: String) =>
+        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+           |   FOR i IN range(1, 9)]), (x, y) -> x + y)""".stripMargin
+      s"""WITH $nrmCte,
+         |cent AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn FROM nrm WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT v.vec_id, c.centroid_id
+         |  FROM nrm v, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |    ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC, c.centroid_id) = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM nrm WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT q.query_id, c.centroid_id
+         |  FROM q, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |    ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC, c.centroid_id) <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg a ON p.centroid_id = a.centroid_id
+         |  WHERE a.vec_id <> p.query_id),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |cb AS (
+         |  SELECT ms.m, CAST(e.vec_id AS INT) AS code,
+         |    e.embedding[ms.m*8+1 : ms.m*8+8] AS cw
+         |  FROM embeddings e, ms WHERE e.vec_id < 16),
+         |sv AS (
+         |  SELECT e.vec_id, ms.m, e.embedding[ms.m*8+1 : ms.m*8+8] AS sv
+         |  FROM embeddings e, ms),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        ${sq("s.sv", "c.cw")}, c.code) AS rn
+         |    FROM sv s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS query_id, s.m, c.code,
+         |    ${dot("s.sv", "c.cw")} AS term
+         |  FROM sv s JOIN cb c ON s.m = c.m WHERE s.vec_id < 10),
+         |scored AS (
+         |  SELECT l.query_id, co.vec_id AS neighbor_id,
+         |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+         |      list(l.term ORDER BY l.m)), (a, b) -> a + b) AS pq_score
+         |  FROM codes co
+         |  JOIN cand cd ON cd.neighbor_id = co.vec_id
+         |  JOIN lut l ON co.m = l.m AND co.code = l.code
+         |    AND l.query_id = cd.query_id
+         |  GROUP BY l.query_id, co.vec_id)
+         |SELECT query_id, neighbor_id, pq_score, CAST(rank AS INT) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY pq_score DESC, neighbor_id) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin
+    },
+
     // Recall@k of the IVF probe path against the exact brute-force
     // top-k — the index-quality metric as a first-class gate key.
     // exact mirrors ann_topk, the probe chain mirrors ivf_topk

@@ -635,6 +635,10 @@ object SparkEntry {
     "stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    // IVF-PQ: probe-pruned candidate lists × ADC over the codes table —
+    // the two ANN cost levers composed (FAISS IVFPQ, by_residual=false)
+    "ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir))),
     "ivf_topk_trained" -> { (s, dir) =>
       // one deterministic Lloyd iteration trains the coarse quantizer
       // (ordered-fold means — bit-identical on the oracle side), then

@@ -481,6 +481,92 @@ object Similarity {
         col("pq_score"), col("rank"))
   }
 
+  /** IVF-PQ ANN (Jégou et al. 2011; the FAISS IVFPQ production
+    * standard, here the `by_residual=false` variant — codes encode raw
+    * vectors, so the PQ stage is exactly [[pqCodes]]): the coarse
+    * quantizer prunes WHICH vectors each query scores (nprobe/nlist of
+    * the corpus, the [[ivfTopK]] assignment verbatim) and product
+    * quantization shrinks WHAT is scanned per candidate (M code bytes
+    * + a broadcast LUT, the [[annTopKPq]] ADC verbatim) — the two
+    * orthogonal cost levers composed, which is what a billion-vector
+    * deployment actually runs.
+    *
+    * Scale shape: the persisted index is the codes table joined to the
+    * centroid assignment — at warehouse scale written bucketed by
+    * `centroid_id`, so a probe scans ~‖corpus‖·nprobe/nlist CODE rows
+    * (bytes, not floats); probes and the per-query LUT broadcast.
+    * Determinism: same lowest-id quantizers and subspace-ordered ADC
+    * fold as the component operators, so the full composition is
+    * oracle-checked end to end like every other ANN variant. */
+  def ivfPqTopK(emb: DataFrame, nlist: Int = 16, nprobe: Int = 4,
+                nQueries: Int = 10, k: Int = 10,
+                m: Int = 8, nCodes: Int = 16): DataFrame = {
+    val sub = Hashing.EmbDim / m
+    val n = withNorms(emb).persist()
+    val cent = n.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("ct_embedding"), col("nrm").as("ct_nrm"))
+    // coarse assignment — ivfTopK's inverted-list build, narrow rows
+    val asg = n
+      .select(col("vec_id"), col("embedding").as("v_embedding"),
+        col("nrm").as("v_nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        DotProduct.dot(col("v_embedding"), col("ct_embedding")) /
+          (col("v_nrm") * col("ct_nrm")))
+      .select(col("vec_id"), col("centroid_id"), col("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("crn") === 1)
+      .select("vec_id", "centroid_id")
+    val cb = pqCodebook(emb, m, nCodes).persist()
+    val codes = pqCodes(emb, cb, m).persist()
+    // queries → nprobe nearest lists (broadcast), then the candidate
+    // (query, vector) pairs — each vector lives in exactly ONE list,
+    // so a pair appears at most once, no dedup
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("qcos",
+        DotProduct.dot(col("q_embedding"), col("ct_embedding")) /
+          (col("q_nrm") * col("ct_nrm")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("qcos").desc, col("centroid_id"))))
+      .filter(col("prn") <= nprobe)
+      .select("query_id", "centroid_id")
+    val cand = asg.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    // ADC: per-query LUT of subspace dots against every codeword,
+    // candidates score as the subspace-ORDERED fold of their codes'
+    // LUT terms (annTopKPq verbatim, restricted to probed lists)
+    val qsub = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(expr(s"""transform(sequence(0, ${m - 1}), mm ->
+          |named_struct('m', mm,
+          |  'qv', slice(embedding, mm * $sub + 1, $sub)))""".stripMargin))
+          .as("s"))
+      .select(col("query_id"), col("s.m").as("m"), col("s.qv").as("qv"))
+    val lut = qsub.join(broadcast(cb), Seq("m"))
+      .withColumn("term", subDot("qv", "cw"))
+      .select("query_id", "m", "code", "term")
+    codes.join(cand, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(collect_list(struct(col("m"), col("term"))).as("ts"))
+      .withColumn("pq_score", expr(
+        "aggregate(array_sort(ts), 0D, (acc, s) -> acc + s.term)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("pq_score").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("pq_score"), col("rank"))
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the trained
     * coarse quantizer, then compare pairs ONLY within a cluster and

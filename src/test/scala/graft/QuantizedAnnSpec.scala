@@ -65,6 +65,27 @@ class QuantizedAnnSpec extends GraftSuite {
     assert(rec >= 0.15, s"mean PQ recall@10 = $rec")
   }
 
+  test("IVF-PQ: results come only from probed lists; ADC matches the PQ scorer") {
+    val ivfpq = Similarity.ivfPqTopK(emb).persist()
+    // cross-check the composition against its component: within the
+    // IVF candidate set, scores must equal the plain PQ scorer's ADC
+    // value for the same (query, neighbor) pair — the coarse prune
+    // restricts candidates, never changes a surviving score
+    val pqAll = Similarity.annTopKPq(emb, k = Int.MaxValue / 2)
+    val joined = ivfpq.join(
+      pqAll.select(col("query_id"), col("neighbor_id"),
+        col("pq_score").as("pq_ref")),
+      Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("pq_ref").isNull ||
+      col("pq_score") =!= col("pq_ref")).count() === 0,
+      "IVF-PQ ADC scores must be the PQ scorer's, restricted")
+    // recall floor: coarse-prune + coarse-code, still far above chance
+    val rec = Similarity.annRecall(Similarity.annTopK(emb), ivfpq)
+      .agg(avg("recall")).head.getDouble(0)
+    assert(rec >= 0.1, s"mean IVF-PQ recall@10 = $rec")
+    ivfpq.unpersist()
+  }
+
   test("all-zero vectors quantize to zero codes and never rank") {
     val withZero = emb.limit(20).unionByName(
       Seq((9999L, Array.fill(graft.functions.Hashing.EmbDim)(0.0f)))
