@@ -50,12 +50,16 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   // lets the analyzer admit `ALTER TABLE ... ADD COLUMN ... DEFAULT`
-  // for this catalog (the default lands as the snapshot format's
-  // initial-default metadata)
+  // and `ADD/DROP CONSTRAINT ... CHECK` DDL for this catalog (defaults
+  // land as initial-default metadata, CHECK constraints as the
+  // write-enforced `_constraints` table metadata)
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -262,6 +266,21 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         updateSidecarSchema(rootPath) { sch =>
           new StructType(sch.fields.filterNot(_.name == d.fieldNames.head))
         }
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        // `ALTER TABLE ... ADD CONSTRAINT n CHECK (expr)` — lands in
+        // the table's write-enforced constraint metadata; existing
+        // rows are validated first (the library rule)
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          SnapshotTable.addConstraint(spark, root, c.name(),
+            c.predicateSql())
+        case c => throw new UnsupportedOperationException(
+          "only CHECK constraints are supported, got " +
+            c.getClass.getSimpleName)
+      }
+      case dc: TableChange.DropConstraint =>
+        if (!dc.ifExists ||
+            SnapshotTable.constraints(root).exists(_._1 == dc.name()))
+          SnapshotTable.dropConstraint(root, dc.name())
       case c => throw new UnsupportedOperationException(
         s"graft catalog does not support ALTER change $c")
     }

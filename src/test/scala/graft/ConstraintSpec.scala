@@ -115,6 +115,31 @@ class ConstraintSpec extends GraftSuite {
     assert(SnapshotTable.read(spark, root).first().getDouble(1) === 10.0)
   }
 
+  test("ANSI constraint DDL: ALTER TABLE ADD/DROP CONSTRAINT CHECK") {
+    val wh = Files.createTempDirectory("graft-con-ddl").toString
+    spark.conf.set("spark.sql.catalog.cwh", "graft.sources.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.cwh.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE cwh.db.t (k STRING, price DOUBLE) PARTITIONED BY (k)")
+      spark.sql("INSERT INTO cwh.db.t VALUES ('a', 2.5)")
+      spark.sql(
+        "ALTER TABLE cwh.db.t ADD CONSTRAINT price_pos CHECK (price > 0)")
+      assert(SnapshotTable.constraints(s"$wh/db/t") ===
+        Seq("price_pos" -> "price > 0"))
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO cwh.db.t VALUES ('a', -1.0)")
+      }
+      assert(e.getMessage.contains("price_pos"), e.getMessage)
+      assert(spark.sql("SELECT count(*) FROM cwh.db.t")
+        .first().getLong(0) === 1)
+      spark.sql("ALTER TABLE cwh.db.t DROP CONSTRAINT price_pos")
+      assert(SnapshotTable.constraints(s"$wh/db/t").isEmpty)
+      spark.sql("INSERT INTO cwh.db.t VALUES ('a', -1.0)")
+      assert(spark.sql("SELECT count(*) FROM cwh.db.t")
+        .first().getLong(0) === 2)
+    } finally spark.conf.unset("spark.sql.catalog.cwh")
+  }
+
   test("constraints run from SQL: add_constraint procedure gates INSERT") {
     val wh = Files.createTempDirectory("graft-con-sql").toString
     spark.conf.set("spark.sql.catalog.conwh",
