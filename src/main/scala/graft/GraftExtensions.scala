@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registers the rule into the session's extraOptimizations. The
     // rule is also returned (harmless at pre-CBO: the scan relation
     // does not exist yet), keeping the wiring visible in both batches.
+    // persisted SQL views on the warehouse catalog: the parser reroutes
+    // CREATE/DROP/SHOW VIEW (Spark's analyzer refuses them for
+    // non-session catalogs before any rule could), the resolution rule
+    // substitutes stored definitions into reads
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftViewParser(session, delegate))
+    ext.injectResolutionRule(session =>
+      graft.sources.GraftViewResolutionRule(session))
     ext.injectPreCBORule { session =>
       val rule = org.apache.spark.sql.graft.GraftScanStatsRule(session)
       if (!session.experimental.extraOptimizations

@@ -47,7 +47,8 @@ import graft.operators.SnapshotTable
   *   an empty CREATEd table is loadable before its first commit.
   */
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   // lets the analyzer admit `ALTER TABLE ... ADD COLUMN ... DEFAULT`
   // and `ADD/DROP CONSTRAINT ... CHECK` DDL for this catalog (defaults
@@ -200,6 +201,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
                            properties: JMap[String, String]): Table = {
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    require(!isView(root), s"${ident} already exists as a VIEW")
     val partCols = partitions.toSeq.map { t =>
       require(t.name == "identity" && t.references.length == 1,
         s"graft catalog tables partition by identity columns only " +
@@ -390,6 +392,83 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       "fast_forward", "collect_stats", "collect_blooms")
       .map(Identifier.of(Array("system"), _)).toArray
 
+  // ───────────────────────────── views ─────────────────────────────
+  //
+  // Persisted SQL views (the DSv2 ViewCatalog — the Trino-view / dbt
+  // `materialized=view` serve surface; the reference's staging model
+  // `stg_trades.sql` IS one): the definition lives as a `_view` JSON
+  // file in the view's warehouse directory — no data, no versions —
+  // and Spark substitutes the stored query at analysis under the
+  // stored catalog+namespace context. A view and a table can never
+  // share a path (both creates check the other's marker).
+
+  private def viewFile(root: Path): Path = root.resolve("_view")
+
+  private def isView(root: Path): Boolean = Files.exists(viewFile(root))
+
+  override def viewExists(ident: Identifier): Boolean = isView(rootOf(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)((p, part) => p.resolve(part))
+    if (!Files.isDirectory(dir))
+      throw new NoSuchNamespaceException(namespace.toArray)
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && isView(p))
+      .map(p => Identifier.of(namespace.toArray, p.getFileName.toString))
+      .toArray
+    finally stream.close()
+  }
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val p = viewFile(rootOf(ident))
+    if (!Files.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    GraftSqlCatalog.parseView(ident.toString, Files.readString(p))
+  }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val root = rootOf(info.ident())
+    if (isView(root))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident())
+    require(!isTable(root), s"${info.ident()} already exists as a TABLE")
+    Files.createDirectories(root)
+    Files.writeString(viewFile(root), GraftSqlCatalog.renderView(info))
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier,
+                         changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View =
+    throw new UnsupportedOperationException(
+      "view properties are immutable here: DROP and re-CREATE")
+
+  override def dropView(ident: Identifier): Boolean = {
+    val p = viewFile(rootOf(ident))
+    if (!Files.exists(p)) return false
+    Files.delete(p)
+    // remove the now-empty dir (ignore failure if something else lives there)
+    try Files.delete(rootOf(ident)) catch { case _: Exception => () }
+    true
+  }
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val src = rootOf(from)
+    if (!isView(src))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    val dst = rootOf(to)
+    if (isView(dst))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    require(!isTable(dst), s"$to already exists as a TABLE")
+    Files.createDirectories(dst)
+    Files.move(viewFile(src), viewFile(dst))
+    try Files.delete(src) catch { case _: Exception => () }
+  }
+
   // ───────────────────────────── helpers ─────────────────────────────
 
   private def readSidecar(root: Path): Option[GraftSqlCatalog.TableMeta] = {
@@ -427,4 +506,58 @@ object GraftSqlCatalog {
 
   private[sources] case class TableMeta(schema: StructType,
                                         writeOptions: Map[String, String])
+
+  // view definition <-> `_view` JSON (json4s ships with Spark)
+
+  private[sources] def renderView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val j =
+      ("sql" -> info.sql()) ~
+      ("currentCatalog" -> info.currentCatalog()) ~
+      ("currentNamespace" -> info.currentNamespace().toList) ~
+      ("schema" -> info.schema().json) ~
+      ("queryColumnNames" -> info.queryColumnNames().toList) ~
+      ("columnAliases" -> info.columnAliases().toList) ~
+      ("columnComments" -> info.columnComments().toList
+        .map(Option(_))) ~
+      ("properties" -> info.properties().asScala.toMap)
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  private[sources] def parseView(viewName: String, body: String)
+      : org.apache.spark.sql.connector.catalog.View = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(body)
+    def str(f: String): String =
+      (j \ f) match { case JString(s) => s; case _ => null }
+    def arr(f: String): Array[String] = (j \ f) match {
+      case JArray(xs) => xs.map {
+        case JString(s) => s
+        case JNull => null
+        case other => other.values.toString
+      }.toArray
+      case _ => Array.empty
+    }
+    val props: java.util.Map[String, String] = (j \ "properties") match {
+      case JObject(fs) => fs.map { case (k, v) =>
+        k -> (v match { case JString(s) => s; case o => o.values.toString })
+      }.toMap.asJava
+      case _ => Collections.emptyMap[String, String]()
+    }
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = viewName
+      override def query(): String = str("sql")
+      override def currentCatalog(): String = str("currentCatalog")
+      override def currentNamespace(): Array[String] = arr("currentNamespace")
+      override def schema(): StructType =
+        DataType.fromJson(str("schema")).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = arr("queryColumnNames")
+      override def columnAliases(): Array[String] = arr("columnAliases")
+      override def columnComments(): Array[String] = arr("columnComments")
+      override def properties(): java.util.Map[String, String] = props
+    }
+  }
 }

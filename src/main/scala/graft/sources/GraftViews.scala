@@ -1,0 +1,175 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
+import org.apache.spark.sql.graft.{GraftCreateViewCommand, GraftDropViewCommand, GraftShowViewsCommand}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** PERSISTED SQL VIEWS against the graft warehouse catalog — the
+  * Trino-view / dbt `materialized=view` serve surface (the reference's
+  * `stg_trades.sql` staging model IS one). Spark 4.1 ships the DSv2
+  * `ViewCatalog` API but its analyzer neither routes view DDL to it
+  * (non-session catalogs get `MISSING_CATALOG_ABILITY.VIEWS` before
+  * any extension rule runs) nor resolves SELECTs through it — so, the
+  * Iceberg-extensions precedent, graft wires both halves itself:
+  *
+  *  - [[GraftViewParser]] (injectParser) reroutes parsed
+  *    `CREATE/DROP/SHOW VIEW` nodes whose identifier names a
+  *    graft-catalog (config-recognized — no catalog instantiation at
+  *    parse time) to eager commands over the `ViewCatalog` API.
+  *  - [[GraftViewResolutionRule]] (injectResolutionRule) substitutes a
+  *    still-unresolved relation that names a stored view with its
+  *    parsed definition — single-part table names inside the
+  *    definition re-qualify under the view's STORED
+  *    currentCatalog/currentNamespace (late-binding views, the
+  *    context-capture rule every view engine applies), column aliases
+  *    project over the stored output names, and nested views resolve
+  *    through the same fixed point. */
+object GraftViews {
+
+  /** Is `name` configured as a graft warehouse catalog? Parse-time
+    * check by CONFIG — instantiating catalogs while parsing would be
+    * both costly and order-sensitive. */
+  def isGraftCatalog(session: SparkSession, name: String): Boolean =
+    session.conf.getOption(s"spark.sql.catalog.$name")
+      .contains(classOf[GraftSqlCatalog].getName)
+}
+
+class GraftViewParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  /** Resolve a view identifier's (catalog, namespace, name) the way
+    * the analyzer would: an explicit leading graft-catalog name wins;
+    * otherwise a session whose CURRENT catalog is a graft catalog
+    * claims the identifier (filling the current namespace for
+    * single-part names). None = not ours, fall through to Spark. */
+  private def viewTarget(parts: Seq[String])
+      : Option[(String, Seq[String], String)] = {
+    if (parts.length >= 2 && GraftViews.isGraftCatalog(session, parts.head))
+      return Some((parts.head, parts.tail.init, parts.last))
+    val cm = session.sessionState.catalogManager
+    val cur = cm.currentCatalog.name()
+    if (!GraftViews.isGraftCatalog(session, cur)) return None
+    val ns = if (parts.length == 1) cm.currentNamespace.toSeq
+             else parts.init
+    Some((cur, ns, parts.last))
+  }
+
+  private def nsTarget(parts: Seq[String]): Option[(String, Seq[String])] = {
+    if (parts.nonEmpty && GraftViews.isGraftCatalog(session, parts.head))
+      return Some((parts.head, parts.tail))
+    val cm = session.sessionState.catalogManager
+    val cur = cm.currentCatalog.name()
+    if (!GraftViews.isGraftCatalog(session, cur)) return None
+    Some((cur, if (parts.isEmpty) cm.currentNamespace.toSeq else parts))
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case cv @ CreateView(UnresolvedIdentifier(parts, _), cols, _, _, _,
+          originalText, _, allowExisting, replace, _) =>
+        viewTarget(parts) match {
+          case Some((cat, ns, name)) =>
+            require(originalText.isDefined,
+              "CREATE VIEW over a graft catalog needs the query text")
+            require(cols.forall(_._2.isEmpty) || cols.isEmpty,
+              "view column comments are not supported here")
+            GraftCreateViewCommand(cat, ns, name,
+              originalText.get, cols.map(_._1),
+              allowExisting = allowExisting && !replace, replace = replace)
+          case None => cv
+        }
+      case dv @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
+        viewTarget(parts) match {
+          case Some((cat, ns, name)) =>
+            GraftDropViewCommand(cat, ns, name, ifExists)
+          case None => dv
+        }
+      case sv @ ShowViews(UnresolvedNamespace(parts, _), pattern, _) =>
+        nsTarget(parts) match {
+          case Some((cat, ns)) => GraftShowViewsCommand(cat, ns, pattern)
+          case None => sv
+        }
+      case other => other
+    }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+case class GraftViewResolutionRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation => substitute(u).getOrElse(u)
+    }
+
+  private def substitute(u: UnresolvedRelation): Option[LogicalPlan] = {
+    val raw = u.multipartIdentifier
+    // explicit graft-catalog prefix, else the session's current
+    // catalog when that is a graft catalog (current namespace fills
+    // single-part names) — mirror of the parser's viewTarget
+    val parts: Seq[String] =
+      if (raw.length >= 2 && GraftViews.isGraftCatalog(session, raw.head))
+        raw
+      else {
+        val cm = session.sessionState.catalogManager
+        val cur = cm.currentCatalog.name()
+        if (!GraftViews.isGraftCatalog(session, cur)) return None
+        if (raw.length == 1) (cur +: cm.currentNamespace.toSeq) :+ raw.head
+        else cur +: raw
+      }
+    val vc = session.sessionState.catalogManager.catalog(parts.head) match {
+      case v: ViewCatalog => v
+      case _ => return None
+    }
+    val ident = Identifier.of(parts.tail.init.toArray, parts.last)
+    if (!vc.viewExists(ident)) return None
+    val view = vc.loadView(ident)
+    val parsed = session.sessionState.sqlParser.parsePlan(view.query())
+    // late binding under the STORED context: a name the definition
+    // left unqualified resolves where the view was created, not where
+    // it is read
+    val prefix = view.currentCatalog() +: view.currentNamespace()
+    val qualified = parsed.transformWithSubqueries {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+        new UnresolvedRelation(
+          (prefix :+ r.multipartIdentifier.head).toSeq,
+          r.options, r.isStreaming)
+    }
+    val aliased =
+      if (view.columnAliases() == null || view.columnAliases().isEmpty)
+        qualified
+      else {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        Project(view.queryColumnNames().toSeq
+          .zip(view.columnAliases().toSeq).map { case (q, a) =>
+            Alias(UnresolvedAttribute.quoted(q), a)()
+          }, qualified)
+      }
+    Some(SubqueryAlias(parts.last, aliased))
+  }
+}

@@ -1,0 +1,94 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.NoSuchViewException
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+/** Eager commands behind the graft VIEW DDL (`CREATE/DROP/SHOW VIEW`
+  * against a [[graft.sources.GraftSqlCatalog]]): Spark 4.1 ships the
+  * DSv2 `ViewCatalog` API but its analyzer still hard-refuses view DDL
+  * on non-session catalogs (`MISSING_CATALOG_ABILITY.VIEWS`), so — the
+  * Iceberg-extensions precedent — the graft parser intercepts the
+  * parsed nodes and reroutes them here. Lives under
+  * `org.apache.spark.sql` for `LeafRunnableCommand` (the
+  * [[GraftDmlExec]] shim-file pattern). */
+private[graft] object GraftViewExec {
+
+  private def viewCatalog(session: SparkSession, name: String): ViewCatalog =
+    session.sessionState.catalogManager.catalog(name)
+      .asInstanceOf[ViewCatalog]
+}
+
+case class GraftCreateViewCommand(catalog: String, namespace: Seq[String],
+                                  viewName: String, queryText: String,
+                                  columnAliases: Seq[String],
+                                  allowExisting: Boolean,
+                                  replace: Boolean)
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val vc = session.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(namespace.toArray, viewName)
+    if (vc.viewExists(ident)) {
+      if (allowExisting) return Seq.empty
+      if (replace) vc.dropView(ident)
+    }
+    // analyze (not execute) the defining query under the CURRENT
+    // context — its schema and output names are the stored contract;
+    // the stored currentCatalog/currentNamespace let the read-side
+    // rule re-qualify names the definition left unqualified
+    val analyzed = session.sql(queryText)
+    require(columnAliases.isEmpty ||
+      columnAliases.length == analyzed.schema.length,
+      s"view column list has ${columnAliases.length} names, query " +
+        s"produces ${analyzed.schema.length} columns")
+    val cm = session.sessionState.catalogManager
+    vc.createView(new ViewInfo(
+      ident, queryText, cm.currentCatalog.name(), cm.currentNamespace,
+      analyzed.schema, analyzed.schema.fieldNames,
+      columnAliases.toArray, Array.fill(columnAliases.length)(null),
+      java.util.Collections.emptyMap[String, String]()))
+    Seq.empty
+  }
+}
+
+case class GraftDropViewCommand(catalog: String, namespace: Seq[String],
+                                viewName: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val vc = session.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(namespace.toArray, viewName)
+    if (!vc.dropView(ident) && !ifExists)
+      throw new NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+case class GraftShowViewsCommand(catalog: String, namespace: Seq[String],
+                                 pattern: Option[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "namespace", org.apache.spark.sql.types.StringType)(),
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "viewName", org.apache.spark.sql.types.StringType)(),
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "isTemporary", org.apache.spark.sql.types.BooleanType)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val vc = session.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[ViewCatalog]
+    vc.listViews(namespace: _*).toSeq
+      .filter(i => pattern.forall(p =>
+        org.apache.spark.sql.catalyst.util.StringUtils
+          .filterPattern(Seq(i.name()), p).nonEmpty))
+      .sortBy(_.name())
+      .map(i => Row(i.namespace().mkString("."), i.name(), false))
+  }
+}
