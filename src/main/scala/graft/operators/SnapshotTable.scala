@@ -46,7 +46,7 @@ object SnapshotTable {
     finally stream.close()
   }
 
-  private def moveMarker(root: String, version: Long): Unit = {
+  private[graft] def moveMarker(root: String, version: Long): Unit = {
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, s"_latest.tmp$version")
     Files.writeString(tmp, version.toString)

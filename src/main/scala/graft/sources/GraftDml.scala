@@ -56,7 +56,8 @@ object GraftDml {
     * (the [[graft.streaming.GovernedStream]] protocol minus the batch
     * id). Returns the new version (warehouse) / commit (governed). */
   def runMerge(spark: SparkSession, target: Target, partitionCol: String,
-               keyCols: Seq[String], batch: DataFrame): Long = {
+               keyCols: Seq[String], batch: DataFrame,
+               syncDelete: Boolean = false): Long = {
     val schema = SnapshotTable.read(spark, target.tableRoot,
       baseVersion(target)).schema
     val aligned = batch.select(schema.fields.toSeq.map(f =>
@@ -67,13 +68,45 @@ object GraftDml {
       s"MERGE cardinality violation: duplicate source key " +
         s"${dups.head.toSeq.init.mkString("(", ", ", ")")} — a target " +
         "row may match at most one source row")
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE (the full-sync shape):
+    // target keys absent from the source land as a SECOND
+    // equality-delete sidecar — one key-column scan of the base (the
+    // semantics demand knowing what the source lacks), still zero data
+    // rewrites. Disjoint from the batch's keys by construction, so the
+    // strict sequence rule never touches the fresh upsert rows.
+    def antiKeys(base: Long): DataFrame =
+      SnapshotTable.read(spark, target.tableRoot, base)
+        .select(keyCols.map(col): _*).distinct()
+        .join(aligned.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
     target match {
       case Warehouse(root) =>
-        SnapshotTable.upsertMor(spark, root, partitionCol, aligned, keyCols)
+        if (!syncDelete)
+          SnapshotTable.upsertMor(spark, root, partitionCol, aligned, keyCols)
+        else {
+          val base = baseVersion(target)
+          val anti = antiKeys(base)
+          val d1 = SnapshotTable.stageUpsertMor(aligned, root, partitionCol,
+            keyCols, base)
+          // both halves stage unpublished, ONE marker move publishes —
+          // a reader never sees the upserts without the sync-deletes
+          val head =
+            if (anti.isEmpty) d1
+            else SnapshotTable.stageEqualityDelete(spark, root, anti, d1)
+          SnapshotTable.moveMarker(root, head)
+          head
+        }
       case g: Governed =>
         casCommit(g) { prev =>
-          Some(SnapshotTable.stageUpsertMor(aligned, g.tableRoot,
-            partitionCol, keyCols, prev))
+          val d1 = SnapshotTable.stageUpsertMor(aligned, g.tableRoot,
+            partitionCol, keyCols, prev)
+          if (!syncDelete) Some(d1)
+          else {
+            val anti = antiKeys(prev)
+            if (anti.isEmpty) Some(d1)
+            else Some(SnapshotTable.stageEqualityDelete(spark, g.tableRoot,
+              anti, d1))
+          }
         }
     }
   }
@@ -286,8 +319,15 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     require(!m.withSchemaEvolution,
       "MERGE ... WITH SCHEMA EVOLUTION is not supported; evolve via " +
         "ALTER TABLE ADD/RENAME/DROP COLUMN first")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE clauses")
+    // the one supported NOT-MATCHED-BY-SOURCE form: an unconditional
+    // DELETE alongside the upsert shape — full-sync MERGE (target
+    // becomes exactly the source), the second eq-delete sidecar
+    val syncDelete = m.notMatchedBySourceActions match {
+      case Seq() => false
+      case Seq(DeleteAction(None)) => true
+      case other => refuse(s"WHEN NOT MATCHED BY SOURCE actions $other " +
+        "(only an unconditional THEN DELETE is supported)")
+    }
     val targetIds = rel.outputSet.map(_.exprId).toSet
 
     // WHEN MATCHED DELETE (alone): "remove the keys the source
@@ -295,6 +335,8 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     // zero reads of the table
     (m.matchedActions, m.notMatchedActions) match {
       case (Seq(DeleteAction(None)), Seq()) =>
+        if (syncDelete) refuse("WHEN MATCHED DELETE combined with WHEN " +
+          "NOT MATCHED BY SOURCE DELETE (that is DELETE FROM the table)")
         return GraftMergeDeleteCommand(t, m.sourceTable,
           keyPairsOf(m, targetIds))
       case _ => ()
@@ -333,7 +375,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
       tc
     }
     GraftMergeCommand(t, partitionCol, keyCols, m.sourceTable,
-      rel.output.map(a => a.name -> upd(a.name)))
+      rel.output.map(a => a.name -> upd(a.name)), syncDelete)
   }
 
   private def rewriteUpdate(u: UpdateTable, t: GraftDml.Target,

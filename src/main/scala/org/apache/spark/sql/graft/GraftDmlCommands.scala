@@ -42,7 +42,8 @@ private[graft] object GraftDmlExec {
 case class GraftMergeCommand(target: graft.sources.GraftDml.Target,
                              partitionCol: String,
                              keyCols: Seq[String], source: LogicalPlan,
-                             projection: Seq[(String, Expression)])
+                             projection: Seq[(String, Expression)],
+                             syncDelete: Boolean = false)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -55,7 +56,7 @@ case class GraftMergeCommand(target: graft.sources.GraftDml.Target,
     val batch = src.select(projection.map { case (n, e) =>
       GraftDmlExec.column(e).as(n) }: _*)
     Seq(Row(graft.sources.GraftDml.runMerge(spark, target, partitionCol,
-      keyCols, batch)))
+      keyCols, batch, syncDelete)))
   }
 }
 

@@ -91,6 +91,91 @@ class GraftDmlSpec extends GraftSuite {
     assert(SnapshotTable.latestVersion(root) === before) // nothing committed
   }
 
+  test("MERGE NOT MATCHED BY SOURCE DELETE: full sync, atomically published") {
+    val root = mkCatalogTable("dmlsync")
+    val before = SnapshotTable.latestVersion(root)
+    val dataFiles = SnapshotTable.manifestEntries(root, before)
+      .map(e => java.nio.file.Paths.get(root, s"v=${e._2}", e._1))
+    val mtimes = dataFiles.map(p => p -> Files.getLastModifiedTime(p)).toMap
+    // source: updates b, inserts d — and LACKS a and c, which the sync
+    // clause must remove
+    Seq(("b", 20L, "x"), ("d", 4L, "y")).toDF("k", "n", "p")
+      .createOrReplaceTempView("dmlsync_src")
+    val v = spark.sql(
+      """MERGE INTO dmlsync.db.t AS t USING dmlsync_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      .first.getLong(0)
+    // the target became exactly the source
+    assert(spark.table("dmlsync.db.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("b", 20L), ("d", 4L)))
+    // the published head is the SECOND staged half (upsert + sync
+    // deletes published by one marker move — never upserts alone),
+    // and both sidecar flavors are equality deletes, zero rewrites
+    assert(v === before + 2)
+    dataFiles.foreach(p =>
+      assert(Files.getLastModifiedTime(p) === mtimes(p), s"$p rewritten"))
+    assert(SnapshotTable.eqDeleteEntries(root, v).size === 2)
+    // time travel: pre-sync rows intact
+    assert(spark.sql(s"SELECT count(*) FROM dmlsync.db.t VERSION AS OF " +
+      s"$before").first.getLong(0) === 3)
+    // a sync whose source covers every key stages NO second half
+    spark.table("dmlsync.db.t").createOrReplaceTempView("dmlsync_all")
+    val v2 = spark.sql(
+      """MERGE INTO dmlsync.db.t AS t USING dmlsync_all AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      .first.getLong(0)
+    assert(v2 === v + 1)
+    assert(spark.table("dmlsync.db.t").count() === 2)
+    // conditional NOT-MATCHED-BY-SOURCE refuses; so does the
+    // delete-everything combination
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO dmlsync.db.t t USING dmlsync_src s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE AND t.n > 0 THEN DELETE")
+    }
+    assert(e.getMessage.contains("unconditional"), e.getMessage)
+    intercept[Exception] {
+      spark.sql("MERGE INTO dmlsync.db.t t USING dmlsync_src s " +
+        "ON t.k = s.k WHEN MATCHED THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+  }
+
+  test("governed MERGE sync publishes upsert + prune as ONE catalog commit") {
+    val wh = Files.createTempDirectory("graft-dmlsync-gov").toString + "/cat"
+    import spark.implicits._
+    graft.operators.Catalog.transactDelta(wh, Seq(("t",
+      Seq(("a", 1L, "x"), ("b", 2L, "x"), ("c", 3L, "y"))
+        .toDF("k", "n", "p"), "p")))
+    spark.conf.set("spark.sql.catalog.dmlsyncg",
+      "graft.sources.GraftGovernedCatalog")
+    spark.conf.set("spark.sql.catalog.dmlsyncg.root", wh)
+    try {
+      val c0 = graft.operators.Catalog.latestCommit(wh)
+      Seq(("b", 20L, "x"), ("d", 4L, "y")).toDF("k", "n", "p")
+        .createOrReplaceTempView("dmlsyncg_src")
+      spark.sql(
+        """MERGE INTO dmlsyncg.t AS t USING dmlsyncg_src AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      // ONE commit — upsert and prune never visible separately
+      assert(graft.operators.Catalog.latestCommit(wh) === c0 + 1)
+      assert(spark.table("dmlsyncg.t").orderBy("k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("b", 20L), ("d", 4L)))
+      // rollback rewinds the whole sync
+      graft.operators.Catalog.rollback(wh, c0)
+      assert(spark.table("dmlsyncg.t").count() === 3)
+    } finally spark.conf.unset("spark.sql.catalog.dmlsyncg")
+  }
+
   test("UPDATE rewrites only touched partitions; WHERE-null rows keep") {
     val root = mkCatalogTable("dml3")
     val before = SnapshotTable.latestVersion(root)
