@@ -475,20 +475,41 @@ object SnapshotTable {
                                             default: Option[String] = None)
       : Long = {
     require(base >= 0, s"no committed version at $root")
-    // validate an initial default BEFORE any claim: literal-only (a
-    // column reference cannot evaluate over files that lack the
-    // column), single-line (the metadata file is line-oriented), and
-    // it must evaluate+cast — a malformed default fails HERE, not on
-    // every future read. Both the library addColumn and the SQL
-    // catalogs' ALTER paths pass through this staging half.
-    default.filter(_ => op == "add").foreach { d =>
-      val parsed = spark.sessionState.sqlParser.parseExpression(d)
-      require(!parsed.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]),
-        s"initial default must be a literal expression, got: $d")
-      require(!d.contains('\n') && !d.contains('\t'),
-        "initial default must be single-line")
-      spark.range(1).select(expr(d).cast(addType.get)).first()
+    // an initial default is FOLDED to a frozen literal BEFORE any
+    // claim (the Iceberg rule: initial-default is a VALUE, not an
+    // expression): column references refuse (they cannot evaluate
+    // over files that lack the column), everything else — including
+    // current_date()-style expressions — evaluates ONCE here and the
+    // resulting literal is what every future read sees; a malformed
+    // or NULL-folding default fails HERE, not on every read. Both the
+    // library addColumn and the SQL catalogs' ALTER paths pass through
+    // this staging half.
+    val foldedDefault: Option[String] =
+      default.filter(_ => op == "add").map { d =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(d)
+        require(!parsed.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]),
+          s"initial default must not reference columns, got: $d")
+        val v = spark.range(1).select(expr(d).cast(addType.get))
+          .first().get(0)
+        require(v != null,
+          s"initial default $d evaluates to NULL — omit the default")
+        val sql =
+          org.apache.spark.sql.catalyst.expressions.Literal(v).sql
+        require(!sql.contains('\n') && !sql.contains('\t'),
+          "initial default must render single-line")
+        sql
+      }
+    // a CHECK constraint referencing the column would make every
+    // future write throw at enforcement — refuse the evolution instead
+    if (op != "add") constraints(root).foreach { case (cn, ce) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(ce).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      }.toSet
+      require(!refs.contains(name),
+        s"cannot $op '$name': CHECK constraint '$cn' ($ce) references " +
+          "it — drop the constraint first")
     }
     val m = manifestEntries(root, base)
     require(m.nonEmpty,
@@ -559,7 +580,7 @@ object SnapshotTable {
     carryDefaults(root, base, next,
       drop = if (op == "drop") baseFields.find(_._2 == name).map(_._1)
              else None,
-      add = if (op == "add") default.map(d => lastId -> d) else None)
+      add = if (op == "add") foldedDefault.map(d => lastId -> d) else None)
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)
     next

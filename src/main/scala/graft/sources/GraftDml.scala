@@ -72,13 +72,37 @@ object GraftDml {
     // target keys absent from the source land as a SECOND
     // equality-delete sidecar — one key-column scan of the base (the
     // semantics demand knowing what the source lacks), still zero data
-    // rewrites. Disjoint from the batch's keys by construction, so the
-    // strict sequence rule never touches the fresh upsert rows.
-    def antiKeys(base: Long): DataFrame =
-      SnapshotTable.read(spark, target.tableRoot, base)
+    // rewrites, computed ONCE (persisted across the emptiness probe
+    // and the sidecar write). NULL keys need care: the eq-delete
+    // sidecar matches NULL-SAFELY against every file older than its
+    // version — including the just-appended batch — so a NULL-key
+    // tombstone is only safe when the BATCH carries no NULL-key row;
+    // otherwise the statement refuses rather than silently deleting
+    // the row it just inserted. Non-null anti keys are disjoint from
+    // the batch's keys by construction.
+    def antiKeys(base: Long): DataFrame = {
+      val keyIsNull = keyCols.map(col(_).isNull).reduce(_ || _)
+      val baseKeys = SnapshotTable.read(spark, target.tableRoot, base)
         .select(keyCols.map(col): _*).distinct()
+      // a NULL-key target row matches no source row (standard MERGE
+      // equality), so NOT MATCHED BY SOURCE always deletes it
+      val nullTargets = baseKeys.filter(keyIsNull)
+      val antiStd = baseKeys.filter(!keyIsNull)
         .join(aligned.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
+      val anti = antiStd.unionByName(nullTargets).persist()
+      if (!nullTargets.isEmpty &&
+          !aligned.filter(keyIsNull).isEmpty) {
+        anti.unpersist()
+        throw new UnsupportedOperationException(
+          "MERGE ... NOT MATCHED BY SOURCE DELETE with NULL merge keys " +
+            "on BOTH sides: the equality-delete tombstone for the " +
+            "target's NULL-key rows would also mask the batch's " +
+            "NULL-key insert — delete the NULL-key rows explicitly " +
+            "first")
+      }
+      anti
+    }
     target match {
       case Warehouse(root) =>
         if (!syncDelete)
@@ -86,26 +110,34 @@ object GraftDml {
         else {
           val base = baseVersion(target)
           val anti = antiKeys(base)
-          val d1 = SnapshotTable.stageUpsertMor(aligned, root, partitionCol,
-            keyCols, base)
-          // both halves stage unpublished, ONE marker move publishes —
-          // a reader never sees the upserts without the sync-deletes
-          val head =
-            if (anti.isEmpty) d1
-            else SnapshotTable.stageEqualityDelete(spark, root, anti, d1)
-          SnapshotTable.moveMarker(root, head)
-          head
+          try {
+            val d1 = SnapshotTable.stageUpsertMor(aligned, root,
+              partitionCol, keyCols, base)
+            // both halves stage unpublished, ONE marker move publishes
+            // — a reader never sees the upserts without the
+            // sync-deletes
+            val head =
+              if (anti.isEmpty) d1
+              else SnapshotTable.stageEqualityDelete(spark, root, anti, d1)
+            SnapshotTable.moveMarker(root, head)
+            head
+          } finally anti.unpersist()
         }
       case g: Governed =>
         casCommit(g) { prev =>
-          val d1 = SnapshotTable.stageUpsertMor(aligned, g.tableRoot,
-            partitionCol, keyCols, prev)
-          if (!syncDelete) Some(d1)
+          if (!syncDelete)
+            Some(SnapshotTable.stageUpsertMor(aligned, g.tableRoot,
+              partitionCol, keyCols, prev))
           else {
+            // NULL-key refusal fires BEFORE anything stages
             val anti = antiKeys(prev)
-            if (anti.isEmpty) Some(d1)
-            else Some(SnapshotTable.stageEqualityDelete(spark, g.tableRoot,
-              anti, d1))
+            try {
+              val d1 = SnapshotTable.stageUpsertMor(aligned, g.tableRoot,
+                partitionCol, keyCols, prev)
+              if (anti.isEmpty) Some(d1)
+              else Some(SnapshotTable.stageEqualityDelete(spark,
+                g.tableRoot, anti, d1))
+            } finally anti.unpersist()
           }
         }
     }

@@ -184,7 +184,17 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           case Some(m) =>
             val declared = m.schema.fieldNames.filter(data.fieldNames.contains)
             val rest = data.fieldNames.filterNot(declared.contains)
-            new StructType((declared ++ rest).map(data(_)))
+            // sidecar field METADATA rides along (column defaults:
+            // CURRENT_DEFAULT must reach the loaded schema or INSERTs
+            // omitting the column write NULL) — the storage schema
+            // wins on type, the sidecar on declared metadata
+            new StructType((declared ++ rest).map { n =>
+              val f = data(n)
+              m.schema.fields.find(sf => sf.name == n &&
+                  sf.metadata != org.apache.spark.sql.types.Metadata.empty)
+                .map(sf => f.copy(metadata = sf.metadata))
+                .getOrElse(f)
+            })
           case None => data
         }
       } else meta.map(_.schema).getOrElse(new StructType())
@@ -245,11 +255,22 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         // `ADD COLUMN ... DEFAULT <lit>` (gated by the catalog's
         // SUPPORT_COLUMN_DEFAULT_VALUE capability) lands as the
         // initial-default: pre-add files read the literal, post-add
-        // writes their real values
+        // writes their real values. The sidecar field carries the
+        // CURRENT_DEFAULT metadata too, so later INSERTs that OMIT the
+        // column fill the default (Spark's own resolution, exactly as
+        // CREATE TABLE defaults behave) instead of writing NULL.
+        val default = Option(a.defaultValue()).map(_.getSql)
         SnapshotTable.addColumn(spark, root, a.fieldNames.head, a.dataType,
-          Option(a.defaultValue()).map(_.getSql))
+          default)
         updateSidecarSchema(rootPath) { sch =>
-          sch.add(a.fieldNames.head, a.dataType, nullable = true)
+          val meta = default match {
+            case Some(d) => new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("CURRENT_DEFAULT", d)
+              .putString("EXISTS_DEFAULT", d).build()
+            case None => org.apache.spark.sql.types.Metadata.empty
+          }
+          sch.add(org.apache.spark.sql.types.StructField(
+            a.fieldNames.head, a.dataType, nullable = true, meta))
         }
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,

@@ -44,18 +44,34 @@ object GraftViews {
 class GraftViewParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
+  /** Does `name` address something that is NOT this session's current
+    * graft catalog — another registered catalog, the session catalog,
+    * or the global-temp database? Such identifiers must fall through
+    * to Spark untouched even when the current catalog is graft. */
+  private def foreignHead(name: String): Boolean =
+    name == "spark_catalog" ||
+      name == session.conf.get("spark.sql.globalTempDatabase",
+        "global_temp") ||
+      session.conf.getOption(s"spark.sql.catalog.$name").isDefined
+
   /** Resolve a view identifier's (catalog, namespace, name) the way
     * the analyzer would: an explicit leading graft-catalog name wins;
     * otherwise a session whose CURRENT catalog is a graft catalog
     * claims the identifier (filling the current namespace for
-    * single-part names). None = not ours, fall through to Spark. */
+    * single-part names) — EXCEPT identifiers addressing another
+    * catalog/global-temp, or a name bound to a TEMP view (temp views
+    * shadow persisted ones, the Spark rule). None = not ours. */
   private def viewTarget(parts: Seq[String])
       : Option[(String, Seq[String], String)] = {
     if (parts.length >= 2 && GraftViews.isGraftCatalog(session, parts.head))
       return Some((parts.head, parts.tail.init, parts.last))
+    if (parts.length >= 2 && foreignHead(parts.head)) return None
     val cm = session.sessionState.catalogManager
     val cur = cm.currentCatalog.name()
     if (!GraftViews.isGraftCatalog(session, cur)) return None
+    if (parts.length == 1 &&
+        session.sessionState.catalog.getTempView(parts.head).isDefined)
+      return None
     val ns = if (parts.length == 1) cm.currentNamespace.toSeq
              else parts.init
     Some((cur, ns, parts.last))
@@ -64,6 +80,7 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
   private def nsTarget(parts: Seq[String]): Option[(String, Seq[String])] = {
     if (parts.nonEmpty && GraftViews.isGraftCatalog(session, parts.head))
       return Some((parts.head, parts.tail))
+    if (parts.nonEmpty && foreignHead(parts.head)) return None
     val cm = session.sessionState.catalogManager
     val cur = cm.currentCatalog.name()
     if (!GraftViews.isGraftCatalog(session, cur)) return None
@@ -147,7 +164,14 @@ case class GraftViewResolutionRule(session: SparkSession)
     val ident = Identifier.of(parts.tail.init.toArray, parts.last)
     if (!vc.viewExists(ident)) return None
     val view = vc.loadView(ident)
-    val parsed = session.sessionState.sqlParser.parsePlan(view.query())
+    val raw0 = session.sessionState.sqlParser.parsePlan(view.query())
+    // CTE substitution already RAN on the outer plan (its analyzer
+    // batch precedes every resolution rule), so a definition's WITH
+    // clauses must be substituted here or `FROM c` would stay
+    // unresolved — and substituting first also keeps CTE
+    // self-references out of the re-qualification below
+    val parsed =
+      org.apache.spark.sql.catalyst.analysis.CTESubstitution(raw0)
     // late binding under the STORED context: a name the definition
     // left unqualified resolves where the view was created, not where
     // it is read

@@ -31,19 +31,19 @@ case class GraftCreateViewCommand(catalog: String, namespace: Seq[String],
     val vc = session.sessionState.catalogManager.catalog(catalog)
       .asInstanceOf[ViewCatalog]
     val ident = Identifier.of(namespace.toArray, viewName)
-    if (vc.viewExists(ident)) {
-      if (allowExisting) return Seq.empty
-      if (replace) vc.dropView(ident)
-    }
+    if (vc.viewExists(ident) && allowExisting) return Seq.empty
     // analyze (not execute) the defining query under the CURRENT
     // context — its schema and output names are the stored contract;
     // the stored currentCatalog/currentNamespace let the read-side
-    // rule re-qualify names the definition left unqualified
+    // rule re-qualify names the definition left unqualified.
+    // Validation happens BEFORE any drop: a failed OR REPLACE must
+    // leave the existing view intact.
     val analyzed = session.sql(queryText)
     require(columnAliases.isEmpty ||
       columnAliases.length == analyzed.schema.length,
       s"view column list has ${columnAliases.length} names, query " +
         s"produces ${analyzed.schema.length} columns")
+    if (vc.viewExists(ident) && replace) vc.dropView(ident)
     val cm = session.sessionState.catalogManager
     vc.createView(new ViewInfo(
       ident, queryText, cm.currentCatalog.name(), cm.currentNamespace,

@@ -88,6 +88,28 @@ class ConstraintSpec extends GraftSuite {
     assert(SnapshotTable.constraints(root).isEmpty)
   }
 
+  test("renaming or dropping a constraint-referenced column refuses") {
+    val root = tmp("graft-con-evolve")
+    SnapshotTable.commitAppend(
+      Seq((1L, 10.0, "a")).toDF("id", "price", "p"), root, "p")
+    SnapshotTable.addConstraint(spark, root, "price_pos", "price > 0")
+    // either evolution would brick every future write at enforcement
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, root, "price", "px")
+    }
+    assert(e1.getMessage.contains("price_pos"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, root, "price")
+    }
+    assert(e2.getMessage.contains("drop the constraint first"))
+    // unrelated columns still evolve
+    SnapshotTable.renameColumn(spark, root, "id", "doc_id")
+    // and after dropping the constraint, the rename goes through
+    SnapshotTable.dropConstraint(root, "price_pos")
+    SnapshotTable.renameColumn(spark, root, "price", "px")
+    assert(SnapshotTable.read(spark, root).columns.contains("px"))
+  }
+
   test("drop re-admits; duplicate names and unknown drops refuse") {
     val root = tmp("graft-con-drop")
     SnapshotTable.commit(Seq((1L, 1.0)).toDF("id", "price"), root)

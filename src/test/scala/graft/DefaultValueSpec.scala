@@ -83,6 +83,24 @@ class DefaultValueSpec extends GraftSuite {
     intercept[Exception] {
       SnapshotTable.addColumn(spark, root, "d", DoubleType, Some("((("))
     }
+    intercept[IllegalArgumentException] { // NULL-folding default
+      SnapshotTable.addColumn(spark, root, "d", DoubleType,
+        Some("CAST(NULL AS DOUBLE)"))
+    }
     assert(!SnapshotTable.read(spark, root).columns.contains("d"))
+  }
+
+  test("defaults are FROZEN at add time: expressions fold to one literal") {
+    val root = tmp("graft-def-frozen")
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "a"))
+      .toDF("id", "p"), root, "p")
+    // a non-deterministic default evaluates ONCE — every pre-add row
+    // reads the SAME frozen value, on every read
+    SnapshotTable.addColumn(spark, root, "r", DoubleType, Some("rand()"))
+    def vals(): Set[Double] = SnapshotTable.read(spark, root)
+      .select("r").as[Double].collect().toSet
+    val first = vals()
+    assert(first.size === 1, s"default must be one frozen value: $first")
+    assert(vals() === first, "frozen default drifted between reads")
   }
 }

@@ -145,6 +145,28 @@ class GraftDmlSpec extends GraftSuite {
         "ON t.k = s.k WHEN MATCHED THEN DELETE " +
         "WHEN NOT MATCHED BY SOURCE THEN DELETE")
     }
+    // NULL merge keys on BOTH sides refuse (the tombstone for the
+    // target's NULL-key row would also mask the batch's NULL insert);
+    // NULL on the target side alone deletes it per SQL semantics
+    spark.sql("INSERT INTO dmlsync.db.t VALUES (NULL, 99, 'x')")
+    Seq((Option.empty[String], 7L, "x")).toDF("k", "n", "p")
+      .createOrReplaceTempView("dmlsync_null")
+    val en = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dmlsync.db.t AS t USING dmlsync_null AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(en.getMessage.contains("NULL merge keys"), en.getMessage)
+    spark.sql(
+      """MERGE INTO dmlsync.db.t AS t USING dmlsync_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // the NULL-key target row matched nothing → deleted by the sync
+    assert(spark.table("dmlsync.db.t").filter("k IS NULL").count() === 0)
+    assert(spark.table("dmlsync.db.t").count() === 2)
   }
 
   test("governed MERGE sync publishes upsert + prune as ONE catalog commit") {

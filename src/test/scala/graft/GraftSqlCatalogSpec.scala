@@ -117,6 +117,11 @@ class GraftSqlCatalogSpec extends GraftSuite {
       .first.getDouble(0) === 0.5)
     assert(spark.sql(
       "SELECT sum(rate) FROM gtest.db.acd").first.getDouble(0) === 0.6)
+    // an INSERT that OMITS the column fills the default (the sidecar
+    // schema carries CURRENT_DEFAULT, exactly as CREATE TABLE defaults)
+    spark.sql("INSERT INTO gtest.db.acd (k, n) VALUES ('a', 11)")
+    assert(spark.sql("SELECT rate FROM gtest.db.acd WHERE n = 11")
+      .first.getDouble(0) === 0.05)
     // pre-add time travel has no such column
     intercept[Exception] {
       spark.sql(s"SELECT rate FROM gtest.db.acd VERSION AS OF $before")

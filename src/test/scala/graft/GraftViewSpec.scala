@@ -87,6 +87,43 @@ class GraftViewSpec extends GraftSuite {
       .map(_.getString(1)).contains("base_v"))
   }
 
+  test("CTE names inside a definition never re-qualify; failed OR REPLACE keeps the view") {
+    wh
+    // the CTE's self-reference must NOT become vtest.db.c at read time
+    spark.sql("CREATE VIEW vtest.db.cte_v AS " +
+      "WITH c AS (SELECT k, n FROM vtest.db.t WHERE n > 1) " +
+      "SELECT k, sum(n) AS total FROM c GROUP BY k")
+    assert(spark.sql("SELECT sum(total) FROM vtest.db.cte_v")
+      .first().getLong(0) ===
+      spark.sql("SELECT sum(n) FROM vtest.db.t WHERE n > 1")
+        .first().getLong(0))
+    // a replacement whose query fails analysis leaves the old view
+    intercept[Exception] {
+      spark.sql("CREATE OR REPLACE VIEW vtest.db.cte_v AS " +
+        "SELECT no_such_column FROM vtest.db.t")
+    }
+    assert(spark.sql("SELECT * FROM vtest.db.cte_v").columns.toSeq ===
+      Seq("k", "total"))
+  }
+
+  test("DDL aimed at temp views or other catalogs is never hijacked") {
+    wh
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
+    spark.sql("USE vtest.db")
+    try {
+      // a TEMP view drop under a graft current catalog stays Spark's
+      spark.range(1).createOrReplaceTempView("hijack_tmp")
+      spark.sql("DROP VIEW hijack_tmp")
+      assert(spark.sessionState.catalog.getTempView("hijack_tmp").isEmpty)
+      // an explicit other-catalog identifier falls through untouched
+      intercept[Exception] { // session catalog: no such view → ITS error
+        spark.sql("DROP VIEW spark_catalog.default.never_created")
+      }
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(wh, "spark_catalog")))
+    } finally spark.sql(s"USE $prevCat")
+  }
+
   test("late binding under the STORED context: unqualified names re-qualify") {
     wh
     val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
