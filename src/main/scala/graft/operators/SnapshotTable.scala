@@ -159,6 +159,22 @@ object SnapshotTable {
                    withPos: Boolean): DataFrame = {
     val m = manifestEntries(root, v)
     if (m.isEmpty) {
+      // a MANIFESTED version with zero live entries — everything was
+      // deleted (deleteWhere emptying every partition) or truncated:
+      // an empty frame under the version's recorded schema, NOT a
+      // doomed schema-inference over an empty directory
+      if (Files.exists(manifestPath(root, v))) {
+        val schema = recordedSchema(root, v).getOrElse(
+          throw new IllegalStateException(
+            s"version $v at $root has an empty manifest and no " +
+              "recorded schema"))
+        val base = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        return if (!withPos) base
+        else base.select(col("*") +:
+          Seq(lit(null).cast("string").as(FileCol),
+            lit(null).cast("long").as(PosCol)): _*)
+      }
       val base = spark.read.parquet(s"$root/v=$v")
       if (withPos) base.select(col("*") +: posCols: _*) else base
     } else scanEntries(spark, root, v, m, withPos)
@@ -2021,6 +2037,9 @@ object SnapshotTable {
     else {
       val m = manifestEntries(root, base)
       if (m.nonEmpty) m
+      // an emptied-but-manifested base (everything deleted/truncated)
+      // legitimately inherits nothing
+      else if (Files.exists(manifestPath(root, base))) Seq.empty
       else {
         // a plain partitioned commit works as the inherited base; an
         // UNpartitioned one cannot (no partition dirs to reference —

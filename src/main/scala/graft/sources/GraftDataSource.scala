@@ -349,7 +349,8 @@ object GraftDataSource {
 class GraftTable(private[graft] val root: String, tableSchema: StructType,
                  options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   import TableCapability._
 
@@ -357,6 +358,32 @@ class GraftTable(private[graft] val root: String, tableSchema: StructType,
     * row-level DML rewrites (MERGE/UPDATE run against the live head). */
   private[graft] def isPinned: Boolean =
     Seq("versionAsOf", "tag", "branch").exists(options.containsKey)
+
+  /** SQL `TRUNCATE TABLE`: a partitioned/manifested table empties via
+    * [[SnapshotTable.deleteWhere]] with an always-true predicate (every
+    * partition drops from the manifest — a metadata-sized commit, zero
+    * bytes rewritten; readers of the new version see an empty frame
+    * under the recorded schema), a flat snapshot commits one empty
+    * version under the same schema. Old versions stay time-travelable
+    * — truncation is a commit like any other, rollback-able. */
+  override def truncateTable(): Boolean = {
+    require(!isPinned,
+      "TRUNCATE against a version/tag/branch pin is read-only time " +
+        "travel; run it against the live table")
+    val spark = SparkSession.active
+    val part = SnapshotTable.partitionSpec(root)
+      .orElse(Option(options.get("partitionBy")).filter(_.nonEmpty))
+    part match {
+      case Some(p) =>
+        SnapshotTable.deleteWhere(spark, root, p,
+          org.apache.spark.sql.functions.lit(true))
+      case None =>
+        val schema = SnapshotTable.read(spark, root).schema
+        SnapshotTable.commit(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema).repartition(1), root)
+    }
+    true
+  }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     GraftDataSource.strictPredicateSql(filters.toSeq).isDefined &&
