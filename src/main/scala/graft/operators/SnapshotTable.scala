@@ -1111,7 +1111,20 @@ object SnapshotTable {
   }
   private final case class DaysSpec(source: String) extends PartSpec {
     val spec = s"days($source)"; val field = s"${source}_day"
-    def valueExpr(dt: types.DataType): Column = to_date(col(source))
+    // Iceberg defines days() on UTC: an instant column derives its day
+    // from epoch micros by floor division, NEVER the session time zone
+    // — to_date(ltz) is session-zone-dependent, so a reader in another
+    // zone would reconstruct different pruning bounds (silently dropped
+    // rows) and deleteWhere/updateWhere would address touched-partition
+    // names that don't match the on-disk dirs. DATE and TIMESTAMP_NTZ
+    // sources are zone-free already.
+    def valueExpr(dt: types.DataType): Column = dt match {
+      case types.TimestampType =>
+        expr(s"date_add(DATE'1970-01-01', cast(((unix_micros(`$source`)" +
+          s" - pmod(unix_micros(`$source`), 86400000000L)) div " +
+          "86400000000L) as int))")
+      case _ => to_date(col(source))
+    }
   }
   private final case class BucketSpec(n: Int, source: String)
       extends PartSpec {
@@ -2779,14 +2792,27 @@ object SnapshotTable {
             val v0 = col("_pv").cast(dt)
             refuteBounds(src, vals, v0, v0)
           case DaysSpec(src) =>
-            val lo = col("_pv").cast(types.DateType).cast(dt)
-            val hi = dt match {
-              case types.DateType => lo
-              case _ => expr("timestampadd(MICROSECOND, -1, " +
-                "timestampadd(DAY, 1, cast(cast(_pv as date) as " +
-                "timestamp_ntz)))").cast(dt)
+            dt match {
+              case types.TimestampType =>
+                // mirror the UTC write-side derivation: the directory
+                // day `d` covers instants [d*86400e6, (d+1)*86400e6)
+                // micros — zone-free, so a reader session in any time
+                // zone reconstructs the writer's bounds exactly
+                val dayMicros = "cast(datediff(cast(_pv as date), " +
+                  "DATE'1970-01-01') as bigint) * 86400000000L"
+                refuteBounds(src, vals,
+                  expr(s"timestamp_micros($dayMicros)"),
+                  expr(s"timestamp_micros($dayMicros + 86399999999L)"))
+              case _ =>
+                val lo = col("_pv").cast(types.DateType).cast(dt)
+                val hi = dt match {
+                  case types.DateType => lo
+                  case _ => expr("timestampadd(MICROSECOND, -1, " +
+                    "timestampadd(DAY, 1, cast(cast(_pv as date) as " +
+                    "timestamp_ntz)))").cast(dt)
+                }
+                refuteBounds(src, vals, lo, hi)
             }
-            refuteBounds(src, vals, lo, hi)
           case TruncateSpec(w, src) if !dt.isInstanceOf[types.StringType] =>
             val lo = col("_pv").cast(types.LongType).cast(dt)
             val hi = (col("_pv").cast(types.LongType) + lit(w.toLong - 1))
@@ -2794,8 +2820,9 @@ object SnapshotTable {
             refuteBounds(src, vals, lo, hi)
           case TruncateSpec(w, src) => // string truncate: equality only
             eqLiteralGroups(src).flatMap { lits =>
-              val allowed = lits.map(castLit(_, dt).map(u =>
-                u.toString.take(w)))
+              val allowed =
+                lits.map(castLit(_, dt).map(u =>
+                  truncateLiteral(u.toString, w)))
               if (allowed.exists(_.isEmpty)) Seq.empty
               else {
                 val as = allowed.flatten.toSet
@@ -2821,6 +2848,15 @@ object SnapshotTable {
       }
     }.toSet
   }
+
+  /** Truncate a string-truncate PROBE literal the way the write side
+    * derives the directory value — by CODE POINTS, matching Spark's
+    * `substring` (String.take counts UTF-16 units: a supplementary-
+    * plane character would make the two prefixes differ and falsely
+    * refute a file that actually matches). */
+  private[graft] def truncateLiteral(s: String, w: Int): String =
+    s.substring(0, s.offsetByCodePoints(0,
+      math.min(w, s.codePointCount(0, s.length))))
 
   /** Rewrite a row predicate into its file-BOUNDS test over the stats
     * columns (`c__min`/`c__max`): true ⇔ the file's bounds CANNOT

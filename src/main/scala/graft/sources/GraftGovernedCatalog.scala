@@ -233,8 +233,8 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces
     GraftProcedures.load(ident, GraftProcedures.governed(root))
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Seq("rollback", "expire_commits", "compact", "tag", "create_branch",
-      "fast_forward_main").map(Identifier.of(Array("system"), _)).toArray
+    GraftProcedures.governedNames
+      .map(Identifier.of(Array("system"), _)).toArray
 
   // namespaces: the governed catalog is flat
   override def namespaceExists(namespace: Array[String]): Boolean =

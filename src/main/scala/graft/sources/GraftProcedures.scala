@@ -57,6 +57,21 @@ private[sources] object GraftProcedures {
   private val VersionOut = StructType(Seq(StructField("version", LongType)))
   private val CommitOut = StructType(Seq(StructField("commit", LongType)))
 
+  /** Every name [[warehouse]] binds — `listProcedures` derives from
+    * this so SHOW PROCEDURES can never under-report the callable
+    * surface (a case added below must be added here; ProcedureSpec
+    * pins that each listed name loads). */
+  val warehouseNames: Seq[String] = Seq(
+    "expire_snapshots", "sweep_orphans", "compact", "rollback",
+    "create_tag", "apply_deletes", "migrate_spec", "collect_stats",
+    "collect_blooms", "set_sort_order", "add_constraint",
+    "drop_constraint", "create_branch", "fast_forward")
+
+  /** Every name [[governed]] binds (same listing contract). */
+  val governedNames: Seq[String] = Seq(
+    "rollback", "expire_commits", "compact", "tag", "create_branch",
+    "fast_forward_main")
+
   /** The warehouse catalog's `system.*` procedures; `table` is the
     * dot-joined path under the warehouse (`db.t`). */
   def warehouse(rootOf: String => String): PartialFunction[String, UnboundProcedure] = {

@@ -141,9 +141,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val root = requireTable(ident)
     val cutoff = timestampMicros / 1000L // commit stamps are millis
+    // clamp to the PUBLISHED marker: staging writes `_committed` before
+    // the marker move and rollback() only moves the marker, so versions
+    // above it are rolled-back or staged-but-never-published states —
+    // timestamp travel must never resolve into them (same rule as
+    // lastTxnBatch's published-chain walk)
+    val published = SnapshotTable.latestVersion(root.toString)
     val committedAtOrBefore = listVersions(root).filter { v =>
       val marker = root.resolve(s"v=$v").resolve("_committed")
-      Files.exists(marker) &&
+      v <= published && Files.exists(marker) &&
         Files.getLastModifiedTime(marker).toMillis <= cutoff
     }
     require(committedAtOrBefore.nonEmpty,
@@ -408,9 +414,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     GraftProcedures.load(ident, GraftProcedures.warehouse(tableRootOf))
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Seq("expire_snapshots", "sweep_orphans", "compact", "rollback",
-      "create_tag", "apply_deletes", "migrate_spec", "create_branch",
-      "fast_forward", "collect_stats", "collect_blooms")
+    GraftProcedures.warehouseNames
       .map(Identifier.of(Array("system"), _)).toArray
 
   // ───────────────────────────── views ─────────────────────────────

@@ -200,7 +200,15 @@ private[sources] class GraftSink(root: String, partitionCols: Seq[String],
   private def writerId(spark: org.apache.spark.sql.SparkSession): String = {
     val explicit = Option(options.get("txnAppId"))
     val qid = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-    "graft-sink-" + explicit.orElse(qid).getOrElse(root)
+    // NO per-table fallback: two writers sharing one idempotency key
+    // would silently skip each other's batch ids (batch N from query B
+    // dropped because query A already stamped N) — a missing engine
+    // property must be an error, never data loss
+    val id = explicit.orElse(qid).getOrElse(throw new IllegalStateException(
+      "graft sink cannot derive a stable writer id: the micro-batch " +
+        "thread carries no sql.streaming.queryId property and no " +
+        "txnAppId option was set — pass .option(\"txnAppId\", <id>)"))
+    "graft-sink-" + id
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {

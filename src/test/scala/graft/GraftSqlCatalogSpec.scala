@@ -53,6 +53,25 @@ class GraftSqlCatalogSpec extends GraftSuite {
       .first.getLong(0) === 3)
   }
 
+  test("TIMESTAMP AS OF never resolves a rolled-back or unpublished version") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.tt (k STRING, n BIGINT) " +
+      "PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gtest.db.tt VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO gtest.db.tt VALUES ('c', 3)")
+    val root = s"$wh/db/tt"
+    assert(SnapshotTable.latestVersion(root) === 1L)
+    // rollback moves ONLY the marker; v=1 keeps its `_committed` stamp.
+    // Timestamp travel must clamp to the published marker — resolving
+    // v=1 would resurrect the undone state (ADVICE r10 regression).
+    SnapshotTable.rollback(root, 0L)
+    Thread.sleep(10)
+    val now = java.time.Instant.now()
+    assert(spark.sql(
+      s"SELECT count(*) FROM gtest.db.tt TIMESTAMP AS OF '$now'")
+      .first.getLong(0) === 2)
+  }
+
   test("ALTER RENAME COLUMN is metadata-only; filtered (skipping) reads era-project") {
     wh
     spark.sql("CREATE TABLE gtest.db.r (k STRING, n BIGINT) PARTITIONED BY (k)")

@@ -189,4 +189,52 @@ class HiddenPartitionSpec extends GraftSuite {
         .createTempDirectory("graft-hp-bad2").toString, "bucket(product)")
     }
   }
+
+  test("days(ts) on an instant column is session-timezone-proof (UTC derivation)") {
+    val root = Files.createTempDirectory("graft-hp-tz").toString
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // WRITE in one zone: the directory layout must still be the UTC
+      // day of the instant (Iceberg's days() rule), never the session
+      // zone's day
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val df = spark.range(48).select(col("id"), expr(
+        // 48 hourly instants from 2024-01-01T00:00Z, as TIMESTAMP (ltz)
+        "timestamp_micros(1704067200000000L + id * 3600000000L)").as("ts"))
+      SnapshotTable.commitDelta(df, root, "days(ts)")
+      val dirs = SnapshotTable.manifestEntries(root,
+        SnapshotTable.latestVersion(root)).map(_._1).distinct.sorted
+      assert(dirs === Seq("ts_day=2024-01-01", "ts_day=2024-01-02"))
+      // READ in a third zone: pruning must reconstruct the writer's
+      // UTC bounds — a session-zone reconstruction would refute the
+      // matching file and silently drop the row
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val pred = "ts = timestamp'2024-01-02 05:00:00'" // 2024-01-01T20:00Z
+      val full = SnapshotTable.read(spark, root).filter(expr(pred)).collect()
+      val pruned = SnapshotTable.readSkipping(spark, root, pred).collect()
+      assert(full.length === 1)
+      assert(pruned.toSet === full.toSet)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz)
+  }
+
+  test("truncate(w,name): probe literals truncate by code points, matching Spark's substring") {
+    // 😀 is U+1F600 (two UTF-16 units, ONE code point): the write side
+    // derives the dir value with Spark's substring (code points), so
+    // the probe literal must truncate identically or a matching file
+    // is falsely refuted. (The container JVM's POSIX locale can't
+    // WRITE emoji dirs, so this pins the literal path directly against
+    // Spark's own substring evaluation.)
+    for ((s, w) <- Seq(("😀ab", 2), ("a😀b", 2),
+        ("😀", 3), ("plain", 3), ("", 2))) {
+      val sparkSide = spark.sql(
+        s"SELECT substring(x, 1, $w) FROM VALUES ('$s') AS t(x)")
+        .head.getString(0)
+      assert(SnapshotTable.truncateLiteral(s, w) === sparkSide,
+        s"literal '$s' w=$w")
+    }
+    // String.take (the old code) disagrees on the supplementary case —
+    // the exact bug class this pins against
+    assert("😀ab".take(2) !==
+      SnapshotTable.truncateLiteral("😀ab", 2))
+  }
 }
