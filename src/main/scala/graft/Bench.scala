@@ -29,6 +29,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // micros (not deprecated INT96) so commit-time footer lifting
+      // covers timestamp stats columns without a fallback scan
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,7 +46,17 @@ object Bench {
     // runs make it the most expensive line by construction; its cost
     // overlaps the dedicated pipeline_* lines below, so read it as
     // "2× end-to-end + health rollup", not as an independent workload
+    // SPARK_GRAFT_BENCH_ONLY=k1,k2 restricts to named keys (focused
+    // perf iteration / the scale-stress run); default = every gate key
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    // machine-load stamp (1-min loadavg at start/end): two identical-
+    // code runs have measured 1.07-1.12× median drift under load, so
+    // the artifact records the conditions it was taken under
+    val loadAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // samples(name) = wall seconds per SUCCESSFUL rep — a failed rep
     // fails fast, and charging its wall time would report a misleadingly
     // low median for an intermittently erroring query; one error capture
@@ -80,8 +93,9 @@ object Bench {
     // materialized once → mart fan-out → quality gate, all stages
     // written to a scratch dir. Timed like a query (per-rep, median).
     val pipeName = "pipeline_end_to_end"
-    samples(pipeName) = Vector.empty[Double]
     val pipeRows = scala.collection.mutable.Map.empty[String, Long]
+    if (only.forall(_.contains(pipeName))) {
+    samples(pipeName) = Vector.empty[Double]
     (1 to reps).foreach { i =>
       val out = java.nio.file.Files
         .createTempDirectory(s"graft-bench-pipeline$i").toString
@@ -100,6 +114,7 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }
+    }
 
     // Incremental pipeline run (the scheduled 30-minute mode):
     // bootstrap the layout on the first ~90% of arrivals (untimed),
@@ -107,6 +122,7 @@ object Bench {
     // The point of the measurement: incremental cost must track the
     // batch, not the table — compare against pipeline_end_to_end.
     val incName = "pipeline_incremental"
+    if (only.forall(_.contains(incName))) {
     samples(incName) = Vector.empty[Double]
     locally {
       import org.apache.spark.sql.functions._
@@ -140,12 +156,14 @@ object Bench {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       }
     }
+    }
 
     // Governed incremental run (staged + gated + atomic catalog
     // publish): same batch split as pipeline_incremental, so the
     // delta vs that line IS the governance overhead (snapshot
     // staging, manifest commit, catalog reads).
     val govName = "pipeline_governed"
+    if (only.forall(_.contains(govName))) {
     samples(govName) = Vector.empty[Double]
     locally {
       import org.apache.spark.sql.functions._
@@ -183,6 +201,7 @@ object Bench {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
       }
     }
+    }
 
     // Per-query result row counts (one untimed extra run, after all
     // timed reps): makes silent result-shape regressions visible
@@ -206,12 +225,19 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     } + "\""
-    val allNames = names :+ pipeName :+ incName :+ govName
+    val allNames = (names :+ pipeName :+ incName :+ govName)
+      .filter(samples.contains)
     val ok = allNames.filter(samples(_).nonEmpty)
     val qs = ok.map(n => s"${jq(n)}:${median(samples(n))}")
       .mkString("{", ",", "}")
     val runs = ok.map(n => s"${jq(n)}:${samples(n).mkString("[", ",", "]")}")
       .mkString("{", ",", "}")
+    // explicit [min, median, max] per line: benchdiff flags only
+    // beyond-noise deltas with the spread in hand
+    val spread = ok.map { n =>
+      val s = samples(n)
+      s"${jq(n)}:[${s.min},${median(s)},${s.max}]"
+    }.mkString("{", ",", "}")
     val rows = allNames.collect { case n if rowCounts.contains(n) =>
       s"${jq(n)}:${rowCounts(n)}" }.mkString("{", ",", "}")
     val errs = allNames.collect { case n if errors.contains(n) =>
@@ -222,8 +248,10 @@ object Bench {
     val empty = allNames.collect { case n
       if rowCounts.get(n).contains(0L) => jq(n) }.mkString("[", ",", "]")
     val total = ok.map(n => median(samples(n))).sum
+    val loadAtEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"runs":$runs,"rows":$rows,"empty":$empty,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"runs":$runs,"spread":$spread,"load":[$loadAtStart,$loadAtEnd],"rows":$rows,"empty":$empty,"errors":$errs,"sf":"$sfDir"}"""
     // persist the full result BEFORE printing: the driver's captured
     // stdout keeps only a tail, so the file is the diffable artifact
     // (every per-query median survives round-over-round)

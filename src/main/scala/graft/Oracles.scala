@@ -1065,6 +1065,33 @@ v$s AS (
         |  o_orderdate, o_orderpriority
         |FROM merged""".stripMargin,
 
+    // Conditional MERGE (Debezium routing) as set logic: d-ops drop,
+    // u-ops take only the price/status assignment (the shifted source
+    // o_orderdate must NOT appear — partial SET), c-ops insert under
+    // shifted keys. Price arithmetic in DOUBLE, bit-identical.
+    "sql_merge_conditional" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_totalprice * 3 AS newprice
+        |  FROM orders WHERE o_custkey % 5 = 0 AND o_custkey % 13 <> 0),
+        |dels AS (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey % 13 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 30000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice, o_orderdate,
+        |    o_orderpriority
+        |  FROM orders WHERE o_custkey % 11 = 0)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN 'M'
+        |       ELSE o.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.newprice
+        |       ELSE o.o_totalprice END AS o_totalprice,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM orders o
+        |LEFT JOIN upd u ON o.o_orderkey = u.o_orderkey
+        |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+        |UNION ALL
+        |SELECT * FROM ins""".stripMargin,
+
     // recomputed independently from the CTE chain (the quality_report
     // stage is excluded — its row count is the check-suite size, gated
     // by data_quality).

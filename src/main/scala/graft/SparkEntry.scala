@@ -543,6 +543,51 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
     },
+    // CONDITIONAL SQL MERGE — the Debezium CDC routing shape: matched
+    // 'd' ops delete, matched 'u' ops take a PARTIAL update (price +
+    // status only; the source carries a shifted o_orderdate the
+    // statement must NOT apply — full-row application would hash-
+    // mismatch), non-matched non-'d' ops insert. One zero-rewrite
+    // merge-on-read commit; oracle replays the routing as set logic.
+    "sql_merge_conditional" -> { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-dmlc-key").toString
+      s.conf.set("spark.sql.catalog.graft_dmlc_key",
+        "graft.sources.GraftSqlCatalog")
+      s.conf.set("spark.sql.catalog.graft_dmlc_key.warehouse", wh)
+      val ord = Tables.orders(s, dir)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(wh, "db"))
+      SnapshotTable.commitDelta(ord, s"$wh/db/t", "o_orderpriority")
+      val upd = ord
+        .filter(col("o_custkey") % 5 === 0 && col("o_custkey") % 13 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .withColumn("o_orderdate", date_add(col("o_orderdate"), 1000))
+        .withColumn("op", lit("u"))
+      val dels = ord.filter(col("o_custkey") % 13 === 0)
+        .withColumn("op", lit("d"))
+      val ins = ord.filter(col("o_custkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("op", lit("c"))
+      upd.unionByName(dels).unionByName(ins)
+        .createOrReplaceTempView("sql_merge_conditional_src")
+      s.sql("""MERGE INTO graft_dmlc_key.db.t AS t
+        |USING sql_merge_conditional_src AS src
+        |ON t.o_orderkey = src.o_orderkey
+        |WHEN MATCHED AND src.op = 'd' THEN DELETE
+        |WHEN MATCHED AND src.op = 'u' THEN UPDATE
+        |  SET o_totalprice = src.o_totalprice, o_orderstatus = 'M'
+        |WHEN NOT MATCHED AND src.op <> 'd' THEN INSERT
+        |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |   o_orderdate, o_orderpriority)
+        |  VALUES (src.o_orderkey, src.o_custkey, src.o_orderstatus,
+        |   src.o_totalprice, src.o_orderdate, src.o_orderpriority)"""
+        .stripMargin)
+      s.table("graft_dmlc_key.db.t")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+    },
     "q6_forecast_revenue" -> ((s, dir) =>
       Analytics.q6ForecastRevenue(Tables.lineitem(s, dir))),
     "q10_returned_items" -> ((s, dir) =>

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS): only readable as a long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // micros (not deprecated INT96) so commit-time footer lifting
+      // covers timestamp stats columns without a fallback scan
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

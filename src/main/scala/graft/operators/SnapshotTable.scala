@@ -103,9 +103,7 @@ object SnapshotTable {
     val next = versions(root).lastOption.getOrElse(-1L) + 1
     claimVersion(root, next)
     df.write.mode("overwrite").parquet(s"$root/v=$next")
-    enforceConstraints(df.sparkSession, root, next)
-    recordFileStats(df.sparkSession, root, next, statsCols)
-    recordFileBlooms(df.sparkSession, root, next, bloomCols)
+    commitChecksAndStats(df.sparkSession, root, next, statsCols, bloomCols)
     Files.writeString(Paths.get(root, s"v=$next", "_parent"), parent.toString)
     stampCommitted(root, next)
     next
@@ -1396,27 +1394,76 @@ object SnapshotTable {
     writeConstraints(root, existing.filterNot(_._1 == name))
   }
 
+  /** Rewrite a CHECK expression into its bounds PROOF over footer
+    * stats columns (`c__min`/`c__max`): the proof is TRUE for a file
+    * ⇔ the file's bounds GUARANTEE every row passes the constraint.
+    * Only the monotone conjunctive fragment is provable — comparisons
+    * of a plain column to a literal, composed with AND (NULL rows pass
+    * CHECK, and footer bounds ignore nulls, so a null bound — an
+    * all-null file — proves for free via coalesce(..., true)).
+    * Returns (proof SQL, referenced columns); None ⇔ shape not
+    * provable from bounds (the caller scans). */
+  private def constraintProof(spark: SparkSession, exprSql: String)
+      : Option[(String, Seq[String])] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(exprSql)
+      catch { case _: Exception => return None }
+    val cols = scala.collection.mutable.ListBuffer[String]()
+    def leaf(a: UnresolvedAttribute, side: String, op: String,
+             l: Literal): Option[String] = {
+      val c = a.nameParts.last; cols += c
+      Some(s"coalesce(`${c}__$side` $op ${l.sql}, true)")
+    }
+    def go(e: Expression): Option[String] = e match {
+      case And(x, y) => for { a <- go(x); b <- go(y) } yield s"($a AND $b)"
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) => leaf(a, "min", ">", l)
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) => leaf(a, "max", "<", l)
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => leaf(a, "min", ">=", l)
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => leaf(a, "max", "<=", l)
+      case LessThan(a: UnresolvedAttribute, l: Literal) => leaf(a, "max", "<", l)
+      case LessThan(l: Literal, a: UnresolvedAttribute) => leaf(a, "min", ">", l)
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => leaf(a, "max", "<=", l)
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => leaf(a, "min", ">=", l)
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        val c = a.nameParts.last; cols += c
+        Some(s"(coalesce(`${c}__min` = ${l.sql}, true) AND " +
+          s"coalesce(`${c}__max` = ${l.sql}, true))")
+      case EqualTo(l: Literal, a: UnresolvedAttribute) => go(EqualTo(a, l))
+      case _ => None
+    }
+    go(parsed).map(_ -> cols.distinct.toList)
+  }
+
   /** Validate the just-written data of a claimed-but-unpublished
     * version dir against the table's constraints; throws (leaving the
-    * claim an orphan) on any FALSE row. One conditional-aggregate scan
-    * covers every constraint. */
+    * claim an orphan) on any FALSE row. Bounds-provable constraints
+    * validate from the commit's FOOTER pass (zero data reads); only
+    * an unprovable shape — or a file whose bounds can't decide — pays
+    * the one conditional-aggregate scan. */
   private def enforceConstraints(spark: SparkSession, root: String,
-                                 version: Long): Unit = {
+                                 version: Long,
+                                 footer: Seq[FooterStats.FileStat]): Unit = {
     val cs = constraints(root)
     if (cs.isEmpty) return
     // an empty batch (zero data files) has nothing to violate — and
     // would fail schema inference
-    def hasData(d: java.nio.file.Path): Boolean = {
-      if (!Files.exists(d)) return false
-      val stream = Files.list(d)
-      try stream.iterator().asScala.exists { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("_") || n.startsWith(".")) false
-        else if (Files.isDirectory(p)) hasData(p)
-        else true
-      } finally stream.close()
+    if (footer.isEmpty) return
+    val proofs = cs.map { case (_, e) => constraintProof(spark, e) }
+    val provable = proofs.forall(_.isDefined) && {
+      val needed = proofs.flatMap(_.toSeq.flatMap(_._2)).distinct
+      footer.forall(fs => needed.forall(fs.bounds.contains))
     }
-    if (!hasData(Paths.get(root, s"v=$version"))) return
+    if (provable) {
+      val needed = proofs.flatMap(_.toSeq.flatMap(_._2)).distinct
+      val proofAll = proofs.map(_.get._1).mkString("(", " AND ", ")")
+      val allProven = statsFrame(spark, footer, needed)
+        .filter(not(expr(proofAll))).isEmpty
+      if (allProven) return // every file proven clean from bounds alone
+      // a failed proof is UNKNOWN, not a violation — fall through
+    }
+    commitDataScans.incrementAndGet()
     val df = spark.read.parquet(s"$root/v=$version")
     val counts = df.select(cs.map { case (n, e) =>
       sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L)).as(n)
@@ -1912,6 +1959,31 @@ object SnapshotTable {
       eqDeleteKeys = Some(keyCols))
   }
 
+  /** The one-commit CONDITIONAL-MERGE write (staging half): fast-append
+    * `batch` (the statement's updated-row images and inserts) and land
+    * `delKeys` — the matched keys the statement updates OR deletes,
+    * which under conditional clauses is NOT the batch's own key set —
+    * as an equality-delete sidecar in the SAME version. Old twins of
+    * updated keys and every deleted key die; the appended rows survive
+    * by the strict sequence rule; matched-but-no-clause rows are
+    * simply absent from both and stay untouched. Zero reads or
+    * rewrites of existing data at commit time. */
+  private[graft] def stageMergeBatch(batch: DataFrame, root: String,
+                                     partitionCol: String,
+                                     delKeys: DataFrame, base: Long,
+                                     statsCols: Seq[String] = Seq.empty,
+                                     bloomCols: Seq[String] = Seq.empty)
+      : Long = {
+    require(delKeys.columns.nonEmpty,
+      "merge delete-key set needs at least one key column")
+    // an insert-only outcome (no clause matched) must not leave an
+    // empty sidecar taxing every future read with a no-op anti-join
+    val del = if (delKeys.isEmpty) None else Some(delKeys)
+    stageManifested(batch, root, partitionCol, base, append = true,
+      statsCols = statsCols, bloomCols = bloomCols,
+      eqDeleteFrame = del)
+  }
+
   /** Fold accumulated merge-on-read delete files back into clean data
     * (Iceberg's `rewrite_position_delete_files` + compaction): every
     * partition holding LIVE delete rows is rewritten without them as
@@ -2073,8 +2145,11 @@ object SnapshotTable {
                               dropDeletes: Boolean = false,
                               bloomCols: Seq[String] = Seq.empty,
                               eqDeleteKeys: Option[Seq[String]] = None,
+                              eqDeleteFrame: Option[DataFrame] = None,
                               allowCrossEra: Boolean = false)
       : Long = {
+    require(eqDeleteKeys.isEmpty || eqDeleteFrame.isEmpty,
+      "eqDeleteKeys and eqDeleteFrame are exclusive (one sidecar per commit)")
     val baseEntries = inheritedEntries(root, base, partitionCol)
     // validate the spec BEFORE claiming a version dir: a mismatch must
     // fail clean, not leave an orphan claim behind
@@ -2114,9 +2189,7 @@ object SnapshotTable {
     }
     writeDf.write.mode("append").partitionBy(pss.map(_.field): _*)
       .parquet(s"$root/v=$next")
-    enforceConstraints(slice.sparkSession, root, next)
-    recordFileStats(slice.sparkSession, root, next, statsCols)
-    recordFileBlooms(slice.sparkSession, root, next, bloomCols)
+    commitChecksAndStats(slice.sparkSession, root, next, statsCols, bloomCols)
     val touched = listPartitionDirs(root, next)
     val kept =
       if (append) baseEntries
@@ -2147,6 +2220,14 @@ object SnapshotTable {
         .select(ks.map(col): _*).distinct()
         .coalesce(1).write.parquet(s"$root/v=$next/_eqdeletes")
       next -> ks
+    } ++ eqDeleteFrame.toSeq.map { keys =>
+      // an EXPLICIT key set in the same version (conditional-MERGE
+      // writes: the tombstoned keys are the matched rows the statement
+      // updated or deleted, NOT the appended batch's own keys) — the
+      // strict sequence rule still spares the batch's appended rows
+      keys.distinct().coalesce(1)
+        .write.parquet(s"$root/v=$next/_eqdeletes")
+      next -> keys.columns.toSeq
     }
     writeManifest(root, next, kept ++ touched.map(_ -> next), carried,
       carriedEq ++ ownEq)
@@ -2214,35 +2295,124 @@ object SnapshotTable {
   private def statsPath(root: String, version: Long) =
     Paths.get(root, s"v=$version", "_stats")
 
-  /** Record per-file min/max for `statsCols` — plus the per-file ROW
-    * COUNT (`__rows`), always, which is what lets [[fastCount]] answer
-    * `COUNT(*)` from metadata alone (the Iceberg manifests-only count).
-    * One aggregation over ONLY the version's freshly-written files —
-    * O(batch) for appends/deltas, the cost class of the write itself
-    * (a production writer lifts the same numbers from the parquet
-    * footers its tasks just produced). */
-  private def recordFileStats(spark: SparkSession, root: String,
-                              version: Long, statsCols: Seq[String]): Unit = {
-    // an empty write may land zero data files — nothing to record
-    val anyData = {
-      val stream = Files.walk(Paths.get(root, s"v=$version"))
-      try stream.iterator().asScala.exists(p =>
-        p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.toString.contains("/_"))
-      finally stream.close()
+  /** Test/audit hook: commit-time jobs that had to RE-READ just-written
+    * data (fallback stats scans for footer-unusable columns, constraint
+    * scans for unprovable shapes). The footer-lift contract — a commit
+    * reads each written file's data at most once, and on the common
+    * path not at all — is pinned by specs asserting this stays 0. */
+  private[graft] val commitDataScans = new java.util.concurrent.atomic.AtomicLong
+
+  /** Every commit's validation + bookkeeping over the just-written
+    * files, sharing ONE parquet-FOOTER pass: CHECK constraints
+    * (bounds-proven where possible), the `_stats` sidecar (`__rows`
+    * always — [[fastCount]]'s metadata count — plus min/max for
+    * `statsCols`), and bloom sidecars. Footers are what the write
+    * job's tasks just produced, so the common path reads ZERO data
+    * bytes after the write itself; only footer-unusable columns
+    * (INT96 timestamps, FP NaN semantics — see [[FooterStats]]) or
+    * unprovable constraints fall back to one column-pruned scan. */
+  private def commitChecksAndStats(spark: SparkSession, root: String,
+                                   version: Long, statsCols: Seq[String],
+                                   bloomCols: Seq[String]): Unit = {
+    val constraintCols = constraints(root).flatMap { case (_, e) =>
+      constraintProof(spark, e).toSeq.flatMap(_._2)
     }
-    if (!anyData) return
-    val df = spark.read.parquet(s"$root/v=$version")
-    val present = statsCols.filter(df.columns.contains)
-    val aggs = count(lit(1)).as("__rows") +: present.flatMap(c =>
-      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
-    df.groupBy(input_file_name().as("_file"))
-      .agg(aggs.head, aggs.tail: _*)
-      // store root-relative paths: the table directory must stay movable
-      .withColumn("_file", regexp_extract(col("_file"), "(v=\\d+/.*)$", 1))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(statsPath(root, version).toString)
+    val footer = FooterStats.collect(Paths.get(root),
+      Paths.get(root, s"v=$version"),
+      (statsCols ++ constraintCols).distinct,
+      spark.sparkContext.hadoopConfiguration)
+    enforceConstraints(spark, root, version, footer)
+    completeStats(spark, root, version, statsCols, footer).foreach {
+      _.coalesce(1)
+        .write.mode("overwrite").parquet(statsPath(root, version).toString)
+    }
+    recordFileBlooms(spark, root, version, bloomCols)
+  }
+
+  /** The `_stats` sidecar frame for storage version `sv` — `_file`
+    * (root-relative, reader-decoded form), `__rows`, and typed
+    * min/max for each of `want` present in the data: footer-lifted,
+    * with ONE column-pruned scan folding in any columns whose footers
+    * are unusable. None ⇔ the version has no data files. */
+  private def completeStats(spark: SparkSession, root: String, sv: Long,
+                            want: Seq[String],
+                            footer0: Seq[FooterStats.FileStat])
+      : Option[DataFrame] = {
+    if (footer0.isEmpty) return None
+    if (footer0.exists(_.schema.isEmpty)) {
+      // files without Spark's schema metadata: the legacy one-scan path
+      commitDataScans.incrementAndGet()
+      val df = spark.read.parquet(s"$root/v=$sv")
+      val present = want.filter(df.columns.contains)
+      val aggs = count(lit(1)).as("__rows") +: present.flatMap(c =>
+        Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+      return Some(df.groupBy(input_file_name().as("_file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("_file", regexp_extract(col("_file"), "(v=\\d+/.*)$", 1)))
+    }
+    // partition columns are DIRECTORY-encoded, not in any footer: they
+    // stats-record through the fallback scan (whose partition inference
+    // decodes them), exactly like the legacy path did
+    val dirFields = footer0
+      .flatMap(_.file.split("/").drop(1).dropRight(1))
+      .filter(_.contains("=")).map(_.takeWhile(_ != '=')).toSet
+    val inFooter = want.filter(footer0.head.schema.fieldNames.contains)
+    val present = want.filter(c =>
+      footer0.head.schema.fieldNames.contains(c) || dirFields.contains(c))
+    val bad = present.filter(c => footer0.exists(fs => !fs.bounds.contains(c)))
+    var colTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      inFooter.map(c => c -> footer0.head.schema(c).dataType).toMap
+    val footer =
+      if (bad.isEmpty) footer0
+      else {
+        commitDataScans.incrementAndGet()
+        val df = spark.read.parquet(s"$root/v=$sv")
+        val aggs = bad.flatMap(c =>
+          Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+        val scanDf = df.groupBy(input_file_name().as("_file"))
+          .agg(aggs.head, aggs.tail: _*)
+        colTypes = colTypes ++ bad.map(c =>
+          c -> scanDf.schema(s"${c}__min").dataType)
+        val scanned = scanDf.collect()
+          .map { r =>
+            val rel = "(v=\\d+/.*)$".r.findFirstIn(r.getString(0))
+              .getOrElse(r.getString(0))
+            decodeReportedPath(rel) -> r
+          }.toMap
+        footer0.map { fs =>
+          // a zero-row file groups to no scan row: its bounds are null
+          val extra = scanned.get(decodeReportedPath(fs.file)) match {
+            case Some(r) => bad.zipWithIndex.map { case (c, i) =>
+              c -> (r.get(1 + 2 * i), r.get(2 + 2 * i)) }.toMap
+            case None => bad.map(c => c -> (null, null)).toMap
+          }
+          fs.copy(bounds = fs.bounds ++ extra)
+        }
+      }
+    Some(statsFrame(spark, footer, present, colTypes))
+  }
+
+  /** A stats-shaped local frame over completed footer rows — no file
+    * is read; the rows live on the driver. */
+  private def statsFrame(spark: SparkSession,
+                         footer: Seq[FooterStats.FileStat],
+                         cols: Seq[String],
+                         colTypes: Map[String, types.DataType] = Map.empty)
+      : DataFrame = {
+    val sc = footer.head.schema
+    def typeOf(c: String) = colTypes.getOrElse(c, sc(c).dataType)
+    val fields = types.StructField("_file", types.StringType, false) +:
+      types.StructField("__rows", types.LongType, false) +:
+      cols.flatMap(c => Seq(
+        types.StructField(s"${c}__min", typeOf(c), nullable = true),
+        types.StructField(s"${c}__max", typeOf(c), nullable = true)))
+    val rows: java.util.List[org.apache.spark.sql.Row] = footer.map { fs =>
+      org.apache.spark.sql.Row.fromSeq(fs.file +: fs.rows +:
+        cols.flatMap { c =>
+          val (lo, hi) = fs.bounds(c); Seq[Any](lo, hi)
+        })
+    }.asJava
+    spark.createDataFrame(rows, types.StructType(fields))
   }
 
   /** The recorded per-file bounds of a storage version (empty frame
@@ -2301,28 +2471,25 @@ object SnapshotTable {
       if (covered) None
       else {
         val want = (existingCols ++ statsCols).distinct
-        // recompute into a tmp sidecar, then swap atomically
-        val tmp = Paths.get(root, s"v=$sv",
-          s".stats.new-${java.util.UUID.randomUUID()}")
-        val df = spark.read.parquet(s"$root/v=$sv")
-        val present = want.filter(df.columns.contains)
-        val aggs = count(lit(1)).as("__rows") +: present.flatMap(c =>
-          Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
-        df.groupBy(input_file_name().as("_file"))
-          .agg(aggs.head, aggs.tail: _*)
-          .withColumn("_file",
-            regexp_extract(col("_file"), "(v=\\d+/.*)$", 1))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val target = statsPath(root, sv)
-        if (Files.exists(target)) { // drop the old sidecar first
-          val stream = Files.walk(target)
-          try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          finally stream.close()
+        // footer-lifted like every commit; recompute into a tmp
+        // sidecar, then swap atomically
+        val footer = FooterStats.collect(Paths.get(root),
+          Paths.get(root, s"v=$sv"), want,
+          spark.sparkContext.hadoopConfiguration)
+        completeStats(spark, root, sv, want, footer).map { st =>
+          val tmp = Paths.get(root, s"v=$sv",
+            s".stats.new-${java.util.UUID.randomUUID()}")
+          st.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val target = statsPath(root, sv)
+          if (Files.exists(target)) { // drop the old sidecar first
+            val stream = Files.walk(target)
+            try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            finally stream.close()
+          }
+          Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          sv
         }
-        Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        Some(sv)
       }
     }
   }

@@ -410,8 +410,12 @@ class GraftTable(private[graft] val root: String, tableSchema: StructType,
       java.util.EnumSet.of(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE,
         TRUNCATE, ACCEPT_ANY_SCHEMA)
     else
+      // AUTOMATIC_SCHEMA_EVOLUTION admits `MERGE WITH SCHEMA
+      // EVOLUTION`: the analyzer widens the target through the
+      // catalog's metadata-only ALTER before the DML rule fires
+      // (consulted only under the explicit keyword)
       java.util.EnumSet.of(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE,
-        TRUNCATE)
+        TRUNCATE, AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // scan options carry the read's own versionAsOf/tag/branch (or a

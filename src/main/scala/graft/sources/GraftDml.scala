@@ -143,6 +143,130 @@ object GraftDml {
     }
   }
 
+  /** One ordered `WHEN MATCHED [AND cond]` clause: `sets` = the UPDATE
+    * assignments (PARTIAL allowed — unset columns keep the target
+    * row's value), None = DELETE. Conditions/values reference the
+    * prefixed join columns (`_t_*` target, `_s_*` source). */
+  case class MatchedClause(cond: Option[Column],
+                           sets: Option[Seq[(String, Column)]])
+
+  /** One ordered `WHEN NOT MATCHED [AND cond] THEN INSERT` clause;
+    * unassigned columns insert as typed NULL. */
+  case class InsertClause(cond: Option[Column],
+                          sets: Seq[(String, Column)])
+
+  /** The GENERAL MERGE path — conditional clauses, partial SET,
+    * multiple ordered clauses, optional `WHEN NOT MATCHED BY SOURCE
+    * [AND cond] THEN DELETE` — at merge-on-read cost: ONE read of the
+    * target (the key join that the semantics demand — clause
+    * conditions and partial updates need the matched row's values),
+    * zero rewrites, one commit appending the updated/inserted images
+    * with the touched keys as a same-version equality-delete sidecar.
+    * Matched rows no clause claims are absent from both sides and stay
+    * untouched. First-matching-clause-wins per the SQL standard; a
+    * target row matching more than one source row refuses
+    * (cardinality). Compare [[runMerge]], the zero-read fast path the
+    * rule still uses for the unconditional full-row upsert shape. */
+  def runMergeClauses(spark: SparkSession, target: Target,
+                      partitionCol: String, keyCols: Seq[String],
+                      source: DataFrame, srcKeyExprs: Seq[Column],
+                      matched: Seq[MatchedClause],
+                      inserts: Seq[InsertClause],
+                      nmbsDelete: Option[Option[Column]]): Long = {
+    val srcP = source.select(source.columns.toSeq.map(c =>
+      col(c).as(s"_s_$c")): _*)
+
+    /** (appended images, tombstoned keys) derived against `base` —
+      * re-derived per CAS attempt for governed targets (the matched
+      * rows depend on the base the commit lands on). */
+    def derive(base: Long): (DataFrame, DataFrame) = {
+      val tgt = SnapshotTable.read(spark, target.tableRoot, base)
+      val tSchema = tgt.schema
+      val tgtP = tgt.select(tgt.columns.toSeq.map(c =>
+        col(c).as(s"_t_$c")) :+ lit(true).as("_gft_matched"): _*)
+      val joinCond = keyCols.zip(srcKeyExprs)
+        .map { case (tc, se) => col(s"_t_$tc") === se }.reduce(_ && _)
+      val j = srcP.join(tgtP, joinCond, "left_outer").persist()
+      try {
+        // SQL MERGE cardinality: a target row may match at most one
+        // source row (two matches would append two conflicting images)
+        val dups = j.filter(col("_gft_matched"))
+          .groupBy(keyCols.map(k => col(s"_t_$k")): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dups.isEmpty,
+          s"MERGE cardinality violation: target key " +
+            s"${dups.head.toSeq.init.mkString("(", ", ", ")")} matches " +
+            "more than one source row")
+        // first-matching-clause-wins: fold right so clause 0 tests first
+        def firstMatch(conds: Seq[Option[Column]]): Column =
+          conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), els) =>
+            when(c.getOrElse(lit(true)), lit(i)).otherwise(els)
+          }
+        val mt = j.filter(col("_gft_matched"))
+          .withColumn("_action", firstMatch(matched.map(_.cond)))
+        val updIdx = matched.zipWithIndex.collect {
+          case (c, i) if c.sets.isDefined => i }
+        val updRows = mt
+          .filter(if (updIdx.isEmpty) lit(false)
+            else col("_action").isInCollection(updIdx.map(i => i: Any)))
+          .select(tSchema.fields.toSeq.map { f =>
+            matched.zipWithIndex
+              .collect { case (cl, i) if cl.sets.isDefined =>
+                i -> cl.sets.get.toMap.getOrElse(f.name,
+                  col(s"_t_${f.name}")) }
+              .foldRight(col(s"_t_${f.name}")) { case ((i, v), els) =>
+                when(col("_action") === i, v).otherwise(els) }
+              .cast(f.dataType).as(f.name)
+          }: _*)
+        val touchedKeys = mt.filter(col("_action") >= 0)
+          .select(keyCols.map(k => col(s"_t_$k").as(k)): _*)
+        val insRows = j.filter(col("_gft_matched").isNull)
+          .withColumn("_action", firstMatch(inserts.map(_.cond)))
+          .filter(col("_action") >= 0)
+          .select(tSchema.fields.toSeq.map { f =>
+            inserts.zipWithIndex.map { case (cl, i) =>
+              i -> cl.sets.toMap.getOrElse(f.name,
+                lit(null).cast(f.dataType)) }
+              .foldRight(lit(null).cast(f.dataType): Column) {
+                case ((i, v), els) =>
+                  when(col("_action") === i, v).otherwise(els) }
+              .cast(f.dataType).as(f.name)
+          }: _*)
+        // NOT MATCHED BY SOURCE DELETE pays the anti-join the
+        // semantics demand; NULL-key targets match nothing and delete.
+        // A NULL-key tombstone is SAFE here (unlike the two-version
+        // sync path): append and sidecar share one version, so the
+        // batch's own rows are never masked.
+        val nmbsKeys = nmbsDelete.toSeq.map { cond =>
+          tgtP.join(srcP, joinCond, "left_anti")
+            .filter(cond.getOrElse(lit(true)))
+            .select(keyCols.map(k => col(s"_t_$k").as(k)): _*)
+        }
+        val delKeys = (touchedKeys +: nmbsKeys).reduce(_ unionByName _)
+        // materialize OFF the persisted join before unpersist: the
+        // staging write must not recompute the target read
+        (updRows.unionByName(insRows).localCheckpoint(eager = true),
+          delKeys.distinct().localCheckpoint(eager = true))
+      } finally j.unpersist()
+    }
+
+    target match {
+      case Warehouse(root) =>
+        val base = SnapshotTable.latestVersion(root)
+        val (app, del) = derive(base)
+        val v = SnapshotTable.stageMergeBatch(app, root, partitionCol,
+          del, base)
+        SnapshotTable.moveMarker(root, v)
+        v
+      case g: Governed =>
+        casCommit(g) { prev =>
+          val (app, del) = derive(prev)
+          Some(SnapshotTable.stageMergeBatch(app, g.tableRoot,
+            partitionCol, del, prev))
+        }
+    }
+  }
+
   /** UPDATE as a partition-pruned copy-on-write rewrite; governed
     * targets publish the staged rewrite as one atomic catalog
     * commit. */
@@ -231,7 +355,7 @@ object GraftDml {
 case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
-  import org.apache.spark.sql.graft.{GraftDeleteCommand, GraftMergeCommand, GraftMergeDeleteCommand, GraftUpdateCommand}
+  import org.apache.spark.sql.graft.{GraftDeleteCommand, GraftMergeClausesCommand, GraftMergeCommand, GraftMergeDeleteCommand, GraftUpdateCommand}
 
   /** The statement's target: (where the write lands, the relation).
     * Pinned (version/tag/branch) relations refuse — time travel is
@@ -287,10 +411,10 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
 
   private def refuse(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft MERGE supports the upsert shape only — ON <conjunction " +
-        "of key equalities> WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
-        s"MATCHED THEN INSERT * (or identical explicit full-row " +
-        s"assignments in both) — got: $what")
+      s"graft MERGE supports ON <conjunction of key equalities> with " +
+        "UPDATE/DELETE matched clauses, INSERT not-matched clauses " +
+        "(each optionally AND <condition>, partial SET allowed), and " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE — got: " + what)
 
   private def stripCast(e: Expression): Expression = e match {
     case c: Cast => stripCast(c.child)
@@ -304,22 +428,18 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
           "write lands as a partition-level commit); this table has " +
           "no partition spec"))
 
-  /** assignments as (target column name → value), refusing nested or
-    * conditional forms. */
-  private def assignMap(actionName: String, cond: Option[Expression],
-                        assigns: Seq[Assignment],
-                        targetOut: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
-      : Map[String, Expression] = {
-    require(cond.isEmpty,
-      s"conditional WHEN clauses (AND <cond>) are not supported in $actionName")
+  /** assignments as (target column name → value), refusing nested
+    * assignment targets. */
+  private def assignPairs(assigns: Seq[Assignment],
+                          targetOut: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+      : Seq[(String, Expression)] =
     assigns.map { a =>
       a.key match {
         case ar: AttributeReference if targetOut.contains(ar.exprId) =>
           ar.name -> a.value
         case other => refuse(s"non-column assignment target $other")
       }
-    }.toMap
-  }
+    }
 
   /** The ON condition as (target column, source expression) pairs —
     * a conjunction of equalities between one bare target column and
@@ -348,66 +468,115 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
   private def rewriteMerge(m: MergeIntoTable, t: GraftDml.Target,
                            rel: DataSourceV2Relation): LogicalPlan = {
     val partitionCol = tableRequirements(t, "MERGE INTO")
-    require(!m.withSchemaEvolution,
-      "MERGE ... WITH SCHEMA EVOLUTION is not supported; evolve via " +
-        "ALTER TABLE ADD/RENAME/DROP COLUMN first")
-    // the one supported NOT-MATCHED-BY-SOURCE form: an unconditional
-    // DELETE alongside the upsert shape — full-sync MERGE (target
-    // becomes exactly the source), the second eq-delete sidecar
-    val syncDelete = m.notMatchedBySourceActions match {
-      case Seq() => false
-      case Seq(DeleteAction(None)) => true
-      case other => refuse(s"WHEN NOT MATCHED BY SOURCE actions $other " +
-        "(only an unconditional THEN DELETE is supported)")
-    }
+    // WITH SCHEMA EVOLUTION: Spark's own ResolveMergeIntoSchemaEvolution
+    // already widened a CATALOG-backed target (TableCatalog.alterTable
+    // — the metadata-only field-id evolution both graft catalogs
+    // implement; governed targets publish it as a rollback-able
+    // catalog commit) and reloaded the relation before this post-hoc
+    // rule runs. A path-addressed table has no catalog to evolve
+    // through — refuse rather than silently dropping the source's new
+    // columns at star expansion.
+    require(!m.withSchemaEvolution || rel.catalog.isDefined,
+      "MERGE ... WITH SCHEMA EVOLUTION needs a catalog-backed graft " +
+        "table (a path-addressed table cannot evolve at analysis); " +
+        "run ALTER TABLE ADD COLUMN first")
     val targetIds = rel.outputSet.map(_.exprId).toSet
+    val keyPairs = keyPairsOf(m, targetIds)
+    val allActions = m.matchedActions ++ m.notMatchedActions ++
+      m.notMatchedBySourceActions
+    require(!allActions.flatMap(_.condition)
+        .exists(_.exists(_.isInstanceOf[SubqueryExpression])),
+      "MERGE clause conditions with subqueries are not supported")
 
-    // WHEN MATCHED DELETE (alone): "remove the keys the source
-    // carries" — exactly an equality-delete sidecar commit, O(batch),
-    // zero reads of the table
-    (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(DeleteAction(None)), Seq()) =>
-        if (syncDelete) refuse("WHEN MATCHED DELETE combined with WHEN " +
-          "NOT MATCHED BY SOURCE DELETE (that is DELETE FROM the table)")
-        return GraftMergeDeleteCommand(t, m.sourceTable,
-          keyPairsOf(m, targetIds))
+    // WHEN MATCHED DELETE (alone, unconditional): "remove the keys the
+    // source carries" — exactly an equality-delete sidecar commit,
+    // O(batch), ZERO reads of the table
+    (m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions) match {
+      case (Seq(DeleteAction(None)), Seq(), Seq()) =>
+        return GraftMergeDeleteCommand(t, m.sourceTable, keyPairs)
       case _ => ()
     }
 
+    // fast path: the unconditional full-row upsert (+ optional
+    // unconditional full-sync delete) costs ZERO target reads —
+    // anything else falls through to the general merge-on-read path
+    // (one target read, still zero rewrites)
+    fastUpsert(m, t, rel, partitionCol, keyPairs, targetIds)
+      .getOrElse(generalMerge(m, t, partitionCol, keyPairs, targetIds))
+  }
+
+  /** The zero-read upsert shape, or None: exactly one unconditional
+    * full-row UPDATE + one unconditional full-row INSERT assigning
+    * identical values, keys assigned the ON source expressions; NMBS
+    * absent or one unconditional DELETE (the full-sync form). */
+  private def fastUpsert(m: MergeIntoTable, t: GraftDml.Target,
+                         rel: DataSourceV2Relation, partitionCol: String,
+                         keyPairs: Seq[(String, Expression)],
+                         targetIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+      : Option[LogicalPlan] = {
+    val syncDelete = m.notMatchedBySourceActions match {
+      case Seq() => false
+      case Seq(DeleteAction(None)) => true
+      case _ => return None
+    }
     val upd = m.matchedActions match {
-      case Seq(UpdateAction(c, assigns, _)) =>
-        assignMap("WHEN MATCHED", c, assigns, targetIds)
-      case other => refuse(s"matched actions $other")
+      case Seq(UpdateAction(None, assigns, _)) =>
+        assignPairs(assigns, targetIds).toMap
+      case _ => return None
     }
     val ins = m.notMatchedActions match {
-      case Seq(InsertAction(c, assigns)) =>
-        assignMap("WHEN NOT MATCHED", c, assigns, targetIds)
-      case other => refuse(s"not-matched actions $other")
+      case Seq(InsertAction(None, assigns)) =>
+        assignPairs(assigns, targetIds).toMap
+      case _ => return None
     }
     val cols = rel.output.map(_.name)
     // full-row and identical: one appended row serves as both the
     // update result and the insert — the upsertMor contract
     cols.foreach { c =>
       val (u, i) = (upd.get(c), ins.get(c))
-      if (u.isEmpty || i.isEmpty)
-        refuse(s"partial assignment (column '$c' not set in both clauses)")
+      if (u.isEmpty || i.isEmpty) return None
       if (u.get.canonicalized != i.get.canonicalized &&
           stripCast(u.get).canonicalized != stripCast(i.get).canonicalized)
-        refuse(s"UPDATE and INSERT assign different values to '$c'")
+        return None
     }
-    // ON: a conjunction of target-column = source-expression
-    // equalities; the batch's key value must BE the ON's source
-    // expression, or the equality-delete would mask the wrong rows
-    val keyCols = keyPairsOf(m, targetIds).map { case (tc, se) =>
-      val assigned = upd(tc)
-      require(stripCast(assigned).canonicalized ==
-          stripCast(se).canonicalized,
-        s"key column '$tc' must be assigned the ON " +
-          s"condition's source expression (got $assigned vs $se)")
+    // the batch's key value must BE the ON's source expression, or
+    // the equality-delete would mask the wrong rows
+    val keyCols = keyPairs.map { case (tc, se) =>
+      if (stripCast(upd(tc)).canonicalized != stripCast(se).canonicalized)
+        return None
       tc
     }
-    GraftMergeCommand(t, partitionCol, keyCols, m.sourceTable,
-      rel.output.map(a => a.name -> upd(a.name)), syncDelete)
+    Some(GraftMergeCommand(t, partitionCol, keyCols, m.sourceTable,
+      rel.output.map(a => a.name -> upd(a.name)), syncDelete))
+  }
+
+  /** The general clause shape → [[GraftMergeClausesCommand]]
+    * (conditional clauses, partial SET, multiple ordered clauses,
+    * conditional NMBS delete). */
+  private def generalMerge(m: MergeIntoTable, t: GraftDml.Target,
+                           partitionCol: String,
+                           keyPairs: Seq[(String, Expression)],
+                           targetIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+      : LogicalPlan = {
+    val matchedClauses = m.matchedActions.map {
+      case UpdateAction(c, assigns, _) =>
+        (c, Some(assignPairs(assigns, targetIds)))
+      case DeleteAction(c) => (c, None)
+      case other => refuse(s"matched action $other")
+    }
+    val insertClauses = m.notMatchedActions.map {
+      case InsertAction(c, assigns) => (c, assignPairs(assigns, targetIds))
+      case other => refuse(s"not-matched action $other")
+    }
+    val nmbs = m.notMatchedBySourceActions match {
+      case Seq() => None
+      case Seq(DeleteAction(c)) => Some(c)
+      case other => refuse(
+        s"WHEN NOT MATCHED BY SOURCE supports THEN DELETE only: $other")
+    }
+    GraftMergeClausesCommand(t, partitionCol, keyPairs, m.sourceTable,
+      matchedClauses, insertClauses, nmbs, targetIds)
   }
 
   private def rewriteUpdate(u: UpdateTable, t: GraftDml.Target,

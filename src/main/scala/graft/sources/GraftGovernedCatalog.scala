@@ -127,7 +127,18 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces
   private def governedTable(table: String, version: Long,
                             writable: Boolean): Table = {
     val tr = Catalog.tableRoot(root, table)
-    val schema = SnapshotTable.read(SparkSession.active, tr, version).schema
+    val data = SnapshotTable.read(SparkSession.active, tr, version).schema
+    // keep the DECLARED column order (the recorded schema follows
+    // evolution: added columns append at the end) — storage surfaces
+    // the partition column last, which would misalign positional
+    // star expansion in MERGE/INSERT after an ADD COLUMN
+    val schema = SnapshotTable.recordedSchema(tr, version) match {
+      case Some(rec) =>
+        val declared = rec.fieldNames.filter(data.fieldNames.contains)
+        val rest = data.fieldNames.filterNot(declared.contains)
+        StructType((declared ++ rest).map(n => data(n)).toSeq)
+      case None => data
+    }
     new GraftGovernedTable(root, table, tr, version, schema, writable)
   }
 
@@ -311,8 +322,10 @@ private[graft] class GraftGovernedTable(
       java.util.EnumSet.of(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE,
         TRUNCATE, ACCEPT_ANY_SCHEMA)
     else
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer publishes the
+      // widening as this catalog's atomic ALTER commit first
       java.util.EnumSet.of(BATCH_READ, BATCH_WRITE, V1_BATCH_WRITE,
-        TRUNCATE)
+        TRUNCATE, AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(version >= 0, s"table '$table' has no committed content yet")

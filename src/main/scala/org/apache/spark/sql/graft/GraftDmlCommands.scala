@@ -82,6 +82,54 @@ case class GraftMergeDeleteCommand(target: graft.sources.GraftDml.Target,
   }
 }
 
+/** The GENERAL `MERGE INTO` shape — conditional `WHEN MATCHED AND
+  * cond THEN UPDATE/DELETE` clauses (Debezium op routing), partial
+  * `SET`, conditional inserts, optional `WHEN NOT MATCHED BY SOURCE
+  * [AND cond] THEN DELETE` — at merge-on-read cost (one target read,
+  * zero rewrites, one commit). Expressions arrive ANALYZED with both
+  * relations' expression ids; [[run]] rewrites every attribute to the
+  * prefixed name (`_t_*` target / `_s_*` source) the join frame in
+  * `GraftDml.runMergeClauses` exposes. */
+case class GraftMergeClausesCommand(
+    target: graft.sources.GraftDml.Target,
+    partitionCol: String,
+    keyPairs: Seq[(String, Expression)],
+    source: LogicalPlan,
+    matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
+    inserts: Seq[(Option[Expression], Seq[(String, Expression)])],
+    nmbsDelete: Option[Option[Expression]],
+    targetIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  private def prefixed(e: Expression): org.apache.spark.sql.Column =
+    ExpressionUtils.column(e.transform {
+      case a: AttributeReference if targetIds.contains(a.exprId) =>
+        UnresolvedAttribute.quoted(s"_t_${a.name}")
+      case a: AttributeReference =>
+        UnresolvedAttribute.quoted(s"_s_${a.name}")
+    })
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.GraftDml
+    val src = GraftDmlExec.ofRows(spark, source)
+    val m = matched.map { case (c, sets) =>
+      GraftDml.MatchedClause(c.map(prefixed),
+        sets.map(_.map { case (n, e) => n -> prefixed(e) })) }
+    val ins = inserts.map { case (c, sets) =>
+      GraftDml.InsertClause(c.map(prefixed),
+        sets.map { case (n, e) => n -> prefixed(e) }) }
+    val nmbs = nmbsDelete.map(_.map(prefixed))
+    Seq(Row(GraftDml.runMergeClauses(spark, target, partitionCol,
+      keyPairs.map(_._1), src, keyPairs.map(p => prefixed(p._2)),
+      m, ins, nmbs)))
+  }
+}
+
 /** `DELETE FROM <graft table> WHERE <any subquery-free predicate>` →
   * a merge-on-read sidecar commit with the EXACT analyzed predicate
   * (one atomic catalog commit for governed targets). Returns the new

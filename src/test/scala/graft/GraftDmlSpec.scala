@@ -56,31 +56,26 @@ class GraftDmlSpec extends GraftSuite {
     assert(SnapshotTable.eqDeleteEntries(root, before + 1).nonEmpty)
   }
 
-  test("MERGE refuses non-upsert shapes and duplicate source keys") {
+  test("MERGE refusals: non-equality ON, subquery conditions, duplicate matched keys") {
     val root = mkCatalogTable("dml2")
     val before = SnapshotTable.latestVersion(root)
     Seq(("b", 20L, "x")).toDF("k", "n", "p")
       .createOrReplaceTempView("dml2_src")
-    // matched-only (no INSERT clause)
+    // non-equality ON
     val e1 = intercept[Exception] {
-      spark.sql("MERGE INTO dml2.db.t t USING dml2_src s ON t.k = s.k " +
-        "WHEN MATCHED THEN UPDATE SET *")
+      spark.sql("MERGE INTO dml2.db.t t USING dml2_src s ON t.n < s.n " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     }
-    assert(e1.getMessage.contains("upsert shape"), e1.getMessage)
-    // WHEN MATCHED DELETE
+    assert(e1.getMessage.contains("ON conjunct"), e1.getMessage)
+    // subquery in a clause condition
     val e2 = intercept[Exception] {
       spark.sql("MERGE INTO dml2.db.t t USING dml2_src s ON t.k = s.k " +
-        "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
-    }
-    assert(e2.getMessage.contains("upsert shape"), e2.getMessage)
-    // partial SET
-    val e3 = intercept[Exception] {
-      spark.sql("MERGE INTO dml2.db.t t USING dml2_src s ON t.k = s.k " +
-        "WHEN MATCHED THEN UPDATE SET n = s.n " +
+        "WHEN MATCHED AND s.n IN (SELECT n FROM dml2_src) THEN DELETE " +
         "WHEN NOT MATCHED THEN INSERT *")
     }
-    assert(e3.getMessage.contains("partial assignment"), e3.getMessage)
-    // duplicate source keys = the SQL MERGE cardinality violation
+    assert(e2.getMessage.contains("subquer"), e2.getMessage)
+    // duplicate MATCHED source keys = the SQL MERGE cardinality rule
+    // (on both the fast upsert path and the general clause path)
     Seq(("b", 20L, "x"), ("b", 30L, "x")).toDF("k", "n", "p")
       .createOrReplaceTempView("dml2_dup")
     val e4 = intercept[Exception] {
@@ -88,7 +83,175 @@ class GraftDmlSpec extends GraftSuite {
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     }
     assert(e4.getMessage.contains("cardinality"), e4.getMessage)
+    val e5 = intercept[Exception] {
+      spark.sql("MERGE INTO dml2.db.t t USING dml2_dup s ON t.k = s.k " +
+        "WHEN MATCHED AND s.n > 0 THEN UPDATE SET n = s.n " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e5.getMessage.contains("cardinality"), e5.getMessage)
     assert(SnapshotTable.latestVersion(root) === before) // nothing committed
+  }
+
+  test("conditional MERGE routes Debezium ops in one zero-rewrite commit") {
+    val root = mkCatalogTable("dmlc")
+    val before = SnapshotTable.latestVersion(root)
+    val dataFiles = SnapshotTable.manifestEntries(root, before)
+      .map(e => java.nio.file.Paths.get(root, s"v=${e._2}", e._1))
+    val mtimes = dataFiles.map(p => p -> Files.getLastModifiedTime(p)).toMap
+    // a CDC batch: delete a, update b (partial SET), insert d; the
+    // delete-op insert candidate e must NOT insert
+    Seq(("a", 0L, "x", "d"), ("b", 20L, "x", "u"),
+      ("d", 4L, "y", "c"), ("e", 5L, "y", "d"))
+      .toDF("k", "n", "p", "op").createOrReplaceTempView("dmlc_src")
+    val res = spark.sql(
+      """MERGE INTO dmlc.db.t AS t USING dmlc_src AS s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET n = s.n
+        |WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT (k, n, p)
+        |  VALUES (s.k, s.n, s.p)""".stripMargin)
+    assert(res.first.getLong(0) === before + 1) // ONE commit
+    val rows = spark.table("dmlc.db.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("b", 20L), ("c", 3L), ("d", 4L)))
+    // zero existing bytes moved — merge-on-read, never a rewrite
+    dataFiles.foreach(p =>
+      assert(Files.getLastModifiedTime(p) === mtimes(p), s"$p rewritten"))
+    assert(SnapshotTable.eqDeleteEntries(root, before + 1).nonEmpty)
+    // time travel: pre-merge state intact
+    assert(spark.sql(s"SELECT count(*) FROM dmlc.db.t VERSION AS OF " +
+      s"$before").first.getLong(0) === 3L)
+  }
+
+  test("conditional MERGE: first matching clause wins; unclaimed matched rows stay") {
+    val root = mkCatalogTable("dmlo")
+    // b matches BOTH conditions -> first clause (n := 100) wins;
+    // a matches only the second (n := -1); c matches neither clause
+    // and must stay untouched (NOT tombstoned)
+    Seq(("a", 10L, "x"), ("b", 200L, "x"), ("c", 0L, "y"))
+      .toDF("k", "n", "p").createOrReplaceTempView("dmlo_src")
+    spark.sql(
+      """MERGE INTO dmlo.db.t AS t USING dmlo_src AS s ON t.k = s.k
+        |WHEN MATCHED AND s.n >= 100 THEN UPDATE SET n = 100
+        |WHEN MATCHED AND s.n >= 10 THEN UPDATE SET n = -1
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.table("dmlo.db.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("a", -1L), ("b", 100L), ("c", 3L)))
+  }
+
+  test("partial SET keeps unset columns; updates may reference both sides") {
+    val root = mkCatalogTable("dmlp")
+    Seq(("a", 100L, "IGNORED"), ("b", 1000L, "IGNORED"))
+      .toDF("k", "n", "p").createOrReplaceTempView("dmlp_src")
+    spark.sql(
+      """MERGE INTO dmlp.db.t AS t USING dmlp_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET n = t.n + s.n
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.table("dmlp.db.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // the unset p column keeps the TARGET value, not the source's
+    assert(rows.toSeq === Seq(("a", 101L, "x"), ("b", 1002L, "x"),
+      ("c", 3L, "y")))
+  }
+
+  test("conditional NOT MATCHED BY SOURCE DELETE prunes only matching rows") {
+    val root = mkCatalogTable("dmlnb")
+    // source carries only b; the conditional NMBS clause deletes
+    // source-absent rows in partition 'y' only (c), keeping a
+    Seq(("b", 20L, "x")).toDF("k", "n", "p")
+      .createOrReplaceTempView("dmlnb_src")
+    spark.sql(
+      """MERGE INTO dmlnb.db.t AS t USING dmlnb_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET n = s.n
+        |WHEN NOT MATCHED BY SOURCE AND t.p = 'y' THEN DELETE""".stripMargin)
+    val rows = spark.table("dmlnb.db.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("a", 1L), ("b", 20L)))
+  }
+
+  test("governed conditional MERGE publishes as ONE rollback-able catalog commit") {
+    val cat = Files.createTempDirectory("graft-dml-condgov").toString + "/cat"
+    spark.conf.set("spark.sql.catalog.dmlcg",
+      "graft.sources.GraftGovernedCatalog")
+    spark.conf.set("spark.sql.catalog.dmlcg.root", cat)
+    try {
+      graft.operators.Catalog.transactDelta(cat, Seq(("t",
+        Seq(("a", 1L, "x"), ("b", 2L, "x"), ("c", 3L, "y"))
+          .toDF("k", "n", "p"), "p")))
+      val c0 = graft.operators.Catalog.latestCommit(cat)
+      Seq(("a", 0L, "x", "d"), ("b", 20L, "x", "u"), ("d", 4L, "y", "c"))
+        .toDF("k", "n", "p", "op").createOrReplaceTempView("dmlcg_src")
+      val res = spark.sql(
+        """MERGE INTO dmlcg.t AS t USING dmlcg_src AS s ON t.k = s.k
+          |WHEN MATCHED AND s.op = 'd' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET n = s.n
+          |WHEN NOT MATCHED THEN INSERT (k, n, p) VALUES (s.k, s.n, s.p)"""
+          .stripMargin)
+      assert(res.first.getLong(0) === c0 + 1) // ONE catalog commit
+      assert(spark.table("dmlcg.t").orderBy("k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("b", 20L), ("c", 3L), ("d", 4L)))
+      graft.operators.Catalog.rollback(cat, c0)
+      assert(spark.table("dmlcg.t").orderBy("k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    } finally spark.conf.unset("spark.sql.catalog.dmlcg")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the target with source-added columns") {
+    val root = mkCatalogTable("dmlevo")
+    val before = SnapshotTable.latestVersion(root)
+    Seq(("b", 20L, "x", 9.5), ("d", 4L, "y", 1.5))
+      .toDF("k", "n", "p", "score").createOrReplaceTempView("dmlevo_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dmlevo.db.t AS t
+        |USING dmlevo_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table("dmlevo.db.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(r.fieldIndex("score"))) None
+        else Some(r.getDouble(r.fieldIndex("score")))))
+    // pre-evolution rows null-fill the added column by field id;
+    // merged/inserted rows carry the source values
+    assert(out.toSeq === Seq(("a", 1L, None), ("b", 20L, Some(9.5)),
+      ("c", 3L, None), ("d", 4L, Some(1.5))))
+    // pre-evolution time travel reads under the old schema
+    assert(!spark.sql(s"SELECT * FROM dmlevo.db.t VERSION AS OF $before")
+      .columns.contains("score"))
+  }
+
+  test("governed MERGE WITH SCHEMA EVOLUTION: widening + merge, both rollback-able") {
+    val cat = Files.createTempDirectory("graft-dml-evogov").toString + "/cat"
+    spark.conf.set("spark.sql.catalog.dmleg",
+      "graft.sources.GraftGovernedCatalog")
+    spark.conf.set("spark.sql.catalog.dmleg.root", cat)
+    try {
+      graft.operators.Catalog.transactDelta(cat, Seq(("t",
+        Seq(("a", 1L, "x"), ("b", 2L, "x")).toDF("k", "n", "p"), "p")))
+      val c0 = graft.operators.Catalog.latestCommit(cat)
+      Seq(("b", 20L, "x", 9.5), ("d", 4L, "y", 1.5))
+        .toDF("k", "n", "p", "score")
+        .createOrReplaceTempView("dmleg_src")
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO dmleg.t AS t
+          |USING dmleg_src AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // the widening published as its own atomic catalog commit, the
+      // merge as the next — two rollback-able commits
+      assert(graft.operators.Catalog.latestCommit(cat) === c0 + 2)
+      val out = spark.table("dmleg.t").orderBy("k")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(r.fieldIndex("score"))) None
+          else Some(r.getDouble(r.fieldIndex("score")))))
+      assert(out.toSeq === Seq(("a", 1L, None), ("b", 20L, Some(9.5)),
+        ("d", 4L, Some(1.5))))
+      // rollback to c0 rewinds the merge AND the widening together
+      graft.operators.Catalog.rollback(cat, c0)
+      assert(!spark.table("dmleg.t").columns.contains("score"))
+      assert(spark.table("dmleg.t").count() === 2)
+    } finally spark.conf.unset("spark.sql.catalog.dmleg")
   }
 
   test("MERGE NOT MATCHED BY SOURCE DELETE: full sync, atomically published") {
@@ -131,20 +294,18 @@ class GraftDmlSpec extends GraftSuite {
       .first.getLong(0)
     assert(v2 === v + 1)
     assert(spark.table("dmlsync.db.t").count() === 2)
-    // conditional NOT-MATCHED-BY-SOURCE refuses; so does the
-    // delete-everything combination
-    val e = intercept[Exception] {
-      spark.sql("MERGE INTO dmlsync.db.t t USING dmlsync_src s " +
-        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
-        "WHEN NOT MATCHED THEN INSERT * " +
-        "WHEN NOT MATCHED BY SOURCE AND t.n > 0 THEN DELETE")
-    }
-    assert(e.getMessage.contains("unconditional"), e.getMessage)
-    intercept[Exception] {
-      spark.sql("MERGE INTO dmlsync.db.t t USING dmlsync_src s " +
-        "ON t.k = s.k WHEN MATCHED THEN DELETE " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
-    }
+    // a CONDITIONAL NOT-MATCHED-BY-SOURCE routes to the general clause
+    // path (every key matches here, so nothing deletes)
+    spark.sql("MERGE INTO dmlsync.db.t t USING dmlsync_src s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND t.n > 0 THEN DELETE")
+    assert(spark.table("dmlsync.db.t").count() === 2)
+    // matched-delete + sync-delete = delete everything (general path)
+    spark.sql("MERGE INTO dmlsync.db.t t USING dmlsync_src s " +
+      "ON t.k = s.k WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(spark.table("dmlsync.db.t").count() === 0)
     // NULL merge keys on BOTH sides refuse (the tombstone for the
     // target's NULL-key row would also mask the batch's NULL insert);
     // NULL on the target side alone deletes it per SQL semantics
