@@ -1,9 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -54,10 +50,10 @@ import org.apache.spark.sql.functions.col
   */
 object Catalog {
 
-  private def markerPath(root: String) = Paths.get(root, "_latest")
-  private def commitsDir(root: String) = Paths.get(root, "_commits")
-  private def manifestPath(root: String, commit: Long): Path =
-    commitsDir(root).resolve(s"c=$commit")
+  private def markerPath(root: String) = MetaIO.join(root, "_latest")
+  private def commitsDir(root: String) = MetaIO.join(root, "_commits")
+  private def manifestPath(root: String, commit: Long): String =
+    MetaIO.join(commitsDir(root), s"c=$commit")
 
   /** Filesystem root of `table`'s version store. */
   def tableRoot(root: String, table: String): String = {
@@ -68,22 +64,16 @@ object Catalog {
   /** Latest published catalog commit, or -1 before any. */
   def latestCommit(root: String): Long = {
     val m = markerPath(root)
-    if (Files.exists(m)) Files.readString(m).trim.toLong else -1L
+    if (MetaIO.exists(m)) MetaIO.readString(m).trim.toLong else -1L
   }
 
   /** All manifest ids present on disk, ascending (including any
     * unpublished crash leftovers newer than the marker). */
-  def commits(root: String): Seq[Long] = {
-    val d = commitsDir(root)
-    if (!Files.exists(d)) return Seq.empty
-    val stream = Files.list(d)
-    try stream.iterator().asScala
-      .map(_.getFileName.toString)
+  def commits(root: String): Seq[Long] =
+    MetaIO.listNames(commitsDir(root))
       .filter(_.startsWith("c="))
       .map(_.stripPrefix("c=").toLong)
-      .toSeq.sorted
-    finally stream.close()
-  }
+      .sorted
 
   /** The table → version mapping at `commit` (default: the latest
     * published commit; empty before any commit). */
@@ -91,12 +81,12 @@ object Catalog {
     val c = if (commit >= 0) commit else latestCommit(root)
     if (c < 0) return Map.empty
     val p = manifestPath(root, c)
-    require(Files.exists(p), s"unknown catalog commit $c at $root")
+    require(MetaIO.exists(p), s"unknown catalog commit $c at $root")
     parseManifest(p)
   }
 
-  private def parseManifest(p: Path): Map[String, Long] =
-    Files.readString(p).linesIterator.filter(_.nonEmpty).map { line =>
+  private def parseManifest(p: String): Map[String, Long] =
+    MetaIO.readString(p).linesIterator.filter(_.nonEmpty).map { line =>
       val Array(name, v) = line.split(' ')
       name -> v.toLong
     }.toMap
@@ -106,21 +96,20 @@ object Catalog {
     tableVersions(root).keys.toSeq.sorted
 
   private def moveMarker(root: String, commit: Long): Unit = {
-    Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, s"_latest.tmp$commit")
-    Files.writeString(tmp, commit.toString)
-    Files.move(tmp, markerPath(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.mkdirs(MetaIO.join(root))
+    val tmp = MetaIO.join(root, s"_latest.tmp$commit")
+    MetaIO.writeString(tmp, commit.toString)
+    MetaIO.rename(tmp, markerPath(root), overwrite = true)
   }
 
-  private def publishedStamp(root: String, commit: Long): Path =
-    commitsDir(root).resolve(s".published.c=$commit")
+  private def publishedStamp(root: String, commit: Long): String =
+    MetaIO.join(commitsDir(root), s".published.c=$commit")
 
   /** True iff `commit`'s manifest completed publication (vs a crashed
     * committer's leftover). Published manifests newer than the current
     * marker are rollback's roll-forward targets and survive GC. */
   def isPublished(root: String, commit: Long): Boolean =
-    Files.exists(publishedStamp(root, commit))
+    MetaIO.exists(publishedStamp(root, commit))
 
   /** Run `body` holding the catalog commit lock (atomic exclusive
     * `createDirectory` — the same primitive as SnapshotTable branch
@@ -128,9 +117,9 @@ object Catalog {
     * all staging I/O happens before. A crashed committer's stale lock
     * is swept by [[expireCommits]] / `SnapshotTable.sweepStaleLocks`. */
   private def withCommitLock[T](root: String)(body: => T): T = {
-    Files.createDirectories(refsDir(root))
-    val lock = refsDir(root).resolve(".lock.main")
-    try Files.createDirectory(lock)
+    MetaIO.mkdirs(refsDir(root))
+    val lock = MetaIO.join(refsDir(root), ".lock.main")
+    try MetaIO.claimDir(lock)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -138,7 +127,7 @@ object Catalog {
             "left the lock — expireCommits sweeps stale locks); " +
             "re-stage against the current base and retry")
     }
-    try body finally Files.delete(lock)
+    try body finally MetaIO.delete(lock, recursive = true)
   }
 
   /** Atomically commit already-staged table versions on top of `base`:
@@ -158,18 +147,17 @@ object Catalog {
           "and retry")
     val next = (commits(root) :+ base).max + 1
     val manifest = tableVersions(root, base) ++ staged
-    Files.createDirectories(commitsDir(root))
-    val tmp = commitsDir(root).resolve(s".c=$next.tmp")
-    Files.writeString(tmp,
+    MetaIO.mkdirs(commitsDir(root))
+    val tmp = MetaIO.join(commitsDir(root), s".c=$next.tmp")
+    MetaIO.writeString(tmp,
       manifest.toSeq.sortBy(_._1).map { case (n, v) => s"$n $v" }.mkString("\n"))
-    Files.move(tmp, manifestPath(root, next),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.rename(tmp, manifestPath(root, next), overwrite = true)
     // stamp BEFORE the marker move: a crash in between leaves a stamped
     // never-current manifest (harmless — a valid consistent mapping GC
     // keeps), never a published-looking hole. The stamp content is the
     // publish wall time — the commit-log timestamp [[resolveAsOf]]
     // time-travels on.
-    Files.writeString(publishedStamp(root, next),
+    MetaIO.writeString(publishedStamp(root, next),
       System.currentTimeMillis().toString)
     moveMarker(root, next)
     next
@@ -180,9 +168,9 @@ object Catalog {
   def commitTimeMs(root: String, commit: Long): Long = {
     val p = publishedStamp(root, commit)
     val stamped =
-      if (Files.exists(p)) Files.readString(p).trim else ""
+      if (MetaIO.exists(p)) MetaIO.readString(p).trim else ""
     if (stamped.nonEmpty && stamped.forall(_.isDigit)) stamped.toLong
-    else Files.getLastModifiedTime(manifestPath(root, commit)).toMillis
+    else MetaIO.mtimeMillis(manifestPath(root, commit))
   }
 
   /** Resolve the newest commit published at or before `asOfMs` —
@@ -308,6 +296,24 @@ object Catalog {
     commitStaged(root, Map(table -> staged), base)
   }
 
+  /** Fold a governed table's accumulated merge-on-read sidecars back
+    * into clean data as ONE atomic catalog commit — the governed twin
+    * of [[SnapshotTable.applyDeletes]]. A long-running upsert stream
+    * lands one equality-delete sidecar per trigger and every unfolded
+    * sidecar taxes every read with a broadcast anti-join; the
+    * streaming sinks call this when [[SnapshotTable.morDebt]] crosses
+    * their fold threshold. Returns the new commit (or the current one
+    * when there is nothing to fold). */
+  def foldTable(spark: SparkSession, root: String, table: String): Long = {
+    val base = latestCommit(root)
+    val prev = tableVersions(root, base)
+    require(prev.contains(table), s"table '$table' not in catalog at $root")
+    val staged = SnapshotTable.stageApplyDeletes(spark,
+      tableRoot(root, table), prev(table))
+    if (staged == prev(table)) base
+    else commitStaged(root, Map(table -> staged), base)
+  }
+
   /** Re-point the catalog at an older published commit (atomic) —
     * rolls EVERY table back together, which is the point. The
     * rolled-back-from manifests stay on disk as roll-forward targets
@@ -337,8 +343,8 @@ object Catalog {
       s"commits ${blocked.mkString(",")} are pinned by a branch/tag; " +
         "drop the ref before abandoning")
     drop.foreach { c =>
-      Files.delete(manifestPath(root, c))
-      Files.deleteIfExists(publishedStamp(root, c))
+      MetaIO.delete(manifestPath(root, c))
+      MetaIO.delete(publishedStamp(root, c))
     }
     drop
   }
@@ -356,23 +362,23 @@ object Catalog {
   // still sits at the branch's fork point, and lands the branch head's
   // whole mapping as ONE main commit. Tags pin main commits immutably.
 
-  private def refsDir(root: String) = Paths.get(root, "_refs")
-  private def refPath(root: String, kind: String, name: String): Path = {
+  private def refsDir(root: String) = MetaIO.join(root, "_refs")
+  private def refPath(root: String, kind: String, name: String): String = {
     require(name.matches("[A-Za-z0-9._-]+") && name != "main",
       s"invalid ref name '$name'")
-    refsDir(root).resolve(s"$kind.$name")
+    MetaIO.join(refsDir(root), s"$kind.$name")
   }
-  private def branchManifest(root: String, name: String, n: Long): Path =
-    commitsDir(root).resolve(name).resolve(s"c=$n")
+  private def branchManifest(root: String, name: String, n: Long): String =
+    MetaIO.join(commitsDir(root), name, s"c=$n")
 
   /** Fork a branch from the current (or an explicit) main commit. */
   def createBranch(root: String, name: String, from: Long = -1L): Long = {
     val fork = if (from >= 0) from else latestCommit(root)
     require(commits(root).contains(fork), s"unknown catalog commit $fork")
-    // hard-link publish: link(2) fails on an existing target, so this
-    // is atomic content AND an already-exists check in one step — a
+    // tmp + NO-REPLACE atomic rename: fails on an existing target, so
+    // it is atomic content AND an already-exists check in one step — a
     // concurrent reader never sees an empty ref, a concurrent creator
-    // loses cleanly (a rename would silently replace on POSIX)
+    // loses cleanly
     publishNewRef(root, "branch", name, s"$fork -1",
       s"branch '$name' already exists")
     fork
@@ -381,35 +387,35 @@ object Catalog {
   private def publishNewRef(root: String, kind: String, name: String,
                             content: String, existsMsg: String): Unit = {
     val p = refPath(root, kind, name)
-    Files.createDirectories(refsDir(root))
+    MetaIO.mkdirs(refsDir(root))
     // unique tmp per attempt: a shared tmp path lets a concurrent
-    // creator rewrite the inode our createLink is about to (or already
-    // did) publish — the loser's content would survive under the
-    // winner's success
-    val tmp = refsDir(root).resolve(
+    // creator rewrite the content another attempt is about to (or
+    // already did) publish — the loser's content would survive under
+    // the winner's success
+    val tmp = MetaIO.join(refsDir(root),
       s".$kind.$name.${java.util.UUID.randomUUID()}.new")
-    Files.writeString(tmp, content)
-    try Files.createLink(p, tmp)
+    MetaIO.writeString(tmp, content)
+    try MetaIO.rename(tmp, p) // no-replace: loses cleanly if p exists
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        MetaIO.delete(tmp)
         throw new IllegalArgumentException(existsMsg)
-    } finally Files.deleteIfExists(tmp)
+    }
   }
 
   /** (fork main-commit, branch head n; -1 = no branch commits yet). */
   private def branchState(root: String, name: String): (Long, Long) = {
     val p = refPath(root, "branch", name)
-    require(Files.exists(p), s"unknown catalog branch '$name'")
-    val Array(f, h) = Files.readString(p).trim.split(' ')
+    require(MetaIO.exists(p), s"unknown catalog branch '$name'")
+    val Array(f, h) = MetaIO.readString(p).trim.split(' ')
     (f.toLong, h.toLong)
   }
 
   private def moveRef(root: String, kind: String, name: String,
                       content: String): Unit = {
-    val tmp = refsDir(root).resolve(s".${kind}.$name.tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, refPath(root, kind, name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = MetaIO.join(refsDir(root), s".${kind}.$name.tmp")
+    MetaIO.writeString(tmp, content)
+    MetaIO.rename(tmp, refPath(root, kind, name), overwrite = true)
   }
 
   /** The branch head's table → version mapping. */
@@ -443,8 +449,8 @@ object Catalog {
     }.toMap
     val next = head + 1
     val p = branchManifest(root, name, next)
-    Files.createDirectories(p.getParent)
-    try Files.createFile(p)
+    MetaIO.mkdirs(MetaIO.join(commitsDir(root), name))
+    try MetaIO.createExclusive(p)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -452,11 +458,10 @@ object Catalog {
             "committer); re-stage against the new head and retry")
     }
     val manifest = prev ++ staged
-    val tmp = p.getParent.resolve(s".c=$next.tmp")
-    Files.writeString(tmp,
+    val tmp = MetaIO.join(commitsDir(root), name, s".c=$next.tmp")
+    MetaIO.writeString(tmp,
       manifest.toSeq.sortBy(_._1).map { case (t, v) => s"$t $v" }.mkString("\n"))
-    Files.move(tmp, p,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.rename(tmp, p, overwrite = true)
     moveRef(root, "branch", name, s"$fork $next")
     next
   }
@@ -516,14 +521,8 @@ object Catalog {
     * versions it referenced become unreferenced — [[expireCommits]]
     * collects them). */
   def dropBranch(root: String, name: String): Unit = {
-    Files.deleteIfExists(refPath(root, "branch", name))
-    val d = commitsDir(root).resolve(name)
-    if (Files.exists(d)) {
-      val stream = Files.list(d)
-      try stream.iterator().asScala.toSeq.foreach(Files.delete)
-      finally stream.close()
-      Files.delete(d)
-    }
+    MetaIO.delete(refPath(root, "branch", name))
+    MetaIO.delete(MetaIO.join(commitsDir(root), name), recursive = true)
   }
 
   /** Pin a main commit immutably. */
@@ -537,21 +536,17 @@ object Catalog {
 
   def tagCommit(root: String, name: String): Long = {
     val p = refPath(root, "tag", name)
-    require(Files.exists(p), s"unknown catalog tag '$name'")
-    Files.readString(p).trim.toLong
+    require(MetaIO.exists(p), s"unknown catalog tag '$name'")
+    MetaIO.readString(p).trim.toLong
   }
 
   def dropTag(root: String, name: String): Unit =
-    Files.deleteIfExists(refPath(root, "tag", name))
+    MetaIO.delete(refPath(root, "tag", name))
 
   /** All branch names (with fork/head) and tag names (with commit). */
   def refs(root: String): (Map[String, (Long, Long)], Map[String, Long]) = {
     val d = refsDir(root)
-    if (!Files.exists(d)) return (Map.empty, Map.empty)
-    val stream = Files.list(d)
-    val names = try stream.iterator().asScala
-      .map(_.getFileName.toString).filterNot(_.startsWith("."))
-      .toSeq finally stream.close()
+    val names = MetaIO.listNames(d).filterNot(_.startsWith("."))
     (names.filter(_.startsWith("branch.")).map { n =>
       val name = n.stripPrefix("branch.")
       name -> branchState(root, name)
@@ -587,11 +582,11 @@ object Catalog {
     // no in-flight committer still holds them
     val dropCrashed = commits(root).filter(c => c != current &&
       !pinned(c) && !isPublished(root, c) &&
-      now - Files.getLastModifiedTime(manifestPath(root, c)).toMillis > graceMs)
+      now - MetaIO.mtimeMillis(manifestPath(root, c)) > graceMs)
     val drop = (dropOld ++ dropCrashed).distinct.sorted
     drop.foreach { c =>
-      Files.delete(manifestPath(root, c))
-      Files.deleteIfExists(publishedStamp(root, c))
+      MetaIO.delete(manifestPath(root, c))
+      MetaIO.delete(publishedStamp(root, c))
     }
     // a crashed committer's commit lock blocks all publishes — sweep it
     // with the same grace discipline as the table-level locks
@@ -602,27 +597,19 @@ object Catalog {
     // survive until the branch is dropped
     val live = commits(root)
     val branchMappings = branchRefs.keys.toSeq.flatMap { name =>
-      val d = commitsDir(root).resolve(name)
-      if (!Files.exists(d)) Seq.empty
-      else {
-        val stream = Files.list(d)
-        try stream.iterator().asScala.toSeq
-          .filter(_.getFileName.toString.startsWith("c="))
-          .map(parseManifest)
-        finally stream.close()
-      }
+      MetaIO.list(MetaIO.join(commitsDir(root), name))
+        .filter(p => MetaIO.name(p).startsWith("c="))
+        .map(parseManifest)
     }
     val referenced: Map[String, Set[Long]] =
       (live.map(c => tableVersions(root, c)) ++ branchMappings)
         .flatMap(_.toSeq)
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val tablesDir = Paths.get(root, "tables")
+    val tablesDir = MetaIO.join(root, "tables")
     val removedVersions =
-      if (!Files.exists(tablesDir)) Map.empty[String, Seq[Long]]
+      if (!MetaIO.exists(tablesDir)) Map.empty[String, Seq[Long]]
       else {
-        val stream = Files.list(tablesDir)
-        val names = try stream.iterator().asScala
-          .map(_.getFileName.toString).toSeq.sorted finally stream.close()
+        val names = MetaIO.listNames(tablesDir).sorted
         names.map { name =>
           val tr = tableRoot(root, name)
           val direct = referenced.getOrElse(name, Set.empty)
@@ -635,8 +622,7 @@ object Catalog {
           val dead = SnapshotTable.versions(tr)
             .filter(v => !keep(v) && SnapshotTable.isCommitted(tr, v))
           dead.foreach { v =>
-            val dir = Paths.get(tr, s"v=$v")
-            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            MetaIO.delete(MetaIO.join(tr, s"v=$v"), recursive = true)
           }
           // crashed mid-stage claims (unstamped) go through the table
           // sweep with the same grace discipline

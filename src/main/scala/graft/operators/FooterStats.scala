@@ -2,8 +2,6 @@ package graft.operators
 
 import java.math.{BigDecimal => JBigDecimal, BigInteger}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path}
-
 import scala.collection.parallel.CollectionConverters._
 import scala.jdk.CollectionConverters._
 
@@ -58,25 +56,23 @@ private[graft] object FooterStats {
 
   /** All data files under a version directory (skips `_`/`.`-prefixed
     * sidecars and temp dirs at every level). */
-  def dataFiles(versionDir: Path): Seq[Path] = {
-    if (!Files.isDirectory(versionDir)) return Seq.empty
-    def walk(d: Path): Seq[Path] = {
-      val stream = Files.list(d)
-      try stream.iterator().asScala.toSeq.flatMap { p =>
-        val n = p.getFileName.toString
+  def dataFiles(versionDir: String): Seq[String] = {
+    if (!MetaIO.isDir(versionDir)) return Seq.empty
+    def walk(d: String): Seq[String] =
+      MetaIO.list(d).flatMap { p =>
+        val n = MetaIO.name(p)
         if (n.startsWith("_") || n.startsWith(".")) Seq.empty
-        else if (Files.isDirectory(p)) walk(p)
+        else if (MetaIO.isDir(p)) walk(p)
         else if (n.endsWith(".parquet")) Seq(p)
         else Seq.empty
-      } finally stream.close()
-    }
+      }
     walk(versionDir)
   }
 
   /** Footer-read every data file under `versionDir` (driver-side, in
     * parallel — a footer is KBs) and report rows + bounds for `cols`.
     * `tableRoot` anchors the stored root-relative path. */
-  def collect(tableRoot: Path, versionDir: Path, cols: Seq[String],
+  def collect(tableRoot: String, versionDir: String, cols: Seq[String],
               conf: Configuration): Seq[FileStat] = {
     val files = dataFiles(versionDir)
     // parallel footer reads: one small remote GET per file on an
@@ -84,15 +80,15 @@ private[graft] object FooterStats {
     files.toVector.par.map(f => one(tableRoot, f, cols, conf)).seq
   }
 
-  private def one(tableRoot: Path, file: Path, cols: Seq[String],
+  private def one(tableRoot: String, file: String, cols: Seq[String],
                   conf: Configuration): FileStat = {
-    val rel = tableRoot.relativize(file).toString
+    val rel = file.stripPrefix(tableRoot.stripSuffix("/")).stripPrefix("/")
     // store the URI-encoded form input_file_name() reports (readers
     // decode once): java.net.URI's multi-arg constructor quotes the
     // same layer — '%' and raw spaces — Hadoop's Path.toUri adds
     val stored = new java.net.URI(null, null, rel, null).getRawPath
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new HPath(file.toString), conf))
+      HadoopInputFile.fromPath(new HPath(file), conf))
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala.toSeq

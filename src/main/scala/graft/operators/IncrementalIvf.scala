@@ -151,19 +151,21 @@ object IncrementalIvf {
     * serving alias) at `indexRoot`. Readers resolve through
     * [[resolveAlias]]; the flip is a tmp-write + atomic move. */
   def swapAlias(aliasPath: String, indexRoot: String): Unit = {
-    val p = java.nio.file.Paths.get(aliasPath)
-    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(s".${p.getFileName}.tmp")
-    java.nio.file.Files.writeString(tmp, indexRoot)
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val p = aliasPath
+    if (p.contains('/'))
+      MetaIO.mkdirs(p.substring(0, p.lastIndexOf('/')))
+    val tmp =
+      if (p.contains('/'))
+        MetaIO.join(p.substring(0, p.lastIndexOf('/')),
+          s".${MetaIO.name(p)}.tmp")
+      else s".$p.tmp"
+    MetaIO.writeString(tmp, indexRoot)
+    MetaIO.rename(tmp, p, overwrite = true)
   }
 
   /** The index root `aliasPath` currently serves. */
   def resolveAlias(aliasPath: String): String =
-    java.nio.file.Files.readString(
-      java.nio.file.Paths.get(aliasPath)).trim
+    MetaIO.readString(aliasPath).trim
 
   /** Probe the stored index: for each query (`query_id`, `embedding`),
     * rank exactly within its `nprobe` nearest lists and return the

@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -33,17 +32,17 @@ object MaterializedView {
   private case class Def(rowKey: String, keys: Seq[String],
                          sumCols: Seq[String], baseVersion: Long)
 
-  private def defPath(mvRoot: String) = Paths.get(mvRoot, "_mv_def")
+  private def defPath(mvRoot: String) = MetaIO.join(mvRoot, "_mv_def")
 
   private def writeDef(mvRoot: String, d: Def): Unit =
-    Files.writeString(defPath(mvRoot),
+    MetaIO.writeString(defPath(mvRoot),
       s"${d.rowKey}\n${d.keys.mkString(",")}\n" +
         s"${d.sumCols.mkString(",")}\n${d.baseVersion}")
 
   private def readDef(mvRoot: String): Def = {
     val p = defPath(mvRoot)
-    require(Files.exists(p), s"no materialized view at $mvRoot")
-    val ls = Files.readString(p).linesIterator.toSeq
+    require(MetaIO.exists(p), s"no materialized view at $mvRoot")
+    val ls = MetaIO.readString(p).linesIterator.toSeq
     Def(ls.head, ls(1).split(",").toSeq.filter(_.nonEmpty),
       ls(2).split(",").toSeq.filter(_.nonEmpty), ls(3).toLong)
   }
@@ -51,7 +50,7 @@ object MaterializedView {
   /** The base version the view currently covers. */
   def coveredBaseVersion(mvRoot: String): Long = readDef(mvRoot).baseVersion
 
-  private def intentPath(mvRoot: String) = Paths.get(mvRoot, "_mv_intent")
+  private def intentPath(mvRoot: String) = MetaIO.join(mvRoot, "_mv_intent")
 
   /** Heal a crash inside a refresh: the view commit and the anchor
     * advance are two steps, so a refresh writes an INTENT (`toV`,
@@ -62,12 +61,12 @@ object MaterializedView {
     * pre-commit — the intent is discarded and the replay recomputes. */
   private def heal(mvRoot: String): Unit = {
     val p = intentPath(mvRoot)
-    if (!Files.exists(p)) return
-    val parts = Files.readString(p).trim.split(" ")
+    if (!MetaIO.exists(p)) return
+    val parts = MetaIO.readString(p).trim.split(" ")
     val (toV, expectV) = (parts(0).toLong, parts(1).toLong)
     if (SnapshotTable.latestVersion(mvRoot) >= expectV)
       writeDef(mvRoot, readDef(mvRoot).copy(baseVersion = toV))
-    Files.delete(p)
+    MetaIO.delete(p)
   }
 
   // exact per-row decimal; the stored sum type is pinned to
@@ -167,11 +166,11 @@ object MaterializedView {
       .filter(col("n_rows") > 0)
     // intent before commit; anchor + intent-clear after — [[heal]]
     // resolves the crash windows on the next refresh
-    Files.writeString(intentPath(mvRoot),
+    MetaIO.writeString(intentPath(mvRoot),
       s"$toV ${SnapshotTable.latestVersion(mvRoot) + 1}")
     val v = SnapshotTable.commit(merged, mvRoot)
     writeDef(mvRoot, d.copy(baseVersion = toV))
-    Files.delete(intentPath(mvRoot))
+    MetaIO.delete(intentPath(mvRoot))
     v
   }
 }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
 import java.time.LocalDateTime
 
 import scala.jdk.CollectionConverters._
@@ -35,17 +34,13 @@ object MetricsHistory {
 
   val DirName = "_metrics"
 
-  private def dir(root: String) = Paths.get(root, DirName)
+  private def dir(root: String) = MetaIO.join(root, DirName)
 
   /** Run ids already recorded (directory listing — no data read). */
   def runIds(root: String): Seq[Long] = {
-    if (!Files.exists(dir(root))) return Seq.empty
-    val stream = Files.list(dir(root))
-    try stream.iterator().asScala
-      .map(_.getFileName.toString)
+    MetaIO.listNames(dir(root))
       .filter(_.startsWith("run_id="))
-      .map(_.stripPrefix("run_id=").toLong).toSeq.sorted
-    finally stream.close()
+      .map(_.stripPrefix("run_id=").toLong).sorted
   }
 
   /** Append one run's report (`stage`, `rows`, `seconds`, `attempts`,
@@ -59,7 +54,7 @@ object MetricsHistory {
     withRunColumns(report, runKind, watermark)
       .coalesce(1) // one row per stage — a single tiny file
       .write.mode("errorifexists")
-      .parquet(dir(root).resolve(s"run_id=$id").toString)
+      .parquet(MetaIO.join(dir(root), s"run_id=$id"))
     id
   }
 

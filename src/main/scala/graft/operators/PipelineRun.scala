@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.time.LocalDateTime
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -120,22 +119,21 @@ object PipelineRun {
 
   // ── watermark marker (the incremental scheduler's state) ────────────
 
-  private def watermarkPath(outRoot: String) = Paths.get(outRoot, "_watermark")
+  private def watermarkPath(outRoot: String) = MetaIO.join(outRoot, "_watermark")
 
   /** The persisted high-water mark: max `ingested_at` processed by the
     * last run, or None before any full run. */
   def readWatermark(outRoot: String): Option[LocalDateTime] = {
     val p = watermarkPath(outRoot)
-    if (Files.exists(p)) Some(LocalDateTime.parse(Files.readString(p).trim))
+    if (MetaIO.exists(p)) Some(LocalDateTime.parse(MetaIO.readString(p).trim))
     else None
   }
 
   private def writeWatermark(outRoot: String, wm: LocalDateTime): Unit = {
-    Files.createDirectories(Paths.get(outRoot))
-    val tmp = Paths.get(outRoot, "_watermark.tmp")
-    Files.writeString(tmp, wm.toString)
-    Files.move(tmp, watermarkPath(outRoot),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.mkdirs(outRoot)
+    val tmp = MetaIO.join(outRoot, "_watermark.tmp")
+    MetaIO.writeString(tmp, wm.toString)
+    MetaIO.rename(tmp, watermarkPath(outRoot), overwrite = true)
   }
 
   private val LatestTradeState = "_state/latest_trade"

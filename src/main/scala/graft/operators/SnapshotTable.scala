@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -25,43 +23,37 @@ import org.apache.spark.sql.types
   */
 object SnapshotTable {
 
-  private def markerPath(root: String) = Paths.get(root, "_latest")
+  private def markerPath(root: String) = MetaIO.join(root, "_latest")
 
   /** Latest committed version, or -1 if none. */
   def latestVersion(root: String): Long = {
     val m = markerPath(root)
-    if (Files.exists(m)) Files.readString(m).trim.toLong else -1L
+    if (MetaIO.exists(m)) MetaIO.readString(m).trim.toLong else -1L
   }
 
   /** All committed versions present on disk, ascending. */
-  def versions(root: String): Seq[Long] = {
-    val d = Paths.get(root)
-    if (!Files.exists(d)) return Seq.empty
-    val stream = Files.list(d)
-    try stream.iterator().asScala
-      .map(_.getFileName.toString)
+  def versions(root: String): Seq[Long] =
+    MetaIO.listNames(root)
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong)
-      .toSeq.sorted
-    finally stream.close()
-  }
+      .sorted
 
   private[graft] def moveMarker(root: String, version: Long): Unit = {
-    Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, s"_latest.tmp$version")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, markerPath(root),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.mkdirs(MetaIO.join(root))
+    val tmp = MetaIO.join(root, s"_latest.tmp$version")
+    MetaIO.writeString(tmp, version.toString)
+    MetaIO.rename(tmp, markerPath(root), overwrite = true)
   }
 
-  /** Atomically claim a version directory. `Files.createDirectory` is
-    * atomic on POSIX: of two writers racing to the same version number,
-    * exactly one wins — the loser fails fast here instead of silently
-    * clobbering the winner's files with `mode("overwrite")`. */
+  /** Atomically claim a version directory ([[MetaIO.claimDir]] — a
+    * POSIX atomic createDirectory locally, mkdirs + an exclusive
+    * `.claim` file on generic filesystems): of two writers racing to
+    * the same version number, exactly one wins — the loser fails fast
+    * here instead of silently clobbering the winner's files with
+    * `mode("overwrite")`. */
   private[graft] def claimVersion(root: String, version: Long): Unit = {
-    Files.createDirectories(Paths.get(root))
-    try Files.createDirectory(Paths.get(root, s"v=$version"))
+    MetaIO.mkdirs(MetaIO.join(root))
+    try MetaIO.claimDir(MetaIO.join(root, s"v=$version"))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -104,7 +96,7 @@ object SnapshotTable {
     claimVersion(root, next)
     df.write.mode("overwrite").parquet(s"$root/v=$next")
     commitChecksAndStats(df.sparkSession, root, next, statsCols, bloomCols)
-    Files.writeString(Paths.get(root, s"v=$next", "_parent"), parent.toString)
+    MetaIO.writeString(MetaIO.join(root, s"v=$next", "_parent"), parent.toString)
     stampCommitted(root, next)
     next
   }
@@ -115,11 +107,11 @@ object SnapshotTable {
     * [[sweepOrphans]] keys on (Iceberg gets the same signal from "is
     * this file reachable from any snapshot manifest"). */
   private def stampCommitted(root: String, version: Long): Unit =
-    Files.writeString(Paths.get(root, s"v=$version", "_committed"), "")
+    MetaIO.writeString(MetaIO.join(root, s"v=$version", "_committed"), "")
 
   /** Is `version`'s data write complete? */
   def isCommitted(root: String, version: Long): Boolean =
-    Files.exists(Paths.get(root, s"v=$version", "_committed"))
+    MetaIO.exists(MetaIO.join(root, s"v=$version", "_committed"))
 
   /** Read the current snapshot (or a specific `version` — time
     * travel). Manifest-aware: a delta-committed version
@@ -161,7 +153,7 @@ object SnapshotTable {
       // deleted (deleteWhere emptying every partition) or truncated:
       // an empty frame under the version's recorded schema, NOT a
       // doomed schema-inference over an empty directory
-      if (Files.exists(manifestPath(root, v))) {
+      if (MetaIO.exists(manifestPath(root, v))) {
         val schema = recordedSchema(root, v).getOrElse(
           throw new IllegalStateException(
             s"version $v at $root has an empty manifest and no " +
@@ -307,14 +299,14 @@ object SnapshotTable {
     spark.read.parquet(dels.map(d => s"$root/v=$d/_deletes"): _*)
 
   private def schemaPath(root: String, version: Long) =
-    Paths.get(root, s"v=$version", "_schema")
+    MetaIO.join(root, s"v=$version", "_schema")
 
   /** The schema recorded when `version` was staged (manifested
     * versions only; None for plain commits and pre-evolution tables). */
   def recordedSchema(root: String, version: Long): Option[types.StructType] = {
     val p = schemaPath(root, version)
-    if (!Files.exists(p)) None
-    else Some(types.DataType.fromJson(Files.readString(p))
+    if (!MetaIO.exists(p)) None
+    else Some(types.DataType.fromJson(MetaIO.readString(p))
       .asInstanceOf[types.StructType])
   }
 
@@ -331,13 +323,13 @@ object SnapshotTable {
   // the re-added column gets a fresh id).
 
   private def fieldsPath(root: String, version: Long) =
-    Paths.get(root, s"v=$version", "_fields")
+    MetaIO.join(root, s"v=$version", "_fields")
 
   /** The field-id table of `version`: (id, name-at-that-version). */
   def fieldIds(root: String, version: Long): Option[Seq[(Int, String)]] = {
     val p = fieldsPath(root, version)
-    if (!Files.exists(p)) None
-    else Some(Files.readString(p).linesIterator
+    if (!MetaIO.exists(p)) None
+    else Some(MetaIO.readString(p).linesIterator
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
         val i = l.indexOf('\t')
         l.substring(0, i).toInt -> l.substring(i + 1)
@@ -350,8 +342,8 @@ object SnapshotTable {
     * thus never resurrects old files' bytes). */
   private def lastFieldId(root: String, version: Long): Int = {
     val p = fieldsPath(root, version)
-    if (!Files.exists(p)) return 0
-    val lines = Files.readString(p).linesIterator.toSeq
+    if (!MetaIO.exists(p)) return 0
+    val lines = MetaIO.readString(p).linesIterator.toSeq
     lines.find(_.startsWith("#last\t"))
       .map(_.stripPrefix("#last\t").toInt)
       .getOrElse(fieldIds(root, version).map(_.map(_._1)).getOrElse(Seq(0)).max)
@@ -359,7 +351,7 @@ object SnapshotTable {
 
   private def writeFields(root: String, version: Long,
                           fields: Seq[(Int, String)], lastId: Int): Unit =
-    Files.writeString(fieldsPath(root, version),
+    MetaIO.writeString(fieldsPath(root, version),
       (s"#last\t$lastId" +: fields.map { case (id, n) => s"$id\t$n" })
         .mkString("\n"))
 
@@ -374,13 +366,13 @@ object SnapshotTable {
   // has no such column at all.
 
   private def defaultsPath(root: String, version: Long) =
-    Paths.get(root, s"v=$version", "_defaults")
+    MetaIO.join(root, s"v=$version", "_defaults")
 
   /** `version`'s initial defaults: field id → default SQL literal. */
   def columnDefaults(root: String, version: Long): Seq[(Int, String)] = {
     val p = defaultsPath(root, version)
-    if (!Files.exists(p)) Seq.empty
-    else Files.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
+    if (!MetaIO.exists(p)) Seq.empty
+    else MetaIO.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
       val i = l.indexOf('\t')
       l.substring(0, i).toInt -> l.substring(i + 1)
     }.toSeq
@@ -395,7 +387,7 @@ object SnapshotTable {
     val carried = (if (base < 0) Seq.empty else columnDefaults(root, base))
       .filterNot(d => drop.contains(d._1)) ++ add
     if (carried.nonEmpty)
-      Files.writeString(defaultsPath(root, next),
+      MetaIO.writeString(defaultsPath(root, next),
         carried.map { case (id, sql) => s"$id\t$sql" }.mkString("\n"))
   }
 
@@ -585,7 +577,7 @@ object SnapshotTable {
     // files ride along (dropping them would resurrect deleted rows)
     writeManifest(root, next, m, deleteEntries(root, base),
       eqDeleteEntries(root, base))
-    Files.writeString(schemaPath(root, next), newSchema.json)
+    MetaIO.writeString(schemaPath(root, next), newSchema.json)
     // the high-water mark survives a drop — that is the whole point
     writeFields(root, next, newFields, lastId)
     // initial defaults ride along: a drop releases its entry (the id
@@ -595,7 +587,7 @@ object SnapshotTable {
       drop = if (op == "drop") baseFields.find(_._2 == name).map(_._1)
              else None,
       add = if (op == "add") foldedDefault.map(d => lastId -> d) else None)
-    Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
+    MetaIO.writeString(MetaIO.join(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)
     next
   }
@@ -806,9 +798,7 @@ object SnapshotTable {
     }.toSet
     val removed = retire.filterNot(reachable).toSeq.sorted
     removed.foreach { v =>
-      val dir = Paths.get(root, s"v=$v")
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(Files.delete)
+      MetaIO.delete(MetaIO.join(root, s"v=$v"), recursive = true)
     }
     removed
   }
@@ -835,34 +825,28 @@ object SnapshotTable {
   /** The branch name that aliases the `_latest` marker. */
   val MainBranch = "main"
 
-  private def refsDir(root: String) = Paths.get(root, "_refs")
+  private def refsDir(root: String) = MetaIO.join(root, "_refs")
 
   private def refPath(root: String, kind: String, name: String) = {
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid ref name '$name'")
-    Paths.get(root, "_refs", s"$kind.$name")
+    MetaIO.join(root, "_refs", s"$kind.$name")
   }
 
   private def writeRef(root: String, kind: String, name: String,
                        version: Long): Unit = {
-    Files.createDirectories(refsDir(root))
-    val tmp = Paths.get(root, "_refs", s".$kind.$name.tmp")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, refPath(root, kind, name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.mkdirs(refsDir(root))
+    val tmp = MetaIO.join(root, "_refs", s".$kind.$name.tmp")
+    MetaIO.writeString(tmp, version.toString)
+    MetaIO.rename(tmp, refPath(root, kind, name), overwrite = true)
   }
 
   /** All named refs as `"branch.x" / "tag.y" -> version` (main excluded). */
   def refs(root: String): Map[String, Long] = {
     val d = refsDir(root)
-    if (!Files.exists(d)) return Map.empty
-    val stream = Files.list(d)
-    try stream.iterator().asScala
-      .map(_.getFileName.toString)
+    MetaIO.listNames(d)
       .filter(n => n.startsWith("branch.") || n.startsWith("tag."))
-      .map(n => n -> Files.readString(d.resolve(n)).trim.toLong)
+      .map(n => n -> MetaIO.readString(MetaIO.join(d, n)).trim.toLong)
       .toMap
-    finally stream.close()
   }
 
   /** Resolve a branch head (main = the `_latest` marker). */
@@ -870,15 +854,15 @@ object SnapshotTable {
     if (name == MainBranch) latestVersion(root)
     else {
       val p = refPath(root, "branch", name)
-      require(Files.exists(p), s"unknown branch '$name' at $root")
-      Files.readString(p).trim.toLong
+      require(MetaIO.exists(p), s"unknown branch '$name' at $root")
+      MetaIO.readString(p).trim.toLong
     }
 
   /** Resolve a tag. */
   def tagVersion(root: String, name: String): Long = {
     val p = refPath(root, "tag", name)
-    require(Files.exists(p), s"unknown tag '$name' at $root")
-    Files.readString(p).trim.toLong
+    require(MetaIO.exists(p), s"unknown tag '$name' at $root")
+    MetaIO.readString(p).trim.toLong
   }
 
   /** Create a branch at `fromVersion` (default: current main head).
@@ -888,7 +872,7 @@ object SnapshotTable {
     require(name != MainBranch, "main always exists; cannot be created")
     val v = if (fromVersion >= 0) fromVersion else latestVersion(root)
     require(versions(root).contains(v), s"unknown version $v")
-    require(!Files.exists(refPath(root, "branch", name)),
+    require(!MetaIO.exists(refPath(root, "branch", name)),
       s"branch '$name' already exists")
     writeRef(root, "branch", name, v)
     v
@@ -900,7 +884,7 @@ object SnapshotTable {
   def createTag(root: String, name: String, version: Long = -1L): Long = {
     val v = if (version >= 0) version else latestVersion(root)
     require(versions(root).contains(v), s"unknown version $v")
-    require(!Files.exists(refPath(root, "tag", name)),
+    require(!MetaIO.exists(refPath(root, "tag", name)),
       s"tag '$name' already exists (tags are immutable)")
     writeRef(root, "tag", name, v)
     v
@@ -913,19 +897,19 @@ object SnapshotTable {
   def readTag(spark: SparkSession, root: String, name: String): DataFrame =
     read(spark, root, tagVersion(root, name))
 
-  /** Run `body` holding the per-branch commit lock (atomic
-    * createDirectory = test-and-set; the loser fails fast). */
+  /** Run `body` holding the per-branch commit lock (exclusive claim =
+    * test-and-set; the loser fails fast). */
   private def withBranchLock[A](root: String, name: String)(body: => A): A = {
-    Files.createDirectories(refsDir(root))
-    val lock = Paths.get(root, "_refs", s".lock.$name")
-    try Files.createDirectory(lock)
+    MetaIO.mkdirs(refsDir(root))
+    val lock = MetaIO.join(root, "_refs", s".lock.$name")
+    try MetaIO.claimDir(lock)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"branch '$name' at $root has a commit in flight (or a stale " +
             s"lock at $lock after a crash — remove it to recover)")
     }
-    try body finally Files.delete(lock)
+    try body finally MetaIO.delete(lock, recursive = true)
   }
 
   /** Publish `df` as a new snapshot on `branch` and advance its head.
@@ -942,7 +926,7 @@ object SnapshotTable {
       val next = versions(root).lastOption.getOrElse(-1L) + 1
       claimVersion(root, next)
       df.write.mode("overwrite").parquet(s"$root/v=$next")
-      Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
+      MetaIO.writeString(MetaIO.join(root, s"v=$next", "_parent"), base.toString)
       stampCommitted(root, next)
       if (branch == MainBranch) moveMarker(root, next)
       else writeRef(root, "branch", branch, next)
@@ -952,8 +936,8 @@ object SnapshotTable {
   /** `version`'s recorded parent, or -1 (root commit, or a version
     * written by plain [[commit]] before ancestry tracking). */
   def parentVersion(root: String, version: Long): Long = {
-    val p = Paths.get(root, s"v=$version", "_parent")
-    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+    val p = MetaIO.join(root, s"v=$version", "_parent")
+    if (MetaIO.exists(p)) MetaIO.readString(p).trim.toLong else -1L
   }
 
   /** Is `anc` an ancestor of (or equal to) `desc` by the recorded
@@ -1005,11 +989,11 @@ object SnapshotTable {
     * expiry). Main cannot be dropped. */
   def dropBranch(root: String, name: String): Unit = {
     require(name != MainBranch, "cannot drop main")
-    Files.deleteIfExists(refPath(root, "branch", name))
+    MetaIO.delete(refPath(root, "branch", name))
   }
 
   def dropTag(root: String, name: String): Unit = {
-    Files.deleteIfExists(refPath(root, "tag", name))
+    MetaIO.delete(refPath(root, "tag", name))
   }
 
   // ─────────── partition-manifest delta snapshots (shallow versions) ───────────
@@ -1038,9 +1022,9 @@ object SnapshotTable {
   // partition pruning work exactly as on a plain partitioned table.
 
   private def manifestPath(root: String, version: Long) =
-    Paths.get(root, s"v=$version", "_manifest")
+    MetaIO.join(root, s"v=$version", "_manifest")
 
-  private def specPath(root: String) = Paths.get(root, "_partition_spec")
+  private def specPath(root: String) = MetaIO.join(root, "_partition_spec")
 
   /** The table's partition-spec HISTORY, oldest first: each entry is
     * (partition column, first storage version written under it). The
@@ -1049,8 +1033,8 @@ object SnapshotTable {
     * format: one line per era, `col` (era from 0) or `col@N`. */
   def specHistory(root: String): Seq[(String, Long)] = {
     val p = specPath(root)
-    if (!Files.exists(p)) return Seq.empty
-    Files.readString(p).linesIterator.map(_.trim).filter(_.nonEmpty)
+    if (!MetaIO.exists(p)) return Seq.empty
+    MetaIO.readString(p).linesIterator.map(_.trim).filter(_.nonEmpty)
       .map { line =>
         val i = line.lastIndexOf('@')
         if (i < 0) line -> 0L
@@ -1254,8 +1238,12 @@ object SnapshotTable {
     val norm = normSpec(newCol)
     require(norm != cur, s"partition spec is already '$cur'")
     val from = versions(root).lastOption.getOrElse(-1L) + 1
-    Files.writeString(specPath(root),
-      s"\n$norm@$from", java.nio.file.StandardOpenOption.APPEND)
+    // append an era line via tmp + atomic rename (object-store-safe)
+    val tmp = MetaIO.join(root,
+      s"._partition_spec.tmp-${java.util.UUID.randomUUID()}")
+    MetaIO.writeString(tmp,
+      MetaIO.readString(specPath(root)) + s"\n$norm@$from")
+    MetaIO.rename(tmp, specPath(root), overwrite = true)
   }
 
   /** Live manifest entries NOT written under the current spec (empty
@@ -1322,8 +1310,7 @@ object SnapshotTable {
             s"supplied partitionCol '$norm' — a mismatched spec " +
             "would fragment the manifest into two partition namespaces")
       case None =>
-        try Files.writeString(specPath(root), norm,
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+        try MetaIO.createExclusive(specPath(root), norm)
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             recordOrValidateSpec(root, partitionCol)
@@ -1343,24 +1330,23 @@ object SnapshotTable {
   // re-computed) and uses SQL CHECK semantics: a row passes when the
   // expression is TRUE or UNKNOWN (NULL), fails only on FALSE.
 
-  private def constraintsPath(root: String) = Paths.get(root, "_constraints")
+  private def constraintsPath(root: String) = MetaIO.join(root, "_constraints")
 
   /** The table's declared constraints: (name, boolean SQL expr). */
   def constraints(root: String): Seq[(String, String)] = {
     val p = constraintsPath(root)
-    if (!Files.exists(p)) Seq.empty
-    else Files.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
+    if (!MetaIO.exists(p)) Seq.empty
+    else MetaIO.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
       val i = l.indexOf('\t')
       l.substring(0, i) -> l.substring(i + 1)
     }.toSeq
   }
 
   private def writeConstraints(root: String, cs: Seq[(String, String)]): Unit = {
-    val tmp = Files.createTempFile(Paths.get(root), "_constraints", ".tmp")
-    Files.writeString(tmp, cs.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
-    Files.move(tmp, constraintsPath(root),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val tmp = MetaIO.join(root,
+      s"._constraints.tmp-${java.util.UUID.randomUUID()}")
+    MetaIO.writeString(tmp, cs.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+    MetaIO.rename(tmp, constraintsPath(root), overwrite = true)
   }
 
   /** Declare a CHECK constraint. EXISTING rows are validated first
@@ -1382,7 +1368,7 @@ object SnapshotTable {
         s"cannot add constraint '$name' ($exprSql): $bad existing " +
           s"row(s) violate it")
     }
-    Files.createDirectories(Paths.get(root))
+    MetaIO.mkdirs(MetaIO.join(root))
     writeConstraints(root, existing :+ (name -> exprSql))
   }
 
@@ -1477,7 +1463,7 @@ object SnapshotTable {
         s"${violated.mkString("; ")} — nothing was published")
   }
 
-  private def sortOrderPath(root: String) = Paths.get(root, "_sort_order")
+  private def sortOrderPath(root: String) = MetaIO.join(root, "_sort_order")
 
   /** Declare the table's WRITE ORDER (Iceberg's `WRITE ORDERED BY`
     * table property): maintenance rewrites cluster rows by these
@@ -1492,8 +1478,8 @@ object SnapshotTable {
     require(cols.nonEmpty, "sort order needs at least one column")
     require(!zorder || cols.size == 2,
       "z-order write order interleaves exactly TWO dimensions")
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(sortOrderPath(root),
+    MetaIO.mkdirs(MetaIO.join(root))
+    MetaIO.writeString(sortOrderPath(root),
       (if (zorder) "zorder:" else "") + cols.mkString(","))
   }
 
@@ -1508,8 +1494,8 @@ object SnapshotTable {
     * so stats skipping prunes on EITHER dimension. */
   def sortOrderSpec(root: String): Option[(Seq[String], Boolean)] = {
     val p = sortOrderPath(root)
-    if (!Files.exists(p)) return None
-    val raw = Files.readString(p).trim
+    if (!MetaIO.exists(p)) return None
+    val raw = MetaIO.readString(p).trim
     val (z, body) =
       if (raw.startsWith("zorder:")) (true, raw.stripPrefix("zorder:"))
       else (false, raw)
@@ -1525,8 +1511,8 @@ object SnapshotTable {
     * directory names (`col=value`). */
   def manifestEntries(root: String, version: Long): Seq[(String, Long)] = {
     val p = manifestPath(root, version)
-    if (!Files.exists(p)) return Seq.empty
-    Files.readString(p).linesIterator.filter(_.nonEmpty)
+    if (!MetaIO.exists(p)) return Seq.empty
+    MetaIO.readString(p).linesIterator.filter(_.nonEmpty)
       // `!`-prefixed lines are non-data manifest records (currently
       // `!deletes N` — merge-on-read delete files, [[deleteEntries]]);
       // partition dir names never start with `!`
@@ -1544,8 +1530,8 @@ object SnapshotTable {
     * order (empty for tables with no unapplied MoR deletes). */
   def deleteEntries(root: String, version: Long): Seq[Long] = {
     val p = manifestPath(root, version)
-    if (!Files.exists(p)) return Seq.empty
-    Files.readString(p).linesIterator
+    if (!MetaIO.exists(p)) return Seq.empty
+    MetaIO.readString(p).linesIterator
       .filter(_.startsWith("!deletes "))
       .map(_.stripPrefix("!deletes ").trim.toLong)
       .toSeq.distinct.sorted
@@ -1559,8 +1545,8 @@ object SnapshotTable {
   def eqDeleteEntries(root: String,
                       version: Long): Seq[(Long, Seq[String])] = {
     val p = manifestPath(root, version)
-    if (!Files.exists(p)) return Seq.empty
-    Files.readString(p).linesIterator
+    if (!MetaIO.exists(p)) return Seq.empty
+    MetaIO.readString(p).linesIterator
       .filter(_.startsWith("!eqdeletes "))
       .map { line =>
         val rest = line.stripPrefix("!eqdeletes ").trim
@@ -1583,7 +1569,7 @@ object SnapshotTable {
                             deletes: Seq[Long] = Seq.empty,
                             eqDeletes: Seq[(Long, Seq[String])] = Seq.empty)
       : Unit =
-    Files.writeString(manifestPath(root, version),
+    MetaIO.writeString(manifestPath(root, version),
       (m.distinct.sorted.map { case (p, v) => s"$p $v" } ++
         deletes.distinct.sorted.map(d => s"!deletes $d") ++
         eqDeletes.distinct.sortBy(_._1).map { case (d, ks) =>
@@ -1667,7 +1653,7 @@ object SnapshotTable {
     require(!writerId.contains("\n"), "writerId must be newline-free")
     val next = stageAppend(slice, root, partitionCol, latestVersion(root),
       statsCols, bloomCols)
-    Files.writeString(Paths.get(root, s"v=$next", "_txn"),
+    MetaIO.writeString(MetaIO.join(root, s"v=$next", "_txn"),
       s"$writerId\n$batchId")
     moveMarker(root, next)
     next
@@ -1685,7 +1671,7 @@ object SnapshotTable {
     require(!writerId.contains("\n"), "writerId must be newline-free")
     val next = stageUpsertMor(source, root, partitionCol, keyCols,
       latestVersion(root), statsCols, bloomCols)
-    Files.writeString(Paths.get(root, s"v=$next", "_txn"),
+    MetaIO.writeString(MetaIO.join(root, s"v=$next", "_txn"),
       s"$writerId\n$batchId")
     moveMarker(root, next)
     next
@@ -1700,7 +1686,7 @@ object SnapshotTable {
                 bloomCols: Seq[String] = Seq.empty): Long = {
     require(!writerId.contains("\n"), "writerId must be newline-free")
     val next = stageVersion(df, root, latestVersion(root), statsCols, bloomCols)
-    Files.writeString(Paths.get(root, s"v=$next", "_txn"),
+    MetaIO.writeString(MetaIO.join(root, s"v=$next", "_txn"),
       s"$writerId\n$batchId")
     moveMarker(root, next)
     next
@@ -1719,9 +1705,9 @@ object SnapshotTable {
   def lastTxnBatch(root: String, writerId: String): Option[Long] = {
     val published = latestVersion(root)
     versions(root).filter(_ <= published).sorted.reverse.iterator.flatMap { v =>
-      val p = Paths.get(root, s"v=$v", "_txn")
-      if (!isCommitted(root, v) || !Files.exists(p)) None
-      else Files.readString(p).split("\n", 2) match {
+      val p = MetaIO.join(root, s"v=$v", "_txn")
+      if (!isCommitted(root, v) || !MetaIO.exists(p)) None
+      else MetaIO.readString(p).split("\n", 2) match {
         case Array(w, b) if w == writerId => Some(b.trim.toLong)
         case _ => None
       }
@@ -1868,7 +1854,7 @@ object SnapshotTable {
       writeManifest(root, next, baseEntries, dels :+ next,
         eqDeleteEntries(root, base))
       carryVersionMeta(spark, root, base, next)
-      Files.writeString(Paths.get(root, s"v=$next", "_parent"),
+      MetaIO.writeString(MetaIO.join(root, s"v=$next", "_parent"),
         base.toString)
       stampCommitted(root, next)
       next
@@ -1911,7 +1897,7 @@ object SnapshotTable {
     writeManifest(root, next, baseEntries, deleteEntries(root, base),
       eqDeleteEntries(root, base) :+ (next -> keyCols))
     carryVersionMeta(spark, root, base, next)
-    Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
+    MetaIO.writeString(MetaIO.join(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)
     next
   }
@@ -1992,6 +1978,18 @@ object SnapshotTable {
     * already rewritten by later deltas) are dropped for free. Returns
     * the new version, or the current one when there are no delete
     * files to fold. */
+  /** Live unapplied merge-on-read sidecars of a version — position-
+    * delete files + equality-delete sidecars. Each unfolded sidecar
+    * adds one broadcast anti-join to EVERY read until [[applyDeletes]]
+    * folds it, so streaming sinks and the maintenance cadence key
+    * their fold trigger on this count (the `listStats` drift-signal
+    * pattern applied to MoR debt). */
+  def morDebt(root: String, version: Long = -1L): Int = {
+    val v = if (version >= 0) version else latestVersion(root)
+    if (v < 0) 0
+    else deleteEntries(root, v).size + eqDeleteEntries(root, v).size
+  }
+
   def applyDeletes(spark: SparkSession, root: String): Long = {
     // a mixed-era table migrates first: the fold's touched-partition
     // rewrite assumes partition names and the current spec agree
@@ -2001,7 +1999,21 @@ object SnapshotTable {
         foreignEraEntries(root, manifestEntries(root, v0)).nonEmpty)
         migrateSpec(spark, root)
     }
-    val v = latestVersion(root)
+    val next = stageApplyDeletes(spark, root, latestVersion(root))
+    if (next != latestVersion(root)) moveMarker(root, next)
+    next
+  }
+
+  /** The staging half of [[applyDeletes]] against an EXPLICIT base
+    * version (rewritten partitions + manifest written, nothing
+    * published) — what lets [[Catalog.foldTable]] land a governed
+    * table's fold as one atomic catalog commit. Returns `base` when
+    * there is nothing to fold. Mixed-era tables refuse here (the
+    * public path migrates first; governed tables migrate on the
+    * maintenance cadence). */
+  private[graft] def stageApplyDeletes(spark: SparkSession, root: String,
+                                       base: Long): Long = {
+    val v = base
     val dels = deleteEntries(root, v)
     val eqs = eqDeleteEntries(root, v)
     if (dels.isEmpty && eqs.isEmpty) return v
@@ -2060,7 +2072,7 @@ object SnapshotTable {
         claimVersion(root, n)
         writeManifest(root, n, entries)
         carryVersionMeta(spark, root, v, n)
-        Files.writeString(Paths.get(root, s"v=$n", "_parent"), v.toString)
+        MetaIO.writeString(MetaIO.join(root, s"v=$n", "_parent"), v.toString)
         stampCommitted(root, n)
         n
       } else {
@@ -2075,7 +2087,6 @@ object SnapshotTable {
         stageManifested(survivors, root, partCol, v, append = false,
           removeParts = touched.toSet, dropDeletes = true)
       }
-    moveMarker(root, next)
     next
   }
 
@@ -2086,7 +2097,7 @@ object SnapshotTable {
                                base: Long, next: Long): Unit = {
     val schema = recordedSchema(root, base)
       .getOrElse(scan(spark, root, base, withPos = false).schema)
-    Files.writeString(schemaPath(root, next), schema.json)
+    MetaIO.writeString(schemaPath(root, next), schema.json)
     val (fids, lastId) = assignFieldIds(root, base, schema)
     writeFields(root, next, fids, lastId)
     carryDefaults(root, base, next)
@@ -2124,7 +2135,7 @@ object SnapshotTable {
       if (m.nonEmpty) m
       // an emptied-but-manifested base (everything deleted/truncated)
       // legitimately inherits nothing
-      else if (Files.exists(manifestPath(root, base))) Seq.empty
+      else if (MetaIO.exists(manifestPath(root, base))) Seq.empty
       else {
         // a plain partitioned commit works as the inherited base; an
         // UNpartitioned one cannot (no partition dirs to reference —
@@ -2153,7 +2164,7 @@ object SnapshotTable {
     val baseEntries = inheritedEntries(root, base, partitionCol)
     // validate the spec BEFORE claiming a version dir: a mismatch must
     // fail clean, not leave an orphan claim behind
-    Files.createDirectories(Paths.get(root))
+    MetaIO.mkdirs(MetaIO.join(root))
     recordOrValidateSpec(root, partitionCol)
     // a copy-on-write delta's "complete new content of each touched
     // partition" contract is only checkable within ONE spec era: rows
@@ -2245,7 +2256,7 @@ object SnapshotTable {
       case Some(bs) => types.StructType(bs.fields ++
         slice.schema.fields.filterNot(f => bs.fieldNames.contains(f.name)))
     }
-    Files.writeString(schemaPath(root, next), evolved.json)
+    MetaIO.writeString(schemaPath(root, next), evolved.json)
     // stable field ids ride every manifested commit: base names keep
     // their ids, new columns allocate past the id high-water mark
     // (rename/drop readers resolve physical names through these)
@@ -2254,7 +2265,7 @@ object SnapshotTable {
       writeFields(root, next, fids, lastId)
       carryDefaults(root, base, next)
     }
-    Files.writeString(Paths.get(root, s"v=$next", "_parent"), base.toString)
+    MetaIO.writeString(MetaIO.join(root, s"v=$next", "_parent"), base.toString)
     stampCommitted(root, next)
     next
   }
@@ -2263,21 +2274,17 @@ object SnapshotTable {
     * partition, nested one level per spec field
     * (`f1=v1/f2=v2` for a two-column spec). */
   private def listPartitionDirs(root: String, version: Long): Seq[String] = {
-    def partSubdirs(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val stream = Files.list(d)
-      try stream.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.contains("="))
-        .toSeq
-      finally stream.close()
+    def partSubdirs(d: String): Seq[String] = {
+      MetaIO.list(d).filter(p => MetaIO.isDir(p) &&
+        MetaIO.name(p).contains("="))
     }
-    def leaves(d: java.nio.file.Path, rel: String): Seq[String] = {
+    def leaves(d: String, rel: String): Seq[String] = {
       val subs = partSubdirs(d)
       if (subs.isEmpty) Seq(rel)
-      else subs.flatMap(s => leaves(s, s"$rel/${s.getFileName}"))
+      else subs.flatMap(s => leaves(s, s"$rel/${MetaIO.name(s)}"))
     }
-    partSubdirs(Paths.get(root, s"v=$version"))
-      .flatMap(p => leaves(p, p.getFileName.toString)).sorted
+    partSubdirs(MetaIO.join(root, s"v=$version"))
+      .flatMap(p => leaves(p, MetaIO.name(p))).sorted
   }
 
   // ───────── file-level column stats (manifest data skipping) ─────────
@@ -2293,7 +2300,7 @@ object SnapshotTable {
   // an IO optimization, never an answer change.
 
   private def statsPath(root: String, version: Long) =
-    Paths.get(root, s"v=$version", "_stats")
+    MetaIO.join(root, s"v=$version", "_stats")
 
   /** Test/audit hook: commit-time jobs that had to RE-READ just-written
     * data (fallback stats scans for footer-unusable columns, constraint
@@ -2317,8 +2324,8 @@ object SnapshotTable {
     val constraintCols = constraints(root).flatMap { case (_, e) =>
       constraintProof(spark, e).toSeq.flatMap(_._2)
     }
-    val footer = FooterStats.collect(Paths.get(root),
-      Paths.get(root, s"v=$version"),
+    val footer = FooterStats.collect(MetaIO.join(root),
+      MetaIO.join(root, s"v=$version"),
       (statsCols ++ constraintCols).distinct,
       spark.sparkContext.hadoopConfiguration)
     enforceConstraints(spark, root, version, footer)
@@ -2419,7 +2426,7 @@ object SnapshotTable {
     * columns differ by table; None when the version carries none). */
   def fileStats(spark: SparkSession, root: String,
                 version: Long): Option[DataFrame] =
-    if (Files.exists(statsPath(root, version)))
+    if (MetaIO.exists(statsPath(root, version)))
       Some(spark.read.parquet(statsPath(root, version).toString))
     else None
 
@@ -2473,21 +2480,17 @@ object SnapshotTable {
         val want = (existingCols ++ statsCols).distinct
         // footer-lifted like every commit; recompute into a tmp
         // sidecar, then swap atomically
-        val footer = FooterStats.collect(Paths.get(root),
-          Paths.get(root, s"v=$sv"), want,
+        val footer = FooterStats.collect(MetaIO.join(root),
+          MetaIO.join(root, s"v=$sv"), want,
           spark.sparkContext.hadoopConfiguration)
         completeStats(spark, root, sv, want, footer).map { st =>
-          val tmp = Paths.get(root, s"v=$sv",
+          val tmp = MetaIO.join(root, s"v=$sv",
             s".stats.new-${java.util.UUID.randomUUID()}")
           st.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           val target = statsPath(root, sv)
-          if (Files.exists(target)) { // drop the old sidecar first
-            val stream = Files.walk(target)
-            try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-            finally stream.close()
-          }
-          Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // drop the old sidecar first, then the atomic move
+          MetaIO.delete(target, recursive = true)
+          MetaIO.rename(tmp, target)
           sv
         }
       }
@@ -2512,17 +2515,11 @@ object SnapshotTable {
       if (entries.isEmpty) Seq(s"v=$v" -> v)
       else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
     val candidates: Set[String] = dirs.flatMap { case (rel, _) =>
-      val d = Paths.get(root, rel)
-      if (!Files.exists(d)) Seq.empty
-      else {
-        val stream = Files.list(d)
-        try stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .filterNot(n => n.startsWith("_") || n.startsWith("."))
-          .filterNot(n => Files.isDirectory(Paths.get(root, rel, n)))
-          .map(n => s"$rel/$n").toSeq
-        finally stream.close()
-      }
+      val d = MetaIO.join(root, rel)
+      MetaIO.listNames(d)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .filterNot(n => MetaIO.isDir(MetaIO.join(root, rel, n)))
+        .map(n => s"$rel/$n")
     }.toSet
     val stats = dirs.map(_._2).distinct.sorted
       .flatMap(fileStats(spark, root, _))
@@ -2604,7 +2601,7 @@ object SnapshotTable {
   }
 
   /** Total bytes of version `v`'s live data files — the planner-
-    * statistics size (one metadata walk; `Files.size` per candidate).
+    * statistics size (one metadata walk; `MetaIO.size` per candidate).
     * Catalyst's auto-broadcast threshold compares against THIS, so a
     * relation that reports it gets broadcast joins for free where the
     * default (a huge placeholder) forces sort-merge. */
@@ -2616,17 +2613,11 @@ object SnapshotTable {
       if (entries.isEmpty) Seq(s"v=$v")
       else entries.sorted.map { case (p, sv) => s"v=$sv/$p" }
     dirs.flatMap { rel =>
-      val d = Paths.get(root, rel)
-      if (!Files.exists(d)) Seq.empty
-      else {
-        val stream = Files.list(d)
-        try stream.iterator().asScala
-          .filterNot(p => p.getFileName.toString.startsWith("_") ||
-            p.getFileName.toString.startsWith("."))
-          .filterNot(Files.isDirectory(_))
-          .map(Files.size).toSeq
-        finally stream.close()
-      }
+      MetaIO.list(MetaIO.join(root, rel))
+        .filterNot(p => MetaIO.name(p).startsWith("_") ||
+          MetaIO.name(p).startsWith("."))
+        .filterNot(MetaIO.isDir(_))
+        .map(MetaIO.size)
     }.sum
   }
 
@@ -2640,17 +2631,11 @@ object SnapshotTable {
       else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
     // every candidate data file of the read, root-relative
     val candidates: Seq[String] = dirs.flatMap { case (rel, _) =>
-      val d = Paths.get(root, rel)
-      if (!Files.exists(d)) Seq.empty
-      else {
-        val stream = Files.list(d)
-        try stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .filterNot(n => n.startsWith("_") || n.startsWith("."))
-          .filterNot(n => Files.isDirectory(Paths.get(root, rel, n)))
-          .map(n => s"$rel/$n").toSeq
-        finally stream.close()
-      }
+      val d = MetaIO.join(root, rel)
+      MetaIO.listNames(d)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .filterNot(n => MetaIO.isDir(MetaIO.join(root, rel, n)))
+        .map(n => s"$rel/$n")
     }
     // stats paths are Spark-reported (URI-encoded) — decode them to
     // the raw filesystem form the candidate listing uses
@@ -2699,7 +2684,7 @@ object SnapshotTable {
   private val BloomK = 3
 
   private def bloomsPath(root: String, version: Long) =
-    Paths.get(root, s"v=$version", "_blooms")
+    MetaIO.join(root, s"v=$version", "_blooms")
 
   /** The k probe positions of a value, as column expressions — double
     * hashing pos_i = (xxhash64 + i·murmur3) mod m, both seeds Spark's
@@ -2789,18 +2774,13 @@ object SnapshotTable {
           .filter(df.columns.contains)
         if (present.isEmpty) None
         else {
-          val tmp = Paths.get(root, s"v=$sv",
+          val tmp = MetaIO.join(root, s"v=$sv",
             s".blooms.new-${java.util.UUID.randomUUID()}")
           bloomFrame(df, present).coalesce(1)
             .write.mode("overwrite").parquet(tmp.toString)
           val target = bloomsPath(root, sv)
-          if (Files.exists(target)) {
-            val stream = Files.walk(target)
-            try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-            finally stream.close()
-          }
-          Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          MetaIO.delete(target, recursive = true)
+          MetaIO.rename(tmp, target)
           Some(sv)
         }
       }
@@ -2811,7 +2791,7 @@ object SnapshotTable {
     * when it carries none). */
   def fileBlooms(spark: SparkSession, root: String,
                  version: Long): Option[DataFrame] =
-    if (Files.exists(bloomsPath(root, version)))
+    if (MetaIO.exists(bloomsPath(root, version)))
       Some(spark.read.parquet(bloomsPath(root, version).toString))
     else None
 
@@ -3103,17 +3083,11 @@ object SnapshotTable {
       if (entries.isEmpty) Seq(s"v=$v" -> v)
       else entries.sorted.map { case (part, sv) => s"v=$sv/$part" -> sv }
     val candidates: Seq[String] = dirs.flatMap { case (rel, _) =>
-      val d = Paths.get(root, rel)
-      if (!Files.exists(d)) Seq.empty
-      else {
-        val stream = Files.list(d)
-        try stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .filterNot(n => n.startsWith("_") || n.startsWith("."))
-          .filterNot(n => Files.isDirectory(Paths.get(root, rel, n)))
-          .map(n => s"$rel/$n").toSeq
-        finally stream.close()
-      }
+      val d = MetaIO.join(root, rel)
+      MetaIO.listNames(d)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .filterNot(n => MetaIO.isDir(MetaIO.join(root, rel, n)))
+        .map(n => s"$rel/$n")
     }
     val statVersions = dirs.map(_._2).distinct.sorted
     val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
@@ -3156,8 +3130,8 @@ object SnapshotTable {
     * planner statistic. */
   private[graft] def keptBytes(root: String, kept: Seq[String]): Long =
     kept.map { f =>
-      val p = Paths.get(root, f)
-      if (Files.exists(p)) Files.size(p) else 0L
+      val p = MetaIO.join(root, f)
+      if (MetaIO.exists(p)) MetaIO.size(p) else 0L
     }.sum
 
   /** LIMIT-driven file pruning (the connector's `SupportsPushDownLimit`
@@ -3267,13 +3241,12 @@ object SnapshotTable {
     val now = System.currentTimeMillis()
     val referenced = refs(root).values.toSet + latestVersion(root)
     val orphans = versions(root).filter { v =>
-      val dir = Paths.get(root, s"v=$v")
+      val dir = MetaIO.join(root, s"v=$v")
       !isCommitted(root, v) && !referenced(v) &&
-        now - Files.getLastModifiedTime(dir).toMillis > graceMs
+        now - MetaIO.mtimeMillis(dir) > graceMs
     }
     orphans.foreach { v =>
-      val dir = Paths.get(root, s"v=$v")
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      MetaIO.delete(MetaIO.join(root, s"v=$v"), recursive = true)
     }
     orphans
   }
@@ -3284,16 +3257,12 @@ object SnapshotTable {
     * hour). Returns the lock names removed. */
   def sweepStaleLocks(root: String, graceMs: Long = 3600000L): Seq[String] = {
     val d = refsDir(root)
-    if (!Files.exists(d)) return Seq.empty
+    if (!MetaIO.exists(d)) return Seq.empty
     val now = System.currentTimeMillis()
-    val stream = Files.list(d)
-    val stale =
-      try stream.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(".lock.") &&
-          now - Files.getLastModifiedTime(p).toMillis > graceMs)
-        .toSeq
-      finally stream.close()
-    stale.foreach(Files.delete)
-    stale.map(_.getFileName.toString.stripPrefix(".lock."))
+    val stale = MetaIO.list(d)
+      .filter(p => MetaIO.name(p).startsWith(".lock.") &&
+        now - MetaIO.mtimeMillis(p) > graceMs)
+    stale.foreach(MetaIO.delete(_, recursive = true))
+    stale.map(p => MetaIO.name(p).stripPrefix(".lock."))
   }
 }

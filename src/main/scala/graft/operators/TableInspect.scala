@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -70,7 +69,7 @@ object TableInspect {
     val rows = dirs.flatMap { case (rel, part, sv) =>
       listFilesUnder(root, rel).map { f =>
         (s"$rel/$f", part, sv,
-          Files.size(Paths.get(root, rel, f)))
+          MetaIO.size(MetaIO.join(root, rel, f)))
       }
     }
     val base = rows.toDF("file", "partition", "storage_version",
@@ -164,26 +163,14 @@ object TableInspect {
 
   /** Does any DATA parquet live under `rel` (recursively), sidecar
     * dirs (`_deletes`, `_stats`) excluded? */
-  private def hasDataFiles(root: String, rel: String): Boolean = {
-    val d = Paths.get(root, rel)
-    if (!Files.exists(d)) return false
-    val stream = Files.walk(d)
-    try stream.iterator().asScala.exists { p =>
-      val r = d.relativize(p).toString
-      p.getFileName.toString.endsWith(".parquet") &&
-        !r.split("/").exists(seg => seg.startsWith("_") || seg.startsWith("."))
-    } finally stream.close()
-  }
+  private def hasDataFiles(root: String, rel: String): Boolean =
+    FooterStats.dataFiles(MetaIO.join(root, rel)).nonEmpty
 
   private def listFilesUnder(root: String, rel: String): Seq[String] = {
-    val d = Paths.get(root, rel)
-    if (!Files.exists(d)) return Seq.empty
-    val stream = Files.list(d)
-    try stream.iterator().asScala
-      .map(_.getFileName.toString)
+    val d = MetaIO.join(root, rel)
+    MetaIO.listNames(d)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
-      .filterNot(n => Files.isDirectory(Paths.get(root, rel, n)))
-      .toSeq.sorted
-    finally stream.close()
+      .filterNot(n => MetaIO.isDir(MetaIO.join(d, n)))
+      .sorted
   }
 }

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.{Collections, Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -12,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.operators.SnapshotTable
+import graft.operators.{MetaIO, SnapshotTable}
 
 /** Snapshot tables as a Spark SQL catalog — names instead of paths:
   *
@@ -63,7 +62,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private var catalogName: String = _
-  private var warehouse: Path = _
+  private var warehouse: String = _
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
@@ -71,36 +70,34 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     val w = options.get("warehouse")
     require(w != null && w.nonEmpty,
       s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse")
-    warehouse = Paths.get(w)
-    Files.createDirectories(warehouse)
+    warehouse = w.stripSuffix("/")
+    MetaIO.mkdirs(warehouse)
   }
 
   override def name(): String = catalogName
 
   private def spark: SparkSession = SparkSession.active
 
-  private def rootOf(ident: Identifier): Path =
+  private def rootOf(ident: Identifier): String =
     (ident.namespace() :+ ident.name())
-      .foldLeft(warehouse)((p, part) => p.resolve(part))
+      .foldLeft(warehouse)((p, part) => MetaIO.join(p, part))
 
-  private def sidecar(root: Path): Path = root.resolve("_table")
+  private def sidecar(root: String): String = MetaIO.join(root, "_table")
 
-  private def isTable(root: Path): Boolean =
-    Files.exists(sidecar(root)) || SnapshotTable.latestVersion(root.toString) >= 0
+  private def isTable(root: String): Boolean =
+    MetaIO.exists(sidecar(root)) || SnapshotTable.latestVersion(root) >= 0
 
   override def tableExists(ident: Identifier): Boolean = isTable(rootOf(ident))
 
   // ───────────────────────────── tables ─────────────────────────────
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = namespace.foldLeft(warehouse)((p, part) => p.resolve(part))
-    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    val stream = Files.list(dir)
-    try stream.iterator().asScala
-      .filter(p => Files.isDirectory(p) && isTable(p))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
+    val dir = namespace.foldLeft(warehouse)((p, part) => MetaIO.join(p, part))
+    if (!MetaIO.isDir(dir)) throw new NoSuchNamespaceException(namespace)
+    MetaIO.list(dir)
+      .filter(p => MetaIO.isDir(p) && isTable(p))
+      .map(p => Identifier.of(namespace, MetaIO.name(p)))
       .toArray
-    finally stream.close()
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -126,7 +123,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
 
   /** `VERSION AS OF x` — a version number, else a tag, else a branch. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val root = requireTable(ident).toString
+    val root = requireTable(ident)
     val v = version.toLongOption.getOrElse {
       try SnapshotTable.tagVersion(root, version)
       catch {
@@ -146,11 +143,11 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     // above it are rolled-back or staged-but-never-published states —
     // timestamp travel must never resolve into them (same rule as
     // lastTxnBatch's published-chain walk)
-    val published = SnapshotTable.latestVersion(root.toString)
+    val published = SnapshotTable.latestVersion(root)
     val committedAtOrBefore = listVersions(root).filter { v =>
-      val marker = root.resolve(s"v=$v").resolve("_committed")
-      v <= published && Files.exists(marker) &&
-        Files.getLastModifiedTime(marker).toMillis <= cutoff
+      val marker = MetaIO.join(root, s"v=$v", "_committed")
+      v <= published && MetaIO.exists(marker) &&
+        MetaIO.mtimeMillis(marker) <= cutoff
     }
     require(committedAtOrBefore.nonEmpty,
       s"no version of ${ident.name} committed at or before " +
@@ -158,16 +155,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     loadAt(ident, committedAtOrBefore.max)
   }
 
-  private def listVersions(root: Path): Seq[Long] = {
-    if (!Files.isDirectory(root)) return Seq.empty
-    val stream = Files.list(root)
-    try stream.iterator().asScala.map(_.getFileName.toString)
+  private def listVersions(root: String): Seq[Long] =
+    MetaIO.listNames(root)
       .filter(_.startsWith("v="))
-      .flatMap(_.stripPrefix("v=").toLongOption).toSeq
-    finally stream.close()
-  }
+      .flatMap(_.stripPrefix("v=").toLongOption)
 
-  private def requireTable(ident: Identifier): Path = {
+  private def requireTable(ident: Identifier): String = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     root
@@ -236,7 +229,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           .map { case (k, v) =>
             k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
           }.toMap
-    Files.createDirectories(root)
+    MetaIO.mkdirs(root)
     writeSidecar(root, GraftSqlCatalog.TableMeta(schema, writeOpts))
     loadTable(ident)
   }
@@ -316,7 +309,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  private def updateSidecarSchema(root: Path)
+  private def updateSidecarSchema(root: String)
                                  (f: StructType => StructType): Unit =
     readSidecar(root).foreach { meta =>
       writeSidecar(root, meta.copy(schema = f(meta.schema)))
@@ -333,37 +326,33 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     val src = requireTable(from)
     val dst = rootOf(to)
     if (isTable(dst)) throw new TableAlreadyExistsException(to)
-    Files.createDirectories(dst.getParent)
-    Files.move(src, dst)
+    val parent = dst.substring(0, dst.lastIndexOf('/'))
+    MetaIO.mkdirs(parent)
+    MetaIO.rename(src, dst)
   }
 
   // ─────────────────────────── namespaces ───────────────────────────
 
-  private def nsDir(ns: Array[String]): Path =
-    ns.foldLeft(warehouse)((p, part) => p.resolve(part))
+  private def nsDir(ns: Array[String]): String =
+    ns.foldLeft(warehouse)((p, part) => MetaIO.join(p, part))
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty ||
-      (Files.isDirectory(nsDir(namespace)) && !isTable(nsDir(namespace)))
+      (MetaIO.isDir(nsDir(namespace)) && !isTable(nsDir(namespace)))
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val stream = Files.list(warehouse)
-    try stream.iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTable(p))
-      .map(p => Array(p.getFileName.toString)).toArray
-    finally stream.close()
-  }
+  override def listNamespaces(): Array[Array[String]] =
+    MetaIO.list(warehouse)
+      .filter(p => MetaIO.isDir(p) && !isTable(p))
+      .map(p => Array(MetaIO.name(p))).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (!namespaceExists(namespace))
       throw new NoSuchNamespaceException(namespace)
     val dir = nsDir(namespace)
-    if (!Files.isDirectory(dir)) return Array.empty
-    val stream = Files.list(dir)
-    try stream.iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTable(p))
-      .map(p => namespace :+ p.getFileName.toString).toArray
-    finally stream.close()
+    if (!MetaIO.isDir(dir)) return Array.empty
+    MetaIO.list(dir)
+      .filter(p => MetaIO.isDir(p) && !isTable(p))
+      .map(p => namespace :+ MetaIO.name(p)).toArray
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
@@ -375,8 +364,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(namespace: Array[String],
                                metadata: JMap[String, String]): Unit = {
     val dir = nsDir(namespace)
-    if (Files.exists(dir)) throw new NamespaceAlreadyExistsException(namespace)
-    Files.createDirectories(dir)
+    if (MetaIO.exists(dir)) throw new NamespaceAlreadyExistsException(namespace)
+    MetaIO.mkdirs(dir)
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -389,10 +378,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     val dir = nsDir(namespace)
     if (!namespaceExists(namespace) || namespace.isEmpty) return false
     if (!cascade) {
-      val stream = Files.list(dir)
-      val empty = try !stream.iterator().hasNext finally stream.close()
-      require(empty, s"namespace ${namespace.mkString(".")} is not " +
-        "empty; use CASCADE")
+      require(MetaIO.list(dir).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty; use CASCADE")
     }
     deleteRecursively(dir)
     true
@@ -404,7 +391,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   // `table` arguments are dot-joined paths under the warehouse
 
   private def tableRootOf(dotted: String): String = {
-    val p = dotted.split("\\.").foldLeft(warehouse)(_.resolve(_))
+    val p = dotted.split("\\.").foldLeft(warehouse)(MetaIO.join(_, _))
     require(isTable(p), s"no table '$dotted' in warehouse $warehouse")
     p.toString
   }
@@ -427,30 +414,28 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   // stored catalog+namespace context. A view and a table can never
   // share a path (both creates check the other's marker).
 
-  private def viewFile(root: Path): Path = root.resolve("_view")
+  private def viewFile(root: String): String = MetaIO.join(root, "_view")
 
-  private def isView(root: Path): Boolean = Files.exists(viewFile(root))
+  private def isView(root: String): Boolean = MetaIO.exists(viewFile(root))
 
   override def viewExists(ident: Identifier): Boolean = isView(rootOf(ident))
 
   override def listViews(namespace: String*): Array[Identifier] = {
-    val dir = namespace.foldLeft(warehouse)((p, part) => p.resolve(part))
-    if (!Files.isDirectory(dir))
+    val dir = namespace.foldLeft(warehouse)((p, part) => MetaIO.join(p, part))
+    if (!MetaIO.isDir(dir))
       throw new NoSuchNamespaceException(namespace.toArray)
-    val stream = Files.list(dir)
-    try stream.iterator().asScala
-      .filter(p => Files.isDirectory(p) && isView(p))
-      .map(p => Identifier.of(namespace.toArray, p.getFileName.toString))
+    MetaIO.list(dir)
+      .filter(p => MetaIO.isDir(p) && isView(p))
+      .map(p => Identifier.of(namespace.toArray, MetaIO.name(p)))
       .toArray
-    finally stream.close()
   }
 
   override def loadView(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.View = {
     val p = viewFile(rootOf(ident))
-    if (!Files.exists(p))
+    if (!MetaIO.exists(p))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
-    GraftSqlCatalog.parseView(ident.toString, Files.readString(p))
+    GraftSqlCatalog.parseView(ident.toString, MetaIO.readString(p))
   }
 
   override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
@@ -460,8 +445,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(info.ident())
     require(!isTable(root), s"${info.ident()} already exists as a TABLE")
-    Files.createDirectories(root)
-    Files.writeString(viewFile(root), GraftSqlCatalog.renderView(info))
+    MetaIO.mkdirs(root)
+    MetaIO.writeString(viewFile(root), GraftSqlCatalog.renderView(info))
     loadView(info.ident())
   }
 
@@ -473,10 +458,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropView(ident: Identifier): Boolean = {
     val p = viewFile(rootOf(ident))
-    if (!Files.exists(p)) return false
-    Files.delete(p)
+    if (!MetaIO.exists(p)) return false
+    MetaIO.delete(p)
     // remove the now-empty dir (ignore failure if something else lives there)
-    try Files.delete(rootOf(ident)) catch { case _: Exception => () }
+    if (MetaIO.list(rootOf(ident)).isEmpty)
+      try MetaIO.delete(rootOf(ident), recursive = true)
+      catch { case _: Exception => () }
     true
   }
 
@@ -489,17 +476,19 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(to)
     require(!isTable(dst), s"$to already exists as a TABLE")
-    Files.createDirectories(dst)
-    Files.move(viewFile(src), viewFile(dst))
-    try Files.delete(src) catch { case _: Exception => () }
+    MetaIO.mkdirs(dst)
+    MetaIO.rename(viewFile(src), viewFile(dst))
+    if (MetaIO.list(src).isEmpty)
+      try MetaIO.delete(src, recursive = true)
+      catch { case _: Exception => () }
   }
 
   // ───────────────────────────── helpers ─────────────────────────────
 
-  private def readSidecar(root: Path): Option[GraftSqlCatalog.TableMeta] = {
+  private def readSidecar(root: String): Option[GraftSqlCatalog.TableMeta] = {
     val p = sidecar(root)
-    if (!Files.exists(p)) return None
-    val lines = Files.readAllLines(p).asScala
+    if (!MetaIO.exists(p)) return None
+    val lines = MetaIO.readString(p).linesIterator.toSeq
     val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
     val opts = lines.drop(1).filter(_.contains("=")).map { l =>
       val i = l.indexOf('=')
@@ -508,21 +497,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     Some(GraftSqlCatalog.TableMeta(schema, opts))
   }
 
-  private def writeSidecar(root: Path,
+  private def writeSidecar(root: String,
                            meta: GraftSqlCatalog.TableMeta): Unit = {
     val body = meta.schema.json +: meta.writeOptions.toSeq.sorted
       .map { case (k, v) => s"$k=$v" }
-    Files.write(sidecar(root), body.mkString("\n").getBytes)
+    MetaIO.writeString(sidecar(root), body.mkString("\n"))
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val stream = Files.list(p)
-      try stream.iterator().asScala.foreach(deleteRecursively)
-      finally stream.close()
-    }
-    Files.delete(p)
-  }
+  private def deleteRecursively(p: String): Unit =
+    MetaIO.delete(p, recursive = true)
 }
 
 object GraftSqlCatalog {

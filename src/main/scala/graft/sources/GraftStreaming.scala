@@ -236,10 +236,19 @@ private[sources] class GraftSink(root: String, partitionCols: Seq[String],
       // an empty trigger commits an empty (no-op) append version —
       // rare (the engine fires batches on offset movement), and a
       // pre-check would execute the micro-batch plan a second time
-      if (update)
+      if (update) {
         SnapshotTable.commitUpsertTxn(batch, root, spec, mergeKeys,
           writer, batchId, stats, blooms)
-      else
+        // each Update trigger lands one equality-delete sidecar and
+        // every unfolded sidecar adds a broadcast anti-join to EVERY
+        // read: fold once the debt crosses the threshold (0 disables;
+        // the fold is its own commit AFTER the stamped batch — replay
+        // detection walks the published chain through it)
+        val fold = Option(options.get("foldThreshold")).map(_.toInt)
+          .getOrElse(graft.streaming.GovernedStream.DefaultFoldThreshold)
+        if (fold > 0 && SnapshotTable.morDebt(root) >= fold)
+          SnapshotTable.applyDeletes(spark, root)
+      } else
         SnapshotTable.commitAppendTxn(batch, root, spec, writer, batchId,
           stats, blooms)
     }
@@ -458,19 +467,18 @@ private[sources] object GraftStreaming {
     * `base` doc for why `latest` must not re-resolve on restart). */
   private[sources] def persistedBase(metadataPath: String,
                                      resolve: => Long): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    // the engine hands a qualified URI ("file:/…") on local filesystems
-    val uri = java.net.URI.create(metadataPath)
-    val dir = if (uri.getScheme == null) Paths.get(metadataPath)
-              else Paths.get(uri)
-    val anchor = dir.resolve("graft-base")
-    if (Files.exists(anchor)) Files.readString(anchor).trim.toLong
+    import graft.operators.MetaIO
+    // the engine hands a qualified URI ("file:/…") on local
+    // filesystems; MetaIO routes scheme-carrying paths through Hadoop
+    val anchor = MetaIO.join(metadataPath, "graft-base")
+    if (MetaIO.exists(anchor)) MetaIO.readString(anchor).trim.toLong
     else {
       val b = resolve
-      Files.createDirectories(anchor.getParent)
-      val tmp = anchor.resolveSibling(s".graft-base.tmp${System.nanoTime()}")
-      Files.writeString(tmp, b.toString)
-      Files.move(tmp, anchor, StandardCopyOption.ATOMIC_MOVE)
+      MetaIO.mkdirs(metadataPath)
+      val tmp = MetaIO.join(metadataPath,
+        s".graft-base.tmp${System.nanoTime()}")
+      MetaIO.writeString(tmp, b.toString)
+      MetaIO.rename(tmp, anchor)
       b
     }
   }

@@ -113,14 +113,21 @@ object GovernedStream {
     * advanced batch id, so a replayed batch upserts NOTHING twice
     * (exactly-once; a re-upsert would be harmlessly idempotent for
     * same-content rows but not for aggregated state, so it is skipped
-    * outright like [[commitBatch]]). Accumulated sidecars fold on the
-    * maintenance cadence ([[graft.operators.Maintenance.runCatalog]]'s
-    * applyDeletes step). Returns the new catalog commit, or None on
-    * replay/empty batch. */
+    * outright like [[commitBatch]]). Accumulated sidecars fold
+    * AUTOMATICALLY once their count crosses `foldThreshold` (each
+    * unfolded sidecar taxes every read with one broadcast anti-join;
+    * the fold lands as its own atomic catalog commit AFTER the batch
+    * publishes — exactly-once is untouched, and a fold crash leaves
+    * only an unpublished staged version). 0 disables (the maintenance
+    * cadence, [[graft.operators.Maintenance.runCatalog]], still
+    * folds). Returns the new catalog commit, or None on replay/empty
+    * batch. */
   def commitUpsertBatch(spark: SparkSession, catalogRoot: String,
                         table: String, partitionCol: String,
                         keyCols: Seq[String], sourceId: String,
-                        batchId: Long, batch: DataFrame): Option[Long] = {
+                        batchId: Long, batch: DataFrame,
+                        foldThreshold: Int = DefaultFoldThreshold)
+      : Option[Long] = {
     var attempt = 0
     while (true) {
       val base = Catalog.latestCommit(catalogRoot)
@@ -143,8 +150,10 @@ object GovernedStream {
         val vS = SnapshotTable.stageVersion(state,
           Catalog.tableRoot(catalogRoot, StateTable),
           prev.getOrElse(StateTable, -1L))
-        return Some(Catalog.commitStaged(catalogRoot,
-          Map(table -> vT, StateTable -> vS), base))
+        val c = Catalog.commitStaged(catalogRoot,
+          Map(table -> vT, StateTable -> vS), base)
+        foldIfOverdue(spark, catalogRoot, table, foldThreshold)
+        return Some(c)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -154,6 +163,23 @@ object GovernedStream {
     }
     None // unreachable
   }
+
+  /** Default [[SnapshotTable.morDebt]] fold trigger for the streaming
+    * upsert sinks: a bounded, plan-visible anti-join count per read. */
+  val DefaultFoldThreshold = 16
+
+  /** Fold `table`'s sidecars when the debt crossed `threshold` —
+    * best-effort (a concurrent committer may win the fold's CAS; the
+    * debt then folds on a later trigger or the maintenance cadence). */
+  private def foldIfOverdue(spark: SparkSession, catalogRoot: String,
+                            table: String, threshold: Int): Unit =
+    if (threshold > 0) {
+      val tr = Catalog.tableRoot(catalogRoot, table)
+      val v = Catalog.tableVersions(catalogRoot).getOrElse(table, -1L)
+      if (v >= 0 && SnapshotTable.morDebt(tr, v) >= threshold)
+        try Catalog.foldTable(spark, catalogRoot, table)
+        catch { case _: java.util.ConcurrentModificationException => () }
+    }
 
   /** Transactionally apply one FULL CDC micro-batch — upsert rows AND
     * delete tombstones (the Debezium batch shape: inserts/updates plus
@@ -173,7 +199,9 @@ object GovernedStream {
                      table: String, partitionCol: String,
                      keyCols: Seq[String], sourceId: String,
                      batchId: Long, upserts: DataFrame,
-                     deleteKeys: DataFrame): Option[Long] = {
+                     deleteKeys: DataFrame,
+                     foldThreshold: Int = DefaultFoldThreshold)
+      : Option[Long] = {
     var attempt = 0
     while (true) {
       val base = Catalog.latestCommit(catalogRoot)
@@ -203,8 +231,10 @@ object GovernedStream {
         val vS = SnapshotTable.stageVersion(state,
           Catalog.tableRoot(catalogRoot, StateTable),
           prev.getOrElse(StateTable, -1L))
-        return Some(Catalog.commitStaged(catalogRoot,
-          Map(table -> v, StateTable -> vS), base))
+        val c = Catalog.commitStaged(catalogRoot,
+          Map(table -> v, StateTable -> vS), base)
+        foldIfOverdue(spark, catalogRoot, table, foldThreshold)
+        return Some(c)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -308,8 +338,8 @@ object GovernedStream {
         val root = Catalog.tableRoot(catalogRoot, "bronze")
         Catalog.tableVersions(catalogRoot, Catalog.latestCommit(catalogRoot))
           .get("bronze").foreach { tv =>
-            if (!java.nio.file.Files.exists(
-              java.nio.file.Paths.get(mvRoot, "_mv_def")))
+            if (!graft.operators.MetaIO.exists(
+              graft.operators.MetaIO.join(mvRoot, "_mv_def")))
               MaterializedView.create(s, root, mvRoot, "trade_id", keys,
                 sumCols, baseVersion = tv)
             else MaterializedView.refresh(s, root, mvRoot, toVersion = tv)

@@ -1,10 +1,9 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.SnapshotTable
+import graft.operators.{MetaIO, SnapshotTable}
 
 /** Consume a snapshot table like a topic — the Kafka-consumer shape
   * over table versions (Iceberg's incremental scan / Delta's CDF
@@ -27,23 +26,21 @@ import graft.operators.SnapshotTable
   * tiny file per checkpoint — no state grows with the table. */
 object SnapshotStream {
 
-  private def offsetPath(checkpointDir: String): Path =
-    Paths.get(checkpointDir, "offset")
+  private def offsetPath(checkpointDir: String): String =
+    MetaIO.join(checkpointDir, "offset")
 
   /** The last drained version recorded at `checkpointDir` (-1 =
     * nothing consumed yet). */
   def committedOffset(checkpointDir: String): Long = {
     val p = offsetPath(checkpointDir)
-    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+    if (MetaIO.exists(p)) MetaIO.readString(p).trim.toLong else -1L
   }
 
   private def writeOffset(checkpointDir: String, v: Long): Unit = {
-    Files.createDirectories(Paths.get(checkpointDir))
-    val tmp = Paths.get(checkpointDir, s".offset.tmp.$v")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, offsetPath(checkpointDir),
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.mkdirs(checkpointDir)
+    val tmp = MetaIO.join(checkpointDir, s".offset.tmp.$v")
+    MetaIO.writeString(tmp, v.toString)
+    MetaIO.rename(tmp, offsetPath(checkpointDir), overwrite = true)
   }
 
   /** Drain everything appended since the checkpoint as ONE batch:
