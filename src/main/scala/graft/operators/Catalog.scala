@@ -93,7 +93,8 @@ object Catalog {
 
   /** Tables known to the current catalog state. */
   def tables(root: String): Seq[String] =
-    tableVersions(root).keys.toSeq.sorted
+    tableVersions(root).keys.toSeq
+      .filterNot(_.startsWith(ViewKey)).sorted
 
   private def moveMarker(root: String, commit: Long): Unit = {
     MetaIO.mkdirs(MetaIO.join(root))
@@ -138,7 +139,9 @@ object Catalog {
     * — max+1, NOT base+1), write the manifest with a tmp + atomic move,
     * stamp it published, then move the marker. */
   private[graft] def commitStaged(root: String, staged: Map[String, Long],
-                                  base: Long): Long = withCommitLock(root) {
+                                  base: Long,
+                                  drop: Set[String] = Set.empty): Long =
+      withCommitLock(root) {
     val current = latestCommit(root)
     if (current != base)
       throw new java.util.ConcurrentModificationException(
@@ -146,7 +149,7 @@ object Catalog {
           "committer won the race); re-stage against the current base " +
           "and retry")
     val next = (commits(root) :+ base).max + 1
-    val manifest = tableVersions(root, base) ++ staged
+    val manifest = (tableVersions(root, base) -- drop) ++ staged
     MetaIO.mkdirs(commitsDir(root))
     val tmp = MetaIO.join(commitsDir(root), s".c=$next.tmp")
     MetaIO.writeString(tmp,
@@ -348,6 +351,88 @@ object Catalog {
     }
     drop
   }
+
+  // ───────────── persisted governed views (catalog-versioned) ─────────────
+  //
+  // A governed view is DDL state like everything else in this catalog:
+  // its definition text lives as an immutable versioned file under
+  // `views/<name>/v=N`, and each catalog commit's manifest pins the
+  // definition version under the reserved `!view.<name>` key. CREATE /
+  // REPLACE / DROP are therefore ordinary atomic catalog commits —
+  // rollback rewinds them with the data, and `VERSION AS OF <commit>`
+  // resolves the DEFINITION at that commit (the read side then pins
+  // the definition's table references at the same commit, so a
+  // time-traveled view sees the catalog's cross-table-consistent
+  // state of that instant).
+
+  /** Reserved manifest-key prefix for view definitions. */
+  private[graft] val ViewKey = "!view."
+
+  private def viewDefPath(root: String, name: String, v: Long): String =
+    MetaIO.join(root, "views", name, s"v=$v")
+
+  /** CREATE (or, with `replace`, re-point) a persisted view as ONE
+    * atomic catalog commit. Returns the new commit. */
+  def putView(root: String, name: String, body: String,
+              replace: Boolean = false): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid view name '$name'")
+    var attempt = 0
+    while (true) {
+      val base = latestCommit(root)
+      val cur = tableVersions(root, base)
+      require(!cur.contains(name), s"'$name' already exists as a TABLE")
+      if (cur.contains(ViewKey + name) && !replace)
+        throw new IllegalArgumentException(s"view '$name' already exists")
+      val dir = MetaIO.join(root, "views", name)
+      MetaIO.mkdirs(dir)
+      val dv = MetaIO.listNames(dir).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).maxOption.getOrElse(-1L) + 1
+      // exclusive create = the def-version claim; a racing creator
+      // lands the next number (an orphan def file from a lost commit
+      // CAS is invisible — only the manifest pin publishes)
+      MetaIO.createExclusive(viewDefPath(root, name, dv), body)
+      try return commitStaged(root, Map(ViewKey + name -> dv), base)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          Thread.sleep(50L * attempt)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** DROP a persisted view as one atomic catalog commit; false when
+    * no such view exists (nothing committed). */
+  def dropView(root: String, name: String): Boolean = {
+    var attempt = 0
+    while (true) {
+      val base = latestCommit(root)
+      if (!tableVersions(root, base).contains(ViewKey + name)) return false
+      try {
+        commitStaged(root, Map.empty, base, drop = Set(ViewKey + name))
+        return true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          Thread.sleep(50L * attempt)
+      }
+    }
+    false // unreachable
+  }
+
+  /** The stored definition body of view `name` at `commit` (default
+    * latest); None when the commit carries no such view. */
+  def viewBody(root: String, name: String, commit: Long = -1L)
+      : Option[String] =
+    tableVersions(root, commit).get(ViewKey + name)
+      .map(v => MetaIO.readString(viewDefPath(root, name, v)))
+
+  /** View names at `commit` (default latest). */
+  def viewNames(root: String, commit: Long = -1L): Seq[String] =
+    tableVersions(root, commit).keys.toSeq
+      .filter(_.startsWith(ViewKey)).map(_.stripPrefix(ViewKey)).sorted
 
   // ─────────── catalog refs: branches and tags over commits ───────────
   //

@@ -46,7 +46,8 @@ import graft.operators.{Catalog, SnapshotTable}
   *   rolled back or expired through [[Catalog]], never edited in place.
   */
 class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -153,6 +154,8 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
+    require(Catalog.viewBody(root, ident.name()).isEmpty,
+      s"'${ident.name()}' already exists as a VIEW")
     require(partitions.isEmpty,
       "governed tables take their layout from the written data; evolve " +
         "with Catalog.transactDelta / Layout instead of PARTITIONED BY")
@@ -246,6 +249,86 @@ class GraftGovernedCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.governedNames
       .map(Identifier.of(Array("system"), _)).toArray
+
+  // ───────────── persisted views (catalog-versioned DDL) ─────────────
+  //
+  // A governed view's definition is catalog state: CREATE/REPLACE/DROP
+  // publish as ONE atomic catalog commit ([[Catalog.putView]] /
+  // [[Catalog.dropView]]), rollback rewinds them with the data, and
+  // `VERSION AS OF <commit>` resolves the definition AT that commit
+  // with its table references pinned there too (the resolution rule in
+  // [[GraftViews]] handles both halves — Spark's analyzer neither
+  // routes view DDL to a ViewCatalog nor resolves SELECTs through it).
+
+  private def flatName(ident: Identifier): String = {
+    require(ident.namespace().isEmpty,
+      s"the governed catalog is flat — view '$ident' cannot take a " +
+        "namespace")
+    ident.name()
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty &&
+      Catalog.viewBody(root, ident.name()).isDefined
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View =
+    loadViewAt(ident, -1L).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  /** The view at a PINNED catalog commit (None when that commit
+    * carries no such view) — what `VERSION AS OF` resolves through. */
+  def loadViewAt(ident: Identifier, commit: Long)
+      : Option[org.apache.spark.sql.connector.catalog.View] =
+    Catalog.viewBody(root, flatName(ident), commit)
+      .map(GraftSqlCatalog.parseView(ident.toString, _))
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val name = flatName(info.ident())
+    if (viewExists(info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident())
+    Catalog.putView(root, name, GraftSqlCatalog.renderView(info))
+    loadView(info.ident())
+  }
+
+  /** CREATE OR REPLACE as ONE atomic catalog commit (the default
+    * implementation is drop-then-create — two commits — which would
+    * expose a viewless intermediate state to time travel). */
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val name = flatName(info.ident())
+    if (!orCreate && !viewExists(info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident())
+    Catalog.putView(root, name, GraftSqlCatalog.renderView(info),
+      replace = true)
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier,
+                         changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View =
+    throw new UnsupportedOperationException(
+      "governed view properties are immutable: DROP and re-CREATE")
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && Catalog.dropView(root, ident.name())
+
+  override def renameView(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "governed views do not rename: DROP and re-CREATE (each is one " +
+        "atomic rollback-able commit)")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    require(namespace.isEmpty, "the governed catalog is flat")
+    Catalog.viewNames(root)
+      .map(Identifier.of(Array.empty[String], _)).toArray
+  }
 
   // namespaces: the governed catalog is flat
   override def namespaceExists(namespace: Array[String]): Boolean =

@@ -450,6 +450,21 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     loadView(info.ident())
   }
 
+  /** CREATE OR REPLACE as one definition-file overwrite (the default
+    * drop-then-create would expose a viewless window). */
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val root = rootOf(info.ident())
+    if (!orCreate && !isView(root))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident())
+    require(!isTable(root), s"${info.ident()} already exists as a TABLE")
+    MetaIO.mkdirs(root)
+    MetaIO.writeString(viewFile(root), GraftSqlCatalog.renderView(info))
+    loadView(info.ident())
+  }
+
   override def alterView(ident: Identifier,
                          changes: org.apache.spark.sql.connector.catalog.ViewChange*)
       : org.apache.spark.sql.connector.catalog.View =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
 import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
@@ -33,12 +34,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    through the same fixed point. */
 object GraftViews {
 
-  /** Is `name` configured as a graft warehouse catalog? Parse-time
-    * check by CONFIG — instantiating catalogs while parsing would be
-    * both costly and order-sensitive. */
+  /** Is `name` configured as a graft catalog with persisted views —
+    * the warehouse catalog or the governed catalog? Parse-time check
+    * by CONFIG — instantiating catalogs while parsing would be both
+    * costly and order-sensitive. */
   def isGraftCatalog(session: SparkSession, name: String): Boolean =
-    session.conf.getOption(s"spark.sql.catalog.$name")
-      .contains(classOf[GraftSqlCatalog].getName)
+    session.conf.getOption(s"spark.sql.catalog.$name").exists(c =>
+      c == classOf[GraftSqlCatalog].getName ||
+        c == classOf[GraftGovernedCatalog].getName)
 }
 
 class GraftViewParser(session: SparkSession, delegate: ParserInterface)
@@ -138,25 +141,66 @@ case class GraftViewResolutionRule(session: SparkSession)
     extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp {
+    // top-down: a `VERSION AS OF` wrapper must claim its inner
+    // relation BEFORE the bare-relation case would expand it as the
+    // LATEST definition
+    plan.resolveOperatorsDown {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, None, Some(v)) =>
+        substituteAsOf(u, v).getOrElse(tt)
       case u: UnresolvedRelation => substitute(u).getOrElse(u)
     }
 
+  /** `SELECT ... FROM gov.view VERSION AS OF <commit|tag>` — a
+    * GOVERNED view resolves its stored definition AT that catalog
+    * commit and pins every same-catalog table reference inside it to
+    * the same commit, so the time-traveled view sees the catalog's
+    * cross-table-consistent state of that instant (nested governed
+    * views pin recursively through this same rule). Warehouse views
+    * have no single version domain spanning their tables — not
+    * claimed here. */
+  private def substituteAsOf(u: UnresolvedRelation,
+                             version: String): Option[LogicalPlan] = {
+    val parts = qualify(u.multipartIdentifier).getOrElse(return None)
+    val gc = session.sessionState.catalogManager.catalog(parts.head) match {
+      case g: GraftGovernedCatalog => g
+      case _ => return None
+    }
+    val rootConf = session.conf.get(s"spark.sql.catalog.${parts.head}.root")
+    val commit: Long = version.toLongOption.getOrElse(
+      scala.util.Try(graft.operators.Catalog.tagCommit(rootConf, version))
+        .getOrElse(return None))
+    val ident = Identifier.of(parts.tail.init.toArray, parts.last)
+    val view = gc.loadViewAt(ident, commit).getOrElse(return None)
+    val expanded = expand(view, parts.last)
+    // pin the definition's same-catalog references at the commit
+    val pinned = expanded.transformWithSubqueries {
+      case r: UnresolvedRelation if r.multipartIdentifier.length >= 2 &&
+          r.multipartIdentifier.head == parts.head =>
+        RelationTimeTravel(r, None, Some(commit.toString))
+    }
+    Some(pinned)
+  }
+
+  /** Fully-qualified (catalog, ns..., name) the way the analyzer
+    * would resolve `raw`, when the target catalog is a graft catalog;
+    * None otherwise. */
+  private def qualify(raw: Seq[String]): Option[Seq[String]] =
+    if (raw.length >= 2 && GraftViews.isGraftCatalog(session, raw.head))
+      Some(raw)
+    else {
+      val cm = session.sessionState.catalogManager
+      val cur = cm.currentCatalog.name()
+      if (!GraftViews.isGraftCatalog(session, cur)) None
+      else if (raw.length == 1)
+        Some((cur +: cm.currentNamespace.toSeq) :+ raw.head)
+      else Some(cur +: raw)
+    }
+
   private def substitute(u: UnresolvedRelation): Option[LogicalPlan] = {
-    val raw = u.multipartIdentifier
     // explicit graft-catalog prefix, else the session's current
     // catalog when that is a graft catalog (current namespace fills
     // single-part names) — mirror of the parser's viewTarget
-    val parts: Seq[String] =
-      if (raw.length >= 2 && GraftViews.isGraftCatalog(session, raw.head))
-        raw
-      else {
-        val cm = session.sessionState.catalogManager
-        val cur = cm.currentCatalog.name()
-        if (!GraftViews.isGraftCatalog(session, cur)) return None
-        if (raw.length == 1) (cur +: cm.currentNamespace.toSeq) :+ raw.head
-        else cur +: raw
-      }
+    val parts = qualify(u.multipartIdentifier).getOrElse(return None)
     val vc = session.sessionState.catalogManager.catalog(parts.head) match {
       case v: ViewCatalog => v
       case _ => return None
@@ -164,6 +208,12 @@ case class GraftViewResolutionRule(session: SparkSession)
     val ident = Identifier.of(parts.tail.init.toArray, parts.last)
     if (!vc.viewExists(ident)) return None
     val view = vc.loadView(ident)
+    Some(expand(view, parts.last))
+  }
+
+  /** Parse + CTE-substitute + late-bind + alias a stored definition. */
+  private def expand(view: org.apache.spark.sql.connector.catalog.View,
+                     aliasName: String): LogicalPlan = {
     val raw0 = session.sessionState.sqlParser.parsePlan(view.query())
     // CTE substitution already RAN on the outer plan (its analyzer
     // batch precedes every resolution rule), so a definition's WITH
@@ -194,6 +244,6 @@ case class GraftViewResolutionRule(session: SparkSession)
             Alias(UnresolvedAttribute.quoted(q), a)()
           }, qualified)
       }
-    Some(SubqueryAlias(parts.last, aliased))
+    SubqueryAlias(aliasName, aliased)
   }
 }

@@ -43,13 +43,17 @@ case class GraftCreateViewCommand(catalog: String, namespace: Seq[String],
       columnAliases.length == analyzed.schema.length,
       s"view column list has ${columnAliases.length} names, query " +
         s"produces ${analyzed.schema.length} columns")
-    if (vc.viewExists(ident) && replace) vc.dropView(ident)
     val cm = session.sessionState.catalogManager
-    vc.createView(new ViewInfo(
+    val info = new ViewInfo(
       ident, queryText, cm.currentCatalog.name(), cm.currentNamespace,
       analyzed.schema, analyzed.schema.fieldNames,
       columnAliases.toArray, Array.fill(columnAliases.length)(null),
-      java.util.Collections.emptyMap[String, String]()))
+      java.util.Collections.emptyMap[String, String]())
+    // OR REPLACE goes through replaceView — one atomic step on both
+    // graft catalogs (the governed one publishes ONE catalog commit),
+    // never a drop-then-create window
+    if (replace) vc.replaceView(info, true)
+    else vc.createView(info)
     Seq.empty
   }
 }
