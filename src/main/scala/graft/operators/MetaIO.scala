@@ -61,9 +61,20 @@ private[graft] object MetaIO {
   // FileContext, not FileSystem: its local implementation is the RAW
   // local fs (no `.crc` checksum sidecars that a mixed-path writer —
   // an external tool touching a metadata file directly — would trip),
-  // and its rename carries the atomic OVERWRITE flag HDFS honors
-  private def fc(p: String): FileContext =
-    FileContext.getFileContext(hp(p).toUri, conf)
+  // and its rename carries the atomic OVERWRITE flag HDFS honors.
+  // Memoized per (scheme, authority): unlike FileSystem.get,
+  // FileContext instances are NOT cached by Hadoop, and a catalog
+  // commit makes dozens of metadata touches — constructing a fresh
+  // client per touch would tax every hdfs:// commit (FileContext is
+  // documented thread-safe).
+  private val fcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileContext]()
+  private def fc(p: String): FileContext = {
+    val uri = hp(p).toUri
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    fcCache.computeIfAbsent(key,
+      _ => FileContext.getFileContext(uri, conf))
+  }
   private def status(p: String) = fc(p).getFileStatus(hp(p))
 
   /** Join path segments with '/'. Operates on plain strings so `file://`
@@ -171,8 +182,23 @@ private[graft] object MetaIO {
         Files.move(Paths.get(src), Paths.get(dst),
           StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
-      else Files.move(Paths.get(src), Paths.get(dst),
-        StandardCopyOption.ATOMIC_MOVE)
+      else if (Files.isDirectory(Paths.get(src))) {
+        // directory targets (sidecar swaps) can't hard-link; the
+        // caller deleted the destination first — the pre-check guards
+        // the contract, the move stays atomic
+        if (Files.exists(Paths.get(dst)))
+          throw new java.nio.file.FileAlreadyExistsException(dst)
+        Files.move(Paths.get(src), Paths.get(dst),
+          StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        // POSIX rename(2) silently REPLACES an existing destination
+        // even under ATOMIC_MOVE — but link(2) atomically fails on
+        // one, which is exactly the exclusive-publish contract
+        // (immutable tags, create-only branches) this primitive
+        // carries: link then unlink the source
+        Files.createLink(Paths.get(dst), Paths.get(src))
+        Files.delete(Paths.get(src))
+      }
       ()
     }
 

@@ -1430,13 +1430,14 @@ object SnapshotTable {
     * the one conditional-aggregate scan. */
   private def enforceConstraints(spark: SparkSession, root: String,
                                  version: Long,
-                                 footer: Seq[FooterStats.FileStat]): Unit = {
-    val cs = constraints(root)
+                                 footer: Seq[FooterStats.FileStat],
+                                 cs: Seq[(String, String)],
+                                 proofs: Seq[Option[(String, Seq[String])]])
+      : Unit = {
     if (cs.isEmpty) return
     // an empty batch (zero data files) has nothing to violate — and
     // would fail schema inference
     if (footer.isEmpty) return
-    val proofs = cs.map { case (_, e) => constraintProof(spark, e) }
     val provable = proofs.forall(_.isDefined) && {
       val needed = proofs.flatMap(_.toSeq.flatMap(_._2)).distinct
       footer.forall(fs => needed.forall(fs.bounds.contains))
@@ -2321,14 +2322,16 @@ object SnapshotTable {
   private def commitChecksAndStats(spark: SparkSession, root: String,
                                    version: Long, statsCols: Seq[String],
                                    bloomCols: Seq[String]): Unit = {
-    val constraintCols = constraints(root).flatMap { case (_, e) =>
-      constraintProof(spark, e).toSeq.flatMap(_._2)
-    }
+    // constraints read + proofs parsed ONCE per commit (the footer
+    // pass and the validation share them)
+    val cs = constraints(root)
+    val proofs = cs.map { case (_, e) => constraintProof(spark, e) }
+    val constraintCols = proofs.flatMap(_.toSeq.flatMap(_._2))
     val footer = FooterStats.collect(MetaIO.join(root),
       MetaIO.join(root, s"v=$version"),
       (statsCols ++ constraintCols).distinct,
       spark.sparkContext.hadoopConfiguration)
-    enforceConstraints(spark, root, version, footer)
+    enforceConstraints(spark, root, version, footer, cs, proofs)
     completeStats(spark, root, version, statsCols, footer).foreach {
       _.coalesce(1)
         .write.mode("overwrite").parquet(statsPath(root, version).toString)

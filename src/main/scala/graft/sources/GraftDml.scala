@@ -184,19 +184,27 @@ object GraftDml {
       val tSchema = tgt.schema
       val tgtP = tgt.select(tgt.columns.toSeq.map(c =>
         col(c).as(s"_t_$c")) :+ lit(true).as("_gft_matched"): _*)
+        // a per-ROW identity for the cardinality check: a target may
+        // legitimately hold duplicate-KEY rows (appends create them;
+        // the upsert tombstone resolves them) — each such row matching
+        // ONE source row is fine, so grouping by key would refuse
+        // falsely. Stable within the persisted join below.
+        .withColumn("_gft_rid", monotonically_increasing_id())
       val joinCond = keyCols.zip(srcKeyExprs)
         .map { case (tc, se) => col(s"_t_$tc") === se }.reduce(_ && _)
       val j = srcP.join(tgtP, joinCond, "left_outer").persist()
       try {
-        // SQL MERGE cardinality: a target row may match at most one
+        // SQL MERGE cardinality: a target ROW may match at most one
         // source row (two matches would append two conflicting images)
         val dups = j.filter(col("_gft_matched"))
-          .groupBy(keyCols.map(k => col(s"_t_$k")): _*).count()
+          .groupBy(col("_gft_rid"))
+          .agg(count(lit(1)).as("count"),
+            first(struct(keyCols.map(k => col(s"_t_$k")): _*)).as("key"))
           .filter(col("count") > 1).limit(1).collect()
         require(dups.isEmpty,
           s"MERGE cardinality violation: target key " +
-            s"${dups.head.toSeq.init.mkString("(", ", ", ")")} matches " +
-            "more than one source row")
+            s"${dups.head.getStruct(2).toSeq.mkString("(", ", ", ")")} " +
+            "matches more than one source row")
         // first-matching-clause-wins: fold right so clause 0 tests first
         def firstMatch(conds: Seq[Option[Column]]): Column =
           conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), els) =>

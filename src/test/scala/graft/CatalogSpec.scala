@@ -299,4 +299,21 @@ class CatalogSpec extends GraftSuite {
     Catalog.rollback(root, 3L)
     assert(Catalog.read(spark, root, "y").filter(col("tag") === "y3").count() === 4)
   }
+
+  test("tags are immutable and branch creation is create-only on PLAIN paths") {
+    // regression (round-11 review): the exclusive no-replace publish
+    // must hold on the java.nio fast path too — POSIX rename(2)
+    // silently replaces, so the primitive is link(2)+unlink there
+    val root = Files.createTempDirectory("graft-cat-excl").toString
+    Catalog.transact(root, Seq("t" -> df("a", 3)))
+    Catalog.transact(root, Seq("t" -> df("b", 4)))
+    Catalog.tag(root, "rel", 0L)
+    val e = intercept[IllegalArgumentException] { Catalog.tag(root, "rel", 1L) }
+    assert(e.getMessage.contains("immutable"))
+    assert(Catalog.tagCommit(root, "rel") === 0L) // NOT re-pointed
+    Catalog.createBranch(root, "b1", 0L)
+    intercept[IllegalArgumentException] { Catalog.createBranch(root, "b1", 1L) }
+    assert(Catalog.branchVersions(root, "b1") ===
+      Catalog.tableVersions(root, 0L)) // head NOT reset
+  }
 }

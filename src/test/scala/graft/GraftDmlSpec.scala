@@ -122,6 +122,23 @@ class GraftDmlSpec extends GraftSuite {
       s"$before").first.getLong(0) === 3L)
   }
 
+  test("conditional MERGE handles duplicate-KEY target rows (cardinality is per target ROW)") {
+    // regression (round-11 review): a target may legitimately hold
+    // duplicate-key rows (appends create them); each matching ONE
+    // source row is NOT a cardinality violation — both images update
+    val root = mkCatalogTable("dmldup")
+    spark.sql("INSERT INTO dmldup.db.t VALUES ('a', 100, 'x')") // dup key 'a'
+    Seq(("a", 7L, "x")).toDF("k", "n", "p")
+      .createOrReplaceTempView("dmldup_src")
+    spark.sql(
+      """MERGE INTO dmldup.db.t AS t USING dmldup_src AS s ON t.k = s.k
+        |WHEN MATCHED AND s.n > 0 THEN UPDATE SET n = t.n + s.n
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.table("dmldup.db.t").orderBy("k", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("a", 8L), ("a", 107L), ("b", 2L), ("c", 3L)))
+  }
+
   test("conditional MERGE: first matching clause wins; unclaimed matched rows stay") {
     val root = mkCatalogTable("dmlo")
     // b matches BOTH conditions -> first clause (n := 100) wins;
