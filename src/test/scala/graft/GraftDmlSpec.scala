@@ -528,6 +528,23 @@ class GraftDmlSpec extends GraftSuite {
       .map(_.getAs[Double]("px")).toSeq === Seq(5.0, 12.0))
   }
 
+  test("the typed Dataset.mergeInto API routes through the rule, conditional clauses included") {
+    val root = mkCatalogTable("dmlapi")
+    val src = Seq(("a", 0L, "x", "d"), ("b", 20L, "x", "u"),
+      ("d", 4L, "y", "c")).toDF("k", "n", "p", "op").alias("s")
+    val before = SnapshotTable.latestVersion(root)
+    src.mergeInto("dmlapi.db.t", col("s.k") === col("dmlapi.db.t.k"))
+      .whenMatched(col("s.op") === "d").delete()
+      .whenMatched().update(Map("n" -> col("s.n")))
+      .whenNotMatched(col("s.op") =!= "d")
+      .insert(Map("k" -> col("s.k"), "n" -> col("s.n"), "p" -> col("s.p")))
+      .merge()
+    assert(SnapshotTable.latestVersion(root) === before + 1) // ONE commit
+    val rows = spark.table("dmlapi.db.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("b", 20L), ("c", 3L), ("d", 4L)))
+  }
+
   test("MERGE/UPDATE against a time-travel pin refuse") {
     mkCatalogTable("dml4")
     Seq(("b", 20L, "x")).toDF("k", "n", "p")
