@@ -2,6 +2,14 @@
 """Diff two bench JSONs (bench_out.json / BENCH_r{N}.json) per query.
 
 Usage: python3 tools/benchdiff.py <old.json> <new.json> [ratio_threshold]
+   or: python3 tools/benchdiff.py <new.json>
+
+With ONE argument the old side defaults to BASELINE.md (the frozen
+round-11 medians — the driver's "within 2x of BASELINE" criterion) and
+the threshold defaults to 2.0, so `python3 tools/benchdiff.py
+bench_out.json` IS the mechanical baseline check. BASELINE.md embeds
+its machine-readable run as a single JSON line; the loader below finds
+it the same way it finds the JSON line in a BENCH_r file.
 
 Prints added/removed keys, any row-count changes (result-shape
 regressions), and every query whose median moved BEYOND NOISE, sorted
@@ -77,5 +85,11 @@ def main(old_p, new_p, thresh=1.25):
 
 
 if __name__ == "__main__":
-    t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
-    main(sys.argv[1], sys.argv[2], t)
+    import os
+    if len(sys.argv) == 2:  # baseline mode: new run vs frozen BASELINE.md at 2x
+        base = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BASELINE.md")
+        main(base, sys.argv[1], 2.0)
+    else:
+        t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
+        main(sys.argv[1], sys.argv[2], t)
