@@ -6,10 +6,10 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedN
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
-import org.apache.spark.sql.graft.{GraftCreateViewCommand, GraftDropViewCommand, GraftShowViewsCommand}
+import org.apache.spark.sql.graft.{GraftAlterViewAsCommand, GraftCreateViewCommand, GraftDropViewCommand, GraftShowViewsCommand}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** PERSISTED SQL VIEWS against the graft warehouse catalog — the
@@ -110,6 +110,19 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
           case Some((cat, ns, name)) =>
             GraftDropViewCommand(cat, ns, name, ifExists)
           case None => dv
+        }
+      case av @ AlterViewAs(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedView(
+            parts, _, _, _), originalText, _) =>
+        // in-place redefinition: the view must already exist, and the
+        // new definition publishes through replaceView — on the
+        // governed catalog that is ONE atomic catalog commit, never a
+        // drop-then-create window. Temp views fall through to Spark
+        // (viewTarget refuses names bound to one).
+        viewTarget(parts) match {
+          case Some((cat, ns, name)) =>
+            GraftAlterViewAsCommand(cat, ns, name, originalText)
+          case None => av
         }
       case sv @ ShowViews(UnresolvedNamespace(parts, _), pattern, _) =>
         nsTarget(parts) match {

@@ -96,3 +96,35 @@ case class GraftShowViewsCommand(catalog: String, namespace: Seq[String],
       .map(i => Row(i.namespace().mkString("."), i.name(), false))
   }
 }
+
+/** `ALTER VIEW v AS <query>` — in-place redefinition of a persisted
+  * graft view. The view must exist (this is the SQL-standard contract
+  * distinguishing it from CREATE OR REPLACE); the new definition
+  * publishes through `replaceView`, which on the governed catalog is
+  * ONE atomic catalog commit ([[graft.operators.Catalog.putView]] with
+  * replace) — time travel sees the old definition at older commits and
+  * never a viewless window. Stored column aliases are cleared: the new
+  * query's own output names become the contract, like Spark's ALTER
+  * VIEW AS on session-catalog views. */
+case class GraftAlterViewAsCommand(catalog: String, namespace: Seq[String],
+                                   viewName: String, queryText: String)
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val vc = session.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(namespace.toArray, viewName)
+    if (!vc.viewExists(ident)) throw new NoSuchViewException(ident)
+    // analyze (not execute) the new defining query BEFORE any catalog
+    // touch — a failed redefinition leaves the existing view intact
+    val analyzed = session.sql(queryText)
+    val cm = session.sessionState.catalogManager
+    val info = new ViewInfo(
+      ident, queryText, cm.currentCatalog.name(), cm.currentNamespace,
+      analyzed.schema, analyzed.schema.fieldNames,
+      Array.empty[String], Array.empty[String],
+      java.util.Collections.emptyMap[String, String]())
+    vc.replaceView(info, false)
+    Seq.empty
+  }
+}

@@ -64,6 +64,29 @@ class GovernedViewSpec extends GraftSuite {
       .first.getLong(0) === 13L) // old definition, new data
   }
 
+  test("ALTER VIEW ... AS redefines in place as ONE atomic commit") {
+    val cat = mkCat("gv4")
+    spark.sql("CREATE VIEW gv4.v AS SELECT sum(n) AS total FROM gv4.t")
+    val cView = Catalog.latestCommit(cat)
+    spark.sql("ALTER VIEW gv4.v AS SELECT sum(n) * 10 AS total FROM gv4.t")
+    assert(Catalog.latestCommit(cat) === cView + 1) // ONE commit
+    assert(spark.sql("SELECT total FROM gv4.v").first.getLong(0) === 30L)
+    // time travel still resolves the PRE-ALTER definition at its commit
+    assert(spark.sql(s"SELECT total FROM gv4.v VERSION AS OF $cView")
+      .first.getLong(0) === 3L)
+    // SQL-standard contract: ALTER VIEW AS requires the view to exist
+    intercept[Exception] {
+      spark.sql("ALTER VIEW gv4.nope AS SELECT 1 AS one")
+    }
+    // a failed redefinition (bad query) leaves the existing view intact
+    val cBefore = Catalog.latestCommit(cat)
+    intercept[Exception] {
+      spark.sql("ALTER VIEW gv4.v AS SELECT no_such_col FROM gv4.t")
+    }
+    assert(Catalog.latestCommit(cat) === cBefore)
+    assert(spark.sql("SELECT total FROM gv4.v").first.getLong(0) === 30L)
+  }
+
   test("rollback rewinds view DDL like any commit; DROP is a commit") {
     val cat = mkCat("gv3")
     val c0 = Catalog.latestCommit(cat)

@@ -87,6 +87,23 @@ class GraftViewSpec extends GraftSuite {
       .map(_.getString(1)).contains("base_v"))
   }
 
+  test("ALTER VIEW ... AS redefines a warehouse view in place") {
+    wh
+    spark.sql("CREATE VIEW vtest.db.alt_v AS " +
+      "SELECT sum(n) AS total FROM vtest.db.t")
+    val before = spark.sql("SELECT total FROM vtest.db.alt_v")
+      .first().getLong(0)
+    spark.sql("ALTER VIEW vtest.db.alt_v AS " +
+      "SELECT sum(n) * 100 AS total FROM vtest.db.t")
+    assert(spark.sql("SELECT total FROM vtest.db.alt_v")
+      .first().getLong(0) === before * 100)
+    // the view must exist (else CREATE OR REPLACE is the tool)
+    intercept[Exception] {
+      spark.sql("ALTER VIEW vtest.db.no_such_v AS SELECT 1 AS one")
+    }
+    spark.sql("DROP VIEW vtest.db.alt_v")
+  }
+
   test("CTE names inside a definition never re-qualify; failed OR REPLACE keeps the view") {
     wh
     // the CTE's self-reference must NOT become vtest.db.c at read time
