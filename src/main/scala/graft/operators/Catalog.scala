@@ -98,9 +98,7 @@ object Catalog {
 
   private def moveMarker(root: String, commit: Long): Unit = {
     MetaIO.mkdirs(MetaIO.join(root))
-    val tmp = MetaIO.join(root, s"_latest.tmp$commit")
-    MetaIO.writeString(tmp, commit.toString)
-    MetaIO.rename(tmp, markerPath(root), overwrite = true)
+    MetaIO.publishString(markerPath(root), commit.toString)
   }
 
   private def publishedStamp(root: String, commit: Long): String =
@@ -151,10 +149,8 @@ object Catalog {
     val next = (commits(root) :+ base).max + 1
     val manifest = (tableVersions(root, base) -- drop) ++ staged
     MetaIO.mkdirs(commitsDir(root))
-    val tmp = MetaIO.join(commitsDir(root), s".c=$next.tmp")
-    MetaIO.writeString(tmp,
+    MetaIO.publishString(manifestPath(root, next),
       manifest.toSeq.sortBy(_._1).map { case (n, v) => s"$n $v" }.mkString("\n"))
-    MetaIO.rename(tmp, manifestPath(root, next), overwrite = true)
     // stamp BEFORE the marker move: a crash in between leaves a stamped
     // never-current manifest (harmless — a valid consistent mapping GC
     // keeps), never a published-looking hole. The stamp content is the
@@ -473,17 +469,12 @@ object Catalog {
                             content: String, existsMsg: String): Unit = {
     val p = refPath(root, kind, name)
     MetaIO.mkdirs(refsDir(root))
-    // unique tmp per attempt: a shared tmp path lets a concurrent
-    // creator rewrite the content another attempt is about to (or
-    // already did) publish — the loser's content would survive under
-    // the winner's success
-    val tmp = MetaIO.join(refsDir(root),
-      s".$kind.$name.${java.util.UUID.randomUUID()}.new")
-    MetaIO.writeString(tmp, content)
-    try MetaIO.rename(tmp, p) // no-replace: loses cleanly if p exists
+    // exclusive publish: atomic content AND already-exists check in
+    // one step — a concurrent reader never sees an empty ref, a
+    // concurrent creator loses cleanly
+    try MetaIO.publishExclusive(p, content)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        MetaIO.delete(tmp)
         throw new IllegalArgumentException(existsMsg)
     }
   }
@@ -497,11 +488,8 @@ object Catalog {
   }
 
   private def moveRef(root: String, kind: String, name: String,
-                      content: String): Unit = {
-    val tmp = MetaIO.join(refsDir(root), s".${kind}.$name.tmp")
-    MetaIO.writeString(tmp, content)
-    MetaIO.rename(tmp, refPath(root, kind, name), overwrite = true)
-  }
+                      content: String): Unit =
+    MetaIO.publishString(refPath(root, kind, name), content)
 
   /** The branch head's table → version mapping. */
   def branchVersions(root: String, name: String): Map[String, Long] = {
@@ -535,18 +523,18 @@ object Catalog {
     val next = head + 1
     val p = branchManifest(root, name, next)
     MetaIO.mkdirs(MetaIO.join(commitsDir(root), name))
-    try MetaIO.createExclusive(p)
+    val manifest = prev ++ staged
+    // ONE exclusive publish is both the CAS (the manifest number is
+    // the branch's next head — a racing committer loses on the same
+    // number) and the atomic content write
+    try MetaIO.publishExclusive(p,
+      manifest.toSeq.sortBy(_._1).map { case (t, v) => s"$t $v" }.mkString("\n"))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"branch '$name' commit $next already exists (concurrent " +
             "committer); re-stage against the new head and retry")
     }
-    val manifest = prev ++ staged
-    val tmp = MetaIO.join(commitsDir(root), name, s".c=$next.tmp")
-    MetaIO.writeString(tmp,
-      manifest.toSeq.sortBy(_._1).map { case (t, v) => s"$t $v" }.mkString("\n"))
-    MetaIO.rename(tmp, p, overwrite = true)
     moveRef(root, "branch", name, s"$fork $next")
     next
   }

@@ -151,16 +151,9 @@ object IncrementalIvf {
     * serving alias) at `indexRoot`. Readers resolve through
     * [[resolveAlias]]; the flip is a tmp-write + atomic move. */
   def swapAlias(aliasPath: String, indexRoot: String): Unit = {
-    val p = aliasPath
-    if (p.contains('/'))
-      MetaIO.mkdirs(p.substring(0, p.lastIndexOf('/')))
-    val tmp =
-      if (p.contains('/'))
-        MetaIO.join(p.substring(0, p.lastIndexOf('/')),
-          s".${MetaIO.name(p)}.tmp")
-      else s".$p.tmp"
-    MetaIO.writeString(tmp, indexRoot)
-    MetaIO.rename(tmp, p, overwrite = true)
+    if (aliasPath.contains('/'))
+      MetaIO.mkdirs(aliasPath.substring(0, aliasPath.lastIndexOf('/')))
+    MetaIO.publishString(aliasPath, indexRoot)
   }
 
   /** The index root `aliasPath` currently serves. */

@@ -31,19 +31,51 @@ import org.apache.hadoop.fs.permission.FsPermission
   * routes EVERYTHING through Hadoop — how the suite proves the seam
   * end to end against `file://` (Spark's RawLocalFileSystem).
   *
-  * S3/object-store strategy (documented, not sandbox-testable): S3
-  * gives neither atomic rename nor exclusive create, so on S3 the
-  * format runs in CATALOG-ARBITRATED mode — exactly what [[Catalog]]
-  * already is: every publish is a catalog commit decided by the
-  * catalog's own lock (which lives on a filesystem with real
-  * primitives, or a DynamoDB/JDBC-style arbiter behind this same
-  * seam), and per-table markers become derived caches. This is the
-  * Iceberg catalog-commit answer; reference deployment:
-  * `infrastructure/seaweedfs/s3.json` + `processing/spark_jobs/
-  * spark_config.py` pointing the warehouse at s3a paths. */
+  * OBJECT-STORE (simulated S3) mode — the catalog-arbitrated answer
+  * for stores with neither primitive (classic S3; the reference's own
+  * deployment substrate: `infrastructure/seaweedfs/s3.json` +
+  * `processing/spark_jobs/spark_config.py` pointing Iceberg at s3a
+  * warehouse paths). Set `GRAFT_IO_OBJECT_STORE=<arbiter dir>` (or
+  * install a [[CommitArbiter]] programmatically) and the seam changes
+  * contract:
+  *
+  *   - [[rename]] REFUSES outright — object stores have no rename, and
+  *     protocol code must not depend on one. Publishes go through
+  *     [[publishString]] (atomic-visible PUT — S3's native guarantee),
+  *     [[publishExclusive]] (arbiter-decided create-only PUT) and
+  *     [[moveTree]] (arbiter-decided copy + delete, what s3a "rename"
+  *     actually is).
+  *   - [[createExclusive]] / [[claimDir]] are DECIDED BY THE ARBITER
+  *     (a backend with a real test-and-set: this sandbox's
+  *     [[FileArbiter]], production's DynamoDB/JDBC row); the visible
+  *     file/dir is then written as a derived cache by the winner, and
+  *     [[exists]]/[[readString]] consult the arbiter when the cache
+  *     has not landed yet — so losers racing the winner still read
+  *     what was committed. [[delete]] releases the arbiter entry with
+  *     the path (locks release, expired claims free their key).
+  *
+  * Spark's own DATA writes (`df.write.parquet`) ride Spark's committer
+  * and are out of this seam's scope — on real S3 that is the
+  * rename-free magic committer's job. The simulation constrains what
+  * it owns: the snapshot/catalog METADATA protocol. */
 private[graft] object MetaIO {
 
   private val forceHadoop = sys.env.contains("GRAFT_IO_FORCE_HADOOP")
+
+  /** The object-store arbiter — None = filesystem mode (rename +
+    * exclusive create available). Settable for tests; initialized from
+    * `GRAFT_IO_OBJECT_STORE=<arbiter dir>` for whole-suite proof runs. */
+  @volatile private[graft] var arbiter: Option[CommitArbiter] =
+    sys.env.get("GRAFT_IO_OBJECT_STORE").filter(_.nonEmpty)
+      .map(new FileArbiter(_))
+
+  /** Is the seam running in object-store (no-rename) mode? */
+  private[graft] def objectStoreMode: Boolean = arbiter.isDefined
+
+  // arbitration keys are the normalized metadata paths themselves:
+  // strip a local-file scheme so `file:///x`, `file:/x` and `/x`
+  // arbitrate as one domain
+  private def arbKey(p: String): String = p.replaceFirst("^file:/+", "/")
 
   // a URI scheme prefix — matches both "file:///x" and the engine's
   // single-slash "file:/x" form, never a plain absolute path
@@ -88,8 +120,11 @@ private[graft] object MetaIO {
     p.stripSuffix("/").substring(p.stripSuffix("/").lastIndexOf('/') + 1)
 
   def exists(p: String): Boolean =
-    if (viaHadoop(p)) fc(p).util().exists(hp(p))
-    else Files.exists(Paths.get(p))
+    (if (viaHadoop(p)) fc(p).util().exists(hp(p))
+     else Files.exists(Paths.get(p))) ||
+      // object-store mode: a claim the arbiter granted IS committed
+      // state even while the winner's derived-cache PUT is in flight
+      arbiter.exists(_.exists(arbKey(p)))
 
   def isDir(p: String): Boolean =
     if (viaHadoop(p)) {
@@ -104,10 +139,17 @@ private[graft] object MetaIO {
     } else { Files.createDirectories(Paths.get(p)); () }
 
   def readString(p: String): String =
-    if (viaHadoop(p)) {
-      val in = fc(p).open(hp(p))
-      try new String(in.readAllBytes(), UTF_8) finally in.close()
-    } else Files.readString(Paths.get(p))
+    try {
+      if (viaHadoop(p)) {
+        val in = fc(p).open(hp(p))
+        try new String(in.readAllBytes(), UTF_8) finally in.close()
+      } else Files.readString(Paths.get(p))
+    } catch {
+      case e: java.io.IOException =>
+        // object-store mode: the arbiter entry carries the committed
+        // content while the winner's derived-cache PUT is in flight
+        arbiter.flatMap(_.read(arbKey(p))).getOrElse(throw e)
+    }
 
   /** Write (create or truncate). NOT atomic — protocol files that must
     * appear atomically write a tmp and [[rename]] it. */
@@ -121,9 +163,14 @@ private[graft] object MetaIO {
 
   /** EXCLUSIVE create — the lock/claim primitive: throws
     * `java.nio.file.FileAlreadyExistsException` (one canonical type
-    * for every backend) when the path already exists. */
+    * for every backend) when the path already exists. In object-store
+    * mode the ARBITER decides (content recorded with the entry), and
+    * the winner then PUTs the visible file as a derived cache. */
   def createExclusive(p: String, content: String = ""): Unit =
-    if (viaHadoop(p)) {
+    if (arbiter.isDefined) {
+      arbiter.get.createExclusive(arbKey(p), content)
+      putSimulated(p, content)
+    } else if (viaHadoop(p)) {
       try {
         val out = fc(p).create(hp(p),
           java.util.EnumSet.of(CreateFlag.CREATE),
@@ -149,7 +196,15 @@ private[graft] object MetaIO {
     * with an exclusive `.claim` dotfile — dot-prefixed, so every
     * listing in the format already ignores it. */
   def claimDir(p: String): Unit =
-    if (viaHadoop(p)) {
+    if (arbiter.isDefined) {
+      // same pre-check as the Hadoop branch: an on-store leftover dir
+      // (unexpired crash debris) blocks the claim even when the
+      // arbiter itself has no entry for it
+      if (exists(p))
+        throw new java.nio.file.FileAlreadyExistsException(p)
+      arbiter.get.createExclusive(arbKey(p))
+      mkdirs(p)
+    } else if (viaHadoop(p)) {
       if (fc(p).util().exists(hp(p)))
         throw new java.nio.file.FileAlreadyExistsException(p)
       mkdirs(p)
@@ -164,7 +219,21 @@ private[graft] object MetaIO {
     * local `REPLACE_EXISTING + ATOMIC_MOVE`). Directory destinations
     * must not exist (callers delete first — the format never
     * overwrite-renames onto a live directory). */
-  def rename(src: String, dst: String, overwrite: Boolean = false): Unit =
+  def rename(src: String, dst: String, overwrite: Boolean = false): Unit = {
+    if (objectStoreMode)
+      throw new UnsupportedOperationException(
+        s"object-store mode: no atomic rename ($src -> $dst); publish " +
+          "through publishString/publishExclusive/moveTree")
+    renameImpl(src, dst, overwrite)
+  }
+
+  // the real move, reachable only from this file: object-store mode
+  // refuses the PUBLIC rename so protocol code cannot depend on one,
+  // but the local SIMULATION of S3's atomic-visible PUT is implemented
+  // with a same-directory move (an implementation detail of the
+  // simulation, exactly as a real PUT is of S3)
+  private def renameImpl(src: String, dst: String,
+                         overwrite: Boolean): Unit =
     if (viaHadoop(src)) {
       try {
         if (overwrite)
@@ -202,6 +271,90 @@ private[graft] object MetaIO {
       ()
     }
 
+  /** An atomic-visible full-object write — S3's native PUT guarantee,
+    * simulated locally with a same-directory hidden tmp + move so a
+    * concurrent reader sees the old content or the new, never a
+    * partial write. */
+  private def putSimulated(p: String, s: String): Unit = {
+    val dir = p.substring(0, math.max(p.lastIndexOf('/'), 0))
+    val tmp = join(dir, s"..put.${java.util.UUID.randomUUID()}")
+    writeString(tmp, s)
+    renameImpl(tmp, p, overwrite = true)
+  }
+
+  /** PUBLISH `s` at `p`, replacing any existing content
+    * atomically-visibly — THE protocol publish primitive (markers,
+    * manifests, refs, offsets). Filesystems: tmp + atomic
+    * overwrite-rename. Object stores: a direct PUT (atomic by the
+    * store's own contract; WHO may publish was already decided by the
+    * arbiter-held lock or claim every publish site runs under). */
+  def publishString(p: String, s: String): Unit =
+    if (objectStoreMode) putSimulated(p, s)
+    else {
+      val dir = p.substring(0, math.max(p.lastIndexOf('/'), 0))
+      val tmp = join(dir, s".${name(p)}.tmp-${java.util.UUID.randomUUID()}")
+      writeString(tmp, s)
+      renameImpl(tmp, p, overwrite = true)
+    }
+
+  /** PUBLISH `s` at `p` only if `p` does not exist — atomic content
+    * and already-exists check in one step (create-only refs, tags,
+    * resolve-once anchors): losers get
+    * `java.nio.file.FileAlreadyExistsException`, and a concurrent
+    * reader never sees an empty or partial file. Filesystems: tmp +
+    * no-replace rename (link(2)-backed). Object stores: the arbiter
+    * decides, then the winner PUTs the derived cache. */
+  def publishExclusive(p: String, s: String): Unit =
+    if (objectStoreMode) createExclusive(p, s)
+    else {
+      val dir = p.substring(0, math.max(p.lastIndexOf('/'), 0))
+      val tmp = join(dir, s".${name(p)}.tmp-${java.util.UUID.randomUUID()}")
+      writeString(tmp, s)
+      try renameImpl(tmp, p, overwrite = false)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          delete(tmp); throw e
+      }
+    }
+
+  /** MOVE a file or directory tree to a destination that must not
+    * exist (sidecar swaps, table/view renames): one atomic no-replace
+    * rename on filesystems; on object stores the arbiter claims the
+    * destination (losers throw `FileAlreadyExistsException`), then the
+    * tree copies object-by-object and the source deletes — exactly
+    * what `s3a` rename is, made safe by the arbitration. */
+  def moveTree(src: String, dst: String): Unit =
+    if (objectStoreMode) {
+      arbiter.get.createExclusive(arbKey(dst))
+      if (isDir(src)) {
+        val prefix = src.stripSuffix("/")
+        walkFiles(src).foreach { f =>
+          val rel = f.stripPrefix(prefix).stripPrefix("/")
+          copyFile(f, join(dst, rel))
+        }
+        mkdirs(dst) // an empty tree still moves
+      } else copyFile(src, dst)
+      delete(src, recursive = true)
+    } else renameImpl(src, dst, overwrite = false)
+
+  /** Byte-exact single-file copy (parquet sidecars are binary). */
+  private def copyFile(src: String, dst: String): Unit = {
+    val dir = dst.substring(0, math.max(dst.lastIndexOf('/'), 0))
+    if (dir.nonEmpty) mkdirs(dir)
+    if (viaHadoop(src) || viaHadoop(dst)) {
+      val in = fc(src).open(hp(src))
+      val bytes = try in.readAllBytes() finally in.close()
+      val out = fc(dst).create(hp(dst),
+        java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+        Options.CreateOpts.createParent())
+      try out.write(bytes) finally out.close()
+    } else {
+      Files.copy(Paths.get(src), Paths.get(dst),
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
   /** Immediate children as FULL paths (empty when `p` is missing or
     * not a directory). */
   def list(p: String): Seq[String] =
@@ -232,8 +385,11 @@ private[graft] object MetaIO {
     else Seq(p)
 
   /** Delete a file, or a whole tree with `recursive = true`. Missing
-    * paths are a no-op. */
-  def delete(p: String, recursive: Boolean = false): Unit =
+    * paths are a no-op. In object-store mode the arbiter entry for the
+    * path (and, recursively, its subtree) releases with it — deleting
+    * a lock dir IS the lock release, and an expired claim frees its
+    * key for a future claimer. */
+  def delete(p: String, recursive: Boolean = false): Unit = {
     if (viaHadoop(p)) {
       if (fc(p).util().exists(hp(p))) { fc(p).delete(hp(p), recursive); () }
     } else {
@@ -246,6 +402,10 @@ private[graft] object MetaIO {
         } else Files.delete(path)
       }
     }
+    arbiter.foreach { a =>
+      if (recursive) a.deleteTree(arbKey(p)) else a.delete(arbKey(p))
+    }
+  }
 
   def mtimeMillis(p: String): Long =
     if (viaHadoop(p)) status(p).getModificationTime

@@ -131,9 +131,7 @@ object PipelineRun {
 
   private def writeWatermark(outRoot: String, wm: LocalDateTime): Unit = {
     MetaIO.mkdirs(outRoot)
-    val tmp = MetaIO.join(outRoot, "_watermark.tmp")
-    MetaIO.writeString(tmp, wm.toString)
-    MetaIO.rename(tmp, watermarkPath(outRoot), overwrite = true)
+    MetaIO.publishString(watermarkPath(outRoot), wm.toString)
   }
 
   private val LatestTradeState = "_state/latest_trade"

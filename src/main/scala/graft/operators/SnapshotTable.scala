@@ -40,9 +40,7 @@ object SnapshotTable {
 
   private[graft] def moveMarker(root: String, version: Long): Unit = {
     MetaIO.mkdirs(MetaIO.join(root))
-    val tmp = MetaIO.join(root, s"_latest.tmp$version")
-    MetaIO.writeString(tmp, version.toString)
-    MetaIO.rename(tmp, markerPath(root), overwrite = true)
+    MetaIO.publishString(markerPath(root), version.toString)
   }
 
   /** Atomically claim a version directory ([[MetaIO.claimDir]] — a
@@ -835,9 +833,7 @@ object SnapshotTable {
   private def writeRef(root: String, kind: String, name: String,
                        version: Long): Unit = {
     MetaIO.mkdirs(refsDir(root))
-    val tmp = MetaIO.join(root, "_refs", s".$kind.$name.tmp")
-    MetaIO.writeString(tmp, version.toString)
-    MetaIO.rename(tmp, refPath(root, kind, name), overwrite = true)
+    MetaIO.publishString(refPath(root, kind, name), version.toString)
   }
 
   /** All named refs as `"branch.x" / "tag.y" -> version` (main excluded). */
@@ -872,9 +868,14 @@ object SnapshotTable {
     require(name != MainBranch, "main always exists; cannot be created")
     val v = if (fromVersion >= 0) fromVersion else latestVersion(root)
     require(versions(root).contains(v), s"unknown version $v")
-    require(!MetaIO.exists(refPath(root, "branch", name)),
-      s"branch '$name' already exists")
-    writeRef(root, "branch", name, v)
+    MetaIO.mkdirs(refsDir(root))
+    // exclusive publish, not check-then-write: two racing creators
+    // cannot both win
+    try MetaIO.publishExclusive(refPath(root, "branch", name), v.toString)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(s"branch '$name' already exists")
+    }
     v
   }
 
@@ -884,9 +885,13 @@ object SnapshotTable {
   def createTag(root: String, name: String, version: Long = -1L): Long = {
     val v = if (version >= 0) version else latestVersion(root)
     require(versions(root).contains(v), s"unknown version $v")
-    require(!MetaIO.exists(refPath(root, "tag", name)),
-      s"tag '$name' already exists (tags are immutable)")
-    writeRef(root, "tag", name, v)
+    MetaIO.mkdirs(refsDir(root))
+    try MetaIO.publishExclusive(refPath(root, "tag", name), v.toString)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists (tags are immutable)")
+    }
     v
   }
 
@@ -1238,12 +1243,9 @@ object SnapshotTable {
     val norm = normSpec(newCol)
     require(norm != cur, s"partition spec is already '$cur'")
     val from = versions(root).lastOption.getOrElse(-1L) + 1
-    // append an era line via tmp + atomic rename (object-store-safe)
-    val tmp = MetaIO.join(root,
-      s"._partition_spec.tmp-${java.util.UUID.randomUUID()}")
-    MetaIO.writeString(tmp,
+    // append an era line with one atomic-visible publish
+    MetaIO.publishString(specPath(root),
       MetaIO.readString(specPath(root)) + s"\n$norm@$from")
-    MetaIO.rename(tmp, specPath(root), overwrite = true)
   }
 
   /** Live manifest entries NOT written under the current spec (empty
@@ -1342,12 +1344,9 @@ object SnapshotTable {
     }.toSeq
   }
 
-  private def writeConstraints(root: String, cs: Seq[(String, String)]): Unit = {
-    val tmp = MetaIO.join(root,
-      s"._constraints.tmp-${java.util.UUID.randomUUID()}")
-    MetaIO.writeString(tmp, cs.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
-    MetaIO.rename(tmp, constraintsPath(root), overwrite = true)
-  }
+  private def writeConstraints(root: String, cs: Seq[(String, String)]): Unit =
+    MetaIO.publishString(constraintsPath(root),
+      cs.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
 
   /** Declare a CHECK constraint. EXISTING rows are validated first
     * (one scan of the current version — the Delta rule: a constraint
@@ -2491,9 +2490,11 @@ object SnapshotTable {
             s".stats.new-${java.util.UUID.randomUUID()}")
           st.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           val target = statsPath(root, sv)
-          // drop the old sidecar first, then the atomic move
+          // drop the old sidecar first, then the exclusive move (on
+          // object stores: arbiter-decided copy + delete; racing
+          // recomputes lose loudly instead of interleaving files)
           MetaIO.delete(target, recursive = true)
-          MetaIO.rename(tmp, target)
+          MetaIO.moveTree(tmp, target)
           sv
         }
       }
@@ -2783,7 +2784,7 @@ object SnapshotTable {
             .write.mode("overwrite").parquet(tmp.toString)
           val target = bloomsPath(root, sv)
           MetaIO.delete(target, recursive = true)
-          MetaIO.rename(tmp, target)
+          MetaIO.moveTree(tmp, target)
           Some(sv)
         }
       }

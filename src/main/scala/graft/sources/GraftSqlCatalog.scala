@@ -328,7 +328,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     if (isTable(dst)) throw new TableAlreadyExistsException(to)
     val parent = dst.substring(0, dst.lastIndexOf('/'))
     MetaIO.mkdirs(parent)
-    MetaIO.rename(src, dst)
+    MetaIO.moveTree(src, dst)
   }
 
   // ─────────────────────────── namespaces ───────────────────────────
@@ -492,7 +492,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         .ViewAlreadyExistsException(to)
     require(!isTable(dst), s"$to already exists as a TABLE")
     MetaIO.mkdirs(dst)
-    MetaIO.rename(viewFile(src), viewFile(dst))
+    MetaIO.moveTree(viewFile(src), viewFile(dst))
     if (MetaIO.list(src).isEmpty)
       try MetaIO.delete(src, recursive = true)
       catch { case _: Exception => () }

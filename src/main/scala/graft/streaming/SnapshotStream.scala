@@ -38,9 +38,7 @@ object SnapshotStream {
 
   private def writeOffset(checkpointDir: String, v: Long): Unit = {
     MetaIO.mkdirs(checkpointDir)
-    val tmp = MetaIO.join(checkpointDir, s".offset.tmp.$v")
-    MetaIO.writeString(tmp, v.toString)
-    MetaIO.rename(tmp, offsetPath(checkpointDir), overwrite = true)
+    MetaIO.publishString(offsetPath(checkpointDir), v.toString)
   }
 
   /** Drain everything appended since the checkpoint as ONE batch:
