@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .exists(_.isInstanceOf[org.apache.spark.sql.graft.GraftScanStatsRule]))
         session.experimental.extraOptimizations =
           session.experimental.extraOptimizations :+ rule
+      // runtime (dynamic) filtering for connector star joins — same
+      // batch, for the same reason: it narrows the ALREADY-BUILT scan
+      // with a join-derived conjunct, so it must run after pushdown
+      if (!session.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.sources.GraftRuntimeFilterRule]))
+        session.experimental.extraOptimizations =
+          session.experimental.extraOptimizations :+
+            graft.sources.GraftRuntimeFilterRule(session)
       rule
     }
   }

@@ -872,6 +872,19 @@ v$s AS (
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
 
+    // the runtime-filtered star join == the plain join (the injected
+    // key-domain conjunct only refutes files/rows the join drops)
+    "star_join_connector" ->
+      """SELECT o_orderpriority,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1994-02-01 00:00:00'
+        |  AND o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+
     // bloom-pruned point lookup == the full-scan filter (pruning is
     // IO-only; false positives die in the row filter)
     "snapshot_bloom_read" ->

@@ -269,6 +269,36 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag")
     },
+    // runtime (dynamic) filtering through the connector: fact and dim
+    // are BOTH graft tables; the dim's pushed date filter shrinks its
+    // scan, and the runtime-filter rule narrows the fact scan with the
+    // dim's join-key domain (IN set at small SF, min/max range past
+    // maxKeys) — the Trino star-join pattern. The oracle's full-scan
+    // join is the answer-identity proof; pruning assertions live in
+    // GraftRuntimeFilterSpec.
+    "star_join_connector" -> { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-star-key").toString
+      Tables.lineitem(s, dir).repartitionByRange(8, col("l_orderkey"))
+        .write.format("graft").option("statsCols", "l_orderkey")
+        .mode("overwrite").save(base + "/fact")
+      Tables.orders(s, dir).repartitionByRange(8, col("o_orderdate"))
+        .write.format("graft")
+        .option("statsCols", "o_orderdate,o_orderkey")
+        .mode("overwrite").save(base + "/dim")
+      val li = s.read.format("graft").load(base + "/fact")
+      val ord = s.read.format("graft").load(base + "/dim")
+        .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1994-02-01").cast("timestamp_ntz")
+          && col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("decimal(18,6)").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
     // per-file bloom-filter skipping: lineitem HASH-scattered over
     // l_orderkey (min/max bounds span everything — only the bloom
     // probes can prune a point lookup), read through the file-pruning

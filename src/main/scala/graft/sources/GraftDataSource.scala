@@ -565,10 +565,13 @@ private[sources] class GraftAggScan(root: String, version: Long,
     }.asInstanceOf[T]
 }
 
-private[sources] class GraftScan(root: String, version: Long,
-                                 predicate: Option[String],
-                                 required: StructType,
-                                 limit: Option[Int] = None)
+private[sources] class GraftScan(
+    private[graft] val root: String,
+    private[graft] val version: Long,
+    private[graft] val predicate: Option[String],
+    private[graft] val required: StructType,
+    private[graft] val limit: Option[Int] = None,
+    private[graft] val runtimeFiltered: Boolean = false)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -576,7 +579,21 @@ private[sources] class GraftScan(root: String, version: Long,
 
   override def description(): String =
     s"GraftScan root=$root v=$version skip=${predicate.getOrElse("-")}" +
-      limit.fold("")(n => s" limit=$n")
+      limit.fold("")(n => s" limit=$n") +
+      (if (runtimeFiltered) " runtimeFiltered" else "")
+
+  /** This scan narrowed by a RUNTIME-derived conjunct (a join's
+    * dim-side key set/range) — the dynamic-filtering rewrite. The
+    * conjunct only ever refutes files/rows the join would drop anyway
+    * (the caller guarantees join semantics allow it); marked so the
+    * fixed-point optimizer batch applies it once. Limit pruning under
+    * a predicate is declined by the builder, so `limit` cannot be set
+    * alongside — but drop it defensively anyway (its file pruning is
+    * unsound under a predicate). */
+  private[graft] def withRuntimeConjunct(conjunct: String): GraftScan =
+    new GraftScan(root, version,
+      Some(predicate.map(p => s"($p) AND ($conjunct)").getOrElse(conjunct)),
+      required, None, runtimeFiltered = true)
 
   // the files a pushed predicate keeps, computed ONCE at planning
   // time: their byte total is the statistic Catalyst's join selection

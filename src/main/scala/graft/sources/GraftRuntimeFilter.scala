@@ -1,0 +1,206 @@
+package graft.sources
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions.{col, count_distinct, max, min}
+import org.apache.spark.sql.graft.GraftV1Wrap
+import org.apache.spark.sql.sources.{GreaterThanOrEqual => SGte, In => SIn, LessThanOrEqual => SLte}
+
+/** RUNTIME (dynamic) FILTERING for `format("graft")` star joins — the
+  * Trino capability the reference leans on for every fact×dim join
+  * (`infrastructure/trino/config.properties` enables dynamic
+  * filtering; Spark's own DPP covers only file-source partition
+  * columns). Without it a selective dim-side filter scans the whole
+  * fact table through the connector: static pushdown
+  * ([[GraftScanBuilder.pushFilters]]) sees only literal predicates,
+  * never join keys.
+  *
+  * Mechanics: on an equi-join whose one side may be pruned by the
+  * join's semantics (unmatched rows never reach the output) and whose
+  * OTHER side is small (≤ `spark.graft.runtimeFilter.maxBuildBytes`,
+  * default max(autoBroadcastJoinThreshold, 8 MB)) and fully
+  * deterministic, the rule EVALUATES the small side's join-key domain
+  * at planning time — one tiny aggregate job, the plan-time analog of
+  * Trino waiting for the build side — and narrows the fact-side
+  * [[GraftScan]] with the derived conjunct:
+  *
+  *   - always the `[min, max]` key RANGE (any dim cardinality, prunes
+  *     via per-file bounds), and
+  *   - the exact `IN` set when the dim has at most
+  *     `spark.graft.runtimeFilter.maxKeys` (default 200) distinct keys
+  *     (prunes via bounds AND bloom sidecars).
+  *
+  * Soundness: the conjunct holds for every fact row that can MATCH the
+  * dim side, and the rewrite is applied only when the join type drops
+  * unmatched fact rows (inner / semi on either side, the outer side of
+  * an outer join) — so dropping non-matching files/rows cannot change
+  * the answer. The dim side must be deterministic (its runtime
+  * re-evaluation inside the join must produce the same key domain) and
+  * non-streaming. Every narrowed scan reports its post-pruning bytes
+  * through the stats wrapper, so a runtime-filtered fact can ALSO
+  * become broadcast-joinable — the second half of what dynamic
+  * filtering buys at 100 TB.
+  *
+  * Runs in the "User Provided Optimizers" batch (registered from the
+  * pre-CBO builder in [[graft.GraftExtensions]], the only extensible
+  * batch after pushdown builds the V1 wrapper); the batch is a fixed
+  * point, so narrowed scans are marked `runtimeFiltered` and never
+  * reprocessed. Any failure inside the rewrite degrades to the
+  * unfiltered plan — this is an optimization, never a correctness
+  * gate. */
+case class GraftRuntimeFilterRule(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def confLong(key: String, dflt: Long): Long =
+    session.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+
+  private def enabled: Boolean =
+    session.conf.getOption("spark.graft.runtimeFilter.enabled")
+      .forall(_.toBoolean)
+
+  private def maxKeys: Long =
+    confLong("spark.graft.runtimeFilter.maxKeys", 200L)
+
+  private def maxBuildBytes: Long =
+    confLong("spark.graft.runtimeFilter.maxBuildBytes",
+      math.max(session.sessionState.conf.autoBroadcastJoinThreshold,
+        8L * 1024 * 1024))
+
+  // Spark's own DPP pruning-side rules: a side may be pruned exactly
+  // when the join drops its unmatched rows
+  private def canPruneLeft(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | RightOuter => true
+    case _ => false
+  }
+  private def canPruneRight(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case j @ Join(left, right, jt, Some(cond), _) =>
+        val eqs = splitConjunctivePredicates(cond).collect {
+          case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+        }
+        if (eqs.isEmpty) j
+        else {
+          var (l, r) = (left, right)
+          if (canPruneLeft(jt))
+            l = pruneSide(l, right, eqs.flatMap(orient(left, right, _)))
+          if (canPruneRight(jt))
+            r = pruneSide(r, left, eqs.flatMap(orient(right, left, _)))
+          if ((l eq left) && (r eq right)) j
+          else j.copy(left = l, right = r)
+        }
+    }
+
+  /** `(factAttr, dimAttr)` when the pair splits across the given
+    * sides, else None. */
+  private def orient(factSide: LogicalPlan, dimSide: LogicalPlan,
+                     eq: (AttributeReference, AttributeReference))
+      : Option[(AttributeReference, AttributeReference)] = {
+    val (a, b) = eq
+    if (factSide.outputSet.contains(a) && dimSide.outputSet.contains(b))
+      Some((a, b))
+    else if (factSide.outputSet.contains(b) && dimSide.outputSet.contains(a))
+      Some((b, a))
+    else None
+  }
+
+  /** The graft scan relation under `p`, reachable through projections
+    * and filters only (the shapes left after pushdown). */
+  private def findScan(p: LogicalPlan): Option[DataSourceV2ScanRelation] =
+    p match {
+      case r: DataSourceV2ScanRelation => Some(r)
+      case pr: Project => findScan(pr.child)
+      case f: Filter => findScan(f.child)
+      case _ => None
+    }
+
+  private def deterministic(p: LogicalPlan): Boolean =
+    p.find(n => n.expressions.exists(e =>
+      e.exists(!_.deterministic))).isEmpty
+
+  /** Narrow `factSide`'s graft scan with conjuncts derived from
+    * `dimSide`'s key domain; the unchanged plan when ineligible. */
+  private def pruneSide(factSide: LogicalPlan, dimSide: LogicalPlan,
+                        keys: Seq[(AttributeReference, AttributeReference)])
+      : LogicalPlan = {
+    if (keys.isEmpty) return factSide
+    val rel = findScan(factSide).getOrElse(return factSide)
+    val scan = GraftV1Wrap.inner(rel.scan) match {
+      case Some(g: GraftScan) if !g.runtimeFiltered => g
+      case _ => return factSide
+    }
+    // build-side guards: small, deterministic, batch
+    if (dimSide.isStreaming || !deterministic(dimSide)) return factSide
+    if (dimSide.stats.sizeInBytes > maxBuildBytes) return factSide
+    // only keys that are REAL scan columns (same exprId through the
+    // projections, so never an alias or computed value) and that the
+    // scan's required schema still carries
+    val eligible = keys.filter { case (f, _) =>
+      rel.output.exists(o => o.exprId == f.exprId && o.name == f.name) &&
+        scan.required.fieldNames.contains(f.name)
+    }
+    if (eligible.isEmpty) return factSide
+    try {
+      val conjuncts = eligible.flatMap { case (f, d) =>
+        dimKeyConjunct(dimSide, d, f.name)
+      }
+      if (conjuncts.isEmpty) factSide
+      else {
+        val narrowed = scan.withRuntimeConjunct(
+          conjuncts.mkString("(", ") AND (", ")"))
+        val newScan = GraftV1Wrap.rewrap(rel.scan, narrowed)
+          .getOrElse(return factSide)
+        logInfo(s"graft runtime filter on ${scan.root}: " +
+          conjuncts.mkString(" AND "))
+        factSide.transform {
+          case r: DataSourceV2ScanRelation if r eq rel =>
+            r.copy(scan = newScan)
+        }
+      }
+    } catch {
+      case NonFatal(e) =>
+        logWarning(s"graft runtime filter skipped (${e.getMessage})")
+        factSide
+    }
+  }
+
+  /** Evaluate the dim side's key domain (one tiny aggregate job; the
+    * side is under maxBuildBytes by guard) and render the fact-side
+    * conjunct: always the min/max range, plus the exact IN set when
+    * the domain is small. None = nothing safe to derive (empty dim,
+    * untranslatable type). */
+  private def dimKeyConjunct(dimSide: LogicalPlan, dimKey: AttributeReference,
+                             factCol: String): Option[String] = {
+    val dimDf = GraftV1Wrap.ofRows(session, dimSide)
+      .select(GraftV1Wrap.column(dimKey).as("__k"))
+      .where(col("__k").isNotNull) // null keys never equi-match
+    val head = dimDf
+      .agg(min(col("__k")), max(col("__k")), count_distinct(col("__k")))
+      .head()
+    if (head.isNullAt(0)) return None // empty dim: nothing to refute with
+    val (lo, hi, distinct) = (head.get(0), head.get(1), head.getLong(2))
+    val range = for {
+      l <- GraftDataSource.filterSql(SGte(factCol, lo))
+      h <- GraftDataSource.filterSql(SLte(factCol, hi))
+    } yield s"$l AND $h"
+    val inSet =
+      if (distinct > maxKeys) None
+      else GraftDataSource.filterSql(
+        SIn(factCol, dimDf.distinct().collect().map(_.get(0))))
+    (range, inSet) match {
+      case (Some(a), Some(b)) => Some(s"$a AND $b")
+      case (a, b) => a.orElse(b)
+    }
+  }
+}

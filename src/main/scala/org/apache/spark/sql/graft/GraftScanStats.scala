@@ -40,6 +40,47 @@ class StatsV1ScanWrapper(v1: V1Scan,
   }
 }
 
+/** The `private[sql]` bridge the runtime-filter rule
+  * ([[graft.sources.GraftRuntimeFilterRule]], which lives in the graft
+  * package and cannot touch `V1ScanWrapper` directly) needs: unwrap a
+  * pushed V1 scan, rebuild its wrapper around a narrowed replacement
+  * (stats-forwarding, like [[GraftScanStatsRule]]'s swap), and turn
+  * optimized plan fragments / attributes back into the public
+  * DataFrame API for the dim-side key evaluation. */
+object GraftV1Wrap {
+
+  /** The V1 scan inside a (possibly already stats-swapped) wrapper. */
+  def inner(scan: org.apache.spark.sql.connector.read.Scan): Option[V1Scan] =
+    scan match {
+      case w: V1ScanWrapper => Some(w.v1Scan)
+      case _ => None
+    }
+
+  /** Rebuild the wrapper around `newInner`, preserving the pushdown
+    * bookkeeping and forwarding the replacement's statistics. */
+  def rewrap(scan: org.apache.spark.sql.connector.read.Scan,
+             newInner: V1Scan with SupportsReportStatistics)
+      : Option[org.apache.spark.sql.connector.read.Scan] =
+    scan match {
+      case w: V1ScanWrapper =>
+        Some(new StatsV1ScanWrapper(newInner, w.handledFilters,
+          w.pushedDownOperators, newInner))
+      case _ => None
+    }
+
+  /** An (analyzed/optimized) plan fragment as a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A catalyst expression as a Column (attributes keep exprIds, so a
+    * dim-side key attribute selects correctly on its own plan). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+}
+
 /** Pre-CBO rule (runs AFTER Early Scan Push-Down built the wrapper,
   * BEFORE join planning reads stats): swap each stats-capable
   * V1-fallback scan's wrapper for [[StatsV1ScanWrapper]], making the
