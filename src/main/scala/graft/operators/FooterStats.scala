@@ -30,15 +30,31 @@ import org.apache.spark.sql.types
   *     defines no sort order for them — set
   *     `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`, as
   *     graft's entry points do, and timestamps lift for free);
-  *   - FLOAT/DOUBLE (the parquet spec's min/max EXCLUDE NaN, while
-  *     Spark's max() ranks NaN above everything — footer bounds would
-  *     silently understate);
   *   - files without Spark's schema key-value metadata (non-Spark
   *     writers), nested columns, or any block whose statistics are
   *     absent.
-  * Binary (string) statistics are exact: parquet-mr's chunk-level
-  * statistics truncation default is Integer.MAX_VALUE (untruncated),
-  * and its unsigned byte-wise order equals UTF8String's. */
+  *
+  * FLOAT/DOUBLE lift NaN-AWARELY: Spark's min/max rank NaN above
+  * everything while the parquet spec's bounds exclude it, so a footer
+  * bound is trusted only when the chunk provably holds no NaN —
+  * which is exactly what a PRESENT parquet-mr statistic certifies:
+  * its writer folds values with `Math.min`/`Math.max` (NaN poisons
+  * both) and `ParquetMetadataConverter` refuses to serialize
+  * NaN-valued float/double stats, so a chunk with any NaN simply has
+  * no statistics and the column falls back to the scan
+  * (FooterStatsSpec pins this writer behavior). A NaN-valued bound
+  * from any other writer is rejected here as a second line of
+  * defense. Binary (string) statistics are exact: parquet-mr's
+  * chunk-level statistics truncation default is Integer.MAX_VALUE
+  * (untruncated), and its unsigned byte-wise order equals
+  * UTF8String's.
+  *
+  * Footer reads are driver-parallel up to
+  * `spark.graft.footerStats.distributedThreshold` files (default
+  * 4096) and lift as ONE executor job over the file list beyond it —
+  * a 10⁵-file commit must not serialize 10⁵ small reads through the
+  * driver. Both paths produce identical values (spec-pinned); results
+  * sort by file path so the sidecar is deterministic either way. */
 private[graft] object FooterStats {
 
   /** One data file's footer numbers. `file` is the root-relative path
@@ -69,15 +85,55 @@ private[graft] object FooterStats {
     walk(versionDir)
   }
 
-  /** Footer-read every data file under `versionDir` (driver-side, in
-    * parallel — a footer is KBs) and report rows + bounds for `cols`.
-    * `tableRoot` anchors the stored root-relative path. */
-  def collect(tableRoot: String, versionDir: String, cols: Seq[String],
-              conf: Configuration): Seq[FileStat] = {
-    val files = dataFiles(versionDir)
-    // parallel footer reads: one small remote GET per file on an
-    // object store; ordered result for a deterministic sidecar
-    files.toVector.par.map(f => one(tableRoot, f, cols, conf)).seq
+  /** Footer-read every data file under `versionDir` and report rows +
+    * bounds for `cols`; `tableRoot` anchors the stored root-relative
+    * path. Small commits read driver-parallel (a footer is KBs — one
+    * small GET per file); at or beyond
+    * `spark.graft.footerStats.distributedThreshold` files the reads
+    * run as one executor job over the file list, with the same
+    * conservative fallbacks (`one` is shared), so a huge commit's
+    * footer pass scales with the cluster instead of the driver. */
+  def collect(spark: org.apache.spark.sql.SparkSession, tableRoot: String,
+              versionDir: String, cols: Seq[String]): Seq[FileStat] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = dataFiles(versionDir).sorted
+    val threshold = spark.conf
+      .getOption("spark.graft.footerStats.distributedThreshold")
+      .map(_.toInt).getOrElse(4096)
+    if (files.size < threshold)
+      files.toVector.par.map(f => one(tableRoot, f, cols, conf)).seq
+    else {
+      val sc = new SerializableConf(conf)
+      val rootV = tableRoot
+      val colsV = cols.toVector
+      spark.sparkContext
+        .parallelize(files, math.max(1, math.min(files.size / 64, 512)))
+        .map(f => one(rootV, f, colsV, sc.value))
+        .collect().toVector.sortBy(_.file)
+    }
+  }
+
+  /** Driver-only lift with an explicit Hadoop conf (no session — used
+    * by tests to pin driver-vs-distributed value identity). */
+  private[graft] def collectLocal(tableRoot: String, versionDir: String,
+                                  cols: Seq[String], conf: Configuration)
+      : Seq[FileStat] =
+    dataFiles(versionDir).sorted
+      .toVector.par.map(f => one(tableRoot, f, cols, conf)).seq
+
+  /** `Configuration` is not `Serializable`; ship it to the footer job
+    * by its own writable form (the standard connector idiom). */
+  private final class SerializableConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
   }
 
   private def one(tableRoot: String, file: String, cols: Seq[String],
@@ -167,7 +223,13 @@ private[graft] object FooterStats {
         of(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))
       case _: types.DecimalType =>
         of(Ordering.fromLessThan[JBigDecimal]((a, b) => a.compareTo(b) < 0))
-      case _ => None // FLOAT/DOUBLE deliberately excluded (NaN), rest unsupported
+      // values here are certified NaN-free (convert rejects NaN), so
+      // IEEE total order via compare() matches Spark's
+      case types.FloatType =>
+        of(Ordering.fromLessThan[Float](java.lang.Float.compare(_, _) < 0))
+      case types.DoubleType =>
+        of(Ordering.fromLessThan[Double](java.lang.Double.compare(_, _) < 0))
+      case _ => None // nested/binary/etc. unsupported — fallback scan
     }
   }
 
@@ -223,6 +285,15 @@ private[graft] object FooterStats {
       case (d: types.DecimalType, BINARY | FIXED_LEN_BYTE_ARRAY) =>
         Some(new JBigDecimal(
           new BigInteger(v.asInstanceOf[Binary].getBytes), d.scale))
+      // a PRESENT float/double statistic certifies a NaN-free chunk
+      // (parquet-mr's Math.min/max fold lets NaN poison the bound and
+      // the metadata converter then refuses to serialize it) — Spark's
+      // NaN-ranks-highest min/max therefore equal the footer's. A
+      // NaN-valued bound from some other writer refuses, one-sided.
+      case (types.FloatType, FLOAT) =>
+        Some(v.asInstanceOf[Float]).filterNot(_.isNaN)
+      case (types.DoubleType, DOUBLE) =>
+        Some(v.asInstanceOf[Double]).filterNot(_.isNaN)
       case _ => None
     }
   }

@@ -2326,10 +2326,9 @@ object SnapshotTable {
     val cs = constraints(root)
     val proofs = cs.map { case (_, e) => constraintProof(spark, e) }
     val constraintCols = proofs.flatMap(_.toSeq.flatMap(_._2))
-    val footer = FooterStats.collect(MetaIO.join(root),
+    val footer = FooterStats.collect(spark, MetaIO.join(root),
       MetaIO.join(root, s"v=$version"),
-      (statsCols ++ constraintCols).distinct,
-      spark.sparkContext.hadoopConfiguration)
+      (statsCols ++ constraintCols).distinct)
     enforceConstraints(spark, root, version, footer, cs, proofs)
     completeStats(spark, root, version, statsCols, footer).foreach {
       _.coalesce(1)
@@ -2482,9 +2481,8 @@ object SnapshotTable {
         val want = (existingCols ++ statsCols).distinct
         // footer-lifted like every commit; recompute into a tmp
         // sidecar, then swap atomically
-        val footer = FooterStats.collect(MetaIO.join(root),
-          MetaIO.join(root, s"v=$sv"), want,
-          spark.sparkContext.hadoopConfiguration)
+        val footer = FooterStats.collect(spark, MetaIO.join(root),
+          MetaIO.join(root, s"v=$sv"), want)
         completeStats(spark, root, sv, want, footer).map { st =>
           val tmp = MetaIO.join(root, s"v=$sv",
             s".stats.new-${java.util.UUID.randomUUID()}")

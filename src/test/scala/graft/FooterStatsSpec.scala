@@ -92,6 +92,83 @@ class FooterStatsSpec extends GraftSuite {
     }
   }
 
+  test("double/float stats lift from footers — no fallback scan (VERDICT r11 #3)") {
+    val root = Files.createTempDirectory("graft-fstats-dbl").toString
+    val df = Seq(
+      (1L, 1.5d, 2.5f, "d1"), (2L, -3.25d, 0.125f, "d1"),
+      (3L, 99.75d, -8.5f, "d2"), (4L, 0.5d, 4.75f, "d2"))
+      .toDF("n", "price", "ratio", "day")
+    val before = SnapshotTable.commitDataScans.get()
+    SnapshotTable.commitAppend(df, root, "day",
+      statsCols = Seq("price", "ratio"))
+    assert(SnapshotTable.commitDataScans.get() === before,
+      "NaN-free double/float stats paid a data re-read")
+    val lifted = SnapshotTable.fileStats(spark, root, 0L).get
+    val truth = scanStats(root, 0L, Seq("price", "ratio"))
+    val l = lifted.orderBy("_file").collect().map(_.toSeq).toSeq
+    val t = truth.select(lifted.columns.map(col).toIndexedSeq: _*)
+      .orderBy("_file").collect().map(_.toSeq).toSeq
+    assert(l === t)
+    // the consumers: metadata-answered bounds + answer-invariant skip
+    assert(SnapshotTable.fastBounds(spark, root, "price") ===
+      Some((-3.25d, 99.75d)))
+    val skip = SnapshotTable.readSkipping(spark, root, "price > 50.0")
+    assert(skip.collect().map(_.getAs[Long]("n")).toSeq === Seq(3L))
+  }
+
+  test("a NaN poisons its chunk's footer stats: fallback fires, skipping stays sound") {
+    val root = Files.createTempDirectory("graft-fstats-nan").toString
+    // d1 holds the NaN (parquet-mr omits the poisoned chunk's stats —
+    // the writer behavior the NaN-free certificate rests on); d2 is
+    // clean and must still refute
+    val df = Seq(
+      (1L, Double.NaN, "d1"), (2L, 1.0d, "d1"),
+      (3L, 2.0d, "d2"), (4L, 3.0d, "d2"))
+      .toDF("n", "price", "day")
+    val before = SnapshotTable.commitDataScans.get()
+    SnapshotTable.commitAppend(df, root, "day", statsCols = Seq("price"))
+    assert(SnapshotTable.commitDataScans.get() === before + 1,
+      "the NaN chunk must force the conservative fallback scan")
+    // Spark ranks NaN above everything: the NaN row must survive a
+    // `> 100` filter, so the d1 file must be KEPT (its scan-computed
+    // max is NaN, which never refutes) while clean d2 prunes
+    val skip = SnapshotTable.readSkipping(spark, root, "price > 100.0")
+    assert(skip.collect().map(_.getAs[Long]("n")).toSeq === Seq(1L))
+    assert(!skip.inputFiles.exists(_.contains("day=d2")))
+    // and fastBounds refuses: a recorded NaN bound cannot answer max()
+    assert(SnapshotTable.fastBounds(spark, root, "price").isEmpty ||
+      SnapshotTable.fastBounds(spark, root, "price").get._2.asInstanceOf[Double].isNaN)
+  }
+
+  test("driver and distributed footer lifts are value-identical; the threshold wires into commits") {
+    val root = Files.createTempDirectory("graft-fstats-dist").toString
+    val cols = Seq("n", "s", "price", "ts", "dt")
+    val before = SnapshotTable.commitDataScans.get()
+    spark.conf.set("spark.graft.footerStats.distributedThreshold", "1")
+    try {
+      // the COMMIT itself lifts through the executor job
+      SnapshotTable.commitAppend(mixed, root, "day", statsCols = cols)
+      assert(SnapshotTable.commitDataScans.get() === before)
+      val distributed = graft.operators.FooterStats.collect(spark,
+        root, s"$root/v=0", cols)
+      spark.conf.unset("spark.graft.footerStats.distributedThreshold")
+      val driver = graft.operators.FooterStats.collect(spark,
+        root, s"$root/v=0", cols)
+      assert(distributed === driver)
+      assert(driver === graft.operators.FooterStats.collectLocal(
+        root, s"$root/v=0", cols,
+        spark.sparkContext.hadoopConfiguration))
+      // sidecar written through the distributed path equals scan truth
+      val lifted = SnapshotTable.fileStats(spark, root, 0L).get
+      val truth = scanStats(root, 0L, cols)
+      val l = lifted.orderBy("_file").collect().map(_.toSeq).toSeq
+      val t = truth.select(lifted.columns.map(col).toIndexedSeq: _*)
+        .orderBy("_file").collect().map(_.toSeq).toSeq
+      assert(l === t)
+    } finally
+      spark.conf.unset("spark.graft.footerStats.distributedThreshold")
+  }
+
   test("footer-unusable columns (INT96 timestamps) fall back to one pruned scan, same sidecar values") {
     val root = Files.createTempDirectory("graft-fstats-96").toString
     val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
