@@ -36,6 +36,15 @@ import graft.operators.SnapshotTable
   *     consumes at most this many table versions. Best-effort on the
   *     first trigger after a restart (the V1 source contract: rate
   *     limits are source-tracked, not engine-tracked).
+  *   - `maxFilesPerTrigger` / `maxBytesPerTrigger` — SIZE-based
+  *     admission control (a version can be arbitrarily large, so a
+  *     catch-up replay under a version cap alone could pull an
+  *     unbounded batch): each trigger admits whole versions while the
+  *     accumulated NEW files/bytes stay within the caps, always at
+  *     least one version (the Kafka/FileStreamSource progress
+  *     guarantee — a single oversized version still drains, alone).
+  *     Costs pure manifest arithmetic + a listing of only the NEW
+  *     entries per version, never a data read.
   *
   * Non-append-only histories (copy-on-write deltas, compactions)
   * REFUSE loudly mid-stream exactly as Iceberg's incremental scan
@@ -91,6 +100,39 @@ private[sources] class GraftSource(root: String, metadataPath: String,
   private val maxVersions: Option[Long] =
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
 
+  private val maxFiles: Option[Long] =
+    Option(options.get("maxFilesPerTrigger")).map(_.toLong)
+
+  private val maxBytes: Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+
+  // (new files, new bytes) a version added over its predecessor —
+  // manifest arithmetic plus a listing of only the NEW entry dirs;
+  // versions are immutable once committed, so memoize per version
+  private val incrementCache =
+    scala.collection.mutable.Map.empty[Long, (Long, Long)]
+
+  private def incrementOf(v: Long): (Long, Long) =
+    incrementCache.getOrElseUpdate(v, {
+      val prev =
+        if (v <= 0) Set.empty[(String, Long)]
+        else SnapshotTable.manifestEntries(root, v - 1).toSet
+      val cur = SnapshotTable.manifestEntries(root, v)
+      val dirs =
+        if (cur.isEmpty) Seq(s"$root/v=$v") // flat snapshot
+        else (cur.toSet -- prev).toSeq.sorted
+          .map { case (leaf, sv) => s"$root/v=$sv/$leaf" }
+      val files = dirs.flatMap { d =>
+        graft.operators.MetaIO.list(d)
+          .filterNot { p =>
+            val n = graft.operators.MetaIO.name(p)
+            n.startsWith("_") || n.startsWith(".")
+          }
+          .filterNot(graft.operators.MetaIO.isDir)
+      }
+      (files.size.toLong, files.map(graft.operators.MetaIO.size).sum)
+    })
+
   // newest version handed to getBatch — the floor rate limiting counts
   // from (re-seeded by the engine's recovery getBatch on restart)
   private var lastEnd: Option[Long] = None
@@ -122,7 +164,22 @@ private[sources] class GraftSource(root: String, metadataPath: String,
       case Some(m) => math.min(latest, floor + math.max(m, 1L))
       case None => latest
     }
-    if (capped > floor) Some(capped) else None
+    if (capped <= floor) return None
+    if (maxFiles.isEmpty && maxBytes.isEmpty) return Some(capped)
+    // size-based admission: admit whole versions while the NEW
+    // files/bytes fit, always at least one (progress guarantee)
+    var end = floor
+    var files = 0L
+    var bytes = 0L
+    var v = floor + 1
+    while (v <= capped) {
+      val (vf, vb) = incrementOf(v)
+      if (end > floor && (maxFiles.exists(files + vf > _) ||
+          maxBytes.exists(bytes + vb > _)))
+        return Some(end)
+      end = v; files += vf; bytes += vb; v += 1
+    }
+    Some(end)
   }
 
   override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
@@ -475,10 +532,7 @@ private[sources] object GraftStreaming {
     else {
       val b = resolve
       MetaIO.mkdirs(metadataPath)
-      val tmp = MetaIO.join(metadataPath,
-        s".graft-base.tmp${System.nanoTime()}")
-      MetaIO.writeString(tmp, b.toString)
-      MetaIO.rename(tmp, anchor)
+      MetaIO.publishExclusive(anchor, b.toString)
       b
     }
   }

@@ -107,6 +107,53 @@ class GraftStreamingSpec extends GraftSuite {
     assert(batches >= 3, s"expected a split backlog, got $batches batches")
   }
 
+  test("source: maxBytes/maxFilesPerTrigger drain a backlog in bounded batches and resume across restarts") {
+    val dir = tmp(); val root = seeded(dir); val cp = s"$dir/cp"
+    for (i <- 2 to 7) // a 6-version backlog on top of the seed
+      SnapshotTable.commitAppend(
+        Seq((s"k$i", i.toLong, s"d$i")).toDF("k", "n", "day"), root, "day")
+
+    // one day-partition file per version ⇒ maxFilesPerTrigger=2 admits
+    // at most two versions per batch (bytes cap set far above, proving
+    // the two compose as caps, not as a fixed count); parquet sink —
+    // the memory sink cannot recover a checkpoint across restarts
+    val out = s"$dir/out"
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2")
+        .option("maxBytesPerTrigger", (64L * 1024 * 1024).toString)
+        .load(root)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start(out)
+    val q = run()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() === 8) // seed(2) + 6, once
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected a bounded drain, got $batches batches")
+    // restart resumes from the checkpoint: new appends drain, old rows
+    // never replay — the admission floor is the committed offset
+    for (i <- 8 to 9)
+      SnapshotTable.commitAppend(
+        Seq((s"k$i", i.toLong, s"d$i")).toDF("k", "n", "day"), root, "day")
+    val q2 = run()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() === 10)
+    // a tiny byte cap still makes progress: one oversized version per
+    // batch, never a stall (fresh checkpoint, same table)
+    val q3 = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1")
+      .load(root)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$dir/cp-min")
+      .trigger(Trigger.AvailableNow())
+      .start(s"$dir/out-min")
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$dir/out-min").count() === 10)
+    assert(q3.recentProgress.count(_.numInputRows > 0) >= 8)
+  }
+
   test("source: a non-append-only history refuses loudly mid-stream") {
     val dir = tmp(); val root = seeded(dir); val cp = s"$dir/cp"
     drainToFiles(root, cp, s"$dir/out")
