@@ -880,8 +880,8 @@ v$s AS (
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1994-02-01 00:00:00'
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |  AND o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
 

@@ -288,8 +288,8 @@ object SparkEntry {
         .mode("overwrite").save(base + "/dim")
       val li = s.read.format("graft").load(base + "/fact")
       val ord = s.read.format("graft").load(base + "/dim")
-        .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp_ntz")
-          && col("o_orderdate") < lit("1994-02-01").cast("timestamp_ntz")
+        .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1996-07-01").cast("timestamp_ntz")
           && col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey", "o_orderpriority")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
