@@ -130,24 +130,48 @@ object Catalog {
   }
 
   /** Atomically commit already-staged table versions on top of `base`:
-    * the new manifest carries base's mapping overlaid with `staged`.
-    * Under the commit lock: verify main still sits at `base` (the CAS —
-    * a committer that lost the race fails fast here), allocate the next
-    * id past EVERY manifest on disk (so rollback leftovers never block
-    * — max+1, NOT base+1), write the manifest with a tmp + atomic move,
-    * stamp it published, then move the marker. */
+    * the new manifest carries the CURRENT mapping overlaid with
+    * `staged`. Under the commit lock: verify the commit still applies —
+    * with the Nessie-style RECONCILIATION rule rather than a whole-
+    * catalog CAS: a moved main is fine as long as every table this
+    * commit TOUCHES (staged or dropped) is unchanged between `base`
+    * and the current commit, because the staged versions' parent
+    * lineage (and any manifest entries a delta/append stage inherited
+    * from the base) is then still exactly the live state. Independent
+    * writers to disjoint tables therefore serialize only on the tiny
+    * lock section, never on re-staging; a committer whose touched
+    * tables DID move gets `ConcurrentModificationException` and must
+    * re-stage — the same one-loser contract as before, now scoped to
+    * real conflicts. Then allocate the next id past EVERY manifest on
+    * disk (so rollback leftovers never block — max+1, NOT base+1),
+    * publish the manifest, stamp it, move the marker. */
   private[graft] def commitStaged(root: String, staged: Map[String, Long],
                                   base: Long,
                                   drop: Set[String] = Set.empty): Long =
       withCommitLock(root) {
     val current = latestCommit(root)
-    if (current != base)
-      throw new java.util.ConcurrentModificationException(
-        s"catalog at $root moved from $base to $current (a concurrent " +
-          "committer won the race); re-stage against the current base " +
-          "and retry")
-    val next = (commits(root) :+ base).max + 1
-    val manifest = (tableVersions(root, base) -- drop) ++ staged
+    val curVs = tableVersions(root, current)
+    if (current != base) {
+      // tableVersions(-1) means "latest"; a pre-first-commit base is
+      // the EMPTY mapping. A base whose manifest GC already collected
+      // (a very stale committer) cannot prove anything unchanged —
+      // full conflict.
+      val baseVs =
+        if (base < 0) Map.empty[String, Long]
+        else scala.util.Try(tableVersions(root, base)).getOrElse(
+          curVs.map { case (t, v) => t -> (v + 1) }) // never equal
+      val touched = staged.keySet ++ drop
+      val conflicted = touched.filter(t => baseVs.get(t) != curVs.get(t))
+        .toSeq.sorted
+      if (conflicted.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"catalog at $root moved from $base to $current and touched " +
+            s"table(s) ${conflicted.mkString(", ")} changed underneath " +
+            "(a concurrent committer won the race on them); re-stage " +
+            "against the current base and retry")
+    }
+    val next = (commits(root) :+ math.max(base, current)).max + 1
+    val manifest = (curVs -- drop) ++ staged
     MetaIO.mkdirs(commitsDir(root))
     MetaIO.publishString(manifestPath(root, next),
       manifest.toSeq.sortBy(_._1).map { case (n, v) => s"$n $v" }.mkString("\n"))

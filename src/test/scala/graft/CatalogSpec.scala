@@ -316,4 +316,41 @@ class CatalogSpec extends GraftSuite {
     assert(Catalog.branchVersions(root, "b1") ===
       Catalog.tableVersions(root, 0L)) // head NOT reset
   }
+
+  test("commit reconciliation: disjoint writers never false-conflict, overlaps still lose") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cat-rebase").toString + "/cat"
+    import spark.implicits._
+    Catalog.transact(root, Seq(
+      "x" -> Seq(("x", 1L)).toDF("k", "n"),
+      "y" -> Seq(("y", 1L)).toDF("k", "n")))
+    val base = Catalog.latestCommit(root)
+    val prev = Catalog.tableVersions(root, base)
+    val vx = SnapshotTable.stageVersion(Seq(("x", 2L)).toDF("k", "n"),
+      Catalog.tableRoot(root, "x"), prev("x"))
+    val vy = SnapshotTable.stageVersion(Seq(("y", 2L)).toDF("k", "n"),
+      Catalog.tableRoot(root, "y"), prev("y"))
+    // both from the SAME base: the second reconciles instead of losing
+    // (its touched table is unchanged between base and current), and
+    // the first commit's update is carried forward, never dropped
+    Catalog.commitStaged(root, Map("x" -> vx), base)
+    Catalog.commitStaged(root, Map("y" -> vy), base)
+    val fin = Catalog.tableVersions(root)
+    assert(fin("x") === vx && fin("y") === vy)
+    // an overlap from the stale base is a REAL conflict
+    val vx2 = SnapshotTable.stageVersion(Seq(("x", 3L)).toDF("k", "n"),
+      Catalog.tableRoot(root, "x"), prev("x"))
+    intercept[java.util.ConcurrentModificationException] {
+      Catalog.commitStaged(root, Map("x" -> vx2), base)
+    }
+    // a view drop from a stale base reconciles too when untouched
+    Catalog.putView(root, "v", "SELECT 1 AS one")
+    val b2 = Catalog.latestCommit(root)
+    val vx3 = SnapshotTable.stageVersion(Seq(("x", 4L)).toDF("k", "n"),
+      Catalog.tableRoot(root, "x"), fin("x"))
+    Catalog.commitStaged(root, Map("x" -> vx3), b2)
+    assert(Catalog.dropView(root, "v")) // internally CAS-retries; lands
+    assert(Catalog.viewNames(root).isEmpty)
+    assert(Catalog.tableVersions(root)("x") === vx3)
+  }
 }

@@ -89,18 +89,18 @@ class ObjectStoreSpec extends GraftSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Catalog.tag(root, "rel", c1) }
   }
 
-  test("two committers race the catalog from one base: one loser, no lost update") {
+  test("two committers race ONE table from one base: one loser, no lost update") {
     val root = tmp("graft-s3-race") + "/cat"
     Catalog.transact(root, Seq("a" -> Seq(("seed", 0L)).toDF("k", "n")))
     val base = Catalog.latestCommit(root)
     val prev = Catalog.tableVersions(root, base)
-    // both stage against the SAME base before either publishes — the
-    // deterministic race: whoever commits second MUST lose (lock or
-    // CAS), never silently drop the winner's manifest entries
+    // both stage NEW VERSIONS OF THE SAME TABLE against the same base —
+    // a REAL conflict (reconciliation cannot apply): whoever publishes
+    // second MUST lose its first attempt, never silently overwrite
     val va = SnapshotTable.stageVersion(Seq(("a", 1L)).toDF("k", "n"),
       Catalog.tableRoot(root, "a"), prev("a"))
-    val vb = SnapshotTable.stageVersion(Seq(("b", 2L)).toDF("k", "n"),
-      Catalog.tableRoot(root, "b"), -1L)
+    val vb = SnapshotTable.stageVersion(Seq(("a", 2L), ("b", 3L)).toDF("k", "n"),
+      Catalog.tableRoot(root, "a"), prev("a"))
     val barrier = new CyclicBarrier(2)
     val losses = new java.util.concurrent.atomic.AtomicInteger
     def committer(staged: Map[String, Long]): Thread = {
@@ -108,8 +108,7 @@ class ObjectStoreSpec extends GraftSuite with BeforeAndAfterAll {
         barrier.await()
         var lost = false
         var done = false
-        var attemptBase = base // BOTH start from the same base: the
-        // second to publish MUST lose its first attempt (CAS or lock)
+        var attemptBase = base
         while (!done) {
           try { Catalog.commitStaged(root, staged, attemptBase); done = true }
           catch {
@@ -125,14 +124,41 @@ class ObjectStoreSpec extends GraftSuite with BeforeAndAfterAll {
       })
       t.start(); t
     }
-    val ts = Seq(committer(Map("a" -> va)), committer(Map("b" -> vb)))
+    val ts = Seq(committer(Map("a" -> va)), committer(Map("a" -> vb)))
     ts.foreach(_.join(60000))
     assert(losses.get() === 1) // exactly one loser
-    // no lost update: BOTH tables' staged versions are in the final
-    // manifest, and the commit log advanced twice
+    // no lost update: the commit log advanced twice — the winner's
+    // commit is intact catalog history, the loser's retry sits on top
+    assert(Catalog.latestCommit(root) === base + 2)
+    val winner = Catalog.tableVersions(root, base + 1)("a")
+    val finalV = Catalog.tableVersions(root)("a")
+    assert(Set(va, vb).contains(winner) && Set(va, vb).contains(finalV)
+      && winner != finalV)
+  }
+
+  test("disjoint-table committers from one base reconcile — no false conflict") {
+    val root = tmp("graft-s3-rebase") + "/cat"
+    Catalog.transact(root, Seq("a" -> Seq(("seed", 0L)).toDF("k", "n")))
+    val base = Catalog.latestCommit(root)
+    val prev = Catalog.tableVersions(root, base)
+    val va = SnapshotTable.stageVersion(Seq(("a", 1L)).toDF("k", "n"),
+      Catalog.tableRoot(root, "a"), prev("a"))
+    val vb = SnapshotTable.stageVersion(Seq(("b", 2L)).toDF("k", "n"),
+      Catalog.tableRoot(root, "b"), -1L)
+    Catalog.commitStaged(root, Map("a" -> va), base)
+    // same OLD base, different table: the Nessie reconciliation rule —
+    // table b is unchanged between base and current, so this commit
+    // applies WITHOUT a retry and carries a's new version forward
+    Catalog.commitStaged(root, Map("b" -> vb), base)
     val fin = Catalog.tableVersions(root)
     assert(fin("a") === va && fin("b") === vb)
     assert(Catalog.latestCommit(root) === base + 2)
+    // but the SAME table from the old base is a real conflict
+    val va2 = SnapshotTable.stageVersion(Seq(("a", 9L)).toDF("k", "n"),
+      Catalog.tableRoot(root, "a"), prev("a"))
+    intercept[java.util.ConcurrentModificationException] {
+      Catalog.commitStaged(root, Map("a" -> va2), base)
+    }
   }
 
   test("claims stay exclusive under a true concurrent race") {
