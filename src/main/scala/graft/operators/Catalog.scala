@@ -726,6 +726,29 @@ object Catalog {
           name -> (dead ++ SnapshotTable.sweepOrphans(tr, graceMs)).sorted
         }.filter(_._2.nonEmpty).toMap
       }
+    // view DEFINITION files are catalog content too: a dropped or
+    // replaced view's old definition versions stay reachable only
+    // through retained manifests — once nothing references one (and it
+    // is old enough that no in-flight putView still holds it), it goes
+    // the way of unreferenced table versions
+    val viewsDir = MetaIO.join(root, "views")
+    if (MetaIO.exists(viewsDir)) {
+      val liveDefs: Map[String, Set[Long]] = referenced
+        .filter(_._1.startsWith(ViewKey))
+        .map { case (k, vs) => k.stripPrefix(ViewKey) -> vs }
+      MetaIO.listNames(viewsDir).foreach { name =>
+        val dir = MetaIO.join(viewsDir, name)
+        val keep = liveDefs.getOrElse(name, Set.empty)
+        MetaIO.listNames(dir).filter(_.startsWith("v=")).foreach { n =>
+          val v = n.stripPrefix("v=").toLong
+          val p = MetaIO.join(dir, n)
+          if (!keep(v) && now - MetaIO.mtimeMillis(p) > graceMs)
+            MetaIO.delete(p)
+        }
+        if (MetaIO.listNames(dir).isEmpty)
+          MetaIO.delete(dir, recursive = true)
+      }
+    }
     (drop, removedVersions)
   }
 }

@@ -87,6 +87,26 @@ class GovernedViewSpec extends GraftSuite {
     assert(spark.sql("SELECT total FROM gv4.v").first.getLong(0) === 30L)
   }
 
+  test("expireCommits GCs unreferenced view-definition files with the manifests") {
+    val cat = mkCat("gv5")
+    spark.sql("CREATE VIEW gv5.v AS SELECT sum(n) AS total FROM gv5.t")
+    spark.sql("ALTER VIEW gv5.v AS SELECT sum(n) * 2 AS total FROM gv5.t")
+    spark.sql("ALTER VIEW gv5.v AS SELECT sum(n) * 3 AS total FROM gv5.t")
+    val defsDir = java.nio.file.Paths.get(cat, "views", "v")
+    def defs() = java.nio.file.Files.list(defsDir).iterator()
+    import scala.jdk.CollectionConverters._
+    assert(defs().asScala.size === 3)
+    // retain nothing but the current commit: only the LIVE definition
+    // survives (grace 0 — every older def is unreferenced)
+    Catalog.expireCommits(cat, retainLast = 0, graceMs = 0L)
+    assert(defs().asScala.map(_.getFileName.toString).toSeq === Seq("v=2"))
+    assert(spark.sql("SELECT total FROM gv5.v").first.getLong(0) === 9L)
+    // a DROPPED view's remaining defs (and its dir) go entirely
+    spark.sql("DROP VIEW gv5.v")
+    Catalog.expireCommits(cat, retainLast = 0, graceMs = 0L)
+    assert(!java.nio.file.Files.exists(defsDir))
+  }
+
   test("rollback rewinds view DDL like any commit; DROP is a commit") {
     val cat = mkCat("gv3")
     val c0 = Catalog.latestCommit(cat)

@@ -129,6 +129,33 @@ class GraftRuntimeFilterSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.runtimeFilter.maxBuildBytes")
   }
 
+  test("fires through GOVERNED-catalog SQL star joins too") {
+    val cat = Files.createTempDirectory("graft-rtf-gov").toString + "/cat"
+    spark.conf.set("spark.sql.catalog.rtfgov",
+      "graft.sources.GraftGovernedCatalog")
+    spark.conf.set("spark.sql.catalog.rtfgov.root", cat)
+    try {
+      graft.operators.Catalog.transact(cat, Seq(
+        "fact" -> (0 until 800).map(i => (i.toLong, i * 10.0))
+          .toDF("k", "amount").repartitionByRange(8, col("k")),
+        "dim" -> Seq((120L, "one"), (125L, "two")).toDF("dk", "tag")))
+      val q = spark.sql(
+        "SELECT sum(f.amount) AS total FROM rtfgov.fact f " +
+          "JOIN rtfgov.dim d ON f.k = d.dk")
+      assert(q.head().getDouble(0) === (120 + 125) * 10.0)
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation =>
+          GraftV1Wrap.inner(r.scan).get.asInstanceOf[GraftScan]
+      }
+      assert(scans.exists(s =>
+        s.root.endsWith("/fact") && s.runtimeFiltered &&
+          s.predicate.exists(_.contains("IN"))))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.rtfgov")
+      spark.conf.unset("spark.sql.catalog.rtfgov.root")
+    }
+  }
+
   test("an empty dim side stays correct (no conjunct, empty join)") {
     val dim = Seq.empty[Long].toDF("dk")
     val q = fact.join(dim, col("k") === col("dk")).select(col("amount"))
