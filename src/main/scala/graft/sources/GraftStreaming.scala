@@ -365,11 +365,53 @@ private[sources] class GraftGovernedSource(cat: String, table: String,
   private val maxCommits: Option[Long] =
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
 
+  private val maxFiles: Option[Long] =
+    Option(options.get("maxFilesPerTrigger")).map(_.toLong)
+
+  private val maxBytes: Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+
   private var lastEnd: Option[Long] = None
   private var availableNowEnd: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(Catalog.latestCommit(cat))
+
+  // (new files, new bytes) this table gained at catalog commit c over
+  // c-1 — manifest arithmetic + a listing of only the NEW entry dirs
+  // (zero when the commit left the table's version untouched);
+  // memoized per immutable commit
+  private val incrementCache =
+    scala.collection.mutable.Map.empty[Long, (Long, Long)]
+
+  private def incrementOf(c: Long): (Long, Long) =
+    incrementCache.getOrElseUpdate(c, {
+      val tr = Catalog.tableRoot(cat, table)
+      val toV = Catalog.tableVersions(cat, c).getOrElse(table, -1L)
+      val fromV =
+        if (c <= 0) -1L
+        else Catalog.tableVersions(cat, c - 1).getOrElse(table, -1L)
+      if (toV < 0 || toV == fromV) (0L, 0L)
+      else {
+        val prev =
+          if (fromV < 0) Set.empty[(String, Long)]
+          else SnapshotTable.manifestEntries(tr, fromV).toSet
+        val cur = SnapshotTable.manifestEntries(tr, toV)
+        val dirs =
+          if (cur.isEmpty) Seq(s"$tr/v=$toV")
+          else (cur.toSet -- prev).toSeq.sorted
+            .map { case (leaf, sv) => s"$tr/v=$sv/$leaf" }
+        val files = dirs.flatMap { d =>
+          graft.operators.MetaIO.list(d)
+            .filterNot { p =>
+              val n = graft.operators.MetaIO.name(p)
+              n.startsWith("_") || n.startsWith(".")
+            }
+            .filterNot(graft.operators.MetaIO.isDir)
+        }
+        (files.size.toLong, files.map(graft.operators.MetaIO.size).sum)
+      }
+    })
 
   private def nextEnd(floor: Long): Option[Long] = {
     val live = Catalog.latestCommit(cat)
@@ -379,7 +421,23 @@ private[sources] class GraftGovernedSource(cat: String, table: String,
       case Some(m) => math.min(latest, floor + math.max(m, 1L))
       case None => latest
     }
-    if (capped > floor) Some(capped) else None
+    if (capped <= floor) return None
+    if (maxFiles.isEmpty && maxBytes.isEmpty) return Some(capped)
+    // size-based admission, same contract as the table source: admit
+    // whole commits while this table's NEW files/bytes fit, always at
+    // least one (progress guarantee)
+    var end = floor
+    var files = 0L
+    var bytes = 0L
+    var c = floor + 1
+    while (c <= capped) {
+      val (cf, cb) = incrementOf(c)
+      if (end > floor && (maxFiles.exists(files + cf > _) ||
+          maxBytes.exists(bytes + cb > _)))
+        return Some(end)
+      end = c; files += cf; bytes += cb; c += 1
+    }
+    Some(end)
   }
 
   override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,

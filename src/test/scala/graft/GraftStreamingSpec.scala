@@ -315,6 +315,44 @@ class GraftStreamingSpec extends GraftSuite {
       === Array("a", "b", "c"))
   }
 
+  test("governed source: size caps bound a commit backlog, untouched commits cost nothing") {
+    import graft.operators.Catalog
+    import graft.streaming.GovernedStream
+    val dir = tmp(); val cat = s"$dir/cat"
+    val (cp, out) = (s"$dir/cp", s"$dir/out")
+    for (i <- 0 to 5) // 6 commits, one bronze file each
+      GovernedStream.commitBatch(spark, cat, "seed", i.toLong,
+        Seq((s"k$i", i.toLong, s"d$i")).toDF("k", "n", "day"),
+        table = "bronze", partitionCol = "day")
+    // interleave a commit that never touches bronze — its increment is
+    // zero, so it must not consume admission budget
+    Catalog.transact(cat, Seq("other" -> Seq((9L, "x")).toDF("id", "v")))
+    val q = spark.readStream.format("graft").option("catalog", cat)
+      .option("maxFilesPerTrigger", "2")
+      .load("bronze")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() === 6) // exactly once
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected a bounded multi-batch drain")
+    // restart with new commits: resumes from the floor, caps still hold
+    GovernedStream.commitBatch(spark, cat, "seed", 6L,
+      Seq(("k6", 6L, "d6")).toDF("k", "n", "day"),
+      table = "bronze", partitionCol = "day")
+    val q2 = spark.readStream.format("graft").option("catalog", cat)
+      .option("maxBytesPerTrigger", "1") // one oversized commit per batch
+      .load("bronze")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() === 7)
+  }
+
   test("governed sink: micro-batches publish as atomic catalog commits exactly once") {
     import graft.operators.Catalog
     val dir = tmp()
