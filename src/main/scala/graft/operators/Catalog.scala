@@ -155,13 +155,21 @@ object Catalog {
       // tableVersions(-1) means "latest"; a pre-first-commit base is
       // the EMPTY mapping. A base whose manifest GC already collected
       // (a very stale committer) cannot prove anything unchanged —
-      // full conflict.
-      val baseVs =
-        if (base < 0) Map.empty[String, Long]
-        else scala.util.Try(tableVersions(root, base)).getOrElse(
-          curVs.map { case (t, v) => t -> (v + 1) }) // never equal
+      // full conflict, UNCONDITIONALLY: a synthesized "shifted"
+      // mapping would still compare equal (None == None) for touched
+      // tables absent from the CURRENT manifest, letting a stale
+      // committer resurrect a concurrently-dropped table against
+      // GC-deleted lineage.
+      val baseVs: Option[Map[String, Long]] =
+        if (base < 0) Some(Map.empty[String, Long])
+        else scala.util.Try(tableVersions(root, base)).toOption
+      if (baseVs.isEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"catalog at $root moved from $base to $current and the base " +
+            "manifest was garbage-collected — the staged lineage cannot " +
+            "be proven current; re-stage against the current base and retry")
       val touched = staged.keySet ++ drop
-      val conflicted = touched.filter(t => baseVs.get(t) != curVs.get(t))
+      val conflicted = touched.filter(t => baseVs.get.get(t) != curVs.get(t))
         .toSeq.sorted
       if (conflicted.nonEmpty)
         throw new java.util.ConcurrentModificationException(

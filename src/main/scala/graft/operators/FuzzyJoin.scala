@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   * one q-gram (each edit destroys at most q of the longer side's
   * max(|a|,|b|)−q+1 grams, so shared ≥ max+1−q−d·q ≥ 1), making an
   * equi-join on grams a COMPLETE prefilter there; pairs short enough
-  * to evade the bound live in one bounded "short strings" bucket
-  * (both sides ≤ q·(1+maxDist)−1 chars — for q=3, d=2 that is ≤ 8
-  * chars, a tiny relation at any corpus size). A length-difference
-  * ≤ maxDist filter prunes candidates before the exact
-  * `levenshtein` verify, which runs on candidates only.
+  * to evade the bound live in the "short strings" bucket (both sides
+  * ≤ q·(1+maxDist)−1 chars — for q=3, d=2 that is ≤ 8 chars), which
+  * is ITSELF indexed, never crossed: the same theorem at q=1 makes a
+  * POSITIONAL 1-gram equi-join (shared char with |Δpos| ≤ maxDist —
+  * Gravano's position filter) complete for every short pair whose
+  * longer side exceeds maxDist chars, and the residue — both sides ≤
+  * maxDist chars, e.g. ≤ 2-char codes at d=2 — is the only cross
+  * join left, bounded by the charset, not the inventory. A
+  * length-difference ≤ maxDist filter prunes candidates before the
+  * exact `levenshtein` verify, which runs on candidates only.
   *
   * Scale shape: work is O(Σ per-gram pair counts) like the shingle
   * dedup family — never |L|·|R|; values are DEDUPLICATED before the
@@ -26,7 +31,11 @@ import org.apache.spark.sql.functions._
   * equality), the classic entity-resolution layout. A hot gram (a
   * common substring) is an equi-join key, so AQE skew-split applies;
   * for pathological gram distributions cap gram df like
-  * `Dedup.ngramJaccard` does.
+  * `Dedup.ngramJaccard` does. A pathological SHORT-string inventory
+  * (millions of distinct ticker/SKU-length codes, where the 1-gram
+  * index is inherently dense) REFUSES loudly past
+  * `maxShortCandidates` instead of exploding — raise the cap
+  * deliberately for a run that truly wants the quadratic.
   *
   * Caching: the deduplicated value sets are persisted (each feeds the
   * gram join AND the short bucket) and, as everywhere in the dedup
@@ -41,11 +50,22 @@ object FuzzyJoin {
       s"sequence(1, length($c) - $q + 1), i -> substring($c, i, $q)))" +
       ", array())")
 
+  /** Positional 1-grams of a string column: (char, position) rows. */
+  private def posGrams(c: String): Column =
+    expr(s"transform(sequence(1, length($c)), " +
+      s"i -> named_struct('g', substring($c, i, 1), 'p', i))")
+
   /** Matching VALUE pairs across two string columns: (a, b, dist)
     * with dist = levenshtein ≤ `maxDist`, over the DISTINCT non-null
-    * values of each side. Join rows back on value equality. */
+    * values of each side. Join rows back on value equality.
+    * `maxShortCandidates` is the short-bucket valve: the run refuses
+    * (IllegalArgumentException naming the knob) when the ≤-8-char
+    * inventory's 1-gram index would enumerate more candidate pairs
+    * than this — the quadratic a caller must opt into, never fall
+    * into. */
   def matches(left: DataFrame, lCol: String, right: DataFrame,
-              rCol: String, maxDist: Int, q: Int = 3): DataFrame = {
+              rCol: String, maxDist: Int, q: Int = 3,
+              maxShortCandidates: Long = 100000000L): DataFrame = {
     require(maxDist >= 0 && q >= 2, "need maxDist >= 0 and q >= 2")
     val l = left.select(col(lCol).cast("string").as("a"))
       .filter(col("a").isNotNull).distinct().persist()
@@ -54,12 +74,55 @@ object FuzzyJoin {
     val lg = l.select(col("a"), explode(grams("a", q)).as("_g"))
     val rg = r.select(col("b"), explode(grams("b", q)).as("_g"))
     val byGram = lg.join(rg, "_g").select("a", "b")
-    // the short bucket: pairs the gram bound cannot promise — both
-    // sides under q(1+d) chars; bounded, broadcastable
+    // the short bucket: pairs the q-gram bound cannot promise — both
+    // sides under q(1+d) chars. Indexed by POSITIONAL 1-grams (the
+    // q=1 instance of the same bound: the longer side's ≥ max−d
+    // surviving chars shift by at most d positions), complete for
+    // max(|a|,|b|) > maxDist.
     val cap = q * (1 + maxDist) - 1
-    val shorts = l.filter(length(col("a")) <= cap)
-      .crossJoin(r.filter(length(col("b")) <= cap))
-      .select("a", "b")
+    val lShort = l.filter(length(col("a")) <= cap)
+    val rShort = r.filter(length(col("b")) <= cap)
+    val lg1 = lShort.select(col("a"), explode(posGrams("a")).as("gp"))
+      .select(col("a"), col("gp.g").as("_gl"), col("gp.p").as("_pl"))
+    val rg1 = rShort.select(col("b"), explode(posGrams("b")).as("gp"))
+      .select(col("b"), col("gp.g").as("_gr"), col("gp.p").as("_pr"))
+    // Plan the short bucket by MEASURED work, not hope: the 1-gram
+    // equi-join enumerates exactly Σ_g df_l(g)·df_r(g) candidate
+    // pairs (one tiny aggregate over the bucket), the cross join
+    // |L_short|·|R_short|. Sparse real-world inventories (few short
+    // values, or clustered ones sharing rare chars) make the index
+    // cheap; tiny-alphabet inventories make it DENSER than the cross
+    // — pick the cheaper complete strategy, and when both blow the
+    // budget refuse loudly: short-string matching over a dense
+    // inventory is inherently quadratic, an opt-in, never a default.
+    val indexEst = lg1.groupBy(col("_gl").as("g"))
+      .agg(count(lit(1)).as("cl"))
+      .join(rg1.groupBy(col("_gr").as("g")).agg(count(lit(1)).as("cr")), "g")
+      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L))).head().getLong(0)
+    val crossEst = lShort.count() * rShort.count()
+    require(math.min(indexEst, crossEst) <= maxShortCandidates,
+      s"fuzzy-join short bucket would enumerate ${math.min(indexEst,
+        crossEst)} candidate pairs (> maxShortCandidates=" +
+        s"$maxShortCandidates) under its cheaper strategy (1-gram " +
+        s"index: $indexEst, cross: $crossEst): the ≤$cap-char value " +
+        "inventory is dense enough that short-string matching is " +
+        "inherently quadratic here — raise maxShortCandidates to opt in")
+    val shorts =
+      if (indexEst <= crossEst) {
+        val byGram1 = lg1.join(rg1,
+          col("_gl") === col("_gr") &&
+            abs(col("_pl") - col("_pr")) <= maxDist &&
+            abs(length(col("a")) - length(col("b"))) <= maxDist)
+          .select("a", "b")
+        // the residue 1-grams cannot cover: BOTH sides ≤ maxDist
+        // chars (includes empty strings, which have no grams at
+        // all) — a cross join over sets bounded by the charset,
+        // |Σ|^maxDist values at most, independent of inventory size
+        val tiny = l.filter(length(col("a")) <= maxDist)
+          .crossJoin(r.filter(length(col("b")) <= maxDist))
+          .select("a", "b")
+        byGram1.unionByName(tiny)
+      } else lShort.crossJoin(rShort).select("a", "b")
     byGram.unionByName(shorts).distinct()
       .filter(abs(length(col("a")) - length(col("b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("a"), col("b")))
@@ -71,7 +134,8 @@ object FuzzyJoin {
     * feeds entity canonicalization (compose with [[Dedup.clusters]]
     * for transitive groups). */
   def selfPairs(df: DataFrame, strCol: String, maxDist: Int,
-                q: Int = 3): DataFrame =
-    matches(df, strCol, df, strCol, maxDist, q)
+                q: Int = 3,
+                maxShortCandidates: Long = 100000000L): DataFrame =
+    matches(df, strCol, df, strCol, maxDist, q, maxShortCandidates)
       .filter(col("a") < col("b"))
 }

@@ -325,16 +325,36 @@ private[graft] object MetaIO {
     * what `s3a` rename is, made safe by the arbitration. */
   def moveTree(src: String, dst: String): Unit =
     if (objectStoreMode) {
-      arbiter.get.createExclusive(arbKey(dst))
+      // Match filesystem no-replace semantics even when dst was written
+      // by a plain PUT (which records no arbiter entry).
+      if (exists(dst))
+        throw new java.nio.file.FileAlreadyExistsException(dst)
       if (isDir(src)) {
+        // Arbitrate in a namespace exists()/readString() never consult,
+        // so a concurrent reader observes absent-then-complete, never a
+        // claimed-but-empty destination while the tree copies. The
+        // claim releases on success; crash debris is swept with the
+        // same leftovers expireCommits handles.
+        val claim = arbKey(dst) + ".__movetree"
+        arbiter.get.createExclusive(claim)
         val prefix = src.stripSuffix("/")
         walkFiles(src).foreach { f =>
           val rel = f.stripPrefix(prefix).stripPrefix("/")
           copyFile(f, join(dst, rel))
         }
         mkdirs(dst) // an empty tree still moves
-      } else copyFile(src, dst)
-      delete(src, recursive = true)
+        delete(src, recursive = true)
+        arbiter.get.delete(claim)
+      } else {
+        // Single file: the claim carries the SOURCE content, so during
+        // the copy window readString(dst)'s arbiter fallback returns
+        // the real bytes (a renamed view definition is never seen
+        // empty). Binary payloads only ever hit the byte-exact copy —
+        // the UTF-8 fallback exists for protocol text files.
+        arbiter.get.createExclusive(arbKey(dst), readString(src))
+        copyFile(src, dst)
+        delete(src, recursive = true)
+      }
     } else renameImpl(src, dst, overwrite = false)
 
   /** Byte-exact single-file copy (parquet sidecars are binary). */

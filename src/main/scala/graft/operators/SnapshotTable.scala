@@ -2697,13 +2697,47 @@ object SnapshotTable {
       pmod(xxhash64(c) + lit(i.toLong) * hash(c).cast("long"),
         lit(BloomBits.toLong)))
 
+  /** [[probeCols]] at caller-chosen geometry — the dim-key runtime
+    * bloom's row-side probe (same double-hash discipline and seeds, so
+    * the driver-built filter and the scan's codegen'd probes agree). */
+  private[graft] def probeColsAt(c: Column, mBits: Long, k: Int): Seq[Column] =
+    (0 until k).map(i =>
+      pmod(xxhash64(c) + lit(i.toLong) * hash(c).cast("long"),
+        lit(mBits)))
+
+  /** Row-level might-contain over a driver-built bloom (`words` =
+    * mBits/64 little-endian longs): true/null only when every probe
+    * bit is set — a fact row this refutes cannot equal any key the
+    * bloom recorded, so an equi-join would drop it anyway. */
+  private[graft] def bloomProbeColumn(c: Column, mBits: Long, k: Int,
+                                      words: Seq[Long]): Column = {
+    val wordsLit = typedLit(words)
+    probeColsAt(c, mBits, k).map { p =>
+      (element_at(wordsLit, (p / lit(64L)).cast("int") + lit(1))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(64L)).cast("int")))) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
   /** Driver-side probe positions of a literal CAST TO the column's
     * recorded type (hashing an int literal against a long column would
     * probe the wrong bits and falsely refute — so an uncastable or
     * unknown type yields None and the file is kept). */
   private def probePositions(
       lit0: org.apache.spark.sql.catalyst.expressions.Literal,
-      dt: types.DataType): Option[Seq[Int]] = {
+      dt: types.DataType): Option[Seq[Int]] =
+    literalHashes(lit0, dt).map { case (h1, h2) =>
+      (0 until BloomK).map(i =>
+        Math.floorMod(h1 + i.toLong * h2, BloomBits.toLong).toInt)
+    }
+
+  /** The (xxhash64, murmur3) pair of a literal cast to `dt` — the
+    * shared driver-side half of every bloom probe derivation (file
+    * sidecars and the runtime dim-key bloom); None when the cast is
+    * impossible or yields null. */
+  private[graft] def literalHashes(
+      lit0: org.apache.spark.sql.catalyst.expressions.Literal,
+      dt: types.DataType): Option[(Long, Long)] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, XxHash64}
     if (!Cast.canCast(lit0.dataType, dt)) return None
     val casted = Cast(lit0, dt, Some("UTC")).eval(null)
@@ -2711,8 +2745,43 @@ object SnapshotTable {
     val cl = Literal(casted, dt) // internal-representation constructor
     val h1 = XxHash64(Seq(cl), 42L).eval(null).asInstanceOf[Long]
     val h2 = Murmur3Hash(Seq(cl), 42).eval(null).asInstanceOf[Int].toLong
-    Some((0 until BloomK).map(i =>
-      Math.floorMod(h1 + i.toLong * h2, BloomBits.toLong).toInt))
+    Some((h1, h2))
+  }
+
+  /** A hashed value's probes at FILE-sidecar geometry, pre-resolved to
+    * `[word1, mask1, word2, mask2, word3, mask3]` so the distributed
+    * sidecar test is pure array/bit arithmetic. */
+  private[graft] def fileBloomProbeWords(h: (Long, Long)): Seq[Long] =
+    (0 until BloomK).flatMap { i =>
+      val p = Math.floorMod(h._1 + i.toLong * h._2, BloomBits.toLong).toInt
+      Seq((p / 64).toLong, 1L << (p % 64))
+    }
+
+  /** Candidates minus the files whose bloom sidecar on `column`
+    * refutes EVERY probed key (`keyProbes` rows from
+    * [[fileBloomProbeWords]]) — the file-level half of a runtime
+    * dim-key filter past the IN-set cap: one distributed filter over
+    * the tiny sidecar relation, files without a sidecar row kept. */
+  private[graft] def bloomKeysKept(spark: SparkSession, root: String,
+                                   column: String,
+                                   keyProbes: Seq[Seq[Long]],
+                                   candidates: Seq[String]): Seq[String] = {
+    if (keyProbes.isEmpty || candidates.isEmpty) return candidates
+    val statVersions = candidates
+      .map(f => f.stripPrefix("v=").takeWhile(_.isDigit).toLong)
+      .distinct.sorted
+    val blooms = statVersions.flatMap(fileBlooms(spark, root, _))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(return candidates)
+    val mayAny = exists(typedLit(keyProbes), t =>
+      (0 until BloomK).map(i =>
+        (element_at(col("bits"), element_at(t, i * 2 + 1).cast("int") + 1)
+          .bitwiseAND(element_at(t, i * 2 + 2))) =!= lit(0L))
+        .reduce(_ && _))
+    val refuted = blooms.filter(col("column") === column).filter(!mayAny)
+      .select("_file").collect()
+      .map(r => decodeReportedPath(r.getString(0))).toSet
+    candidates.filterNot(refuted)
   }
 
   /** Build per-file bloom sidecars for `bloomCols` over version

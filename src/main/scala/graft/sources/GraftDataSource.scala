@@ -571,7 +571,8 @@ private[sources] class GraftScan(
     private[graft] val predicate: Option[String],
     private[graft] val required: StructType,
     private[graft] val limit: Option[Int] = None,
-    private[graft] val runtimeFiltered: Boolean = false)
+    private[graft] val runtimeFiltered: Boolean = false,
+    private[graft] val runtimeBlooms: Seq[RuntimeBloom] = Nil)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -580,27 +581,41 @@ private[sources] class GraftScan(
   override def description(): String =
     s"GraftScan root=$root v=$version skip=${predicate.getOrElse("-")}" +
       limit.fold("")(n => s" limit=$n") +
-      (if (runtimeFiltered) " runtimeFiltered" else "")
+      (if (runtimeFiltered) " runtimeFiltered" else "") +
+      (if (runtimeBlooms.nonEmpty)
+        runtimeBlooms.map(b => s"${b.column}(${b.keyCount} keys)")
+          .mkString(" runtimeBloom=", ",", "")
+      else "")
 
   /** This scan narrowed by a RUNTIME-derived conjunct (a join's
-    * dim-side key set/range) — the dynamic-filtering rewrite. The
-    * conjunct only ever refutes files/rows the join would drop anyway
-    * (the caller guarantees join semantics allow it); marked so the
-    * fixed-point optimizer batch applies it once. Limit pruning under
-    * a predicate is declined by the builder, so `limit` cannot be set
-    * alongside — but drop it defensively anyway (its file pruning is
-    * unsound under a predicate). */
-  private[graft] def withRuntimeConjunct(conjunct: String): GraftScan =
+    * dim-side key set/range) plus optional dim-key BLOOMS (the
+    * past-IN-cap cardinality tier: file-sidecar probes + a row-level
+    * might-contain residual) — the dynamic-filtering rewrite. The
+    * conjunct and blooms only ever refute files/rows the join would
+    * drop anyway (the caller guarantees join semantics allow it);
+    * marked so the fixed-point optimizer batch applies it once. Limit
+    * pruning under a predicate is declined by the builder, so `limit`
+    * cannot be set alongside — but drop it defensively anyway (its
+    * file pruning is unsound under a predicate). */
+  private[graft] def withRuntimeConjunct(conjunct: String,
+                                         blooms: Seq[RuntimeBloom] = Nil)
+      : GraftScan =
     new GraftScan(root, version,
       Some(predicate.map(p => s"($p) AND ($conjunct)").getOrElse(conjunct)),
-      required, None, runtimeFiltered = true)
+      required, None, runtimeFiltered = true, runtimeBlooms = blooms)
 
   // the files a pushed predicate keeps, computed ONCE at planning
   // time: their byte total is the statistic Catalyst's join selection
   // reads (below), and the physical scan reuses the same list — the
-  // pruning pass is never paid twice
-  private lazy val kept: Option[Seq[String]] = predicate.map(p =>
-    SnapshotTable.skippingKept(SparkSession.active, root, p, version))
+  // pruning pass is never paid twice. Runtime dim-key blooms refute
+  // further through the file bloom sidecars (files without a sidecar
+  // are kept).
+  private lazy val kept: Option[Seq[String]] = predicate.map { p =>
+    val base = SnapshotTable.skippingKept(SparkSession.active, root, p, version)
+    runtimeBlooms.foldLeft(base)((fs, b) =>
+      SnapshotTable.bloomKeysKept(SparkSession.active, root,
+        b.column, b.fileProbes, fs))
+  }
 
   /** POST-pruning planner statistics (Catalyst consults this through
     * `SupportsReportStatistics` — a V1 relation's own `sizeInBytes` is
@@ -628,8 +643,20 @@ private[sources] class GraftScan(
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
     new GraftRelation(context, root, version, predicate, required, limit,
-      kept).asInstanceOf[T]
+      kept, runtimeBlooms).asInstanceOf[T]
 }
+
+/** A runtime dim-key bloom a star join pushed into a fact scan:
+  * `words` is the dim-geometry bit set the ROW residual probes
+  * (mBits/64 longs, [[SnapshotTable.bloomProbeColumn]] discipline),
+  * `fileProbes` the same key domain pre-hashed at FILE-sidecar
+  * geometry ([word,mask]×3 per key) for sidecar pruning. Both are
+  * might-contain sets over the dim's complete key domain — refutation
+  * only drops fact rows/files the equi-join would drop anyway. */
+private[graft] case class RuntimeBloom(column: String, mBits: Long, k: Int,
+                                       words: Seq[Long],
+                                       fileProbes: Seq[Seq[Long]],
+                                       keyCount: Long)
 
 /** The V1 fallback relation: builds the library read (file-skipping
   * when a predicate was pushed) and hands Spark its RDD — the inner
@@ -639,7 +666,8 @@ private[sources] class GraftRelation(ctx: SQLContext, root: String,
                                      predicate: Option[String],
                                      required: StructType,
                                      limit: Option[Int] = None,
-                                     keptFiles: Option[Seq[String]] = None)
+                                     keptFiles: Option[Seq[String]] = None,
+                                     runtimeBlooms: Seq[RuntimeBloom] = Nil)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -668,7 +696,14 @@ private[sources] class GraftRelation(ctx: SQLContext, root: String,
       case (None, Some(n)) => SnapshotTable.readLimit(spark, root, n, version)
       case _ => SnapshotTable.read(spark, root, version)
     }
-    base.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
+    // runtime dim-key blooms: the row-level might-contain residual —
+    // shrinks the fact side of the exchange even when file pruning
+    // could not (uncorrelated layouts); false positives just flow to
+    // the join, false negatives cannot exist by construction
+    val bloomed = runtimeBlooms.foldLeft(base)((df, b) =>
+      df.filter(SnapshotTable.bloomProbeColumn(
+        col(b.column), b.mBits, b.k, b.words)))
+    bloomed.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
   }
 }
 

@@ -8,9 +8,11 @@ import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-import org.apache.spark.sql.functions.{col, count_distinct, max, min}
+import org.apache.spark.sql.functions.{col, collect_set, max, min}
 import org.apache.spark.sql.graft.GraftV1Wrap
 import org.apache.spark.sql.sources.{GreaterThanOrEqual => SGte, In => SIn, LessThanOrEqual => SLte}
+
+import graft.operators.SnapshotTable
 
 /** RUNTIME (dynamic) FILTERING for `format("graft")` star joins — the
   * Trino capability the reference leans on for every fact×dim join
@@ -66,6 +68,14 @@ case class GraftRuntimeFilterRule(session: SparkSession)
 
   private def maxKeys: Long =
     confLong("spark.graft.runtimeFilter.maxKeys", 200L)
+
+  /** Past `maxKeys` the exact IN set would bloat the conjunct; up to
+    * THIS cardinality the key domain still pushes as a BLOOM — file
+    * sidecar probes + a row-level might-contain residual (the
+    * Trino-dynamic-filter / `spark.sql.optimizer.runtime.bloomFilter`
+    * shape). Past it, only the [min,max] range remains. */
+  private def bloomMaxKeys: Long =
+    confLong("spark.graft.runtimeFilter.bloomMaxKeys", 100000L)
 
   private def maxBuildBytes: Long =
     confLong("spark.graft.runtimeFilter.maxBuildBytes",
@@ -152,17 +162,21 @@ case class GraftRuntimeFilterRule(session: SparkSession)
     }
     if (eligible.isEmpty) return factSide
     try {
-      val conjuncts = eligible.flatMap { case (f, d) =>
-        dimKeyConjunct(dimSide, d, f.name)
+      val derived = eligible.flatMap { case (f, d) =>
+        dimKeyConjunct(dimSide, d, f)
       }
-      if (conjuncts.isEmpty) factSide
+      if (derived.isEmpty) factSide
       else {
+        val conjuncts = derived.map(_._1)
+        val blooms = derived.flatMap(_._2)
         val narrowed = scan.withRuntimeConjunct(
-          conjuncts.mkString("(", ") AND (", ")"))
+          conjuncts.mkString("(", ") AND (", ")"), blooms)
         val newScan = GraftV1Wrap.rewrap(rel.scan, narrowed)
           .getOrElse(return factSide)
         logInfo(s"graft runtime filter on ${scan.root}: " +
-          conjuncts.mkString(" AND "))
+          conjuncts.mkString(" AND ") +
+          blooms.map(b => s" + bloom(${b.column}, ${b.keyCount} keys)")
+            .mkString)
         factSide.transform {
           case r: DataSourceV2ScanRelation if r eq rel =>
             r.copy(scan = newScan)
@@ -175,32 +189,96 @@ case class GraftRuntimeFilterRule(session: SparkSession)
     }
   }
 
-  /** Evaluate the dim side's key domain (one tiny aggregate job; the
-    * side is under maxBuildBytes by guard) and render the fact-side
-    * conjunct: always the min/max range, plus the exact IN set when
-    * the domain is small. None = nothing safe to derive (empty dim,
-    * untranslatable type). */
+  /** The evaluated key domain of one dim-side join key. */
+  private case class DimDomain(lo: Any, hi: Any, keys: Seq[Any])
+
+  /** Dim-side key domains already evaluated THIS SESSION, keyed by the
+    * canonicalized dim plan + key exprId — re-optimizations of the
+    * same plan (DataFrame reuse, nested joins re-running the batch)
+    * must not re-run the build-side jobs. `None` caches "empty dim /
+    * nothing derivable" too. Bounded: cleared when it outgrows its
+    * window (the entries are tiny; the bound only caps plan
+    * retention). */
+  private val domainCache =
+    scala.collection.mutable.Map.empty[(LogicalPlan, Long), Option[DimDomain]]
+
+  private def dimDomain(dimSide: LogicalPlan,
+                        dimKey: AttributeReference): Option[DimDomain] = {
+    if (domainCache.size > 128) domainCache.clear()
+    domainCache.getOrElseUpdate((dimSide.canonicalized, dimKey.exprId.id), {
+      // ONE aggregate job: bounds + the full distinct key set (driver-
+      // safe — the dim side is under maxBuildBytes by the caller's
+      // guard, so its distinct keys are at most that many bytes)
+      val dimDf = GraftV1Wrap.ofRows(session, dimSide)
+        .select(GraftV1Wrap.column(dimKey).as("__k"))
+        .where(col("__k").isNotNull) // null keys never equi-match
+      val head = dimDf
+        .agg(min(col("__k")), max(col("__k")), collect_set(col("__k")))
+        .head()
+      if (head.isNullAt(0)) None // empty dim: nothing to refute with
+      else Some(DimDomain(head.get(0), head.get(1), head.getSeq[Any](2)))
+    })
+  }
+
+  /** Evaluate the dim side's key domain (one tiny aggregate job,
+    * memoized per session) and render the fact-side narrowing: always
+    * the min/max range conjunct; plus the exact IN set when the domain
+    * is at most `maxKeys`; plus a pushed dim-key BLOOM when it is
+    * larger but at most `bloomMaxKeys` — the high-cardinality tier
+    * where an uncorrelated layout's [min,max] would refute nothing.
+    * None = nothing safe to derive (empty dim, untranslatable type). */
   private def dimKeyConjunct(dimSide: LogicalPlan, dimKey: AttributeReference,
-                             factCol: String): Option[String] = {
-    val dimDf = GraftV1Wrap.ofRows(session, dimSide)
-      .select(GraftV1Wrap.column(dimKey).as("__k"))
-      .where(col("__k").isNotNull) // null keys never equi-match
-    val head = dimDf
-      .agg(min(col("__k")), max(col("__k")), count_distinct(col("__k")))
-      .head()
-    if (head.isNullAt(0)) return None // empty dim: nothing to refute with
-    val (lo, hi, distinct) = (head.get(0), head.get(1), head.getLong(2))
+                             factAttr: AttributeReference)
+      : Option[(String, Option[RuntimeBloom])] = {
+    val dom = dimDomain(dimSide, dimKey).getOrElse(return None)
+    val factCol = factAttr.name
     val range = for {
-      l <- GraftDataSource.filterSql(SGte(factCol, lo))
-      h <- GraftDataSource.filterSql(SLte(factCol, hi))
+      l <- GraftDataSource.filterSql(SGte(factCol, dom.lo))
+      h <- GraftDataSource.filterSql(SLte(factCol, dom.hi))
     } yield s"$l AND $h"
+    val n = dom.keys.size.toLong
     val inSet =
-      if (distinct > maxKeys) None
-      else GraftDataSource.filterSql(
-        SIn(factCol, dimDf.distinct().collect().map(_.get(0))))
-    (range, inSet) match {
+      if (n > maxKeys) None
+      else GraftDataSource.filterSql(SIn(factCol, dom.keys.toArray))
+    val bloom =
+      if (inSet.isDefined || n > bloomMaxKeys) None
+      else buildBloom(factCol, factAttr.dataType, dom.keys)
+    val conjunct = (range, inSet) match {
       case (Some(a), Some(b)) => Some(s"$a AND $b")
       case (a, b) => a.orElse(b)
     }
+    // a bloom without at least the range conjunct has no scan to ride
+    // (withRuntimeConjunct carries both); range always derives when
+    // the type is translatable, so this only drops untranslatable ones
+    conjunct.map(c => (c, bloom))
+  }
+
+  /** A [[RuntimeBloom]] over the dim key domain: ~10 bits/key (≈1%
+    * false positives at 4 probes) for the row residual, plus every
+    * key pre-hashed at FILE-sidecar geometry. All keys must hash (a
+    * key the bloom missed would falsely refute matching fact rows) —
+    * any failure returns None and only the range pushes. */
+  private def buildBloom(factCol: String,
+                         dt: org.apache.spark.sql.types.DataType,
+                         keys: Seq[Any]): Option[RuntimeBloom] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val hashes = keys.map(v =>
+      SnapshotTable.literalHashes(Literal.create(v, dt), dt))
+    if (hashes.exists(_.isEmpty)) return None
+    val k = 4
+    val mBits = math.max(8192L, ((10L * keys.size + 63) / 64) * 64)
+    val words = new Array[Long]((mBits / 64).toInt)
+    val fileProbes = hashes.map { h =>
+      val (h1, h2) = h.get
+      var i = 0
+      while (i < k) {
+        val p = Math.floorMod(h1 + i.toLong * h2, mBits)
+        words((p / 64).toInt) |= 1L << (p % 64)
+        i += 1
+      }
+      SnapshotTable.fileBloomProbeWords((h1, h2))
+    }
+    Some(RuntimeBloom(factCol, mBits, k, words.toSeq, fileProbes,
+      keys.size.toLong))
   }
 }

@@ -73,4 +73,53 @@ class FuzzyJoinSpec extends GraftSuite {
     assert(cand.filter(substring(col("a"), 1, 5) =!=
       substring(col("b"), 1, 5)).count() === 0)
   }
+
+  test("the short bucket's work is bounded by its cheaper strategy estimate") {
+    // 300 distinct 4-8 char codes: correct under the measured-work
+    // planner, and a budget at the cross-product size (300² = 90k)
+    // admits the run — the bucket's work is capped by min(index,
+    // cross), never an unbounded cartesian
+    val codes = (0 until 100).flatMap(i =>
+      Seq(f"ab$i%03d", f"ab$i%03dx", f"zq$i%03dyw"))
+    val df = codes.toDF("s")
+    assert(FuzzyJoin.selfPairs(df, "s", 2)
+      .as[(String, String, Int)].collect().toSet === naive(2, codes))
+    FuzzyJoin.selfPairs(df, "s", 2, maxShortCandidates = 90000L).collect()
+  }
+
+  test("a sparse short inventory rides the 1-gram index under a sub-cross budget") {
+    // hash-scattered 5-char codes over a 36-char alphabet: Σ df² sits
+    // well under the cross product, so a budget just BELOW the cross
+    // size still admits the run — proving the index path carries it
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val codes = (0 until 40).map { i =>
+      val h = i * 2654435761L
+      (0 until 5).map(p => alpha(((h >> (p * 6)) % 36).toInt)).mkString
+    }.distinct
+    val budget = codes.size.toLong * codes.size - 1
+    val got = FuzzyJoin.selfPairs(codes.toDF("s"), "s", 1,
+        maxShortCandidates = budget)
+      .as[(String, String, Int)].collect().toSet
+    assert(got === naive(1, codes))
+  }
+
+  test("boundary-shift pairs survive the positional filter") {
+    // deleting the first 2 chars shifts every surviving char by 2 —
+    // exactly maxDist, the positional filter's edge
+    val df = Seq("abcdefgh", "cdefgh", "", "ab").toDF("s")
+    val got = FuzzyJoin.selfPairs(df, "s", 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(got === naive(2, Seq("abcdefgh", "cdefgh", "", "ab")))
+    assert(got.contains(("abcdefgh", "cdefgh", 2)))
+    assert(got.contains(("", "ab", 2))) // tiny bucket: no grams at all
+  }
+
+  test("a pathological short inventory refuses loudly instead of exploding") {
+    val dense = (0 until 400).map(i => f"c$i%03d").toDF("s")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.selfPairs(dense, "s", 2, maxShortCandidates = 1000L)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxShortCandidates"))
+  }
 }

@@ -161,4 +161,121 @@ class GraftRuntimeFilterSpec extends GraftSuite {
     val q = fact.join(dim, col("k") === col("dk")).select(col("amount"))
     assert(q.count() === 0)
   }
+
+  // fact laid out by k % 8 — every file spans the whole key range, so
+  // the [min,max] conjunct refutes NOTHING; only the bloom tiers can
+  private lazy val modRoot: String = {
+    val root = Files.createTempDirectory("graft-rtf-mod").toString + "/t"
+    (0 until 800).map(i => (i.toLong, i * 10.0)).toDF("k", "amount")
+      .repartition(8, org.apache.spark.sql.functions.pmod(col("k"), org.apache.spark.sql.functions.lit(8)))
+      .write.format("graft")
+      .option("statsCols", "k").option("bloomCols", "k")
+      .mode("overwrite").save(root)
+    root
+  }
+
+  private def modFact: DataFrame = spark.read.format("graft").load(modRoot)
+
+  private def scanOutputRows(q: DataFrame): Long = {
+    q.collect()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          nodes(s.plan)
+        case n => Seq(n)
+      }
+    nodes(q.queryExecution.executedPlan)
+      .collect { case s: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+        s.metrics("numOutputRows").value }
+      .min
+  }
+
+  test("past maxKeys a dim-key BLOOM still prunes files via sidecars") {
+    // 300 keys ≡ 3 (mod 8): above the IN cap (200), disjoint from 7 of
+    // the 8 residue files. Range is [3, 2395] — refutes no file on
+    // this layout; the file-bloom probe drops ~7 of 8.
+    val dim = (0 until 300).map(i => (8L * i + 3, s"d$i")).toDF("dk", "tag")
+    val q = modFact.join(dim, col("k") === col("dk"))
+      .agg(sum(col("amount")).as("total"))
+    val expected = (0 until 800).filter(_ % 8 == 3).map(_ * 10.0).sum
+    assert(q.head().getDouble(0) === expected)
+    val scan = factScanAt(q, modRoot).get
+    assert(scan.runtimeFiltered && scan.runtimeBlooms.nonEmpty)
+    assert(!scan.predicate.get.contains(" IN ")) // past the IN cap
+    val kept = SnapshotTable.bloomKeysKept(spark, modRoot, "k",
+      scan.runtimeBlooms.head.fileProbes,
+      SnapshotTable.skippingKept(spark, modRoot, scan.predicate.get))
+    assert(kept.size <= 2, s"bloom kept ${kept.size} of 8 files")
+    // answers identical with the feature off
+    spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+    try assert(modFact.join(dim, col("k") === col("dk"))
+      .agg(sum(col("amount")).as("total")).head().getDouble(0) === expected)
+    finally spark.conf.unset("spark.graft.runtimeFilter.enabled")
+  }
+
+  test("a 10^4-key dim shrinks the fact exchange via the row residual") {
+    // every even key 0..19998: interleaved with the fact domain, so
+    // neither bounds nor file blooms can refute (every file holds
+    // matches) — the ROW-level might-contain is what must shrink the
+    // scan output (~400 matching + ~1% fp instead of all 800)
+    val dim = (0 until 10000).map(i => (2L * i, s"d$i")).toDF("dk", "tag")
+    val q = modFact.join(dim, col("k") === col("dk"))
+      .agg(sum(col("amount")).as("total"))
+    val expected = (0 until 800).filter(_ % 2 == 0).map(_ * 10.0).sum
+    assert(q.head().getDouble(0) === expected)
+    val scan = factScanAt(q, modRoot).get
+    assert(scan.runtimeFiltered && scan.runtimeBlooms.nonEmpty)
+    assert(scan.runtimeBlooms.head.keyCount === 10000L)
+    val rows = scanOutputRows(
+      modFact.join(dim, col("k") === col("dk")).select(col("amount")))
+    assert(rows >= 400 && rows <= 500, s"scan emitted $rows of 800 rows")
+    // identical answer with the feature off, and the full 800 emitted
+    spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+    try {
+      val off = modFact.join(dim, col("k") === col("dk"))
+        .select(col("amount"))
+      assert(scanOutputRows(off) === 800L)
+      assert(modFact.join(dim, col("k") === col("dk"))
+        .agg(sum(col("amount")).as("total")).head().getDouble(0) === expected)
+    } finally spark.conf.unset("spark.graft.runtimeFilter.enabled")
+  }
+
+  test("past bloomMaxKeys only the range conjunct pushes") {
+    spark.conf.set("spark.graft.runtimeFilter.bloomMaxKeys", "100")
+    try {
+      val dim = (0 until 300).map(i => (8L * i + 3, s"d$i")).toDF("dk", "tag")
+      val q = modFact.join(dim, col("k") === col("dk"))
+        .agg(sum(col("amount")).as("total"))
+      val expected = (0 until 800).filter(_ % 8 == 3).map(_ * 10.0).sum
+      assert(q.head().getDouble(0) === expected)
+      val scan = factScanAt(q, modRoot).get
+      assert(scan.runtimeFiltered && scan.runtimeBlooms.isEmpty)
+    } finally spark.conf.unset("spark.graft.runtimeFilter.bloomMaxKeys")
+  }
+
+  test("the dim-side aggregate runs once per plan (memoized domain)") {
+    val dim = Seq(120L, 125L).toDF("dk")
+    val q = fact.join(dim, col("k") === col("dk"))
+      .agg(sum(col("amount")).as("total"))
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // force several re-optimizations of the same plan
+    q.queryExecution.optimizedPlan
+    val mid = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    GraftV1Wrap.ofRows(spark, q.queryExecution.logical)
+      .queryExecution.optimizedPlan
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(mid - before <= 2, s"first optimization ran ${mid - before} jobs")
+    assert(after === mid, "re-optimizing the same dim side re-ran its job")
+  }
+
+  private def factScanAt(df: DataFrame, root: String): Option[GraftScan] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation
+          if GraftV1Wrap.inner(r.scan).exists(
+            _.asInstanceOf[GraftScan].root == root) =>
+        GraftV1Wrap.inner(r.scan).get.asInstanceOf[GraftScan]
+    }
 }
