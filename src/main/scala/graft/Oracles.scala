@@ -2128,6 +2128,52 @@ v$s AS (
         |  CAST(LEAST(32, n - i * 24) AS BIGINT) AS n_tokens
         |FROM e""".stripMargin,
 
+    // Exact substring dedup (Lee et al. 2022 ExactSubstr): every
+    // 20-token window at stride 1 md5-hashed; occurrences that are not
+    // their hash group's earliest (doc_id*1e7+pos order) are duplicated
+    // windows, island-merged per doc into maximal [start, end) token
+    // spans (same-span iff next window starts within `window` of the
+    // previous — overlap or adjacency).
+    "dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+        |  FROM t WHERE len(w) >= 20
+        |), e AS (
+        |  SELECT doc_id, w,
+        |    UNNEST(generate_series(0, n - 20)) AS i
+        |  FROM f
+        |), h AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    md5(array_to_string(w[CAST(i + 1 AS INT) : CAST(i + 20 AS INT)], ' ')) AS wh
+        |  FROM e
+        |), d AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i,
+        |      COUNT(*) OVER (PARTITION BY wh) AS cnt,
+        |      MIN(doc_id * 10000000 + i) OVER (PARTITION BY wh) AS canon_key
+        |    FROM h)
+        |  WHERE cnt > 1 AND doc_id * 10000000 + i <> canon_key
+        |), s AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |      OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 20
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM d
+        |), c AS (
+        |  SELECT doc_id, i,
+        |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(MIN(i) AS BIGINT) AS span_start,
+        |  CAST(MAX(i) + 20 AS BIGINT) AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM c GROUP BY doc_id, span_id""".stripMargin,
+
     // Chunk-level repeated-passage spans: the doc_chunks CTE hashed per
     // window; every occurrence that is not its hash group's earliest
     // (in doc_id*IdSpace+chunk_idx order) is a removal span pointing at

@@ -632,6 +632,8 @@ object SparkEntry {
         Tables.lineitem(s, dir))),
     // -- LLM training-data pipeline (rows 19-29) --
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.exactSubstring(Tables.documents(s, dir))),
     "chunk_dedup" -> ((s, dir) =>
       ChunkDedup.spans(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>

@@ -411,4 +411,67 @@ object Dedup {
       .filter(col("hamming") <= Hashing.SimhashMaxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Exact SUBSTRING dedup at token granularity — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * ExactSubstr standard that whole-chunk hashing approximates: a
+    * duplicated passage that straddles or shifts across chunk
+    * boundaries is invisible to [[ChunkDedup]]'s aligned paragraph/
+    * chunk hashes, but a stride-1 sliding window catches it at any
+    * offset.
+    *
+    * Every `window`-token window (stride 1) of every document is
+    * hashed (md5 of the space-joined tokens — the engines' shared
+    * collision-free bridge; docs shorter than `window` contribute no
+    * windows and are whole-doc dedup's job). A window occurrence that
+    * is not its hash group's earliest (in doc_id·ChunkIdSpace+pos
+    * order) is a duplicated window; overlapping-or-adjacent duplicated
+    * windows in a doc merge into maximal removal spans
+    * `[span_start, span_end)` in token offsets — the span shape
+    * curation applies (cut the span, keep the canonical occurrence).
+    *
+    * Scale: NO self-join and no candidate blowup — occurrence counts
+    * and canonical keys ride ONE hash-partitioned window over `wh`
+    * (shuffle 1, O(corpus windows) rows of (hash, doc, pos)), and the
+    * island merge rides a doc_id window (shuffle 2, duplicated windows
+    * only). The stride-1 hashing itself is shuffle-free but
+    * re-materializes each window's text once (O(window ·
+    * corpus_tokens) bytes hashed — the constant-factor price of
+    * windowed hashing vs a suffix array, which has no distributed
+    * shape; raise `window`/use [[ChunkDedup]] for a cheaper aligned
+    * prefilter). */
+  def exactSubstring(docs: DataFrame, window: Int = 20): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val W = org.apache.spark.sql.expressions.Window
+    val hashed = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .withColumn("n", size(col("w")).cast("bigint"))
+      .filter(col("n") >= window)
+      .withColumn("i", explode(sequence(lit(0L), col("n") - window)))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(
+          slice(col("w"), (col("i") + 1).cast("int"), lit(window)),
+          " ").cast("binary")).as("wh"))
+    val byHash = W.partitionBy("wh")
+    val dups = hashed
+      .withColumn("cnt", count(lit(1)).over(byHash))
+      .withColumn("canon_key",
+        min(col("doc_id") * ChunkDedup.ChunkIdSpace + col("i")).over(byHash))
+      .filter(col("cnt") > 1 &&
+        col("doc_id") * ChunkDedup.ChunkIdSpace + col("i") =!= col("canon_key"))
+      .select("doc_id", "i")
+    val byDoc = W.partitionBy("doc_id").orderBy("i")
+    dups
+      .withColumn("new_span",
+        when(lag(col("i"), 1).over(byDoc).isNull ||
+          col("i") > lag(col("i"), 1).over(byDoc) + window, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byDoc.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + window).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
 }

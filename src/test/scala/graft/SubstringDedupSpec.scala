@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ChunkDedup, Dedup}
+import graft.sources.Tables
+
+/** Token-granularity exact-substring dedup (Lee et al. 2022
+  * ExactSubstr): stride-1 window hashing catches duplicated passages
+  * at ANY offset — including ones that straddle or shift across the
+  * aligned chunk boundaries [[ChunkDedup]] hashes. */
+class SubstringDedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def fresh(tag: String, n: Int) =
+    (1 to n).map(i => s"${tag}word$i").mkString(" ")
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // a 25-token passage: one window (20) long enough to flag, short
+  // enough to hide inside a 32-token chunk at a shifted offset
+  private val passage = (1 to 25).map(i => s"passage$i").mkString(" ")
+
+  test("a shared passage is flagged in every non-canonical occurrence") {
+    val d = docs(
+      1L -> (passage + " " + fresh("a", 40)),
+      2L -> (fresh("b", 10) + " " + passage + " " + fresh("c", 30)),
+      3L -> fresh("d", 60))
+    val rows = Dedup.exactSubstring(d).collect()
+    // doc 1 holds the earliest occurrence (canonical — not flagged);
+    // doc 2's copy starts at token 10; doc 3 shares nothing
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === Set(2L))
+    val r = rows.head
+    // windows 10..15 (each 20 tokens, last ends at 15+20=35) all
+    // duplicate → one merged span [10, 35) covering the passage
+    assert(r.getAs[Long]("span_start") === 10L)
+    assert(r.getAs[Long]("span_end") === 35L)
+    assert(r.getAs[Long]("n_windows") === 6L)
+  }
+
+  test("catches a boundary-straddling duplicate that chunk_dedup misses") {
+    // doc 1 opens with the passage; doc 2 carries it at offset 17, so
+    // in doc 2 it straddles the first 32-token chunk boundary — no
+    // aligned 32-token chunk window is identical between the docs.
+    val d = docs(
+      1L -> (passage + " " + fresh("a", 40)),
+      2L -> (fresh("b", 17) + " " + passage + " " + fresh("c", 30)))
+    assert(ChunkDedup.spans(d).count() === 0L,
+      "precondition: the aligned chunk pass must miss this duplicate")
+    val rows = Dedup.exactSubstring(d).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === Set(2L))
+    val r = rows.head
+    assert(r.getAs[Long]("span_start") === 17L)
+    assert(r.getAs[Long]("span_end") === 42L)
+  }
+
+  test("self-repetition within one doc flags the later occurrence") {
+    val d = docs(1L -> (passage + " " + fresh("x", 5) + " " + passage))
+    val rows = Dedup.exactSubstring(d).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") === 1L)
+    // second copy starts at token 30 (25 passage + 5 filler)
+    assert(r.getAs[Long]("span_start") === 30L)
+    assert(r.getAs[Long]("span_end") === 55L)
+  }
+
+  test("nearby distinct spans merge only when windows overlap or touch") {
+    // two shared passages separated by >window fresh tokens → two spans
+    val d = docs(
+      1L -> (passage + " " + fresh("mid", 30) + " " +
+        passage.replace("passage", "other")),
+      2L -> (passage + " " + fresh("gap", 30) + " " +
+        passage.replace("passage", "other")))
+    val rows = Dedup.exactSubstring(d)
+      .filter(col("doc_id") === 2L).orderBy("span_start").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("span_start") === 0L)
+    assert(rows(0).getAs[Long]("span_end") === 25L)
+    assert(rows(1).getAs[Long]("span_start") === 55L)
+    assert(rows(1).getAs[Long]("span_end") === 80L)
+  }
+
+  test("docs shorter than the window contribute no windows") {
+    val short = (1 to 10).map(i => s"tiny$i").mkString(" ")
+    val d = docs(1L -> short, 2L -> short)
+    assert(Dedup.exactSubstring(d).count() === 0L)
+  }
+
+  test("sf0.001 spans are consistent: inside doc bounds, windows counted") {
+    val d = Tables.documents(spark, sf)
+    val spans = Dedup.exactSubstring(d)
+    val bad = spans.join(
+        d.select(col("doc_id"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n")),
+        Seq("doc_id"))
+      .filter(col("span_start") < 0 || col("span_end") > col("n") ||
+        col("span_start") >= col("span_end") ||
+        col("n_windows") > col("span_end") - col("span_start"))
+    assert(bad.count() === 0L)
+  }
+}
