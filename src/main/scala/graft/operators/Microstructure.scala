@@ -78,9 +78,26 @@ object Microstructure {
     * LeftSemi-pruned to only the products that appear in the list
     * BEFORE the hour join, so the pair space collapses from
     * O(products²) to O(‖pairs‖) and the hour-join intermediate to
-    * ‖restricted pairs × joint hours‖. */
+    * ‖restricted pairs × joint hours‖.
+    *
+    * `maxProductsUnlisted` is the no-watchlist valve: the unlisted
+    * path is a genuine all-pairs matrix, so past this many distinct
+    * products the run refuses loudly (pass `pairs`) instead of
+    * shuffling O(products²) pair rows — the same measured-work
+    * discipline as [[FuzzyJoin]]'s short bucket and
+    * [[Dedup.ngramJaccard]]'s df cap. The count is one tiny
+    * aggregate over the candle table's product column. */
   def pairCorrelation(h1: DataFrame,
-                      pairs: Option[DataFrame] = None): DataFrame = {
+                      pairs: Option[DataFrame] = None,
+                      maxProductsUnlisted: Int = 200): DataFrame = {
+    if (pairs.isEmpty) {
+      val n = h1.select("product_id").distinct().count()
+      require(n <= maxProductsUnlisted,
+        s"pair_correlation without a pairs watchlist is all-pairs over " +
+          s"$n products (${n * (n - 1) / 2} pairs, cap " +
+          s"$maxProductsUnlisted products); pass `pairs` to restrict " +
+          "the matrix or raise maxProductsUnlisted deliberately")
+    }
     // Prune each leg to the products named in the watchlist (semi-join
     // against a broadcast of the tiny pair list), then keep only the
     // listed combinations after the hour join. The unordered contract

@@ -89,6 +89,29 @@ class MicrostructureSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("pair correlation without a watchlist refuses past the product valve") {
+    val rows = (1 to 12).flatMap { p =>
+      Seq("2024-01-01 10:00:00", "2024-01-01 11:00:00").zipWithIndex.map {
+        case (ts, i) => (s"P$p", ts, 10.0 + p + i)
+      }
+    }
+    val h1 = rows.toDF("product_id", "ts", "c")
+      .select(col("product_id"),
+        col("ts").cast("timestamp_ntz").as("window_start"),
+        col("c").cast("decimal(18,8)").as("close"))
+    val e = intercept[IllegalArgumentException] {
+      Microstructure.pairCorrelation(h1, maxProductsUnlisted = 10)
+    }
+    assert(e.getMessage.contains("watchlist"))
+    // a watchlist bypasses the valve regardless of product count
+    val pairs = Seq(("P1", "P2")).toDF("product_a", "product_b")
+    assert(Microstructure.pairCorrelation(h1, Some(pairs),
+      maxProductsUnlisted = 10).count() === 1L)
+    // under the cap the unlisted path still runs
+    assert(Microstructure.pairCorrelation(h1, maxProductsUnlisted = 12)
+      .count() === 66L)
+  }
+
   test("streaming flow imbalance equals the batch aggregation") {
     import graft.sources.Tables
     val s = graft.streaming.BronzeStream.streamingFlowImbalance(spark, sf)
