@@ -1798,6 +1798,63 @@ object SnapshotTable {
     stageManifested(updated, root, partitionCol, base, append = false)
   }
 
+  /** Row-level UPDATE as a MERGE-ON-READ commit (the Iceberg v2 MoR
+    * UPDATE shape): instead of rewriting every touched partition
+    * ([[updateWhere]]'s copy-on-write), the matched rows' updated
+    * images are APPENDED and their OLD full-row images land as an
+    * equality-delete sidecar in the SAME version — old twins die by
+    * the sidecar, the new images survive by the strict sequence rule,
+    * untouched rows are inherited by manifest reference. Commit cost
+    * is O(matched rows), not O(touched partitions): the 100 TB shape
+    * for a few-row UPDATE inside a 1 TB partition. The full old-row
+    * image is the equality key — UPDATE declares no key columns, and
+    * a deterministic predicate cannot match one of two identical rows
+    * without the other, so full-row masking is exact (twins all match
+    * and each re-appends its own post-image, preserving multiplicity).
+    * Layout (partition-spec source) assignments refuse, same as CoW.
+    * Returns the new version, or -1 when nothing matches. */
+  private[graft] def stageUpdateMor(spark: SparkSession, root: String,
+                                    partitionCol: String,
+                                    predicate: Column,
+                                    sets: Seq[(String, Column)],
+                                    base: Long): Long = {
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    val layout = parseSpecs(partitionCol).map(_.source).toSet
+    val bad = sets.map(_._1).filter(layout.contains)
+    require(bad.isEmpty,
+      s"cannot update layout column(s) ${bad.mkString(", ")} in place — " +
+        "rows would have to move between partitions")
+    val cur = read(spark, root, base)
+    sets.foreach { case (n, _) => require(cur.columns.contains(n),
+      s"no column '$n' in ${cur.columns.mkString(", ")}") }
+    // one materialized snapshot of the matched rows: the append and
+    // the sidecar must see the SAME row set (localCheckpoint, the
+    // MERGE path's discipline) and the table read must not re-run
+    val matched = cur.filter(coalesce(predicate, lit(false)))
+      .localCheckpoint(eager = true)
+    if (matched.head(1).isEmpty) return -1L
+    val setMap = sets.toMap
+    val post = matched.select(cur.schema.fields.toSeq.map { f =>
+      setMap.get(f.name).map(_.cast(f.dataType).as(f.name))
+        .getOrElse(col(f.name))
+    }: _*)
+    stageMergeBatch(post, root, partitionCol, matched, base)
+  }
+
+  /** Published [[stageUpdateMor]]: MoR UPDATE against the latest
+    * version. Returns the new version (the current one when nothing
+    * matches). */
+  def updateWhereMor(spark: SparkSession, root: String,
+                     partitionCol: String, predicate: Column,
+                     sets: Seq[(String, Column)]): Long = {
+    val base = latestVersion(root)
+    require(base >= 0, s"no committed version at $root")
+    val next = stageUpdateMor(spark, root, partitionCol, predicate,
+      sets, base)
+    if (next < 0) base
+    else { moveMarker(root, next); next }
+  }
+
   /** Row-level DELETE as a MERGE-ON-READ commit (Iceberg v2 position
     * deletes): instead of rewriting every touched partition
     * ([[deleteWhere]]'s copy-on-write), the matching rows' (file,

@@ -23,8 +23,13 @@ import graft.operators.{Catalog, SnapshotTable}
   *     INSERT`, both full-row and identical) →
   *     [[SnapshotTable.upsertMor]] — the O(batch) append +
   *     equality-delete commit; zero table reads, zero rewrites.
-  *   - UPDATE → [[SnapshotTable.updateWhere]] — a partition-pruned
-  *     copy-on-write delta commit.
+  *   - UPDATE → routed by predicate shape: partition-aligned
+  *     predicates take [[SnapshotTable.updateWhere]] (partition-pruned
+  *     copy-on-write — every row of a touched partition changes, the
+  *     rewrite is minimal); everything else takes
+  *     [[SnapshotTable.updateWhereMor]] (merge-on-read: append updated
+  *     images + same-version equality delete — O(matched rows), no
+  *     partition rewrite).
   *
   * Shapes outside the contract REFUSE with the supported form in the
   * error (running the wrong rows is not an optimization miss).
@@ -275,21 +280,51 @@ object GraftDml {
     }
   }
 
-  /** UPDATE as a partition-pruned copy-on-write rewrite; governed
-    * targets publish the staged rewrite as one atomic catalog
-    * commit. */
+  /** UPDATE, routed by predicate shape (the Iceberg v2 engine choice):
+    *
+    *   - PARTITION-ALIGNED predicates (every referenced column is a
+    *     partition-spec source, incl. the no-WHERE full-table case) →
+    *     [[SnapshotTable.updateWhere]], the copy-on-write partition
+    *     rewrite — every row of each touched partition changes anyway,
+    *     so the rewrite is the minimal write and leaves no MoR debt;
+    *   - everything else → [[SnapshotTable.updateWhereMor]], the
+    *     merge-on-read append + same-version equality delete — a
+    *     few-row UPDATE inside a huge partition costs O(matched rows),
+    *     not a partition rewrite ([[SnapshotTable.applyDeletes]] folds
+    *     the sidecar on the maintenance cadence).
+    *
+    * Unmanifested (plain-partitioned) tables always take CoW — the
+    * equality sidecar rides the partition manifest. Governed targets
+    * publish either staging as one atomic catalog commit. */
   def runUpdate(spark: SparkSession, target: Target, partitionCol: String,
-                predicate: Column, sets: Seq[(String, Column)]): Long =
+                predicate: Column, sets: Seq[(String, Column)],
+                predicateRefs: Set[String]): Long = {
+    val layout = SnapshotTable.parseSpecs(partitionCol).map(_.source).toSet
+    val aligned = predicateRefs.forall(layout.contains)
+    def manifested(root: String, base: Long) =
+      base >= 0 && SnapshotTable.manifestEntries(root, base).nonEmpty
     target match {
       case Warehouse(root) =>
-        SnapshotTable.updateWhere(spark, root, partitionCol, predicate, sets)
+        if (aligned ||
+            !manifested(root, SnapshotTable.latestVersion(root)))
+          SnapshotTable.updateWhere(spark, root, partitionCol, predicate,
+            sets)
+        else
+          SnapshotTable.updateWhereMor(spark, root, partitionCol,
+            predicate, sets)
       case g: Governed =>
         casCommit(g) { prev =>
-          val v = SnapshotTable.stageUpdateWhere(spark, g.tableRoot,
-            partitionCol, predicate, sets, prev)
+          val v =
+            if (aligned || !manifested(g.tableRoot, prev))
+              SnapshotTable.stageUpdateWhere(spark, g.tableRoot,
+                partitionCol, predicate, sets, prev)
+            else
+              SnapshotTable.stageUpdateMor(spark, g.tableRoot,
+                partitionCol, predicate, sets, prev)
           if (v < 0) None else Some(v)
         }
     }
+  }
 
   /** MERGE `WHEN MATCHED THEN DELETE` (alone): the source's key set
     * lands as one equality-delete sidecar commit masking every

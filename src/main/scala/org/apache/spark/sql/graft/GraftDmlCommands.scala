@@ -160,8 +160,14 @@ case class GraftUpdateCommand(target: graft.sources.GraftDml.Target,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val pred = condition.map(GraftDmlExec.column).getOrElse(lit(true))
+    // the columns the WHERE references, for CoW-vs-MoR routing (an
+    // empty set = no WHERE = full-table, which routes copy-on-write)
+    val refs = condition.toSeq.flatMap(_.collect {
+      case a: Attribute => a.name
+    }).toSet
     Seq(Row(graft.sources.GraftDml.runUpdate(spark, target, partitionCol,
-      pred, sets.map { case (n, e) => n -> GraftDmlExec.column(e) })))
+      pred, sets.map { case (n, e) => n -> GraftDmlExec.column(e) },
+      refs)))
   }
 }
 

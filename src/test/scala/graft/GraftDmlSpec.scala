@@ -376,25 +376,51 @@ class GraftDmlSpec extends GraftSuite {
     } finally spark.conf.unset("spark.sql.catalog.dmlsyncg")
   }
 
-  test("UPDATE rewrites only touched partitions; WHERE-null rows keep") {
+  test("UPDATE routes by predicate: aligned CoW rewrite, row-level MoR") {
     val root = mkCatalogTable("dml3")
     val before = SnapshotTable.latestVersion(root)
-    val yEntry = SnapshotTable.manifestEntries(root, before)
-      .find(_._1.contains("p=y")).get
-    val yDir = java.nio.file.Paths.get(root, s"v=${yEntry._2}", yEntry._1)
-    val yM = Files.getLastModifiedTime(yDir)
+    val dataFiles = SnapshotTable.manifestEntries(root, before)
+      .map(e => java.nio.file.Paths.get(root, s"v=${e._2}", e._1))
+    val mtimes = dataFiles.map(p => p -> Files.getLastModifiedTime(p)).toMap
 
+    // non-partition-aligned predicate (references n) → MERGE-ON-READ:
+    // zero existing bytes move, the commit is appended images + an
+    // equality-delete sidecar
     val res = spark.sql(
       "UPDATE dml3.db.t SET n = n * 10 WHERE p = 'x' AND n >= 2")
     assert(res.first.getLong(0) === before + 1)
     val rows = spark.table("dml3.db.t").orderBy("k")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows === Seq(("a", 1L), ("b", 20L), ("c", 3L)))
-    // the y partition was inherited by reference, not rewritten
-    assert(Files.getLastModifiedTime(yDir) === yM)
+    dataFiles.foreach(p =>
+      assert(Files.getLastModifiedTime(p) === mtimes(p), s"$p rewritten"))
+    assert(SnapshotTable.eqDeleteEntries(root, before + 1).nonEmpty)
     // time travel reads the pre-update values
     assert(spark.sql(s"SELECT n FROM dml3.db.t VERSION AS OF $before " +
       "WHERE k = 'b'").first.getLong(0) === 2L)
+
+    // stacked MoR update over the MoR view: the already-updated image
+    // is what the second statement sees
+    spark.sql("UPDATE dml3.db.t SET n = n + 1 WHERE n = 20")
+    assert(spark.sql("SELECT n FROM dml3.db.t WHERE k = 'b'")
+      .first.getLong(0) === 21L)
+
+    // PARTITION-ALIGNED predicate → copy-on-write rewrite of the
+    // touched partition only (no new MoR debt, x rewritten, y inherited)
+    val v2 = SnapshotTable.latestVersion(root)
+    val res2 = spark.sql("UPDATE dml3.db.t SET n = 0 WHERE p = 'y'")
+    assert(res2.first.getLong(0) === v2 + 1)
+    // no NEW MoR debt (prior live sidecars are inherited by reference)
+    assert(SnapshotTable.eqDeleteEntries(root, v2 + 1).size ===
+      SnapshotTable.eqDeleteEntries(root, v2).size)
+    assert(spark.sql("SELECT n FROM dml3.db.t WHERE k = 'c'")
+      .first.getLong(0) === 0L)
+
+    // folding the debt preserves the resolved rows
+    SnapshotTable.applyDeletes(spark, root)
+    assert(spark.table("dml3.db.t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 1L), ("b", 21L), ("c", 0L)))
 
     // updating the partition column refuses (rows would change dirs)
     val e = intercept[Exception] {
