@@ -57,9 +57,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .exists(_.isInstanceOf[org.apache.spark.sql.graft.GraftScanStatsRule]))
         session.experimental.extraOptimizations =
           session.experimental.extraOptimizations :+ rule
+      // Catalyst's own "Join Reorder" batch runs right after scan
+      // push-down but BEFORE this swap lands (extraOptimizations is
+      // the last batch), so at its scheduled slot every connector
+      // relation still hides its statistics behind the plain
+      // V1ScanWrapper and CBO reorder never fires. Re-running the
+      // (self-gating, idempotent) rule here — after the swap exposes
+      // rowCount + NDV column stats — is what makes
+      // spark.sql.cbo.joinReorder effective on graft tables.
+      if (!session.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.sources.GraftCboReorderRule]))
+        session.experimental.extraOptimizations =
+          session.experimental.extraOptimizations :+
+            graft.sources.GraftCboReorderRule(session)
       // runtime (dynamic) filtering for connector star joins — same
       // batch, for the same reason: it narrows the ALREADY-BUILT scan
       // with a join-derived conjunct, so it must run after pushdown
+      // (and after the reorder above settles the join shape)
       if (!session.experimental.extraOptimizations
           .exists(_.isInstanceOf[graft.sources.GraftRuntimeFilterRule]))
         session.experimental.extraOptimizations =

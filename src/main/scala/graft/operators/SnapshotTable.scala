@@ -2520,6 +2520,7 @@ object SnapshotTable {
   def collectStats(spark: SparkSession, root: String,
                    statsCols: Seq[String]): Seq[Long] = {
     require(statsCols.nonEmpty, "collectStats needs at least one column")
+    fastBoundsCache.clear()
     val v = latestVersion(root)
     require(v >= 0, s"no committed version at $root")
     val storageVersions = {
@@ -3349,6 +3350,207 @@ object SnapshotTable {
     filtered(resolveDeletes(spark, root, dels, eqs,
       scans.reduce(_.unionByName(_))))
   }
+
+  // ───────── per-column NDV sketches (CBO statistics; Puffin analog) ─────────
+  //
+  // Iceberg ships theta sketches as Puffin blobs so engines can feed
+  // join-order estimation; the graft analog is a `v=N/_ndv/` sidecar
+  // holding one MERGEABLE Datasketches HLL sketch per (file, column)
+  // (`hll_sketch_agg` over the column's xxhash64 — a 64-bit hash
+  // makes every column type sketchable and collision noise is far
+  // below HLL's own error), plus that file's own estimate for the
+  // `files` inspection surface. Table-level NDV folds the LIVE files'
+  // sketches with `hll_union_agg` — no data rescan, any subset of
+  // files composes (the point of mergeable sketches: a partial
+  // rewrite invalidates only the rewritten files' rows). Collection
+  // is an explicit ANALYZE-style action ([[collectNdv]]), not a
+  // per-commit tax: one scan per uncovered storage version.
+
+  private def ndvPath(root: String, version: Long) =
+    MetaIO.join(root, s"v=$version", "_ndv")
+
+  def fileNdv(spark: SparkSession, root: String,
+              version: Long): Option[DataFrame] =
+    if (MetaIO.exists(ndvPath(root, version)))
+      Some(spark.read.parquet(ndvPath(root, version).toString))
+    else None
+
+  /** Columns with recorded NDV sketches in ANY storage version
+    * `version` references — the `ndv.columns` inspection property. */
+  def ndvCoverage(root: String, version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else latestVersion(root)
+    if (v < 0) return Seq.empty
+    val svs = manifestEntries(root, v).map(_._2).distinct match {
+      case Seq() => Seq(v)
+      case s => s
+    }
+    svs.flatMap(sv => fileNdv(SparkSession.active, root, sv))
+      .flatMap(_.columns.filter(_.endsWith("__hll"))
+        .map(_.stripSuffix("__hll")))
+      .distinct.sorted
+  }
+
+  /** The per-file sketch frame: `_file`, and per column a binary
+    * `${c}__hll` sketch plus its own `${c}__ndv` estimate. Nulls are
+    * excluded from the sketch (the SQL distinct-count convention). */
+  private def ndvFrame(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val sk = hll_sketch_agg(when(col(c).isNotNull, xxhash64(col(c))))
+      Seq(sk.as(s"${c}__hll"),
+        coalesce(hll_sketch_estimate(sk), lit(0L)).as(s"${c}__ndv"),
+        // Catalyst's ColumnStat.hasCountStats needs nullCount next to
+        // distinctCount — without it JoinEstimation falls back to
+        // cartesian-style cardinalities and CBO reorder loses its
+        // signal
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"))
+    }
+    df.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("_file", regexp_extract(col("_file"), "(v=\\d+/.*)$", 1))
+  }
+
+  /** BACKFILL NDV sketch sidecars — the Iceberg `compute_table_stats`
+    * (Puffin theta) analog, same contract as [[collectStats]] /
+    * [[collectBlooms]]: one scan per storage version lacking coverage,
+    * idempotent, previously-recorded columns preserved, atomic sidecar
+    * swap. Returns the storage versions recomputed. */
+  def collectNdv(spark: SparkSession, root: String,
+                 ndvCols: Seq[String]): Seq[Long] = {
+    require(ndvCols.nonEmpty, "collectNdv needs at least one column")
+    val v = latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    // ONE analyze call yields full CBO statistics: Catalyst's range-
+    // overlap check treats a counts-only numeric ColumnStat as an
+    // all-null column (NullRange -> "disjoint" -> zero-row joins), so
+    // NDV is only usable next to min/max bounds — backfill them
+    // through the footer-lifted stats path for the same columns
+    collectStats(spark, root, ndvCols)
+    val storageVersions = {
+      val m = manifestEntries(root, v)
+      if (m.isEmpty) Seq(v) else m.map(_._2).distinct.sorted
+    }
+    val recomputed = storageVersions.flatMap { sv =>
+      val existing: Seq[String] = fileNdv(spark, root, sv)
+        .map(_.columns.toSeq.filter(_.endsWith("__hll"))
+          .map(_.stripSuffix("__hll")))
+        .getOrElse(Seq.empty)
+      if (fileNdv(spark, root, sv).isDefined &&
+          ndvCols.forall(existing.contains)) None
+      else {
+        val df = spark.read.parquet(s"$root/v=$sv")
+        val present = (existing ++ ndvCols).distinct
+          .filter(df.columns.contains)
+        if (present.isEmpty) None
+        else {
+          val tmp = MetaIO.join(root, s"v=$sv",
+            s".ndv.new-${java.util.UUID.randomUUID()}")
+          ndvFrame(df, present).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val target = ndvPath(root, sv)
+          MetaIO.delete(target, recursive = true)
+          MetaIO.moveTree(tmp, target)
+          Some(sv)
+        }
+      }
+    }
+    ndvTableCache.clear() // estimates may have changed
+    recomputed
+  }
+
+  /** Table-level NDV per covered column of `version`'s LIVE files,
+    * folded from the per-file sketches (`hll_union_agg`, no data
+    * read). A column reports only when EVERY live data file carries
+    * its sketch — partial coverage would silently underestimate.
+    * Unapplied MoR deletes do NOT refuse (unlike [[fastBounds]]):
+    * NDV is an optimizer ESTIMATE and deletes only make it an
+    * overestimate, the safe direction for join planning. Results are
+    * process-memoized per (root, version) — sidecars are immutable
+    * once folded and the connector consults this on every plan. */
+  def tableNdv(spark: SparkSession, root: String,
+               version: Long = -1L): Map[String, NdvStat] = {
+    val v = if (version >= 0) version else latestVersion(root)
+    if (v < 0) return Map.empty
+    ndvTableCache.computeIfAbsent((MetaIO.join(root).toString, v), _ => {
+      val entries = manifestEntries(root, v)
+      val dirs: Seq[(String, Long)] =
+        if (entries.isEmpty) Seq(s"v=$v" -> v)
+        else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
+      val svs = dirs.map(_._2).distinct.sorted
+      // metadata-only fast path: no sidecars anywhere → no jobs
+      if (!svs.exists(sv => MetaIO.exists(ndvPath(root, sv))))
+        Map.empty
+      else {
+        val candidates: Set[String] = dirs.flatMap { case (rel, _) =>
+          val d = MetaIO.join(root, rel)
+          MetaIO.listNames(d)
+            .filterNot(n => n.startsWith("_") || n.startsWith("."))
+            .filterNot(n => MetaIO.isDir(MetaIO.join(root, rel, n)))
+            .map(n => s"$rel/$n")
+        }.toSet
+        val frames = svs.flatMap(fileNdv(spark, root, _))
+        if (frames.isEmpty) Map.empty
+        else {
+          val all = frames
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+            .collect()
+          val byFile = all.map(r =>
+            decodeReportedPath(r.getAs[String]("_file")) -> r).toMap
+          val covered = candidates.forall(byFile.contains)
+          if (!covered || candidates.isEmpty) Map.empty
+          else {
+            val cols = frames.flatMap(_.columns).distinct
+              .filter(_.endsWith("__hll")).map(_.stripSuffix("__hll"))
+            val rows = candidates.toSeq.map(byFile)
+            cols.flatMap { c =>
+              val sketches = rows.map { r =>
+                val i = r.fieldIndex(s"${c}__hll")
+                if (r.isNullAt(i)) null else r.getAs[Array[Byte]](i)
+              }
+              if (sketches.contains(null)) None // partial column coverage
+              else {
+                val est = spark
+                  .createDataset(sketches)(
+                    org.apache.spark.sql.Encoders.BINARY)
+                  .toDF("sk")
+                  .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+                  .first.getLong(0)
+                val nulls = rows.map { r =>
+                  val i = r.fieldIndex(s"${c}__nulls")
+                  if (r.isNullAt(i)) 0L else r.getLong(i)
+                }.sum
+                Some(c -> NdvStat(est, nulls))
+              }
+            }.toMap
+          }
+        }
+      }
+    })
+  }
+
+  /** [[fastBounds]] memoized per (root, version, column) — the
+    * connector's planner statistics consult bounds on every plan, and
+    * a committed version's sidecars only change through
+    * [[collectStats]] (which clears this). */
+  def fastBoundsCached(spark: SparkSession, root: String, column: String,
+                       version: Long = -1L): Option[(Any, Any)] = {
+    val v = if (version >= 0) version else latestVersion(root)
+    if (v < 0) return None
+    fastBoundsCache.computeIfAbsent(
+      (MetaIO.join(root).toString, v, column),
+      _ => fastBounds(spark, root, column, v))
+  }
+
+  private val fastBoundsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
+      Option[(Any, Any)]]
+
+  /** One column's folded table statistics: the HLL distinct estimate
+    * and the exact null count (summed per-file counters). */
+  case class NdvStat(ndv: Long, nullCount: Long)
+
+  private[graft] val ndvTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      Map[String, NdvStat]]
 
   // ───────────────── crash-leftover GC (orphan sweep) ─────────────────
 

@@ -79,10 +79,23 @@ object TableInspect {
     val stats = statVersions
       .flatMap(SnapshotTable.fileStats(spark, root, _))
       .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
-    stats match {
+    val withStats = stats match {
       case None => base
       case Some(st) =>
         base.join(st.withColumnRenamed("_file", "file"), Seq("file"), "left")
+    }
+    // per-file NDV estimates from the sketch sidecars (the binary
+    // sketches themselves stay out of the inspection surface)
+    val ndv = statVersions
+      .flatMap(SnapshotTable.fileNdv(spark, root, _))
+      .map(df => df.select(col("_file") +:
+        df.columns.filter(_.endsWith("__ndv")).toSeq.map(col): _*))
+      .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+    ndv match {
+      case None => withStats
+      case Some(nd) =>
+        withStats.join(nd.withColumnRenamed("_file", "file"),
+          Seq("file"), "left")
     }
   }
 
@@ -158,6 +171,15 @@ object TableInspect {
     val blooms = SnapshotTable.bloomCoverage(root, v)
     if (blooms.nonEmpty)
       rows += ("bloom.columns" -> blooms.mkString(","))
+    val ndvCols = SnapshotTable.ndvCoverage(root, v)
+    if (ndvCols.nonEmpty) {
+      rows += ("ndv.columns" -> ndvCols.mkString(","))
+      // folded table-level estimates (sketch union over live files —
+      // sidecar reads only, memoized; columns with partial file
+      // coverage are absent)
+      SnapshotTable.tableNdv(spark, root, v).toSeq.sortBy(_._1)
+        .foreach { case (c, n) => rows += (s"ndv.$c" -> n.ndv.toString) }
+    }
     rows.result().toDF("key", "value")
   }
 

@@ -638,12 +638,109 @@ private[sources] class GraftScan(
         else SnapshotTable.fastCountMeta(SparkSession.active, root, version)
           .map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty)
+      // per-column NDV from the table's HLL sketch sidecars (the
+      // Iceberg-Puffin-to-CBO path): `DataSourceV2Relation
+      // .transformV2Stats` turns these into attributeStats, feeding
+      // Catalyst's join cardinality estimation and CBO join reorder.
+      // Whole-table reads only — a pushed predicate changes per-column
+      // NDV in ways the sketches can't see. The fold is memoized per
+      // (root, version) and no-ops (metadata check only) on tables
+      // never ANALYZEd with collectNdv.
+      override def columnStats()
+          : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+                          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        if (predicate.isDefined)
+          return java.util.Collections.emptyMap()
+        val ndv = SnapshotTable.tableNdv(SparkSession.active, root, version)
+        if (ndv.isEmpty) return java.util.Collections.emptyMap()
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        required.fields.foreach { fld =>
+          val f = fld.name
+          // a RANGE-typed column (numeric/date/timestamp/boolean) with
+          // counts but no bounds reads as an all-null column to
+          // Catalyst's range-overlap check (NullRange -> disjoint ->
+          // zero-row joins), so those columns report only when their
+          // min/max bounds are recorded too; string/binary columns
+          // range as DefaultRange and are safe counts-only
+          val ranged = fld.dataType match {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType |
+                 org.apache.spark.sql.types.BooleanType => true
+            case _ => false
+          }
+          val bounds: Option[(Any, Any)] =
+            if (!ranged) None
+            else SnapshotTable.fastBoundsCached(
+              SparkSession.active, root, f, version) match {
+              case Some((lo, hi)) =>
+                (GraftScan.catalystStatVal(lo),
+                  GraftScan.catalystStatVal(hi)) match {
+                  case (Some(l), Some(h)) => Some((l, h))
+                  case _ => None
+                }
+              case None => None
+            }
+          ndv.get(f).filter(_ => !ranged || bounds.isDefined).foreach { n =>
+            m.put(
+              org.apache.spark.sql.connector.expressions.Expressions.column(f),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(n.ndv)
+                // ColumnStat.hasCountStats (what JoinEstimation keys
+                // on) needs BOTH counters
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(n.nullCount)
+                override def min(): java.util.Optional[Object] =
+                  bounds.map(b => java.util.Optional.of(
+                    b._1.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  bounds.map(b => java.util.Optional.of(
+                    b._2.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+              })
+          }
+        }
+        m
+      }
     }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
     new GraftRelation(context, root, version, predicate, required, limit,
       kept, runtimeBlooms).asInstanceOf[T]
+}
+
+private[sources] object GraftScan {
+  /** A stats-sidecar value (external JVM type, as parquet hands it
+    * back) converted to the CATALYST-internal representation
+    * `ColumnStat.min/max` stores — `transformV2Stats` passes V2 column
+    * stats through unconverted. Types without a defined conversion
+    * return None (the caller then omits the bound). */
+  private[sources] def catalystStatVal(v: Any): Option[Any] = v match {
+    case null => None
+    case _: java.lang.Boolean | _: java.lang.Byte | _: java.lang.Short |
+         _: java.lang.Integer | _: java.lang.Long | _: java.lang.Float |
+         _: java.lang.Double => Some(v)
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+    case d: java.time.LocalDate =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d))
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case dt: java.time.LocalDateTime =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(dt))
+    case d: java.math.BigDecimal =>
+      Some(org.apache.spark.sql.types.Decimal(d))
+    case _ => None
+  }
 }
 
 /** A runtime dim-key bloom a star join pushed into a fact scan:

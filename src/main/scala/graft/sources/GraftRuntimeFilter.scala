@@ -282,3 +282,29 @@ case class GraftRuntimeFilterRule(session: SparkSession)
       keys.size.toLong))
   }
 }
+
+/** Catalyst's own `CostBasedJoinReorder`, re-run AFTER the stats-
+  * forwarding wrapper swap exposes connector rowCount + NDV column
+  * stats (its scheduled "Join Reorder" batch runs before that swap,
+  * so on graft tables it never fires there — see [[graft
+  * .GraftExtensions]]). Guarded to fire only while NO scan has been
+  * runtime-filtered yet: the extraOptimizations batch is a fixed
+  * point, and a re-reorder over narrowed scans (whose row counts and
+  * column stats are deliberately withheld — a pushed conjunct changes
+  * both) would re-plan the join order from weaker information than
+  * the first pass had. */
+case class GraftCboReorderRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val touched = plan.exists {
+      case r: DataSourceV2ScanRelation =>
+        GraftV1Wrap.inner(r.scan).exists {
+          case g: GraftScan => g.runtimeFiltered
+          case _ => false
+        }
+      case _ => false
+    }
+    if (touched) plan
+    else org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder(plan)
+  }
+}
