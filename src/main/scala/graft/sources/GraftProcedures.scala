@@ -64,7 +64,7 @@ private[sources] object GraftProcedures {
   val warehouseNames: Seq[String] = Seq(
     "expire_snapshots", "sweep_orphans", "compact", "rollback",
     "create_tag", "apply_deletes", "migrate_spec", "collect_stats",
-    "collect_blooms", "set_sort_order", "add_constraint",
+    "collect_blooms", "collect_ndv", "set_sort_order", "add_constraint",
     "drop_constraint", "create_branch", "fast_forward")
 
   /** Every name [[governed]] binds (same listing contract). */
@@ -138,6 +138,17 @@ private[sources] object GraftProcedures {
         Seq("table" -> StringType, "columns" -> StringType),
         VersionOut) { in =>
         versionRows(SnapshotTable.collectBlooms(SparkSession.active,
+          rootOf(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq))
+      }
+    case "collect_ndv" => // Iceberg compute_table_stats: NDV sketches
+      // (+ min/max backfill) for CBO join estimation — the folded
+      // per-column estimate lands in db.t.properties as ndv.<col>
+      proc("collect_ndv",
+        Seq("table" -> StringType, "columns" -> StringType),
+        VersionOut) { in =>
+        versionRows(SnapshotTable.collectNdv(SparkSession.active,
           rootOf(in.getUTF8String(0).toString),
           in.getUTF8String(1).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq))

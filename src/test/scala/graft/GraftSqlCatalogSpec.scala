@@ -299,6 +299,15 @@ class GraftSqlCatalogSpec extends GraftSuite {
     spark.sql("CALL gtest.system.collect_stats('db.mx', 'n')")
     assert(SnapshotTable.fastBounds(spark, root, "n") === Some((2L, 4L)))
 
+    // collect_ndv is the CBO analyze: sketches land and the folded
+    // estimate surfaces as a table property
+    spark.sql("CALL gtest.system.collect_ndv('db.mx', 'n')")
+    assert(SnapshotTable.tableNdv(spark, root).get("n").map(_.ndv)
+      === Some(3L))
+    val prop = graft.operators.TableInspect.properties(spark, root)
+      .filter(col("key") === "ndv.n").collect()
+    assert(prop.length === 1 && prop.head.getString(1) === "3")
+
     intercept[Exception] { // unknown procedure refuses
       spark.sql("CALL gtest.system.nope(1)")
     }
