@@ -52,12 +52,28 @@ object Maintenance {
     * are undisturbed and time travel keeps working), exactly Iceberg's
     * `rewrite_data_files`. Returns the new version, or -1 when the
     * current version already has fewer than `minInputFiles` files (the
-    * procedure's min-input-files gate — never churn a healthy table). */
+    * procedure's min-input-files gate — never churn a healthy table).
+    *
+    * ANALYZE coverage SURVIVES compaction: a compacted table would
+    * otherwise silently lose its min/max skipping stats, bloom
+    * sidecars, and NDV sketches (they live per STORAGE VERSION, and
+    * the rewrite starts a fresh one) until someone remembers to
+    * re-analyze — the staleness trap Iceberg documents on
+    * `rewrite_data_files`. The new commit re-records stats for the
+    * previously covered columns through the footer pass (no extra
+    * scan), re-blooms them, and re-sketches NDV (one scan of the
+    * just-compacted files, the maintenance cadence's price). */
   def compactSnapshot(spark: SparkSession, root: String, targetFiles: Int,
                       minInputFiles: Int): Long = {
     val current = SnapshotTable.read(spark, root)
-    if (current.inputFiles.length < minInputFiles) -1L
-    else SnapshotTable.commit(current.repartition(targetFiles), root)
+    if (current.inputFiles.length < minInputFiles) return -1L
+    val statsCov = SnapshotTable.statsCoverage(root)
+    val bloomCov = SnapshotTable.bloomCoverage(root)
+    val ndvCov = SnapshotTable.ndvCoverage(root)
+    val v = SnapshotTable.commit(current.repartition(targetFiles), root,
+      statsCols = statsCov, bloomCols = bloomCov)
+    if (ndvCov.nonEmpty) SnapshotTable.collectNdv(spark, root, ndvCov)
+    v
   }
 
   /** Fold a streaming-append table's fragmented partitions back to one

@@ -76,6 +76,25 @@ class MaintenanceSpec extends GraftSuite {
     assert(SnapshotTable.read(spark, root, 0L).count() === 100)
   }
 
+  test("analyze coverage (stats/blooms/NDV) survives compaction") {
+    val root = mkTable(1, 12)
+    SnapshotTable.collectStats(spark, root, Seq("id"))
+    SnapshotTable.collectBlooms(spark, root, Seq("payload"))
+    SnapshotTable.collectNdv(spark, root, Seq("id"))
+    assert(SnapshotTable.fastBounds(spark, root, "id") === Some((1L, 100L)))
+    assert(SnapshotTable.tableNdv(spark, root).get("id").map(_.ndv)
+      === Some(100L))
+    val v = Maintenance.compactSnapshot(spark, root, targetFiles = 2,
+      minInputFiles = 8)
+    assert(v === 1L)
+    // the fresh storage version re-records everything the old one had
+    assert(SnapshotTable.statsCoverage(root).contains("id"))
+    assert(SnapshotTable.bloomCoverage(root).contains("payload"))
+    assert(SnapshotTable.fastBounds(spark, root, "id") === Some((1L, 100L)))
+    assert(SnapshotTable.tableNdv(spark, root).get("id").map(_.ndv)
+      === Some(100L))
+  }
+
   test("runCatalog chains compaction, expiry, and GC across tables") {
     val t1 = mkTable(4, 12) // small-file table with history
     val t2 = mkTable(1, 2)  // healthy table
