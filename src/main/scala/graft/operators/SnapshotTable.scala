@@ -2518,10 +2518,10 @@ object SnapshotTable {
     * and new-move readers simply keep all files (skipping is IO-only
     * by construction). Returns the storage versions recomputed. */
   def collectStats(spark: SparkSession, root: String,
-                   statsCols: Seq[String]): Seq[Long] = {
+                   statsCols: Seq[String], version: Long = -1L): Seq[Long] = {
     require(statsCols.nonEmpty, "collectStats needs at least one column")
     fastBoundsCache.clear()
-    val v = latestVersion(root)
+    val v = if (version >= 0) version else latestVersion(root)
     require(v >= 0, s"no committed version at $root")
     val storageVersions = {
       val m = manifestEntries(root, v)
@@ -2882,9 +2882,9 @@ object SnapshotTable {
     * storage version, idempotent, existing columns preserved, atomic
     * sidecar swap. Returns the storage versions recomputed. */
   def collectBlooms(spark: SparkSession, root: String,
-                    bloomCols: Seq[String]): Seq[Long] = {
+                    bloomCols: Seq[String], version: Long = -1L): Seq[Long] = {
     require(bloomCols.nonEmpty, "collectBlooms needs at least one column")
-    val v = latestVersion(root)
+    val v = if (version >= 0) version else latestVersion(root)
     require(v >= 0, s"no committed version at $root")
     val storageVersions = {
       val m = manifestEntries(root, v)
@@ -3415,16 +3415,16 @@ object SnapshotTable {
     * idempotent, previously-recorded columns preserved, atomic sidecar
     * swap. Returns the storage versions recomputed. */
   def collectNdv(spark: SparkSession, root: String,
-                 ndvCols: Seq[String]): Seq[Long] = {
+                 ndvCols: Seq[String], version: Long = -1L): Seq[Long] = {
     require(ndvCols.nonEmpty, "collectNdv needs at least one column")
-    val v = latestVersion(root)
+    val v = if (version >= 0) version else latestVersion(root)
     require(v >= 0, s"no committed version at $root")
     // ONE analyze call yields full CBO statistics: Catalyst's range-
     // overlap check treats a counts-only numeric ColumnStat as an
     // all-null column (NullRange -> "disjoint" -> zero-row joins), so
     // NDV is only usable next to min/max bounds — backfill them
     // through the footer-lifted stats path for the same columns
-    collectStats(spark, root, ndvCols)
+    collectStats(spark, root, ndvCols, v)
     val storageVersions = {
       val m = manifestEntries(root, v)
       if (m.isEmpty) Seq(v) else m.map(_._2).distinct.sorted

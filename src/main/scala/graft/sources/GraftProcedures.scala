@@ -70,7 +70,8 @@ private[sources] object GraftProcedures {
   /** Every name [[governed]] binds (same listing contract). */
   val governedNames: Seq[String] = Seq(
     "rollback", "expire_commits", "compact", "tag", "create_branch",
-    "fast_forward_main")
+    "fast_forward_main", "collect_stats", "collect_blooms",
+    "collect_ndv")
 
   /** The warehouse catalog's `system.*` procedures; `table` is the
     * dot-joined path under the warehouse (`db.t`). */
@@ -245,7 +246,37 @@ private[sources] object GraftProcedures {
         Seq(row(Catalog.fastForwardMain(catalogRoot,
           in.getUTF8String(0).toString)))
       }
+    // the ANALYZE family works on governed tables too: sidecars are
+    // per-STORAGE-VERSION metadata next to the data files, not catalog
+    // state, so backfilling them needs no commit and every pinned read
+    // of a covered version benefits. Governed tables have no table
+    // marker — the current commit's manifest names the version.
+    case "collect_stats" =>
+      governedAnalyze(catalogRoot, "collect_stats",
+        SnapshotTable.collectStats(SparkSession.active, _, _, _))
+    case "collect_blooms" =>
+      governedAnalyze(catalogRoot, "collect_blooms",
+        SnapshotTable.collectBlooms(SparkSession.active, _, _, _))
+    case "collect_ndv" =>
+      governedAnalyze(catalogRoot, "collect_ndv",
+        SnapshotTable.collectNdv(SparkSession.active, _, _, _))
   }
+
+  /** One governed ANALYZE procedure: resolve the table's version from
+    * the current catalog commit, run the collector against it. */
+  private def governedAnalyze(catalogRoot: String, pname: String,
+                              collect: (String, Seq[String], Long) => Seq[Long])
+      : UnboundProcedure =
+    proc(pname, Seq("table" -> StringType, "columns" -> StringType),
+      VersionOut) { in =>
+      val table = in.getUTF8String(0).toString
+      val vs = Catalog.tableVersions(catalogRoot)
+      require(vs.contains(table),
+        s"no table '$table' in the current catalog commit")
+      versionRows(collect(Catalog.tableRoot(catalogRoot, table),
+        in.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq, vs(table)))
+    }
 
   /** Resolve `ident` (must be `system.<name>`) through `procs`. */
   def load(ident: Identifier,

@@ -134,6 +134,23 @@ class GraftGovernedCatalogSpec extends GraftSuite {
       === before)
   }
 
+  test("CALL collect_ndv analyzes a governed table in place (no commit)") {
+    root
+    val c0 = Catalog.latestCommit(root)
+    val res = spark.sql("CALL govt.system.collect_ndv('bronze', 'n')")
+    assert(res.columns.toSeq === Seq("version"))
+    assert(res.count() >= 1)
+    // sidecars are storage-version metadata, not catalog state
+    assert(Catalog.latestCommit(root) === c0)
+    val tr = Catalog.tableRoot(root, "bronze")
+    val pinned = Catalog.tableVersions(root)("bronze")
+    assert(SnapshotTable.tableNdv(spark, tr, pinned).contains("n"))
+    // ... and the bounds backfill recorded min/max coverage too
+    // (fastBounds itself may refuse here: an earlier test leaves an
+    // unapplied MoR delete on bronze, and bounds lie under deletes)
+    assert(SnapshotTable.statsCoverage(tr, pinned).contains("n"))
+  }
+
   test("CALL create_branch / fast_forward_main publish a branch head from SQL") {
     root
     import spark.implicits._
