@@ -443,7 +443,22 @@ object Dedup {
   def exactSubstring(docs: DataFrame, window: Int = 20): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val W = org.apache.spark.sql.expressions.Window
-    val hashed = docs
+    val byHash = W.partitionBy("wh")
+    val dups = windowHashes(docs, window)
+      .withColumn("cnt", count(lit(1)).over(byHash))
+      .withColumn("canon_key",
+        min(col("doc_id") * ChunkDedup.ChunkIdSpace + col("i")).over(byHash))
+      .filter(col("cnt") > 1 &&
+        col("doc_id") * ChunkDedup.ChunkIdSpace + col("i") =!= col("canon_key"))
+      .select("doc_id", "i")
+    mergeSpans(dups, window)
+  }
+
+  /** `(doc_id, i, wh)` — every `window`-token window at stride 1, with
+    * its md5 hash ([[exactSubstring]]'s hashing, shared with the
+    * batch-over-store path). */
+  private def windowHashes(docs: DataFrame, window: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .withColumn("n", size(col("w")).cast("bigint"))
       .filter(col("n") >= window)
@@ -452,15 +467,21 @@ object Dedup {
         md5(array_join(
           slice(col("w"), (col("i") + 1).cast("int"), lit(window)),
           " ").cast("binary")).as("wh"))
-    val byHash = W.partitionBy("wh")
-    val dups = hashed
-      .withColumn("cnt", count(lit(1)).over(byHash))
-      .withColumn("canon_key",
-        min(col("doc_id") * ChunkDedup.ChunkIdSpace + col("i")).over(byHash))
-      .filter(col("cnt") > 1 &&
-        col("doc_id") * ChunkDedup.ChunkIdSpace + col("i") =!= col("canon_key"))
-      .select("doc_id", "i")
+
+  /** Island-merge duplicated window positions `(doc_id, i [,
+    * matched_store])` into maximal removal spans: same span iff the
+    * next window starts within `window` of the previous (overlap or
+    * adjacency). One doc_id-window shuffle; the span rollup rides it. */
+  private def mergeSpans(dups: DataFrame, window: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val byDoc = W.partitionBy("doc_id").orderBy("i")
+    val withFlag = dups.columns.contains("matched_store")
+    val aggs =
+      Seq(min(col("i")).as("span_start"),
+        (max(col("i")) + window).as("span_end"),
+        count(lit(1)).as("n_windows")) ++
+        (if (withFlag) Seq(max(col("matched_store")).as("matched_store"))
+         else Nil)
     dups
       .withColumn("new_span",
         when(lag(col("i"), 1).over(byDoc).isNull ||
@@ -469,9 +490,75 @@ object Dedup {
       .withColumn("span_id", sum(col("new_span")).over(
         byDoc.rowsBetween(W.unboundedPreceding, W.currentRow)))
       .groupBy(col("doc_id"), col("span_id"))
-      .agg(min(col("i")).as("span_start"),
-        (max(col("i")) + window).as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .select("doc_id", "span_start", "span_end", "n_windows")
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("span_id")
+  }
+
+  /** The current substring-store content `(wh, canon_key)` — empty
+    * frame before the first batch. */
+  def readSubstringStore(spark: org.apache.spark.sql.SparkSession,
+                         storeRoot: String): DataFrame =
+    if (SnapshotTable.latestVersion(storeRoot) >= 0)
+      SnapshotTable.read(spark, storeRoot).select("wh", "canon_key")
+    else {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("wh", "canon_key")
+    }
+
+  /** [[exactSubstring]] against a persisted cross-batch store — the
+    * production ExactSubstr flow (Lee et al. 2022: dedup each new
+    * crawl snapshot against the whole corpus WITHOUT rescanning it):
+    * the batch's stride-1 window hashes left-join the store's
+    * canonical hashes (O(batch) rows through the join; the store side
+    * is partition-bucketed by hash), a window is duplicated when an
+    * EARLIER batch holds its hash or an earlier occurrence in THIS
+    * batch does, and hashes nobody has seen fast-append as new
+    * canonicals in one atomic commit. A replayed batch matches only
+    * itself (its canonical keys equal the store rows it wrote) and
+    * appends nothing.
+    *
+    * Returns the merged removal spans (the [[exactSubstring]]
+    * contract) plus `matched_store` — true when the span's canonical
+    * lives in an earlier batch. Store size is one row per distinct
+    * window hash in the corpus — the inherent ExactSubstr index cost
+    * (a suffix array is corpus-sized too); it rides the snapshot
+    * store's compaction/expiry maintenance like every other store. */
+  def exactSubstringBatch(spark: org.apache.spark.sql.SparkSession,
+                          storeRoot: String, docs: DataFrame,
+                          window: Int = 20): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val W = org.apache.spark.sql.expressions.Window
+    val key = col("doc_id") * ChunkDedup.ChunkIdSpace + col("i")
+    val hashed = windowHashes(docs, window)
+    val store = readSubstringStore(spark, storeRoot)
+    val joined = hashed
+      .withColumn("cnt",
+        count(lit(1)).over(W.partitionBy("wh")))
+      .withColumn("batch_canon",
+        min(key).over(W.partitionBy("wh")))
+      .join(store.withColumnRenamed("canon_key", "store_canon"),
+        Seq("wh"), "left")
+      .persist()
+    try {
+      val isDup =
+        (col("store_canon").isNotNull && key =!= col("store_canon")) ||
+          (col("store_canon").isNull && col("cnt") > 1 &&
+            key =!= col("batch_canon"))
+      val dups = joined.filter(isDup)
+        .select(col("doc_id"), col("i"),
+          (col("store_canon").isNotNull &&
+            col("store_canon") =!= col("batch_canon"))
+            .as("matched_store"))
+      val spans = mergeSpans(dups, window)
+        .select("doc_id", "span_start", "span_end", "n_windows",
+          "matched_store")
+        .localCheckpoint(eager = true)
+      val newCanon = joined.filter(col("store_canon").isNull)
+        .groupBy("wh").agg(min(key).as("canon_key"))
+        .withColumn("wh_bucket", pmod(xxhash64(col("wh")), lit(16L)))
+      if (!newCanon.isEmpty)
+        SnapshotTable.commitAppend(newCanon, storeRoot, "wh_bucket")
+      spans
+    } finally joined.unpersist()
   }
 }

@@ -81,6 +81,41 @@ class SubstringDedupSpec extends GraftSuite {
     assert(rows(1).getAs[Long]("span_end") === 80L)
   }
 
+  test("batch-over-store: later batches dedup against the corpus at O(batch)") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-substr-store").toString + "/s"
+    // batch 1 seeds the store — nothing to match yet
+    val b1 = Dedup.exactSubstringBatch(spark, store,
+      docs(1L -> (passage + " " + fresh("a", 40))))
+    assert(b1.count() === 0L)
+    val stored1 = graft.operators.SnapshotTable.read(spark, store).count()
+    assert(stored1 > 0L)
+    // batch 2 carries the passage at an offset AND a fresh self-dup
+    val b2 = Dedup.exactSubstringBatch(spark, store,
+      docs(
+        10L -> (fresh("b", 10) + " " + passage + " " + fresh("c", 30)),
+        11L -> (fresh("x", 30) + " " + fresh("x", 30))))
+    val rows = b2.collect()
+    val crossBatch = rows.filter(_.getAs[Boolean]("matched_store"))
+    assert(crossBatch.map(_.getAs[Long]("doc_id")).toSet === Set(10L))
+    assert(crossBatch.head.getAs[Long]("span_start") === 10L)
+    assert(crossBatch.head.getAs[Long]("span_end") === 35L)
+    // doc 11 repeats ITSELF within the batch: flagged, but the
+    // canonical is in this batch, not the store
+    val selfDup = rows.filter(r => r.getAs[Long]("doc_id") == 11L)
+    assert(selfDup.nonEmpty && selfDup.forall(
+      !_.getAs[Boolean]("matched_store")))
+    // replay of batch 2: same verdicts, store unchanged
+    val storedAfter = graft.operators.SnapshotTable.read(spark, store).count()
+    val replay = Dedup.exactSubstringBatch(spark, store,
+      docs(
+        10L -> (fresh("b", 10) + " " + passage + " " + fresh("c", 30)),
+        11L -> (fresh("x", 30) + " " + fresh("x", 30))))
+    assert(replay.count() === b2.count())
+    assert(graft.operators.SnapshotTable.read(spark, store).count()
+      === storedAfter)
+  }
+
   test("docs shorter than the window contribute no windows") {
     val short = (1 to 10).map(i => s"tiny$i").mkString(" ")
     val d = docs(1L -> short, 2L -> short)
