@@ -1812,12 +1812,26 @@ object SnapshotTable {
     * without the other, so full-row masking is exact (twins all match
     * and each re-appends its own post-image, preserving multiplicity).
     * Layout (partition-spec source) assignments refuse, same as CoW.
-    * Returns the new version, or -1 when nothing matches. */
+    * Returns the new version, or -1 when nothing matches.
+    *
+    * `predicateRefs` (when non-empty, and the predicate is
+    * DETERMINISTIC — the caller's responsibility) shrinks the
+    * equality key to the predicate's referenced columns: a
+    * deterministic predicate is a pure function of those columns, so
+    * a row's key tuple null-safe-equals a MATCHED row's tuple exactly
+    * when the predicate holds for it too — masking by the DISTINCT
+    * matched tuples kills precisely the matched set, and the sidecar
+    * collapses from O(matched) full-width rows to the handful of
+    * distinct predicate-column values (often ONE row: `WHERE status =
+    * 'M'` masks with the single tuple ('M')). Empty refs fall back to
+    * the full old-row image, which is always exact. */
   private[graft] def stageUpdateMor(spark: SparkSession, root: String,
                                     partitionCol: String,
                                     predicate: Column,
                                     sets: Seq[(String, Column)],
-                                    base: Long): Long = {
+                                    base: Long,
+                                    predicateRefs: Set[String] = Set.empty)
+      : Long = {
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
     val layout = parseSpecs(partitionCol).map(_.source).toSet
     val bad = sets.map(_._1).filter(layout.contains)
@@ -1838,7 +1852,12 @@ object SnapshotTable {
       setMap.get(f.name).map(_.cast(f.dataType).as(f.name))
         .getOrElse(col(f.name))
     }: _*)
-    stageMergeBatch(post, root, partitionCol, matched, base)
+    val refCols = predicateRefs.toSeq.sorted.filter(cur.columns.contains)
+    val delKeys =
+      if (refCols.nonEmpty && refCols.size == predicateRefs.size)
+        matched.select(refCols.map(col): _*).distinct()
+      else matched
+    stageMergeBatch(post, root, partitionCol, delKeys, base)
   }
 
   /** Published [[stageUpdateMor]]: MoR UPDATE against the latest
@@ -1846,11 +1865,12 @@ object SnapshotTable {
     * matches). */
   def updateWhereMor(spark: SparkSession, root: String,
                      partitionCol: String, predicate: Column,
-                     sets: Seq[(String, Column)]): Long = {
+                     sets: Seq[(String, Column)],
+                     predicateRefs: Set[String] = Set.empty): Long = {
     val base = latestVersion(root)
     require(base >= 0, s"no committed version at $root")
     val next = stageUpdateMor(spark, root, partitionCol, predicate,
-      sets, base)
+      sets, base, predicateRefs)
     if (next < 0) base
     else { moveMarker(root, next); next }
   }

@@ -298,9 +298,15 @@ object GraftDml {
     * publish either staging as one atomic catalog commit. */
   def runUpdate(spark: SparkSession, target: Target, partitionCol: String,
                 predicate: Column, sets: Seq[(String, Column)],
-                predicateRefs: Set[String]): Long = {
+                predicateRefs: Set[String],
+                deterministicPredicate: Boolean = true): Long = {
     val layout = SnapshotTable.parseSpecs(partitionCol).map(_.source).toSet
     val aligned = predicateRefs.forall(layout.contains)
+    // the narrow predicate-column equality key is exact only for a
+    // DETERMINISTIC predicate (a pure function of its columns); a
+    // nondeterministic one keeps the always-exact full-row image
+    val keyRefs = if (deterministicPredicate) predicateRefs
+      else Set.empty[String]
     def manifested(root: String, base: Long) =
       base >= 0 && SnapshotTable.manifestEntries(root, base).nonEmpty
     target match {
@@ -311,7 +317,7 @@ object GraftDml {
             sets)
         else
           SnapshotTable.updateWhereMor(spark, root, partitionCol,
-            predicate, sets)
+            predicate, sets, keyRefs)
       case g: Governed =>
         casCommit(g) { prev =>
           val v =
@@ -320,7 +326,7 @@ object GraftDml {
                 partitionCol, predicate, sets, prev)
             else
               SnapshotTable.stageUpdateMor(spark, g.tableRoot,
-                partitionCol, predicate, sets, prev)
+                partitionCol, predicate, sets, prev, keyRefs)
           if (v < 0) None else Some(v)
         }
     }

@@ -167,7 +167,7 @@ case class GraftUpdateCommand(target: graft.sources.GraftDml.Target,
     }).toSet
     Seq(Row(graft.sources.GraftDml.runUpdate(spark, target, partitionCol,
       pred, sets.map { case (n, e) => n -> GraftDmlExec.column(e) },
-      refs)))
+      refs, condition.forall(_.deterministic))))
   }
 }
 

@@ -394,7 +394,12 @@ class GraftDmlSpec extends GraftSuite {
     assert(rows === Seq(("a", 1L), ("b", 20L), ("c", 3L)))
     dataFiles.foreach(p =>
       assert(Files.getLastModifiedTime(p) === mtimes(p), s"$p rewritten"))
-    assert(SnapshotTable.eqDeleteEntries(root, before + 1).nonEmpty)
+    // the equality key is the predicate's columns, not full rows: a
+    // deterministic predicate masks exactly its matched set through
+    // the distinct matched (n, p) tuples
+    val sidecars = SnapshotTable.eqDeleteEntries(root, before + 1)
+    assert(sidecars.nonEmpty)
+    assert(sidecars.last._2.toSet === Set("n", "p"))
     // time travel reads the pre-update values
     assert(spark.sql(s"SELECT n FROM dml3.db.t VERSION AS OF $before " +
       "WHERE k = 'b'").first.getLong(0) === 2L)
