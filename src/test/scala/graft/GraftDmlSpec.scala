@@ -432,6 +432,13 @@ class GraftDmlSpec extends GraftSuite {
       spark.sql("UPDATE dml3.db.t SET p = 'z' WHERE k = 'a'")
     }
     assert(e.getMessage.contains("layout column"), e.getMessage)
+
+    // the CDC feed sees a MoR update as ordinary pre/post images
+    val ch = SnapshotTable.changes(spark, root, "k", before, before + 1)
+      .collect().map(r => (r.getAs[String]("k"),
+        r.getAs[String]("_change_type")) -> r.getAs[Long]("n")).toMap
+    assert(ch(("b", "update_preimage")) === 2L)
+    assert(ch(("b", "update_postimage")) === 20L)
   }
 
   test("MERGE WHEN MATCHED DELETE lands the key set as an equality-delete sidecar") {
