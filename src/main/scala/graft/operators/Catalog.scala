@@ -323,8 +323,18 @@ object Catalog {
     val slice = SnapshotTable.read(spark, tr, prev(table))
       .filter(col(partitionCol).cast("string").isin(values: _*))
       .repartition(col(partitionCol))
-    val staged = SnapshotTable.stageDelta(slice, tr, partitionCol, prev(table))
-    commitStaged(root, Map(table -> staged), base)
+    // analyze coverage survives the rewrite (the compactSnapshot
+    // contract): covered stats/bloom columns re-record through the
+    // staged commit's footer pass, NDV re-sketches the new version
+    val statsCov = SnapshotTable.statsCoverage(tr, prev(table))
+    val bloomCov = SnapshotTable.bloomCoverage(tr, prev(table))
+    val ndvCov = SnapshotTable.ndvCoverage(tr, prev(table))
+    val staged = SnapshotTable.stageDelta(slice, tr, partitionCol,
+      prev(table), statsCols = statsCov, bloomCols = bloomCov)
+    val c = commitStaged(root, Map(table -> staged), base)
+    if (ndvCov.nonEmpty)
+      SnapshotTable.collectNdv(spark, tr, ndvCov, staged)
+    c
   }
 
   /** Fold a governed table's accumulated merge-on-read sidecars back

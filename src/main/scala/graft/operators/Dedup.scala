@@ -517,6 +517,13 @@ object Dedup {
     * itself (its canonical keys equal the store rows it wrote) and
     * appends nothing.
     *
+    * PRECONDITION: `doc_id`s are unique ACROSS batches (the same
+    * contract as [[IncrementalDedup]] — the store records canonical
+    * occurrences as packed `doc_id·ChunkIdSpace+pos` keys, so a later
+    * batch reusing an earlier batch's doc_id both corrupts the
+    * canonical references and defeats the replay check, which exempts
+    * a window exactly when its own packed key IS the store row).
+    *
     * Returns the merged removal spans (the [[exactSubstring]]
     * contract) plus `matched_store` — true when the span's canonical
     * lives in an earlier batch. Store size is one row per distinct

@@ -95,18 +95,25 @@ object FuzzyJoin {
     // — pick the cheaper complete strategy, and when both blow the
     // budget refuse loudly: short-string matching over a dense
     // inventory is inherently quadratic, an opt-in, never a default.
-    val indexEst = lg1.groupBy(col("_gl").as("g"))
+    val gramEst = lg1.groupBy(col("_gl").as("g"))
       .agg(count(lit(1)).as("cl"))
       .join(rg1.groupBy(col("_gr").as("g")).agg(count(lit(1)).as("cr")), "g")
       .agg(coalesce(sum(col("cl") * col("cr")), lit(0L))).head().getLong(0)
+    // the index path ALSO pays the ≤maxDist-char residue cross join
+    // (values too short for even one 1-gram) — measure it into the
+    // budget, or a dense tiny-value inventory slips past the valve
+    val tinyEst = l.filter(length(col("a")) <= maxDist).count() *
+      r.filter(length(col("b")) <= maxDist).count()
+    val indexEst = gramEst + tinyEst
     val crossEst = lShort.count() * rShort.count()
     require(math.min(indexEst, crossEst) <= maxShortCandidates,
       s"fuzzy-join short bucket would enumerate ${math.min(indexEst,
         crossEst)} candidate pairs (> maxShortCandidates=" +
         s"$maxShortCandidates) under its cheaper strategy (1-gram " +
-        s"index: $indexEst, cross: $crossEst): the ≤$cap-char value " +
-        "inventory is dense enough that short-string matching is " +
-        "inherently quadratic here — raise maxShortCandidates to opt in")
+        s"index + tiny residue: $indexEst, cross: $crossEst): the " +
+        s"≤$cap-char value inventory is dense enough that " +
+        "short-string matching is inherently quadratic here — raise " +
+        "maxShortCandidates to opt in")
     val shorts =
       if (indexEst <= crossEst) {
         val byGram1 = lg1.join(rg1,

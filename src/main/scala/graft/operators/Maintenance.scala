@@ -104,10 +104,23 @@ object Maintenance {
     val dirc = SnapshotTable.rowDirExpr(
       SnapshotTable.parseSpecs(partitionCol), cur.schema)
     val touched = cur.filter(dirc.isin(fragmented: _*))
+    // analyze coverage survives (same contract as [[compactSnapshot]]):
+    // the rewritten partitions' files land in a fresh storage version,
+    // so previously covered stats/bloom columns re-record through the
+    // commit's footer pass and NDV re-sketches after (one scan of the
+    // new version only — collectNdv skips covered versions)
+    val statsCov = SnapshotTable.statsCoverage(root)
+    val bloomCov = SnapshotTable.bloomCoverage(root)
+    val ndvCov = SnapshotTable.ndvCoverage(root)
+    def reNdv(nv: Long): Long = {
+      if (ndvCov.nonEmpty) SnapshotTable.collectNdv(spark, root, ndvCov)
+      nv
+    }
     SnapshotTable.sortOrderSpec(root) match {
       case None =>
-        SnapshotTable.commitDelta(touched.repartition(dirc),
-          root, partitionCol)
+        reNdv(SnapshotTable.commitDelta(touched.repartition(dirc),
+          root, partitionCol, statsCols = statsCov,
+          bloomCols = bloomCov))
       case Some((sortCols, false)) =>
         // the table declares a WRITE ORDER: compaction is where it is
         // applied (appends land unsorted by design) — range-split each
@@ -118,8 +131,9 @@ object Maintenance {
           .repartitionByRange(fragmented.size * filesPerPartition,
             dirc +: sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
-        SnapshotTable.commitDelta(slice, root, partitionCol,
-          statsCols = sortCols)
+        reNdv(SnapshotTable.commitDelta(slice, root, partitionCol,
+          statsCols = (sortCols ++ statsCov).distinct,
+          bloomCols = bloomCov))
       case Some((sortCols, true)) =>
         // Z-ORDER write order (Delta OPTIMIZE ZORDER BY): cluster the
         // fragmented partitions along the Morton curve of the two
@@ -129,16 +143,18 @@ object Maintenance {
         // give a streaming-append table
         Layout.mortonColumn(touched, sortCols(0), sortCols(1)) match {
           case None => // degenerate slice (empty / all-NULL dimension)
-            SnapshotTable.commitDelta(touched.repartition(dirc),
-              root, partitionCol)
+            reNdv(SnapshotTable.commitDelta(touched.repartition(dirc),
+              root, partitionCol, statsCols = statsCov,
+              bloomCols = bloomCov))
           case Some(z) =>
             val slice = touched.withColumn("_zorder", z)
               .repartitionByRange(fragmented.size * filesPerPartition,
                 dirc, col("_zorder"))
               .sortWithinPartitions("_zorder")
               .drop("_zorder")
-            SnapshotTable.commitDelta(slice, root, partitionCol,
-              statsCols = sortCols)
+            reNdv(SnapshotTable.commitDelta(slice, root, partitionCol,
+              statsCols = (sortCols ++ statsCov).distinct,
+              bloomCols = bloomCov))
         }
     }
   }

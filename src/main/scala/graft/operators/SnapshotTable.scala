@@ -2577,6 +2577,21 @@ object SnapshotTable {
     }
   }
 
+  /** Root-relative DATA files under the given (relative dir, storage
+    * version) entries, DESCENDING into partition subdirectories — an
+    * unmanifested PARTITIONED snapshot keeps its parquet under
+    * `v=N/part=.../`, which a flat listing would miss (making every
+    * coverage check silently fail table-wide). The raw FS names the
+    * sidecars' decoded `_file` values compare against. */
+  private def candidateDataFiles(root: String,
+                                 dirs: Seq[(String, Long)]): Set[String] =
+    dirs.flatMap { case (rel, _) =>
+      val d = MetaIO.join(root, rel).toString
+      FooterStats.dataFiles(d).map { abs =>
+        s"$rel/" + abs.stripPrefix(d).stripPrefix("/")
+      }
+    }.toSet
+
   /** MIN/MAX of a column from METADATA — the stats-sidecar twin of
     * [[fastCount]]: folds the recorded per-file bounds over the
     * manifest file listing, touching no data bytes. REFUSES (returns
@@ -2594,13 +2609,7 @@ object SnapshotTable {
     val dirs: Seq[(String, Long)] =
       if (entries.isEmpty) Seq(s"v=$v" -> v)
       else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
-    val candidates: Set[String] = dirs.flatMap { case (rel, _) =>
-      val d = MetaIO.join(root, rel)
-      MetaIO.listNames(d)
-        .filterNot(n => n.startsWith("_") || n.startsWith("."))
-        .filterNot(n => MetaIO.isDir(MetaIO.join(root, rel, n)))
-        .map(n => s"$rel/$n")
-    }.toSet
+    val candidates: Set[String] = candidateDataFiles(root, dirs)
     val stats = dirs.map(_._2).distinct.sorted
       .flatMap(fileStats(spark, root, _))
       .filter(st => st.columns.contains(s"${column}__min"))
@@ -3490,6 +3499,7 @@ object SnapshotTable {
                version: Long = -1L): Map[String, NdvStat] = {
     val v = if (version >= 0) version else latestVersion(root)
     if (v < 0) return Map.empty
+    if (ndvTableCache.size > 256) ndvTableCache.clear()
     ndvTableCache.computeIfAbsent((MetaIO.join(root).toString, v), _ => {
       val entries = manifestEntries(root, v)
       val dirs: Seq[(String, Long)] =
@@ -3500,13 +3510,7 @@ object SnapshotTable {
       if (!svs.exists(sv => MetaIO.exists(ndvPath(root, sv))))
         Map.empty
       else {
-        val candidates: Set[String] = dirs.flatMap { case (rel, _) =>
-          val d = MetaIO.join(root, rel)
-          MetaIO.listNames(d)
-            .filterNot(n => n.startsWith("_") || n.startsWith("."))
-            .filterNot(n => MetaIO.isDir(MetaIO.join(root, rel, n)))
-            .map(n => s"$rel/$n")
-        }.toSet
+        val candidates: Set[String] = candidateDataFiles(root, dirs)
         val frames = svs.flatMap(fileNdv(spark, root, _))
         if (frames.isEmpty) Map.empty
         else {
@@ -3555,6 +3559,10 @@ object SnapshotTable {
                        version: Long = -1L): Option[(Any, Any)] = {
     val v = if (version >= 0) version else latestVersion(root)
     if (v < 0) return None
+    // bounded like the runtime filter's domain cache: a streaming sink
+    // commits a version per trigger, and per-version keys would
+    // otherwise accumulate forever in a long-lived driver
+    if (fastBoundsCache.size > 1024) fastBoundsCache.clear()
     fastBoundsCache.computeIfAbsent(
       (MetaIO.join(root).toString, v, column),
       _ => fastBounds(spark, root, column, v))

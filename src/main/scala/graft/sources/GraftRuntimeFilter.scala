@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-import org.apache.spark.sql.functions.{col, collect_set, max, min}
+import org.apache.spark.sql.functions.{col, countDistinct, max, min}
 import org.apache.spark.sql.graft.GraftV1Wrap
 import org.apache.spark.sql.sources.{GreaterThanOrEqual => SGte, In => SIn, LessThanOrEqual => SLte}
 
@@ -189,35 +189,50 @@ case class GraftRuntimeFilterRule(session: SparkSession)
     }
   }
 
-  /** The evaluated key domain of one dim-side join key. */
-  private case class DimDomain(lo: Any, hi: Any, keys: Seq[Any])
+  /** The evaluated key domain of one dim-side join key. `keys` is
+    * collected only when `n` (the measured distinct count) is at most
+    * `bloomMaxKeys`; past that only the bounds are usable. */
+  private case class DimDomain(lo: Any, hi: Any, keys: Seq[Any], n: Long)
 
   /** Dim-side key domains already evaluated THIS SESSION, keyed by the
     * canonicalized dim plan + key exprId — re-optimizations of the
     * same plan (DataFrame reuse, nested joins re-running the batch)
     * must not re-run the build-side jobs. `None` caches "empty dim /
-    * nothing derivable" too. Bounded: cleared when it outgrows its
-    * window (the entries are tiny; the bound only caps plan
-    * retention). */
+    * nothing derivable" too. A ConcurrentHashMap: the rule is
+    * session-shared and concurrent sessions plan in parallel (Thrift
+    * server, parallel jobs) — a plain mutable map would corrupt under
+    * racing inserts. Bounded: cleared when it outgrows its window
+    * (the entries are tiny; the bound only caps plan retention). */
   private val domainCache =
-    scala.collection.mutable.Map.empty[(LogicalPlan, Long), Option[DimDomain]]
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Long),
+      Option[DimDomain]]
 
   private def dimDomain(dimSide: LogicalPlan,
                         dimKey: AttributeReference): Option[DimDomain] = {
     if (domainCache.size > 128) domainCache.clear()
-    domainCache.getOrElseUpdate((dimSide.canonicalized, dimKey.exprId.id), {
-      // ONE aggregate job: bounds + the full distinct key set (driver-
-      // safe — the dim side is under maxBuildBytes by the caller's
-      // guard, so its distinct keys are at most that many bytes)
-      val dimDf = GraftV1Wrap.ofRows(session, dimSide)
-        .select(GraftV1Wrap.column(dimKey).as("__k"))
-        .where(col("__k").isNotNull) // null keys never equi-match
-      val head = dimDf
-        .agg(min(col("__k")), max(col("__k")), collect_set(col("__k")))
-        .head()
-      if (head.isNullAt(0)) None // empty dim: nothing to refute with
-      else Some(DimDomain(head.get(0), head.get(1), head.getSeq[Any](2)))
-    })
+    domainCache.computeIfAbsent((dimSide.canonicalized, dimKey.exprId.id),
+      _ => {
+        val dimDf = GraftV1Wrap.ofRows(session, dimSide)
+          .select(GraftV1Wrap.column(dimKey).as("__k"))
+          .where(col("__k").isNotNull) // null keys never equi-match
+        // bounds + DISTRIBUTED distinct count first (constant driver
+        // cost); the key set is collected only once the count proves
+        // it bounded — a mis-estimated "small" dim (post-filter size
+        // estimates undershoot by orders of magnitude) must not funnel
+        // millions of keys into one collect_set buffer
+        val head = dimDf
+          .agg(min(col("__k")), max(col("__k")),
+            countDistinct(col("__k")))
+          .head()
+        if (head.isNullAt(0)) None // empty dim: nothing to refute with
+        else {
+          val n = head.getLong(2)
+          val keys =
+            if (n > bloomMaxKeys) Seq.empty[Any] // only [min,max] usable
+            else dimDf.distinct().collect().map(_.get(0)).toSeq
+          Some(DimDomain(head.get(0), head.get(1), keys, n))
+        }
+      })
   }
 
   /** Evaluate the dim side's key domain (one tiny aggregate job,
@@ -236,12 +251,12 @@ case class GraftRuntimeFilterRule(session: SparkSession)
       l <- GraftDataSource.filterSql(SGte(factCol, dom.lo))
       h <- GraftDataSource.filterSql(SLte(factCol, dom.hi))
     } yield s"$l AND $h"
-    val n = dom.keys.size.toLong
+    val n = dom.n
     val inSet =
-      if (n > maxKeys) None
+      if (n > maxKeys || dom.keys.isEmpty) None
       else GraftDataSource.filterSql(SIn(factCol, dom.keys.toArray))
     val bloom =
-      if (inSet.isDefined || n > bloomMaxKeys) None
+      if (inSet.isDefined || n > bloomMaxKeys || dom.keys.isEmpty) None
       else buildBloom(factCol, factAttr.dataType, dom.keys)
     val conjunct = (range, inSet) match {
       case (Some(a), Some(b)) => Some(s"$a AND $b")

@@ -70,6 +70,25 @@ class NdvStatsSpec extends GraftSuite {
     assert(perFile >= (props("ndv.k").toLong * 0.95).toLong)
   }
 
+  test("coverage checks descend into partitioned flat snapshots") {
+    import graft.operators.MetaIO
+    // an adopted external table: partition subdirs under v=0, no
+    // manifest — the flat listing used to see zero data files here,
+    // silently disabling fastBounds and table NDV while collectNdv
+    // still paid the scan and advertised coverage
+    val root = Files.createTempDirectory("graft-ndv-flat").toString + "/t"
+    (0 until 200).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "p")
+      .write.partitionBy("p").parquet(s"$root/v=0")
+    MetaIO.writeString(MetaIO.join(root, "v=0", "_committed"), "")
+    SnapshotTable.moveMarker(root, 0L)
+    assert(SnapshotTable.read(spark, root).count() === 200L)
+    SnapshotTable.collectNdv(spark, root, Seq("id"))
+    assert(SnapshotTable.tableNdv(spark, root).get("id").map(_.ndv)
+      .exists(n => math.abs(n - 200L) <= 10L))
+    assert(SnapshotTable.fastBounds(spark, root, "id")
+      === Some((0L, 199L)))
+  }
+
   test("NDV reaches the optimizer as attribute statistics") {
     val root = writeGraft(
       (0 until 600).map(i => (i.toLong, (i % 5).toLong)).toDF("pk", "fk"),
