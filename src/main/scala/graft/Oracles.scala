@@ -2174,6 +2174,73 @@ v$s AS (
         |  CAST(COUNT(*) AS BIGINT) AS n_windows
         |FROM c GROUP BY doc_id, span_id""".stripMargin,
 
+    // The cut half of ExactSubstr: the dedup_substring spans applied —
+    // tokens whose position falls inside a span drop, the text rebuilds
+    // from the survivors in order (both engines rebuild EVERY doc from
+    // its tokens, so whitespace normalization is identical).
+    "substring_clean" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+        |  FROM t0 WHERE len(w) >= 20
+        |), e AS (
+        |  SELECT doc_id, w,
+        |    UNNEST(generate_series(0, n - 20)) AS i
+        |  FROM f
+        |), h AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    md5(array_to_string(w[CAST(i + 1 AS INT) : CAST(i + 20 AS INT)], ' ')) AS wh
+        |  FROM e
+        |), d AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i,
+        |      COUNT(*) OVER (PARTITION BY wh) AS cnt,
+        |      MIN(doc_id * 10000000 + i) OVER (PARTITION BY wh) AS canon_key
+        |    FROM h)
+        |  WHERE cnt > 1 AND doc_id * 10000000 + i <> canon_key
+        |), s AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |      OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 20
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM d
+        |), c AS (
+        |  SELECT doc_id, i,
+        |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM s
+        |), spans AS (
+        |  SELECT doc_id, MIN(i) AS span_start, MAX(i) + 20 AS span_end
+        |  FROM c GROUP BY doc_id, span_id
+        |), toks AS (
+        |  SELECT doc_id,
+        |    UNNEST(string_split_regex(trim(text), '\s+')) AS tok,
+        |    UNNEST(generate_series(0,
+        |      len(string_split_regex(trim(text), '\s+')) - 1)) AS i
+        |  FROM documents
+        |), kept AS (
+        |  SELECT tk.doc_id, tk.tok, tk.i
+        |  FROM toks tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = tk.doc_id
+        |      AND tk.i >= sp.span_start AND tk.i < sp.span_end)
+        |), agg AS (
+        |  SELECT doc_id,
+        |    string_agg(tok, ' ' ORDER BY i) AS clean_text,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |), nt AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_all
+        |  FROM documents)
+        |SELECT nt.doc_id,
+        |  COALESCE(agg.clean_text, '') AS clean_text,
+        |  nt.n_all - COALESCE(agg.n_kept, 0) AS n_removed
+        |FROM nt LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     // Chunk-level repeated-passage spans: the doc_chunks CTE hashed per
     // window; every occurrence that is not its hash group's earliest
     // (in doc_id*IdSpace+chunk_idx order) is a removal span pointing at

@@ -649,6 +649,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_substring" -> ((s, dir) =>
       Dedup.exactSubstring(Tables.documents(s, dir))),
+    "substring_clean" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.cutSpans(d, Dedup.exactSubstring(d))
+    }),
     "chunk_dedup" -> ((s, dir) =>
       ChunkDedup.spans(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>

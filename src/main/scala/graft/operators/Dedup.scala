@@ -494,6 +494,30 @@ object Dedup {
       .drop("span_id")
   }
 
+  /** APPLY removal spans — the cut half of the Lee et al. ExactSubstr
+    * flow ([[exactSubstring]] detects, this removes): drop every token
+    * whose position falls inside one of the doc's `[span_start,
+    * span_end)` spans and rebuild the text from the survivors.
+    * Documents without spans pass through (rebuilt from their own
+    * tokens, so BOTH cases carry the same whitespace normalization —
+    * runs of whitespace collapse to single spaces; original casing is
+    * preserved, the spans' offsets are tokenization-position-only).
+    *
+    * Scale: one shuffle co-partitions the tiny span list with the
+    * corpus on doc_id; the cut itself is a shuffle-free higher-order
+    * projection (per-token span check is O(spans-per-doc), a handful). */
+  def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val byDoc = spans.groupBy("doc_id").agg(
+      collect_list(struct(col("span_start"), col("span_end"))).as("_sp"))
+    val kept = "filter(_w, (t, i) -> NOT coalesce(" +
+      "exists(_sp, s -> i >= s.span_start AND i < s.span_end), false))"
+    docs.join(byDoc, Seq("doc_id"), "left")
+      .withColumn("_w", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        expr(s"array_join($kept, ' ')").as("clean_text"),
+        expr(s"cast(size(_w) - size($kept) as bigint)").as("n_removed"))
+  }
+
   /** The current substring-store content `(wh, canon_key)` — empty
     * frame before the first batch. */
   def readSubstringStore(spark: org.apache.spark.sql.SparkSession,

@@ -116,6 +116,36 @@ class SubstringDedupSpec extends GraftSuite {
       === storedAfter)
   }
 
+  test("cutSpans removes exactly the spanned tokens, keeps canonicals") {
+    val d = docs(
+      1L -> (passage + " " + fresh("a", 40)),
+      2L -> (fresh("b", 10) + " " + passage + " " + fresh("c", 30)))
+    val out = Dedup.cutSpans(d, Dedup.exactSubstring(d))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    // doc 1 holds the canonical: untouched (rebuilt, zero removed)
+    assert(out(1L)._2 === 0L)
+    assert(out(1L)._1.startsWith("passage1 "))
+    // doc 2 loses the 25-token passage [10, 35): 65 tokens -> 40 kept
+    assert(out(2L)._2 === 25L)
+    val toks = out(2L)._1.split(" ")
+    assert(toks.length === 40)
+    assert(!toks.exists(_.startsWith("passage")))
+  }
+
+  test("cutSpans preserves casing and handles fully-removed docs") {
+    val d = Seq(
+      (1L, "Keep This " + passage),
+      (2L, "other " + passage + " tail")).toDF("doc_id", "text")
+    // a hand-built span covering doc 2 entirely
+    val spans = Seq((2L, 0L, 27L)).toDF("doc_id", "span_start", "span_end")
+    val out = Dedup.cutSpans(d, spans).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    assert(out(1L)._1 === "Keep This " + passage) // casing kept
+    assert(out(2L)._1 === "" && out(2L)._2 === 27L)
+  }
+
   test("docs shorter than the window contribute no windows") {
     val short = (1 to 10).map(i => s"tiny$i").mkString(" ")
     val d = docs(1L -> short, 2L -> short)
