@@ -431,36 +431,54 @@ object Dedup {
     * curation applies (cut the span, keep the canonical occurrence).
     *
     * Scale: NO self-join and no candidate blowup — occurrence counts
-    * and canonical keys ride ONE hash-partitioned window over `wh`
-    * (shuffle 1, O(corpus windows) rows of (hash, doc, pos)), and the
-    * island merge rides a doc_id window (shuffle 2, duplicated windows
-    * only). The stride-1 hashing itself is shuffle-free but
-    * re-materializes each window's text once (O(window ·
-    * corpus_tokens) bytes hashed — the constant-factor price of
-    * windowed hashing vs a suffix array, which has no distributed
-    * shape; raise `window`/use [[ChunkDedup]] for a cheaper aligned
-    * prefilter). */
+    * and canonical keys come from `groupBy(wh).agg(count, min)` joined
+    * back on `wh`, NOT a window over the hash: map-side partial
+    * aggregation absorbs a hot boilerplate hash (a license paragraph
+    * occurring in 10⁷ docs folds to one row per map task before the
+    * shuffle), and the equi-join back gets AQE skew-splitting — the
+    * two reliefs a `Window.partitionBy(wh)` plan can never have. Both
+    * consumers shuffle the same hashed child on `wh`, so exchange
+    * reuse materializes the stride-1 hashing once; the island merge
+    * then rides a doc_id window (duplicated windows only). The
+    * stride-1 hashing itself is shuffle-free but re-materializes each
+    * window's text once (O(window · corpus_tokens) bytes hashed — the
+    * constant-factor price of windowed hashing vs a suffix array,
+    * which has no distributed shape; raise `window`/use [[ChunkDedup]]
+    * for a cheaper aligned prefilter). */
   def exactSubstring(docs: DataFrame, window: Int = 20): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    val W = org.apache.spark.sql.expressions.Window
-    val byHash = W.partitionBy("wh")
-    val dups = windowHashes(docs, window)
-      .withColumn("cnt", count(lit(1)).over(byHash))
-      .withColumn("canon_key",
-        min(col("doc_id") * ChunkDedup.ChunkIdSpace + col("i")).over(byHash))
-      .filter(col("cnt") > 1 &&
-        col("doc_id") * ChunkDedup.ChunkIdSpace + col("i") =!= col("canon_key"))
+    val key = col("doc_id") * ChunkDedup.ChunkIdSpace + col("i")
+    val hashed = windowHashes(docs, window)
+    val dupStats = hashed.groupBy("wh")
+      .agg(count(lit(1)).as("cnt"), min(key).as("canon_key"))
+      .filter(col("cnt") > 1)
+    val dups = hashed.join(dupStats, Seq("wh"))
+      .filter(key =!= col("canon_key"))
       .select("doc_id", "i")
     mergeSpans(dups, window)
   }
 
   /** `(doc_id, i, wh)` — every `window`-token window at stride 1, with
     * its md5 hash ([[exactSubstring]]'s hashing, shared with the
-    * batch-over-store path). */
+    * batch-over-store path).
+    *
+    * Valve: occurrence keys pack token positions as
+    * `doc_id·ChunkIdSpace + i`, so a document with ≥ ChunkIdSpace
+    * (10⁷) tokens would silently collide into a neighbouring doc's key
+    * space, corrupting canonical selection and the store's replay
+    * exemption — refuse loudly instead (the repo's valve discipline;
+    * split such a document upstream). */
   private def windowHashes(docs: DataFrame, window: Int): DataFrame =
     docs
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
-      .withColumn("n", size(col("w")).cast("bigint"))
+      .withColumn("n",
+        when(size(col("w")) < lit(ChunkDedup.ChunkIdSpace),
+          size(col("w")).cast("bigint"))
+          .otherwise(raise_error(concat(
+            lit("exactSubstring: document "), col("doc_id"),
+            lit(s" has >= ${ChunkDedup.ChunkIdSpace} tokens — packed " +
+              "doc_id*ChunkIdSpace+pos keys would collide; split the " +
+              "document upstream")))))
       .filter(col("n") >= window)
       .withColumn("i", explode(sequence(lit(0L), col("n") - window)))
       .select(col("doc_id"), col("i"),
@@ -519,11 +537,20 @@ object Dedup {
   }
 
   /** The current substring-store content `(wh, canon_key)` — empty
-    * frame before the first batch. */
+    * frame before the first batch.
+    *
+    * Defensively folds to one canonical per hash (`groupBy(wh).agg(
+    * min(canon_key))`): should two writers ever race the single-writer
+    * contract (see [[exactSubstringBatch]]) and both append a
+    * canonical for the same hash, the fold keeps the earliest and the
+    * replay check stays sound. Nearly free — the fold's output is
+    * already hash-partitioned on `wh`, exactly the partitioning the
+    * batch join needs, so no extra shuffle materializes. */
   def readSubstringStore(spark: org.apache.spark.sql.SparkSession,
                          storeRoot: String): DataFrame =
     if (SnapshotTable.latestVersion(storeRoot) >= 0)
-      SnapshotTable.read(spark, storeRoot).select("wh", "canon_key")
+      SnapshotTable.read(spark, storeRoot)
+        .groupBy("wh").agg(min(col("canon_key")).as("canon_key"))
     else {
       import spark.implicits._
       Seq.empty[(String, Long)].toDF("wh", "canon_key")
@@ -548,6 +575,15 @@ object Dedup {
     * canonical references and defeats the replay check, which exempts
     * a window exactly when its own packed key IS the store row).
     *
+    * SINGLE-WRITER contract (the [[IncrementalDedup]] contract): one
+    * batch at a time appends to `storeRoot`. Two concurrent batches
+    * that both miss a hash would both append a canonical for it;
+    * [[readSubstringStore]] folds such twins defensively (earliest
+    * key wins) so later reads stay sound, but the losing batch's
+    * verdicts for that hash are already emitted — serialize writers
+    * (e.g. via [[CurationRun]]'s catalog commit) rather than rely on
+    * the fold.
+    *
     * Returns the merged removal spans (the [[exactSubstring]]
     * contract) plus `matched_store` — true when the span's canonical
     * lives in an earlier batch. Store size is one row per distinct
@@ -558,15 +594,16 @@ object Dedup {
                           storeRoot: String, docs: DataFrame,
                           window: Int = 20): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    val W = org.apache.spark.sql.expressions.Window
     val key = col("doc_id") * ChunkDedup.ChunkIdSpace + col("i")
     val hashed = windowHashes(docs, window)
     val store = readSubstringStore(spark, storeRoot)
+    // Same skew-safe shape as [[exactSubstring]]: per-hash stats via
+    // groupBy (map-side partials absorb a hot boilerplate hash) joined
+    // back on wh (AQE skew-split applies), never a window over wh.
+    val batchStats = hashed.groupBy("wh")
+      .agg(count(lit(1)).as("cnt"), min(key).as("batch_canon"))
     val joined = hashed
-      .withColumn("cnt",
-        count(lit(1)).over(W.partitionBy("wh")))
-      .withColumn("batch_canon",
-        min(key).over(W.partitionBy("wh")))
+      .join(batchStats, Seq("wh"))
       .join(store.withColumnRenamed("canon_key", "store_canon"),
         Seq("wh"), "left")
       .persist()
@@ -584,8 +621,12 @@ object Dedup {
         .select("doc_id", "span_start", "span_end", "n_windows",
           "matched_store")
         .localCheckpoint(eager = true)
-      val newCanon = joined.filter(col("store_canon").isNull)
-        .groupBy("wh").agg(min(key).as("canon_key"))
+      // batchStats already holds one row per distinct hash with its
+      // earliest key — no second aggregate over the occurrences.
+      val newCanon = joined
+        .filter(col("store_canon").isNull)
+        .select(col("wh"), col("batch_canon").as("canon_key"))
+        .dropDuplicates("wh")
         .withColumn("wh_bucket", pmod(xxhash64(col("wh")), lit(16L)))
       if (!newCanon.isEmpty)
         SnapshotTable.commitAppend(newCanon, storeRoot, "wh_bucket")

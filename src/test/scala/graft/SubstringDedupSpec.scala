@@ -146,6 +146,85 @@ class SubstringDedupSpec extends GraftSuite {
     assert(out(2L)._1 === "" && out(2L)._2 === 27L)
   }
 
+  test("hot-hash plan is skew-safe: aggregate with partials, no Window on wh") {
+    // a corpus where ONE window hash is ubiquitous (boilerplate in
+    // every doc) — the shape that makes a Window.partitionBy(wh) plan
+    // a single straggler task at scale
+    val boiler = (1 to 20).map(i => s"license$i").mkString(" ")
+    val hot = docs((1L to 200L).map(i =>
+      i -> (boiler + " " + fresh(s"u$i", 25))): _*)
+    val spans = Dedup.exactSubstring(hot)
+    // every doc but the canonical carries the boilerplate span
+    assert(spans.count() === 199L)
+    val optimized = spans.queryExecution.optimizedPlan
+    // per-hash stats must be an Aggregate on wh (map-side partials
+    // absorb the hot hash) ...
+    val whAggs = optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.groupingExpressions.exists(_.references.exists(
+          _.name == "wh")) => a
+    }
+    assert(whAggs.nonEmpty, "expected groupBy(wh) aggregate in the plan")
+    // ... and NO Window node partitioned on wh anywhere (the island
+    // merge's doc_id window is fine)
+    val whWindows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.exists(_.references.exists(
+          _.name == "wh")) => w
+    }
+    assert(whWindows.isEmpty, "Window.partitionBy(wh) is the skew-unsafe plan")
+    // physical: the wh aggregate runs with a partial (map-side) mode
+    spans.collect()
+    val phys = spans.queryExecution.executedPlan.toString
+    assert(phys.contains("partial_count") || phys.contains("partial_min"),
+      s"expected map-side partial aggregation in:\n$phys")
+  }
+
+  test("batch-over-store plan shares the skew-safe shape") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-substr-plan").toString + "/s"
+    val spans = Dedup.exactSubstringBatch(spark, store,
+      docs(1L -> (passage + " " + fresh("a", 40)),
+        2L -> (fresh("b", 10) + " " + passage)))
+    val whWindows = spans.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.exists(_.references.exists(
+          _.name == "wh")) => w
+    }
+    assert(whWindows.isEmpty)
+  }
+
+  test("store read folds duplicate canonicals defensively") {
+    import graft.operators.SnapshotTable
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-substr-fold").toString + "/s"
+    // simulate a single-writer-contract violation: two rows for hash H
+    val twin = Seq(("aa" * 16, 42L, 0L), ("aa" * 16, 7L, 0L),
+      ("bb" * 16, 99L, 1L)).toDF("wh", "canon_key", "wh_bucket")
+    SnapshotTable.commitAppend(twin, store, "wh_bucket")
+    val folded = Dedup.readSubstringStore(spark, store).collect()
+      .map(r => r.getAs[String]("wh") -> r.getAs[Long]("canon_key")).toMap
+    assert(folded.size === 2)
+    assert(folded("aa" * 16) === 7L) // earliest key wins
+    assert(folded("bb" * 16) === 99L)
+  }
+
+  test("a document at the packed-key ceiling is refused loudly") {
+    // ChunkIdSpace tokens would collide doc 1's positions into doc 2's
+    // key space — the valve must throw, not corrupt
+    val n = ChunkDedup.ChunkIdSpace.toInt
+    val big = spark.range(1).select(lit(1L).as("doc_id"),
+      expr(s"array_join(transform(sequence(1, $n), x -> 'w'), ' ')")
+        .as("text"))
+    val e = intercept[Exception] {
+      Dedup.exactSubstring(big).count()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("ChunkIdSpace")), chain.mkString("\n"))
+  }
+
   test("docs shorter than the window contribute no windows") {
     val short = (1 to 10).map(i => s"tiny$i").mkString(" ")
     val d = docs(1L -> short, 2L -> short)
