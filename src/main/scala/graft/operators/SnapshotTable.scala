@@ -1806,11 +1806,17 @@ object SnapshotTable {
     * the sidecar, the new images survive by the strict sequence rule,
     * untouched rows are inherited by manifest reference. Commit cost
     * is O(matched rows), not O(touched partitions): the 100 TB shape
-    * for a few-row UPDATE inside a 1 TB partition. The full old-row
-    * image is the equality key — UPDATE declares no key columns, and
-    * a deterministic predicate cannot match one of two identical rows
-    * without the other, so full-row masking is exact (twins all match
-    * and each re-appends its own post-image, preserving multiplicity).
+    * for a few-row UPDATE inside a 1 TB partition.
+    *
+    * PRECONDITION: the predicate must be DETERMINISTIC (the caller —
+    * [[graft.sources.GraftDml.runUpdate]] — routes nondeterministic
+    * predicates to copy-on-write). Masking by equality, with ANY key
+    * including the full row, is exact only when matching is a pure
+    * function of the row: a deterministic predicate cannot match one
+    * of two identical rows without the other, so twins all match and
+    * each re-appends its own post-image, preserving multiplicity — a
+    * nondeterministic one could match a strict subset of twins, and
+    * the full-row mask would kill the unmatched ones too.
     * Layout (partition-spec source) assignments refuse, same as CoW.
     * Returns the new version, or -1 when nothing matches.
     *

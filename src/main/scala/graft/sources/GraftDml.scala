@@ -293,6 +293,16 @@ object GraftDml {
     *     not a partition rewrite ([[SnapshotTable.applyDeletes]] folds
     *     the sidecar on the maintenance cadence).
     *
+    * NONDETERMINISTIC predicates (e.g. `WHERE rand() < 0.5`) always
+    * take CoW, even when not aligned: MoR masks old images by
+    * equality, and ANY equality key — even the full row — is only
+    * exact when matching is a pure function of the row. A
+    * nondeterministic predicate can match one of two identical twin
+    * rows and not the other; the full-row sidecar would mask BOTH
+    * while only the matched twin re-appends, silently losing a row.
+    * CoW rewrites rows in place (`when(pred, set).otherwise(keep)`),
+    * so multiplicity is preserved whatever the predicate draws.
+    *
     * Unmanifested (plain-partitioned) tables always take CoW — the
     * equality sidecar rides the partition manifest. Governed targets
     * publish either staging as one atomic catalog commit. */
@@ -301,32 +311,28 @@ object GraftDml {
                 predicateRefs: Set[String],
                 deterministicPredicate: Boolean = true): Long = {
     val layout = SnapshotTable.parseSpecs(partitionCol).map(_.source).toSet
-    val aligned = predicateRefs.forall(layout.contains)
-    // the narrow predicate-column equality key is exact only for a
-    // DETERMINISTIC predicate (a pure function of its columns); a
-    // nondeterministic one keeps the always-exact full-row image
-    val keyRefs = if (deterministicPredicate) predicateRefs
-      else Set.empty[String]
+    val cow = predicateRefs.forall(layout.contains) ||
+      !deterministicPredicate
     def manifested(root: String, base: Long) =
       base >= 0 && SnapshotTable.manifestEntries(root, base).nonEmpty
     target match {
       case Warehouse(root) =>
-        if (aligned ||
+        if (cow ||
             !manifested(root, SnapshotTable.latestVersion(root)))
           SnapshotTable.updateWhere(spark, root, partitionCol, predicate,
             sets)
         else
           SnapshotTable.updateWhereMor(spark, root, partitionCol,
-            predicate, sets, keyRefs)
+            predicate, sets, predicateRefs)
       case g: Governed =>
         casCommit(g) { prev =>
           val v =
-            if (aligned || !manifested(g.tableRoot, prev))
+            if (cow || !manifested(g.tableRoot, prev))
               SnapshotTable.stageUpdateWhere(spark, g.tableRoot,
                 partitionCol, predicate, sets, prev)
             else
               SnapshotTable.stageUpdateMor(spark, g.tableRoot,
-                partitionCol, predicate, sets, prev, keyRefs)
+                partitionCol, predicate, sets, prev, predicateRefs)
           if (v < 0) None else Some(v)
         }
     }

@@ -210,29 +210,41 @@ case class GraftRuntimeFilterRule(session: SparkSession)
   private def dimDomain(dimSide: LogicalPlan,
                         dimKey: AttributeReference): Option[DimDomain] = {
     if (domainCache.size > 128) domainCache.clear()
-    domainCache.computeIfAbsent((dimSide.canonicalized, dimKey.exprId.id),
-      _ => {
-        val dimDf = GraftV1Wrap.ofRows(session, dimSide)
-          .select(GraftV1Wrap.column(dimKey).as("__k"))
-          .where(col("__k").isNotNull) // null keys never equi-match
-        // bounds + DISTRIBUTED distinct count first (constant driver
-        // cost); the key set is collected only once the count proves
-        // it bounded — a mis-estimated "small" dim (post-filter size
-        // estimates undershoot by orders of magnitude) must not funnel
-        // millions of keys into one collect_set buffer
-        val head = dimDf
-          .agg(min(col("__k")), max(col("__k")),
-            countDistinct(col("__k")))
-          .head()
-        if (head.isNullAt(0)) None // empty dim: nothing to refute with
-        else {
-          val n = head.getLong(2)
-          val keys =
-            if (n > bloomMaxKeys) Seq.empty[Any] // only [min,max] usable
-            else dimDf.distinct().collect().map(_.get(0)).toSeq
-          Some(DimDomain(head.get(0), head.get(1), keys, n))
-        }
-      })
+    val cacheKey = (dimSide.canonicalized, dimKey.exprId.id)
+    // NEVER compute inside computeIfAbsent: the domain jobs below
+    // re-run the optimizer on the dim-side plan, which can re-enter
+    // this rule (nested star joins) and insert into the same map — a
+    // recursive update computeIfAbsent forbids (IllegalStateException
+    // or a livelock under the bin lock). Plain get → compute with no
+    // lock held → putIfAbsent (first writer wins; a racing duplicate
+    // computation is harmless, holding the lock through a Spark job
+    // is not).
+    val cached = domainCache.get(cacheKey)
+    if (cached != null) return cached
+    val computed: Option[DimDomain] = {
+      val dimDf = GraftV1Wrap.ofRows(session, dimSide)
+        .select(GraftV1Wrap.column(dimKey).as("__k"))
+        .where(col("__k").isNotNull) // null keys never equi-match
+      // bounds + DISTRIBUTED distinct count first (constant driver
+      // cost); the key set is collected only once the count proves
+      // it bounded — a mis-estimated "small" dim (post-filter size
+      // estimates undershoot by orders of magnitude) must not funnel
+      // millions of keys into one collect_set buffer
+      val head = dimDf
+        .agg(min(col("__k")), max(col("__k")),
+          countDistinct(col("__k")))
+        .head()
+      if (head.isNullAt(0)) None // empty dim: nothing to refute with
+      else {
+        val n = head.getLong(2)
+        val keys =
+          if (n > bloomMaxKeys) Seq.empty[Any] // only [min,max] usable
+          else dimDf.distinct().collect().map(_.get(0)).toSeq
+        Some(DimDomain(head.get(0), head.get(1), keys, n))
+      }
+    }
+    val prev = domainCache.putIfAbsent(cacheKey, computed)
+    if (prev != null) prev else computed
   }
 
   /** Evaluate the dim side's key domain (one tiny aggregate job,

@@ -583,6 +583,45 @@ class GraftDmlSpec extends GraftSuite {
     assert(rows === Seq(("b", 20L), ("c", 3L), ("d", 4L)))
   }
 
+  test("nondeterministic WHERE routes CoW: identical twins are never lost") {
+    // the SQL surface can't even express this (Spark's CheckAnalysis
+    // rejects nondeterministic UPDATE conditions), but runUpdate is a
+    // public programmatic API — four IDENTICAL twin rows are the shape
+    // where MoR full-row masking under a nondeterministic predicate
+    // would silently drop the unmatched twins (the sidecar kills all
+    // four, only the matched subset re-appends)
+    val root = Files.createTempDirectory("graft-dmlnd").toString + "/t"
+    SnapshotTable.commitAppend(
+      Seq(("a", 1L, "x"), ("t", 5L, "x"), ("t", 5L, "x"), ("t", 5L, "x"),
+        ("t", 5L, "x"), ("c", 3L, "y")).toDF("k", "n", "p"),
+      root, "p")
+    val before = SnapshotTable.latestVersion(root)
+    val sidecarsBefore = SnapshotTable.eqDeleteEntries(root, before).size
+    graft.sources.GraftDml.runUpdate(spark,
+      graft.sources.GraftDml.Warehouse(root), "p",
+      col("n") === 5 && rand() < 0.5,
+      Seq("n" -> (col("n") + 100)), Set("n"),
+      deterministicPredicate = false)
+    val after = SnapshotTable.latestVersion(root)
+    // routed copy-on-write: no NEW equality-delete sidecars
+    assert(SnapshotTable.eqDeleteEntries(root, after).size ===
+      sidecarsBefore)
+    // multiplicity preserved whatever the draw: still exactly four
+    // twins, each either updated or untouched
+    val twins = SnapshotTable.read(spark, root)
+      .filter(col("k") === "t").collect().map(_.getAs[Long]("n"))
+    assert(twins.length === 4, s"twins lost: ${twins.toSeq}")
+    assert(twins.forall(n => n == 5L || n == 105L), twins.toSeq)
+    assert(SnapshotTable.read(spark, root).count() === 6)
+    // and the SQL surface refuses outright (Spark's own analysis rule)
+    mkCatalogTable("dml9")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE dml9.db.t SET n = n + 100 " +
+        "WHERE n = 5 AND rand() < 0.5")
+    }
+    assert(e.getMessage.contains("NON_DETERMINISTIC"), e.getMessage)
+  }
+
   test("MERGE/UPDATE against a time-travel pin refuse") {
     mkCatalogTable("dml4")
     Seq(("b", 20L, "x")).toDF("k", "n", "p")
