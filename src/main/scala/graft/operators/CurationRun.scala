@@ -55,10 +55,21 @@ object CurationRun {
   /** Ingest one document batch (`doc_id`, `text`): stage the curated
     * corpus slice and the signature-store append, gate on the staged
     * keep-rate, publish both atomically. Returns the catalog commit id
-    * (the current one when `batchId` was already published). */
+    * (the current one when `batchId` was already published).
+    *
+    * `substringWindow = Some(w)` additionally runs Lee et al.
+    * ExactSubstr against a GOVERNED `substring_store` table (the
+    * canonical window-hash store [[Dedup.exactSubstringBatch]] keeps
+    * path-owned): each corpus row gains `substr_removed` (tokens
+    * inside duplicated spans, 0 when clean) and the store append
+    * publishes in the SAME atomic commit as the corpus — a gate abort
+    * leaves both untouched, [[Catalog.rollback]] rewinds both
+    * together, and [[retract]] drops a retracted doc's canonicals so
+    * its passages re-admit. */
   def runBatch(spark: SparkSession, catalogRoot: String, batch: DataFrame,
                batchId: Long, threshold: Double = 0.8,
-               minKeepRate: Double = 0.2): Long = {
+               minKeepRate: Double = 0.2,
+               substringWindow: Option[Int] = None): Long = {
     val base = Catalog.latestCommit(catalogRoot)
     if (committedBatchIds(catalogRoot).contains(batchId))
       return base // replay of a published batch: exactly-once skip
@@ -75,11 +86,22 @@ object CurationRun {
       }
     val (verdicts, newSigs, dedupCaches) =
       IncrementalDedup.planCached(batch, storeContent, threshold)
+    val substr = substringWindow.map { w =>
+      val store =
+        if (prev.contains("substring_store"))
+          Catalog.read(spark, catalogRoot, "substring_store", base)
+            .groupBy("wh").agg(min(col("canon_key")).as("canon_key"))
+        else {
+          import spark.implicits._
+          Seq.empty[(String, Long)].toDF("wh", "canon_key")
+        }
+      Dedup.exactSubstringStage(batch, store, w)
+    }
     try {
 
     // per-doc curation row: shuffle-free signal projections joined to
     // the dedup verdict on one doc_id co-partitioning
-    val corpus = TextAnalysis.clean(batch)
+    val corpus0 = TextAnalysis.clean(batch)
       .join(TextAnalysis.quality(batch)
         .select("doc_id", "n_words", "distinct_ratio", "quality_pass"),
         "doc_id")
@@ -89,6 +111,17 @@ object CurationRun {
       .withColumn("keep",
         col("quality_pass") && col("repetition_pass") && !col("is_dup"))
       .withColumn("batch_id", lit(batchId))
+    val corpus = substr match {
+      case None => corpus0
+      case Some((spans, _, _)) =>
+        corpus0
+          .join(spans.groupBy("doc_id")
+            .agg(sum(col("span_end") - col("span_start"))
+              .as("substr_removed")),
+            Seq("doc_id"), "left")
+          .withColumn("substr_removed",
+            coalesce(col("substr_removed"), lit(0L)))
+    }
 
     val vCorpus = SnapshotTable.stageAppend(corpus, tr("corpus"),
       "batch_id", prev.getOrElse("corpus", -1L))
@@ -96,7 +129,14 @@ object CurationRun {
       (if (newSigs.isEmpty) Map.empty[String, Long]
        else Map("dedup_signatures" -> SnapshotTable.stageAppend(newSigs,
          tr("dedup_signatures"), "sig_bucket",
-         prev.getOrElse("dedup_signatures", -1L))))
+         prev.getOrElse("dedup_signatures", -1L)))) ++
+      (substr match {
+        case Some((_, newCanon, _)) if !newCanon.isEmpty =>
+          Map("substring_store" -> SnapshotTable.stageAppend(newCanon,
+            tr("substring_store"), "wh_bucket",
+            prev.getOrElse("substring_store", -1L)))
+        case _ => Map.empty[String, Long]
+      })
 
     // gate over the STAGED batch slice: a poisoned shard publishes
     // nothing (neither corpus rows nor its dedup signatures)
@@ -119,6 +159,7 @@ object CurationRun {
       // staging wrote every row the caches fed — release them so a
       // long-lived ingestion driver doesn't accumulate cached blocks
       dedupCaches.foreach(_.unpersist())
+      substr.foreach(_._3.unpersist())
     }
   }
 
@@ -140,7 +181,16 @@ object CurationRun {
     require(docIds.nonEmpty, "retract needs at least one doc_id")
     val prev = Catalog.tableVersions(catalogRoot)
     val targets = Seq("corpus", "dedup_signatures").filter(prev.contains)
-      .map(t => t -> col("doc_id").isin(docIds: _*))
+      .map(t => t -> col("doc_id").isin(docIds: _*)) ++
+      // substring canonicals are packed doc_id·ChunkIdSpace+pos keys:
+      // drop every canonical the retracted docs own, so their passages
+      // stop acting as dedup anchors (the §2 re-admission rule) — same
+      // atomic commit as the corpus erasure
+      (if (prev.contains("substring_store"))
+         Seq("substring_store" ->
+           expr(s"canon_key div ${ChunkDedup.ChunkIdSpace}")
+             .isin(docIds: _*))
+       else Nil)
     Catalog.transactMorDelete(spark, catalogRoot, targets)
   }
 }

@@ -593,10 +593,28 @@ object Dedup {
   def exactSubstringBatch(spark: org.apache.spark.sql.SparkSession,
                           storeRoot: String, docs: DataFrame,
                           window: Int = 20): DataFrame = {
+    val store = readSubstringStore(spark, storeRoot)
+    val (spans, newCanon, cache) = exactSubstringStage(docs, store, window)
+    try {
+      if (!newCanon.isEmpty)
+        SnapshotTable.commitAppend(newCanon, storeRoot, "wh_bucket")
+      spans
+    } finally cache.unpersist()
+  }
+
+  /** The stage-only core of [[exactSubstringBatch]]: dedup `docs`
+    * against an ALREADY-READ store content frame `(wh, canon_key)` and
+    * return `(spans, newCanon, cache)` WITHOUT writing anything — what
+    * lets [[CurationRun]] stage the store append and publish it
+    * atomically with the corpus. `spans` is eagerly materialized;
+    * `newCanon` (`wh, canon_key, wh_bucket` — partition by
+    * `wh_bucket`) must be consumed before `cache.unpersist()`. */
+  private[graft] def exactSubstringStage(docs: DataFrame, store: DataFrame,
+                                         window: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(window >= 2, s"window must be >= 2, got $window")
     val key = col("doc_id") * ChunkDedup.ChunkIdSpace + col("i")
     val hashed = windowHashes(docs, window)
-    val store = readSubstringStore(spark, storeRoot)
     // Same skew-safe shape as [[exactSubstring]]: per-hash stats via
     // groupBy (map-side partials absorb a hot boilerplate hash) joined
     // back on wh (AQE skew-split applies), never a window over wh.
@@ -607,30 +625,26 @@ object Dedup {
       .join(store.withColumnRenamed("canon_key", "store_canon"),
         Seq("wh"), "left")
       .persist()
-    try {
-      val isDup =
-        (col("store_canon").isNotNull && key =!= col("store_canon")) ||
-          (col("store_canon").isNull && col("cnt") > 1 &&
-            key =!= col("batch_canon"))
-      val dups = joined.filter(isDup)
-        .select(col("doc_id"), col("i"),
-          (col("store_canon").isNotNull &&
-            col("store_canon") =!= col("batch_canon"))
-            .as("matched_store"))
-      val spans = mergeSpans(dups, window)
-        .select("doc_id", "span_start", "span_end", "n_windows",
-          "matched_store")
-        .localCheckpoint(eager = true)
-      // batchStats already holds one row per distinct hash with its
-      // earliest key — no second aggregate over the occurrences.
-      val newCanon = joined
-        .filter(col("store_canon").isNull)
-        .select(col("wh"), col("batch_canon").as("canon_key"))
-        .dropDuplicates("wh")
-        .withColumn("wh_bucket", pmod(xxhash64(col("wh")), lit(16L)))
-      if (!newCanon.isEmpty)
-        SnapshotTable.commitAppend(newCanon, storeRoot, "wh_bucket")
-      spans
-    } finally joined.unpersist()
+    val isDup =
+      (col("store_canon").isNotNull && key =!= col("store_canon")) ||
+        (col("store_canon").isNull && col("cnt") > 1 &&
+          key =!= col("batch_canon"))
+    val dups = joined.filter(isDup)
+      .select(col("doc_id"), col("i"),
+        (col("store_canon").isNotNull &&
+          col("store_canon") =!= col("batch_canon"))
+          .as("matched_store"))
+    val spans = mergeSpans(dups, window)
+      .select("doc_id", "span_start", "span_end", "n_windows",
+        "matched_store")
+      .localCheckpoint(eager = true)
+    // batchStats already holds one row per distinct hash with its
+    // earliest key — no second aggregate over the occurrences.
+    val newCanon = joined
+      .filter(col("store_canon").isNull)
+      .select(col("wh"), col("batch_canon").as("canon_key"))
+      .dropDuplicates("wh")
+      .withColumn("wh_bucket", pmod(xxhash64(col("wh")), lit(16L)))
+    (spans, newCanon, joined)
   }
 }

@@ -135,6 +135,101 @@ class CurationRunSpec extends GraftSuite {
     assert(CurationRun.keptCorpus(spark, cat).count() === 2)
   }
 
+  // a 12-token passage lifted verbatim from `base` — long enough for
+  // three 10-token substring windows, far too little shared vocabulary
+  // for a MinHash whole-doc verdict at 0.8
+  private val passage = base.split(" ").take(12).mkString(" ")
+  private def freshDoc(tag: String, n: Int) =
+    (1 to n).map(i => s"${tag}tok$i").mkString(" ")
+
+  test("substring store publishes atomically with the corpus") {
+    val cat = Files.createTempDirectory("graft-curation-ss").toString
+    val c0 = CurationRun.runBatch(spark, cat,
+      docs(1L -> base, 3L -> other), 0L, substringWindow = Some(10))
+    val seedCanon = Catalog.read(spark, cat, "substring_store").count()
+    assert(seedCanon > 0L) // batch 1 seeded canonicals for both docs
+    // batch 2: doc 10 is mostly FRESH text carrying the 12-token
+    // passage at offset 8 — not a MinHash dup, but its passage windows
+    // hit the governed store
+    val c1 = CurationRun.runBatch(spark, cat,
+      docs(10L -> (freshDoc("f", 8) + " " + passage + " " +
+        freshDoc("g", 12))), 1L, substringWindow = Some(10))
+    assert(c1 === c0 + 1) // ONE commit moved corpus AND store
+    val v10 = Catalog.read(spark, cat, "corpus")
+      .filter(col("doc_id") === 10L).head()
+    assert(!v10.getAs[Boolean]("is_dup")) // MinHash says fresh
+    assert(v10.getAs[Long]("substr_removed") === 12L) // span [8, 20)
+    assert(v10.getAs[Boolean]("keep"))
+    // doc 10's fresh windows became canonicals in the same commit
+    assert(Catalog.read(spark, cat, "substring_store").count() > seedCanon)
+    // clean docs carry substr_removed = 0, not null
+    assert(Catalog.read(spark, cat, "corpus")
+      .filter(col("doc_id") === 3L).head()
+      .getAs[Long]("substr_removed") === 0L)
+  }
+
+  test("a gate abort leaves corpus AND substring store untouched") {
+    val cat = Files.createTempDirectory("graft-curation-ssgate").toString
+    CurationRun.runBatch(spark, cat, docs(1L -> base), 0L,
+      substringWindow = Some(10))
+    val commit = Catalog.latestCommit(cat)
+    val canon = Catalog.read(spark, cat, "substring_store").count()
+    // every doc fails repetition (one word repeated 15×) — and being
+    // self-repetitive, each STAGES substring-store appends that the
+    // abort must discard
+    intercept[IllegalStateException] {
+      CurationRun.runBatch(spark, cat,
+        docs(20L -> ("dup " * 15).trim, 21L -> ("bad " * 15).trim),
+        1L, substringWindow = Some(10))
+    }
+    assert(Catalog.latestCommit(cat) === commit)
+    assert(Catalog.read(spark, cat, "substring_store").count() === canon)
+    assert(!CurationRun.committedBatchIds(cat).contains(1L))
+  }
+
+  test("rollback rewinds substring store with the corpus; re-ingest agrees") {
+    val cat = Files.createTempDirectory("graft-curation-ssrb").toString
+    val c0 = CurationRun.runBatch(spark, cat, docs(1L -> base), 0L,
+      substringWindow = Some(10))
+    val canon0 = Catalog.read(spark, cat, "substring_store").count()
+    val b1 = docs(10L -> (freshDoc("f", 8) + " " + passage + " " +
+      freshDoc("g", 12)))
+    CurationRun.runBatch(spark, cat, b1, 1L, substringWindow = Some(10))
+    assert(Catalog.read(spark, cat, "substring_store").count() > canon0)
+    Catalog.rollback(cat, c0)
+    // both tables rewound together — no path-owned split brain
+    assert(Catalog.read(spark, cat, "substring_store").count() === canon0)
+    assert(Catalog.read(spark, cat, "corpus").count() === 1)
+    // re-ingestion sees the rewound store: identical verdict
+    CurationRun.runBatch(spark, cat, b1, 1L, substringWindow = Some(10))
+    assert(Catalog.read(spark, cat, "corpus")
+      .filter(col("doc_id") === 10L).head()
+      .getAs[Long]("substr_removed") === 12L)
+  }
+
+  test("retraction drops substring canonicals — passages re-admit") {
+    val cat = Files.createTempDirectory("graft-curation-ssret").toString
+    CurationRun.runBatch(spark, cat, docs(1L -> base, 3L -> other), 0L,
+      substringWindow = Some(10))
+    val canonBefore = Catalog.read(spark, cat, "substring_store").count()
+    CurationRun.retract(spark, cat, Seq(1L))
+    // doc 1's canonicals died in the SAME commit as its corpus row
+    val store = Catalog.read(spark, cat, "substring_store")
+    assert(store.count() < canonBefore)
+    assert(store.filter(
+      expr(s"canon_key div ${graft.operators.ChunkDedup.ChunkIdSpace}")
+        === 1L).count() === 0L)
+    // a later batch carrying the retracted doc's passage is ADMITTED —
+    // nothing of the erased text still acts as a dedup anchor
+    CurationRun.runBatch(spark, cat,
+      docs(30L -> (freshDoc("h", 8) + " " + passage + " " +
+        freshDoc("k", 12))), 1L, substringWindow = Some(10))
+    val v30 = Catalog.read(spark, cat, "corpus")
+      .filter(col("doc_id") === 30L).head()
+    assert(v30.getAs[Long]("substr_removed") === 0L)
+    assert(v30.getAs[Boolean]("keep"))
+  }
+
   test("dedupBatch facade still owns its own store") {
     // the refactor split plan() out of dedupBatch — its behavior is
     // unchanged (regression for the storage-owning path)
