@@ -2409,15 +2409,40 @@ object SnapshotTable {
     val cs = constraints(root)
     val proofs = cs.map { case (_, e) => constraintProof(spark, e) }
     val constraintCols = proofs.flatMap(_.toSeq.flatMap(_._2))
+    // declared auto-NDV columns ride the same pass: bounds through the
+    // footer lift (NDV is unusable without them), sketches below
+    val autoNdv = ndvColumns(root)
     val footer = FooterStats.collect(spark, MetaIO.join(root),
       MetaIO.join(root, s"v=$version"),
-      (statsCols ++ constraintCols).distinct)
+      (statsCols ++ constraintCols ++ autoNdv).distinct)
     enforceConstraints(spark, root, version, footer, cs, proofs)
-    completeStats(spark, root, version, statsCols, footer).foreach {
+    completeStats(spark, root, version, (statsCols ++ autoNdv).distinct,
+      footer).foreach {
       _.coalesce(1)
         .write.mode("overwrite").parquet(statsPath(root, version).toString)
     }
     recordFileBlooms(spark, root, version, bloomCols)
+    if (autoNdv.nonEmpty && footer.nonEmpty)
+      recordFileNdv(spark, root, version, autoNdv)
+  }
+
+  /** Write the `_ndv` sidecar for ONE freshly written storage version
+    * (the auto-NDV half of [[collectNdv]]'s backfill): one
+    * column-pruned scan of the new files only — the per-commit
+    * O(batch) tax [[setNdvColumns]] opts into. */
+  private def recordFileNdv(spark: SparkSession, root: String, sv: Long,
+                            cols: Seq[String]): Unit = {
+    val df = spark.read.parquet(s"$root/v=$sv")
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return
+    val tmp = MetaIO.join(root, s"v=$sv",
+      s".ndv.new-${java.util.UUID.randomUUID()}")
+    ndvFrame(df, present).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val target = ndvPath(root, sv)
+    MetaIO.delete(target, recursive = true)
+    MetaIO.moveTree(tmp, target)
+    ndvTableCache.clear()
   }
 
   /** The `_stats` sidecar frame for storage version `sv` — `_file`
@@ -3403,6 +3428,30 @@ object SnapshotTable {
 
   private def ndvPath(root: String, version: Long) =
     MetaIO.join(root, s"v=$version", "_ndv")
+
+  private def ndvColsPath(root: String) = MetaIO.join(root, "_ndvcols")
+
+  /** Declare columns whose NDV sketches every FUTURE data-writing
+    * commit maintains in its own footer-lift pass (one column-pruned
+    * scan of the new files, O(batch)) — CBO join reorder then works on
+    * a freshly written table without a manual ANALYZE/`collect_ndv`
+    * call. Declarative like [[setSortOrder]]: versions committed
+    * BEFORE the declaration stay uncovered (and [[tableNdv]] reports a
+    * column only at full live-file coverage) — run [[collectNdv]] once
+    * to backfill history. Min/max bounds for the declared columns are
+    * recorded alongside (Catalyst treats a counts-only numeric
+    * ColumnStat as all-null — see [[collectNdv]]). */
+  def setNdvColumns(root: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "ndv columns need at least one column")
+    MetaIO.mkdirs(MetaIO.join(root))
+    MetaIO.writeString(ndvColsPath(root), cols.mkString(","))
+  }
+
+  /** The declared auto-NDV columns, if any. */
+  def ndvColumns(root: String): Seq[String] =
+    if (!MetaIO.exists(ndvColsPath(root))) Seq.empty
+    else MetaIO.readString(ndvColsPath(root)).trim.split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
 
   def fileNdv(spark: SparkSession, root: String,
               version: Long): Option[DataFrame] =

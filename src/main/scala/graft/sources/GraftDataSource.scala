@@ -47,7 +47,10 @@ import graft.operators.SnapshotTable
   * / `tag` / `branch` (default: latest committed version). Write
   * options: `partitionBy` (fast-append partition column), `statsCols`
   * / `bloomCols` (comma-separated manifest-stats columns recorded at
-  * commit). `mode("append")` is the O(batch) partition fast-append
+  * commit), `ndvCols` (declares [[SnapshotTable.setNdvColumns]]
+  * auto-NDV columns — this and every later write sketches them, so
+  * CBO join reorder needs no ANALYZE).
+  * `mode("append")` is the O(batch) partition fast-append
   * and therefore REQUIRES `partitionBy` on an existing table;
   * `mode("overwrite")` commits a fresh full snapshot (time travel
   * keeps the old versions readable).
@@ -886,6 +889,11 @@ private[sources] class GraftWriteBuilder(root: String,
             else data0
           val stats = GraftDataSource.csv(options, "statsCols")
           val blooms = GraftDataSource.csv(options, "bloomCols")
+          // declare BEFORE the commit so this very write's footer-lift
+          // pass already sketches NDV — CBO reorder works on the fresh
+          // table with no ANALYZE call
+          val ndvs = GraftDataSource.csv(options, "ndvCols")
+          if (ndvs.nonEmpty) SnapshotTable.setNdvColumns(root, ndvs)
           if (overwrite || legacyOverwrite)
             // a fresh full snapshot; prior versions stay time-travelable
             SnapshotTable.commit(data, root, stats, blooms)

@@ -108,6 +108,81 @@ class NdvStatsSpec extends GraftSuite {
     assert(rel.stats.rowCount.exists(_.toLong === 600L))
   }
 
+  test("ndvCols write option: CBO statistics with NO ANALYZE call") {
+    // VERDICT r13 #6: a table that records stats at write should
+    // sketch NDV in the same footer-lift pass — declared once,
+    // maintained by every commit, no collect_ndv CALL anywhere here
+    val root = Files.createTempDirectory("graft-ndv-auto").toString + "/t"
+    (0 until 600).map(i => (i.toLong, (i % 5).toLong, (i % 7).toLong))
+      .toDF("pk", "fk", "bucket")
+      .write.format("graft").option("ndvCols", "pk,fk")
+      .option("partitionBy", "bucket").mode("append").save(root)
+    assert(SnapshotTable.ndvColumns(root) === Seq("pk", "fk"))
+    val byName = {
+      val rel = spark.read.format("graft").load(root)
+        .queryExecution.optimizedPlan.collectFirst {
+          case r: DataSourceV2ScanRelation => r
+        }.get
+      rel.stats.attributeStats.map { case (a, s) => a.name -> s }
+    }
+    assert(byName("fk").distinctCount.exists(_.toLong === 5L))
+    assert(byName("pk").distinctCount.exists(n =>
+      math.abs(n.toLong - 600L) <= 30L))
+    // bounds recorded alongside (counts-only stats would read as
+    // all-null to JoinEstimation)
+    assert(byName("fk").min.isDefined && byName("fk").max.isDefined)
+
+    // a later APPEND maintains coverage in its own commit pass
+    SnapshotTable.commitAppend(
+      (600 until 700).map(i => (i.toLong, 5L, (i % 7).toLong))
+        .toDF("pk", "fk", "bucket"), root, "bucket")
+    val ndv = SnapshotTable.tableNdv(spark, root)
+    assert(ndv("fk").ndv === 6L)
+    assert(math.abs(ndv("pk").ndv - 700L) <= 35L)
+  }
+
+  test("auto-NDV reorder flip needs no CALL") {
+    // the r13 reorder-flip criterion, rerun with write-declared NDV:
+    // same join, same data — the only NDV source is the ndvCols option
+    def auto(df: DataFrame, tag: String, cols: String,
+             parts: Int = 4): String = {
+      val root = Files.createTempDirectory(s"graft-ndvauto-$tag")
+        .toString + "/t"
+      df.repartition(parts).write.format("graft")
+        .option("ndvCols", cols).mode("overwrite").save(root)
+      root
+    }
+    val f = auto((0 until 600)
+      .map(i => (i.toLong % 3, i.toLong, i * 1.0)).toDF("a", "b", "amt"),
+      "fact", "a,b")
+    val d1 = auto((0 until 50).map(i => (i.toLong % 3, s"x$i"))
+      .toDF("da", "n1"), "d1", "da", 1)
+    val d2 = auto((0 until 50).map(i => (i.toLong * 12, s"y$i"))
+      .toDF("db", "n2"), "d2", "db", 1)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      val q = spark.read.format("graft").load(f)
+        .join(spark.read.format("graft").load(d1), col("a") === col("da"))
+        .join(spark.read.format("graft").load(d2), col("b") === col("db"))
+        .agg(sum(col("amt")))
+      def roots(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        p.collect {
+          case r: DataSourceV2ScanRelation =>
+            GraftV1Wrap.inner(r.scan).get.asInstanceOf[GraftScan].root
+        }
+      val innermost = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if roots(j).size == 2 => roots(j).toSet
+      }.head
+      assert(innermost === Set(f, d2),
+        s"expected the b-join innermost from write-time NDV, got $innermost")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+    }
+  }
+
   test("CBO join reorder flips on NDV; without sketches the order is syntactic") {
     // fact: low-NDV key a (3 values), high-NDV key b (unique) — the
     // a-join explodes (|F|*|D|/3), the b-join collapses (|D|); CBO
