@@ -851,6 +851,14 @@ v$s AS (
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
 
+    // TopN serving read: the Spark side goes through the connector's
+    // pushed-TopN file pruning; event_id is unique, so the top-100 set
+    // is deterministic and the row order washes out in the sorted
+    // compare
+    "topn_serving" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id DESC LIMIT 100""".stripMargin,
+
     // initial-default column evolution: odd orders were written BEFORE
     // the column existed (they read the declared default), even orders
     // arrived after with real values — the oracle replays that split

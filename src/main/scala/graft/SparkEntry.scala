@@ -246,6 +246,21 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag")
     },
+    // ORDER BY ... LIMIT over a graft table — the connector pushes the
+    // TopN (SupportsPushDownTopN) and reads only the file prefix whose
+    // recorded bounds + null counts can still hold the top rows (the
+    // dashboard/serving shape; plan + IO proofs in TopNPushdownSpec)
+    "topn_serving" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-topn-key").toString + "/t"
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartitionByRange(8, col("event_id"))
+      SnapshotTable.setNdvColumns(out, Seq("event_id"))
+      SnapshotTable.commit(ev, out, statsCols = Seq("event_id"))
+      s.read.format("graft").load(out)
+        .orderBy(desc("event_id")).limit(100)
+    },
     // initial-default column evolution (Iceberg v3 initial-default):
     // stage odd orders, add a defaulted column as a METADATA-ONLY
     // commit, append even orders carrying real values — pre-add files

@@ -2654,21 +2654,25 @@ object SnapshotTable {
     // all-null files record null bounds — they cannot contribute
     val nonNull = stats.filter(s => s._2 != null && s._3 != null)
     if (nonNull.isEmpty) return None
-    implicit val ord: Ordering[Any] = new Ordering[Any] {
-      def compare(a: Any, b: Any): Int = (a, b) match {
-        // Spark orders strings by UTF-8 BYTES (UTF8String.compareTo);
-        // Java's compareTo orders UTF-16 code units — they disagree on
-        // supplementary-plane characters (a surrogate pair's lead unit
-        // 0xD800-0xDBFF sorts below 0xE000-0xFFFF), so the driver-side
-        // fold must compare the same bytes Spark's min/max recorded
-        case (x: String, y: String) =>
-          java.util.Arrays.compareUnsigned(
-            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
-      }
-    }
+    implicit val ord: Ordering[Any] = statValueOrdering
     Some((nonNull.map(_._2).min, nonNull.map(_._3).max))
+  }
+
+  /** Driver-side ordering over stats-sidecar values, matching Spark's
+    * own sort order. Spark orders strings by UTF-8 BYTES
+    * (UTF8String.compareTo); Java's compareTo orders UTF-16 code
+    * units — they disagree on supplementary-plane characters (a
+    * surrogate pair's lead unit 0xD800-0xDBFF sorts below
+    * 0xE000-0xFFFF), so driver-side folds must compare the same bytes
+    * Spark's min/max recorded. */
+  private[graft] val statValueOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
   }
 
   /** `COUNT(*)` from METADATA — the Iceberg manifests-only count: sums
@@ -3351,6 +3355,127 @@ object SnapshotTable {
       read(spark, root, v)
     else scanKeptFiles(spark, root, v, taken, None)
   }
+
+  /** TOP-N file pruning (the connector's `SupportsPushDownTopN`
+    * target): the file list guaranteed to contain EVERY valid
+    * `ORDER BY column [DESC] [NULLS FIRST|LAST] LIMIT n` answer, or
+    * None when pruning cannot be proven sound. The caller keeps its
+    * own TopN above the scan — pruning is IO-only.
+    *
+    * Soundness: a file F may be dropped only when the KEPT files are
+    * guaranteed to hold ≥ n rows STRICTLY better-ranked than the best
+    * possible row of F — then no row of F can appear in any valid
+    * top-n under any tie-break. Guarantees come from metadata only:
+    * per-file `__rows` + min/max bounds (the `_stats` sidecar) give
+    * each file's value range, and per-file null counts (the `_ndv`
+    * sidecar, recorded by [[collectNdv]] / [[setNdvColumns]])
+    * separate null rows from value rows — null ordering makes the
+    * raw row count unusable alone. Declines (None) when any live
+    * file lacks either sidecar for the column, when any MoR delete is
+    * unapplied (a delete may hollow out exactly the guaranteed rows),
+    * or when nothing would be pruned.
+    *
+    * Files sort by their best possible row (best first); the kept set
+    * is the shortest prefix that beats the first excluded file — best
+    * bounds are monotone along the prefix order, so beating file k
+    * beats every file after it. A declared [[setSortOrder]] write
+    * order makes the bounds disjoint and the prefix minimal: this is
+    * the serve-surface path for `ORDER BY ts DESC LIMIT k` dashboard
+    * queries. */
+  private[graft] def topNKept(spark: SparkSession, root: String,
+                              version: Long, column: String,
+                              descending: Boolean, nullsFirst: Boolean,
+                              n: Int): Option[Seq[String]] = {
+    if (n <= 0) return None
+    if (deleteEntries(root, version).nonEmpty ||
+        eqDeleteEntries(root, version).nonEmpty) return None
+    val entries = manifestEntries(root, version)
+    val dirs: Seq[(String, Long)] =
+      if (entries.isEmpty) Seq(s"v=$version" -> version)
+      else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
+    val candidates = candidateDataFiles(root, dirs)
+    // driver-side quadratic prefix check below: at sidecar scales past
+    // this the planning pass would dominate — decline, scan plain
+    if (candidates.size > 65536 || candidates.size < 2) return None
+    val svs = dirs.map(_._2).distinct.sorted
+    val stats: Map[String, (Any, Any, Long)] =
+      svs.flatMap(fileStats(spark, root, _))
+        .filter(st => st.columns.contains(s"${column}__min") &&
+          st.columns.contains("__rows"))
+        .flatMap(_.select(col("_file"), col(s"${column}__min"),
+          col(s"${column}__max"), col("__rows")).collect())
+        .map(r => decodeReportedPath(r.getString(0)) ->
+          (r.get(1), r.get(2), r.getLong(3))).toMap
+    val nulls: Map[String, Long] =
+      svs.flatMap(fileNdv(spark, root, _))
+        .filter(_.columns.contains(s"${column}__nulls"))
+        .flatMap(_.select(col("_file"), col(s"${column}__nulls")).collect())
+        .map(r => decodeReportedPath(r.getString(0)) -> r.getLong(1)).toMap
+    if (!candidates.forall(f => stats.contains(f) && nulls.contains(f)))
+      return None
+    val ord = statValueOrdering
+    // a row is None (null) or Some(value); strictly-better under the
+    // requested ordering
+    def rowBetter(a: Option[Any], b: Option[Any]): Boolean = (a, b) match {
+      case (None, None) => false
+      case (None, Some(_)) => nullsFirst
+      case (Some(_), None) => !nullsFirst
+      case (Some(x), Some(y)) =>
+        if (descending) ord.gt(x, y) else ord.lt(x, y)
+    }
+    case class F(file: String, lo: Any, hi: Any, rows: Long, nullRows: Long) {
+      def valueRows: Long = rows - nullRows
+      // the best-possible row in this file
+      def best: Option[Any] =
+        if (nullsFirst && nullRows > 0) None
+        else if (valueRows > 0) Some(if (descending) hi else lo)
+        else None // all-null file under NULLS LAST: best is null
+      // rows of this file GUARANTEED strictly better than rank r
+      def betterThan(r: Option[Any]): Long = {
+        val nullPart = if (rowBetter(None, r)) nullRows else 0L
+        val valuePart = r match {
+          case None => if (!nullsFirst) valueRows else 0L
+          case Some(x) =>
+            // ALL value rows beat x iff the WORST value row does
+            val worst = if (descending) lo else hi
+            if (worst != null && valueRows > 0 &&
+              rowBetter(Some(worst), Some(x))) valueRows
+            else 0L
+        }
+        nullPart + valuePart
+      }
+    }
+    val files = candidates.toSeq.map { f =>
+      val (lo, hi, rows) = stats(f)
+      F(f, lo, hi, rows, nulls(f))
+    }
+    // an all-null file under NULLS FIRST can tie-beat nothing and be
+    // beaten by nothing null — it must always be kept; rank such files
+    // first so they land in every prefix
+    val sorted = files.sortWith { (a, b) =>
+      rowBetter(a.best, b.best) ||
+        (a.best == b.best && a.file < b.file)
+    }
+    // shortest prefix whose guaranteed strictly-better rows beat the
+    // first excluded file's best; bests are monotone non-improving, so
+    // beating file k beats every file past k
+    var k = 1
+    while (k < sorted.size) {
+      val target = sorted(k).best
+      val guaranteed = sorted.take(k).map(_.betterThan(target)).sum
+      if (guaranteed >= n) {
+        return Some(sorted.take(k).map(_.file))
+      }
+      k += 1
+    }
+    None // nothing prunable
+  }
+
+  /** Scan exactly `kept` (root-relative data files) with no row
+    * filter — the physical half of [[topNKept]]. */
+  private[graft] def readFiles(spark: SparkSession, root: String, v: Long,
+                               kept: Seq[String]): DataFrame =
+    scanKeptFiles(spark, root, v, kept, None)
 
   /** The shared pruned-file scan of [[readSkipping]] / [[readLimit]]:
     * read exactly `kept` (root-relative data files) under version

@@ -451,6 +451,7 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -460,6 +461,7 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var topn: Option[GraftTopN] = None
   private var aggResult: Option[(StructType, Row)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -481,6 +483,32 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
   }
 
   override def isPartiallyPushed: Boolean = true
+
+  // ORDER BY <col> LIMIT n over a bare scan prunes FILES via the
+  // recorded per-file bounds + null counts: files the kept set
+  // provably out-ranks never read (see [[SnapshotTable.topNKept]] for
+  // the soundness rule). Single direct-column orderings only — an
+  // expression ordering has no recorded bounds; any pushed filter
+  // declines (post-filter guarantees are unknowable from metadata).
+  // Always PARTIAL: Spark keeps its own TopN above, pruning is
+  // IO-only, so a table without sidecar coverage simply reads plain.
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (pushed.nonEmpty || orders.length != 1) return false
+    val o = orders.head
+    val column = o.expression match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          fullSchema.fieldNames.contains(r.fieldNames.head) =>
+        r.fieldNames.head
+      case _ => return false
+    }
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    topn = Some(GraftTopN(column,
+      o.direction == SortDirection.DESCENDING,
+      o.nullOrdering == NullOrdering.NULLS_FIRST, n))
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -544,9 +572,16 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
     case Some((schema, row)) => new GraftAggScan(root, version, schema, row)
     case None =>
       new GraftScan(root, version,
-        GraftDataSource.predicateSql(pushed.toSeq), required, limit)
+        GraftDataSource.predicateSql(pushed.toSeq), required, limit,
+        topn = topn)
   }
 }
+
+/** A pushed `ORDER BY column LIMIT n` (single direct column): the
+  * scan prunes files whose best possible rows the kept files provably
+  * out-rank. */
+private[graft] case class GraftTopN(column: String, descending: Boolean,
+                                    nullsFirst: Boolean, n: Int)
 
 /** The metadata-answered aggregate scan: one precomputed row. */
 private[sources] class GraftAggScan(root: String, version: Long,
@@ -575,7 +610,8 @@ private[sources] class GraftScan(
     private[graft] val required: StructType,
     private[graft] val limit: Option[Int] = None,
     private[graft] val runtimeFiltered: Boolean = false,
-    private[graft] val runtimeBlooms: Seq[RuntimeBloom] = Nil)
+    private[graft] val runtimeBlooms: Seq[RuntimeBloom] = Nil,
+    private[graft] val topn: Option[GraftTopN] = None)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -584,6 +620,8 @@ private[sources] class GraftScan(
   override def description(): String =
     s"GraftScan root=$root v=$version skip=${predicate.getOrElse("-")}" +
       limit.fold("")(n => s" limit=$n") +
+      topn.fold("")(t => s" topn=${t.column}" +
+        (if (t.descending) " DESC" else " ASC") + s" n=${t.n}") +
       (if (runtimeFiltered) " runtimeFiltered" else "") +
       (if (runtimeBlooms.nonEmpty)
         runtimeBlooms.map(b => s"${b.column}(${b.keyCount} keys)")
@@ -613,11 +651,18 @@ private[sources] class GraftScan(
   // pruning pass is never paid twice. Runtime dim-key blooms refute
   // further through the file bloom sidecars (files without a sidecar
   // are kept).
-  private lazy val kept: Option[Seq[String]] = predicate.map { p =>
-    val base = SnapshotTable.skippingKept(SparkSession.active, root, p, version)
-    runtimeBlooms.foldLeft(base)((fs, b) =>
-      SnapshotTable.bloomKeysKept(SparkSession.active, root,
-        b.column, b.fileProbes, fs))
+  private lazy val kept: Option[Seq[String]] = predicate match {
+    case Some(p) =>
+      val base = SnapshotTable.skippingKept(SparkSession.active, root, p,
+        version)
+      Some(runtimeBlooms.foldLeft(base)((fs, b) =>
+        SnapshotTable.bloomKeysKept(SparkSession.active, root,
+          b.column, b.fileProbes, fs)))
+    case None =>
+      // pushed TopN prunes by recorded bounds + null counts; None
+      // (no sidecar coverage / nothing prunable) reads plain
+      topn.flatMap(t => SnapshotTable.topNKept(SparkSession.active, root,
+        version, t.column, t.descending, t.nullsFirst, t.n))
   }
 
   /** POST-pruning planner statistics (Catalyst consults this through
@@ -637,7 +682,10 @@ private[sources] class GraftScan(
           case None => SnapshotTable.dataSizeBytes(root, version)
         })
       override def numRows(): java.util.OptionalLong =
-        if (predicate.isDefined) java.util.OptionalLong.empty
+        // a TopN-pruned scan returns only the kept files' rows — the
+        // table count would overstate it
+        if (predicate.isDefined || kept.isDefined)
+          java.util.OptionalLong.empty
         else SnapshotTable.fastCountMeta(SparkSession.active, root, version)
           .map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty)
@@ -652,7 +700,7 @@ private[sources] class GraftScan(
       override def columnStats()
           : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
                           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
-        if (predicate.isDefined)
+        if (predicate.isDefined || topn.isDefined)
           return java.util.Collections.emptyMap()
         val ndv = SnapshotTable.tableNdv(SparkSession.active, root, version)
         if (ndv.isEmpty) return java.util.Collections.emptyMap()
@@ -793,6 +841,10 @@ private[sources] class GraftRelation(ctx: SQLContext, root: String,
     val base = (predicate, limit) match {
       case (Some(p), _) =>
         SnapshotTable.readKept(spark, root, version, kept.get, p)
+      case (None, _) if kept.isDefined =>
+        // TopN-pruned file set (no row predicate): read exactly those
+        // files; Spark's own TopN above selects the final rows
+        SnapshotTable.readFiles(spark, root, version, kept.get)
       case (None, Some(n)) => SnapshotTable.readLimit(spark, root, n, version)
       case _ => SnapshotTable.read(spark, root, version)
     }
