@@ -2675,6 +2675,35 @@ object SnapshotTable {
     }
   }
 
+  /** [[fastBounds]] restricted to an explicit kept-file subset (the
+    * runtime filter's metadata tier over a PREDICATE-pruned dim scan):
+    * folds the recorded bounds of exactly `files` (root-relative, as
+    * [[skippingKept]] reports them). Sound as a key-domain superset —
+    * the kept files hold every row the pruned scan can produce.
+    * Refuses (None) on any coverage gap or unapplied MoR delete. */
+  private[graft] def fastBoundsFiles(spark: SparkSession, root: String,
+                                     column: String, version: Long,
+                                     files: Seq[String])
+      : Option[(Any, Any)] = {
+    if (files.isEmpty) return None
+    if (deleteEntries(root, version).nonEmpty ||
+        eqDeleteEntries(root, version).nonEmpty) return None
+    val svs = files.map(f =>
+      f.stripPrefix("v=").takeWhile(_.isDigit).toLong).distinct.sorted
+    val want = files.toSet
+    val stats = svs.flatMap(fileStats(spark, root, _))
+      .filter(st => st.columns.contains(s"${column}__min"))
+      .flatMap(_.select(col("_file"), col(s"${column}__min"),
+        col(s"${column}__max")).collect())
+      .map(r => (decodeReportedPath(r.getString(0)), r.get(1), r.get(2)))
+      .filter { case (f, _, _) => want(f) }
+    if (stats.map(_._1).toSet != want) return None
+    val nonNull = stats.filter(s => s._2 != null && s._3 != null)
+    if (nonNull.isEmpty) return None
+    implicit val ord: Ordering[Any] = statValueOrdering
+    Some((nonNull.map(_._2).min, nonNull.map(_._3).max))
+  }
+
   /** `COUNT(*)` from METADATA — the Iceberg manifests-only count: sums
     * the per-file `__rows` the stats sidecars record at write time and
     * subtracts live position-delete rows, touching no data bytes for
@@ -3743,9 +3772,15 @@ object SnapshotTable {
     // commits a version per trigger, and per-version keys would
     // otherwise accumulate forever in a long-lived driver
     if (fastBoundsCache.size > 1024) fastBoundsCache.clear()
-    fastBoundsCache.computeIfAbsent(
-      (MetaIO.join(root).toString, v, column),
-      _ => fastBounds(spark, root, column, v))
+    // compute OUTSIDE the map (get / compute / putIfAbsent): the fold
+    // runs tiny Spark collects whose planning could re-enter caching
+    // rules — never hold a CHM bin lock through a Spark job
+    val key = (MetaIO.join(root).toString, v, column)
+    val cached = fastBoundsCache.get(key)
+    if (cached != null) return cached
+    val computed = fastBounds(spark, root, column, v)
+    val prev = fastBoundsCache.putIfAbsent(key, computed)
+    if (prev != null) prev else computed
   }
 
   private val fastBoundsCache =

@@ -651,7 +651,7 @@ private[sources] class GraftScan(
   // pruning pass is never paid twice. Runtime dim-key blooms refute
   // further through the file bloom sidecars (files without a sidecar
   // are kept).
-  private lazy val kept: Option[Seq[String]] = predicate match {
+  private[sources] lazy val kept: Option[Seq[String]] = predicate match {
     case Some(p) =>
       val base = SnapshotTable.skippingKept(SparkSession.active, root, p,
         version)

@@ -38,13 +38,23 @@ import graft.operators.SnapshotTable
   *     `spark.graft.runtimeFilter.maxKeys` (default 200) distinct keys
   *     (prunes via bounds AND bloom sidecars).
   *
+  * A dim the evaluated tier declines — OVERSIZED (past
+  * `maxBuildBytes`) or NONDETERMINISTIC — still narrows when it is
+  * itself a graft scan: the `[min, max]` conjunct derives from the
+  * dim table's recorded per-file bounds (driver metadata, no
+  * plan-time job, no size cap; over the KEPT files when the dim scan
+  * file-pruned on a pushed predicate) — the middle tier between
+  * Trino's full execution-time dynamic filtering and declining
+  * entirely.
+  *
   * Soundness: the conjunct holds for every fact row that can MATCH the
   * dim side, and the rewrite is applied only when the join type drops
   * unmatched fact rows (inner / semi on either side, the outer side of
   * an outer join) — so dropping non-matching files/rows cannot change
-  * the answer. The dim side must be deterministic (its runtime
-  * re-evaluation inside the join must produce the same key domain) and
-  * non-streaming. Every narrowed scan reports its post-pruning bytes
+  * the answer. The dim side must be deterministic for the EVALUATED
+  * tier (its runtime re-evaluation inside the join must produce the
+  * same key domain; the metadata tier is a table-level superset, safe
+  * under any filter) and non-streaming. Every narrowed scan reports its post-pruning bytes
   * through the stats wrapper, so a runtime-filtered fact can ALSO
   * become broadcast-joinable — the second half of what dynamic
   * filtering buys at 100 TB.
@@ -150,9 +160,14 @@ case class GraftRuntimeFilterRule(session: SparkSession)
       case Some(g: GraftScan) if !g.runtimeFiltered => g
       case _ => return factSide
     }
-    // build-side guards: small, deterministic, batch
-    if (dimSide.isStreaming || !deterministic(dimSide)) return factSide
-    if (dimSide.stats.sizeInBytes > maxBuildBytes) return factSide
+    // batch only; size + determinism select the TIER below
+    if (dimSide.isStreaming) return factSide
+    // oversized or nondeterministic dims can't be EVALUATED at plan
+    // time — but when the dim is itself a graft scan, its recorded
+    // column bounds still yield a sound [min,max] conjunct from pure
+    // metadata (no job): the Trino-dynamic-filter middle tier
+    val evaluable = deterministic(dimSide) &&
+      dimSide.stats.sizeInBytes <= maxBuildBytes
     // only keys that are REAL scan columns (same exprId through the
     // projections, so never an alias or computed value) and that the
     // scan's required schema still carries
@@ -163,7 +178,8 @@ case class GraftRuntimeFilterRule(session: SparkSession)
     if (eligible.isEmpty) return factSide
     try {
       val derived = eligible.flatMap { case (f, d) =>
-        dimKeyConjunct(dimSide, d, f)
+        if (evaluable) dimKeyConjunct(dimSide, d, f)
+        else metaKeyConjunct(dimSide, d, f)
       }
       if (derived.isEmpty) factSide
       else {
@@ -278,6 +294,47 @@ case class GraftRuntimeFilterRule(session: SparkSession)
     // (withRuntimeConjunct carries both); range always derives when
     // the type is translatable, so this only drops untranslatable ones
     conjunct.map(c => (c, bloom))
+  }
+
+  /** METADATA-tier narrowing for dims the evaluated tier declines
+    * (oversized or nondeterministic): when the dim side is itself a
+    * graft scan whose join-key column reaches the scan unaliased, the
+    * dim TABLE's recorded per-file bounds give a `[min, max]`
+    * conjunct from driver metadata alone — no plan-time job, no size
+    * cap. Sound as a superset: every key the dim side can produce
+    * lies inside its scan's bounds (a pushed dim predicate only
+    * narrows — when the dim scan file-pruned, the fold runs over the
+    * KEPT files for a tighter range); any filter above, even a
+    * nondeterministic one, only shrinks the domain further. Refuses
+    * on coverage gaps or unapplied MoR deletes ([[SnapshotTable
+    * .fastBounds]] discipline). No IN set and no bloom — those need
+    * the evaluated keys. */
+  private def metaKeyConjunct(dimSide: LogicalPlan,
+                              dimKey: AttributeReference,
+                              factAttr: AttributeReference)
+      : Option[(String, Option[RuntimeBloom])] = {
+    val dimRel = findScan(dimSide).getOrElse(return None)
+    val dimScan = GraftV1Wrap.inner(dimRel.scan) match {
+      case Some(g: GraftScan) => g
+      case _ => return None
+    }
+    // the dim key must be a REAL column of the dim scan (same exprId
+    // through projections — an alias/computed key has no bounds)
+    if (!dimRel.output.exists(o =>
+      o.exprId == dimKey.exprId && o.name == dimKey.name)) return None
+    val spark = SparkSession.active
+    val bounds = dimScan.kept match {
+      case Some(files) => SnapshotTable.fastBoundsFiles(spark,
+        dimScan.root, dimKey.name, dimScan.version, files)
+      case None => SnapshotTable.fastBoundsCached(spark,
+        dimScan.root, dimKey.name, dimScan.version)
+    }
+    val (lo, hi) = bounds.getOrElse(return None)
+    val factCol = factAttr.name
+    (for {
+      l <- GraftDataSource.filterSql(SGte(factCol, lo))
+      h <- GraftDataSource.filterSql(SLte(factCol, hi))
+    } yield (s"$l AND $h", None: Option[RuntimeBloom]))
   }
 
   /** A [[RuntimeBloom]] over the dim key domain: ~10 bits/key (≈1%

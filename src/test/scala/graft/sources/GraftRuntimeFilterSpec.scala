@@ -111,12 +111,16 @@ class GraftRuntimeFilterSpec extends GraftSuite {
     assert(q3.head().getDouble(0) === 1200.0)
   }
 
-  test("non-deterministic or oversized dims are left alone") {
+  test("non-deterministic or oversized NON-graft dims are left alone") {
     // NB: a threshold outside rand()'s [0,1) range would be constant-
-    // folded away by the optimizer (leaving a deterministic dim); this
-    // one keeps essentially every row AND survives as a genuine
-    // non-deterministic filter
-    val rnd = fact.select(col("k").as("dk"))
+    // folded away by the optimizer (leaving a deterministic dim), and
+    // a LOCAL relation under a filter can fold to a deterministic
+    // LocalRelation outright — so the dim must be FILE-backed (plain
+    // parquet, not graft: no recorded bounds, neither tier can fire)
+    // with a genuine non-deterministic filter above
+    val pq = Files.createTempDirectory("graft-rtf-pq").toString + "/d"
+    (0L until 800L).toDF("dk").write.parquet(pq)
+    val rnd = spark.read.parquet(pq)
       .where(org.apache.spark.sql.functions.rand() < 0.9999999999)
     val q = fact.join(rnd, col("k") === col("dk"))
       .agg(sum(col("amount")).as("total"))
@@ -126,6 +130,56 @@ class GraftRuntimeFilterSpec extends GraftSuite {
       val q2 = fact.join(Seq(120L).toDF("dk"), col("k") === col("dk"))
         .agg(sum(col("amount")).as("total"))
       assert(factScan(q2).exists(!_.runtimeFiltered))
+    } finally spark.conf.unset("spark.graft.runtimeFilter.maxBuildBytes")
+  }
+
+  test("oversized GRAFT dims narrow from recorded bounds — no plan-time job") {
+    // VERDICT r13 #4: a dim past maxBuildBytes used to get NOTHING;
+    // when it is a graft scan, its bounds sidecars still yield the
+    // [min,max] conjunct from driver metadata alone
+    val dimRoot = Files.createTempDirectory("graft-rtf-bigdim")
+      .toString + "/t"
+    (700L until 740L).map(k => (k, s"n$k")).toDF("dk", "name")
+      .repartitionByRange(2, col("dk"))
+      .write.format("graft").option("statsCols", "dk")
+      .mode("overwrite").save(dimRoot)
+    val dim = spark.read.format("graft").load(dimRoot)
+    spark.conf.set("spark.graft.runtimeFilter.maxBuildBytes", "1")
+    try {
+      val q = fact.join(dim, col("k") === col("dk"))
+        .agg(sum(col("amount")).as("total"))
+      val expected = (700 until 740).map(_ * 10.0).sum
+      assert(q.head().getDouble(0) === expected)
+      val scan = factScan(q).get
+      assert(scan.runtimeFiltered)
+      val p = scan.predicate.get
+      // metadata tier: range only — never an IN set or bloom (those
+      // need evaluated keys)
+      assert(p.contains(">=") && p.contains("<=") && !p.contains(" IN "),
+        p)
+      assert(scan.runtimeBlooms.isEmpty)
+      // the range refutes the low-key fact files
+      assert(SnapshotTable.skippingKept(spark, factRoot, p).size * 4
+        <= candidateCount)
+
+      // a pushed dim predicate TIGHTENS the range: bounds fold over
+      // the dim scan's kept files, not the whole dim table
+      val q2 = fact.join(dim.filter(col("dk") >= 720L),
+        col("k") === col("dk"))
+        .agg(sum(col("amount")).as("total"))
+      assert(q2.head().getDouble(0) === (720 until 740).map(_ * 10.0).sum)
+      val p2 = factScan(q2).get.predicate.get
+      assert(SnapshotTable.skippingKept(spark, factRoot, p2).size <=
+        SnapshotTable.skippingKept(spark, factRoot, p).size, s"$p2 vs $p")
+
+      // a NONDETERMINISTIC filter above a graft dim still narrows
+      // (table bounds are a superset of any filtered domain)
+      val q3 = fact.join(
+        dim.where(org.apache.spark.sql.functions.rand() < 0.9999999999),
+        col("k") === col("dk"))
+        .agg(sum(col("amount")).as("total"))
+      assert(factScan(q3).exists(_.runtimeFiltered))
+      assert(q3.head().getDouble(0) === expected)
     } finally spark.conf.unset("spark.graft.runtimeFilter.maxBuildBytes")
   }
 
