@@ -470,6 +470,10 @@ object Dedup {
     * split such a document upstream). */
   private def windowHashes(docs: DataFrame, window: Int): DataFrame =
     docs
+      // null text contributes no windows (it must not reach the valve:
+      // size(NULL) is NULL, which would fall through when() into
+      // raise_error with a misleading too-many-tokens message)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .withColumn("n",
         when(size(col("w")) < lit(ChunkDedup.ChunkIdSpace),

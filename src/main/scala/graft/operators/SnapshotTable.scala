@@ -3423,8 +3423,9 @@ object SnapshotTable {
       if (entries.isEmpty) Seq(s"v=$version" -> version)
       else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
     val candidates = candidateDataFiles(root, dirs)
-    // driver-side quadratic prefix check below: at sidecar scales past
-    // this the planning pass would dominate — decline, scan plain
+    // the prefix search below is O(files log files) driver work, but
+    // the sidecar collect above it is still per-file rows — past this
+    // the planning pass would dominate; decline, scan plain
     if (candidates.size > 65536 || candidates.size < 2) return None
     val svs = dirs.map(_._2).distinct.sorted
     val stats: Map[String, (Any, Any, Long)] =
@@ -3459,20 +3460,9 @@ object SnapshotTable {
         if (nullsFirst && nullRows > 0) None
         else if (valueRows > 0) Some(if (descending) hi else lo)
         else None // all-null file under NULLS LAST: best is null
-      // rows of this file GUARANTEED strictly better than rank r
-      def betterThan(r: Option[Any]): Long = {
-        val nullPart = if (rowBetter(None, r)) nullRows else 0L
-        val valuePart = r match {
-          case None => if (!nullsFirst) valueRows else 0L
-          case Some(x) =>
-            // ALL value rows beat x iff the WORST value row does
-            val worst = if (descending) lo else hi
-            if (worst != null && valueRows > 0 &&
-              rowBetter(Some(worst), Some(x))) valueRows
-            else 0L
-        }
-        nullPart + valuePart
-      }
+      // the weakest value row's bound (all value rows rank at least
+      // this strongly)
+      def worst: Any = if (descending) lo else hi
     }
     val files = candidates.toSeq.map { f =>
       val (lo, hi, rows) = stats(f)
@@ -3485,13 +3475,55 @@ object SnapshotTable {
       rowBetter(a.best, b.best) ||
         (a.best == b.best && a.file < b.file)
     }
-    // shortest prefix whose guaranteed strictly-better rows beat the
-    // first excluded file's best; bests are monotone non-improving, so
-    // beating file k beats every file past k
+    // Shortest prefix whose GUARANTEED strictly-better rows beat the
+    // first excluded file's best (bests are monotone non-improving,
+    // so beating file k beats every file past it). A prefix file G's
+    // guarantee against target r: its null rows when null out-ranks r
+    // (NULLS FIRST, r non-null), plus ALL its value rows when even
+    // its weakest bound out-ranks r. Computed incrementally — a
+    // Fenwick tree over worst-bound ranks answers "value rows of
+    // prefix files whose worst beats x" in log time, so the walk is
+    // O(files log files), not the naive quadratic re-sum per k.
+    val valBetter: (Any, Any) => Boolean =
+      if (descending) ord.gt else ord.lt
+    val distinctW = files.map(_.worst).filter(_ != null)
+      .distinct.sortWith(valBetter) // strongest first
+    val wRank: Map[Any, Int] = distinctW.zipWithIndex.toMap
+    val bit = new Array[Long](distinctW.size + 1)
+    def bitAdd(rank: Int, v: Long): Unit = {
+      var i = rank + 1
+      while (i <= distinctW.size) { bit(i) += v; i += i & (-i) }
+    }
+    def bitSum(count: Int): Long = { // sum over ranks [0, count)
+      var i = count; var s = 0L
+      while (i > 0) { s += bit(i); i -= i & (-i) }
+      s
+    }
+    def ranksBeating(x: Any): Int = { // first rank NOT beating x
+      var lo = 0; var hi = distinctW.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (valBetter(distinctW(mid), x)) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    var nullRowsPrefix = 0L
+    var valueRowsPrefix = 0L
     var k = 1
     while (k < sorted.size) {
-      val target = sorted(k).best
-      val guaranteed = sorted.take(k).map(_.betterThan(target)).sum
+      val g = sorted(k - 1) // the file entering the prefix
+      nullRowsPrefix += g.nullRows
+      valueRowsPrefix += g.valueRows
+      if (g.worst != null && g.valueRows > 0)
+        bitAdd(wRank(g.worst), g.valueRows)
+      val guaranteed = sorted(k).best match {
+        // target is a null row: only non-null rows beat it, and only
+        // under NULLS LAST (nothing out-ranks null under NULLS FIRST)
+        case None => if (!nullsFirst) valueRowsPrefix else 0L
+        case Some(x) =>
+          (if (nullsFirst) nullRowsPrefix else 0L) +
+            bitSum(ranksBeating(x))
+      }
       if (guaranteed >= n) {
         return Some(sorted.take(k).map(_.file))
       }
@@ -3709,7 +3741,14 @@ object SnapshotTable {
     val v = if (version >= 0) version else latestVersion(root)
     if (v < 0) return Map.empty
     if (ndvTableCache.size > 256) ndvTableCache.clear()
-    ndvTableCache.computeIfAbsent((MetaIO.join(root).toString, v), _ => {
+    // compute OUTSIDE the map (get / compute / putIfAbsent): the fold
+    // below runs Spark jobs (sidecar reads, hll_union_agg) whose
+    // planning can re-enter caching rules — never hold a CHM bin lock
+    // through a Spark job (the domainCache/fastBoundsCached rule)
+    val cacheKey = (MetaIO.join(root).toString, v)
+    val cached = ndvTableCache.get(cacheKey)
+    if (cached != null) return cached
+    val computed: Map[String, NdvStat] = {
       val entries = manifestEntries(root, v)
       val dirs: Seq[(String, Long)] =
         if (entries.isEmpty) Seq(s"v=$v" -> v)
@@ -3757,7 +3796,9 @@ object SnapshotTable {
           }
         }
       }
-    })
+    }
+    val prev = ndvTableCache.putIfAbsent(cacheKey, computed)
+    if (prev != null) prev else computed
   }
 
   /** [[fastBounds]] memoized per (root, version, column) — the

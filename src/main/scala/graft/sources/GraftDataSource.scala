@@ -503,6 +503,19 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
         r.fieldNames.head
       case _ => return false
     }
+    // only types whose sidecar values the driver-side ordering can
+    // compare (statValueOrdering): binary/struct/array bounds (when a
+    // fallback scan recorded them) are not Comparable — decline
+    // rather than crash at planning
+    fullSchema(column).dataType match {
+      case _: org.apache.spark.sql.types.NumericType |
+          org.apache.spark.sql.types.StringType |
+          org.apache.spark.sql.types.DateType |
+          org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType |
+          org.apache.spark.sql.types.BooleanType => ()
+      case _ => return false
+    }
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     topn = Some(GraftTopN(column,
       o.direction == SortDirection.DESCENDING,
@@ -660,9 +673,13 @@ private[sources] class GraftScan(
           b.column, b.fileProbes, fs)))
     case None =>
       // pushed TopN prunes by recorded bounds + null counts; None
-      // (no sidecar coverage / nothing prunable) reads plain
-      topn.flatMap(t => SnapshotTable.topNKept(SparkSession.active, root,
-        version, t.column, t.descending, t.nullsFirst, t.n))
+      // (no sidecar coverage / nothing prunable / any failure) reads
+      // plain — pruning is an optimization, never a correctness gate
+      topn.flatMap { t =>
+        try SnapshotTable.topNKept(SparkSession.active, root,
+          version, t.column, t.descending, t.nullsFirst, t.n)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
   }
 
   /** POST-pruning planner statistics (Catalyst consults this through

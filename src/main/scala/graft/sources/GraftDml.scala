@@ -367,7 +367,17 @@ object GraftDml {
     * V1-filter translator renders (a `LIKE '%a%'` used to refuse;
     * the Catalyst expression IS the predicate, so nothing is lost in
     * translation). Governed targets land as one atomic catalog
-    * commit ([[Catalog.transactMorDelete]]). */
+    * commit ([[Catalog.transactMorDelete]]).
+    *
+    * Unlike MoR UPDATE (see [[runUpdate]]'s nondeterministic routing),
+    * no determinism guard is needed here: the predicate resolves to a
+    * POSITIONAL `(file, pos)` sidecar at commit time
+    * ([[SnapshotTable.stageMorDelete]] evaluates it once against the
+    * live rows) and is never re-evaluated at read — a
+    * nondeterministic predicate just freezes one arbitrary draw,
+    * which is the only meaning a `DELETE WHERE rand() < 0.5` can
+    * have; identical twin rows resolve by position, so the
+    * equality-masking twin-loss class cannot occur. */
   def runDelete(spark: SparkSession, target: Target,
                 predicate: Column): Long = target match {
     case Warehouse(root) =>

@@ -231,6 +231,16 @@ class SubstringDedupSpec extends GraftSuite {
     assert(Dedup.exactSubstring(d).count() === 0L)
   }
 
+  test("null text contributes no windows and never trips the valve") {
+    // size(NULL) is NULL — without the isNotNull filter the ceiling
+    // valve's when() would fall through into raise_error
+    val d = Seq((1L, passage + " " + fresh("a", 40)),
+      (2L, null: String),
+      (3L, fresh("b", 10) + " " + passage)).toDF("doc_id", "text")
+    val rows = Dedup.exactSubstring(d).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === Set(3L))
+  }
+
   test("sf0.001 spans are consistent: inside doc bounds, windows counted") {
     val d = Tables.documents(spark, sf)
     val spans = Dedup.exactSubstring(d)
