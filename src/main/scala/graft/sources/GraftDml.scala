@@ -396,17 +396,22 @@ object GraftDml {
     while (true) {
       val base = Catalog.latestCommit(g.catalogRoot)
       val prev = Catalog.tableVersions(g.catalogRoot, base)
-      stage(prev.getOrElse(g.table, -1L)) match {
-        case None => return base
-        case Some(v) =>
-          try return Catalog.commitStaged(g.catalogRoot,
+      // the retry must cover STAGING too: two racing committers can
+      // compute the same next storage version and collide on the
+      // claim (ConcurrentModificationException from claimVersion)
+      // before either reaches the catalog CAS — a claim loser
+      // re-stages against the new state exactly like a CAS loser
+      try {
+        stage(prev.getOrElse(g.table, -1L)) match {
+          case None => return base
+          case Some(v) => return Catalog.commitStaged(g.catalogRoot,
             Map(g.table -> v), base)
-          catch {
-            case e: java.util.ConcurrentModificationException =>
-              attempt += 1
-              if (attempt > 5) throw e
-              Thread.sleep(50L * attempt)
-          }
+        }
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          Thread.sleep(50L * attempt)
       }
     }
     -1L // unreachable
