@@ -36,7 +36,11 @@ import org.apache.spark.sql.functions._
   * d=2 — is the only cross join left, bounded by the charset, not
   * the inventory. A length-difference ≤ maxDist filter prunes
   * candidates before the exact `levenshtein` verify, which runs on
-  * candidates only.
+  * candidates only. The signature engages by MEASURED work: one
+  * aggregate over the gram index prices the plain equi-join's exact
+  * candidate count, and under `maxGramCandidates` (default 25M) the
+  * plain join runs instead — its fixed three extra shuffle stages
+  * dominate at small inventories where the quadratic cannot hurt.
   *
   * Scale shape: work is O(Σ per-gram signature·full pair counts)
   * like the shingle dedup family — never |L|·|R|; values are
@@ -80,7 +84,8 @@ object FuzzyJoin {
     * into. */
   def matches(left: DataFrame, lCol: String, right: DataFrame,
               rCol: String, maxDist: Int, q: Int = 3,
-              maxShortCandidates: Long = 100000000L): DataFrame = {
+              maxShortCandidates: Long = 100000000L,
+              maxGramCandidates: Long = 25000000L): DataFrame = {
     require(maxDist >= 0 && q >= 2, "need maxDist >= 0 and q >= 2")
     val l = left.select(col(lCol).cast("string").as("a"))
       .filter(col("a").isNotNull).distinct().persist()
@@ -88,23 +93,50 @@ object FuzzyJoin {
       .filter(col("b").isNotNull).distinct().persist()
     val lg = l.select(col("a"), explode(grams("a", q)).as("_g"))
     val rg = r.select(col("b"), explode(grams("b", q)).as("_g"))
-    // Ed-Join prefix signature: each left value probes only its
-    // d·q+1 rarest grams (global df over both sides — any fixed
-    // ranking preserves completeness; rarest-first minimizes work and
-    // drops hot grams from every signature). Values with fewer
-    // distinct grams keep them all — the survival bound then
-    // degenerates to the full-gram join for exactly those values.
-    val sigSize = maxDist * q + 1
-    val gramDf = lg.select(col("_g"))
-      .unionAll(rg.select(col("_g")))
-      .groupBy("_g").agg(count(lit(1)).as("_df"))
-    val byA = org.apache.spark.sql.expressions.Window
-      .partitionBy("a").orderBy(col("_df"), col("_g"))
-    val lSig = lg.join(gramDf, "_g")
-      .withColumn("_rk", row_number().over(byA))
-      .filter(col("_rk") <= sigSize)
-      .select("a", "_g")
-    val byGram = lSig.join(rg, "_g").select("a", "b")
+    // Plan the long path by MEASURED work, like the short bucket: the
+    // plain gram equi-join enumerates exactly Σ_g df_l(g)·df_r(g)
+    // candidates (one aggregate over the gram index — its shuffle is
+    // reused by whichever join shape runs). Under `maxGramCandidates`
+    // the plain join is cheaper than building signatures (three fixed
+    // shuffle stages that dominate at small inventories); past it the
+    // Ed-Join signature engages.
+    // free pre-gate first: when even the full |L|·|R| cross product is
+    // under budget, no gram distribution can push the equi-join past
+    // it — skip the pricing job (ONE action over the tiny persisted
+    // value frames)
+    val smallInventory = {
+      val c = l.agg(count(lit(1)).as("nl"))
+        .crossJoin(r.agg(count(lit(1)).as("nr"))).head()
+      c.getLong(0) * c.getLong(1) <= maxGramCandidates
+    }
+    lazy val ldf = lg.groupBy("_g").agg(count(lit(1)).as("_cl"))
+    lazy val rdf = rg.groupBy("_g").agg(count(lit(1)).as("_cr"))
+    lazy val candEst = ldf.join(rdf, "_g")
+      .agg(coalesce(sum(col("_cl") * col("_cr")), lit(0L)))
+      .head().getLong(0)
+    val byGram =
+      if (smallInventory || candEst <= maxGramCandidates)
+        lg.join(rg, "_g").select("a", "b")
+      else {
+        // Ed-Join prefix signature: each left value probes only its
+        // d·q+1 rarest grams (global df over both sides — any fixed
+        // ranking preserves completeness; rarest-first minimizes work
+        // and drops hot grams from every signature). Values with
+        // fewer distinct grams keep them all — the survival bound
+        // then degenerates to the full-gram join for those values.
+        val sigSize = maxDist * q + 1
+        val gramDf = ldf.join(rdf, Seq("_g"), "full_outer")
+          .select(col("_g"),
+            (coalesce(col("_cl"), lit(0L)) +
+              coalesce(col("_cr"), lit(0L))).as("_df"))
+        val byA = org.apache.spark.sql.expressions.Window
+          .partitionBy("a").orderBy(col("_df"), col("_g"))
+        val lSig = lg.join(gramDf, "_g")
+          .withColumn("_rk", row_number().over(byA))
+          .filter(col("_rk") <= sigSize)
+          .select("a", "_g")
+        lSig.join(rg, "_g").select("a", "b")
+      }
     // the short bucket: pairs the q-gram bound cannot promise — both
     // sides under q(1+d) chars. Indexed by POSITIONAL 1-grams (the
     // q=1 instance of the same bound: the longer side's ≥ max−d
@@ -173,7 +205,9 @@ object FuzzyJoin {
     * for transitive groups). */
   def selfPairs(df: DataFrame, strCol: String, maxDist: Int,
                 q: Int = 3,
-                maxShortCandidates: Long = 100000000L): DataFrame =
-    matches(df, strCol, df, strCol, maxDist, q, maxShortCandidates)
+                maxShortCandidates: Long = 100000000L,
+                maxGramCandidates: Long = 25000000L): DataFrame =
+    matches(df, strCol, df, strCol, maxDist, q, maxShortCandidates,
+      maxGramCandidates)
       .filter(col("a") < col("b"))
 }

@@ -60,10 +60,16 @@ class FuzzyJoinSpec extends GraftSuite {
       Seq(s"pfx0000x $suffix",      // 1 edit from pfx0000 (insert x)
         s"pfx0001 ${suffix}y",      // 1 edit from pfx0001 (append y)
         s"qfx0002 $suffix")         // 1 edit from pfx0002 (swap char)
-    val got = FuzzyJoin.selfPairs(strs.toDF("s"), "s", 2)
+    // maxGramCandidates = 0 forces the signature path (the measured
+    // gate would route this small corpus through the plain join)
+    val got = FuzzyJoin.selfPairs(strs.toDF("s"), "s", 2,
+      maxGramCandidates = 0L)
       .as[(String, String, Int)].collect().toSet
     assert(got === naive(2, strs))
     assert(got.size >= 3) // the planted near-dups were found
+    // and the measured gate picks the SAME answer on the plain path
+    assert(FuzzyJoin.selfPairs(strs.toDF("s"), "s", 2)
+      .as[(String, String, Int)].collect().toSet === got)
   }
 
   test("two-sided matches finds cross-table pairs and dedups values first") {
