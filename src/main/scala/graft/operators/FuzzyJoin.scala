@@ -104,18 +104,27 @@ object FuzzyJoin {
     // under budget, no gram distribution can push the equi-join past
     // it — skip the pricing job (ONE action over the tiny persisted
     // value frames)
+    // All candidate estimates are priced in DOUBLE: at the hot-gram
+    // scales the gate exists for, Σ df_l·df_r overflows Long — under
+    // ANSI mode the sum would throw, and a silent wrap would go
+    // NEGATIVE and pass the <= gate, routing the plain quadratic join
+    // exactly when it is catastrophic. Double loses precision only
+    // past 2^53 candidates, ~8 orders of magnitude beyond any gate
+    // anyone would set, and degrades toward +inf, never negative.
     val smallInventory = {
       val c = l.agg(count(lit(1)).as("nl"))
         .crossJoin(r.agg(count(lit(1)).as("nr"))).head()
-      c.getLong(0) * c.getLong(1) <= maxGramCandidates
+      c.getLong(0).toDouble * c.getLong(1).toDouble <=
+        maxGramCandidates.toDouble
     }
     lazy val ldf = lg.groupBy("_g").agg(count(lit(1)).as("_cl"))
     lazy val rdf = rg.groupBy("_g").agg(count(lit(1)).as("_cr"))
     lazy val candEst = ldf.join(rdf, "_g")
-      .agg(coalesce(sum(col("_cl") * col("_cr")), lit(0L)))
-      .head().getLong(0)
+      .agg(coalesce(sum(col("_cl").cast("double") *
+        col("_cr").cast("double")), lit(0.0d)))
+      .head().getDouble(0)
     val byGram =
-      if (smallInventory || candEst <= maxGramCandidates)
+      if (smallInventory || candEst <= maxGramCandidates.toDouble)
         lg.join(rg, "_g").select("a", "b")
       else {
         // Ed-Join prefix signature: each left value probes only its
@@ -161,15 +170,16 @@ object FuzzyJoin {
     val gramEst = lg1.groupBy(col("_gl").as("g"))
       .agg(count(lit(1)).as("cl"))
       .join(rg1.groupBy(col("_gr").as("g")).agg(count(lit(1)).as("cr")), "g")
-      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L))).head().getLong(0)
+      .agg(coalesce(sum(col("cl").cast("double") *
+        col("cr").cast("double")), lit(0.0d))).head().getDouble(0)
     // the index path ALSO pays the ≤maxDist-char residue cross join
     // (values too short for even one 1-gram) — measure it into the
     // budget, or a dense tiny-value inventory slips past the valve
-    val tinyEst = l.filter(length(col("a")) <= maxDist).count() *
-      r.filter(length(col("b")) <= maxDist).count()
+    val tinyEst = l.filter(length(col("a")) <= maxDist).count().toDouble *
+      r.filter(length(col("b")) <= maxDist).count().toDouble
     val indexEst = gramEst + tinyEst
-    val crossEst = lShort.count() * rShort.count()
-    require(math.min(indexEst, crossEst) <= maxShortCandidates,
+    val crossEst = lShort.count().toDouble * rShort.count().toDouble
+    require(math.min(indexEst, crossEst) <= maxShortCandidates.toDouble,
       s"fuzzy-join short bucket would enumerate ${math.min(indexEst,
         crossEst)} candidate pairs (> maxShortCandidates=" +
         s"$maxShortCandidates) under its cheaper strategy (1-gram " +

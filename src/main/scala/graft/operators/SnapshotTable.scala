@@ -1723,19 +1723,45 @@ object SnapshotTable {
     * where the predicate evaluates to null are kept, per SQL DELETE
     * semantics. Returns the new version, or the current one when
     * nothing matches. */
+  /** Whether a predicate Column is a pure function of `df`'s rows —
+    * judged on the ANALYZED plan (the unresolved tree defaults every
+    * UnresolvedFunction deterministic: `rand()` and
+    * `udf.asNondeterministic()` only carry their flag after
+    * resolution). Conservative: any nondeterministic node anywhere in
+    * the projected expression makes the whole predicate
+    * nondeterministic, so the single-draw pin engages. Analysis only
+    * — no job runs. */
+  private def columnDeterministic(df: DataFrame, c: Column): Boolean =
+    !df.select(c.as("__graft_det_probe")).queryExecution.analyzed
+      .exists(p => p.expressions.exists(_.exists(e => !e.deterministic)))
+
   def deleteWhere(spark: SparkSession, root: String, partitionCol: String,
                   predicate: Column): Long = {
-    val cur = read(spark, root)
+    val cur0 = read(spark, root)
+    // A nondeterministic predicate is drawn ONCE (pinned per-row
+    // flag), same single-draw discipline as [[stageUpdateWhere]]:
+    // touched-partition discovery and the survivor filter must see
+    // the same match set or rows can be missed or doubly kept.
+    val (cur, hit) =
+      if (columnDeterministic(cur0, predicate))
+        (cur0, coalesce(predicate, lit(false)))
+      else {
+        val pinned = cur0
+          .withColumn("__graft_hit", coalesce(predicate, lit(false)))
+          .localCheckpoint(eager = true)
+        (pinned, col("__graft_hit"))
+      }
     // the partition DIRECTORY of a row — derived for transform specs,
     // nested for multi-column specs
-    val dirc = rowDirExpr(parseSpecs(partitionCol), cur.schema)
-    val touched = cur.filter(predicate)
+    val dirc = rowDirExpr(parseSpecs(partitionCol), cur0.schema)
+    val touched = cur.filter(hit)
       .select(dirc).distinct()
       .collect().map(_.getString(0)).filter(_ != null).toSeq.sorted
     if (touched.isEmpty) return latestVersion(root)
     val survivors = cur
       .filter(dirc.isin(touched: _*))
-      .filter(!coalesce(predicate, lit(false)))
+      .filter(!hit)
+      .select(cur0.columns.map(col).toSeq: _*)
     val next = stageManifested(survivors, root, partitionCol,
       latestVersion(root), append = false,
       removeParts = touched.toSet)
@@ -1778,18 +1804,35 @@ object SnapshotTable {
     require(bad.isEmpty,
       s"cannot update layout column(s) ${bad.mkString(", ")} in place — " +
         "rows would have to move between partitions")
-    val cur = read(spark, root, base)
-    sets.foreach { case (n, _) => require(cur.columns.contains(n),
-      s"no column '$n' in ${cur.columns.mkString(", ")}") }
-    val dirc = rowDirExpr(parseSpecs(partitionCol), cur.schema)
-    val touched = cur.filter(predicate)
+    val cur0 = read(spark, root, base)
+    sets.foreach { case (n, _) => require(cur0.columns.contains(n),
+      s"no column '$n' in ${cur0.columns.mkString(", ")}") }
+    // A nondeterministic predicate must be drawn ONCE: the touched-
+    // partition discovery and the when(hit, ...) rewrite below are
+    // otherwise two independent draws — rows matching only the second
+    // draw in partitions the first missed would never update, and an
+    // empty first draw could report "nothing matched" off a discarded
+    // sample. Materialize a per-row match flag (localCheckpoint pins
+    // the draw, the MERGE path's discipline) and derive BOTH from it.
+    // Deterministic predicates keep the cheap two-scan plan — both
+    // scans compute the same function, no pin needed.
+    val (cur, hit) =
+      if (columnDeterministic(cur0, predicate))
+        (cur0, coalesce(predicate, lit(false)))
+      else {
+        val pinned = cur0
+          .withColumn("__graft_hit", coalesce(predicate, lit(false)))
+          .localCheckpoint(eager = true)
+        (pinned, col("__graft_hit"))
+      }
+    val dirc = rowDirExpr(parseSpecs(partitionCol), cur0.schema)
+    val touched = cur.filter(hit)
       .select(dirc).distinct()
       .collect().map(_.getString(0)).filter(_ != null).toSeq.sorted
     if (touched.isEmpty) return -1L
-    val hit = coalesce(predicate, lit(false))
     val setMap = sets.toMap
     val updated = cur.filter(dirc.isin(touched: _*))
-      .select(cur.schema.fields.toSeq.map { f =>
+      .select(cur0.schema.fields.toSeq.map { f =>
         setMap.get(f.name)
           .map(v => when(hit, v.cast(f.dataType)).otherwise(col(f.name))
             .as(f.name))

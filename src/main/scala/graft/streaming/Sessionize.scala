@@ -181,16 +181,23 @@ object Sessionize {
 
   /** [[sessionsStream]] on the `transformWithState` engine — same
     * checkpointed exactly-once contract; requires the RocksDB state
-    * store provider (set per-call, restored after). */
-  def sessionsStreamTws(spark: SparkSession, srcDir: String, outDir: String,
+    * store provider. The query runs on a DEDICATED `newSession()`
+    * (SQLConf is session-scoped): setting the provider on the
+    * caller's session and holding it through a blocking
+    * `awaitTermination` would silently re-provider any concurrent
+    * streaming query started on the same session in that window, and
+    * a crash between set and restore would leave the caller's
+    * session mutated for racing queries even though `finally`
+    * eventually restores it. */
+  def sessionsStreamTws(outer: SparkSession, srcDir: String, outDir: String,
                         checkpointDir: String, gapMinutes: Int = 30,
                         maxFilesPerTrigger: Int = 0): Unit = {
+    val spark = outer.newSession()
     import spark.implicits._
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    locally {
       val reader = spark.readStream.schema(srcSchema)
       val withRate =
         if (maxFilesPerTrigger > 0)
@@ -211,9 +218,6 @@ object Sessionize {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prev match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
     }
   }
 

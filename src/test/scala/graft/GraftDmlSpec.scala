@@ -633,4 +633,45 @@ class GraftDmlSpec extends GraftSuite {
     } // a pinned subquery is not a writable target at all
     assert(e != null)
   }
+
+  test("nondeterministic UPDATE/DELETE predicates are drawn exactly once") {
+    // the CoW route must pin a nondeterministic predicate to ONE
+    // draw: without the pin, touched-partition discovery and the
+    // when(hit, ...) rewrite are two independent draws — rows
+    // matching only the second draw in partitions the first missed
+    // would never update. Probe with a counting nondeterministic UDF:
+    // a pinned plan evaluates it exactly once per row, the two-draw
+    // plan about twice.
+    val root = Files.createTempDirectory("graft-dml-nondet").toString
+    SnapshotTable.commitDelta(
+      spark.range(0, 100).selectExpr("id",
+        "CAST(id % 2 AS STRING) AS p", "CAST(0 AS LONG) AS flag"),
+      root, "p")
+
+    GraftDmlSpec.probeCount.set(0L)
+    val probe = udf { (id: Long) =>
+      GraftDmlSpec.probeCount.incrementAndGet(); id % 2 == 0
+    }.asNondeterministic()
+    SnapshotTable.updateWhere(spark, root, "p", probe(col("id")),
+      Seq("flag" -> lit(1L)))
+    assert(GraftDmlSpec.probeCount.get() === 100L,
+      "predicate must be drawn once per row (pinned), not re-drawn " +
+        "for discovery and rewrite independently")
+    val got = SnapshotTable.read(spark, root)
+    assert(got.filter(col("flag") === 1L).count() === 50)
+    assert(got.filter(col("id") % 2 === 0 && col("flag") =!= 1L)
+      .count() === 0)
+
+    GraftDmlSpec.probeCount.set(0L)
+    SnapshotTable.deleteWhere(spark, root, "p", probe(col("id")))
+    assert(GraftDmlSpec.probeCount.get() === 100L)
+    val left = SnapshotTable.read(spark, root)
+    assert(left.count() === 50 &&
+      left.filter(col("id") % 2 === 0).count() === 0)
+  }
+}
+
+object GraftDmlSpec {
+  /** Shared by the counting-UDF probe (local mode: one JVM). */
+  val probeCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }

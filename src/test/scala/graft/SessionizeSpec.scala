@@ -93,7 +93,13 @@ class SessionizeSpec extends GraftSuite {
     // VERDICT r13 #8: the Spark 4 successor of flatMapGroupsWithState,
     // behind the SAME tested contract — ValueState + event-time timers
     // on the RocksDB provider
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val providerBefore = spark.conf.getOption(providerKey)
     val stream = Sessionize.sessionsTws(spark, sf, gapMinutes = 30)
+    // the RocksDB provider is set on a DEDICATED newSession — the
+    // caller's session conf must be untouched (a concurrent query on
+    // this session must not silently inherit the provider)
+    assert(spark.conf.getOption(providerKey) === providerBefore)
     val batch = Sessionize.sessionsBatch(spark, sf, gapMinutes = 30)
     assert(stream.count() > 0)
     assert(stream.count() === batch.count())
