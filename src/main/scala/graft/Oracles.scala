@@ -859,6 +859,13 @@ v$s AS (
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id DESC LIMIT 100""".stripMargin,
 
+    // the filtered dashboard shape: filter skipping + TopN pruning
+    // compose on one scan (event_id unique → deterministic top set)
+    "topn_serving_filtered" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY event_id DESC LIMIT 100""".stripMargin,
+
     // initial-default column evolution: odd orders were written BEFORE
     // the column existed (they read the declared default), even orders
     // arrived after with real values — the oracle replays that split
@@ -954,6 +961,17 @@ v$s AS (
     // levenshtein join (completeness proof; both engines' levenshtein
     // is the classic unit-cost edit distance)
     "fuzzy_join" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS a, b.p_name AS b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM n a, n b
+        |WHERE a.p_name < b.p_name
+        |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    // the stored-inventory twin: same naive all-pairs oracle — the
+    // hash match proves the sidecar-planned path loses no pair
+    "fuzzy_join_stored" ->
       """WITH n AS (
         |  SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
         |SELECT a.p_name AS a, b.p_name AS b,

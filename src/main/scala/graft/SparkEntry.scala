@@ -261,6 +261,25 @@ object SparkEntry {
       s.read.format("graft").load(out)
         .orderBy(desc("event_id")).limit(100)
     },
+    // the dashboard serving shape — WHERE eq-filter ORDER BY ... LIMIT
+    // k: the eq filter prunes to its identity partition, and the TopN
+    // prefix search composes over those survivors (the partition dir
+    // PROVES the filter for every row, so its rows back the ≥k
+    // guarantee); both prunings land on one scan
+    "topn_serving_filtered" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-topnf-key").toString + "/t"
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartitionByRange(8, col("event_id"))
+      SnapshotTable.setNdvColumns(out, Seq("event_id"))
+      SnapshotTable.commitAppend(ev, out, "event_type",
+        statsCols = Seq("event_id"))
+      s.read.format("graft").load(out)
+        .filter(col("event_type") === "click")
+        .orderBy(desc("event_id")).limit(100)
+        .select("event_id", "user_id", "event_type", "value")
+    },
     // initial-default column evolution (Iceberg v3 initial-default):
     // stage odd orders, add a defaulted column as a METADATA-ONLY
     // commit, append even orders carrying real values — pre-add files
@@ -456,6 +475,20 @@ object SparkEntry {
     // cross-table proofs live in FuzzyJoinSpec)
     "fuzzy_join" -> ((s, dir) =>
       FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", maxDist = 2)),
+    // the STORED-inventory fuzzy join: the gram-statistics sidecar
+    // (collectGramStats, the collectNdv pattern) answers every plan
+    // gate from metadata and supplies the signature ranking as one
+    // sidecar join — zero per-query pricing jobs; the oracle is the
+    // SAME naive all-pairs join, so the hash match proves the stored
+    // path's completeness too
+    "fuzzy_join_stored" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-fuzzy-key").toString + "/t"
+      SnapshotTable.commit(
+        Tables.part(s, dir).select("p_partkey", "p_name"), out)
+      FuzzyJoin.collectGramStats(s, out, "p_name", maxDist = 2)
+      FuzzyJoin.selfPairsStored(s, out, "p_name", maxDist = 2)
+    },
     // incremental materialized-view maintenance: an aggregate mart
     // over orders refreshes by applying the CDC delta (one upsert +
     // one MoR delete) — never re-aggregating the base; the oracle

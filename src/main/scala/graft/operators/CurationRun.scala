@@ -163,6 +163,34 @@ object CurationRun {
     }
   }
 
+  /** BOOTSTRAP composition — the [[GovernedPipeline.runFull]] analog
+    * for the curation pipeline (VERDICT r14 #6): curate a whole
+    * documents table as deterministic batches driven through
+    * [[runBatch]], exposing the full governed surface including
+    * `substringWindow`. Every commit atomically carries the corpus
+    * slice + the MinHash signature append + (with `substringWindow`)
+    * the substring-store append — a gate abort publishes none of
+    * them, and [[Catalog.rollback]] rewinds all three together.
+    * Batches split by `doc_id % batches` (deterministic, so a crashed
+    * bootstrap RESUMES: committed batch ids replay as exactly-once
+    * skips). Returns the last commit id. */
+  def runFull(spark: SparkSession, docs: DataFrame, catalogRoot: String,
+              batches: Int = 4, threshold: Double = 0.8,
+              minKeepRate: Double = 0.2,
+              substringWindow: Option[Int] = None): Long = {
+    require(batches > 0, "need at least one batch")
+    (0 until batches).flatMap { b =>
+      val slice =
+        docs.filter(pmod(col("doc_id"), lit(batches.toLong)) === b.toLong)
+      // an empty batch never publishes, so it also never registers in
+      // committedBatchIds — skip it here or every re-run would land a
+      // junk empty commit where exactly-once skips should hold
+      if (slice.isEmpty) None
+      else Some(runBatch(spark, catalogRoot, slice, b.toLong, threshold,
+        minKeepRate, substringWindow))
+    }.lastOption.getOrElse(Catalog.latestCommit(catalogRoot))
+  }
+
   /** The released dataset view: every kept doc across all batches. */
   def keptCorpus(spark: SparkSession, catalogRoot: String): DataFrame =
     Catalog.read(spark, catalogRoot, "corpus").filter(col("keep"))

@@ -85,7 +85,36 @@ object FuzzyJoin {
   def matches(left: DataFrame, lCol: String, right: DataFrame,
               rCol: String, maxDist: Int, q: Int = 3,
               maxShortCandidates: Long = 100000000L,
-              maxGramCandidates: Long = 25000000L): DataFrame = {
+              maxGramCandidates: Long = 25000000L): DataFrame =
+    matchesPlanned(left, lCol, right, rCol, maxDist, q,
+      maxShortCandidates, maxGramCandidates, stored = None)
+
+  /** Pre-recorded candidate-work estimates for one fuzzy-join config —
+    * what [[collectGramStats]] persists for a stored table column so
+    * [[selfPairsStored]] runs ZERO pricing jobs: every plan gate
+    * answers from these scalars and the signature build joins the
+    * recorded gram-df frame (ONE join) instead of aggregating the
+    * gram index twice. The ranking frame affects PERFORMANCE only —
+    * any fixed gram ranking preserves completeness (the d·q+1
+    * survival bound), so a recorded ranking is always safe to use. */
+  private[graft] final case class GramEstimates(
+      pairCount: Double, gramCandidates: Double,
+      shortGramCandidates: Double, tinyPairs: Double, shortPairs: Double,
+      gramDf: Option[() => DataFrame])
+
+  /** Spark actions run purely to PRICE a fuzzy-join plan (inventory
+    * counts, gram-candidate and short-bucket estimates) — stays 0
+    * when stored [[GramEstimates]] answered every gate. Test/audit
+    * hook, the commitDataScans pattern. */
+  private[graft] val pricingJobs =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def matchesPlanned(left: DataFrame, lCol: String,
+                             right: DataFrame, rCol: String,
+                             maxDist: Int, q: Int,
+                             maxShortCandidates: Long,
+                             maxGramCandidates: Long,
+                             stored: Option[GramEstimates]): DataFrame = {
     require(maxDist >= 0 && q >= 2, "need maxDist >= 0 and q >= 2")
     val l = left.select(col(lCol).cast("string").as("a"))
       .filter(col("a").isNotNull).distinct().persist()
@@ -111,21 +140,42 @@ object FuzzyJoin {
     // exactly when it is catastrophic. Double loses precision only
     // past 2^53 candidates, ~8 orders of magnitude beyond any gate
     // anyone would set, and degrades toward +inf, never negative.
-    val smallInventory = {
-      val c = l.agg(count(lit(1)).as("nl"))
-        .crossJoin(r.agg(count(lit(1)).as("nr"))).head()
-      c.getLong(0).toDouble * c.getLong(1).toDouble <=
-        maxGramCandidates.toDouble
+    val smallInventory = stored match {
+      case Some(e) => e.pairCount <= maxGramCandidates.toDouble
+      case None =>
+        pricingJobs.incrementAndGet()
+        val c = l.agg(count(lit(1)).as("nl"))
+          .crossJoin(r.agg(count(lit(1)).as("nr"))).head()
+        c.getLong(0).toDouble * c.getLong(1).toDouble <=
+          maxGramCandidates.toDouble
     }
-    lazy val ldf = lg.groupBy("_g").agg(count(lit(1)).as("_cl"))
-    lazy val rdf = rg.groupBy("_g").agg(count(lit(1)).as("_cr"))
-    lazy val candEst = ldf.join(rdf, "_g")
-      .agg(coalesce(sum(col("_cl").cast("double") *
-        col("_cr").cast("double")), lit(0.0d)))
-      .head().getDouble(0)
+    // When the pricing aggregate must RUN (no stored estimates, big
+    // inventory), persist the gram frames REPARTITIONED by gram: the
+    // pricing and the subsequent join shuffle the same rows by the
+    // same key, but as separate ACTIONS Spark cannot reuse the
+    // exchange across them — caching the partitioned frames pays the
+    // explode+shuffle once (this was the whole bench premium of the
+    // measured gate). Cache ownership passes to the caller, like the
+    // value frames above.
+    val (lgJ, rgJ) =
+      if (stored.isEmpty && !smallInventory)
+        (lg.repartition(col("_g")).persist(),
+          rg.repartition(col("_g")).persist())
+      else (lg, rg)
+    lazy val ldf = lgJ.groupBy("_g").agg(count(lit(1)).as("_cl"))
+    lazy val rdf = rgJ.groupBy("_g").agg(count(lit(1)).as("_cr"))
+    lazy val candEst = stored match {
+      case Some(e) => e.gramCandidates
+      case None =>
+        pricingJobs.incrementAndGet()
+        ldf.join(rdf, "_g")
+          .agg(coalesce(sum(col("_cl").cast("double") *
+            col("_cr").cast("double")), lit(0.0d)))
+          .head().getDouble(0)
+    }
     val byGram =
       if (smallInventory || candEst <= maxGramCandidates.toDouble)
-        lg.join(rg, "_g").select("a", "b")
+        lgJ.join(rgJ, "_g").select("a", "b")
       else {
         // Ed-Join prefix signature: each left value probes only its
         // d·q+1 rarest grams (global df over both sides — any fixed
@@ -133,18 +183,27 @@ object FuzzyJoin {
         // and drops hot grams from every signature). Values with
         // fewer distinct grams keep them all — the survival bound
         // then degenerates to the full-gram join for those values.
+        // A stored ranking frame replaces the two df aggregates with
+        // one sidecar read — and stays COMPLETE even if stale (the
+        // ranking is a performance choice, never a correctness one).
         val sigSize = maxDist * q + 1
-        val gramDf = ldf.join(rdf, Seq("_g"), "full_outer")
-          .select(col("_g"),
-            (coalesce(col("_cl"), lit(0L)) +
-              coalesce(col("_cr"), lit(0L))).as("_df"))
+        val gramDf = stored.flatMap(_.gramDf).map(_())
+          .getOrElse(ldf.join(rdf, Seq("_g"), "full_outer")
+            .select(col("_g"),
+              (coalesce(col("_cl"), lit(0L)) +
+                coalesce(col("_cr"), lit(0L))).as("_df")))
         val byA = org.apache.spark.sql.expressions.Window
           .partitionBy("a").orderBy(col("_df"), col("_g"))
-        val lSig = lg.join(gramDf, "_g")
+        // LEFT join: a gram absent from the ranking frame (a stale
+        // stored frame) must not drop a value's signature — absent
+        // means rare, df 0, ranked first; completeness never depends
+        // on the frame's coverage
+        val lSig = lgJ.join(gramDf, Seq("_g"), "left")
+          .withColumn("_df", coalesce(col("_df"), lit(0L)))
           .withColumn("_rk", row_number().over(byA))
           .filter(col("_rk") <= sigSize)
           .select("a", "_g")
-        lSig.join(rg, "_g").select("a", "b")
+        lSig.join(rgJ, "_g").select("a", "b")
       }
     // the short bucket: pairs the q-gram bound cannot promise — both
     // sides under q(1+d) chars. Indexed by POSITIONAL 1-grams (the
@@ -167,18 +226,34 @@ object FuzzyJoin {
     // — pick the cheaper complete strategy, and when both blow the
     // budget refuse loudly: short-string matching over a dense
     // inventory is inherently quadratic, an opt-in, never a default.
-    val gramEst = lg1.groupBy(col("_gl").as("g"))
-      .agg(count(lit(1)).as("cl"))
-      .join(rg1.groupBy(col("_gr").as("g")).agg(count(lit(1)).as("cr")), "g")
-      .agg(coalesce(sum(col("cl").cast("double") *
-        col("cr").cast("double")), lit(0.0d))).head().getDouble(0)
+    val gramEst = stored match {
+      case Some(e) => e.shortGramCandidates
+      case None =>
+        pricingJobs.incrementAndGet()
+        lg1.groupBy(col("_gl").as("g"))
+          .agg(count(lit(1)).as("cl"))
+          .join(rg1.groupBy(col("_gr").as("g"))
+            .agg(count(lit(1)).as("cr")), "g")
+          .agg(coalesce(sum(col("cl").cast("double") *
+            col("cr").cast("double")), lit(0.0d))).head().getDouble(0)
+    }
     // the index path ALSO pays the ≤maxDist-char residue cross join
     // (values too short for even one 1-gram) — measure it into the
     // budget, or a dense tiny-value inventory slips past the valve
-    val tinyEst = l.filter(length(col("a")) <= maxDist).count().toDouble *
-      r.filter(length(col("b")) <= maxDist).count().toDouble
+    val tinyEst = stored match {
+      case Some(e) => e.tinyPairs
+      case None =>
+        pricingJobs.incrementAndGet()
+        l.filter(length(col("a")) <= maxDist).count().toDouble *
+          r.filter(length(col("b")) <= maxDist).count().toDouble
+    }
     val indexEst = gramEst + tinyEst
-    val crossEst = lShort.count().toDouble * rShort.count().toDouble
+    val crossEst = stored match {
+      case Some(e) => e.shortPairs
+      case None =>
+        pricingJobs.incrementAndGet()
+        lShort.count().toDouble * rShort.count().toDouble
+    }
     require(math.min(indexEst, crossEst) <= maxShortCandidates.toDouble,
       s"fuzzy-join short bucket would enumerate ${math.min(indexEst,
         crossEst)} candidate pairs (> maxShortCandidates=" +
@@ -220,4 +295,111 @@ object FuzzyJoin {
     matches(df, strCol, df, strCol, maxDist, q, maxShortCandidates,
       maxGramCandidates)
       .filter(col("a") < col("b"))
+
+  private def gramStatsDir(root: String, v: Long, column: String,
+                           maxDist: Int, q: Int) =
+    graft.operators.MetaIO.join(root, s"v=$v",
+      s"_fuzzy_${column}_q${q}_d$maxDist")
+
+  /** Record the GRAM-STATISTICS sidecar for a stored snapshot-table
+    * column at one (q, maxDist) fuzzy-join config — the
+    * [[SnapshotTable.collectNdv]] pattern applied to fuzzy joins
+    * (VERDICT r14 #4): one scan over the column's distinct values
+    * computes (a) the per-gram document-frequency frame (the
+    * signature ranking, persisted as parquet) and (b) the four
+    * candidate-work scalars every [[matches]] plan gate prices per
+    * query today (|pairs|, Σ df², short-bucket Σ char-df², tiny and
+    * short pair counts, self-join form). [[selfPairsStored]] then
+    * answers every gate from this metadata and builds signatures with
+    * ONE sidecar join — zero pricing jobs per query. Idempotent per
+    * (version, column, q, d); the sidecar pins to the exact table
+    * version it scanned (grams dir lands first, the scalars file —
+    * what readers key on — last, so a half-written sidecar is
+    * invisible). Returns the version covered. */
+  def collectGramStats(spark: org.apache.spark.sql.SparkSession,
+                       root: String, column: String, maxDist: Int,
+                       q: Int = 3, version: Long = -1L): Long = {
+    require(maxDist >= 0 && q >= 2, "need maxDist >= 0 and q >= 2")
+    val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    val dir = gramStatsDir(root, v, column, maxDist, q)
+    val scalars = MetaIO.join(dir.toString, "scalars")
+    if (MetaIO.exists(scalars)) return v // idempotent
+    val vals = SnapshotTable.read(spark, root, v)
+      .select(col(column).cast("string").as("a"))
+      .filter(col("a").isNotNull).distinct().persist()
+    val n = vals.count().toDouble
+    val tmp = MetaIO.join(root, s"v=$v",
+      s".fuzzy.new-${java.util.UUID.randomUUID()}")
+    vals.select(explode(grams("a", q)).as("_g"))
+      .groupBy("_g").agg(count(lit(1)).as("_df"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val selfCand = spark.read.parquet(tmp.toString)
+      .agg(coalesce(sum(col("_df").cast("double") *
+        col("_df").cast("double")), lit(0.0d))).head().getDouble(0)
+    val cap = q * (1 + maxDist) - 1
+    val shortVals = vals.filter(length(col("a")) <= cap)
+    val shortCount = shortVals.count().toDouble
+    val tinyCount =
+      vals.filter(length(col("a")) <= maxDist).count().toDouble
+    val shortGramCand = shortVals
+      .select(explode(posGrams("a")).as("gp"))
+      .groupBy(col("gp.g")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c").cast("double") *
+        col("c").cast("double")), lit(0.0d))).head().getDouble(0)
+    vals.unpersist()
+    val gramsDir = MetaIO.join(dir.toString, "grams")
+    MetaIO.mkdirs(dir.toString)
+    MetaIO.delete(gramsDir, recursive = true)
+    MetaIO.moveTree(tmp, gramsDir)
+    MetaIO.writeString(scalars,
+      s"n=$n\nselfCand=$selfCand\nshortGramCand=$shortGramCand\n" +
+        s"tiny=$tinyCount\nshort=$shortCount")
+    v
+  }
+
+  /** The recorded [[GramEstimates]] for (root@version, column, q, d),
+    * or None when [[collectGramStats]] has not covered that exact
+    * config — metadata reads only, no jobs. */
+  private[graft] def readGramStats(spark: org.apache.spark.sql.SparkSession,
+                                   root: String, column: String,
+                                   maxDist: Int, q: Int, v: Long)
+      : Option[GramEstimates] = {
+    val dir = gramStatsDir(root, v, column, maxDist, q)
+    val scalars = MetaIO.join(dir.toString, "scalars")
+    if (!MetaIO.exists(scalars)) return None
+    val kv = MetaIO.readString(scalars).split("\n")
+      .map(_.split("=", 2)).collect { case Array(k, x) => k -> x.toDouble }
+      .toMap
+    for {
+      n <- kv.get("n"); selfCand <- kv.get("selfCand")
+      sg <- kv.get("shortGramCand")
+      tiny <- kv.get("tiny"); short <- kv.get("short")
+    } yield GramEstimates(n * n, selfCand, sg, tiny * tiny,
+      short * short,
+      Some(() => spark.read.parquet(
+        MetaIO.join(dir.toString, "grams").toString)))
+  }
+
+  /** [[selfPairs]] over a STORED snapshot-table column: when the
+    * gram-statistics sidecar covers (version, column, q, maxDist),
+    * every plan gate answers from recorded metadata and the signature
+    * ranking is one sidecar join — ZERO pricing jobs
+    * ([[pricingJobs]]-asserted in the spec); without coverage it
+    * falls back to the per-query-priced [[selfPairs]], answer-
+    * identical either way. */
+  def selfPairsStored(spark: org.apache.spark.sql.SparkSession,
+                      root: String, column: String, maxDist: Int,
+                      q: Int = 3,
+                      maxShortCandidates: Long = 100000000L,
+                      maxGramCandidates: Long = 25000000L,
+                      version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    val base = SnapshotTable.read(spark, root, v)
+    val stored = readGramStats(spark, root, column, maxDist, q, v)
+    matchesPlanned(base, column, base, column, maxDist, q,
+      maxShortCandidates, maxGramCandidates, stored)
+      .filter(col("a") < col("b"))
+  }
 }

@@ -2747,6 +2747,103 @@ object SnapshotTable {
     Some((nonNull.map(_._2).min, nonNull.map(_._3).max))
   }
 
+  /** A stats-sidecar value on a NUMERIC measuring stick (for sizing
+    * gaps between ranges — ordering alone cannot say which of two
+    * gaps is smaller). None for immeasurable types (strings). */
+  private def statValueMeasure(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case t: java.sql.Timestamp => Some(t.getTime.toDouble)
+    case i: java.time.Instant => Some(i.toEpochMilli.toDouble)
+    case dt: java.time.LocalDateTime =>
+      Some(dt.toEpochSecond(java.time.ZoneOffset.UTC).toDouble * 1e6 +
+        dt.getNano / 1000)
+    case b: java.math.BigDecimal => Some(b.doubleValue())
+    case _ => None
+  }
+
+  /** [[fastBoundsFiles]] refined to a UNION OF RANGES: the per-file
+    * bounds of `column` over exactly `files`, merged by overlap into
+    * at most `maxRanges` disjoint ascending [lo, hi] ranges — a
+    * multi-modal key domain (two clusters at opposite ends of the
+    * type) yields the clusters instead of one envelope that prunes
+    * nothing between them. Same refusal discipline as
+    * [[fastBoundsFiles]] (coverage gap, unapplied MoR deletes);
+    * all-null files contribute no range. Over the cap, ranges merge
+    * across the SMALLEST value gaps (keeping the `maxRanges − 1`
+    * widest gaps as separators — strictly tighter than the envelope
+    * at every cap); immeasurable gap types (strings) collapse to the
+    * envelope. */
+  private[graft] def fastBoundsRangesFiles(spark: SparkSession,
+                                           root: String, column: String,
+                                           version: Long,
+                                           files: Seq[String],
+                                           maxRanges: Int = 8)
+      : Option[Seq[(Any, Any)]] = {
+    if (files.isEmpty || maxRanges < 1) return None
+    if (deleteEntries(root, version).nonEmpty ||
+        eqDeleteEntries(root, version).nonEmpty) return None
+    val svs = files.map(f =>
+      f.stripPrefix("v=").takeWhile(_.isDigit).toLong).distinct.sorted
+    val want = files.toSet
+    val stats = svs.flatMap(fileStats(spark, root, _))
+      .filter(st => st.columns.contains(s"${column}__min"))
+      .flatMap(_.select(col("_file"), col(s"${column}__min"),
+        col(s"${column}__max")).collect())
+      .map(r => (decodeReportedPath(r.getString(0)), r.get(1), r.get(2)))
+      .filter { case (f, _, _) => want(f) }
+    if (stats.map(_._1).toSet != want) return None
+    val nonNull = stats.filter(s => s._2 != null && s._3 != null)
+    if (nonNull.isEmpty) return None
+    val ord = statValueOrdering
+    val sorted = nonNull.map(s => (s._2, s._3)).sortWith {
+      (a, b) => ord.lt(a._1, b._1)
+    }
+    // merge overlaps: ranges sorted by lo, the next merges in when
+    // its lo sits at or under the running hi
+    val merged = sorted.tail.foldLeft(Vector(sorted.head)) {
+      case (acc, (lo, hi)) =>
+        val (clo, chi) = acc.last
+        if (ord.lteq(lo, chi))
+          acc.init :+ ((clo, if (ord.gt(hi, chi)) hi else chi))
+        else acc :+ ((lo, hi))
+    }
+    if (merged.size <= maxRanges) return Some(merged)
+    // over cap: keep the maxRanges−1 widest gaps as separators
+    val gapSizes = (1 until merged.size).map { i =>
+      for {
+        a <- statValueMeasure(merged(i - 1)._2)
+        b <- statValueMeasure(merged(i)._1)
+      } yield (i, b - a)
+    }
+    if (gapSizes.exists(_.isEmpty)) // immeasurable: envelope only
+      return Some(Seq((merged.head._1, merged.last._2)))
+    val separators = gapSizes.flatten.sortBy(-_._2)
+      .take(maxRanges - 1).map(_._1).sorted
+    val groups = (Seq(0) ++ separators ++ Seq(merged.size)).sliding(2)
+      .map { case Seq(a, b) => (merged(a)._1, merged(b - 1)._2) }
+      .toSeq
+    Some(groups)
+  }
+
+  /** [[fastBoundsRangesFiles]] over ALL of version `v`'s live data
+    * files (what the whole-table [[fastBounds]] is to
+    * [[fastBoundsFiles]]). */
+  private[graft] def fastBoundsRanges(spark: SparkSession, root: String,
+                                      column: String, version: Long = -1L,
+                                      maxRanges: Int = 8)
+      : Option[Seq[(Any, Any)]] = {
+    val v = if (version >= 0) version else latestVersion(root)
+    if (v < 0) return None
+    val entries = manifestEntries(root, v)
+    val dirs: Seq[(String, Long)] =
+      if (entries.isEmpty) Seq(s"v=$v" -> v)
+      else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
+    fastBoundsRangesFiles(spark, root, column, v,
+      candidateDataFiles(root, dirs).toSeq, maxRanges)
+  }
+
   /** `COUNT(*)` from METADATA — the Iceberg manifests-only count: sums
     * the per-file `__rows` the stats sidecars record at write time and
     * subtracts live position-delete rows, touching no data bytes for
@@ -3200,36 +3297,11 @@ object SnapshotTable {
             .map(seg => f -> unescapePathValue(seg.drop(ps.field.length + 1)))
         }.filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__")
         ps match {
-          case IdentitySpec(src) =>
-            val v0 = col("_pv").cast(dt)
-            refuteBounds(src, vals, v0, v0)
-          case DaysSpec(src) =>
-            dt match {
-              case types.TimestampType =>
-                // mirror the UTC write-side derivation: the directory
-                // day `d` covers instants [d*86400e6, (d+1)*86400e6)
-                // micros — zone-free, so a reader session in any time
-                // zone reconstructs the writer's bounds exactly
-                val dayMicros = "cast(datediff(cast(_pv as date), " +
-                  "DATE'1970-01-01') as bigint) * 86400000000L"
-                refuteBounds(src, vals,
-                  expr(s"timestamp_micros($dayMicros)"),
-                  expr(s"timestamp_micros($dayMicros + 86399999999L)"))
-              case _ =>
-                val lo = col("_pv").cast(types.DateType).cast(dt)
-                val hi = dt match {
-                  case types.DateType => lo
-                  case _ => expr("timestampadd(MICROSECOND, -1, " +
-                    "timestampadd(DAY, 1, cast(cast(_pv as date) as " +
-                    "timestamp_ntz)))").cast(dt)
-                }
-                refuteBounds(src, vals, lo, hi)
-            }
-          case TruncateSpec(w, src) if !dt.isInstanceOf[types.StringType] =>
-            val lo = col("_pv").cast(types.LongType).cast(dt)
-            val hi = (col("_pv").cast(types.LongType) + lit(w.toLong - 1))
-              .cast(dt)
-            refuteBounds(src, vals, lo, hi)
+          case ps0 if specBoundExprs(ps0, dt).isDefined =>
+            // identity / days / int-truncate: the dir value is an
+            // exact [lo, hi] range of the source column
+            val (lo, hi) = specBoundExprs(ps0, dt).get
+            refuteBounds(ps0.source, vals, lo, hi)
           case TruncateSpec(w, src) => // string truncate: equality only
             eqLiteralGroups(src).flatMap { lits =>
               val allowed =
@@ -3428,6 +3500,262 @@ object SnapshotTable {
     else scanKeptFiles(spark, root, v, taken, None)
   }
 
+  /** Exact value range of a partition DIRECTORY value (`_pv`, string)
+    * for order-preserving transforms: identity (lo = hi = the value),
+    * days (the day's first/last instant, zone-free UTC derivation
+    * mirroring the write side), integral truncate ([t, t+w-1]). None
+    * for hash and string-truncate transforms — their dir value bounds
+    * nothing usable here. */
+  private def specBoundExprs(ps: PartSpec, dt: types.DataType)
+      : Option[(Column, Column)] = ps match {
+    case IdentitySpec(_) =>
+      val v0 = col("_pv").cast(dt); Some((v0, v0))
+    case DaysSpec(_) => dt match {
+      case types.TimestampType =>
+        // mirror the UTC write-side derivation: the directory day `d`
+        // covers instants [d*86400e6, (d+1)*86400e6) micros —
+        // zone-free, so a reader session in any time zone
+        // reconstructs the writer's bounds exactly
+        val dayMicros = "cast(datediff(cast(_pv as date), " +
+          "DATE'1970-01-01') as bigint) * 86400000000L"
+        Some((expr(s"timestamp_micros($dayMicros)"),
+          expr(s"timestamp_micros($dayMicros + 86399999999L)")))
+      case _ =>
+        val lo = col("_pv").cast(types.DateType).cast(dt)
+        val hi = dt match {
+          case types.DateType => lo
+          case _ => expr("timestampadd(MICROSECOND, -1, " +
+            "timestampadd(DAY, 1, cast(cast(_pv as date) as " +
+            "timestamp_ntz)))").cast(dt)
+        }
+        Some((lo, hi))
+    }
+    case TruncateSpec(w, _) if !dt.isInstanceOf[types.StringType] =>
+      Some((col("_pv").cast(types.LongType).cast(dt),
+        (col("_pv").cast(types.LongType) + lit(w.toLong - 1)).cast(dt)))
+    case _ => None
+  }
+
+  /** Per-file pruning metadata for [[topNKept]]: row counts plus, per
+    * requested column, (lo, hi) bounds and null counts. Each piece is
+    * sourced from the `_stats`/`_ndv` sidecars first, then DERIVED
+    * from the file's partition directory where the layout proves it
+    * exactly: identity/days/int-truncate dir values are exact value
+    * ranges of the source column ([[specBoundExprs]]); those
+    * transforms map a null source to the null directory, so a valued
+    * dir proves ZERO source nulls and the null directory proves the
+    * file all-null (bucket hashes null into a valued dir — proves
+    * nothing). A `days(ts)`-partitioned serving table therefore
+    * TopN-prunes to its trailing partitions with no stats/ndv
+    * coverage of `ts` at all — partition values are consulted
+    * whenever the sidecars come up short. */
+  private final case class TopNColMeta(lo: Any, hi: Any,
+                                       boundsKnown: Boolean,
+                                       nulls: Option[Long])
+  private final case class TopNMeta(rows: Map[String, Long],
+      cols: Map[(String, String), TopNColMeta])
+
+  private def topNFileMeta(spark: SparkSession, root: String, version: Long,
+                           dirs: Seq[(String, Long)],
+                           candidates: Set[String], cols: Seq[String])
+      : TopNMeta = {
+    val svs = dirs.map(_._2).distinct.sorted
+    val statFrames = svs.flatMap(fileStats(spark, root, _))
+    val rows: Map[String, Long] = statFrames
+      .filter(_.columns.contains("__rows"))
+      .flatMap(_.select("_file", "__rows").collect())
+      .map(r => decodeReportedPath(r.getString(0)) -> r.getLong(1)).toMap
+    val sideBounds: Map[(String, String), (Any, Any)] = cols.flatMap { c =>
+      statFrames.filter(_.columns.contains(s"${c}__min"))
+        .flatMap(_.select(col("_file"), col(s"${c}__min"),
+          col(s"${c}__max")).collect())
+        .map(r => (decodeReportedPath(r.getString(0)), c) ->
+          ((r.get(1), r.get(2))))
+    }.toMap
+    val ndvFrames = svs.flatMap(fileNdv(spark, root, _))
+    val sideNulls: Map[(String, String), Long] = cols.flatMap { c =>
+      ndvFrames.filter(_.columns.contains(s"${c}__nulls"))
+        .flatMap(_.select(col("_file"), col(s"${c}__nulls")).collect())
+        .map(r => (decodeReportedPath(r.getString(0)), c) -> r.getLong(1))
+    }.toMap
+    lazy val schema: types.StructType = recordedSchema(root, version)
+      .getOrElse(read(spark, root, version).schema)
+    def svOf(f: String): Long =
+      f.stripPrefix("v=").takeWhile(_.isDigit).toLong
+    val derived =
+      scala.collection.mutable.Map.empty[(String, String), TopNColMeta]
+    // merge, never overwrite: a column can source several specs (e.g.
+    // days(ts),bucket(4,ts)) — keep the strongest piece of each
+    def put(key: (String, String), m: TopNColMeta): Unit =
+      derived.get(key) match {
+        case Some(prev) => derived(key) = TopNColMeta(
+          if (prev.boundsKnown) prev.lo else m.lo,
+          if (prev.boundsKnown) prev.hi else m.hi,
+          prev.boundsKnown || m.boundsKnown,
+          prev.nulls.orElse(m.nulls))
+        case None => derived(key) = m
+      }
+    candidates.groupBy(f => partitionSpecAt(root, svOf(f))).foreach {
+      case (specOpt, fs) =>
+        specOpt.toSeq.flatMap(parseSpecs)
+          .filter(ps => cols.contains(ps.source)).foreach { ps =>
+            schema.fields.find(_.name == ps.source).map(_.dataType)
+              .foreach { dt =>
+                val withVal: Seq[(String, String)] = fs.toSeq.flatMap { f =>
+                  f.split("/").find(_.startsWith(ps.field + "="))
+                    .map(seg => f ->
+                      unescapePathValue(seg.drop(ps.field.length + 1)))
+                }
+                val (nullDir, valued) =
+                  withVal.partition(_._2 == "__HIVE_DEFAULT_PARTITION__")
+                val provesNulls = ps match {
+                  case _: BucketSpec => false // hash(null) = a valued dir
+                  case _ => true
+                }
+                if (provesNulls) nullDir.foreach { case (f, _) =>
+                  put((f, ps.source), TopNColMeta(null, null,
+                    boundsKnown = true, nulls = rows.get(f)))
+                }
+                val boundExprs = specBoundExprs(ps, dt)
+                if (valued.nonEmpty && (provesNulls || boundExprs.isDefined)) {
+                  val ranges: Map[String, (Any, Any)] = boundExprs match {
+                    case Some((lo, hi)) =>
+                      import spark.implicits._
+                      valued.toDF("_file", "_pv")
+                        .select(col("_file"), lo.as("lo"), hi.as("hi"))
+                        .collect()
+                        .map(r => r.getString(0) -> ((r.get(1), r.get(2))))
+                        .toMap
+                    case None => Map.empty
+                  }
+                  valued.foreach { case (f, _) =>
+                    val rg = ranges.get(f)
+                    put((f, ps.source), TopNColMeta(
+                      rg.map(_._1).orNull, rg.map(_._2).orNull,
+                      boundsKnown = rg.isDefined,
+                      nulls = if (provesNulls) Some(0L) else None))
+                  }
+                }
+              }
+          }
+    }
+    val merged = (for { f <- candidates.toSeq; c <- cols } yield {
+      val d = derived.get((f, c))
+      val sb = sideBounds.get((f, c))
+      val nu = sideNulls.get((f, c)).orElse(d.flatMap(_.nulls))
+      val (lo, hi, known) = sb match {
+        case Some((l, h)) => (l, h, true)
+        case None => d.filter(_.boundsKnown)
+          .map(m => (m.lo, m.hi, true)).getOrElse((null, null, false))
+      }
+      (f, c) -> TopNColMeta(lo, hi, known, nu)
+    }).toMap
+    TopNMeta(rows, merged)
+  }
+
+  /** Rewrite a row predicate into its file-stats PROOF test: true ⇔
+    * the file's bounds + null counts prove the predicate holds for
+    * EVERY row of the file. The dual of [[boundsSql]] (which asks
+    * whether the predicate can hold for ANY row): every leaf is
+    * `coalesce(..., false)`, so a missing bound, missing null count,
+    * or unprovable shape contributes NO proof. Sound, not complete:
+    * OR proves when either side proves for all rows, IN only via a
+    * constant file (min = max), anything else (NOT, expressions over
+    * columns) proves nothing. */
+  private def mustSql(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                      covered: String => Boolean): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def nn(c: String): String = s"coalesce(`${c}__nulls` = 0, false)"
+    def leaf(a: UnresolvedAttribute, test: String => String): String = {
+      val c = a.nameParts.last
+      if (!covered(c)) "false"
+      else s"(coalesce(${test(c)}, false) AND ${nn(c)})"
+    }
+    def eqTest(c: String, l: Literal): String =
+      s"`${c}__min` = ${l.sql} AND `${c}__max` = ${l.sql}"
+    e match {
+      case And(l, r) =>
+        s"(${mustSql(l, covered)} AND ${mustSql(r, covered)})"
+      case Or(l, r) =>
+        s"(${mustSql(l, covered)} OR ${mustSql(r, covered)})"
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
+        leaf(a, c => s"`${c}__min` > ${l.sql}")
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
+        leaf(a, c => s"`${c}__max` < ${l.sql}")
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        leaf(a, c => s"`${c}__min` >= ${l.sql}")
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        leaf(a, c => s"`${c}__max` <= ${l.sql}")
+      case LessThan(a: UnresolvedAttribute, l: Literal) =>
+        leaf(a, c => s"`${c}__max` < ${l.sql}")
+      case LessThan(l: Literal, a: UnresolvedAttribute) =>
+        leaf(a, c => s"`${c}__min` > ${l.sql}")
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        leaf(a, c => s"`${c}__max` <= ${l.sql}")
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        leaf(a, c => s"`${c}__min` >= ${l.sql}")
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        leaf(a, c => eqTest(c, l))
+      case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+        leaf(a, c => eqTest(c, l))
+      case EqualNullSafe(a: UnresolvedAttribute, l: Literal)
+          if l.value != null =>
+        leaf(a, c => eqTest(c, l))
+      case In(a: UnresolvedAttribute, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        leaf(a, c => s"`${c}__min` = `${c}__max` AND `${c}__min` IN " +
+          vs.map(_.sql).mkString("(", ", ", ")"))
+      case IsNotNull(a: UnresolvedAttribute) =>
+        if (covered(a.nameParts.last)) nn(a.nameParts.last) else "false"
+      case IsNull(a: UnresolvedAttribute) =>
+        val c = a.nameParts.last
+        if (covered(c)) s"coalesce(`${c}__nulls` = `__rows`, false)"
+        else "false"
+      case _ => "false"
+    }
+  }
+
+  /** The subset of `candidates` whose metadata PROVES the parsed row
+    * predicate true for EVERY row ([[mustSql]] over a driver-built
+    * stats-shaped frame from [[topNFileMeta]]'s merged pieces). Only
+    * these files' rows may count toward TopN pruning guarantees under
+    * a pushed filter. */
+  private def mustMatchFiles(spark: SparkSession, root: String,
+                             version: Long, candidates: Seq[String],
+                             filterCols: Seq[String], meta: TopNMeta,
+      parsed: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Set[String] = {
+    val schema: types.StructType = recordedSchema(root, version)
+      .getOrElse(read(spark, root, version).schema)
+    val present = filterCols.filter(c => schema.fields.exists(_.name == c))
+    val fields = types.StructField("_file", types.StringType, false) +:
+      types.StructField("__rows", types.LongType, true) +:
+      present.flatMap { c =>
+        val dt = schema(c).dataType
+        Seq(types.StructField(s"${c}__min", dt, true),
+          types.StructField(s"${c}__max", dt, true),
+          types.StructField(s"${c}__nulls", types.LongType, true))
+      }
+    val rowSeq = candidates.map { f =>
+      val cells: Seq[Any] =
+        Seq[Any](f, meta.rows.get(f).map(Long.box).orNull) ++
+          present.flatMap { c =>
+            val m = meta.cols.get((f, c))
+            Seq[Any](m.filter(_.boundsKnown).map(_.lo).orNull,
+              m.filter(_.boundsKnown).map(_.hi).orNull,
+              m.flatMap(_.nulls).map(Long.box).orNull)
+          }
+      org.apache.spark.sql.Row.fromSeq(cells)
+    }
+    import scala.jdk.CollectionConverters._
+    val frame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rowSeq.asJava),
+      types.StructType(fields))
+    frame.filter(expr(mustSql(parsed, present.toSet.contains)))
+      .select("_file").collect().map(_.getString(0)).toSet
+  }
+
   /** TOP-N file pruning (the connector's `SupportsPushDownTopN`
     * target): the file list guaranteed to contain EVERY valid
     * `ORDER BY column [DESC] [NULLS FIRST|LAST] LIMIT n` answer, or
@@ -3457,7 +3785,10 @@ object SnapshotTable {
   private[graft] def topNKept(spark: SparkSession, root: String,
                               version: Long, column: String,
                               descending: Boolean, nullsFirst: Boolean,
-                              n: Int): Option[Seq[String]] = {
+                              n: Int,
+                              candidatesOverride: Option[Seq[String]] = None,
+                              filterSql: Option[String] = None)
+      : Option[Seq[String]] = {
     if (n <= 0) return None
     if (deleteEntries(root, version).nonEmpty ||
         eqDeleteEntries(root, version).nonEmpty) return None
@@ -3465,27 +3796,51 @@ object SnapshotTable {
     val dirs: Seq[(String, Long)] =
       if (entries.isEmpty) Seq(s"v=$version" -> version)
       else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
-    val candidates = candidateDataFiles(root, dirs)
+    // under a pushed filter the caller hands the skipping survivors —
+    // the prefix search runs over exactly the files the scan would read
+    val candidates: Set[String] =
+      candidatesOverride.map(_.toSet)
+        .getOrElse(candidateDataFiles(root, dirs))
     // the prefix search below is O(files log files) driver work, but
     // the sidecar collect above it is still per-file rows — past this
     // the planning pass would dominate; decline, scan plain
     if (candidates.size > 65536 || candidates.size < 2) return None
-    val svs = dirs.map(_._2).distinct.sorted
-    val stats: Map[String, (Any, Any, Long)] =
-      svs.flatMap(fileStats(spark, root, _))
-        .filter(st => st.columns.contains(s"${column}__min") &&
-          st.columns.contains("__rows"))
-        .flatMap(_.select(col("_file"), col(s"${column}__min"),
-          col(s"${column}__max"), col("__rows")).collect())
-        .map(r => decodeReportedPath(r.getString(0)) ->
-          (r.get(1), r.get(2), r.getLong(3))).toMap
-    val nulls: Map[String, Long] =
-      svs.flatMap(fileNdv(spark, root, _))
-        .filter(_.columns.contains(s"${column}__nulls"))
-        .flatMap(_.select(col("_file"), col(s"${column}__nulls")).collect())
-        .map(r => decodeReportedPath(r.getString(0)) -> r.getLong(1)).toMap
+    val parsedFilter = filterSql.map(
+      spark.sessionState.sqlParser.parseExpression)
+    val filterCols: Seq[String] = parsedFilter.toSeq.flatMap(_.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last
+    }).distinct
+    val meta = topNFileMeta(spark, root, version, dirs, candidates,
+      (column +: filterCols).distinct)
+    val stats: Map[String, (Any, Any, Long)] = candidates.toSeq.flatMap {
+      f =>
+        for {
+          rows <- meta.rows.get(f)
+          cm <- meta.cols.get((f, column)) if cm.boundsKnown
+        } yield f -> (cm.lo, cm.hi, rows)
+    }.toMap
+    val nulls: Map[String, Long] = candidates.toSeq.flatMap { f =>
+      meta.cols.get((f, column)).flatMap(_.nulls).map(f -> _)
+    }.toMap
     if (!candidates.forall(f => stats.contains(f) && nulls.contains(f)))
       return None
+    // Filter-safe guarantee accounting: a kept file's rows count
+    // toward the "≥ n strictly-better rows" guarantee ONLY when its
+    // bounds + null counts PROVE the pushed row predicate true for
+    // EVERY row (mustSql) — otherwise the filter could hollow the
+    // file out and the guarantee would lie. Unproven files still
+    // participate as candidates (their unfiltered best bound
+    // over-ranks their best surviving row, which only makes the
+    // pruning target harder to beat — conservative). The caller
+    // guarantees the predicate here is the COMPLETE row filter (TopN
+    // is only pushed when no residual filter remains above the scan).
+    val mustMatch: String => Boolean = parsedFilter match {
+      case None => _ => true
+      case Some(pe) =>
+        mustMatchFiles(spark, root, version, candidates.toSeq, filterCols,
+          meta, pe).contains
+    }
     val ord = statValueOrdering
     // a row is None (null) or Some(value); strictly-better under the
     // requested ordering
@@ -3555,10 +3910,12 @@ object SnapshotTable {
     var k = 1
     while (k < sorted.size) {
       val g = sorted(k - 1) // the file entering the prefix
-      nullRowsPrefix += g.nullRows
-      valueRowsPrefix += g.valueRows
-      if (g.worst != null && g.valueRows > 0)
-        bitAdd(wRank(g.worst), g.valueRows)
+      if (mustMatch(g.file)) { // only PROVEN-surviving rows guarantee
+        nullRowsPrefix += g.nullRows
+        valueRowsPrefix += g.valueRows
+        if (g.worst != null && g.valueRows > 0)
+          bitAdd(wRank(g.worst), g.valueRows)
+      }
       val guaranteed = sorted(k).best match {
         // target is a null row: only non-null rows beat it, and only
         // under NULLS LAST (nothing out-ranks null under NULLS FIRST)

@@ -340,6 +340,20 @@ object GraftDataSource {
     val parts = filters.flatMap(filterSql)
     if (parts.isEmpty) None else Some(parts.mkString("(", ") AND (", ")"))
   }
+
+  /** The scan predicate for a pushed-filter set: per filter the
+    * STRICT (row-exact) translation when it exists — those filters
+    * are claimed handled and carry no residual, so the scan's row
+    * filter must implement their exact semantics — falling back to
+    * the partial pruning-grade translation for half-translatable ANDs
+    * (whose residual Spark still re-checks; applying the weaker form
+    * in-scan is a sound pre-filter). Used for BOTH file skipping
+    * (bounds only ever refute) and readKept's row filter. */
+  private[graft] def scanPredicateSql(filters: Seq[Filter])
+      : Option[String] = {
+    val parts = filters.flatMap(f => strictFilterSql(f).orElse(filterSql(f)))
+    if (parts.isEmpty) None else Some(parts.mkString("(", ") AND (", ")"))
+  }
 }
 
 /** One snapshot table at a pinned version, readable and writable.
@@ -465,8 +479,35 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
   private var aggResult: Option[(StructType, Row)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => GraftDataSource.filterSql(f).isDefined)
-    filters // ALL filters stay residual: pruning refutes, rows re-check
+    // Filters with an EXACT (strict) SQL translation are claimed as
+    // fully pushed: the scan applies them itself as its row filter
+    // (readKept), so no residual Filter node remains above — which is
+    // what lets Spark's TopN pushdown reach the scan for the
+    // `WHERE eq-filter ORDER BY ts DESC LIMIT k` serving shape
+    // (V2ScanRelationPushDown only pushes TopN through a filter-free
+    // operation). Filters with only a PARTIAL translation (a
+    // half-translatable AND) still file-prune but stay residual —
+    // Spark re-checks their rows above the scan.
+    //
+    // EXCEPT a pure null-guard set: bare equi-joins carry only the
+    // inferred IsNotNull conjuncts, and claiming those would mark the
+    // scan predicated — suppressing its numRows/columnStats planner
+    // statistics (the CBO join-reorder signal) and paying a pointless
+    // skipping pass that can refute nothing. With no real filter
+    // there is no TopN composition to enable either, so the guards
+    // stay residual and the scan stays statistics-transparent.
+    val anyReal = filters.exists(f =>
+      GraftDataSource.strictFilterSql(f).isDefined &&
+        !f.isInstanceOf[IsNotNull])
+    if (anyReal) {
+      pushed = filters.filter(f =>
+        GraftDataSource.filterSql(f).isDefined ||
+          GraftDataSource.strictFilterSql(f).isDefined)
+      filters.filterNot(f => GraftDataSource.strictFilterSql(f).isDefined)
+    } else {
+      pushed = filters.filter(f => GraftDataSource.filterSql(f).isDefined)
+      filters
+    }
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -484,18 +525,24 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
 
   override def isPartiallyPushed: Boolean = true
 
-  // ORDER BY <col> LIMIT n over a bare scan prunes FILES via the
-  // recorded per-file bounds + null counts: files the kept set
-  // provably out-ranks never read (see [[SnapshotTable.topNKept]] for
-  // the soundness rule). Single direct-column orderings only — an
-  // expression ordering has no recorded bounds; any pushed filter
-  // declines (post-filter guarantees are unknowable from metadata).
-  // Always PARTIAL: Spark keeps its own TopN above, pruning is
-  // IO-only, so a table without sidecar coverage simply reads plain.
+  // ORDER BY <col> LIMIT n prunes FILES via the recorded per-file
+  // bounds + null counts: files the kept set provably out-ranks never
+  // read (see [[SnapshotTable.topNKept]] for the soundness rule).
+  // Single direct-column orderings only — an expression ordering has
+  // no recorded bounds. COMPOSES with pushed filters when every
+  // pushed filter translated strictly (then the scan's row predicate
+  // IS the complete filter and [[SnapshotTable.topNKept]]'s
+  // must-match accounting counts only provably-surviving rows);
+  // a partial-only translation declines (its residual would sit above
+  // the scan anyway, so Spark would not push TopN here). Always
+  // PARTIAL: Spark keeps its own TopN above, pruning is IO-only, so a
+  // table without sidecar coverage simply reads plain.
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
-    if (pushed.nonEmpty || orders.length != 1) return false
+    if (orders.length != 1) return false
+    if (pushed.exists(f => GraftDataSource.strictFilterSql(f).isEmpty))
+      return false
     val o = orders.head
     val column = o.expression match {
       case r: NamedReference if r.fieldNames.length == 1 &&
@@ -585,7 +632,7 @@ private[sources] class GraftScanBuilder(root: String, version: Long,
     case Some((schema, row)) => new GraftAggScan(root, version, schema, row)
     case None =>
       new GraftScan(root, version,
-        GraftDataSource.predicateSql(pushed.toSeq), required, limit,
+        GraftDataSource.scanPredicateSql(pushed.toSeq), required, limit,
         topn = topn)
   }
 }
@@ -668,9 +715,24 @@ private[sources] class GraftScan(
     case Some(p) =>
       val base = SnapshotTable.skippingKept(SparkSession.active, root, p,
         version)
-      Some(runtimeBlooms.foldLeft(base)((fs, b) =>
+      val bloomed = runtimeBlooms.foldLeft(base)((fs, b) =>
         SnapshotTable.bloomKeysKept(SparkSession.active, root,
-          b.column, b.fileProbes, fs)))
+          b.column, b.fileProbes, fs))
+      // pushed TopN composes with the pushed filter: the prefix
+      // search runs over the skipping survivors with must-match
+      // guarantee accounting (only rows PROVEN to survive the filter
+      // count toward the ≥n guarantee — the builder only pushes TopN
+      // when every pushed filter is strict, so `p` is the complete
+      // row predicate). None (unprovable / nothing prunable / any
+      // failure) keeps the skipping survivors — pruning is an
+      // optimization, never a correctness gate.
+      val narrowed = topn.flatMap { t =>
+        try SnapshotTable.topNKept(SparkSession.active, root,
+          version, t.column, t.descending, t.nullsFirst, t.n,
+          candidatesOverride = Some(bloomed), filterSql = Some(p))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      Some(narrowed.getOrElse(bloomed))
     case None =>
       // pushed TopN prunes by recorded bounds + null counts; None
       // (no sidecar coverage / nothing prunable / any failure) reads

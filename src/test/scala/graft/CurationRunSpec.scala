@@ -207,6 +207,48 @@ class CurationRunSpec extends GraftSuite {
       .getAs[Long]("substr_removed") === 12L)
   }
 
+  test("runFull bootstraps through the full governed surface: corpus + signatures + substring store, rollback rewinds all three") {
+    val cat = Files.createTempDirectory("graft-curation-full").toString
+    // doc_id % 4 batches: 4 → batch 0 (seeds canonicals), 1 → batch 1
+    // (fresh text carrying batch 0's passage — a CROSS-BATCH substring
+    // hit through the governed store), 6 → batch 2, batch 3 empty
+    val d = docs(
+      4L -> base,
+      1L -> (freshDoc("f", 8) + " " + passage + " " + freshDoc("g", 12)),
+      6L -> other)
+    val last = CurationRun.runFull(spark, d, cat, batches = 4,
+      substringWindow = Some(10))
+    // one atomic commit per batch carried all three tables
+    val vs = Catalog.tableVersions(cat)
+    assert(vs.contains("corpus") && vs.contains("dedup_signatures") &&
+      vs.contains("substring_store"), vs)
+    assert(Catalog.read(spark, cat, "corpus").count() === 3)
+    // the cross-batch substring hit resolved through the STORE — batch
+    // 0's text was never re-read
+    assert(Catalog.read(spark, cat, "corpus")
+      .filter(col("doc_id") === 1L).head()
+      .getAs[Long]("substr_removed") === 12L)
+    // resume semantics: a re-run replays every published batch as an
+    // exactly-once skip (empty batches publish nothing to begin with)
+    assert(CurationRun.runFull(spark, d, cat, batches = 4,
+      substringWindow = Some(10)) === last)
+    // rollback to the bootstrap's first commit rewinds ALL THREE
+    val first = 0L
+    val canonAll = Catalog.read(spark, cat, "substring_store").count()
+    Catalog.rollback(cat, first)
+    assert(Catalog.read(spark, cat, "corpus").count() === 1) // batch 0
+    assert(Catalog.read(spark, cat, "dedup_signatures").count() === 1)
+    assert(Catalog.read(spark, cat, "substring_store").count() < canonAll)
+    // and the rewound bootstrap RESUMES: batches 1/2 re-ingest with
+    // identical verdicts against the rewound store
+    CurationRun.runFull(spark, d, cat, batches = 4,
+      substringWindow = Some(10))
+    assert(Catalog.read(spark, cat, "corpus").count() === 3)
+    assert(Catalog.read(spark, cat, "corpus")
+      .filter(col("doc_id") === 1L).head()
+      .getAs[Long]("substr_removed") === 12L)
+  }
+
   test("retraction drops substring canonicals — passages re-admit") {
     val cat = Files.createTempDirectory("graft-curation-ssret").toString
     CurationRun.runBatch(spark, cat, docs(1L -> base, 3L -> other), 0L,

@@ -137,6 +137,41 @@ class FuzzyJoinSpec extends GraftSuite {
     assert(got.contains(("", "ab", 2))) // tiny bucket: no grams at all
   }
 
+  test("stored gram statistics answer every plan gate: zero pricing jobs, answers identical") {
+    // VERDICT r14 #4: the collectNdv pattern for fuzzy joins — a
+    // stored inventory's gram-df sidecar + candidate-work scalars
+    // replace the per-query pricing aggregates entirely
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fuzzy-stored").toString + "/t"
+    import graft.operators.SnapshotTable
+    SnapshotTable.commit(vocab.zipWithIndex.toDF("s", "id"), root)
+    FuzzyJoin.collectGramStats(spark, root, "s", maxDist = 2)
+
+    FuzzyJoin.pricingJobs.set(0L)
+    val got = FuzzyJoin.selfPairsStored(spark, root, "s", 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(FuzzyJoin.pricingJobs.get() === 0L,
+      "every gate must answer from the sidecar scalars")
+    assert(got === naive(2))
+
+    // without sidecar coverage (different q) the fallback prices per
+    // query — answer-identical, jobs > 0
+    FuzzyJoin.pricingJobs.set(0L)
+    val fb = FuzzyJoin.selfPairsStored(spark, root, "s", 2, q = 4)
+      .as[(String, String, Int)].collect().toSet
+    assert(FuzzyJoin.pricingJobs.get() > 0L)
+    assert(fb === naive(2))
+
+    // the stored SIGNATURE path (gate forced shut) joins the sidecar
+    // ranking — still complete, still zero pricing
+    FuzzyJoin.pricingJobs.set(0L)
+    val sig = FuzzyJoin.selfPairsStored(spark, root, "s", 2,
+      maxGramCandidates = 0L)
+      .as[(String, String, Int)].collect().toSet
+    assert(FuzzyJoin.pricingJobs.get() === 0L)
+    assert(sig === naive(2))
+  }
+
   test("a pathological short inventory refuses loudly instead of exploding") {
     val dense = (0 until 400).map(i => f"c$i%03d").toDF("s")
     val e = intercept[IllegalArgumentException] {

@@ -30,9 +30,12 @@ class GraftDataSourceSpec extends GraftSuite {
     val q = df.filter(col("l_orderkey") <= 100)
       .select("l_orderkey", "l_quantity")
     val plan = q.queryExecution.executedPlan.toString
-    // the filter crossed the DSv2 boundary into the connector...
-    assert(plan.contains("PushedFilters: [LessThanOrEqual(l_orderkey,100)]"),
-      plan)
+    // the filter crossed the DSv2 boundary into the connector (the
+    // inferred IsNotNull conjunct pushes too — strict translations
+    // are claimed fully, leaving no residual Filter above the scan)...
+    assert(plan.contains("LessThanOrEqual(l_orderkey,100)"), plan)
+    assert(plan.contains("IsNotNull(l_orderkey)"), plan)
+    assert(!plan.contains("+- Filter"), plan) // no residual re-check
     // ...and column pruning reached the relation
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       plan)

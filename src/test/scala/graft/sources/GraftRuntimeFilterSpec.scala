@@ -183,6 +183,45 @@ class GraftRuntimeFilterSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.runtimeFilter.maxBuildBytes")
   }
 
+  test("a two-cluster dim domain prunes fact files BETWEEN the clusters (union of ranges)") {
+    // VERDICT r14 #5: the metadata tier used to emit one [min,max]
+    // envelope — a bimodal dim key domain (keys at both ends of the
+    // fact's range) then pruned nothing. The union-of-ranges conjunct
+    // (OR of the dim's merged per-file bound ranges) keeps only the
+    // fact files overlapping a cluster.
+    val dimRoot = Files.createTempDirectory("graft-rtf-bimodal")
+      .toString + "/t"
+    // two clusters at opposite ends: 0-39 and 760-799, one tight-range
+    // file each (range repartition by dk)
+    ((0L until 40L) ++ (760L until 800L)).map(k => (k, s"n$k"))
+      .toDF("dk", "name").repartitionByRange(2, col("dk"))
+      .write.format("graft").option("statsCols", "dk")
+      .mode("overwrite").save(dimRoot)
+    val dim = spark.read.format("graft").load(dimRoot)
+    spark.conf.set("spark.graft.runtimeFilter.maxBuildBytes", "1")
+    try { // force the METADATA tier
+      val q = fact.join(dim, col("k") === col("dk"))
+        .agg(sum(col("amount")).as("total"))
+      val expected = ((0 until 40) ++ (760 until 800)).map(_ * 10.0).sum
+      assert(q.head().getDouble(0) === expected)
+      val scan = factScan(q).get
+      assert(scan.runtimeFiltered)
+      val p = scan.predicate.get
+      assert(p.contains(" OR "), p) // the union, not one envelope
+      // fact files strictly between the clusters (k 100..759 ranges)
+      // are refuted — the envelope [0, 799] would have kept all 8
+      val kept = SnapshotTable.skippingKept(spark, factRoot, p).size
+      assert(kept * 2 <= candidateCount, s"kept $kept of $candidateCount")
+      // answers identical with the feature off
+      spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+      try {
+        assert(fact.join(dim, col("k") === col("dk"))
+          .agg(sum(col("amount")).as("total"))
+          .head().getDouble(0) === expected)
+      } finally spark.conf.unset("spark.graft.runtimeFilter.enabled")
+    } finally spark.conf.unset("spark.graft.runtimeFilter.maxBuildBytes")
+  }
+
   test("fires through GOVERNED-catalog SQL star joins too") {
     val cat = Files.createTempDirectory("graft-rtf-gov").toString + "/cat"
     spark.conf.set("spark.sql.catalog.rtfgov",

@@ -135,6 +135,88 @@ class TopNPushdownSpec extends GraftSuite {
       .select("grp").collect().forall(_.getString(0) == "c"))
   }
 
+  test("TopN composes with a pushed filter: prefix search over the skipping survivors") {
+    // VERDICT r14 #1: the dashboard shape is `WHERE eq-filter ORDER BY
+    // ts DESC LIMIT k` — both prunings must land. The eq filter prunes
+    // to one identity partition (skipping survivors); the TopN prefix
+    // search then runs over those survivors with must-match guarantee
+    // accounting: each survivor's partition dir PROVES the filter true
+    // for every row (sym identity: min = max = 'sym1', zero nulls), so
+    // its rows count toward the ≥n guarantee and the prefix collapses
+    // to the top-ts files.
+    val root = Files.createTempDirectory("graft-topn-filt").toString + "/t"
+    val df = (0L until 8000L).map(i => (i, s"sym${i % 4}", i * 1.5))
+      .toDF("ts", "sym", "px").repartitionByRange(8, col("ts"))
+    SnapshotTable.setNdvColumns(root, Seq("ts"))
+    SnapshotTable.commitAppend(df, root, "sym", statsCols = Seq("ts"))
+    val expect = df.filter(col("sym") === "sym1").orderBy(desc("ts"))
+      .limit(5).select("ts", "px").collect().map(_.toSeq).toSeq
+
+    val g = spark.read.format("graft").load(root)
+    val q = g.filter(col("sym") === "sym1").orderBy(desc("ts")).limit(5)
+    val scan = graftScan(q)
+    assert(scan.topn.exists(t => t.column == "ts" && t.descending &&
+      t.n == 5), "TopN must push under a fully-translated filter")
+    val kept = scan.kept.get
+    val sym1Files = SnapshotTable.skippingKept(spark, root,
+      "`sym` = 'sym1'", 0L)
+    assert(kept.forall(_.contains("sym=sym1")), kept)
+    assert(kept.nonEmpty && kept.size < sym1Files.size,
+      s"files-read (${kept.size}) must be < filter survivors " +
+        s"(${sym1Files.size}): $kept")
+    assert(q.select("ts", "px").collect().map(_.toSeq).toSeq === expect)
+
+    // behavioral proof: every file OUTSIDE the kept set is corrupt,
+    // and the composed query still answers — those files never open
+    val all = spark.read.parquet(s"$root/v=0/_stats")
+      .select("_file").collect().map(_.getString(0))
+    all.filterNot(kept.contains).foreach { rel =>
+      Files.write(Paths.get(root, rel.substring(rel.indexOf("v=0/"))),
+        "not parquet".getBytes)
+    }
+    val q2 = spark.read.format("graft").schema(df.schema).load(root)
+      .filter(col("sym") === "sym1").orderBy(desc("ts")).limit(5)
+    assert(q2.select("ts", "px").collect().map(_.toSeq).toSeq === expect)
+
+    // a filter the metadata cannot PROVE for all rows (px has no
+    // recorded bounds) keeps the guarantee at zero: no TopN pruning,
+    // kept = the skipping survivors — sound, never unsound pruning
+    val q3 = spark.read.format("graft").schema(df.schema).load(root)
+      .filter(col("px") >= 0).orderBy(desc("ts")).limit(5)
+    val scan3 = graftScan(q3)
+    assert(scan3.topn.nonEmpty) // pushed (strict translation exists)
+    assert(scan3.kept.get.size === all.length) // ...but prunes nothing
+  }
+
+  test("days(ts) hidden partitioning TopN-prunes to trailing partitions with no stats coverage") {
+    // VERDICT r14 #8: a time-layout serving table needs no sidecars —
+    // the day directory value is an exact [first, last] instant range
+    // of ts, a valued dir proves zero nulls (days(null) is the null
+    // dir), and __rows rides every commit; ORDER BY ts DESC LIMIT k
+    // reads only the newest partition.
+    val root = Files.createTempDirectory("graft-topn-hidden").toString + "/t"
+    val df = spark.range(0, 240).selectExpr(
+      "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0," +
+        "CAST(id AS INT),0,0) AS ts",
+      "CAST(id AS DOUBLE) AS v")
+    SnapshotTable.commitDelta(df, root, "days(ts)") // NO statsCols/ndv
+    val v = SnapshotTable.latestVersion(root)
+    val kept = SnapshotTable.topNKept(spark, root, v, "ts",
+      descending = true, nullsFirst = false, 5)
+    assert(kept.exists(k =>
+      k.nonEmpty && k.forall(_.contains("ts_day=2024-03-10"))), kept)
+    val g = spark.read.format("graft").load(root)
+    assert(g.orderBy(desc("ts")).limit(5).select("v")
+      .collect().map(_.getDouble(0)).toSeq ===
+      df.orderBy(desc("ts")).limit(5).select("v")
+        .collect().map(_.getDouble(0)).toSeq)
+    // ascending reads only the OLDEST partition
+    val ascKept = SnapshotTable.topNKept(spark, root, v, "ts",
+      descending = false, nullsFirst = false, 5)
+    assert(ascKept.exists(k =>
+      k.nonEmpty && k.forall(_.contains("ts_day=2024-03-01"))), ascKept)
+  }
+
   test("declines without null-count coverage or under MoR deletes") {
     // bounds but NO ndv sidecar: null counts unknown → no pruning
     val root = Files.createTempDirectory("graft-topn-nondv").toString + "/t"
