@@ -260,6 +260,68 @@ v$s AS (
     sb.toString
   }
 
+  /** Unigram-LM tokenizer CTE chain (the [[bpeCtes]] analog for the
+    * SentencePiece family): candidate substrings → top-K multi-char
+    * pieces + every single char (v0) → `rounds` hard-EM iterations
+    * (per-word Viterbi DP folded through `list_reduce`, re-count,
+    * prune zero-count multi pieces) → one final segmentation for
+    * encoding. The DP optimizes the exact-integer lexicographic
+    * objective (fewest pieces, largest Σ weight, lexicographically
+    * earliest sequence) via struct ordering — `{'k', 'ns', 'sq'}`
+    * sorts by piece count, then NEGATED weight sum, then sequence —
+    * replaying graft's `Unigram.segment` bit-for-bit (libm-free: no
+    * IEEE ln enters any comparison). */
+  private def unigramCtes(maxl: Int, k: Int, rounds: Int): String = {
+    def spans(r: Int) = s"""
+sp$r AS (
+  SELECT t.word, list({'e': t.s.e, 'l': t.s.l, 'c': v.c, 'p': t.s.p} ORDER BY t.s.e, t.s.l) AS spans
+  FROM (
+    SELECT word, UNNEST(flatten([
+      [{'e': i + l - 1, 'l': l, 'p': word[i:i+l-1]} FOR i IN range(1, len(word) - l + 2)]
+      FOR l IN range(1, ${maxl + 1}) IF len(word) >= l])) AS s
+    FROM wc) t
+  JOIN v${r - 1} v ON v.piece = t.s.p
+  GROUP BY t.word)"""
+    def seg(r: Int) = s"""
+sg$r AS (
+  SELECT w.word, w.cnt,
+    list_reduce(
+      list_concat(
+        [[{'k': 0, 'ns': CAST(0 AS BIGINT), 'sq': CAST([] AS VARCHAR[])}]],
+        [[{'k': i, 'ns': CAST(0 AS BIGINT), 'sq': CAST([] AS VARCHAR[])}] FOR i IN range(1, len(w.word) + 1)]),
+      (acc, te) -> list_append(acc, list_sort([
+        {'k': acc[te[1].k - sp.l + 1].k + 1,
+         'ns': acc[te[1].k - sp.l + 1].ns - sp.c,
+         'sq': list_append(acc[te[1].k - sp.l + 1].sq, sp.p)}
+        FOR sp IN s.spans IF sp.e = te[1].k])[1]))[len(w.word) + 1].sq AS pieces
+  FROM wc w JOIN sp$r s USING (word))"""
+    def recount(r: Int) = s"""
+ct$r AS (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, UNNEST(pieces) AS piece FROM sg$r)
+  GROUP BY piece),
+v$r AS (
+  SELECT v.piece, CAST(COALESCE(ct.c, 0) AS BIGINT) AS c
+  FROM v${r - 1} v LEFT JOIN ct$r ct USING (piece)
+  WHERE COALESCE(ct.c, 0) > 0 OR len(v.piece) = 1)"""
+    val em = (1 to rounds).map(r => s"${spans(r)},${seg(r)},${recount(r)}")
+      .mkString(",")
+    s"""tk AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents),
+wc AS (SELECT word, COUNT(*) AS cnt FROM tk WHERE word <> '' GROUP BY word),
+cand AS (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, UNNEST(flatten([
+      [word[i:i+l-1] FOR i IN range(1, len(word) - l + 2)]
+      FOR l IN range(1, ${maxl + 1}) IF len(word) >= l])) AS piece
+    FROM wc)
+  GROUP BY piece),
+vm AS (SELECT piece, c FROM cand WHERE len(piece) > 1 ORDER BY c DESC, piece LIMIT $k),
+vs AS (SELECT piece, c FROM cand WHERE len(piece) = 1),
+v0 AS (SELECT * FROM vm UNION ALL SELECT * FROM vs),$em,${spans(rounds + 1)},${seg(rounds + 1)}"""
+  }
+
   /** The merge-table select over k trained stages. */
   private def bpeMergeSelect(k: Int): String =
     (1 to k).map(s =>
@@ -954,6 +1016,22 @@ v$s AS (
       s"""WITH ${bpeCtes(8)}
          |SELECT tk.doc_id, CAST(SUM(len(v8.syms)) AS BIGINT) AS bpe_tokens
          |FROM tk JOIN v8 ON tk.word = v8.word
+         |WHERE tk.word <> ''
+         |GROUP BY tk.doc_id""".stripMargin,
+
+    // unigram-LM tokenizer (SentencePiece family): the trained piece
+    // table after 2 hard-EM rounds — exact-integer Viterbi objective,
+    // so the DP replays bit-for-bit (see unigramCtes)
+    "unigram_train" ->
+      (s"WITH ${unigramCtes(4, 96, 2)}\n" +
+        "SELECT piece, c AS n_piece FROM v2"),
+
+    // corpus encoding under the trained pieces: per-doc token counts
+    // from one more Viterbi pass (sg3) over the word inventory
+    "unigram_tokenize" ->
+      s"""WITH ${unigramCtes(4, 96, 2)}
+         |SELECT tk.doc_id, CAST(SUM(len(sg3.pieces)) AS BIGINT) AS unigram_tokens
+         |FROM tk JOIN sg3 ON tk.word = sg3.word
          |WHERE tk.word <> ''
          |GROUP BY tk.doc_id""".stripMargin,
 

@@ -468,6 +468,18 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Bpe.encode(docs, Bpe.trainMerges(docs, 8).map(m => (m._1, m._2)))
     },
+    // unigram-LM (SentencePiece family) tokenizer: the piece table
+    // after 2 hard-EM rounds over the word inventory — Viterbi under
+    // the exact-integer lexicographic objective, replayed bit-for-bit
+    // by the DuckDB DP oracle (libm-free determinism)
+    "unigram_train" -> ((s, dir) =>
+      Unigram.train(Tables.documents(s, dir))),
+    // ...and corpus encoding under the trained pieces: per-doc token
+    // counts (train → encode end-to-end through the oracle)
+    "unigram_tokenize" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Unigram.encode(docs, Unigram.trainWeights(docs))
+    },
     // fuzzy (edit-distance) join: near-duplicate part names within 2
     // edits via the q-gram inverted-index prefilter + levenshtein
     // verify; the oracle is the NAIVE all-pairs join, so a hash match
