@@ -368,9 +368,13 @@ object FuzzyJoin {
     val dir = gramStatsDir(root, v, column, maxDist, q)
     val scalars = MetaIO.join(dir.toString, "scalars")
     if (!MetaIO.exists(scalars)) return None
-    val kv = MetaIO.readString(scalars).split("\n")
-      .map(_.split("=", 2)).collect { case Array(k, x) => k -> x.toDouble }
-      .toMap
+    // a truncated/corrupt scalars file must DEGRADE to the per-query-
+    // priced path (the stated fallback contract), never crash a query
+    val kv = scala.util.Try {
+      MetaIO.readString(scalars).split("\n")
+        .map(_.split("=", 2)).collect { case Array(k, x) => k -> x.toDouble }
+        .toMap
+    }.getOrElse(return None)
     for {
       n <- kv.get("n"); selfCand <- kv.get("selfCand")
       sg <- kv.get("shortGramCand")

@@ -2615,6 +2615,7 @@ object SnapshotTable {
                    statsCols: Seq[String], version: Long = -1L): Seq[Long] = {
     require(statsCols.nonEmpty, "collectStats needs at least one column")
     fastBoundsCache.clear()
+    fastRangesCache.clear() // a backfill changes per-file bounds too
     val v = if (version >= 0) version else latestVersion(root)
     require(v >= 0, s"no committed version at $root")
     val storageVersions = {
@@ -2829,20 +2830,37 @@ object SnapshotTable {
 
   /** [[fastBoundsRangesFiles]] over ALL of version `v`'s live data
     * files (what the whole-table [[fastBounds]] is to
-    * [[fastBoundsFiles]]). */
+    * [[fastBoundsFiles]]), MEMOIZED per (root, version, column,
+    * maxRanges) — the runtime-filter rule consults this at plan time
+    * on every star-join query, and the sidecar collect must be paid
+    * once, not per plan (the [[fastBoundsCached]] discipline: compute
+    * OUTSIDE the map, never hold a CHM bin lock through a Spark
+    * job). */
   private[graft] def fastBoundsRanges(spark: SparkSession, root: String,
                                       column: String, version: Long = -1L,
                                       maxRanges: Int = 8)
       : Option[Seq[(Any, Any)]] = {
     val v = if (version >= 0) version else latestVersion(root)
     if (v < 0) return None
-    val entries = manifestEntries(root, v)
-    val dirs: Seq[(String, Long)] =
-      if (entries.isEmpty) Seq(s"v=$v" -> v)
-      else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
-    fastBoundsRangesFiles(spark, root, column, v,
-      candidateDataFiles(root, dirs).toSeq, maxRanges)
+    if (fastRangesCache.size > 1024) fastRangesCache.clear()
+    val key = (MetaIO.join(root).toString, v, column, maxRanges)
+    val cached = fastRangesCache.get(key)
+    if (cached != null) return cached
+    val computed: Option[Seq[(Any, Any)]] = {
+      val entries = manifestEntries(root, v)
+      val dirs: Seq[(String, Long)] =
+        if (entries.isEmpty) Seq(s"v=$v" -> v)
+        else entries.sorted.map { case (p, sv) => s"v=$sv/$p" -> sv }
+      fastBoundsRangesFiles(spark, root, column, v,
+        candidateDataFiles(root, dirs).toSeq, maxRanges)
+    }
+    val prev = fastRangesCache.putIfAbsent(key, computed)
+    if (prev != null) prev else computed
   }
+
+  private val fastRangesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String, Int),
+      Option[Seq[(Any, Any)]]]
 
   /** `COUNT(*)` from METADATA — the Iceberg manifests-only count: sums
     * the per-file `__rows` the stats sidecars record at write time and
@@ -3557,7 +3575,8 @@ object SnapshotTable {
 
   private def topNFileMeta(spark: SparkSession, root: String, version: Long,
                            dirs: Seq[(String, Long)],
-                           candidates: Set[String], cols: Seq[String])
+                           candidates: Set[String], cols: Seq[String],
+                           tableSchema: () => types.StructType)
       : TopNMeta = {
     val svs = dirs.map(_._2).distinct.sorted
     val statFrames = svs.flatMap(fileStats(spark, root, _))
@@ -3578,8 +3597,7 @@ object SnapshotTable {
         .flatMap(_.select(col("_file"), col(s"${c}__nulls")).collect())
         .map(r => (decodeReportedPath(r.getString(0)), c) -> r.getLong(1))
     }.toMap
-    lazy val schema: types.StructType = recordedSchema(root, version)
-      .getOrElse(read(spark, root, version).schema)
+    lazy val schema: types.StructType = tableSchema()
     def svOf(f: String): Long =
       f.stripPrefix("v=").takeWhile(_.isDigit).toLong
     val derived =
@@ -3721,13 +3739,12 @@ object SnapshotTable {
     * stats-shaped frame from [[topNFileMeta]]'s merged pieces). Only
     * these files' rows may count toward TopN pruning guarantees under
     * a pushed filter. */
-  private def mustMatchFiles(spark: SparkSession, root: String,
-                             version: Long, candidates: Seq[String],
+  private def mustMatchFiles(spark: SparkSession,
+                             candidates: Seq[String],
                              filterCols: Seq[String], meta: TopNMeta,
+                             schema: types.StructType,
       parsed: org.apache.spark.sql.catalyst.expressions.Expression)
       : Set[String] = {
-    val schema: types.StructType = recordedSchema(root, version)
-      .getOrElse(read(spark, root, version).schema)
     val present = filterCols.filter(c => schema.fields.exists(_.name == c))
     val fields = types.StructField("_file", types.StringType, false) +:
       types.StructField("__rows", types.LongType, true) +:
@@ -3811,8 +3828,12 @@ object SnapshotTable {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         a.nameParts.last
     }).distinct
+    // table schema resolved ONCE for the whole pruning pass (a table
+    // without a recorded schema pays read-plan inference exactly once)
+    lazy val tblSchema: types.StructType = recordedSchema(root, version)
+      .getOrElse(read(spark, root, version).schema)
     val meta = topNFileMeta(spark, root, version, dirs, candidates,
-      (column +: filterCols).distinct)
+      (column +: filterCols).distinct, () => tblSchema)
     val stats: Map[String, (Any, Any, Long)] = candidates.toSeq.flatMap {
       f =>
         for {
@@ -3838,8 +3859,8 @@ object SnapshotTable {
     val mustMatch: String => Boolean = parsedFilter match {
       case None => _ => true
       case Some(pe) =>
-        mustMatchFiles(spark, root, version, candidates.toSeq, filterCols,
-          meta, pe).contains
+        mustMatchFiles(spark, candidates.toSeq, filterCols,
+          meta, tblSchema, pe).contains
     }
     val ord = statValueOrdering
     // a row is None (null) or Some(value); strictly-better under the

@@ -214,7 +214,14 @@ object GraftDataSource {
 
   private[graft] def litSql(v: Any): Option[String] = v match {
     case null => None
-    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case s: String =>
+      // backslashes must DOUBLE: the rendered literal re-parses with
+      // escape processing (spark.sql.parser.escapedStringLiterals is
+      // false by default), so an unescaped backslash would turn
+      // 'C:\tmp' into 'C:<TAB>mp' — unsound file pruning always, and
+      // since strict filters are claimed fully pushed (no residual
+      // re-check) a silently WRONG row filter too
+      Some("'" + s.replace("\\", "\\\\").replace("'", "''") + "'")
     case b: Boolean => Some(b.toString)
     case b: Byte => Some(b.toString)
     case s: Short => Some(s.toString)

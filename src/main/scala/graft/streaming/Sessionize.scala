@@ -193,6 +193,14 @@ object Sessionize {
                         checkpointDir: String, gapMinutes: Int = 30,
                         maxFilesPerTrigger: Int = 0): Unit = {
     val spark = outer.newSession()
+    // inherit the caller's runtime conf (newSession starts from
+    // SparkContext defaults — silently dropping the caller's shuffle
+    // partitions / timezone / streaming tuning would be its own bug);
+    // static or read-only entries refuse to set, skip them
+    outer.conf.getAll.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     import spark.implicits._
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     spark.conf.set(providerKey,

@@ -44,6 +44,27 @@ class GraftDataSourceSpec extends GraftSuite {
     assert(q.collect().toSet === expect)
   }
 
+  test("backslash-bearing string literals survive the claimed-filter round trip") {
+    // the rendered literal re-parses with escape processing, so an
+    // unescaped backslash would turn 'C:\tmp' into 'C:<TAB>mp' —
+    // unsound pruning always, and with strict filters claimed (no
+    // residual re-check) a silently WRONG row filter
+    val root = tmp("graft-ds-bslash")
+    import spark.implicits._
+    Seq(("C:\\tmp", 1L), ("C:\ttmp", 2L), ("plain", 3L))
+      .toDF("path", "n")
+      .write.format("graft").option("statsCols", "path")
+      .mode("overwrite").save(root)
+    val g = spark.read.format("graft").load(root)
+    def ids(p: String): Seq[Long] =
+      g.filter(col("path") === p).select("n")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids("C:\\tmp") === Seq(1L))
+    assert(ids("C:\ttmp") === Seq(2L))
+    assert(g.filter(col("path").startsWith("C:\\")).count() === 1)
+    assert(g.filter(col("path").isin("C:\\tmp", "plain")).count() === 2)
+  }
+
   test("pushed predicate drives FILE skipping: a refuted file is never opened") {
     val root = tmp("graft-ds-skip")
     val li = Tables.lineitem(spark, sf).repartitionByRange(4, col("l_orderkey"))
