@@ -2717,6 +2717,65 @@ v0 AS (SELECT * FROM vm UNION ALL SELECT * FROM vs),$em,${spans(rounds + 1)},${s
         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)),
         |    (x, y) -> x + y), 8) AS bm25
         |FROM contribs GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Reciprocal Rank Fusion of the BM25 leg (top-50) and the dense
+    // cosine leg (query = vec 0's embedding, top-50): rrf =
+    // 1/(60+lex_rank) + 1/(60+dense_rank), absent leg contributes 0.
+    // Ranks are integers off totally-ordered legs (score DESC, id ASC)
+    // whose scores already replay bit-for-bit (bm25_search / ann_topk
+    // forms); the fused sum adds the two divides in the same
+    // lexical-then-dense order as Spark, rounded at the boundary.
+    "hybrid_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, UNNEST(w) AS term FROM toks) GROUP BY 1, 2
+         |), qtf AS (
+         |  SELECT * FROM tf WHERE term IN ('merge', 'spark', 'vector', 'window')
+         |), dfq AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1
+         |), dls AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+         |), stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls
+         |), contribs AS (
+         |  SELECT q.doc_id, q.term,
+         |    (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+         |      (CAST(f.df AS DOUBLE) + 0.5)
+         |      * (CAST(q.tf AS DOUBLE) * 2.2) /
+         |      (CAST(q.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |        (CAST(d.dl AS DOUBLE) /
+         |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS contrib
+         |  FROM qtf q JOIN dfq f USING (term)
+         |  JOIN dls d ON q.doc_id = d.doc_id CROSS JOIN stats s
+         |), bmtop AS (
+         |  SELECT doc_id,
+         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)),
+         |      (x, y) -> x + y), 8) AS bm25
+         |  FROM contribs GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id LIMIT 50
+         |), lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank FROM bmtop
+         |), $nrmCte,
+         |q AS (SELECT embedding AS qe, nrm AS qn FROM nrm WHERE vec_id = 0),
+         |dtop AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    ${duckDot("q.qe", "c.embedding")} / (q.qn * c.nrm) AS cosine
+         |  FROM nrm c, q WHERE c.vec_id <> 0
+         |  ORDER BY cosine DESC, c.vec_id LIMIT 50
+         |), dense AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY cosine DESC, doc_id) AS INT) AS dense_rank FROM dtop)
+         |SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |  COALESCE(l.lex_rank, 0) AS lex_rank,
+         |  COALESCE(d.dense_rank, 0) AS dense_rank,
+         |  round(COALESCE(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 0) +
+         |        COALESCE(1.0 / (60.0 + CAST(d.dense_rank AS DOUBLE)), 0), 8) AS rrf
+         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 }

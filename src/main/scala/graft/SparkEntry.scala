@@ -836,7 +836,10 @@ object SparkEntry {
       TextAnalysis.curationReport(Tables.documents(s, dir))),
     "tf_idf" -> ((s, dir) => Retrieval.tfIdf(Tables.documents(s, dir))),
     "bm25_search" -> ((s, dir) =>
-      Retrieval.bm25Search(Tables.documents(s, dir)))
+      Retrieval.bm25Search(Tables.documents(s, dir))),
+    "hybrid_search" -> ((s, dir) =>
+      Retrieval.hybridSearch(Tables.documents(s, dir),
+        Tables.embeddings(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

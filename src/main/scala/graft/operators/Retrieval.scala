@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,63 @@ object Retrieval {
           expr("aggregate(cs, cast(0 as double), (acc, s) -> acc + s.contrib)"),
           8).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** HYBRID SEARCH — Reciprocal Rank Fusion (Cormack et al. 2009) of
+    * the lexical [[bm25Search]] leg over `docs` and a dense
+    * cosine-similarity leg over `emb` (query = the `queryVec` row's
+    * embedding, the query-by-example form): each leg contributes
+    * `1/(kRrf + rank)` for the documents in its top-`n`, fused scores
+    * rank the final top-`k`. RRF is the standard production fusion for
+    * keyword+vector retrieval because it needs NO score calibration —
+    * only ranks cross the leg boundary, so a BM25 scale change or an
+    * embedding roll never re-weights the fusion.
+    *
+    * Determinism: ranks are integers from totally-ordered legs (score
+    * desc, id asc — both leg scores already replay bit-for-bit in the
+    * oracle, see [[bm25Search]] / `ann_topk`), and the fused score is
+    * two IEEE divides added in a fixed order (lexical + dense) then
+    * [[Rounding.roundScaled]] at the contract boundary. Absent-leg
+    * ranks surface as 0 with a 0 contribution.
+    *
+    * Scale: each leg ends in a `TakeOrderedAndProject` bounded heap
+    * (never a global sort) — the lexical leg's cost is [[bm25Search]]'s
+    * (query-term-filtered tf), the dense leg is one broadcast-query
+    * scan of the embedding table; the fusion then full-outer-joins two
+    * ≤`n`-row frames (broadcast, sub-millisecond) so fusion cost is
+    * independent of corpus size. The `row_number` windows run over
+    * those ≤`n`-row frames, not the corpus. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame,
+                   query: Seq[String] = DefaultQuery, queryVec: Long = 0L,
+                   n: Int = 50, k: Int = 20, kRrf: Int = 60): DataFrame = {
+    val lex = bm25Search(docs, query, n)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .as("lex_rank"))
+    val nrm = Similarity.withNorms(emb)
+    val q = nrm.filter(col("vec_id") === queryVec)
+      .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+    val denseTop = nrm.filter(col("vec_id") =!= queryVec)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine",
+        graft.functions.DotProduct.dot(col("embedding"), col("q_embedding")) /
+          (col("nrm") * col("q_nrm")))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(n)
+    val dense = denseTop
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("cosine").desc, col("vec_id")))
+          .as("dense_rank"))
+    def contrib(rank: Column): Column =
+      coalesce(lit(1.0d) / (lit(kRrf.toDouble) + rank.cast("double")),
+        lit(0.0d))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", Rounding.roundScaled(
+        contrib(col("lex_rank")) + contrib(col("dense_rank")), 8))
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
 }

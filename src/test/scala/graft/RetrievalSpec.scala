@@ -103,4 +103,59 @@ class RetrievalSpec extends GraftSuite {
     assert(Retrieval.bm25Search(docs,
       query = Seq("zzz_absent")).count() === 0)
   }
+
+  private def embFixture = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f)), // the query-by-example vector
+      (1L, Array(0.9f, 0.1f)), // nearest
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f)), // orthogonal
+      (4L, Array(-1.0f, 0.1f)) // anti-correlated, outside top-3
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("hybridSearch fuses lexical and dense ranks with RRF") {
+    val out = Retrieval.hybridSearch(docs, embFixture, n = 3, k = 10)
+      .collect()
+    val byId = out.map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    // dense leg (cosine vs vec 0): 1 > 2 > 3 > 4 — top-3 ranks 1,2,3
+    assert(byId(1L)._2 === 1 && byId(2L)._2 === 2 && byId(3L)._2 === 3)
+    // doc 3 has no query terms (lexical-absent), doc 4 is outside the
+    // dense top-3 (dense-absent) — absent legs surface as rank 0
+    assert(byId(3L)._1 === 0)
+    assert(byId(4L)._2 === 0)
+    // every doc in either leg appears exactly once; nothing else does
+    assert(out.map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
+    // the fused score is exactly 1/(60+rank) summed over present legs
+    out.foreach { r =>
+      val (l, d) = (r.getInt(1), r.getInt(2))
+      assert(l > 0 || d > 0, "a row with no leg leaked into the fusion")
+      val expect = BigDecimal(
+        (if (l > 0) 1.0d / (60.0d + l) else 0.0d) +
+          (if (d > 0) 1.0d / (60.0d + d) else 0.0d))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-12,
+        s"rrf mismatch for doc ${r.getLong(0)}")
+    }
+    // output is ordered by fused score desc, doc_id asc
+    val key = out.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
+    assert(key === key.sorted)
+    // a doc strong in BOTH legs outranks docs present in only one
+    val both = out.filter(r => r.getInt(1) > 0 && r.getInt(2) > 0)
+      .map(_.getLong(0)).toSet
+    assert(both.nonEmpty)
+    assert(both.contains(out.head.getLong(0)))
+  }
+
+  test("hybridSearch leg depth n bounds each leg's contribution") {
+    val out = Retrieval.hybridSearch(docs, embFixture, n = 1, k = 10)
+      .collect()
+    // exactly one doc per leg carries a nonzero rank (and it is 1)
+    assert(out.count(_.getInt(1) > 0) === 1)
+    assert(out.count(_.getInt(2) > 0) === 1)
+    assert(out.filter(_.getInt(1) > 0).head.getInt(1) === 1)
+    assert(out.filter(_.getInt(2) > 0).head.getInt(2) === 1)
+  }
 }
