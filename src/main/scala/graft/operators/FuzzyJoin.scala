@@ -352,7 +352,12 @@ object FuzzyJoin {
     MetaIO.mkdirs(dir.toString)
     MetaIO.delete(gramsDir, recursive = true)
     MetaIO.moveTree(tmp, gramsDir)
-    MetaIO.writeString(scalars,
+    // publish, never plain-write: scalars is what readers key on, and
+    // a crash mid-write would leave a truncated prefix that PARSES
+    // (e.g. "short=1") — mispricing the very gates the sidecar exists
+    // for, permanently (the exists() idempotence check would then skip
+    // every rebuild). publishString appears atomically or not at all.
+    MetaIO.publishString(scalars,
       s"n=$n\nselfCand=$selfCand\nshortGramCand=$shortGramCand\n" +
         s"tiny=$tinyCount\nshort=$shortCount")
     v

@@ -3314,13 +3314,12 @@ object SnapshotTable {
           f.split("/").find(_.startsWith(ps.field + "="))
             .map(seg => f -> unescapePathValue(seg.drop(ps.field.length + 1)))
         }.filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__")
-        ps match {
-          case ps0 if specBoundExprs(ps0, dt).isDefined =>
+        (ps, specBoundExprs(ps, dt)) match {
+          case (ps0, Some((lo, hi))) =>
             // identity / days / int-truncate: the dir value is an
             // exact [lo, hi] range of the source column
-            val (lo, hi) = specBoundExprs(ps0, dt).get
             refuteBounds(ps0.source, vals, lo, hi)
-          case TruncateSpec(w, src) => // string truncate: equality only
+          case (TruncateSpec(w, src), _) => // string truncate: eq only
             eqLiteralGroups(src).flatMap { lits =>
               val allowed =
                 lits.map(castLit(_, dt).map(u =>
@@ -3331,7 +3330,7 @@ object SnapshotTable {
                 vals.filterNot { case (_, pv) => as.contains(pv) }.map(_._1)
               }
             }
-          case BucketSpec(n, src) => // bucket: equality only
+          case (BucketSpec(n, src), _) => // bucket: equality only
             eqLiteralGroups(src).flatMap { lits =>
               val allowed = lits.map(l => castLit(l, dt).map { _ =>
                 val cl = CLit(Cast(l, dt, Some("UTC")).eval(null), dt)
@@ -3579,24 +3578,49 @@ object SnapshotTable {
                            tableSchema: () => types.StructType)
       : TopNMeta = {
     val svs = dirs.map(_._2).distinct.sorted
+    // ONE collect per sidecar frame, grabbing _file + __rows + every
+    // requested column's pieces at once — the naive per-(frame ×
+    // column) selects multiply tiny plan-time jobs on the serving
+    // path (the very overhead TopN pruning is meant to shrink)
     val statFrames = svs.flatMap(fileStats(spark, root, _))
-    val rows: Map[String, Long] = statFrames
-      .filter(_.columns.contains("__rows"))
-      .flatMap(_.select("_file", "__rows").collect())
-      .map(r => decodeReportedPath(r.getString(0)) -> r.getLong(1)).toMap
-    val sideBounds: Map[(String, String), (Any, Any)] = cols.flatMap { c =>
-      statFrames.filter(_.columns.contains(s"${c}__min"))
-        .flatMap(_.select(col("_file"), col(s"${c}__min"),
-          col(s"${c}__max")).collect())
-        .map(r => (decodeReportedPath(r.getString(0)), c) ->
-          ((r.get(1), r.get(2))))
-    }.toMap
+    var rows = Map.empty[String, Long]
+    var sideBounds = Map.empty[(String, String), (Any, Any)]
+    statFrames.foreach { st =>
+      val present = cols.filter(c => st.columns.contains(s"${c}__min"))
+      val hasRows = st.columns.contains("__rows")
+      if (hasRows || present.nonEmpty) {
+        val sel = col("_file") +:
+          ((if (hasRows) Seq(col("__rows")) else Nil) ++
+            present.flatMap(c =>
+              Seq(col(s"${c}__min"), col(s"${c}__max"))))
+        st.select(sel: _*).collect().foreach { r =>
+          val f = decodeReportedPath(r.getString(0))
+          var i = 1
+          if (hasRows) {
+            if (!r.isNullAt(i)) rows += f -> r.getLong(i)
+            i += 1
+          }
+          present.foreach { c =>
+            sideBounds += (f, c) -> ((r.get(i), r.get(i + 1)))
+            i += 2
+          }
+        }
+      }
+    }
     val ndvFrames = svs.flatMap(fileNdv(spark, root, _))
-    val sideNulls: Map[(String, String), Long] = cols.flatMap { c =>
-      ndvFrames.filter(_.columns.contains(s"${c}__nulls"))
-        .flatMap(_.select(col("_file"), col(s"${c}__nulls")).collect())
-        .map(r => (decodeReportedPath(r.getString(0)), c) -> r.getLong(1))
-    }.toMap
+    var sideNulls = Map.empty[(String, String), Long]
+    ndvFrames.foreach { nf =>
+      val present = cols.filter(c => nf.columns.contains(s"${c}__nulls"))
+      if (present.nonEmpty) {
+        val sel = col("_file") +: present.map(c => col(s"${c}__nulls"))
+        nf.select(sel: _*).collect().foreach { r =>
+          val f = decodeReportedPath(r.getString(0))
+          present.zipWithIndex.foreach { case (c, i) =>
+            if (!r.isNullAt(i + 1)) sideNulls += (f, c) -> r.getLong(i + 1)
+          }
+        }
+      }
+    }
     lazy val schema: types.StructType = tableSchema()
     def svOf(f: String): Long =
       f.stripPrefix("v=").takeWhile(_.isDigit).toLong

@@ -93,12 +93,15 @@ object Unigram {
     best(n)._3
   }
 
-  /** Candidate piece weights: every substring of length 1..maxPieceLen
-    * of every distinct word, weighted by corpus word count × in-word
-    * occurrences (overlaps counted). One explode + one shuffle. */
-  private def candidateWeights(docs: DataFrame,
+  /** Candidate piece weights over the (already persisted) word-count
+    * inventory: every substring of length 1..maxPieceLen of every
+    * distinct word, weighted by corpus word count × in-word
+    * occurrences (overlaps counted). One explode + one shuffle — the
+    * corpus-sized tokenize behind `words` is paid once by the caller,
+    * shared with the EM rounds. */
+  private def candidateWeights(words: DataFrame,
                                maxPieceLen: Int): DataFrame =
-    Bpe.wordCounts(docs)
+    words
       .select(col("cnt"), explode(expr(
         s"""flatten(transform(sequence(1, $maxPieceLen), l ->
            |  if(length(word) >= l,
@@ -118,7 +121,10 @@ object Unigram {
     require(vocabMulti >= 0 && maxPieceLen >= 1 && rounds >= 1,
       "need vocabMulti >= 0, maxPieceLen >= 1, rounds >= 1")
     val spark = docs.sparkSession
-    val cand = candidateWeights(docs, maxPieceLen).persist()
+    // ONE corpus tokenize: the persisted word inventory feeds both the
+    // candidate generation and every EM round
+    val words = Bpe.wordCounts(docs).persist()
+    val cand = candidateWeights(words, maxPieceLen).persist()
     val multi = cand.filter(length(col("piece")) > 1)
       .orderBy(col("c").desc, col("piece"))
       .limit(vocabMulti).collect()
@@ -126,7 +132,6 @@ object Unigram {
     val singles = cand.filter(length(col("piece")) === 1).collect()
       .map(r => r.getString(0) -> r.getLong(1))
     cand.unpersist()
-    val words = Bpe.wordCounts(docs).persist()
     var voc: Map[String, Long] = (multi ++ singles).toMap
     try {
       for (_ <- 1 to rounds) {

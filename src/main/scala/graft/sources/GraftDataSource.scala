@@ -282,10 +282,12 @@ object GraftDataSource {
     case Or(l, r) =>
       for (a <- filterSql(l); b <- filterSql(r)) yield s"($a OR $b)"
     case StringStartsWith(a, p) if p.nonEmpty =>
-      // exact range form: startsWith(p) ⟺ p <= a < nextPrefix(p), so
-      // min/max bounds prune prefix scans (Iceberg's truncated-bound
-      // compare). nextPrefix bumps the last non-￿ char; an
-      // all-￿ prefix has no upper bound → lower bound only.
+      // PRUNING-grade range form (a superset of the matches, so bounds
+      // only ever refute — Iceberg's truncated-bound compare):
+      // p <= a, and a < nextPrefix(p) when a clean code-point bump
+      // exists (all-￿ and surrogate-boundary prefixes keep the lower
+      // bound only). Row-EXACT use must go through [[strictFilterSql]],
+      // which conjoins the real startswith().
       for (q <- quoted(a); lo <- litSql(p)) yield nextPrefix(p) match {
         case Some(hi) => s"($q >= $lo AND $q < ${litSql(hi).get})"
         case None => s"$q >= $lo"
@@ -315,10 +317,20 @@ object GraftDataSource {
       for (q <- quoted(a); l <- litSql(v)) yield s"$q <=> $l"
     case AlwaysTrue() => Some("true")
     case AlwaysFalse() => Some("false")
-    // the comparison/IN/prefix leaves are already exact
+    // the comparison/IN leaves are already exact
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: In |
-         _: StringStartsWith => filterSql(f)
+         _: LessThan | _: LessThanOrEqual | _: In => filterSql(f)
+    case ssw @ StringStartsWith(a, p) if p.nonEmpty =>
+      // row-EXACT prefix: the range form alone is only a SUPERSET —
+      // with no finite upper bound (all-￿ prefixes) it admits every
+      // larger string (supplementary-plane values sort above every
+      // BMP bound). Conjoining the real startswith() keeps file
+      // skipping on the range conjuncts ([[SnapshotTable]] boundsSql
+      // ignores the unknown leaf) while the row decision is exact.
+      for (q <- quoted(a); lo <- litSql(p)) yield filterSql(ssw) match {
+        case Some(r) => s"($r AND startswith($q, $lo))"
+        case None => s"startswith($q, $lo)"
+      }
     case _ => None
   }
 
@@ -331,11 +343,29 @@ object GraftDataSource {
 
   /** The smallest string greater than every string with prefix `p`:
     * bump the last bump-able char, dropping any trailing ￿ runs.
-    * None when p is all ￿ (no finite upper bound exists). */
+    * None when p is all ￿ (no finite upper bound exists) OR when the
+    * bump is not a clean CODE-POINT increment: Spark compares strings
+    * by UTF-8 bytes (code-point order), and a UTF-16 unit bump that
+    * creates or breaks a surrogate pair (into the block at ퟿,
+    * out of it at \uDFFF, on an unpaired surrogate) mangles the
+    * literal's UTF-8 encoding ('?' substitution) — the "upper bound"
+    * then lands BELOW the data and the range wrongly refutes
+    * matching files/rows. */
   private[graft] def nextPrefix(p: String): Option[String] = {
     val trimmed = p.reverse.dropWhile(_ == '￿').reverse
-    if (trimmed.isEmpty) None
-    else Some(trimmed.init + (trimmed.last + 1).toChar)
+    if (trimmed.isEmpty) return None
+    val last = trimmed.last
+    val safeBump =
+      if (last == '퟿' || last == '\uDFFF' ||
+          Character.isHighSurrogate(last)) false
+      else if (Character.isLowSurrogate(last))
+        // a pair-ending low surrogate bumps to the next code point;
+        // a LONE low surrogate already mangles identically in lo and
+        // hi, collapsing the range to empty — decline
+        trimmed.length >= 2 &&
+          Character.isHighSurrogate(trimmed(trimmed.length - 2))
+      else true
+    if (safeBump) Some(trimmed.init + (last + 1).toChar) else None
   }
 
   private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 import graft.operators.CurationRun
 
@@ -53,29 +54,35 @@ object CurationStream {
                       catalogRoot: String, checkpointDir: String,
                       threshold: Double = 0.8, minKeepRate: Double = 0.2,
                       substringWindow: Option[Int] = None,
-                      maxFilesPerTrigger: Option[Int] = None): Unit =
+                      maxFilesPerTrigger: Option[Int] = None,
+                      srcSchema: Option[StructType] = None): Unit =
     start(spark, srcDir, catalogRoot, checkpointDir, threshold,
       minKeepRate, substringWindow, Trigger.AvailableNow(),
-      maxFilesPerTrigger).awaitTermination()
+      maxFilesPerTrigger, srcSchema).awaitTermination()
 
   /** The long-running form: keeps polling `srcDir` every `intervalMs`
-    * for new shards. The caller owns the query lifecycle. */
+    * for new shards. The caller owns the query lifecycle. Pass
+    * `srcSchema` to start the poller BEFORE the first shard lands
+    * (schema inference needs at least one file) and to skip the
+    * per-restart footer read. */
   def startContinuous(spark: SparkSession, srcDir: String,
                       catalogRoot: String, checkpointDir: String,
                       threshold: Double = 0.8, minKeepRate: Double = 0.2,
                       substringWindow: Option[Int] = None,
                       intervalMs: Long = 1000L,
-                      maxFilesPerTrigger: Int = 4): StreamingQuery =
+                      maxFilesPerTrigger: Int = 4,
+                      srcSchema: Option[StructType] = None): StreamingQuery =
     start(spark, srcDir, catalogRoot, checkpointDir, threshold,
       minKeepRate, substringWindow, Trigger.ProcessingTime(intervalMs),
-      Some(maxFilesPerTrigger))
+      Some(maxFilesPerTrigger), srcSchema)
 
   private def start(spark: SparkSession, srcDir: String,
                     catalogRoot: String, checkpointDir: String,
                     threshold: Double, minKeepRate: Double,
                     substringWindow: Option[Int], trigger: Trigger,
-                    maxFilesPerTrigger: Option[Int]): StreamingQuery = {
-    val schema = spark.read.parquet(srcDir).schema
+                    maxFilesPerTrigger: Option[Int],
+                    srcSchema: Option[StructType]): StreamingQuery = {
+    val schema = srcSchema.getOrElse(spark.read.parquet(srcDir).schema)
     val reader0 = spark.readStream.schema(schema)
     val reader = maxFilesPerTrigger.fold(reader0)(m =>
       reader0.option("maxFilesPerTrigger", m.toString))

@@ -61,6 +61,25 @@ class CurationStreamSpec extends GraftSuite {
     assert(corpus.select("batch_id").distinct().count() === 2)
   }
 
+  test("startContinuous starts on an EMPTY source dir with an explicit schema") {
+    val src = Files.createTempDirectory("graft-cstream-cont-src").toString
+    val cat = Files.createTempDirectory("graft-cstream-cont-cat").toString
+    val ckp = Files.createTempDirectory("graft-cstream-cont-ckp").toString
+    val schema = Seq.empty[(Long, String)].toDF("doc_id", "text").schema
+    // the normal deployment order: the poller is up BEFORE the first
+    // crawl shard lands (inference-based start would throw here)
+    val q = CurationStream.startContinuous(spark, src, cat, ckp,
+      intervalMs = 100L, srcSchema = Some(schema))
+    try {
+      Seq(1L -> base).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (Catalog.latestCommit(cat) < 0 && System.nanoTime() < deadline)
+        Thread.sleep(100L)
+      assert(Catalog.read(spark, cat, "corpus").count() === 1)
+    } finally q.stop()
+  }
+
   test("a poisoned shard fails the query and publishes nothing") {
     val src = Files.createTempDirectory("graft-cstream-bad-src").toString
     val cat = Files.createTempDirectory("graft-cstream-bad-cat").toString

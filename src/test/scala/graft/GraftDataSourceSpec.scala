@@ -321,6 +321,40 @@ class GraftDataSourceSpec extends GraftSuite {
     assert(GraftDataSource.nextPrefix("￿￿") === None)
     assert(filterSql(StringStartsWith("k", "￿"))
       === Some("`k` >= '￿'"))
+    // surrogate boundaries: a UTF-16 bump that would create or break
+    // a pair is NOT a code-point increment — the mangled literal
+    // would bound the range below the data. Decline the upper bound.
+    assert(GraftDataSource.nextPrefix("a" + '퟿') === None) // bump into block
+    assert(GraftDataSource.nextPrefix("a" + '\uD834') === None) // lone high
+    assert(GraftDataSource.nextPrefix("a" + '\uDD1E') === None) // lone low
+    assert(GraftDataSource.nextPrefix("a𝟿") === None) // pair escape
+    // a pair-ending low surrogate bumps to the NEXT CODE POINT
+    assert(GraftDataSource.nextPrefix("a𝄞")
+      === Some("a𝄟"))
+    // the row-EXACT form conjoins startswith() — the range alone is a
+    // superset (unbounded above for all-￿ prefixes, where any larger
+    // string, e.g. supplementary-plane, would wrongly pass)
+    assert(GraftDataSource.strictFilterSql(StringStartsWith("k", "abc"))
+      === Some("((`k` >= 'abc' AND `k` < 'abd') AND startswith(`k`, 'abc'))"))
+    assert(GraftDataSource.strictFilterSql(StringStartsWith("k", "￿"))
+      === Some("(`k` >= '￿' AND startswith(`k`, '￿'))"))
+  }
+
+  test("claimed prefix filter is row-exact past every BMP bound") {
+    import spark.implicits._
+    val root = tmp("graft-ds-prefix-exact")
+    // U+1D11E sorts ABOVE U+FFFF in Spark's UTF-8 byte order: a bare
+    // `k >= '￿￿'` range would wrongly admit it
+    Seq("￿￿a", "￿￿", "𝄞x", "plain")
+      .toDF("k").coalesce(1)
+      .write.format("graft").option("statsCols", "k")
+      .mode("overwrite").save(root)
+    val df = spark.read.format("graft").load(root)
+    val q = df.filter(col("k").startsWith("￿￿"))
+    assert(q.collect().map(_.getString(0)).sorted === Array("￿￿", "￿￿a"))
+    // the surrogate-boundary prefix keeps its answer too
+    assert(df.filter(col("k").startsWith("𝄞"))
+      .collect().map(_.getString(0)).toSeq === Seq("𝄞x"))
   }
 
   test("prefix pushdown is answer-identical and range-refutes files") {
