@@ -219,6 +219,37 @@ object Oracles {
 
   // ------------------------------------------------------------ embeddings
 
+  private val bm25Sql =
+    """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, UNNEST(w) AS term FROM toks) GROUP BY 1, 2
+        |), qtf AS (
+        |  SELECT * FROM tf WHERE term IN ('merge', 'spark', 'vector', 'window')
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1
+        |), dls AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls
+        |), contribs AS (
+        |  SELECT q.doc_id, q.term, d.dl,
+        |    (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+        |      (CAST(f.df AS DOUBLE) + 0.5)
+        |      * (CAST(q.tf AS DOUBLE) * 2.2) /
+        |      (CAST(q.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        (CAST(d.dl AS DOUBLE) /
+        |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS contrib
+        |  FROM qtf q JOIN dfq f USING (term)
+        |  JOIN dls d ON q.doc_id = d.doc_id CROSS JOIN stats s)
+        |SELECT doc_id, MAX(dl) AS dl, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)),
+        |    (x, y) -> x + y), 8) AS bm25
+        |FROM contribs GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   private val nrmCte =
     """nrm AS (
       |  SELECT vec_id, embedding,
@@ -2688,36 +2719,11 @@ v0 AS (SELECT * FROM vm UNION ALL SELECT * FROM vs),$em,${spans(rounds + 1)},${s
     // BM25 with rational idf, k1=1.2 b=0.75 (literals match the Spark
     // side bit-for-bit; k1+1 pre-folded to 2.2). Per-doc sum folds in
     // term order like bigram_doc_score; ranking over the rounded score.
-    "bm25_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
-        |), tf AS (
-        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, UNNEST(w) AS term FROM toks) GROUP BY 1, 2
-        |), qtf AS (
-        |  SELECT * FROM tf WHERE term IN ('merge', 'spark', 'vector', 'window')
-        |), dfq AS (
-        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1
-        |), dls AS (
-        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
-        |), stats AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls
-        |), contribs AS (
-        |  SELECT q.doc_id, q.term, d.dl,
-        |    (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
-        |      (CAST(f.df AS DOUBLE) + 0.5)
-        |      * (CAST(q.tf AS DOUBLE) * 2.2) /
-        |      (CAST(q.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |        (CAST(d.dl AS DOUBLE) /
-        |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS contrib
-        |  FROM qtf q JOIN dfq f USING (term)
-        |  JOIN dls d ON q.doc_id = d.doc_id CROSS JOIN stats s)
-        |SELECT doc_id, MAX(dl) AS dl, CAST(COUNT(*) AS BIGINT) AS n_hits,
-        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)),
-        |    (x, y) -> x + y), 8) AS bm25
-        |FROM contribs GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "bm25_search" -> bm25Sql,
+    // the stored-index path must equal the corpus-scan path exactly —
+    // one oracle proves both
+    "bm25_stored" -> bm25Sql,
+
 
     // Reciprocal Rank Fusion of the BM25 leg (top-50) and the dense
     // cosine leg (query = vec 0's embedding, top-50): rrf =

@@ -839,7 +839,18 @@ object SparkEntry {
       Retrieval.bm25Search(Tables.documents(s, dir))),
     "hybrid_search" -> ((s, dir) =>
       Retrieval.hybridSearch(Tables.documents(s, dir),
-        Tables.embeddings(s, dir)))
+        Tables.embeddings(s, dir))),
+    // BM25 over the STORED inverted index (indexCorpus, the
+    // collectGramStats pattern): the query reads ~|query| posting
+    // rows, never the corpus; the oracle is the SAME corpus-scan BM25
+    // SQL, so the hash match proves index path ≡ scan path
+    "bm25_stored" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25-key").toString + "/t"
+      SnapshotTable.commit(Tables.documents(s, dir), out)
+      Retrieval.indexCorpus(s, out)
+      Retrieval.bm25SearchStored(s, out)
+    }
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -119,6 +119,125 @@ object Retrieval {
       .limit(k)
   }
 
+  private def bm25Dir(root: String, v: Long): String =
+    MetaIO.join(root, s"v=$v", "_bm25").toString
+
+  /** How many postings one inverted-list row may carry: hot terms
+    * (stopwords touch every document) split into `doc_id`-range chunks
+    * so no single row grows with the corpus — query-path explode
+    * concatenates chunks transparently, and per-(doc, term)
+    * contributions are chunk-invariant. */
+  val PostingChunkDocs: Long = 1L << 18
+
+  /** Build the INVERTED-INDEX sidecar for a stored documents snapshot
+    * table — the [[FuzzyJoin.collectGramStats]] pattern applied to
+    * retrieval (the Lucene posting-list shape, Spark-native): one
+    * corpus pass records, per term, the document frequency and the
+    * chunked posting list `[(doc_id, tf, dl), ...]` (doc length
+    * carried IN the posting so the query path needs no doc join),
+    * plus the corpus scalars (n_docs, Σdl). [[bm25SearchStored]] then
+    * answers a query from ~‖query‖ posting rows — ZERO corpus scans.
+    *
+    * Layout: postings range-partitioned and sorted by (term, chunk),
+    * so a query's `term IN (...)` prunes parquet row groups; chunk
+    * contents are `sort_array`ed (deterministic bytes). Idempotent per
+    * version; the postings dir lands first and the scalars file — the
+    * coverage marker readers key on — publishes LAST and atomically,
+    * so a half-built index is invisible. Returns the version
+    * covered. */
+  def indexCorpus(spark: org.apache.spark.sql.SparkSession, root: String,
+                  version: Long = -1L): Long = {
+    val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    val dir = bm25Dir(root, v)
+    val statsFile = MetaIO.join(dir, "stats")
+    if (MetaIO.exists(statsFile)) return v // idempotent
+    val docs = SnapshotTable.read(spark, root, v)
+    val dls = docs.select(col("doc_id"),
+      size(tokens).cast("bigint").as("dl"))
+    val corpus = dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .head()
+    val tf = termFreq(docs)
+    val dfFrame = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val chunked = tf.join(dls, "doc_id")
+      .withColumn("chunk", expr(s"doc_id div ${PostingChunkDocs}L"))
+      .groupBy("term", "chunk")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("tf"), col("dl")))).as("postings"))
+      .join(dfFrame, "term")
+    val tmp = MetaIO.join(root, s"v=$v",
+      s".bm25.new-${java.util.UUID.randomUUID()}")
+    chunked
+      .repartitionByRange(col("term"), col("chunk"))
+      .sortWithinPartitions("term", "chunk")
+      .write.mode("overwrite").parquet(tmp.toString)
+    MetaIO.mkdirs(dir)
+    val postDir = MetaIO.join(dir, "postings")
+    MetaIO.delete(postDir, recursive = true)
+    MetaIO.moveTree(tmp, postDir)
+    MetaIO.publishString(statsFile,
+      s"n_docs=${corpus.getLong(0)}\nsum_dl=${corpus.getLong(1)}")
+    v
+  }
+
+  /** [[bm25Search]] over a STORED documents table through the
+    * [[indexCorpus]] inverted index: the query reads ~‖query‖ posting
+    * rows (term-pruned parquet row groups) and never scans the corpus
+    * — bit-identical to the scan path (same contribution expression
+    * tree over the same (tf, df, dl, N, Σdl) operands, same
+    * term-ordered fold), which the shared oracle proves. Falls back to
+    * the corpus-scanning [[bm25Search]] when the sidecar does not
+    * cover the version (or is unreadable), answer-identical either
+    * way. */
+  def bm25SearchStored(spark: org.apache.spark.sql.SparkSession,
+                       root: String, query: Seq[String] = DefaultQuery,
+                       k: Int = 20, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    val dir = bm25Dir(root, v)
+    val statsFile = MetaIO.join(dir, "stats")
+    val scalars = scala.util.Try {
+      MetaIO.readString(statsFile).split("\n")
+        .map(_.split("=", 2)).collect { case Array(key, x) =>
+          key -> x.toLong }.toMap
+    }.toOption.flatMap(m =>
+      for (n <- m.get("n_docs"); s <- m.get("sum_dl")) yield (n, s))
+    scalars match {
+      case None => // uncovered version: the scan path is the answer
+        bm25Search(SnapshotTable.read(spark, root, v), query, k)
+      case Some((nDocs, sumDl)) =>
+        val qTerms = query.distinct.sorted
+        val contribs = spark.read
+          .parquet(MetaIO.join(dir, "postings").toString)
+          .filter(col("term").isin(qTerms: _*))
+          .select(col("term"), col("df"),
+            explode(col("postings")).as("p"))
+          .select(col("term"), col("df"), col("p.doc_id"),
+            col("p.tf"), col("p.dl"))
+          .withColumn("avgdl",
+            lit(sumDl).cast("double") / lit(nDocs).cast("double"))
+          .withColumn("idf",
+            (lit(nDocs).cast("double") - col("df").cast("double") +
+              lit(0.5d)) / (col("df").cast("double") + lit(0.5d)))
+          .withColumn("contrib",
+            col("idf") * (col("tf").cast("double") * lit(2.2d)) /
+              (col("tf").cast("double") +
+                lit(1.2d) * (lit(0.25d) +
+                  lit(0.75d) * (col("dl").cast("double") / col("avgdl")))))
+        contribs.groupBy("doc_id")
+          .agg(max(col("dl")).as("dl"),
+            count(lit(1)).as("n_hits"),
+            sort_array(collect_list(struct(col("term"), col("contrib"))))
+              .as("cs"))
+          .select(col("doc_id"), col("dl"), col("n_hits"),
+            Rounding.roundScaled(
+              expr("aggregate(cs, cast(0 as double), " +
+                "(acc, s) -> acc + s.contrib)"), 8).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(k)
+    }
+  }
+
   /** HYBRID SEARCH — Reciprocal Rank Fusion (Cormack et al. 2009) of
     * the lexical [[bm25Search]] leg over `docs` and a dense
     * cosine-similarity leg over `emb` (query = the `queryVec` row's

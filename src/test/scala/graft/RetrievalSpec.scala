@@ -149,6 +149,54 @@ class RetrievalSpec extends GraftSuite {
     assert(both.contains(out.head.getLong(0)))
   }
 
+  test("bm25SearchStored answers from the index alone, across posting chunks") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    // doc ids straddling PostingChunkDocs boundaries: shared terms
+    // split into multiple posting chunks, whose explode must
+    // reassemble the exact scan-path contribution set
+    val c = Retrieval.PostingChunkDocs
+    val wide = Seq(
+      (1L, "spark spark spark merge"),
+      (2L, "vector window merge join join join"),
+      (c + 3L, "spark vector window merge"),
+      (2L * c + 5L, "merge window and plain filler words here")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val root = JFiles.createTempDirectory("graft-bm25-idx")
+      .toString + "/t"
+    graft.operators.SnapshotTable.commit(wide, root)
+    assert(Retrieval.indexCorpus(spark, root) === 0L)
+    val scan = Retrieval.bm25Search(wide).collect().map(_.toSeq).toSeq
+    val stored = Retrieval.bm25SearchStored(spark, root)
+      .collect().map(_.toSeq).toSeq
+    assert(stored === scan)
+
+    // behavioral IO proof: corrupt every DATA file (sidecars intact)
+    // — the stored search must still answer, because it reads only
+    // the posting sidecar
+    JFiles.list(Paths.get(root, "v=0")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .foreach(p => JFiles.write(Paths.get(p), "not parquet".getBytes))
+    val blind = Retrieval.bm25SearchStored(spark, root)
+      .collect().map(_.toSeq).toSeq
+    assert(blind === scan)
+    // re-index is an idempotent metadata check (no corpus scan — the
+    // corrupt data files would throw)
+    assert(Retrieval.indexCorpus(spark, root) === 0L)
+  }
+
+  test("bm25SearchStored falls back to the scan path without coverage") {
+    import java.nio.file.{Files => JFiles}
+    val root = JFiles.createTempDirectory("graft-bm25-fb")
+      .toString + "/t"
+    graft.operators.SnapshotTable.commit(docs, root)
+    val out = Retrieval.bm25SearchStored(spark, root)
+      .collect().map(_.toSeq).toSeq
+    assert(out === Retrieval.bm25Search(docs).collect().map(_.toSeq).toSeq)
+  }
+
   test("hybridSearch leg depth n bounds each leg's contribution") {
     val out = Retrieval.hybridSearch(docs, embFixture, n = 1, k = 10)
       .collect()
