@@ -2782,6 +2782,79 @@ v0 AS (SELECT * FROM vm UNION ALL SELECT * FROM vs),$em,${spans(rounds + 1)},${s
          |  round(COALESCE(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 0) +
          |        COALESCE(1.0 / (60.0 + CAST(d.dense_rank AS DOUBLE)), 0), 8) AS rrf
          |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // The fully STORED hybrid: the same BM25 lexical leg (index ≡ scan
+    // is proven by bm25_stored's shared oracle, so the scan SQL stands
+    // in for the posting read), the IVF dense leg (ivf_topk's chain:
+    // lowest-16 quantizer, nearest-centroid lists, nprobe=4, ranked
+    // WITHIN probed lists — the stored index's exact semantics), and
+    // the identical RRF tail.
+    "hybrid_search_stored" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, UNNEST(w) AS term FROM toks) GROUP BY 1, 2
+         |), qtf AS (
+         |  SELECT * FROM tf WHERE term IN ('merge', 'spark', 'vector', 'window')
+         |), dfq AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1
+         |), dls AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+         |), stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls
+         |), contribs AS (
+         |  SELECT q.doc_id, q.term,
+         |    (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+         |      (CAST(f.df AS DOUBLE) + 0.5)
+         |      * (CAST(q.tf AS DOUBLE) * 2.2) /
+         |      (CAST(q.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |        (CAST(d.dl AS DOUBLE) /
+         |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS contrib
+         |  FROM qtf q JOIN dfq f USING (term)
+         |  JOIN dls d ON q.doc_id = d.doc_id CROSS JOIN stats s
+         |), bmtop AS (
+         |  SELECT doc_id,
+         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)),
+         |      (x, y) -> x + y), 8) AS bm25
+         |  FROM contribs GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id LIMIT 50
+         |), lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank FROM bmtop
+         |), $nrmCte,
+         |cent AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn FROM nrm WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT v.vec_id, c.centroid_id
+         |  FROM nrm v, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |    ${duckDot("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC, c.centroid_id) = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM nrm WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT q.query_id, c.centroid_id
+         |  FROM q, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |    ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC, c.centroid_id) <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg a ON p.centroid_id = a.centroid_id
+         |  WHERE a.vec_id <> p.query_id),
+         |dtop AS (
+         |  SELECT neighbor_id AS doc_id, CAST(rank AS INT) AS dense_rank FROM (
+         |    SELECT cand.neighbor_id,
+         |      row_number() OVER (PARTITION BY cand.query_id ORDER BY
+         |        ${duckDot("nv.embedding", "nq.embedding")} / (nv.nrm * nq.nrm) DESC, cand.neighbor_id) AS rank
+         |    FROM cand JOIN nrm nv ON cand.neighbor_id = nv.vec_id
+         |    JOIN nrm nq ON cand.query_id = nq.vec_id)
+         |  WHERE rank <= 50)
+         |SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |  COALESCE(l.lex_rank, 0) AS lex_rank,
+         |  COALESCE(d.dense_rank, 0) AS dense_rank,
+         |  round(COALESCE(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 0) +
+         |        COALESCE(1.0 / (60.0 + CAST(d.dense_rank AS DOUBLE)), 0), 8) AS rrf
+         |FROM lex l FULL OUTER JOIN dtop d ON l.doc_id = d.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -850,6 +850,21 @@ object SparkEntry {
       SnapshotTable.commit(Tables.documents(s, dir), out)
       Retrieval.indexCorpus(s, out)
       Retrieval.bm25SearchStored(s, out)
+    },
+    // the fully STORED hybrid: inverted-index lexical leg + persisted
+    // IVF dense leg (deterministic lowest-16 quantizer, nprobe=4 —
+    // the ivf_topk config), RRF-fused; the oracle replays both legs
+    "hybrid_search_stored" -> { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-hybrid-key").toString
+      val docsRoot = s"$base/docs"
+      val ivfRoot = s"$base/ivf"
+      SnapshotTable.commit(Tables.documents(s, dir), docsRoot)
+      Retrieval.indexCorpus(s, docsRoot)
+      IncrementalIvf.appendBatch(s, ivfRoot,
+        Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      Retrieval.hybridSearchStored(s, docsRoot, ivfRoot,
+        Tables.embeddings(s, dir))
     }
   )
 

@@ -282,6 +282,16 @@ object Retrieval {
       .select(col("vec_id").as("doc_id"),
         row_number().over(Window.orderBy(col("cosine").desc, col("vec_id")))
           .as("dense_rank"))
+    fuseRrf(lex, dense, kRrf, k)
+  }
+
+  /** The RRF fusion tail shared by [[hybridSearch]] and
+    * [[hybridSearchStored]]: full-outer join of two ≤n-row ranked leg
+    * frames (`doc_id`, `lex_rank`/`dense_rank`), fused score =
+    * Σ 1/(kRrf + rank) over present legs added lexical-then-dense,
+    * rounded at the boundary; absent legs surface as rank 0. */
+  private def fuseRrf(lex: DataFrame, dense: DataFrame, kRrf: Int,
+                      k: Int): DataFrame = {
     def contrib(rank: Column): Column =
       coalesce(lit(1.0d) / (lit(kRrf.toDouble) + rank.cast("double")),
         lit(0.0d))
@@ -293,5 +303,35 @@ object Retrieval {
         coalesce(col("dense_rank"), lit(0)).as("dense_rank"), col("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** [[hybridSearch]] with BOTH legs index-backed — the fully STORED
+    * serving hybrid: the lexical leg reads ~‖query‖ posting rows from
+    * [[indexCorpus]]'s inverted index (zero corpus scans), the dense
+    * leg probes [[IncrementalIvf]]'s persisted centroid-partitioned
+    * lists (partition-pruned to `nprobe` lists — zero embedding-table
+    * scans), and the fusion is the same calibration-free RRF. The
+    * dense leg is the IVF approximation (ranked within probed lists),
+    * exactly [[IncrementalIvf.search]]'s semantics — the oracle
+    * replays both legs and the fusion bit-for-bit. `queryEmb` supplies
+    * the query-by-example vector (`vec_id = queryVec` row). */
+  def hybridSearchStored(spark: org.apache.spark.sql.SparkSession,
+                         docsRoot: String, ivfRoot: String,
+                         queryEmb: DataFrame,
+                         query: Seq[String] = DefaultQuery,
+                         queryVec: Long = 0L, n: Int = 50, k: Int = 20,
+                         nprobe: Int = 4, kRrf: Int = 60): DataFrame = {
+    val lex = bm25SearchStored(spark, docsRoot, query, n)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .as("lex_rank"))
+    val dense = IncrementalIvf
+      .search(spark, ivfRoot,
+        queryEmb.filter(col("vec_id") === queryVec)
+          .select("vec_id", "embedding"),
+        nprobe, n)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    fuseRrf(lex, dense, kRrf, k)
   }
 }

@@ -197,6 +197,48 @@ class RetrievalSpec extends GraftSuite {
     assert(out === Retrieval.bm25Search(docs).collect().map(_.toSeq).toSeq)
   }
 
+  test("hybridSearchStored fuses the two index-backed legs and needs no original input") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val base = JFiles.createTempDirectory("graft-hybrid-st").toString
+    val docsRoot = s"$base/docs"
+    val ivfRoot = s"$base/ivf"
+    graft.operators.SnapshotTable.commit(docs, docsRoot)
+    Retrieval.indexCorpus(spark, docsRoot)
+    graft.operators.IncrementalIvf.appendBatch(spark, ivfRoot, embFixture)
+    val lexRanks = Retrieval.bm25SearchStored(spark, docsRoot, k = 50)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+    val denseRanks = graft.operators.IncrementalIvf
+      .search(spark, ivfRoot, embFixture.filter(col("vec_id") === 0L),
+        nprobe = 4, k = 50)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val out = Retrieval
+      .hybridSearchStored(spark, docsRoot, ivfRoot, embFixture)
+      .collect()
+    // fusion = exactly the RRF of the two stored legs' ranks
+    assert(out.map(_.getLong(0)).toSet ===
+      (lexRanks.keySet ++ denseRanks.keySet))
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === lexRanks.getOrElse(id, 0))
+      assert(r.getInt(2) === denseRanks.getOrElse(id, 0))
+      val expect = BigDecimal(
+        lexRanks.get(id).map(x => 1.0d / (60.0d + x)).getOrElse(0.0d) +
+          denseRanks.get(id).map(x => 1.0d / (60.0d + x)).getOrElse(0.0d))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-12)
+    }
+    // IO proof: corrupt the docs TABLE's data files — both legs read
+    // only their indexes, so the stored hybrid still answers
+    JFiles.list(Paths.get(docsRoot, "v=0")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .foreach(p => JFiles.write(Paths.get(p), "junk".getBytes))
+    val blind = Retrieval
+      .hybridSearchStored(spark, docsRoot, ivfRoot, embFixture)
+      .collect()
+    assert(blind.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("hybridSearch leg depth n bounds each leg's contribution") {
     val out = Retrieval.hybridSearch(docs, embFixture, n = 1, k = 10)
       .collect()
