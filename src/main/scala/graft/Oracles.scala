@@ -2723,6 +2723,10 @@ v0 AS (SELECT * FROM vm UNION ALL SELECT * FROM vs),$em,${spans(rounds + 1)},${s
     // the stored-index path must equal the corpus-scan path exactly —
     // one oracle proves both
     "bm25_stored" -> bm25Sql,
+    // ... and the SEGMENTED incremental index (full build + one
+    // append-only delta segment) must equal a full re-index of the
+    // merged corpus — same oracle again
+    "bm25_incremental" -> bm25Sql,
 
 
     // Reciprocal Rank Fusion of the BM25 leg (top-50) and the dense

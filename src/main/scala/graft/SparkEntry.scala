@@ -851,6 +851,23 @@ object SparkEntry {
       Retrieval.indexCorpus(s, out)
       Retrieval.bm25SearchStored(s, out)
     },
+    // INCREMENTAL index maintenance: the corpus lands in two appends;
+    // v0 gets a full build, v1 only a segment over the appended rows
+    // (indexCorpusDelta, the Lucene segment model) — the oracle is
+    // the corpus-scan BM25 over the FULL merged table, so the hash
+    // match proves segment-union ≡ full re-index
+    "bm25_incremental" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25-inc").toString + "/t"
+      val docs = Tables.documents(s, dir)
+      SnapshotTable.commitAppend(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), out, "source")
+      Retrieval.indexCorpus(s, out)
+      SnapshotTable.commitAppend(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), out, "source")
+      Retrieval.indexCorpusDelta(s, out)
+      Retrieval.bm25SearchStored(s, out)
+    },
     // the fully STORED hybrid: inverted-index lexical leg + persisted
     // IVF dense leg (deterministic lowest-16 quantizer, nprobe=4 —
     // the ivf_topk config), RRF-fused; the oracle replays both legs

@@ -180,13 +180,107 @@ object Retrieval {
     v
   }
 
+  /** The parsed coverage record for a version's index: total corpus
+    * scalars plus the SEGMENT list (root-relative posting dirs — one
+    * for a full build, one per covered append for the incremental
+    * path, the Lucene-segment model). */
+  private def readIndexMeta(root: String, v: Long)
+      : Option[(Long, Long, Seq[String])] =
+    scala.util.Try {
+      val kv = MetaIO.readString(MetaIO.join(bm25Dir(root, v), "stats"))
+        .split("\n").map(_.split("=", 2))
+        .collect { case Array(key, x) => key -> x }.toMap
+      for {
+        n <- kv.get("n_docs").flatMap(_.toLongOption)
+        s <- kv.get("sum_dl").flatMap(_.toLongOption)
+      } yield (n, s,
+        kv.get("segments").map(_.split(",").toSeq.filter(_.nonEmpty))
+          .getOrElse(Seq(s"v=$v/_bm25/postings")))
+    }.toOption.flatten
+
+  /** INCREMENTAL index maintenance (the Lucene segment model): when
+    * `version`'s history since the newest covered ancestor is
+    * APPEND-ONLY, index ONLY the appended rows as a new posting
+    * SEGMENT and record `version`'s coverage as the ancestor's
+    * segments + the new one — O(batch) per maintained version, never
+    * a corpus re-index. Correct because appends keep doc sets
+    * DISJOINT across segments: per-term df totals are segment sums,
+    * the corpus scalars add, and each (doc, term) posting lives in
+    * exactly one segment ([[bm25SearchStored]] aggregates df across
+    * segments at query time — for a single segment that sum is the
+    * recorded df, so the full-build path is untouched). Rewritten or
+    * deleted history (compaction, MoR deletes — an old doc may have
+    * vanished, invalidating ancestor segments) falls back to a full
+    * [[indexCorpus]] build, loudly correct either way. Idempotent per
+    * version; segment dir first, stats published atomically last. */
+  def indexCorpusDelta(spark: org.apache.spark.sql.SparkSession,
+                       root: String, version: Long = -1L): Long = {
+    val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    val dir = bm25Dir(root, v)
+    val statsFile = MetaIO.join(dir, "stats")
+    if (MetaIO.exists(statsFile)) return v // idempotent
+    val parent = ((v - 1) to 0L by -1L)
+      .flatMap(p => readIndexMeta(root, p).map(p -> _)).headOption
+    val appended = parent.flatMap { case (p, _) =>
+      // appendedBetween REFUSES rewritten history; unapplied deletes
+      // at v may hollow out ancestor segments — both mean full rebuild
+      scala.util.Try {
+        require(SnapshotTable.deleteEntries(root, v).isEmpty &&
+          SnapshotTable.eqDeleteEntries(root, v).isEmpty,
+          "live MoR deletes may hollow out ancestor segments")
+        SnapshotTable.appendedBetween(spark, root, p, v)
+      }.toOption
+    }
+    (parent, appended) match {
+      case (Some((_, (pn, ps, psegs))), Some(delta)) =>
+        val dls = delta.select(col("doc_id"),
+          size(tokens).cast("bigint").as("dl"))
+        val corpus = dls
+          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+          .head()
+        val (dn, dsum) = (corpus.getLong(0), corpus.getLong(1))
+        val segName = s"seg-$v"
+        val segs =
+          if (dn == 0L) psegs // nothing appended: coverage carries over
+          else {
+            val tf = termFreq(delta)
+            val chunked = tf.join(dls, "doc_id")
+              .withColumn("chunk", expr(s"doc_id div ${PostingChunkDocs}L"))
+              .groupBy("term", "chunk")
+              .agg(sort_array(collect_list(
+                struct(col("doc_id"), col("tf"), col("dl"))))
+                .as("postings"))
+              .join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term")
+            val tmp = MetaIO.join(root, s"v=$v",
+              s".bm25.new-${java.util.UUID.randomUUID()}")
+            chunked.repartitionByRange(col("term"), col("chunk"))
+              .sortWithinPartitions("term", "chunk")
+              .write.mode("overwrite").parquet(tmp.toString)
+            MetaIO.mkdirs(dir)
+            val segDir = MetaIO.join(dir, segName)
+            MetaIO.delete(segDir, recursive = true)
+            MetaIO.moveTree(tmp, segDir)
+            psegs :+ s"v=$v/_bm25/$segName"
+          }
+        MetaIO.mkdirs(dir)
+        MetaIO.publishString(statsFile,
+          s"n_docs=${pn + dn}\nsum_dl=${ps + dsum}\n" +
+            s"segments=${segs.mkString(",")}")
+        v
+      case _ => indexCorpus(spark, root, v)
+    }
+  }
+
   /** [[bm25Search]] over a STORED documents table through the
     * [[indexCorpus]] inverted index: the query reads ~‖query‖ posting
-    * rows (term-pruned parquet row groups) and never scans the corpus
-    * — bit-identical to the scan path (same contribution expression
-    * tree over the same (tf, df, dl, N, Σdl) operands, same
-    * term-ordered fold), which the shared oracle proves. Falls back to
-    * the corpus-scanning [[bm25Search]] when the sidecar does not
+    * rows (term-pruned parquet row groups, unioned across the
+    * version's SEGMENTS) and never scans the corpus — bit-identical
+    * to the scan path (per-term df is the exact long sum of the
+    * disjoint segments' dfs, then the same contribution expression
+    * tree over the same (tf, df, dl, N, Σdl) operands and the same
+    * term-ordered fold), which the shared oracle proves. Falls back
+    * to the corpus-scanning [[bm25Search]] when the sidecar does not
     * cover the version (or is unreadable), answer-identical either
     * way. */
   def bm25SearchStored(spark: org.apache.spark.sql.SparkSession,
@@ -194,24 +288,24 @@ object Retrieval {
                        k: Int = 20, version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
     require(v >= 0, s"no committed version at $root")
-    val dir = bm25Dir(root, v)
-    val statsFile = MetaIO.join(dir, "stats")
-    val scalars = scala.util.Try {
-      MetaIO.readString(statsFile).split("\n")
-        .map(_.split("=", 2)).collect { case Array(key, x) =>
-          key -> x.toLong }.toMap
-    }.toOption.flatMap(m =>
-      for (n <- m.get("n_docs"); s <- m.get("sum_dl")) yield (n, s))
-    scalars match {
+    readIndexMeta(root, v) match {
       case None => // uncovered version: the scan path is the answer
         bm25Search(SnapshotTable.read(spark, root, v), query, k)
-      case Some((nDocs, sumDl)) =>
+      case Some((nDocs, sumDl, segs)) =>
         val qTerms = query.distinct.sorted
-        val contribs = spark.read
-          .parquet(MetaIO.join(dir, "postings").toString)
+        val post = segs.map(sp =>
+          spark.read.parquet(MetaIO.join(root, sp).toString)
+            .withColumn("_seg", lit(sp)))
+          .reduce(_ unionByName _)
           .filter(col("term").isin(qTerms: _*))
-          .select(col("term"), col("df"),
-            explode(col("postings")).as("p"))
+        // per-term df = exact sum over disjoint segments (df repeats
+        // on each chunk row WITHIN a segment → distinct first); tiny:
+        // ≤ ‖query‖ × segments rows, broadcast back
+        val dfTot = post.select("_seg", "term", "df").distinct()
+          .groupBy("term").agg(sum("df").as("df"))
+        val contribs = post
+          .select(col("term"), explode(col("postings")).as("p"))
+          .join(broadcast(dfTot), "term")
           .select(col("term"), col("df"), col("p.doc_id"),
             col("p.tf"), col("p.dl"))
           .withColumn("avgdl",

@@ -187,6 +187,50 @@ class RetrievalSpec extends GraftSuite {
     assert(Retrieval.indexCorpus(spark, root) === 0L)
   }
 
+  test("indexCorpusDelta maintains posting segments; union ≡ full re-index") {
+    import java.nio.file.{Files => JFiles}
+    import graft.operators.SnapshotTable
+    val root = JFiles.createTempDirectory("graft-bm25-delta")
+      .toString + "/t"
+    val d = docs
+    SnapshotTable.commitAppend(
+      d.filter(col("doc_id") <= 2L), root, "source") // v0
+    Retrieval.indexCorpus(spark, root)
+    SnapshotTable.commitAppend(
+      d.filter(col("doc_id") === 3L), root, "source") // v1
+    assert(Retrieval.indexCorpusDelta(spark, root) === 1L)
+    SnapshotTable.commitAppend(
+      d.filter(col("doc_id") === 4L), root, "source") // v2
+    assert(Retrieval.indexCorpusDelta(spark, root) === 2L)
+    // v2 coverage = three segments (full + two deltas)
+    val stats = new String(JFiles.readAllBytes(
+      java.nio.file.Paths.get(root, "v=2", "_bm25", "stats")))
+    assert(stats.linesIterator.find(_.startsWith("segments="))
+      .get.stripPrefix("segments=").split(",").length === 3)
+    // segment union ≡ full re-index ≡ corpus scan
+    assert(Retrieval.bm25SearchStored(spark, root)
+      .collect().map(_.toSeq).toSeq ===
+      Retrieval.bm25Search(d).collect().map(_.toSeq).toSeq)
+    // every covered version answers under ITS corpus
+    assert(Retrieval.bm25SearchStored(spark, root, version = 0L)
+      .collect().map(_.toSeq).toSeq ===
+      Retrieval.bm25Search(d.filter(col("doc_id") <= 2L))
+        .collect().map(_.toSeq).toSeq)
+    // a REWRITE (partition-delete drops doc 1's rows) invalidates
+    // ancestor segments — the delta path must fall back to a FULL
+    // rebuild, and the answer must track the removal
+    SnapshotTable.deleteWhere(spark, root, "source",
+      col("doc_id") === 1L) // v3
+    assert(Retrieval.indexCorpusDelta(spark, root) === 3L)
+    val s3 = new String(JFiles.readAllBytes(
+      java.nio.file.Paths.get(root, "v=3", "_bm25", "stats")))
+    assert(!s3.contains("seg-"), "a rewritten history reused segments")
+    assert(Retrieval.bm25SearchStored(spark, root)
+      .collect().map(_.toSeq).toSeq ===
+      Retrieval.bm25Search(d.filter(col("doc_id") =!= 1L))
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("bm25SearchStored falls back to the scan path without coverage") {
     import java.nio.file.{Files => JFiles}
     val root = JFiles.createTempDirectory("graft-bm25-fb")
