@@ -272,6 +272,63 @@ object Retrieval {
     }
   }
 
+  /** SEGMENT COMPACTION (the Lucene merge policy): fold a version's
+    * accumulated posting segments into ONE merged segment — each delta
+    * append adds a segment the query must union, so a long append
+    * history taxes every query with a per-segment scan; the merge
+    * re-groups POSTINGS (union → explode → regroup by (term, chunk)),
+    * never re-tokenizing the corpus — cost is the index size, not the
+    * text. Per-term df is the exact long sum of the disjoint segments'
+    * dfs (the same arithmetic the query path does on the fly); corpus
+    * scalars carry over unchanged, so answers are bit-identical before
+    * and after (spec-pinned). Idempotent: one segment is left alone.
+    * The merged dir lands first, the stats rewrite publishes
+    * atomically last. Returns the segment count after. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   root: String, version: Long = -1L): Int = {
+    val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    val meta = readIndexMeta(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"no index coverage at $root v=$v — run indexCorpus first"))
+    val (nDocs, sumDl, segs) = meta
+    if (segs.size <= 1) return segs.size // idempotent
+    val post = segs.map(sp =>
+      spark.read.parquet(MetaIO.join(root, sp).toString)
+        .withColumn("_seg", lit(sp)))
+      .reduce(_ unionByName _)
+    val dfTot = post.select("_seg", "term", "df").distinct()
+      .groupBy("term").agg(sum("df").as("df"))
+    val merged = post
+      .select(col("term"), explode(col("postings")).as("p"))
+      .withColumn("chunk", expr(s"p.doc_id div ${PostingChunkDocs}L"))
+      .groupBy("term", "chunk")
+      .agg(sort_array(collect_list(col("p"))).as("postings"))
+      .join(dfTot, "term")
+    val dir = bm25Dir(root, v)
+    val tmp = MetaIO.join(root, s"v=$v",
+      s".bm25.new-${java.util.UUID.randomUUID()}")
+    merged.repartitionByRange(col("term"), col("chunk"))
+      .sortWithinPartitions("term", "chunk")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val segDir = MetaIO.join(dir, s"merged-$v")
+    MetaIO.delete(segDir, recursive = true)
+    MetaIO.moveTree(tmp, segDir)
+    MetaIO.publishString(MetaIO.join(dir, "stats"),
+      s"n_docs=$nDocs\nsum_dl=$sumDl\n" +
+        s"segments=v=$v/_bm25/merged-$v")
+    // the superseded segment dirs OWNED by this version are dead
+    // weight — but only when nothing newer can reference them:
+    // ancestor versions' dirs always stay (their coverage records
+    // live on for time travel), and compacting a NON-latest version
+    // must not GC dirs a later version's coverage chains to
+    if (v == SnapshotTable.latestVersion(root))
+      segs.filter(_.startsWith(s"v=$v/")).foreach(sp =>
+        scala.util.Try(MetaIO.delete(MetaIO.join(root, sp),
+          recursive = true)))
+    1
+  }
+
   /** [[bm25Search]] over a STORED documents table through the
     * [[indexCorpus]] inverted index: the query reads ~‖query‖ posting
     * rows (term-pruned parquet row groups, unioned across the

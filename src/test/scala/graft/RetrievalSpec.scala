@@ -231,6 +231,48 @@ class RetrievalSpec extends GraftSuite {
         .collect().map(_.toSeq).toSeq)
   }
 
+  test("compactIndex merges segments bit-identically; time travel and later deltas survive") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import graft.operators.SnapshotTable
+    val root = JFiles.createTempDirectory("graft-bm25-compact")
+      .toString + "/t"
+    val d = docs
+    SnapshotTable.commitAppend(
+      d.filter(col("doc_id") <= 2L), root, "source") // v0
+    Retrieval.indexCorpus(spark, root)
+    SnapshotTable.commitAppend(
+      d.filter(col("doc_id") === 3L), root, "source") // v1
+    Retrieval.indexCorpusDelta(spark, root)
+    SnapshotTable.commitAppend(
+      d.filter(col("doc_id") === 4L), root, "source") // v2
+    Retrieval.indexCorpusDelta(spark, root)
+    val pre = Retrieval.bm25SearchStored(spark, root)
+      .collect().map(_.toSeq).toSeq
+    assert(Retrieval.compactIndex(spark, root) === 1)
+    assert(Retrieval.compactIndex(spark, root) === 1) // idempotent
+    // answers bit-identical after the merge
+    assert(Retrieval.bm25SearchStored(spark, root)
+      .collect().map(_.toSeq).toSeq === pre)
+    // v2's own superseded segment dir is GC'd; the merged one stands
+    assert(!JFiles.exists(Paths.get(root, "v=2", "_bm25", "seg-2")))
+    assert(JFiles.exists(Paths.get(root, "v=2", "_bm25", "merged-2")))
+    // ancestor coverage (time travel) still answers under ITS corpus
+    assert(Retrieval.bm25SearchStored(spark, root, version = 1L)
+      .collect().map(_.toSeq).toSeq ===
+      Retrieval.bm25Search(d.filter(col("doc_id") <= 3L))
+        .collect().map(_.toSeq).toSeq)
+    // a later delta chains onto the merged coverage
+    SnapshotTable.commitAppend(
+      d.filter(col("doc_id") === 1L).withColumn("doc_id", lit(9L)),
+      root, "source") // v3
+    Retrieval.indexCorpusDelta(spark, root)
+    val full = d.unionByName(
+      d.filter(col("doc_id") === 1L).withColumn("doc_id", lit(9L)))
+    assert(Retrieval.bm25SearchStored(spark, root)
+      .collect().map(_.toSeq).toSeq ===
+      Retrieval.bm25Search(full).collect().map(_.toSeq).toSeq)
+  }
+
   test("bm25SearchStored falls back to the scan path without coverage") {
     import java.nio.file.{Files => JFiles}
     val root = JFiles.createTempDirectory("graft-bm25-fb")
