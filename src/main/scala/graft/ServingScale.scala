@@ -35,17 +35,13 @@ object ServingScale {
     ts(ts.size / 2)
   }
 
-  private def replicateDocs(docs: DataFrame, copies: Int): DataFrame = {
-    val stride = docs.agg(max("doc_id")).head.getLong(0) + 1L
+  /** ScaleData's stride rule inline for one keyed table: N copies
+    * with the id column shifted by `i × (max+1)`. */
+  private def replicate(df: DataFrame, idCol: String,
+                        copies: Int): DataFrame = {
+    val stride = df.agg(max(idCol)).head.getLong(0) + 1L
     (0 until copies).map(i =>
-      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * stride)))
-      .reduce(_ unionByName _)
-  }
-
-  private def replicateEvents(ev: DataFrame, copies: Int): DataFrame = {
-    val stride = ev.agg(max("event_id")).head.getLong(0) + 1L
-    (0 until copies).map(i =>
-      ev.withColumn("event_id", col("event_id") + lit(i.toLong * stride)))
+      df.withColumn(idCol, col(idCol) + lit(i.toLong * stride)))
       .reduce(_ unionByName _)
   }
 
@@ -57,8 +53,9 @@ object ServingScale {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE: no spark.driver.memory here — in local mode the JVM is
+      // already up (sbt), so the heap is SPARK_DRIVER_MEM via build.sbt
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_MEM", "96g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -68,7 +65,7 @@ object ServingScale {
       // ── bm25: corpus written once per decade, indexed once ──
       val docsSrc = Tables.documents(spark, sfDir)
       val docs =
-        if (copies == 1) docsSrc else replicateDocs(docsSrc, copies)
+        if (copies == 1) docsSrc else replicate(docsSrc, "doc_id", copies)
       val bmRoot = s"$work/bm25_$tag/t"
       SnapshotTable.commit(
         docs.repartitionByRange(32, col("doc_id")), bmRoot)
@@ -85,7 +82,8 @@ object ServingScale {
       // ── topn: ts-ordered serving table, stats + ndv sidecars ──
       val evSrc = Tables.events(spark, sfDir)
         .select("event_id", "user_id", "event_type", "value")
-      val ev = if (copies == 1) evSrc else replicateEvents(evSrc, copies)
+      val ev =
+        if (copies == 1) evSrc else replicate(evSrc, "event_id", copies)
       val tRoot = s"$work/topn_$tag/t"
       SnapshotTable.setNdvColumns(tRoot, Seq("event_id"))
       SnapshotTable.commit(

@@ -145,47 +145,91 @@ object Retrieval {
     * coverage marker readers key on — publishes LAST and atomically,
     * so a half-built index is invisible. Returns the version
     * covered. */
-  def indexCorpus(spark: org.apache.spark.sql.SparkSession, root: String,
-                  version: Long = -1L): Long = {
-    val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
-    require(v >= 0, s"no committed version at $root")
-    val dir = bm25Dir(root, v)
-    val statsFile = MetaIO.join(dir, "stats")
-    if (MetaIO.exists(statsFile)) return v // idempotent
-    val docs = SnapshotTable.read(spark, root, v)
+  /** The chunked posting-list frame for a doc slice: per (term, chunk)
+    * the sorted `[(doc_id, tf, dl), ...]` list plus the slice-local
+    * per-term df — ONE layout shared by full builds, delta segments,
+    * and compaction merges (a format change lands everywhere at
+    * once). */
+  private def chunkedPostings(docs: DataFrame): DataFrame = {
     val dls = docs.select(col("doc_id"),
       size(tokens).cast("bigint").as("dl"))
-    val corpus = dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      .head()
     val tf = termFreq(docs)
-    val dfFrame = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val chunked = tf.join(dls, "doc_id")
+    tf.join(dls, "doc_id")
       .withColumn("chunk", expr(s"doc_id div ${PostingChunkDocs}L"))
       .groupBy("term", "chunk")
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("tf"), col("dl")))).as("postings"))
-      .join(dfFrame, "term")
-    val tmp = MetaIO.join(root, s"v=$v",
+      .join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term")
+  }
+
+  /** Write one posting segment: tmp dir first, atomic tree swap into
+    * `v=$version/_bm25/$name`. Returns the root-relative segment
+    * path. */
+  private def writeSegment(chunked: DataFrame, root: String,
+                           version: Long, name: String): String = {
+    val tmp = MetaIO.join(root, s"v=$version",
       s".bm25.new-${java.util.UUID.randomUUID()}")
     chunked
       .repartitionByRange(col("term"), col("chunk"))
       .sortWithinPartitions("term", "chunk")
       .write.mode("overwrite").parquet(tmp.toString)
+    val dir = bm25Dir(root, version)
     MetaIO.mkdirs(dir)
-    val postDir = MetaIO.join(dir, "postings")
-    MetaIO.delete(postDir, recursive = true)
-    MetaIO.moveTree(tmp, postDir)
-    MetaIO.publishString(statsFile,
-      s"n_docs=${corpus.getLong(0)}\nsum_dl=${corpus.getLong(1)}")
+    val segDir = MetaIO.join(dir, name)
+    MetaIO.delete(segDir, recursive = true)
+    MetaIO.moveTree(tmp, segDir)
+    s"v=$version/_bm25/$name"
+  }
+
+  /** Publish a version's coverage record: corpus scalars, the covered
+    * doc-id range (`[0, -1]` = empty corpus — the DISJOINTNESS guard
+    * [[indexCorpusDelta]] checks appends against), and the segment
+    * list. Atomic — readers key on this file. */
+  private def publishIndexMeta(root: String, v: Long, nDocs: Long,
+                               sumDl: Long, docRange: (Long, Long),
+                               segs: Seq[String]): Unit = {
+    // an empty corpus publishes coverage with no segment dir — the
+    // publish tmp file still needs its parent
+    MetaIO.mkdirs(bm25Dir(root, v))
+    MetaIO.publishString(MetaIO.join(bm25Dir(root, v), "stats"),
+      s"n_docs=$nDocs\nsum_dl=$sumDl\n" +
+        s"min_doc=${docRange._1}\nmax_doc=${docRange._2}\n" +
+        s"segments=${segs.mkString(",")}")
+  }
+
+  /** The (n_docs, Σdl, [min_doc, max_doc]) scalars of a doc slice;
+    * an empty slice reports the canonical empty range `[0, -1]`. */
+  private def sliceScalars(docs: DataFrame): (Long, Long, (Long, Long)) = {
+    val r = docs.select(col("doc_id"), size(tokens).cast("bigint").as("dl"))
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L)),
+        min("doc_id"), max("doc_id")).head()
+    (r.getLong(0), r.getLong(1),
+      if (r.getLong(0) == 0L) (0L, -1L) else (r.getLong(2), r.getLong(3)))
+  }
+
+  def indexCorpus(spark: org.apache.spark.sql.SparkSession, root: String,
+                  version: Long = -1L): Long = {
+    val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    if (MetaIO.exists(MetaIO.join(bm25Dir(root, v), "stats")))
+      return v // idempotent
+    val docs = SnapshotTable.read(spark, root, v)
+    val (n, s, range) = sliceScalars(docs)
+    val segs =
+      if (n == 0L) Seq.empty[String] // empty corpus: coverage, no dir
+      else Seq(writeSegment(chunkedPostings(docs), root, v, "postings"))
+    publishIndexMeta(root, v, n, s, range, segs)
     v
   }
 
   /** The parsed coverage record for a version's index: total corpus
-    * scalars plus the SEGMENT list (root-relative posting dirs — one
-    * for a full build, one per covered append for the incremental
-    * path, the Lucene-segment model). */
+    * scalars, the covered doc-id range (None on pre-range records —
+    * the delta path then declines to full rebuild), and the SEGMENT
+    * list (one for a full build, one per covered append, the
+    * Lucene-segment model). An `n_docs=0` record legitimately carries
+    * zero segments. */
   private def readIndexMeta(root: String, v: Long)
-      : Option[(Long, Long, Seq[String])] =
+      : Option[(Long, Long, Seq[String], Option[(Long, Long)])] =
     scala.util.Try {
       val kv = MetaIO.readString(MetaIO.join(bm25Dir(root, v), "stats"))
         .split("\n").map(_.split("=", 2))
@@ -195,7 +239,11 @@ object Retrieval {
         s <- kv.get("sum_dl").flatMap(_.toLongOption)
       } yield (n, s,
         kv.get("segments").map(_.split(",").toSeq.filter(_.nonEmpty))
-          .getOrElse(Seq(s"v=$v/_bm25/postings")))
+          .getOrElse(Seq(s"v=$v/_bm25/postings")),
+        for {
+          lo <- kv.get("min_doc").flatMap(_.toLongOption)
+          hi <- kv.get("max_doc").flatMap(_.toLongOption)
+        } yield (lo, hi))
     }.toOption.flatten
 
   /** INCREMENTAL index maintenance (the Lucene segment model): when
@@ -203,25 +251,31 @@ object Retrieval {
     * APPEND-ONLY, index ONLY the appended rows as a new posting
     * SEGMENT and record `version`'s coverage as the ancestor's
     * segments + the new one — O(batch) per maintained version, never
-    * a corpus re-index. Correct because appends keep doc sets
-    * DISJOINT across segments: per-term df totals are segment sums,
-    * the corpus scalars add, and each (doc, term) posting lives in
-    * exactly one segment ([[bm25SearchStored]] aggregates df across
-    * segments at query time — for a single segment that sum is the
-    * recorded df, so the full-build path is untouched). Rewritten or
-    * deleted history (compaction, MoR deletes — an old doc may have
-    * vanished, invalidating ancestor segments) falls back to a full
-    * [[indexCorpus]] build, loudly correct either way. Idempotent per
+    * a corpus re-index. Correct only when doc sets stay DISJOINT
+    * across segments (per-term df totals are segment sums, the corpus
+    * scalars add, and each (doc, term) posting lives in exactly one
+    * segment — [[bm25SearchStored]] aggregates df across segments at
+    * query time; for a single segment that sum is the recorded df, so
+    * the full-build path is untouched) — append-only FILES do not by
+    * themselves guarantee disjoint doc_ids, so the appended batch's
+    * doc-id range is checked against the covered `[min_doc, max_doc]`
+    * and any OVERLAP falls back to a full rebuild (conservative:
+    * interleaved-but-distinct ids rebuild unnecessarily; a duplicated
+    * id can never silently double-count). Rewritten or deleted history
+    * (compaction, MoR deletes — an old doc may have vanished,
+    * invalidating ancestor segments) also falls back. Idempotent per
     * version; segment dir first, stats published atomically last. */
   def indexCorpusDelta(spark: org.apache.spark.sql.SparkSession,
                        root: String, version: Long = -1L): Long = {
     val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
     require(v >= 0, s"no committed version at $root")
-    val dir = bm25Dir(root, v)
-    val statsFile = MetaIO.join(dir, "stats")
-    if (MetaIO.exists(statsFile)) return v // idempotent
-    val parent = ((v - 1) to 0L by -1L)
-      .flatMap(p => readIndexMeta(root, p).map(p -> _)).headOption
+    if (MetaIO.exists(MetaIO.join(bm25Dir(root, v), "stats")))
+      return v // idempotent
+    // nearest covered ancestor — lazily, so a long version history
+    // pays one metadata read, not thousands
+    val parent = ((v - 1) to 0L by -1L).iterator
+      .flatMap(p => readIndexMeta(root, p).map(p -> _))
+      .nextOption()
     val appended = parent.flatMap { case (p, _) =>
       // appendedBetween REFUSES rewritten history; unapplied deletes
       // at v may hollow out ancestor segments — both mean full rebuild
@@ -233,40 +287,20 @@ object Retrieval {
       }.toOption
     }
     (parent, appended) match {
-      case (Some((_, (pn, ps, psegs))), Some(delta)) =>
-        val dls = delta.select(col("doc_id"),
-          size(tokens).cast("bigint").as("dl"))
-        val corpus = dls
-          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
-          .head()
-        val (dn, dsum) = (corpus.getLong(0), corpus.getLong(1))
-        val segName = s"seg-$v"
+      case (Some((_, (pn, ps, psegs, Some((plo, phi))))), Some(delta)) =>
+        val (dn, dsum, (dlo, dhi)) = sliceScalars(delta)
+        val overlaps = // both ranges non-empty and intersecting
+          pn > 0L && dn > 0L && dlo <= phi && plo <= dhi
+        if (overlaps) return indexCorpus(spark, root, v)
         val segs =
           if (dn == 0L) psegs // nothing appended: coverage carries over
-          else {
-            val tf = termFreq(delta)
-            val chunked = tf.join(dls, "doc_id")
-              .withColumn("chunk", expr(s"doc_id div ${PostingChunkDocs}L"))
-              .groupBy("term", "chunk")
-              .agg(sort_array(collect_list(
-                struct(col("doc_id"), col("tf"), col("dl"))))
-                .as("postings"))
-              .join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term")
-            val tmp = MetaIO.join(root, s"v=$v",
-              s".bm25.new-${java.util.UUID.randomUUID()}")
-            chunked.repartitionByRange(col("term"), col("chunk"))
-              .sortWithinPartitions("term", "chunk")
-              .write.mode("overwrite").parquet(tmp.toString)
-            MetaIO.mkdirs(dir)
-            val segDir = MetaIO.join(dir, segName)
-            MetaIO.delete(segDir, recursive = true)
-            MetaIO.moveTree(tmp, segDir)
-            psegs :+ s"v=$v/_bm25/$segName"
-          }
-        MetaIO.mkdirs(dir)
-        MetaIO.publishString(statsFile,
-          s"n_docs=${pn + dn}\nsum_dl=${ps + dsum}\n" +
-            s"segments=${segs.mkString(",")}")
+          else psegs :+
+            writeSegment(chunkedPostings(delta), root, v, s"seg-$v")
+        val range =
+          if (pn == 0L) (dlo, dhi)
+          else if (dn == 0L) (plo, phi)
+          else (math.min(plo, dlo), math.max(phi, dhi))
+        publishIndexMeta(root, v, pn + dn, ps + dsum, range, segs)
         v
       case _ => indexCorpus(spark, root, v)
     }
@@ -283,7 +317,13 @@ object Retrieval {
     * scalars carry over unchanged, so answers are bit-identical before
     * and after (spec-pinned). Idempotent: one segment is left alone.
     * The merged dir lands first, the stats rewrite publishes
-    * atomically last. Returns the segment count after. */
+    * atomically last. Superseded segment dirs are NOT deleted: a
+    * later version's coverage record (or an in-flight query that
+    * already loaded the old stats) may still chain to them, and no
+    * check here can close that window — they are dead weight on disk
+    * until [[SnapshotTable]] version expiry removes their version
+    * dirs wholesale, the same retention rule every sidecar follows.
+    * Returns the segment count after. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    root: String, version: Long = -1L): Int = {
     val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
@@ -291,7 +331,7 @@ object Retrieval {
     val meta = readIndexMeta(root, v).getOrElse(
       throw new IllegalStateException(
         s"no index coverage at $root v=$v — run indexCorpus first"))
-    val (nDocs, sumDl, segs) = meta
+    val (nDocs, sumDl, segs, range) = meta
     if (segs.size <= 1) return segs.size // idempotent
     val post = segs.map(sp =>
       spark.read.parquet(MetaIO.join(root, sp).toString)
@@ -305,27 +345,9 @@ object Retrieval {
       .groupBy("term", "chunk")
       .agg(sort_array(collect_list(col("p"))).as("postings"))
       .join(dfTot, "term")
-    val dir = bm25Dir(root, v)
-    val tmp = MetaIO.join(root, s"v=$v",
-      s".bm25.new-${java.util.UUID.randomUUID()}")
-    merged.repartitionByRange(col("term"), col("chunk"))
-      .sortWithinPartitions("term", "chunk")
-      .write.mode("overwrite").parquet(tmp.toString)
-    val segDir = MetaIO.join(dir, s"merged-$v")
-    MetaIO.delete(segDir, recursive = true)
-    MetaIO.moveTree(tmp, segDir)
-    MetaIO.publishString(MetaIO.join(dir, "stats"),
-      s"n_docs=$nDocs\nsum_dl=$sumDl\n" +
-        s"segments=v=$v/_bm25/merged-$v")
-    // the superseded segment dirs OWNED by this version are dead
-    // weight — but only when nothing newer can reference them:
-    // ancestor versions' dirs always stay (their coverage records
-    // live on for time travel), and compacting a NON-latest version
-    // must not GC dirs a later version's coverage chains to
-    if (v == SnapshotTable.latestVersion(root))
-      segs.filter(_.startsWith(s"v=$v/")).foreach(sp =>
-        scala.util.Try(MetaIO.delete(MetaIO.join(root, sp),
-          recursive = true)))
+    val seg = writeSegment(merged, root, v, s"merged-$v")
+    publishIndexMeta(root, v, nDocs, sumDl,
+      range.getOrElse((0L, -1L)), Seq(seg))
     1
   }
 
@@ -348,7 +370,12 @@ object Retrieval {
     readIndexMeta(root, v) match {
       case None => // uncovered version: the scan path is the answer
         bm25Search(SnapshotTable.read(spark, root, v), query, k)
-      case Some((nDocs, sumDl, segs)) =>
+      case Some((_, _, segs, _)) if segs.isEmpty =>
+        // covered-but-empty corpus: zero hits, no reads of anything
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long, Double)]
+          .toDF("doc_id", "dl", "n_hits", "bm25")
+      case Some((nDocs, sumDl, segs, _)) =>
         val qTerms = query.distinct.sorted
         val post = segs.map(sp =>
           spark.read.parquet(MetaIO.join(root, sp).toString)

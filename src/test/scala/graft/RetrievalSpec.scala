@@ -253,9 +253,16 @@ class RetrievalSpec extends GraftSuite {
     // answers bit-identical after the merge
     assert(Retrieval.bm25SearchStored(spark, root)
       .collect().map(_.toSeq).toSeq === pre)
-    // v2's own superseded segment dir is GC'd; the merged one stands
-    assert(!JFiles.exists(Paths.get(root, "v=2", "_bm25", "seg-2")))
+    // the merged dir stands; superseded dirs stay on disk (an
+    // in-flight reader or a later coverage record may chain to them —
+    // version expiry is the GC), but v2's coverage references ONLY
+    // the merged segment
     assert(JFiles.exists(Paths.get(root, "v=2", "_bm25", "merged-2")))
+    assert(JFiles.exists(Paths.get(root, "v=2", "_bm25", "seg-2")))
+    val postStats = new String(JFiles.readAllBytes(
+      Paths.get(root, "v=2", "_bm25", "stats")))
+    assert(postStats.linesIterator.find(_.startsWith("segments="))
+      .get.stripPrefix("segments=") === "v=2/_bm25/merged-2")
     // ancestor coverage (time travel) still answers under ITS corpus
     assert(Retrieval.bm25SearchStored(spark, root, version = 1L)
       .collect().map(_.toSeq).toSeq ===
@@ -271,6 +278,44 @@ class RetrievalSpec extends GraftSuite {
     assert(Retrieval.bm25SearchStored(spark, root)
       .collect().map(_.toSeq).toSeq ===
       Retrieval.bm25Search(full).collect().map(_.toSeq).toSeq)
+  }
+
+  test("indexCorpusDelta rebuilds on a doc_id overlap instead of double-counting") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import graft.operators.SnapshotTable
+    val root = JFiles.createTempDirectory("graft-bm25-dup")
+      .toString + "/t"
+    val d = docs
+    SnapshotTable.commitAppend(
+      d.filter(col("doc_id") <= 2L), root, "source") // v0: docs 1,2
+    Retrieval.indexCorpus(spark, root)
+    // append a batch whose id range OVERLAPS the covered range —
+    // append-only FILES, but the disjointness the segment math needs
+    // is gone; the delta path must fall back to a full rebuild
+    SnapshotTable.commitAppend(
+      d.filter(col("doc_id") === 1L)
+        .withColumn("source", lit("dup")), root, "source") // v1: doc 1 again
+    assert(Retrieval.indexCorpusDelta(spark, root) === 1L)
+    val stats = new String(JFiles.readAllBytes(
+      Paths.get(root, "v=1", "_bm25", "stats")))
+    assert(!stats.contains("seg-"), "an overlapping append reused segments")
+    // the FULL rebuild scores the duplicated doc as the scan path does
+    val merged = d.filter(col("doc_id") <= 2L).unionByName(
+      d.filter(col("doc_id") === 1L).withColumn("source", lit("dup")))
+    assert(Retrieval.bm25SearchStored(spark, root)
+      .collect().map(_.toSeq).toSeq ===
+      Retrieval.bm25Search(merged).collect().map(_.toSeq).toSeq)
+  }
+
+  test("indexCorpus covers an empty corpus without crashing; queries return empty") {
+    import java.nio.file.{Files => JFiles}
+    val root = JFiles.createTempDirectory("graft-bm25-empty")
+      .toString + "/t"
+    graft.operators.SnapshotTable.commit(docs.limit(0), root)
+    assert(Retrieval.indexCorpus(spark, root) === 0L)
+    val out = Retrieval.bm25SearchStored(spark, root)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("doc_id", "dl", "n_hits", "bm25"))
   }
 
   test("bm25SearchStored falls back to the scan path without coverage") {
