@@ -2728,6 +2728,23 @@ v0 AS (SELECT * FROM vm UNION ALL SELECT * FROM vs),$em,${spans(rounds + 1)},${s
     // merged corpus — same oracle again
     "bm25_incremental" -> bm25Sql,
 
+    // exact-phrase search: per doc, count token offsets whose
+    // adjacent pair equals ('merge', 'group') — OVERLAPPING
+    // occurrences counted (position arithmetic, the same rule the
+    // positional-postings intersection implements; a regex count
+    // would be non-overlapping and wrong)
+    "phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(length([i FOR i IN range(1, len(w))
+        |    IF w[i] = 'merge' AND w[i+1] = 'group']) AS INT) AS n_occurrences
+        |FROM toks
+        |WHERE length([i FOR i IN range(1, len(w))
+        |  IF w[i] = 'merge' AND w[i+1] = 'group']) > 0
+        |ORDER BY doc_id""".stripMargin,
+
 
     // Reciprocal Rank Fusion of the BM25 leg (top-50) and the dense
     // cosine leg (query = vec 0's embedding, top-50): rrf =

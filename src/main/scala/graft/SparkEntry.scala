@@ -868,6 +868,17 @@ object SparkEntry {
       Retrieval.indexCorpusDelta(s, out)
       Retrieval.bm25SearchStored(s, out)
     },
+    // exact-phrase search over the POSITIONAL postings: the query
+    // reads only the phrase terms' posting rows; the oracle counts
+    // adjacent-token runs over the raw text — a hash match proves the
+    // positional index reproduces overlap-counting position arithmetic
+    "phrase_search" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-phrase-key").toString + "/t"
+      SnapshotTable.commit(Tables.documents(s, dir), out)
+      Retrieval.indexCorpus(s, out)
+      Retrieval.phraseSearch(s, out)
+    },
     // the fully STORED hybrid: inverted-index lexical leg + persisted
     // IVF dense leg (deterministic lowest-16 quantizer, nprobe=4 —
     // the ivf_topk config), RRF-fused; the oracle replays both legs

@@ -146,20 +146,28 @@ object Retrieval {
     * so a half-built index is invisible. Returns the version
     * covered. */
   /** The chunked posting-list frame for a doc slice: per (term, chunk)
-    * the sorted `[(doc_id, tf, dl), ...]` list plus the slice-local
-    * per-term df — ONE layout shared by full builds, delta segments,
-    * and compaction merges (a format change lands everywhere at
-    * once). */
+    * the sorted `[(doc_id, tf, dl, ps), ...]` list plus the
+    * slice-local per-term df — ONE layout shared by full builds,
+    * delta segments, and compaction merges (a format change lands
+    * everywhere at once). `ps` is the sorted in-doc POSITION list
+    * (token offsets) — the Lucene positional-postings field that
+    * makes [[phraseSearch]] answerable from the index; BM25 readers
+    * ignore it. */
   private def chunkedPostings(docs: DataFrame): DataFrame = {
     val dls = docs.select(col("doc_id"),
       size(tokens).cast("bigint").as("dl"))
-    val tf = termFreq(docs)
-    tf.join(dls, "doc_id")
+    val tp = docs.select(col("doc_id"),
+      posexplode(tokens).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+    tp.join(dls, "doc_id")
       .withColumn("chunk", expr(s"doc_id div ${PostingChunkDocs}L"))
       .groupBy("term", "chunk")
       .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("tf"), col("dl")))).as("postings"))
-      .join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term")
+        struct(col("doc_id"), col("tf"), col("dl"), col("ps"))))
+        .as("postings"))
+      .join(tp.groupBy("term").agg(count(lit(1)).as("df")), "term")
   }
 
   /** Write one posting segment: tmp dir first, atomic tree swap into
@@ -349,6 +357,82 @@ object Retrieval {
     publishIndexMeta(root, v, nDocs, sumDl,
       range.getOrElse((0L, -1L)), Seq(seg))
     1
+  }
+
+  /** The fixed phrase [[phraseSearch]] answers by default — an
+    * adjacent pair that occurs in the synthetic corpus. */
+  val DefaultPhrase: Seq[String] = Seq("merge", "group")
+
+  /** PHRASE SEARCH over the positional postings — the capability the
+    * `ps` field exists for (Lucene's exact-phrase query): find every
+    * document containing the EXACT adjacent token sequence `phrase`,
+    * with its occurrence count (overlapping occurrences counted —
+    * position arithmetic, not regex). The query reads only the phrase
+    * terms' posting rows (term-pruned, unioned across segments; a doc
+    * lives wholly in ONE segment, so in-doc adjacency never crosses a
+    * segment boundary) — ZERO corpus scans. The match is an iterated
+    * positional intersection: positions of term i that extend a match
+    * of terms 0..i-1 = `array_intersect(acc + 1, ps_i)` — ‖phrase‖−1
+    * co-partitioned doc_id joins over ≤‖matching docs‖ rows. Falls
+    * back to a corpus scan when the index does not cover the version.
+    * Output: (doc_id, n_occurrences) for matching docs, doc_id
+    * order. */
+  def phraseSearch(spark: org.apache.spark.sql.SparkSession,
+                   root: String, phrase: Seq[String] = DefaultPhrase,
+                   version: Long = -1L): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val v = if (version >= 0) version else SnapshotTable.latestVersion(root)
+    require(v >= 0, s"no committed version at $root")
+    readIndexMeta(root, v) match {
+      case None =>
+        phraseScan(SnapshotTable.read(spark, root, v), phrase)
+      case Some((_, _, segs, _)) if segs.isEmpty =>
+        import spark.implicits._
+        Seq.empty[(Long, Int)].toDF("doc_id", "n_occurrences")
+      case Some((_, _, segs, _)) =>
+        val post = segs.map(sp =>
+          spark.read.parquet(MetaIO.join(root, sp).toString))
+          .reduce(_ unionByName _)
+          .filter(col("term").isin(phrase.distinct: _*))
+          .select(col("term"), explode(col("postings")).as("p"))
+          .select(col("term"), col("p.doc_id").as("doc_id"),
+            col("p.ps").as("ps"))
+        def ofTerm(t: String, as: String): DataFrame =
+          post.filter(col("term") === t)
+            .select(col("doc_id"), col("ps").as(as))
+        val first = ofTerm(phrase.head, "acc")
+        val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+          case (cur, (t, i)) =>
+            cur.join(ofTerm(t, s"ps_$i"), "doc_id")
+              .withColumn("acc", expr(
+                s"array_intersect(transform(acc, x -> x + 1), ps_$i)"))
+              .filter(size(col("acc")) > 0)
+              .drop(s"ps_$i")
+        }
+        matched
+          .select(col("doc_id"),
+            size(col("acc")).as("n_occurrences"))
+          .orderBy("doc_id")
+    }
+  }
+
+  /** The scan-path twin of [[phraseSearch]] (uncovered versions, and
+    * the spec's equivalence anchor): per doc, count the positions
+    * whose adjacent token run equals the phrase. */
+  private[graft] def phraseScan(docs: DataFrame,
+                                phrase: Seq[String]): DataFrame = {
+    val arr = s"array(${phrase.map(t => s"'${t.replace("'", "\\'")}'")
+      .mkString(", ")})"
+    docs
+      .select(col("doc_id"), tokens.as("w"))
+      .withColumn("n_occurrences", expr(
+        s"""if(size(w) >= ${phrase.length},
+           |  size(filter(sequence(0, size(w) - ${phrase.length}),
+           |    i -> slice(w, i + 1, ${phrase.length}) == $arr)),
+           |  0)""".stripMargin))
+      .filter(col("n_occurrences") > 0)
+      .select("doc_id", "n_occurrences")
+      .orderBy("doc_id")
   }
 
   /** [[bm25Search]] over a STORED documents table through the

@@ -318,6 +318,43 @@ class RetrievalSpec extends GraftSuite {
     assert(out.columns.toSeq === Seq("doc_id", "dl", "n_hits", "bm25"))
   }
 
+  test("phraseSearch answers from positional postings, counting overlaps") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    val pd = Seq(
+      (1L, "merge group merge group x"), // two disjoint occurrences
+      (2L, "merge x group"), // terms present, never adjacent
+      (3L, "a a a a"), // overlap fodder for phrase (a, a)
+      (4L, "group merge") // reversed order must not match
+    ).toDF("doc_id", "text")
+    val root = JFiles.createTempDirectory("graft-phrase")
+      .toString + "/t"
+    graft.operators.SnapshotTable.commit(pd, root)
+    Retrieval.indexCorpus(spark, root)
+    def hits(p: Seq[String]) =
+      Retrieval.phraseSearch(spark, root, p).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    assert(hits(Seq("merge", "group")) === Seq(1L -> 2))
+    // OVERLAPPING occurrences count (position arithmetic, not regex)
+    assert(hits(Seq("a", "a")) === Seq(3L -> 3))
+    assert(hits(Seq("a", "a", "a")) === Seq(3L -> 2))
+    // single term degenerates to term-frequency hits
+    assert(hits(Seq("merge")) === Seq(1L -> 2, 2L -> 1, 4L -> 1))
+    // absent phrase: empty, not an error
+    assert(hits(Seq("zzz", "merge")) === Seq.empty)
+    // equivalence with the scan-path twin on every shape above
+    Seq(Seq("merge", "group"), Seq("a", "a"), Seq("a", "a", "a"),
+      Seq("merge")).foreach { p =>
+      assert(hits(p) === Retrieval.phraseScan(pd, p).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toSeq)
+    }
+    // IO proof: the query path reads only the index
+    JFiles.list(Paths.get(root, "v=0")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .foreach(f => JFiles.write(Paths.get(f), "junk".getBytes))
+    assert(hits(Seq("merge", "group")) === Seq(1L -> 2))
+  }
+
   test("bm25SearchStored falls back to the scan path without coverage") {
     import java.nio.file.{Files => JFiles}
     val root = JFiles.createTempDirectory("graft-bm25-fb")
