@@ -355,6 +355,46 @@ class RetrievalSpec extends GraftSuite {
     assert(hits(Seq("merge", "group")) === Seq(1L -> 2))
   }
 
+  test("phraseSearch spans delta segments, survives compaction, falls back uncovered") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles}
+    import graft.operators.SnapshotTable
+    // an in-doc phrase never crosses a segment boundary (a doc lives
+    // wholly in one segment) — but MATCHING DOCS live in different
+    // segments, and the union must surface all of them
+    val v0 = Seq((1L, "merge group merge group", "s0"),
+      (2L, "merge x group", "s0")).toDF("doc_id", "text", "source")
+    val v1 = Seq((5L, "y merge group y", "s1"))
+      .toDF("doc_id", "text", "source")
+    val root = JFiles.createTempDirectory("graft-phrase-seg")
+      .toString + "/t"
+    SnapshotTable.commitAppend(v0, root, "source")
+    Retrieval.indexCorpus(spark, root)
+    SnapshotTable.commitAppend(v1, root, "source")
+    assert(Retrieval.indexCorpusDelta(spark, root) === 1L)
+    def hits() = Retrieval.phraseSearch(spark, root, Seq("merge", "group"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    val expected = Seq(1L -> 2, 5L -> 1)
+    assert(hits() === expected, "a match in the delta segment was dropped")
+    // the compaction merge carries the ps field: answers bit-identical
+    assert(Retrieval.compactIndex(spark, root) === 1)
+    assert(hits() === expected)
+    // uncovered version routes to the scan twin (not an error)
+    val root2 = JFiles.createTempDirectory("graft-phrase-fb")
+      .toString + "/t"
+    SnapshotTable.commit(v0.unionByName(v1), root2)
+    assert(Retrieval.phraseSearch(spark, root2, Seq("merge", "group"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq === expected)
+    // zero-segment coverage (empty corpus): empty frame, right schema
+    val root3 = JFiles.createTempDirectory("graft-phrase-empty")
+      .toString + "/t"
+    SnapshotTable.commit(v0.limit(0), root3)
+    assert(Retrieval.indexCorpus(spark, root3) === 0L)
+    val empty = Retrieval.phraseSearch(spark, root3, Seq("merge", "group"))
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("doc_id", "n_occurrences"))
+  }
+
   test("bm25SearchStored falls back to the scan path without coverage") {
     import java.nio.file.{Files => JFiles}
     val root = JFiles.createTempDirectory("graft-bm25-fb")
