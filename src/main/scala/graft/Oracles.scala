@@ -219,36 +219,48 @@ object Oracles {
 
   // ------------------------------------------------------------ embeddings
 
+  /** The BM25 CTE chain over relation `rel` for a term set — shared
+    * by the scan, stored-index, and incremental-index oracles (one
+    * expression tree, so a hash match on any of them proves the same
+    * arithmetic). Ends with the per-(doc, term) `contribs` CTE. */
+  private def bm25Ctes(rel: String, terms: Seq[String]): String = {
+    val in = terms.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM $rel
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, UNNEST(w) AS term FROM toks) GROUP BY 1, 2
+       |), qtf AS (
+       |  SELECT * FROM tf WHERE term IN ($in)
+       |), dfq AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1
+       |), dls AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls
+       |), contribs AS (
+       |  SELECT q.doc_id, q.term, d.dl,
+       |    (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+       |      (CAST(f.df AS DOUBLE) + 0.5)
+       |      * (CAST(q.tf AS DOUBLE) * 2.2) /
+       |      (CAST(q.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |        (CAST(d.dl AS DOUBLE) /
+       |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS contrib
+       |  FROM qtf q JOIN dfq f USING (term)
+       |  JOIN dls d ON q.doc_id = d.doc_id CROSS JOIN stats s)""".stripMargin
+  }
+
+  private val bm25Select =
+    """SELECT doc_id, MAX(dl) AS dl, CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)),
+      |    (x, y) -> x + y), 8) AS bm25
+      |FROM contribs GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   private val bm25Sql =
-    """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
-        |), tf AS (
-        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, UNNEST(w) AS term FROM toks) GROUP BY 1, 2
-        |), qtf AS (
-        |  SELECT * FROM tf WHERE term IN ('merge', 'spark', 'vector', 'window')
-        |), dfq AS (
-        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1
-        |), dls AS (
-        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
-        |), stats AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls
-        |), contribs AS (
-        |  SELECT q.doc_id, q.term, d.dl,
-        |    (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
-        |      (CAST(f.df AS DOUBLE) + 0.5)
-        |      * (CAST(q.tf AS DOUBLE) * 2.2) /
-        |      (CAST(q.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |        (CAST(d.dl AS DOUBLE) /
-        |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS contrib
-        |  FROM qtf q JOIN dfq f USING (term)
-        |  JOIN dls d ON q.doc_id = d.doc_id CROSS JOIN stats s)
-        |SELECT doc_id, MAX(dl) AS dl, CAST(COUNT(*) AS BIGINT) AS n_hits,
-        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY term)),
-        |    (x, y) -> x + y), 8) AS bm25
-        |FROM contribs GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    s"WITH ${bm25Ctes("documents",
+      graft.operators.Retrieval.DefaultQuery)}\n$bm25Select"
 
   private val nrmCte =
     """nrm AS (
@@ -2723,10 +2735,47 @@ v0 AS (SELECT * FROM vm UNION ALL SELECT * FROM vs),$em,${spans(rounds + 1)},${s
     // the stored-index path must equal the corpus-scan path exactly —
     // one oracle proves both
     "bm25_stored" -> bm25Sql,
-    // ... and the SEGMENTED incremental index (full build + one
-    // append-only delta segment) must equal a full re-index of the
-    // merged corpus — same oracle again
-    "bm25_incremental" -> bm25Sql,
+    // ... and the SEGMENTED + liveDocs incremental index (full build
+    // over the low doc_id half, one range-disjoint delta segment over
+    // the high half, then a MERGE-upsert absorbed as a tombstoned
+    // delta — the driver key asserts both deltas landed as segments,
+    // so the rebuild path cannot pass this trivially) must equal a
+    // corpus-scan BM25 over the POST-UPSERT table: same expression
+    // tree over a CTE that replays the upsert's text edit
+    "bm25_incremental" -> (
+      s"""WITH docs_u AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' merge vector merge'
+         |         ELSE text END AS text
+         |  FROM documents
+         |), ${bm25Ctes("docs_u", graft.operators.Retrieval.DefaultQuery)}
+         |$bm25Select""".stripMargin),
+
+    // BATCHED serving: three fixed queries scored in one statement —
+    // per-term df is GLOBAL (not per query), per-(query, doc) sums
+    // fold in term order, per-query top-20 via one partitioned
+    // row_number — exactly the Spark batch path's shape
+    "bm25_search_batch" -> {
+      val qb = graft.operators.Retrieval.DefaultQueryBatch
+      val qvals = qb.flatMap { case (q, ts) =>
+        ts.distinct.map(t => s"('$q', '$t')") }.mkString(", ")
+      s"""WITH ${bm25Ctes("documents", qb.flatMap(_._2))},
+         |q(query_id, term) AS (VALUES $qvals),
+         |qc AS (
+         |  SELECT q.query_id, c.doc_id, c.term, c.dl, c.contrib
+         |  FROM q JOIN contribs c USING (term)),
+         |agg AS (
+         |  SELECT query_id, doc_id, MAX(dl) AS dl,
+         |    CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(contrib ORDER BY term)), (x, y) -> x + y), 8) AS bm25
+         |  FROM qc GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY bm25 DESC, doc_id) AS rn FROM agg)
+         |SELECT query_id, doc_id, dl, n_hits, bm25 FROM ranked
+         |WHERE rn <= 20 ORDER BY query_id, bm25 DESC, doc_id""".stripMargin
+    },
 
     // exact-phrase search: per doc, count token offsets whose
     // adjacent pair equals ('merge', 'group') — OVERLAPPING
@@ -2744,6 +2793,28 @@ v0 AS (SELECT * FROM vm UNION ALL SELECT * FROM vs),$em,${spans(rounds + 1)},${s
         |WHERE length([i FOR i IN range(1, len(w))
         |  IF w[i] = 'merge' AND w[i+1] = 'group']) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // ordered PROXIMITY phrase search ("merge group"~2): an
+    // occurrence is an END position j of 'group' reachable from some
+    // 'merge' position i with gap 1 ≤ j−i ≤ slop+1 = 3 — the same
+    // consecutive-gap positional arithmetic the index path's
+    // filter/exists extension implements, counted at end positions
+    // (so overlapping matches count once per distinct end)
+    "phrase_search_slop" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |), p AS (
+        |  SELECT doc_id,
+        |    [i FOR i IN range(1, len(w) + 1) IF w[i] = 'merge'] AS p1,
+        |    [i FOR i IN range(1, len(w) + 1) IF w[i] = 'group'] AS p2
+        |  FROM toks
+        |), m AS (
+        |  SELECT doc_id, CAST(len([j FOR j IN p2 IF
+        |    len([i FOR i IN p1 IF j - i >= 1 AND j - i <= 3]) > 0])
+        |    AS INT) AS n_occurrences
+        |  FROM p)
+        |SELECT doc_id, n_occurrences FROM m
+        |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
 
 
     // Reciprocal Rank Fusion of the BM25 leg (top-50) and the dense

@@ -851,22 +851,47 @@ object SparkEntry {
       Retrieval.indexCorpus(s, out)
       Retrieval.bm25SearchStored(s, out)
     },
-    // INCREMENTAL index maintenance: the corpus lands in two appends;
-    // v0 gets a full build, v1 only a segment over the appended rows
-    // (indexCorpusDelta, the Lucene segment model) — the oracle is
-    // the corpus-scan BM25 over the FULL merged table, so the hash
-    // match proves segment-union ≡ full re-index
+    // INCREMENTAL index maintenance end-to-end: the corpus lands as a
+    // RANGE-disjoint append pair (v0 full build, v1 a delta SEGMENT
+    // over only the appended rows — the Lucene segment model), then a
+    // MERGE-upsert edits every doc_id%7==3 doc, absorbed as a
+    // TOMBSTONED delta (the liveDocs model) — never a rebuild. The
+    // oracle is the corpus-scan BM25 over the POST-UPSERT table; the
+    // asserts below keep the key honest: both maintenance steps must
+    // land as segments (a silent full rebuild would pass the hash
+    // trivially) and the upsert must leave a tombstone delta.
     "bm25_incremental" -> { (s, dir) =>
       val out = java.nio.file.Files
         .createTempDirectory("graft-bm25-inc").toString + "/t"
       val docs = Tables.documents(s, dir)
+      val r = docs.agg(min("doc_id"), max("doc_id")).head()
+      val cut = (r.getLong(0) + r.getLong(1)) / 2L
       SnapshotTable.commitAppend(
-        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), out, "source")
+        docs.filter(col("doc_id") <= cut), out, "source")
       Retrieval.indexCorpus(s, out)
       SnapshotTable.commitAppend(
-        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), out, "source")
+        docs.filter(col("doc_id") > cut), out, "source")
       Retrieval.indexCorpusDelta(s, out)
+      val batch = docs.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+        .withColumn("text", concat(col("text"), lit(" merge vector merge")))
+      SnapshotTable.upsertMor(s, out, "source", batch, Seq("doc_id"))
+      Retrieval.indexCorpusDelta(s, out)
+      require(Retrieval.indexSegments(out).count(_.contains("seg-")) == 2,
+        "incremental maintenance fell back to a full rebuild")
+      require(Retrieval.indexTombs(out).nonEmpty,
+        "the upsert left no tombstone delta")
       Retrieval.bm25SearchStored(s, out)
+    },
+    // BATCHED serving: a query SET scored against the stored index in
+    // ONE job (union-of-terms posting read, broadcast query table,
+    // one per-query top-k window) — the oracle replays the same
+    // global-df + per-query fold + partitioned rank in SQL
+    "bm25_search_batch" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25-batch").toString + "/t"
+      SnapshotTable.commit(Tables.documents(s, dir), out)
+      Retrieval.indexCorpus(s, out)
+      Retrieval.bm25SearchStoredBatch(s, out)
     },
     // exact-phrase search over the POSITIONAL postings: the query
     // reads only the phrase terms' posting rows; the oracle counts
@@ -878,6 +903,19 @@ object SparkEntry {
       SnapshotTable.commit(Tables.documents(s, dir), out)
       Retrieval.indexCorpus(s, out)
       Retrieval.phraseSearch(s, out)
+    },
+    // ordered PROXIMITY phrase search over the same positional
+    // postings ("merge group"~2, Lucene's sloppy PhraseQuery): the
+    // consecutive-gap extension arithmetic, end-position occurrence
+    // counts — the oracle counts windowed co-occurrence over raw
+    // text, so a hash match proves the positional index generalizes
+    // beyond exact adjacency
+    "phrase_search_slop" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-slop-key").toString + "/t"
+      SnapshotTable.commit(Tables.documents(s, dir), out)
+      Retrieval.indexCorpus(s, out)
+      Retrieval.phraseSearch(s, out, slop = 2)
     },
     // the fully STORED hybrid: inverted-index lexical leg + persisted
     // IVF dense leg (deterministic lowest-16 quantizer, nprobe=4 —
