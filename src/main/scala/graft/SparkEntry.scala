@@ -94,9 +94,18 @@ object SparkEntry {
     "anomaly_zscore" -> ((s, dir) =>
       Ohlcv.anomalyZscore(Ohlcv.ohlcv1m(stg(s, dir)))),
     "twap_1h" -> ((s, dir) => Microstructure.twap1h(stg(s, dir))),
-    "pair_correlation" -> ((s, dir) =>
-      Microstructure.pairCorrelation(
-        Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg(s, dir))))),
+    "pair_correlation" -> { (s, dir) =>
+      // h1 feeds the no-watchlist valve count AND both self-join legs —
+      // persist so the events->silver->candle chain runs once, not 3×.
+      // Persist the PRUNED projection (the 3 columns the correlation
+      // touches), not full h1: caching every candle column would
+      // materialize the vwap/volume arithmetic the unpersisted legs'
+      // column pruning never computed (measured slower than the 3×
+      // recompute it replaced).
+      val h1 = Ohlcv.ohlcv1h(Ohlcv.ohlcv1m(stg(s, dir)))
+        .select("product_id", "window_start", "close").persist()
+      Microstructure.pairCorrelation(h1)
+    },
     "flow_imbalance" -> ((s, dir) =>
       Microstructure.flowImbalance(stg(s, dir))),
     "range_join" -> { (s, dir) =>

@@ -252,9 +252,15 @@ object Dedup {
     * iterative distributed CC (GraphX does the same), not a data
     * collect. */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetric edge list via ONE explode projection — a union of two
+    // selects over `pairs` would execute the (expensive: inverted-index
+    // join / LSH verify) pairs subtree once per union branch; explode
+    // emits both orientations from a single evaluation
     val edges = pairs
-      .select(col("doc_a").as("v"), col("doc_b").as("u"))
-      .unionByName(pairs.select(col("doc_b").as("v"), col("doc_a").as("u")))
+      .select(explode(array(
+        struct(col("doc_a").as("v"), col("doc_b").as("u")),
+        struct(col("doc_b").as("v"), col("doc_a").as("u")))).as("_e"))
+      .select(col("_e.v").as("v"), col("_e.u").as("u"))
       .persist()
     // Each round references the previous labels TWICE, so the logical
     // plan doubles per iteration without a lineage barrier (2^n plan
@@ -309,11 +315,16 @@ object Dedup {
     * [[clusters]]; the convergence probe is a set-equality check
     * (anti-join count) over the materialized round. */
   def clustersTwoStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val verts = pairs.select(col("doc_a").as("v"))
-      .unionByName(pairs.select(col("doc_b").as("v")))
+    // Materialize the narrow pair projection ONCE: verts and edges both
+    // derive from it, and without the barrier each would re-execute the
+    // (expensive) pairs subtree — three evaluations total counting both
+    // union branches of the old verts build.
+    val pe = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val verts = pe
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
       .distinct().localCheckpoint()
     // canonical downward orientation (u > v), self-loops dropped
-    var edges = pairs
+    var edges = pe
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),

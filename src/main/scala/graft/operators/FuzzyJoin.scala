@@ -87,7 +87,7 @@ object FuzzyJoin {
               maxShortCandidates: Long = 100000000L,
               maxGramCandidates: Long = 25000000L): DataFrame =
     matchesPlanned(left, lCol, right, rCol, maxDist, q,
-      maxShortCandidates, maxGramCandidates, stored = None)
+      maxShortCandidates, maxGramCandidates, stored = None, self = false)
 
   /** Pre-recorded candidate-work estimates for one fuzzy-join config —
     * what [[collectGramStats]] persists for a stored table column so
@@ -109,17 +109,30 @@ object FuzzyJoin {
   private[graft] val pricingJobs =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** `self = true` declares left and right to be the SAME table/column
+    * (the [[selfPairs]] family): every right-side frame then derives by
+    * column rename from the left-side PERSISTED one — one distinct
+    * value cache, one gram explode/repartition cache and one df
+    * aggregate instead of two of each, and the pricing scalars collapse
+    * to their single-side forms (n², Σ df² — numerically IDENTICAL to
+    * the two-sided Σ df_l·df_r when both sides are the same frame, so
+    * every plan gate fires exactly as before). Candidates, ranking
+    * order and the final verified pairs are unchanged — the right side
+    * is literally the same rows. */
   private def matchesPlanned(left: DataFrame, lCol: String,
                              right: DataFrame, rCol: String,
                              maxDist: Int, q: Int,
                              maxShortCandidates: Long,
                              maxGramCandidates: Long,
-                             stored: Option[GramEstimates]): DataFrame = {
+                             stored: Option[GramEstimates],
+                             self: Boolean): DataFrame = {
     require(maxDist >= 0 && q >= 2, "need maxDist >= 0 and q >= 2")
     val l = left.select(col(lCol).cast("string").as("a"))
       .filter(col("a").isNotNull).distinct().persist()
-    val r = right.select(col(rCol).cast("string").as("b"))
-      .filter(col("b").isNotNull).distinct().persist()
+    val r =
+      if (self) l.select(col("a").as("b"))
+      else right.select(col(rCol).cast("string").as("b"))
+        .filter(col("b").isNotNull).distinct().persist()
     val lg = l.select(col("a"), explode(grams("a", q)).as("_g"))
     val rg = r.select(col("b"), explode(grams("b", q)).as("_g"))
     // Plan the long path by MEASURED work, like the short bucket: the
@@ -142,6 +155,10 @@ object FuzzyJoin {
     // anyone would set, and degrades toward +inf, never negative.
     val smallInventory = stored match {
       case Some(e) => e.pairCount <= maxGramCandidates.toDouble
+      case None if self =>
+        pricingJobs.incrementAndGet()
+        val n = l.count().toDouble // also materializes the shared cache
+        n * n <= maxGramCandidates.toDouble
       case None =>
         pricingJobs.incrementAndGet()
         val c = l.agg(count(lit(1)).as("nl"))
@@ -158,14 +175,23 @@ object FuzzyJoin {
     // measured gate). Cache ownership passes to the caller, like the
     // value frames above.
     val (lgJ, rgJ) =
-      if (stored.isEmpty && !smallInventory)
-        (lg.repartition(col("_g")).persist(),
-          rg.repartition(col("_g")).persist())
-      else (lg, rg)
+      if (stored.isEmpty && !smallInventory) {
+        val lj = lg.repartition(col("_g")).persist()
+        // self: ONE repartitioned gram cache serves both join sides (a
+        // rename projection over the persisted frame is a cache hit)
+        (lj,
+          if (self) lj.select(col("a").as("b"), col("_g"))
+          else rg.repartition(col("_g")).persist())
+      } else (lg, if (self) lg.select(col("a").as("b"), col("_g")) else rg)
     lazy val ldf = lgJ.groupBy("_g").agg(count(lit(1)).as("_cl"))
     lazy val rdf = rgJ.groupBy("_g").agg(count(lit(1)).as("_cr"))
     lazy val candEst = stored match {
       case Some(e) => e.gramCandidates
+      case None if self =>
+        // Σ_g df² off ONE gram aggregate (df_l ≡ df_r here)
+        pricingJobs.incrementAndGet()
+        ldf.agg(coalesce(sum(col("_cl").cast("double") *
+          col("_cl").cast("double")), lit(0.0d))).head().getDouble(0)
       case None =>
         pricingJobs.incrementAndGet()
         ldf.join(rdf, "_g")
@@ -187,11 +213,17 @@ object FuzzyJoin {
         // one sidecar read — and stays COMPLETE even if stale (the
         // ranking is a performance choice, never a correctness one).
         val sigSize = maxDist * q + 1
+        // self: df_l ≡ df_r, so the single-side aggregate ranks grams in
+        // exactly the order the two-sided sum would (2·df preserves both
+        // order and ties under the (_df, _g) sort) — one aggregate, no
+        // full_outer self-join
         val gramDf = stored.flatMap(_.gramDf).map(_())
-          .getOrElse(ldf.join(rdf, Seq("_g"), "full_outer")
-            .select(col("_g"),
-              (coalesce(col("_cl"), lit(0L)) +
-                coalesce(col("_cr"), lit(0L))).as("_df")))
+          .getOrElse(
+            if (self) ldf.select(col("_g"), col("_cl").as("_df"))
+            else ldf.join(rdf, Seq("_g"), "full_outer")
+              .select(col("_g"),
+                (coalesce(col("_cl"), lit(0L)) +
+                  coalesce(col("_cr"), lit(0L))).as("_df")))
         val byA = org.apache.spark.sql.expressions.Window
           .partitionBy("a").orderBy(col("_df"), col("_g"))
         // LEFT join: a gram absent from the ranking frame (a stale
@@ -228,6 +260,12 @@ object FuzzyJoin {
     // inventory is inherently quadratic, an opt-in, never a default.
     val gramEst = stored match {
       case Some(e) => e.shortGramCandidates
+      case None if self =>
+        pricingJobs.incrementAndGet()
+        lg1.groupBy(col("_gl").as("g"))
+          .agg(count(lit(1)).as("cl"))
+          .agg(coalesce(sum(col("cl").cast("double") *
+            col("cl").cast("double")), lit(0.0d))).head().getDouble(0)
       case None =>
         pricingJobs.incrementAndGet()
         lg1.groupBy(col("_gl").as("g"))
@@ -242,6 +280,10 @@ object FuzzyJoin {
     // budget, or a dense tiny-value inventory slips past the valve
     val tinyEst = stored match {
       case Some(e) => e.tinyPairs
+      case None if self =>
+        pricingJobs.incrementAndGet()
+        val t = l.filter(length(col("a")) <= maxDist).count().toDouble
+        t * t
       case None =>
         pricingJobs.incrementAndGet()
         l.filter(length(col("a")) <= maxDist).count().toDouble *
@@ -250,6 +292,10 @@ object FuzzyJoin {
     val indexEst = gramEst + tinyEst
     val crossEst = stored match {
       case Some(e) => e.shortPairs
+      case None if self =>
+        pricingJobs.incrementAndGet()
+        val sct = lShort.count().toDouble
+        sct * sct
       case None =>
         pricingJobs.incrementAndGet()
         lShort.count().toDouble * rShort.count().toDouble
@@ -292,8 +338,8 @@ object FuzzyJoin {
                 q: Int = 3,
                 maxShortCandidates: Long = 100000000L,
                 maxGramCandidates: Long = 25000000L): DataFrame =
-    matches(df, strCol, df, strCol, maxDist, q, maxShortCandidates,
-      maxGramCandidates)
+    matchesPlanned(df, strCol, df, strCol, maxDist, q, maxShortCandidates,
+      maxGramCandidates, stored = None, self = true)
       .filter(col("a") < col("b"))
 
   private def gramStatsDir(root: String, v: Long, column: String,
@@ -408,7 +454,7 @@ object FuzzyJoin {
     val base = SnapshotTable.read(spark, root, v)
     val stored = readGramStats(spark, root, column, maxDist, q, v)
     matchesPlanned(base, column, base, column, maxDist, q,
-      maxShortCandidates, maxGramCandidates, stored)
+      maxShortCandidates, maxGramCandidates, stored, self = true)
       .filter(col("a") < col("b"))
   }
 }
