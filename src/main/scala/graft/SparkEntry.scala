@@ -57,7 +57,10 @@ object SparkEntry {
     "incremental_read" -> ((s, dir) =>
       BronzeToSilver.incrementalRead(bronzeDup(s, dir))),
     "merge_upsert" -> { (s, dir) =>
-      val sv = silver(s, dir)
+      // sv feeds the target filter once and the source filter twice
+      // (anti-join probe + union branch) — persist so the
+      // bronze->silver dedup window runs once, not three times
+      val sv = silver(s, dir).persist()
       val target = sv.filter(col("trade_id") % 3 =!= 0)
       val source = sv.filter(col("trade_id") % 2 === 0)
         .withColumn("price",

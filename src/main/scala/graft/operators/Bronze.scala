@@ -57,11 +57,18 @@ object Bronze {
     * Models the duplicate delivery the reference's silver dedup exists
     * for (`bronze_to_silver.py:96-105`).
     */
-  def withRedeliveries(bronze: DataFrame): DataFrame = {
-    val dupes = bronze
-      .filter(col("trade_id") % 10 === 0)
-      .withColumn("ingested_at", expr("timestampadd(SECOND, 900, ingested_at)"))
+  def withRedeliveries(bronze: DataFrame): DataFrame =
+    // one explode pass, not `bronze union bronze.filter(...)` — the
+    // union shape evaluated the whole ingest subtree (a JSON-parsing
+    // projection over the raw events) once per branch; every 10th row
+    // emits a second copy shifted 900 s, all others emit themselves,
+    // and the multiset of output rows is exactly the old union's
+    bronze
+      .select(col("*"), explode(
+        when(col("trade_id") % 10 === 0, array(lit(0), lit(900)))
+          .otherwise(array(lit(0)))).as("_redeliver_s"))
+      .withColumn("ingested_at",
+        expr("timestampadd(SECOND, _redeliver_s, ingested_at)"))
       .withColumn("_ingestion_date", to_date(col("ingested_at")))
-    bronze.unionByName(dupes)
-  }
+      .drop("_redeliver_s")
 }

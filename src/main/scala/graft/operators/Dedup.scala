@@ -331,6 +331,9 @@ object Dedup {
         least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint()
     var converged = edges.isEmpty
+    // |edges| carried across rounds: round N's |next| IS round N+1's
+    // |edges|, so the fixed-point probe pays one count job, not two
+    var edgeCount = -1L
     var i = 0
     while (!converged) {
       if (i >= maxIter)
@@ -342,9 +345,12 @@ object Dedup {
       val adj = edges.unionByName(
         edges.select(col("v").as("u"), col("u").as("v")))
       val lsMin = adj.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+      // the large-star output feeds BOTH small-star consumers (the min
+      // aggregate and the re-point join) — persist it for the round so
+      // its groupBy+join+distinct chain runs once, not twice
       val ls = adj.filter(col("v") > col("u")).join(lsMin, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v")).distinct().persist()
       // small-star: on the downward orientation, every lesser
       // neighbor (and u itself) re-points to min(Γ⁻(u) ∪ {u})
       val ssMin = ls.groupBy("u").agg(least(min("v"), col("u")).as("m"))
@@ -353,10 +359,14 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ssMin.filter(col("u") =!= col("m"))
           .select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint() // eager: ls consumed, safe to drop
+      ls.unpersist()
       // fixed point: next ⊆ edges ∧ |next| = |edges| ⇒ equal sets
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      if (edgeCount < 0L) edgeCount = edges.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edgeCount = nextCount
       edges = next
       i += 1
     }

@@ -162,18 +162,27 @@ object Retrieval {
     * makes [[phraseSearch]] answerable from the index; BM25 readers
     * ignore it. */
   private def chunkedPostings(docs: DataFrame, dls: DataFrame): DataFrame = {
+    // df is a window count over the term partition of the per-(doc,
+    // term) frame, NOT a second aggregation of the tokenize subtree —
+    // the old `tp.groupBy(term)` branch re-evaluated the whole
+    // explode+count pipeline a second time and paid a join to bring df
+    // back. The window rides BEFORE the doclens join on purpose: df
+    // counts each (doc_id, term) pair once while the join fans posting
+    // entries out per doc COPY — the exact duplicate-id semantics the
+    // scan-path equivalence (and the overlap-refusal specs) pin.
     val tp = docs.select(col("doc_id"),
       posexplode(tokens).as(Seq("pos", "term")))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     tp.join(dls, "doc_id")
       .withColumn("chunk", expr(s"doc_id div ${PostingChunkDocs}L"))
       .groupBy("term", "chunk")
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("tf"), col("dl"), col("ps"))))
-        .as("postings"))
-      .join(tp.groupBy("term").agg(count(lit(1)).as("df")), "term")
+        .as("postings"),
+        min(col("df")).as("df")) // constant within a term
   }
 
   /** Write one posting segment: tmp dir first, atomic tree swap into
@@ -183,8 +192,15 @@ object Retrieval {
                            version: Long, name: String): String = {
     val tmp = MetaIO.join(root, s"v=$version",
       s".bm25.new-${java.util.UUID.randomUUID()}")
+    // Both producers ([[chunkedPostings]], [[compactIndex]]'s merge)
+    // end in a window over the term partition, so `chunked` arrives
+    // hash-clustered by term: every term's postings land wholly in one
+    // file and the within-file (term, chunk) sort keeps row groups
+    // prunable by a query's `term IN (...)`. The old
+    // `repartitionByRange` bought the same pruning but cost a
+    // RangePartitioner SAMPLING job that re-evaluated the entire
+    // unpersisted postings subtree once more per segment write.
     chunked
-      .repartitionByRange(col("term"), col("chunk"))
       .sortWithinPartitions("term", "chunk")
       .write.mode("overwrite").parquet(tmp.toString)
     val dir = bm25Dir(root, version)
@@ -592,13 +608,16 @@ object Retrieval {
     }).select(col("term"), col("p")).persist()
     try {
       // exact live df per term — for a tombstone-free index this is
-      // precisely the recorded segment-df sum
-      val dfTot = live.groupBy("term").agg(count(lit(1)).as("df"))
+      // precisely the recorded segment-df sum; a window sum of
+      // posting-list sizes over the term partition (not a separate
+      // aggregate + join back), matching [[chunkedPostings]] so the
+      // frame reaches [[writeSegment]] already term-clustered
       val merged = live
         .withColumn("chunk", expr(s"p.doc_id div ${PostingChunkDocs}L"))
         .groupBy("term", "chunk")
         .agg(sort_array(collect_list(col("p"))).as("postings"))
-        .join(dfTot, "term")
+        .withColumn("df", sum(size(col("postings")).cast("bigint"))
+          .over(Window.partitionBy("term")))
       // a legacy record without a range recomputes it from the live
       // postings instead of publishing the empty-range sentinel (which
       // would make a later delta's disjointness check pass vacuously)

@@ -703,21 +703,30 @@ object SnapshotTable {
     val t = to.select(col(key).as("_k"),
       struct(dataCols.map(col): _*).as("_after"))
     val j = f.join(t, Seq("_k"), "full_outer")
-    val ins = j.filter(col("_before").isNull)
-      .select(col("_k"), col("_after").as("_row"),
-        lit("insert").as("_change_type"))
-    val del = j.filter(col("_after").isNull)
-      .select(col("_k"), col("_before").as("_row"),
-        lit("delete").as("_change_type"))
-    val upd = j.filter(col("_before").isNotNull && col("_after").isNotNull &&
-      col("_before") =!= col("_after"))
-    val pre = upd.select(col("_k"), col("_before").as("_row"),
-      lit("update_preimage").as("_change_type"))
-    val post = upd.select(col("_k"), col("_after").as("_row"),
-      lit("update_postimage").as("_change_type"))
-    ins.unionByName(del).unionByName(pre).unionByName(post)
-      .select(col("_k").as(key) +: dataCols.map(c => col(s"_row.$c")) :+
-        col("_change_type") :+ lit(toVersion).as("_commit_version"): _*)
+    // ONE pass over the join: each row emits its 0–2 change rows via
+    // explode instead of a 4-branch union (ins/del/pre/post), which
+    // re-evaluated the two-snapshot join once per branch. Slot 1 is
+    // insert-or-preimage, slot 2 delete-or-postimage (the pairs are
+    // mutually exclusive); unchanged keys leave both slots null and
+    // drop in the filter. Conditions are verbatim the old branch
+    // filters, so null-field struct comparisons behave identically.
+    val isUpd = col("_before").isNotNull && col("_after").isNotNull &&
+      col("_before") =!= col("_after")
+    val changed = j.select(col("_k"), explode(array(
+      when(col("_before").isNull,
+        struct(col("_after").as("_row"), lit("insert").as("_change_type")))
+        .when(isUpd, struct(col("_before").as("_row"),
+          lit("update_preimage").as("_change_type"))),
+      when(col("_after").isNull,
+        struct(col("_before").as("_row"), lit("delete").as("_change_type")))
+        .when(isUpd, struct(col("_after").as("_row"),
+          lit("update_postimage").as("_change_type"))))).as("_chg"))
+      .filter(col("_chg").isNotNull)
+    changed
+      .select(col("_k").as(key) +:
+        dataCols.map(c => col(s"_chg._row.$c")) :+
+        col("_chg._change_type").as("_change_type") :+
+        lit(toVersion).as("_commit_version"): _*)
   }
 
   /** Incremental APPEND scan — Iceberg's "read only what arrived
