@@ -192,14 +192,20 @@ object Retrieval {
                            version: Long, name: String): String = {
     val tmp = MetaIO.join(root, s"v=$version",
       s".bm25.new-${java.util.UUID.randomUUID()}")
-    // Both producers ([[chunkedPostings]], [[compactIndex]]'s merge)
-    // end in a window over the term partition, so `chunked` arrives
-    // hash-clustered by term: every term's postings land wholly in one
-    // file and the within-file (term, chunk) sort keeps row groups
-    // prunable by a query's `term IN (...)`. The old
-    // `repartitionByRange` bought the same pruning but cost a
-    // RangePartitioner SAMPLING job that re-evaluated the entire
-    // unpersisted postings subtree once more per segment write.
+    // Layout assumption, stated honestly: [[compactIndex]]'s merge ends
+    // in a window over the term partition (term-clustered by
+    // construction), and [[chunkedPostings]]' final (term, chunk)
+    // aggregate PRESERVES its term window's clustering only while the
+    // intervening doclens join broadcasts (HashPartitioning(term)
+    // satisfies the agg's ClusteredDistribution(term, chunk), so no
+    // re-exchange) — true for batch-sized slices; a shuffled doclens
+    // join at much larger slices re-clusters by (term, chunk) and a
+    // term's postings may then split across files, WEAKENING (never
+    // breaking) the `term IN (...)` row-group pruning. Accepted trade:
+    // the alternative `repartitionByRange`/`repartition(term)` costs a
+    // sampling job or an always-on extra exchange per segment write,
+    // which at the measured batch sizes outweighed the pruning risk.
+    // The within-file (term, chunk) sort keeps row groups prunable.
     chunked
       .sortWithinPartitions("term", "chunk")
       .write.mode("overwrite").parquet(tmp.toString)
@@ -220,8 +226,12 @@ object Retrieval {
                            version: Long, name: String): Unit = {
     val tmp = MetaIO.join(root, s"v=$version",
       s".bm25dl.new-${java.util.UUID.randomUUID()}")
+    // no repartitionByRange: its RangePartitioner SAMPLING job cost one
+    // extra action per sidecar write, and the sidecar's only readers
+    // ([[liveDoclens]], the delta pricing) always scan the WHOLE file
+    // set — doc_id range layout bought no pruning. Within-partition
+    // sort keeps row groups ordered for free.
     dls.select(col("doc_id"), col("dl"))
-      .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(tmp.toString)
     val dir = bm25Dir(root, version)
@@ -479,15 +489,13 @@ object Retrieval {
               else d0.withColumn("text", col(textCol))
             val dls = docLens(d).persist()
             try {
-              val (dn, dsum, (dlo, dhi)) = scalarsOf(dls)
-              val disjoint =
-                meta.nDocs == 0L || dn == 0L || dhi < plo || dlo > phi
-              def unionRange: (Long, Long) =
+              def unionRange(dn: Long, dlo: Long,
+                             dhi: Long): (Long, Long) =
                 if (meta.nDocs == 0L && dn == 0L) (0L, -1L)
                 else if (meta.nDocs == 0L) (dlo, dhi)
                 else if (dn == 0L) (plo, phi)
                 else (math.min(plo, dlo), math.max(phi, dhi))
-              def writeSeg(): Seq[String] =
+              def writeSeg(dn: Long): Seq[String] =
                 if (dn == 0L) meta.segs
                 else {
                   val sp = writeSegment(chunkedPostings(d, dls), root, v,
@@ -495,15 +503,30 @@ object Retrieval {
                   writeDoclens(dls, root, v, s"seg-$v")
                   meta.segs :+ sp
                 }
-              if (disjoint && newEq.isEmpty) {
-                // FAST path: no collision is possible, no doc dies —
-                // pure segment append, zero ancestor reads
-                publishIndexMeta(root, v, meta.nDocs + dn,
-                  meta.sumDl + dsum, unionRange, writeSeg(), meta.tombs)
-                v
-              } else deltaWithTombstones(spark, root, v, meta, newEq,
-                dls, dn, dsum, unionRange, () => writeSeg()) match {
-                case Some(done) => done
+              val done =
+                if (newEq.isEmpty) {
+                  // scalars first: a disjoint no-delete append must not
+                  // read the ancestor inventory at all
+                  val (dn, dsum, (dlo, dhi)) = scalarsOf(dls)
+                  if (meta.nDocs == 0L || dn == 0L || dhi < plo ||
+                      dlo > phi) {
+                    // FAST path: no collision is possible, no doc dies —
+                    // pure segment append, zero ancestor reads
+                    publishIndexMeta(root, v, meta.nDocs + dn,
+                      meta.sumDl + dsum, unionRange(dn, dlo, dhi),
+                      writeSeg(dn), meta.tombs)
+                    Some(v)
+                  } else deltaWithTombstones(spark, root, v, meta, newEq,
+                    dls, unionRange, writeSeg)
+                } else
+                  // an eq-delete forces the liveDocs path regardless of
+                  // ranges — batch scalars fold into ITS pricing job
+                  // (one multi-aggregate action, not a separate
+                  // scalarsOf + refusal probe + tombstone aggregate)
+                  deltaWithTombstones(spark, root, v, meta, newEq, dls,
+                    unionRange, writeSeg)
+              done match {
+                case Some(dv) => dv
                 case None => indexCorpus(spark, root, v, textCol)
               }
             } finally dls.unpersist()
@@ -515,13 +538,21 @@ object Retrieval {
   /** The liveDocs half of [[indexCorpusDelta]]: price the batch
     * against the ancestor's live doc inventory, refuse (None → caller
     * full-rebuilds) on uncovered collisions or in-batch duplicate ids,
-    * otherwise tombstone the superseded copies and publish. */
+    * otherwise tombstone the superseded copies and publish.
+    *
+    * ONE pricing action: the batch scalars (n, Σdl, id range), the
+    * refusal gate (in-batch duplicate ids, collisions with live
+    * survivors), and the tombstone pricing (dead count + Σdl) all fold
+    * into a single multi-aggregate job over batch ∪ live inventory —
+    * the old shape paid a separate job-submission floor for each
+    * (scalarsOf, the `bad` emptiness probe, the tombstone aggregate),
+    * and at batch sizes those floors, not data, dominated the key. */
   private def deltaWithTombstones(spark: org.apache.spark.sql.SparkSession,
                                   root: String, v: Long, meta: IndexMeta,
                                   newEq: Seq[(Long, Seq[String])],
-                                  dls: DataFrame, dn: Long, dsum: Long,
-                                  range: (Long, Long),
-                                  writeSeg: () => Seq[String])
+                                  dls: DataFrame,
+                                  unionRange: (Long, Long, Long) => (Long, Long),
+                                  writeSeg: Long => Seq[String])
       : Option[Long] = {
     import spark.implicits._
     val live0 = liveDoclens(spark, root, meta).getOrElse(return None)
@@ -535,29 +566,58 @@ object Retrieval {
       }.reduce(_ unionByName _).distinct()
     val live = live0.persist()
     try {
-      // refusal gate, one action: a batch id colliding with a live
-      // ancestor doc NOT covered by an eq-delete would double-count
-      // df; a duplicate id within the batch would double-count inside
-      // the new segment
-      val dKeys = dls.select("doc_id")
-      val survivors = live.join(eqKeys, Seq("doc_id"), "left_anti")
-        .select("doc_id")
-      val bad = dKeys.groupBy("doc_id").agg(count(lit(1)).as("_c"))
-        .filter(col("_c") > 1).select("doc_id")
-        .unionByName(dKeys.join(survivors, Seq("doc_id"), "left_semi"))
-      if (!bad.isEmpty) return None
+      // batch rows flagged _b=true, live inventory rows _b=false, the
+      // eq-delete key set left-joined on — per doc id one row of
+      // per-side facts, then one global fold:
+      //   _nb   > 1                → in-batch duplicate id (refuse)
+      //   _nb   > 0 ∧ live survivor (no _eq) → uncovered collision
+      //                              (would double-count df — refuse)
+      //   live ∧ _eq               → tombstoned copy (count, Σdl)
+      //   batch side               → dn, Σdl, [min,max] doc id
+      val perId = dls.select(col("doc_id"), col("dl"), lit(true).as("_b"))
+        .unionByName(live.select(col("doc_id"), col("dl"),
+          lit(false).as("_b")))
+        .join(eqKeys.withColumn("_eq", lit(true)), Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("_b"), 1L).otherwise(0L)).as("_nb"),
+          sum(when(col("_b"), col("dl"))).as("_bdl"),
+          max(when(!col("_b") && col("_eq").isNull, 1L).otherwise(0L))
+            .as("_surv"),
+          sum(when(!col("_b") && col("_eq").isNotNull, 1L).otherwise(0L))
+            .as("_tn"),
+          sum(when(!col("_b") && col("_eq").isNotNull, col("dl")))
+            .as("_tdl"))
+      val r = perId.agg(
+        coalesce(sum("_nb"), lit(0L)),                             // 0 dn
+        coalesce(sum("_bdl"), lit(0L)),                            // 1 Σdl
+        min(when(col("_nb") > 0L, col("doc_id"))),                 // 2 dlo
+        max(when(col("_nb") > 0L, col("doc_id"))),                 // 3 dhi
+        coalesce(sum(when(col("_nb") > 1L, 1L)), lit(0L)),         // 4 dups
+        coalesce(sum(when(col("_nb") > 0L && col("_surv") === 1L, 1L)),
+          lit(0L)),                                                // 5 coll
+        coalesce(sum("_tn"), lit(0L)),                             // 6 tn
+        coalesce(sum("_tdl"), lit(0L))).head()                     // 7 tdl
+      // refusal gate — same conditions as the old two probes: a batch
+      // id colliding with a live ancestor doc NOT covered by an
+      // eq-delete would double-count df; a duplicate id within the
+      // batch would double-count inside the new segment
+      if (r.getLong(4) > 0L || r.getLong(5) > 0L) return None
+      val (dn, dsum) = (r.getLong(0), r.getLong(1))
+      val (dlo, dhi) =
+        if (dn == 0L) (0L, -1L) else (r.getLong(2), r.getLong(3))
+      val (tn, tdl) = (r.getLong(6), r.getLong(7))
       // the tombstones: live ancestor copies an eq-delete kills —
       // each keyed to ITS segment, so a re-inserted id in the new
       // segment survives the query anti-join
-      val tombNew = live.join(eqKeys, Seq("doc_id"), "left_semi")
-      val tr = tombNew.agg(count(lit(1)),
-        coalesce(sum("dl"), lit(0L))).head()
-      val (tn, tdl) = (tr.getLong(0), tr.getLong(1))
       val tombs =
         if (tn == 0L) meta.tombs
-        else meta.tombs :+ writeTombs(tombNew, root, v, s"tomb-$v")
+        else meta.tombs :+ writeTombs(
+          live.join(eqKeys, Seq("doc_id"), "left_semi"), root, v,
+          s"tomb-$v")
       publishIndexMeta(root, v, meta.nDocs + dn - tn,
-        meta.sumDl + dsum - tdl, range, writeSeg(), tombs)
+        meta.sumDl + dsum - tdl, unionRange(dn, dlo, dhi), writeSeg(dn),
+        tombs)
       Some(v)
     } finally live.unpersist()
   }
