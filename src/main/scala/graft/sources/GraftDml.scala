@@ -257,9 +257,24 @@ object GraftDml {
         }
         val delKeys = (touchedKeys +: nmbsKeys).reduce(_ unionByName _)
         // materialize OFF the persisted join before unpersist: the
-        // staging write must not recompute the target read
-        (updRows.unionByName(insRows).localCheckpoint(eager = true),
-          delKeys.distinct().localCheckpoint(eager = true))
+        // staging write must not recompute the target read. ONE eager
+        // checkpoint for both outputs — the appended images and the
+        // tombstoned keys union into a single tagged frame (key columns
+        // are target columns, so a key row is a null-padded image row),
+        // halving the materialization actions per MERGE
+        val keySet = keyCols.toSet
+        val delPadded = delKeys.distinct().select(tSchema.fields.toSeq.map {
+          f =>
+            (if (keySet.contains(f.name)) col(f.name)
+             else lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+        val both = updRows.unionByName(insRows)
+          .withColumn("_gft_del", lit(false))
+          .unionByName(delPadded.withColumn("_gft_del", lit(true)))
+          .localCheckpoint(eager = true)
+        (both.filter(!col("_gft_del")).drop("_gft_del"),
+          both.filter(col("_gft_del"))
+            .select(keyCols.map(col(_)): _*))
       } finally j.unpersist()
     }
 
