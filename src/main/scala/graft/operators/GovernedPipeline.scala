@@ -76,9 +76,10 @@ object GovernedPipeline {
       var staged = 0L
       val v = Retry.withRetries(retries, backoffMs, s"stage $name") {
         attempts += 1
-        // metrics scoped per attempt: a failed partial stage's records
-        // never pollute the successful attempt's count
-        val (res, jobs) = Metrics.collectJobs(spark, name)(body)
+        // metrics scoped per attempt AND per label (job-description
+        // filter): a failed partial stage's records never pollute the
+        // successful attempt's count, and the UI shows the stage name
+        val (res, jobs) = Metrics.collectJobsLabelled(spark, name)(body)
         staged = jobs.map(_.outputRecords).sum
         res
       }
@@ -101,10 +102,12 @@ object GovernedPipeline {
                            runKind: String, wm: LocalDateTime): Long = {
     val tr = Catalog.tableRoot(catalogRoot, "pipeline_metrics")
     val mPrev = prev.getOrElse("pipeline_metrics", -1L)
+    // the table is partitioned BY run_id, so the next id is a manifest
+    // metadata read (partition dir names), not a Spark aggregate job
     val runId =
       if (mPrev < 0L) 0L
-      else SnapshotTable.read(spark, tr, mPrev) // tiny: runs × stages
-        .agg(max("run_id")).head().getLong(0) + 1L
+      else SnapshotTable.manifestEntries(tr, mPrev)
+        .map(_._1.stripPrefix("run_id=").toLong).max + 1L
     val report = MetricsHistory
       .withRunColumns(rec.reportDF, runKind, Option(wm))
       .withColumn("run_id", lit(runId))
@@ -298,13 +301,18 @@ object GovernedPipeline {
     val dmSlice = SnapshotTable.read(spark, tr("daily_metrics"), vDM)
       .filter(col("date").isin(dateLits: _*))
 
-    // serving state + table from horizon-pruned staged slices
+    // serving state + table from horizon-pruned staged slices; the
+    // serve horizon's as-of scalar rides the staging write's job as an
+    // observed metric instead of a separate aggregate job
+    val asOfObs = new org.apache.spark.sql.Observation()
     val vLT = full("latest_trade", MergeUpsert.mergeKeepFirst(
       readAt("latest_trade"),
       PriceLatest.latestTradeOf(Staging.stgTrades(batchSilver)),
-      "product_id", Seq(col("updated_at").desc, col("trade_id").desc)))
+      "product_id", Seq(col("updated_at").desc, col("trade_id").desc))
+      .observe(asOfObs, max(col("updated_at")).as("as_of")))
     val lt = SnapshotTable.read(spark, tr("latest_trade"), vLT)
-    val asOf = lt.agg(max("updated_at")).head().getAs[LocalDateTime](0)
+    val asOf = Metrics.observedOr[LocalDateTime](spark, asOfObs, "as_of")(
+      lt.agg(max("updated_at")).head().getAs[LocalDateTime](0))
     val horizonLb = lit(java.sql.Date.valueOf(asOf.toLocalDate.minusDays(1)))
     val vPL = full("price_latest", PriceLatest.serve(lt,
       SnapshotTable.read(spark, tr("ohlcv_1m"), vM1)

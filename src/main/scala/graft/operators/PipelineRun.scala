@@ -73,9 +73,12 @@ object PipelineRun {
       var attempts = 0
       val rows = Retry.withRetries(retries, backoffMs, s"stage $name") {
         attempts += 1
-        // metrics scoped per attempt: a failed partial write's records
-        // never pollute the successful attempt's count
-        val (_, jobs) = Metrics.collectJobs(spark, name)(write(path))
+        // metrics scoped per attempt AND per label: a failed partial
+        // write's records never pollute the successful attempt's
+        // count, and jobs from overlapped independent work (the
+        // latest-trade state write back-filling this stage's
+        // stragglers) are excluded by the description filter
+        val (_, jobs) = Metrics.collectJobsLabelled(spark, name)(write(path))
         jobs.map(_.outputRecords).sum
       }
       report += ((name, rows, path, (System.nanoTime() - t0) / 1e9, attempts))
@@ -90,6 +93,11 @@ object PipelineRun {
       report.result().toDF("stage", "rows", "path", "seconds", "attempts")
     }
   }
+
+  private def observedOr[T](spark: SparkSession,
+                            obs: org.apache.spark.sql.Observation,
+                            key: String)(fallback: => T): T =
+    Metrics.observedOr(spark, obs, key)(fallback)
 
   /** Run `body` with dynamic partition overwrite on (only the written
     * partitions are replaced), restoring the previous mode after. */
@@ -162,11 +170,18 @@ object PipelineRun {
     val r = new Runner(spark, outRoot, retries, retryBackoffMs)
 
     // bronze: raw ingest with redelivered duplicates, partitioned by
-    // ingestion date (the incremental-read axis)
+    // ingestion date (the incremental-read axis). The incremental
+    // scheduler's watermark (max ingested_at) rides the WRITE job as an
+    // observed metric — no separate bronze re-scan job for one scalar.
+    val wmObs = new org.apache.spark.sql.Observation()
+    // the observed frame is built ONCE outside the retry closure: an
+    // Observation binds to one Dataset, and a retried attempt re-writes
+    // the same frame rather than re-registering the observation
+    val bronzeDf = Bronze.withRedeliveries(Bronze.ingest(
+        eventsOverride.getOrElse(Tables.events(spark, sfDir))))
+      .observe(wmObs, max(col("ingested_at")).as("wm"))
     val bronze = r.stage("bronze") { p =>
-      val events = eventsOverride.getOrElse(Tables.events(spark, sfDir))
-      Bronze.writePartitioned(
-        Bronze.withRedeliveries(Bronze.ingest(events)), p)
+      Bronze.writePartitioned(bronzeDf, p)
     }
     // silver: dedup + typed transform, partitioned by trade date (the
     // mart consumers' pruning axis). Everything downstream reads THIS
@@ -175,6 +190,25 @@ object PipelineRun {
       BronzeToSilver.writePartitioned(BronzeToSilver.transform(bronze), p)
     }
     val stg = Staging.stgTrades(silver)
+    // latest-trade merge state (|products| rows): the incremental
+    // runner's price_latest base — not a report stage, just state.
+    // It depends only on the silver materialization, NOT on the candle
+    // marts, so it runs CONCURRENTLY with the m1→h1→dm chain (guide
+    // §2.6: overlap independent jobs so the state write's tasks
+    // back-fill executors idling in the mart stages' shuffle tails).
+    // Stage row counts stay exact: the Runner's collectJobsLabelled
+    // attributes by job description, and this thread writes under its
+    // own label.
+    @volatile var stateErr: Throwable = null
+    val stateThread = new Thread(() => {
+      try {
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        spark.sparkContext.setJobDescription("latest_trade_state")
+        PriceLatest.latestTradeOf(stg).write.mode("overwrite")
+          .parquet(s"$outRoot/$LatestTradeState")
+      } catch { case t: Throwable => stateErr = t }
+    }, "graft-latest-trade-state")
+    stateThread.start()
     // marts are repartitioned ON the partition column before the write:
     // without it every write task emits a file into every date dir
     // (tasks × dates small files — the layout that kills object-store
@@ -195,10 +229,8 @@ object PipelineRun {
       DailyMetrics.daily(h1).repartition(col("date"))
         .write.mode("overwrite").partitionBy("date").parquet(p)
     }
-    // latest-trade merge state (|products| rows): the incremental
-    // runner's price_latest base — not a report stage, just state
-    PriceLatest.latestTradeOf(stg).write.mode("overwrite")
-      .parquet(s"$outRoot/$LatestTradeState")
+    stateThread.join()
+    if (stateErr != null) throw stateErr
     val pl = r.stage("price_latest") { p =>
       PriceLatest.serve(spark.read.parquet(s"$outRoot/$LatestTradeState"),
         m1, h1, dm).write.mode("overwrite").parquet(p)
@@ -211,8 +243,10 @@ object PipelineRun {
     if (failOnViolations) gate(quality, outRoot)
 
     // the incremental scheduler's starting point: everything ingested
-    // up to here is processed (footer-stats max over the bronze scan)
-    val wm = bronze.agg(max("ingested_at")).head().getAs[LocalDateTime](0)
+    // up to here is processed — read from the bronze write's observed
+    // metric, with the old one-column re-scan as the defensive fallback
+    val wm = observedOr[LocalDateTime](spark, wmObs, "wm")(
+      bronze.agg(max("ingested_at")).head().getAs[LocalDateTime](0))
     if (wm != null) writeWatermark(outRoot, wm)
 
     // health history: this run's report joins the persisted time
@@ -265,7 +299,14 @@ object PipelineRun {
     val r = new Runner(spark, outRoot, retries, retryBackoffMs)
 
     val ingestNew = Bronze.withRedeliveries(Bronze.ingest(newEvents)).persist()
-    r.stage("bronze") { p => Bronze.writePartitioned(ingestNew, p, mode = "append") }
+    // the advanced watermark (max ingested_at of the batch) rides the
+    // bronze append's write job as an observed metric — one scalar
+    // must not cost its own job
+    val wmObs = new org.apache.spark.sql.Observation()
+    val ingestNewObs = ingestNew
+      .observe(wmObs, max(col("ingested_at")).as("wm"))
+    r.stage("bronze") { p =>
+      Bronze.writePartitioned(ingestNewObs, p, mode = "append") }
 
     // the incremental window: watermark minus late-arrival lookback,
     // resolved to literals so the bronze scan partition-prunes
@@ -340,8 +381,13 @@ object PipelineRun {
       PriceLatest.latestTradeOf(Staging.stgTrades(batchSilver)),
       "product_id", Seq(col("updated_at").desc, col("trade_id").desc))
       .localCheckpoint()
-    newState.write.mode("overwrite").parquet(ltPath)
-    val asOf = newState.agg(max("updated_at")).head().getAs[LocalDateTime](0)
+    // the serve horizon's as-of scalar rides the state write's job as
+    // an observed metric instead of a separate aggregate job
+    val asOfObs = new org.apache.spark.sql.Observation()
+    newState.observe(asOfObs, max(col("updated_at")).as("as_of"))
+      .write.mode("overwrite").parquet(ltPath)
+    val asOf = observedOr[LocalDateTime](spark, asOfObs, "as_of")(
+      newState.agg(max("updated_at")).head().getAs[LocalDateTime](0))
     val horizonLb = lit(java.sql.Date.valueOf(asOf.toLocalDate.minusDays(1)))
     val pl = r.stage("price_latest") { p =>
       PriceLatest.serve(
@@ -366,7 +412,8 @@ object PipelineRun {
     }
     if (failOnViolations) gate(quality, outRoot)
 
-    val newWm = ingestNew.agg(max("ingested_at")).head().getAs[LocalDateTime](0)
+    val newWm = observedOr[LocalDateTime](spark, wmObs, "wm")(
+      ingestNew.agg(max("ingested_at")).head().getAs[LocalDateTime](0))
     ingestNew.unpersist(); batchSilver.unpersist()
     if (newWm != null && newWm.isAfter(prevWm)) writeWatermark(outRoot, newWm)
 
