@@ -652,21 +652,78 @@ object Analytics {
       .agg(sum(col("trade_value")).cast("decimal(18,8)"))
       .orderBy("product_id")
 
-  /** Customer value deciles via `ntile` — the ranking-bucket window
-    * family (segmentation reports). The global sort ntile needs runs
-    * over the ALREADY-REDUCED ‖customers‖ rollup, never the fact; at
-    * the scale where even that rollup can't single-partition-sort, the
-    * path is approximate cut points (`percentile_approx`) + a
-    * broadcast range lookup. Total order (value DESC, unique custkey)
-    * → identical bucket assignment on every engine. */
+  /** Customer value deciles — the ranking-bucket window family
+    * (segmentation reports), computed as an EXACT two-pass ntile with
+    * NO single-partition sort anywhere: a bare
+    * `ntile().over(Window.orderBy(...))` funnels the whole ‖customers‖
+    * rollup through ONE task, the serial stage that caps this operator
+    * at scale. Instead:
+    *
+    *  1. range-partition the rollup on the ntile ORDER (value DESC,
+    *     custkey) — a distributed sort, every partition a contiguous
+    *     rank range;
+    *  2. per-partition row counts (tiny: ≤‖shuffle partitions‖ rows)
+    *     prefix-sum into partition rank OFFSETS;
+    *  3. global 0-indexed rank = offset + per-partition row_number − 1
+    *     (the row_number window partitions by `spark_partition_id()`,
+    *     so its sort is per-partition, never global);
+    *  4. the bucket is SQL ntile's closed form over (rank i, n rows,
+    *     b buckets): base = n div b, rem = n mod b, first `rem`
+    *     buckets hold base+1 rows —
+    *     i < (base+1)·rem ? i div (base+1) + 1
+    *                      : rem + (i − (base+1)·rem) div base + 1
+    *     — bit-identical to the window ntile under the same total
+    *     order (value DESC, unique custkey), which the oracle and
+    *     AnalyticsSpec pin.
+    *
+    * The range-partitioned rollup is cached (single fill inside the one
+    * action) so the offsets side and the ranked side observe the SAME
+    * physical partitioning; the offsets side is broadcast. Costs one
+    * extra exchange vs the single-window plan at toy scale — the price
+    * of removing the serial stage. */
   def customerValueDeciles(orders: DataFrame,
                            buckets: Int = 10): DataFrame = {
+    // perCust persisted: the range exchange's SAMPLING pass and the
+    // shuffle itself would otherwise each evaluate the orders aggregate
     val perCust = orders.groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
         .cast("decimal(18,4)").as("cust_value"))
-    perCust
-      .withColumn("decile", ntile(buckets).over(
-        Window.orderBy(col("cust_value").desc, col("o_custkey"))))
+      .persist()
+    // cached ONCE (single fill within the one action): the offsets side
+    // and the ranked side must observe the SAME physical range
+    // partitioning — two independent evaluations of the exchange could
+    // sample different range bounds and skew every offset
+    val sorted = perCust
+      .repartitionByRange(col("cust_value").desc, col("o_custkey"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val counts = sorted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    // offsets + total over ≤‖partitions‖ rows — a trivially small frame,
+    // so its single-partition running-sum window is metadata-sized
+    val offs = counts
+      .withColumn("_off", coalesce(sum("_cnt").over(
+        Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum("_cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("_base", expr(s"_n div ${buckets}L"))
+      .withColumn("_rem", expr(s"_n % ${buckets}L"))
+      .select("_pid", "_off", "_base", "_rem")
+    sorted
+      .join(broadcast(offs), "_pid")
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_pid")
+          .orderBy(col("cust_value").desc, col("o_custkey"))))
+      .withColumn("_i", col("_off") + col("_lrn") - 1L)
+      .withColumn("decile",
+        // integer `div` throughout — `/` would be IEEE double division
+        when(col("_i") < (col("_base") + 1L) * col("_rem"),
+          expr("_i div (_base + 1L)") + 1L)
+          .otherwise(col("_rem") +
+            expr("(_i - (_base + 1L) * _rem) div greatest(_base, 1L)") +
+            1L)
+          .cast("int"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),
         sum("cust_value").cast("decimal(18,4)").as("decile_value"))

@@ -699,4 +699,51 @@ class AnalyticsSpec extends GraftSuite {
     assert(rows.forall(r => expect(r.getAs[Long]("o_orderkey")) ===
       r.getAs[java.math.BigDecimal]("total_qty").doubleValue()))
   }
+
+  test("deciles: two-pass exact ntile ≡ the single-window ntile, " +
+    "no single-partition window over the rollup (plan-asserted)") {
+    val orders = Tables.orders(spark, sf)
+    // reference: the textbook global-window ntile over the same rollup
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)").as("cust_value"))
+    val ref = perCust
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cust_value").desc, col("o_custkey"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cust_value").cast("decimal(18,4)").as("decile_value"))
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getAs[java.math.BigDecimal](2).doubleValue())).toSet
+    val got = Analytics.customerValueDeciles(orders)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getAs[java.math.BigDecimal](2).doubleValue())).toSet
+    assert(got === ref)
+    // the rollup-sized ranked window never runs in one global
+    // partition: its windowspecdefinition is partitioned by _pid (the
+    // offsets side's running sum IS a bare-window frame, but over
+    // ≤‖shuffle partitions‖ count rows, not the rollup)
+    val plan = Analytics.customerValueDeciles(orders)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val ranked = plan.linesIterator
+      .filter(l => l.contains("row_number()") &&
+        l.contains("windowspecdefinition")).toSeq
+    assert(ranked.nonEmpty, s"no ranked window in plan:\n$plan")
+    assert(ranked.forall(_.contains("_pid")),
+      s"ranked window not partition-scoped:\n${ranked.mkString("\n")}")
+    // ntile itself must be gone (replaced by the closed form)
+    assert(!plan.contains("ntile("), "single-window ntile still present")
+  }
+
+  test("deciles: edge shapes — fewer customers than buckets, ties") {
+    import spark.implicits._
+    // 3 customers, 10 buckets: ntile gives each its own bucket 1..3
+    val tiny = Seq((1L, 100.0), (2L, 100.0), (3L, 50.0))
+      .toDF("o_custkey", "o_totalprice")
+    val got = Analytics.customerValueDeciles(tiny)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got === Set((1, 1L), (2, 1L), (3, 1L)))
+  }
 }
