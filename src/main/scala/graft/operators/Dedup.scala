@@ -251,6 +251,26 @@ object Dedup {
     * The per-round `count()` is the convergence check of every
     * iterative distributed CC (GraphX does the same), not a data
     * collect. */
+  /** Round barrier for the iterative CC algorithms: truncates lineage
+    * and materializes the round. Local-mode default is
+    * `localCheckpoint` — executor-memory blocks, NOT replicated, so an
+    * executor loss mid-iteration fails the job unrecoverably. A
+    * cluster deployment that needs executor-loss tolerance sets
+    * `spark.graft.cc.reliableCheckpoint=true` AND a
+    * `SparkContext.setCheckpointDir`: rounds then checkpoint to
+    * reliable storage — same algorithm, same labels (spec-pinned by
+    * CcCheckpointSpec). Checkpoint files follow the session's
+    * checkpoint-cleanup policy
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints`). */
+  private def barrier(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    val reliable = ss.conf
+      .getOption("spark.graft.cc.reliableCheckpoint")
+      .exists(_.toBoolean) &&
+      ss.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
+
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // symmetric edge list via ONE explode projection — a union of two
     // selects over `pairs` would execute the (expensive: inverted-index
@@ -267,8 +287,8 @@ object Dedup {
     // nodes by round n — analyzer OOM). localCheckpoint materializes
     // the round and truncates lineage; a cluster deployment uses a
     // reliable checkpoint dir, same algorithm.
-    var labels = edges.select("v").distinct()
-      .withColumn("label", col("v")).localCheckpoint()
+    var labels = barrier(edges.select("v").distinct()
+      .withColumn("label", col("v")))
     var changed = 1L
     var i = 0
     while (changed > 0) {
@@ -283,11 +303,10 @@ object Dedup {
       // change flag computed in the same pass and checkpointed with the
       // labels: convergence detection is then a filter over the
       // materialized round, not an extra join+shuffle job
-      val next = labels.join(viaNeighbors, Seq("v"), "left")
+      val next = barrier(labels.join(viaNeighbors, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"),
-          (coalesce(col("min_nl"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint()
+          (coalesce(col("min_nl"), col("label")) < col("label")).as("chg")))
       changed = next.filter(col("chg")).count()
       labels = next.select("v", "label")
       i += 1
@@ -319,17 +338,17 @@ object Dedup {
     // derive from it, and without the barrier each would re-execute the
     // (expensive) pairs subtree — three evaluations total counting both
     // union branches of the old verts build.
-    val pe = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val verts = pe
+    val pe = barrier(pairs.select(col("doc_a"), col("doc_b")))
+    val verts = barrier(pe
       .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     // canonical downward orientation (u > v), self-loops dropped
-    var edges = pe
+    var edges = barrier(pe
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     var converged = edges.isEmpty
     // |edges| carried across rounds: round N's |next| IS round N+1's
     // |edges|, so the fixed-point probe pays one count job, not two
@@ -355,11 +374,11 @@ object Dedup {
       // neighbor (and u itself) re-points to min(Γ⁻(u) ∪ {u})
       val ssMin = ls.groupBy("u").agg(least(min("v"), col("u")).as("m"))
       val joined = ls.join(ssMin, "u")
-      val next = joined.filter(col("v") =!= col("m"))
+      val next = barrier(joined.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ssMin.filter(col("u") =!= col("m"))
           .select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint() // eager: ls consumed, safe to drop
+        .distinct()) // eager barrier: ls consumed, safe to drop
       ls.unpersist()
       // fixed point: next ⊆ edges ∧ |next| = |edges| ⇒ equal sets
       val nextCount = next.count()
