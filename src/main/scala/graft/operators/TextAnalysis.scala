@@ -295,14 +295,20 @@ object TextAnalysis {
     * shuffled join instead of OOM-ing the driver. */
   def decontaminate(docs: DataFrame, evalSource: String = "src0",
                     maxBroadcastShingles: Long = 5000000L): DataFrame = {
-    val inv = Dedup.shingled(docs)
-      .select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
-    val evalShingles = inv.filter(col("source") === evalSource)
+    // each side shingles ONLY its slice — the source filter sits below
+    // the shingle projection + explode BY CONSTRUCTION (not left to
+    // filter pushdown through the Generate), so the eval side tokenizes
+    // just the eval suite and the corpus side is exploded exactly once;
+    // the broadcast hash join then IS the semi-join prune of the
+    // corpus-side shingles (no shuffle of the exploded corpus)
+    def inv(slice: DataFrame): DataFrame = Dedup.shingled(slice)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val evalShingles = inv(docs.filter(col("source") === evalSource))
       .select("sh").distinct().persist()
     val probe =
       if (evalShingles.count() <= maxBroadcastShingles) broadcast(evalShingles)
       else evalShingles
-    inv.filter(col("source") =!= evalSource)
+    inv(docs.filter(col("source") =!= evalSource))
       .join(probe, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
