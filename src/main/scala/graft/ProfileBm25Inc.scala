@@ -25,10 +25,12 @@ object ProfileBm25Inc {
       println(f"[prof] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       r
     }
+    val roots = Seq.newBuilder[String]
     (1 to 2).foreach { rep =>
       println(s"=== rep $rep ===")
       val out = java.nio.file.Files
         .createTempDirectory("graft-prof-bm25inc").toString + "/t"
+      roots += out
       val docs = sources.Tables.documents(spark, dir)
       val r = t("minmax")(docs.agg(min("doc_id"), max("doc_id")).head())
       val cut = (r.getLong(0) + r.getLong(1)) / 2L
@@ -48,5 +50,10 @@ object ProfileBm25Inc {
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
+    // temp snapshot tables cleaned up after the session releases them
+    // (mirrors ProfilePipeline — repeated dev runs must not leak disk)
+    roots.result().foreach(r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(r).getParentFile))
   }
 }

@@ -7,7 +7,16 @@ import graft.operators._
 import graft.sources.Tables
 import graft.streaming.BronzeStream
 
-/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Cache-ownership contract: query builders may `persist()` /
+  * `localCheckpoint()` shared subtrees (a frame feeding 2+ consumers of
+  * the RETURNED lazy plan cannot be unpersisted inside the builder
+  * without forfeiting the reuse). CALLERS own cleanup: run
+  * `spark.sharedState.cacheManager.clearCache()` and unpersist
+  * `spark.sparkContext.getPersistentRDDs` between queries, exactly as
+  * Bench/Verify do — a long-lived session that skips this accumulates
+  * caches across keys. */
 object SparkEntry {
 
   // ---- shared trade-model builders (SURVEY §1) --------------------------
