@@ -76,25 +76,18 @@ object IncrementalIvf {
         SnapshotTable.commit(q, centRoot(root))
         readCentroids(spark, root)
       }
-    // nearest-centroid assignment over the BATCH only: max_by hash
-    // aggregate, not a row_number window — the window shuffles AND
-    // sorts all |batch|·nlist exploded rows by vec_id, while max_by
-    // partial-aggregates map-side and shuffles one row per vector
-    // (guide §2.3 "aggregate before you shuffle"; the window shape
-    // also ANTI-scaled 8→32 cores at the x100 bench). Tie-break is
-    // inside the ordering key: max over (ccos, -centroid_id) ≡ the
-    // old (ccos DESC, centroid_id ASC) first row.
+    // nearest-centroid assignment over the BATCH only (argmax window
+    // on narrow triples, same shape as ivfTopK's index build)
     val asg = n.crossJoin(broadcast(cent))
       .withColumn("ccos",
         DotProduct.dot(col("v_embedding"), col("ct_embedding")) /
           (col("v_nrm") * col("ct_nrm")))
-      .groupBy("vec_id")
-      .agg(max_by(
-        struct(col("centroid_id"), col("v_embedding"), col("v_nrm")),
-        struct(col("ccos"), negate(col("centroid_id")))).as("_best"))
-      .select(col("vec_id"), col("_best.centroid_id").as("centroid_id"),
-        col("_best.v_embedding").as("embedding"),
-        col("_best.v_nrm").as("nrm"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("centroid_id"),
+        col("v_embedding").as("embedding"), col("v_nrm").as("nrm"))
       .persist()
     // replay safety at BATCH cost: only the touched partitions are read
     val lroot = listsRoot(root)

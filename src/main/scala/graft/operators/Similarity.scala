@@ -121,11 +121,6 @@ object Similarity {
         col("embedding").as("ct_embedding"), col("nrm").as("ct_nrm"))
       .localCheckpoint() // lineage barrier: plan doubles per iteration
     for (_ <- 1 to iters) {
-      // argmax centroid per vector as a max_by HASH aggregate (partial
-      // map-side, one shuffled row per vector) instead of a row_number
-      // window (full sort+shuffle of the |n|·k exploded frame) — guide
-      // §2.3. Tie-break folded into the key: max (ccos, -centroid_id)
-      // ≡ (ccos DESC, centroid_id ASC) first row.
       val assigned = n
         .select(col("vec_id"), col("embedding").as("v_embedding"),
           col("nrm").as("v_nrm"))
@@ -133,11 +128,10 @@ object Similarity {
         .withColumn("ccos",
           DotProduct.dot(col("v_embedding"), col("ct_embedding")) /
             (col("v_nrm") * col("ct_nrm")))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("centroid_id"), col("v_embedding")),
-          struct(col("ccos"), negate(col("centroid_id")))).as("_best"))
-        .select(col("vec_id"), col("_best.centroid_id").as("centroid_id"),
-          col("_best.v_embedding").as("v_embedding"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("ccos").desc, col("centroid_id"))))
+        .filter(col("crn") === 1)
       // mean per cluster: aggregate(zip) of double arrays, then rescale
       val dim = Hashing.EmbDim
       val means = assigned
@@ -183,7 +177,6 @@ object Similarity {
         col("embedding").as("ct_embedding"), col("nrm").as("ct_nrm"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      // same max_by-instead-of-window argmax as [[kMeans]] above
       val assigned = n
         .select(col("vec_id"), col("embedding").as("v_embedding"),
           col("nrm").as("v_nrm"))
@@ -191,11 +184,10 @@ object Similarity {
         .withColumn("ccos",
           DotProduct.dot(col("v_embedding"), col("ct_embedding")) /
             (col("v_nrm") * col("ct_nrm")))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("centroid_id"), col("v_embedding")),
-          struct(col("ccos"), negate(col("centroid_id")))).as("_best"))
-        .select(col("vec_id"), col("_best.centroid_id").as("centroid_id"),
-          col("_best.v_embedding").as("v_embedding"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("ccos").desc, col("centroid_id"))))
+        .filter(col("crn") === 1)
       val means = assigned
         .groupBy("centroid_id")
         .agg(count(lit(1)).as("cn"),
@@ -249,11 +241,8 @@ object Similarity {
       n.filter(col("vec_id") < nlist)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("ct_embedding"), col("nrm").as("ct_nrm")))
-    // inverted lists: nearest centroid per vector — max_by hash
-    // aggregate on narrow (vec_id, centroid_id, ccos) triples (partial
-    // map-side, one shuffled row per vector; the old row_number window
-    // sorted+shuffled all |n|·nlist rows — guide §2.3), embeddings
-    // re-joined on the partitioned key
+    // inverted lists: nearest centroid per vector (narrow rows through
+    // the argmax window, embeddings re-joined on the partitioned key)
     val asg = n
       .select(col("vec_id"), col("embedding").as("v_embedding"),
         col("nrm").as("v_nrm"))
@@ -261,9 +250,12 @@ object Similarity {
       .withColumn("ccos",
         DotProduct.dot(col("v_embedding"), col("ct_embedding")) /
           (col("v_nrm") * col("ct_nrm")))
-      .groupBy("vec_id")
-      .agg(max_by(col("centroid_id"),
-        struct(col("ccos"), negate(col("centroid_id")))).as("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"), col("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("crn") === 1)
+      .select("vec_id", "centroid_id")
     val lists = asg.join(n, "vec_id")
       .select(col("vec_id"), col("centroid_id"),
         col("embedding").as("v_embedding"), col("nrm").as("v_nrm"))
@@ -514,8 +506,7 @@ object Similarity {
     val cent = n.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"),
         col("embedding").as("ct_embedding"), col("nrm").as("ct_nrm"))
-    // coarse assignment — ivfTopK's inverted-list build, narrow rows,
-    // same max_by-instead-of-window argmax as [[ivfTopK]]
+    // coarse assignment — ivfTopK's inverted-list build, narrow rows
     val asg = n
       .select(col("vec_id"), col("embedding").as("v_embedding"),
         col("nrm").as("v_nrm"))
@@ -523,9 +514,12 @@ object Similarity {
       .withColumn("ccos",
         DotProduct.dot(col("v_embedding"), col("ct_embedding")) /
           (col("v_nrm") * col("ct_nrm")))
-      .groupBy("vec_id")
-      .agg(max_by(col("centroid_id"),
-        struct(col("ccos"), negate(col("centroid_id")))).as("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"), col("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("crn") === 1)
+      .select("vec_id", "centroid_id")
     val cb = pqCodebook(emb, m, nCodes).persist()
     val codes = pqCodes(emb, cb, m).persist()
     // queries → nprobe nearest lists (broadcast), then the candidate
