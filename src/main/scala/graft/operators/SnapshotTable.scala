@@ -2333,18 +2333,42 @@ object SnapshotTable {
           ps.valueExpr(slice.schema(ps.source).dataType))
       }
     }
-    // REBALANCE on the partition fields before the partitioned write:
-    // without it every write task emits one file into every partition
-    // dir it sees — tasks × partitions small files, and the file count
-    // (so the commit/rename and every later read) GROWS with the core
-    // count (measured: IVF appendBatch anti-scaled 8→32 cores at the
-    // x100 bench on exactly this). A plain repartition(fields) would
-    // fix the fan-out but serialize each partition value into one
-    // task; the AQE rebalance clusters by the fields AND splits
-    // oversized partitions (optimizeSkewsInRebalancePartitions, on by
-    // default), so hot partitions keep parallel writers. Guide §6.
+    // REBALANCE on the partition fields before LARGE partitioned
+    // writes: without it every write task emits one file into every
+    // partition dir it sees — tasks × partitions small files, and the
+    // file count (so the commit/rename and every later read) GROWS
+    // with the core count (measured: IVF appendBatch anti-scaled 8→32
+    // cores at the x100 bench on exactly this). A plain
+    // repartition(fields) would fix the fan-out but serialize each
+    // partition value into one task; the AQE rebalance clusters by the
+    // fields AND splits oversized partitions
+    // (optimizeSkewsInRebalancePartitions, on by default), so hot
+    // partitions keep parallel writers. Guide §6.
+    //
+    // SIZE-ADAPTIVE, not unconditional: the rebalance is one extra
+    // exchange per commit, which for the metadata-sized commits of a
+    // small table costs a job-floor each while the files it saves are
+    // tiny anyway (measured: +0.3–0.6 s on every snapshot-commit bench
+    // key at sf0.1, for zero read benefit at that scale). The gate is
+    // the optimizer's own size estimate of the slice — cheap,
+    // data-derived, and scale-respecting: past the threshold the
+    // fan-out is real money (object-store file counts), below it the
+    // extra exchange is pure floor. Threshold parameterised via
+    // spark.graft.commit.rebalanceBytes (default 64 MB ≈ half a
+    // target output file).
+    val rebalanceBytes = slice.sparkSession.conf
+      .getOption("spark.graft.commit.rebalanceBytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+    // stats off the ANALYZED plan, deliberately: `optimizedPlan` would
+    // run a full extra optimizer pass per commit (measured: +5–50 %
+    // on every commit-heavy bench key — driver CPU, not data), while
+    // the analyzed plan is already materialized by Dataset creation
+    // and its size visitor is a cheap tree walk. The estimate skews
+    // HIGH (no filter selectivity), i.e. errs toward rebalancing —
+    // the safe direction at scale.
+    val sliceBytes = writeDf.queryExecution.analyzed.stats.sizeInBytes
     val clustered =
-      if (pss.isEmpty) writeDf
+      if (pss.isEmpty || sliceBytes < BigInt(rebalanceBytes)) writeDf
       else writeDf.hint("rebalance", pss.map(_.field): _*)
     clustered.write.mode("append").partitionBy(pss.map(_.field): _*)
       .parquet(s"$root/v=$next")
